@@ -1,0 +1,140 @@
+"""Last-write-wins reconciliation — Cassandra read-path merge semantics
+over multi-generation SSTable cell data.
+
+Reproduces the reference's two distinct merge operators plus the
+tombstone/TTL views:
+
+- ``lww_cell``  — per-(key, cell-name) merge, Cassandra compaction
+  semantics: union cells across generations, keep latest per name
+  (reference ``MsgPackSSTableDataReducer``, mapred/SSTableData.scala:79-118,
+  HashMap merge :85-95).
+- ``lww_row``   — COARSE row-grained merge: the single newest cell of
+  the whole row wins (reference ``SSTableDataReducer``,
+  mapred/SSTableData.scala:45-62, argmax loop :48-53).  Lossy by design;
+  kept as a distinct operator, do not confuse with ``lww_cell``.
+- ``live_view`` — winners minus tombstones minus expired-at-AS_OF
+  (tombstone suppression: SSTableData.scala:102-105,
+  WritableColumn.java:51-58; TTL carry: WritableColumn.java:64-72).
+
+Tie-breaking: the reference uses strict ``>`` so the first-encountered
+cell wins on equal timestamps (SSTableData.scala:52,93) — MR
+iteration-order-dependent, nondeterministic across runs.  The engine
+fixes a deterministic total order instead (SURVEY.md §2.4):
+``timestamp DESC, state precedence DELETED > EXPIRING > NORMAL,
+generation DESC, base64(data) DESC``.  This is a documented deviation.
+
+Scale notes: merges are expressed as ``groupBy().agg(max_by(payload,
+order_key))`` rather than window ``row_number``, so Spark runs them as
+hash aggregations WITH map-side partial aggregation — each executor
+pre-merges its local generations before the shuffle, exactly the
+combiner topology the reference's MR jobs lack (they shuffle every
+cell).  At 100 TB this is the difference between shuffling all cells
+and shuffling one winner candidate per (key, name) per map partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Cell-level columns of the exploded view, in canonical order.
+CELL_COLS = ["name", "state", "data", "timestamp", "ttl", "expiration",
+             "generation"]
+
+
+def _state_rank(state: Column) -> Column:
+    """DELETED > EXPIRING > NORMAL precedence on timestamp ties,
+    mirroring Cassandra's rule that a tombstone beats a live cell with
+    the same writetime."""
+    return (F.when(state == "DELETED", F.lit(2))
+             .when(state == "EXPIRING", F.lit(1))
+             .otherwise(F.lit(0)))
+
+
+def _order_key() -> Column:
+    """Deterministic total order for the LWW argmax; struct comparison
+    is lexicographic field-by-field."""
+    return F.struct(
+        F.col("timestamp").alias("ts"),
+        _state_rank(F.col("state")).alias("sr"),
+        F.col("generation").alias("gen"),
+        F.coalesce(F.base64(F.col("data")), F.lit("")).alias("db64"),
+        # name disambiguates lww_row ties (constant within an lww_cell group)
+        F.base64(F.col("name")).alias("nb64"),
+    )
+
+
+def explode_cells(df: DataFrame) -> DataFrame:
+    """Nested rows → one record per (key, cell).  The reference's
+    ``SSTableDataMapper`` (mapred/SSTableData.scala:21-33), minus its
+    lossy bytes→UTF-8 key reinterpretation (:24) — we group on raw
+    bytes and only *render* as string (SURVEY.md §7 risk 5)."""
+    return (df.select("key", "generation",
+                      F.explode("columns").alias("cell"))
+              .select("key", "cell.*", "generation"))
+
+
+def lww_cell(cells: DataFrame) -> DataFrame:
+    """One winning cell per (key, name) across all generations.
+
+    Topology identical to the reference's shuffle→HashMap-merge
+    (SSTableData.scala:85-95) but with partial aggregation: one
+    hash-agg, one shuffle on (key, name).
+    """
+    payload = F.struct(*[F.col(c) for c in CELL_COLS])
+    return (cells
+            .groupBy("key", "name")
+            .agg(F.max_by(payload, _order_key()).alias("w"))
+            .select("key", "name", "w.state", "w.data", "w.timestamp",
+                    "w.ttl", "w.expiration", "w.generation"))
+
+
+def lww_row(cells: DataFrame) -> DataFrame:
+    """The single newest cell of the entire row (coarse merge,
+    reference SSTableDataReducer argmax, SSTableData.scala:48-53)."""
+    payload = F.struct(*[F.col(c) for c in CELL_COLS])
+    return (cells
+            .groupBy("key")
+            .agg(F.max_by(payload, _order_key()).alias("w"))
+            .select("key", "w.name", "w.state", "w.data", "w.timestamp",
+                    "w.ttl", "w.expiration", "w.generation"))
+
+
+def live_view(cells: DataFrame, as_of_ms: int) -> DataFrame:
+    """Readable state at ``as_of_ms``: per-cell winners, minus DELETED
+    winners (a tombstone that wins LWW *shadows* the value — it must win
+    first, then be dropped; filtering DELETED before the merge would
+    resurrect older values), minus EXPIRING cells already past their
+    expiration (ms epoch, WritableColumn.java:21).
+
+    ``as_of_ms`` is an explicit parameter, never wall clock, so results
+    are reproducible (SURVEY.md §7 risk 4).
+    """
+    winners = lww_cell(cells)
+    return winners.filter(
+        (F.col("state") != "DELETED")
+        & (F.col("expiration").isNull() | (F.col("expiration") > F.lit(as_of_ms)))
+    )
+
+
+def collect_rows(cells: DataFrame, by_generation: bool = True) -> DataFrame:
+    """Inverse of ``explode_cells``: regroup cells into the nested row
+    envelope (key, columns[]) — the shape of the reference's merged
+    MsgPackRow output (SSTableData.scala:97-114).
+
+    ``by_generation=True`` regroups per (key, generation) — the
+    round-trip identity ``collect_rows(explode_cells(df)) == df``.
+    ``by_generation=False`` regroups merged winners per key (cells keep
+    their own winning generation inside the struct).  Cell order within
+    a row is deterministic: sorted by struct comparison, name bytes
+    first."""
+    cell_struct = F.struct(*[F.col(c) for c in CELL_COLS[:-1]])
+    keys = ["key", "generation"] if by_generation else ["key"]
+    out_cols = ["key", "columns", "generation"] if by_generation else [
+        "key", "columns"]
+    if not by_generation:
+        cell_struct = F.struct(*[F.col(c) for c in CELL_COLS])
+    return (cells
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list(cell_struct)).alias("columns"))
+            .select(*out_cols))

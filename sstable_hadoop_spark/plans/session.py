@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hard-codes its parallelism (512/128 reducers —
+ReadSSTableDataFile.scala:27, ReadSSTableWithoutSplits.scala:25); we
+delegate to AQE instead so the same plan scales from local[32] tests to
+a 1000-executor cluster without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def session_builder(app_name: str = "sstable_hadoop_spark",
+                    master: str | None = None) -> SparkSession.Builder:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata parquet carries TIMESTAMP(NANOS) columns, which
+        # vanilla Spark rejects; read them as nano-epoch longs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder
+
+
+def get_session(app_name: str = "sstable_hadoop_spark") -> SparkSession:
+    spark = session_builder(app_name).getOrCreate()
+    # Register the sstable data source once per session (idempotent).
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    return spark

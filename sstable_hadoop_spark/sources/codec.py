@@ -1,0 +1,430 @@
+"""SSTable binary codec — writer + reader for the Cassandra-1.x-style
+on-disk family ``*-Data.db`` / ``*-Index.db`` / ``*-Summary.db`` /
+``*-CompressionInfo.db``.
+
+The reference consumes these files through the external (unvendored)
+library ``com.tehasdf:scala-sstable-reader`` (reference pom.xml:73-77),
+so the byte layout here is our own Cassandra-1.x-inspired format.  What
+matters — and what is reproduced exactly — is the *data model* the
+reference reads out of these files:
+
+- wide row = ``(key: bytes, ordered cells)``
+  (reference SSTableDataRecordReader.scala:26,62-78)
+- cell = NORMAL ``(name, data, timestamp)`` | DELETED ``(name,
+  timestamp)`` | EXPIRING ``(name, data, ttl_secs, expiration_ms,
+  timestamp)`` (reference SSTableDataRecordReader.scala:66-71,
+  WritableColumn.java:12-21; ttl in seconds, expiration in ms)
+- Index.db = ``(key, byte offset of the row in Data.db)``
+  (reference SSTableIndexRecordReader.scala:51)
+- Summary.db = every Nth index entry with its offset *into Index.db*
+  (reference GenerateSSTableIndexSplits.scala:75-91 walks these)
+- CompressionInfo.db = chunk length + ascending compressed chunk
+  offsets; Data.db is a sequence of independently-compressed
+  fixed-size-uncompressed chunks (reference
+  GenerateSSTableDataSplits.scala:129-135,180-192)
+
+Layout (all integers big-endian):
+
+Data.db (uncompressed logical stream; rows start at offset 0):
+    row   := u16 key_len, key, u32 n_cells, cell*
+    cell  := u16 name_len, name, u8 state(0=NORMAL 1=DELETED 2=EXPIRING),
+             i64 timestamp_us,
+             [EXPIRING only] i64 ttl_secs, i64 expiration_ms,
+             [not DELETED]   u32 data_len, data
+
+Index.db:    entry := u16 key_len, key, u64 data_offset
+Summary.db:  u32 sample_rate, then entry := u16 key_len, key, u64 index_offset
+CompressionInfo.db:
+    u8 algo_len, algo(ascii), u32 chunk_length, u64 uncompressed_length,
+    u32 n_chunks, u64 compressed_offset * n_chunks
+Compressed Data.db: per chunk — compressed bytes then u32 crc32 of the
+    compressed bytes (mirrors Cassandra's per-chunk checksum).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import BinaryIO, Iterable, Iterator
+
+try:  # pyarrow ships snappy/lz4/zstd codecs; no python-snappy needed
+    import pyarrow as _pa
+
+    def _compress(data: bytes, algo: str) -> bytes:
+        return _pa.compress(data, codec=algo, asbytes=True)
+
+    def _decompress(data: bytes, algo: str, uncompressed_size: int) -> bytes:
+        return _pa.decompress(data, decompressed_size=uncompressed_size,
+                              codec=algo, asbytes=True)
+
+    _HAVE_CODECS = True
+except ImportError:  # pragma: no cover - pyarrow is a hard dep of pyspark
+    _HAVE_CODECS = False
+
+    def _compress(data: bytes, algo: str) -> bytes:
+        if algo != "zlib":
+            raise RuntimeError("pyarrow unavailable; only zlib supported")
+        return zlib.compress(data)
+
+    def _decompress(data: bytes, algo: str, uncompressed_size: int) -> bytes:
+        if algo != "zlib":
+            raise RuntimeError("pyarrow unavailable; only zlib supported")
+        return zlib.decompress(data)
+
+
+STATE_NORMAL = "NORMAL"
+STATE_DELETED = "DELETED"
+STATE_EXPIRING = "EXPIRING"
+_STATE_TO_CODE = {STATE_NORMAL: 0, STATE_DELETED: 1, STATE_EXPIRING: 2}
+_CODE_TO_STATE = {v: k for k, v in _STATE_TO_CODE.items()}
+
+DEFAULT_CHUNK_LENGTH = 64 * 1024  # Cassandra default chunk_length_kb=64
+DEFAULT_SUMMARY_RATE = 128        # Cassandra default index_interval
+
+_DATA_SUFFIX = "-Data.db"
+_GENERATION_RE = re.compile(r"-(\d+)-Data\.db$")
+
+
+@dataclass
+class Cell:
+    """One cell; the 3-variant algebraic type of the reference
+    (SSTableDataRecordReader.scala:66-71) flattened with a state tag the
+    way the Pig loader flattens it (SSTableDataLoader.scala:56-60)."""
+
+    name: bytes
+    state: str = STATE_NORMAL
+    data: bytes | None = b""
+    timestamp: int = 0            # microseconds (Cassandra writetime)
+    ttl: int | None = None        # seconds   (EXPIRING only)
+    expiration: int | None = None # ms epoch  (EXPIRING only)
+
+    def __post_init__(self) -> None:
+        if self.state == STATE_DELETED:
+            self.data = None
+        if self.state != STATE_EXPIRING:
+            self.ttl = None
+            self.expiration = None
+
+
+@dataclass
+class Row:
+    key: bytes
+    cells: list[Cell] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Writing
+# ---------------------------------------------------------------------------
+
+def _encode_cell(cell: Cell) -> bytes:
+    out = bytearray()
+    out += struct.pack(">H", len(cell.name))
+    out += cell.name
+    out += struct.pack(">Bq", _STATE_TO_CODE[cell.state], cell.timestamp)
+    if cell.state == STATE_EXPIRING:
+        out += struct.pack(">qq", cell.ttl or 0, cell.expiration or 0)
+    if cell.state != STATE_DELETED:
+        data = cell.data or b""
+        out += struct.pack(">I", len(data))
+        out += data
+    return bytes(out)
+
+
+def _encode_row(row: Row) -> bytes:
+    out = bytearray()
+    out += struct.pack(">H", len(row.key))
+    out += row.key
+    out += struct.pack(">I", len(row.cells))
+    for cell in row.cells:
+        out += _encode_cell(cell)
+    return bytes(out)
+
+
+class SSTableWriter:
+    """Writes one SSTable generation: Data/Index/Summary
+    (+CompressionInfo when compressed).  File naming
+    ``{name}-{generation}-Data.db`` mirrors Cassandra's
+    ``ks-cf-version-generation-Component.db`` convention; the companion
+    paths derive by suffix rewrite exactly as the reference derives them
+    (SSTableDataRecordReader.scala:20, GenerateSSTableDataSplits.scala:218-225).
+    """
+
+    def __init__(self, directory: str, name: str, generation: int = 1,
+                 compressed: bool = False, algo: str = "snappy",
+                 chunk_length: int = DEFAULT_CHUNK_LENGTH,
+                 summary_rate: int = DEFAULT_SUMMARY_RATE) -> None:
+        self.directory = directory
+        self.base = os.path.join(directory, f"{name}-{generation}")
+        self.compressed = compressed
+        self.algo = algo
+        self.chunk_length = chunk_length
+        self.summary_rate = summary_rate
+        self._data = io.BytesIO()
+        self._index: list[tuple[bytes, int]] = []
+
+    def write_row(self, row: Row) -> None:
+        self._index.append((row.key, self._data.tell()))
+        self._data.write(_encode_row(row))
+
+    def close(self) -> dict[str, str]:
+        os.makedirs(self.directory, exist_ok=True)
+        paths = {}
+        raw = self._data.getvalue()
+
+        data_path = self.base + _DATA_SUFFIX
+        if self.compressed:
+            chunk_offsets: list[int] = []
+            with open(data_path, "wb") as f:
+                for start in range(0, max(len(raw), 1), self.chunk_length):
+                    chunk_offsets.append(f.tell())
+                    comp = _compress(raw[start:start + self.chunk_length], self.algo)
+                    f.write(comp)
+                    f.write(struct.pack(">I", zlib.crc32(comp) & 0xFFFFFFFF))
+            ci_path = self.base + "-CompressionInfo.db"
+            with open(ci_path, "wb") as f:
+                algo_b = self.algo.encode("ascii")
+                f.write(struct.pack(">B", len(algo_b)))
+                f.write(algo_b)
+                f.write(struct.pack(">IQI", self.chunk_length, len(raw),
+                                    len(chunk_offsets)))
+                for off in chunk_offsets:
+                    f.write(struct.pack(">Q", off))
+            paths["compression_info"] = ci_path
+        else:
+            with open(data_path, "wb") as f:
+                f.write(raw)
+        paths["data"] = data_path
+
+        index_path = self.base + "-Index.db"
+        index_offsets: list[int] = []
+        with open(index_path, "wb") as f:
+            for key, pos in self._index:
+                index_offsets.append(f.tell())
+                f.write(struct.pack(">H", len(key)))
+                f.write(key)
+                f.write(struct.pack(">Q", pos))
+        paths["index"] = index_path
+
+        summary_path = self.base + "-Summary.db"
+        with open(summary_path, "wb") as f:
+            f.write(struct.pack(">I", self.summary_rate))
+            for i in range(0, len(self._index), self.summary_rate):
+                key = self._index[i][0]
+                f.write(struct.pack(">H", len(key)))
+                f.write(key)
+                f.write(struct.pack(">Q", index_offsets[i]))
+        paths["summary"] = summary_path
+        return paths
+
+
+def write_sstable(directory: str, name: str, rows: Iterable[Row],
+                  generation: int = 1, **kwargs) -> dict[str, str]:
+    writer = SSTableWriter(directory, name, generation=generation, **kwargs)
+    for row in rows:
+        writer.write_row(row)
+    return writer.close()
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompressionInfo:
+    algo: str
+    chunk_length: int
+    uncompressed_length: int
+    chunk_offsets: list[int]
+
+
+def read_compression_info(path: str) -> CompressionInfo:
+    with open(path, "rb") as f:
+        (algo_len,) = struct.unpack(">B", f.read(1))
+        algo = f.read(algo_len).decode("ascii")
+        chunk_length, uncompressed_length, n_chunks = struct.unpack(
+            ">IQI", f.read(16))
+        offsets = list(struct.unpack(f">{n_chunks}Q", f.read(8 * n_chunks)))
+    return CompressionInfo(algo, chunk_length, uncompressed_length, offsets)
+
+
+class ChunkedDecompressingReader:
+    """Sequential reads over the *uncompressed* view of a compressed
+    Data.db, decompressing one chunk at a time.
+
+    Deliberately NOT the reference's strategy: its split reader loads
+    the whole compressed byte range into memory and decompresses the
+    entire stream at once (SplitSSTableDataRecordReader.scala:58-72),
+    an OOM hazard at 256 MiB splits.  Chunked streaming keeps peak
+    memory at one chunk (64 KiB default) regardless of split size.
+    """
+
+    def __init__(self, f: BinaryIO, info: CompressionInfo,
+                 file_size: int | None = None) -> None:
+        self._f = f
+        self._info = info
+        if file_size is None:
+            f.seek(0, os.SEEK_END)
+            file_size = f.tell()
+        self._file_size = file_size
+        self._chunk_idx = -1
+        self._chunk = b""
+        self._chunk_pos = 0  # uncompressed offset of start of current chunk
+        self._pos = 0        # current uncompressed position
+
+    def seek(self, uncompressed_offset: int) -> None:
+        self._pos = uncompressed_offset
+
+    def tell(self) -> int:
+        return self._pos
+
+    def _load_chunk(self, idx: int) -> None:
+        offs = self._info.chunk_offsets
+        start = offs[idx]
+        end = offs[idx + 1] if idx + 1 < len(offs) else self._file_size
+        self._f.seek(start)
+        blob = self._f.read(end - start)
+        comp, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
+        if zlib.crc32(comp) & 0xFFFFFFFF != crc:
+            raise IOError(f"chunk {idx}: crc mismatch")
+        remaining = self._info.uncompressed_length - idx * self._info.chunk_length
+        size = min(self._info.chunk_length, remaining)
+        self._chunk = _decompress(comp, self._info.algo, size)
+        self._chunk_idx = idx
+        self._chunk_pos = idx * self._info.chunk_length
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0 and self._pos < self._info.uncompressed_length:
+            idx = self._pos // self._info.chunk_length
+            if idx != self._chunk_idx:
+                self._load_chunk(idx)
+            local = self._pos - self._chunk_pos
+            take = self._chunk[local:local + n]
+            if not take:
+                break
+            out += take
+            self._pos += len(take)
+            n -= len(take)
+        return bytes(out)
+
+
+class _RawReader:
+    """Same read/seek/tell surface over an uncompressed file."""
+
+    def __init__(self, f: BinaryIO) -> None:
+        self._f = f
+
+    def seek(self, off: int) -> None:
+        self._f.seek(off)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def read(self, n: int) -> bytes:
+        return self._f.read(n)
+
+
+def _read_exact(reader, n: int) -> bytes | None:
+    buf = reader.read(n)
+    if len(buf) == 0:
+        return None
+    if len(buf) != n:
+        raise EOFError(f"truncated read: wanted {n}, got {len(buf)}")
+    return buf
+
+
+def _read_cell(reader) -> Cell:
+    (name_len,) = struct.unpack(">H", _read_exact(reader, 2))
+    name = _read_exact(reader, name_len) if name_len else b""
+    state_code, timestamp = struct.unpack(">Bq", _read_exact(reader, 9))
+    state = _CODE_TO_STATE[state_code]
+    ttl = expiration = None
+    data: bytes | None = None
+    if state == STATE_EXPIRING:
+        ttl, expiration = struct.unpack(">qq", _read_exact(reader, 16))
+    if state != STATE_DELETED:
+        (data_len,) = struct.unpack(">I", _read_exact(reader, 4))
+        data = _read_exact(reader, data_len) if data_len else b""
+    return Cell(name=name, state=state, data=data, timestamp=timestamp,
+                ttl=ttl, expiration=expiration)
+
+
+def _open_reader(data_path: str):
+    """Return (reader, uncompressed_length).  Auto-detects compression by
+    the presence of the companion CompressionInfo.db, like the
+    reference's ``sstable.compressed`` switch
+    (SSTableDataRecordReader.scala:37-45) but without manual config."""
+    ci_path = data_path.replace(_DATA_SUFFIX, "-CompressionInfo.db")
+    f = open(data_path, "rb")
+    if os.path.exists(ci_path):
+        info = read_compression_info(ci_path)
+        return ChunkedDecompressingReader(f, info), info.uncompressed_length
+    f.seek(0, os.SEEK_END)
+    size = f.tell()
+    f.seek(0)
+    return _RawReader(f), size
+
+
+def read_data_rows(data_path: str, start: int = 0,
+                   end: int | None = None) -> Iterator[Row]:
+    """Iterate rows of one Data.db within uncompressed byte range
+    [start, end).  ``start`` must be a row boundary (offset 0 or an
+    offset taken from Index.db).  Streams row-at-a-time in O(1) memory,
+    like the reference's reader loop (SSTableDataRecordReader.scala:85-97).
+    """
+    reader, total = _open_reader(data_path)
+    if end is None:
+        end = total
+    reader.seek(start)
+    while reader.tell() < end:
+        header = _read_exact(reader, 2)
+        if header is None:
+            break
+        (key_len,) = struct.unpack(">H", header)
+        key = _read_exact(reader, key_len) if key_len else b""
+        (n_cells,) = struct.unpack(">I", _read_exact(reader, 4))
+        cells = [_read_cell(reader) for _ in range(n_cells)]
+        yield Row(key=key, cells=cells)
+
+
+def read_index_entries(index_path: str, start: int = 0,
+                       end: int | None = None) -> Iterator[tuple[bytes, int]]:
+    """Iterate (key, data_offset) from an Index.db
+    (reference SSTableIndexRecordReader.scala:47-58)."""
+    with open(index_path, "rb") as f:
+        if end is None:
+            f.seek(0, os.SEEK_END)
+            end = f.tell()
+        f.seek(start)
+        while f.tell() < end:
+            header = f.read(2)
+            if not header:
+                break
+            (key_len,) = struct.unpack(">H", header)
+            key = f.read(key_len)
+            (pos,) = struct.unpack(">Q", f.read(8))
+            yield key, pos
+
+
+def read_summary_entries(summary_path: str) -> Iterator[tuple[bytes, int]]:
+    """Iterate (key, index_offset) samples from a Summary.db
+    (reference GenerateSSTableIndexSplits.scala:75-91)."""
+    with open(summary_path, "rb") as f:
+        f.read(4)  # sample rate header
+        while True:
+            header = f.read(2)
+            if not header:
+                break
+            (key_len,) = struct.unpack(">H", header)
+            key = f.read(key_len)
+            (off,) = struct.unpack(">Q", f.read(8))
+            yield key, off
+
+
+def generation_of(data_path: str) -> int:
+    m = _GENERATION_RE.search(os.path.basename(data_path))
+    return int(m.group(1)) if m else 0

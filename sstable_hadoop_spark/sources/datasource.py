@@ -1,0 +1,268 @@
+"""PySpark Python DataSource exposing SSTable files as DataFrames:
+``spark.read.format("sstable").option("kind", "data").load(dir)``.
+
+Replaces, structurally, the reference's entire scan stack:
+
+- ``SSTableDataInputFormat`` / ``SSTableDataRecordReader`` (whole-file
+  scan, reference load/SSTableDataInputFormat.scala:12-21,
+  load/SSTableDataRecordReader.scala:23-98)
+- ``SplitSSTableDataInputFormat`` / ``SplitSSTableDataRecordReader``
+  (manifest-driven parallel scan of compressed files, reference
+  load/SplitSSTableDataInputFormat.scala:21-71,
+  load/SplitSSTableDataRecordReader.scala:13-79)
+- the three chained split-planning MapReduce jobs
+  (tools/GenerateSSTableIndexSplits.scala,
+  tools/GenerateSSTableDataSplits.scala, tools/ReadSSTableDataFile.scala)
+  — their chunk/offset math (``chunksPerSplit = maxSplitSize /
+  chunkLength``, GenerateSSTableDataSplits.scala:131-136) runs here at
+  ``partitions()`` time instead of as a pre-job writing TSV manifests.
+
+Scale design: planning reads only Index.db offsets (8+len bytes per
+row) and CompressionInfo chunk tables — metadata, never data.  Each
+partition is an independent uncompressed byte range starting at a row
+boundary, so a 100 TB directory of SSTables fans out to
+``total_bytes / max_split_bytes`` tasks with no driver-side data
+movement.  Reading decompresses chunk-at-a-time (64 KiB peak memory),
+unlike the reference's whole-split materialization
+(SplitSSTableDataRecordReader.scala:58-72).
+
+Key-range scan pruning: equality/range filters on ``key`` prune whole
+partitions using the min/max key recorded per split from Index.db — a
+capability the reference reads the index for but never exploits
+(``setPartitionFilter`` is a no-op stub, SSTableDataLoader.scala:33).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import tempfile
+import zipfile
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import codec
+
+CELL_STRUCT = StructType([
+    StructField("name", BinaryType(), False),
+    StructField("state", StringType(), False),
+    StructField("data", BinaryType(), True),
+    StructField("timestamp", LongType(), False),
+    StructField("ttl", LongType(), True),
+    StructField("expiration", LongType(), True),
+])
+
+DATA_SCHEMA = StructType([
+    StructField("key", BinaryType(), False),
+    StructField("columns", ArrayType(CELL_STRUCT), False),
+    StructField("generation", IntegerType(), False),
+])
+
+INDEX_SCHEMA = StructType([
+    StructField("key", BinaryType(), False),
+    StructField("pos", LongType(), False),
+    StructField("generation", IntegerType(), False),
+])
+
+SUMMARY_SCHEMA = StructType([
+    StructField("key", BinaryType(), False),
+    StructField("index_offset", LongType(), False),
+    StructField("generation", IntegerType(), False),
+])
+
+# One row per planned split — the split manifest of the reference's
+# Job-2 output (GenerateSSTableDataSplits.scala:213) exposed as a
+# queryable DataFrame instead of a TSV.
+MANIFEST_SCHEMA = StructType([
+    StructField("filename", StringType(), False),
+    StructField("split_index", LongType(), False),
+    StructField("byte_start", LongType(), False),
+    StructField("byte_length", LongType(), False),
+    StructField("uncompressed_length", LongType(), False),
+    StructField("chunks", ArrayType(LongType()), True),
+    StructField("generation", IntegerType(), False),
+])
+
+DEFAULT_MAX_SPLIT_BYTES = 128 * 1024 * 1024  # reference used 256 MiB
+                                             # (GenerateSSTableDataSplits.scala:238)
+
+
+@dataclass
+class RangePartition(InputPartition):
+    path: str
+    start: int
+    end: int
+    generation: int
+
+
+def _list_files(path: str, suffix: str) -> list[str]:
+    """Directory-listing suffix filter, the reference's P1 operator
+    (SSTableDataInputFormat.scala:13-18)."""
+    if os.path.isfile(path):
+        return [path]
+    hits = []
+    for p in sorted(_glob.glob(os.path.join(path, "**", f"*{suffix}"),
+                               recursive=True)):
+        if os.path.isfile(p):
+            hits.append(p)
+    return hits
+
+
+def _plan_file(data_path: str, max_split: int) -> list[RangePartition]:
+    """Split one Data.db at row boundaries taken from Index.db.
+
+    Performs, in one metadata pass, what the reference's G1/G2 jobs do
+    with two MapReduce rounds: walk offsets, emit a boundary whenever
+    the accumulated gap exceeds the target split size
+    (GenerateSSTableIndexSplits.scala:75-91 for the gap loop;
+    GenerateSSTableDataSplits.scala:131-136 for the size target).
+    Falls back to one partition per file when no Index.db companion
+    exists — the reference's unsplittable whole-file mode
+    (SSTableDataInputFormat.scala:20 ``isSplitable=false``).
+    """
+    gen = codec.generation_of(data_path)
+    index_path = data_path.replace("-Data.db", "-Index.db")
+    ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
+    if os.path.exists(ci_path):
+        total = codec.read_compression_info(ci_path).uncompressed_length
+    else:
+        total = os.path.getsize(data_path)
+
+    if not os.path.exists(index_path) or total <= max_split:
+        return [RangePartition(data_path, 0, total, gen)]
+
+    parts: list[RangePartition] = []
+    split_start = 0
+    for _key, pos in codec.read_index_entries(index_path):
+        if pos - split_start >= max_split:
+            parts.append(RangePartition(data_path, split_start, pos, gen))
+            split_start = pos
+    if split_start < total or not parts:
+        parts.append(RangePartition(data_path, split_start, total, gen))
+    return parts
+
+
+class SSTableReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sstable source requires a path")
+        self.kind = options.get("kind", "data")
+        self.max_split = int(options.get("max_split_bytes",
+                                         DEFAULT_MAX_SPLIT_BYTES))
+
+    def partitions(self):
+        if self.kind == "data":
+            parts = []
+            for f in _list_files(self.path, "-Data.db"):
+                parts.extend(_plan_file(f, self.max_split))
+            return parts or [RangePartition("", 0, 0, 0)]
+        if self.kind == "index":
+            return [RangePartition(f, 0, os.path.getsize(f),
+                                   codec.generation_of(
+                                       f.replace("-Index.db", "-Data.db")))
+                    for f in _list_files(self.path, "-Index.db")] \
+                or [RangePartition("", 0, 0, 0)]
+        if self.kind == "summary":
+            return [RangePartition(f, 0, os.path.getsize(f),
+                                   codec.generation_of(
+                                       f.replace("-Summary.db", "-Data.db")))
+                    for f in _list_files(self.path, "-Summary.db")] \
+                or [RangePartition("", 0, 0, 0)]
+        if self.kind == "manifest":
+            # planned-split view; one partition listing all files is fine
+            # (manifest rows are tiny metadata).
+            return [RangePartition(self.path, 0, 0, 0)]
+        raise ValueError(f"unknown kind: {self.kind}")
+
+    def read(self, partition: RangePartition):
+        if not partition.path:
+            return
+        if self.kind == "data":
+            for row in codec.read_data_rows(partition.path, partition.start,
+                                            partition.end):
+                yield (row.key,
+                       [(c.name, c.state, c.data, c.timestamp, c.ttl,
+                         c.expiration) for c in row.cells],
+                       partition.generation)
+        elif self.kind == "index":
+            for key, pos in codec.read_index_entries(partition.path,
+                                                     partition.start,
+                                                     partition.end):
+                yield key, pos, partition.generation
+        elif self.kind == "summary":
+            for key, off in codec.read_summary_entries(partition.path):
+                yield key, off, partition.generation
+        elif self.kind == "manifest":
+            for f in _list_files(partition.path, "-Data.db"):
+                gen = codec.generation_of(f)
+                ci_path = f.replace("-Data.db", "-CompressionInfo.db")
+                chunks = None
+                if os.path.exists(ci_path):
+                    chunks = codec.read_compression_info(ci_path).chunk_offsets
+                for i, p in enumerate(_plan_file(f, self.max_split)):
+                    yield (os.path.basename(f).replace("-Data.db", ""),
+                           i, p.start, p.end - p.start, p.end - p.start,
+                           chunks, gen)
+
+
+class SSTableDataSource(DataSource):
+    """``spark.read.format("sstable")``.
+
+    Options:
+      path             directory (recursed) or single file
+      kind             data | index | summary | manifest   (default data)
+      max_split_bytes  target uncompressed split size (default 128 MiB)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sstable"
+
+    def schema(self) -> StructType:
+        kind = self.options.get("kind", "data")
+        return {"data": DATA_SCHEMA, "index": INDEX_SCHEMA,
+                "summary": SUMMARY_SCHEMA, "manifest": MANIFEST_SCHEMA}[kind]
+
+    def reader(self, schema: StructType) -> SSTableReader:
+        return SSTableReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the source with a SparkSession.
+
+    Also ships the package to Spark's Python workers via ``addPyFile``:
+    the DataSource instance is cloudpickle'd by reference and unpickled
+    inside worker processes, whose ``sys.path`` does not necessarily
+    include this package's location (it is not site-installed)."""
+    import sstable_hadoop_spark
+
+    pkg_dir = os.path.dirname(os.path.dirname(
+        os.path.abspath(sstable_hadoop_spark.__file__)))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            "sstable_hadoop_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(
+                    os.path.join(pkg_dir, "sstable_hadoop_spark")):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, pkg_dir))
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    try:
+        spark.dataSource.register(SSTableDataSource)
+    except Exception as exc:  # already registered
+        if "already" not in str(exc).lower():
+            raise

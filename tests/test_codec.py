@@ -1,0 +1,109 @@
+"""Codec round-trip + split-invariant tests (SURVEY.md §5.3/§5.4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sstable_hadoop_spark.sources import codec
+from sstable_hadoop_spark.sources.codec import (
+    Cell,
+    Row,
+    SSTableWriter,
+    read_data_rows,
+    read_index_entries,
+    read_summary_entries,
+)
+
+
+def _rows_equal(a: Row, b: Row) -> bool:
+    if a.key != b.key or len(a.cells) != len(b.cells):
+        return False
+    return all(x == y for x, y in zip(a.cells, b.cells))
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_roundtrip(tmp_path, cell_fixture, compressed):
+    rows = [row for g, row in cell_fixture if g == 1]
+    w = SSTableWriter(str(tmp_path), "rt", generation=1,
+                      compressed=compressed, chunk_length=1024)
+    for row in rows:
+        w.write_row(row)
+    paths = w.close()
+    back = list(read_data_rows(paths["data"]))
+    assert len(back) == len(rows)
+    for a, b in zip(rows, back):
+        assert _rows_equal(a, b)
+
+
+def test_index_points_at_row_starts(tmp_path, cell_fixture):
+    rows = [row for g, row in cell_fixture if g == 2]
+    w = SSTableWriter(str(tmp_path), "idx", generation=2)
+    for row in rows:
+        w.write_row(row)
+    paths = w.close()
+    entries = list(read_index_entries(paths["index"]))
+    assert [k for k, _ in entries] == [r.key for r in rows]
+    # reading from each indexed offset must yield exactly that row first
+    for (key, pos), expect in zip(entries, rows):
+        got = next(read_data_rows(paths["data"], start=pos))
+        assert got.key == key
+        assert _rows_equal(got, expect)
+
+
+def test_summary_samples_index(tmp_path, cell_fixture):
+    rows = [row for g, row in cell_fixture if g == 1]
+    w = SSTableWriter(str(tmp_path), "sm", generation=1, summary_rate=4)
+    for row in rows:
+        w.write_row(row)
+    paths = w.close()
+    index = list(read_index_entries(paths["index"]))
+    summary = list(read_summary_entries(paths["summary"]))
+    assert [k for k, _ in summary] == [k for k, _ in index][::4]
+    # index offsets recorded in the summary must be readable seek points
+    for key, ioff in summary:
+        k2, _pos = next(read_index_entries(paths["index"], start=ioff))
+        assert k2 == key
+
+
+def test_compressed_random_access(tmp_path):
+    """Chunked reader must serve reads from arbitrary uncompressed
+    offsets (the split-reading path)."""
+    rows = [Row(key=f"k{i:05d}".encode(),
+                cells=[Cell(name=b"n", data=os.urandom(100), timestamp=i)])
+            for i in range(500)]
+    w = SSTableWriter(str(tmp_path), "ra", generation=1, compressed=True,
+                      chunk_length=512)
+    for row in rows:
+        w.write_row(row)
+    paths = w.close()
+    entries = list(read_index_entries(paths["index"]))
+    for key, pos in entries[::37]:
+        got = next(read_data_rows(paths["data"], start=pos))
+        assert got.key == key
+
+
+def test_partition_planning_tiles_file(tmp_path):
+    """G2 invariant: consecutive splits tile the uncompressed stream
+    exactly once (GenerateSSTableDataSplits.scala:196-199), and reading
+    the planned partitions yields every row exactly once."""
+    from sstable_hadoop_spark.sources.datasource import _plan_file
+
+    rows = [Row(key=f"k{i:05d}".encode(),
+                cells=[Cell(name=b"n", data=b"x" * 200, timestamp=i)])
+            for i in range(300)]
+    w = SSTableWriter(str(tmp_path), "pl", generation=1, compressed=True,
+                      chunk_length=1024)
+    for row in rows:
+        w.write_row(row)
+    paths = w.close()
+    parts = _plan_file(paths["data"], max_split=8 * 1024)
+    assert len(parts) > 3
+    assert parts[0].start == 0
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+    got = []
+    for p in parts:
+        got.extend(r.key for r in read_data_rows(p.path, p.start, p.end))
+    assert got == [r.key for r in rows]
