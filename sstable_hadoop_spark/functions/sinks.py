@@ -61,6 +61,29 @@ def to_msgpack_base64_lines(rows: DataFrame) -> DataFrame:
     return rows.select(_pack_row()("key", "columns").alias("value"))
 
 
+def manifest_tsv(manifest: DataFrame) -> DataFrame:
+    """S9: split manifest as the reference's tab-separated layout —
+    ``filename, splitIndex, byteStart, byteLength, innerOffset,
+    innerLength, uncompressedLength, chunkOffsetsCSV``
+    (GenerateSSTableDataSplits.scala:213,
+    SplitSSTableDataRecordReader.scala:28-31).  Write with
+    ``.write.text(path)``.  Inner offset/length equal the split range in
+    this engine (splits start at row boundaries, so there is no inner
+    skew to record — the reference needed it because its splits started
+    at compression-chunk boundaries)."""
+    return manifest.select(F.concat_ws(
+        "\t",
+        F.col("filename"),
+        F.col("split_index"),
+        F.col("byte_start"),
+        F.col("byte_length"),
+        F.col("byte_start").alias("inner_offset"),
+        F.col("byte_length").alias("inner_length"),
+        F.col("uncompressed_length"),
+        F.concat_ws(",", F.col("chunks")),
+    ).alias("value"))
+
+
 def to_text_lines(winners: DataFrame) -> DataFrame:
     """Row-LWW winners → ``key<TAB>rendered-cell`` text lines (S11).
 

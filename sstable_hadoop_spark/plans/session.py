@@ -27,6 +27,7 @@ def session_builder(app_name: str = "sstable_hadoop_spark",
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # driver testdata parquet carries TIMESTAMP(NANOS) columns, which
         # vanilla Spark rejects; read them as nano-epoch longs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -40,7 +40,17 @@ import tempfile
 import zipfile
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -103,6 +113,8 @@ class RangePartition(InputPartition):
     start: int
     end: int
     generation: int
+    min_key: bytes | None = None  # exact per-split key bounds from Index.db
+    max_key: bytes | None = None
 
 
 def _list_files(path: str, suffix: str) -> list[str]:
@@ -138,17 +150,24 @@ def _plan_file(data_path: str, max_split: int) -> list[RangePartition]:
     else:
         total = os.path.getsize(data_path)
 
-    if not os.path.exists(index_path) or total <= max_split:
+    if not os.path.exists(index_path):
         return [RangePartition(data_path, 0, total, gen)]
 
     parts: list[RangePartition] = []
     split_start = 0
-    for _key, pos in codec.read_index_entries(index_path):
+    lo = hi = None
+    for key, pos in codec.read_index_entries(index_path):
         if pos - split_start >= max_split:
-            parts.append(RangePartition(data_path, split_start, pos, gen))
+            parts.append(RangePartition(data_path, split_start, pos, gen,
+                                        lo, hi))
             split_start = pos
+            lo = hi = None
+        # exact min/max per split — correct even if keys are unsorted
+        lo = key if lo is None or key < lo else lo
+        hi = key if hi is None or key > hi else hi
     if split_start < total or not parts:
-        parts.append(RangePartition(data_path, split_start, total, gen))
+        parts.append(RangePartition(data_path, split_start, total, gen,
+                                    lo, hi))
     return parts
 
 
@@ -160,12 +179,62 @@ class SSTableReader(DataSourceReader):
         self.kind = options.get("kind", "data")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
+        self._key_lo: bytes | None = None  # inclusive
+        self._key_hi: bytes | None = None  # inclusive
+
+    def pushFilters(self, filters: list[Filter]):
+        """Key-range scan pruning from Index.db split bounds — the
+        capability the reference's no-op ``setPartitionFilter`` stub
+        never implemented (SSTableDataLoader.scala:33).
+
+        Filters are used ONLY to prune whole partitions; every filter is
+        returned to Spark, which re-applies them post-scan, so pruning
+        can never change results — only skip unreadable-anyway splits.
+        """
+        def as_bytes(v):
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            if isinstance(v, str):
+                return v.encode("utf-8")
+            return None
+
+        if self.kind == "data":
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                if attr != ("key",):
+                    continue
+                v = as_bytes(getattr(f, "value", None))
+                if v is None:
+                    continue
+                if isinstance(f, EqualTo):
+                    self._tighten(v, v)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._tighten(v, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._tighten(None, v)
+        return filters  # Spark re-applies everything
+
+    def _tighten(self, lo: bytes | None, hi: bytes | None) -> None:
+        if lo is not None and (self._key_lo is None or lo > self._key_lo):
+            self._key_lo = lo
+        if hi is not None and (self._key_hi is None or hi < self._key_hi):
+            self._key_hi = hi
+
+    def _overlaps(self, p: RangePartition) -> bool:
+        if p.min_key is None or p.max_key is None:
+            return True  # no index → cannot prune
+        if self._key_lo is not None and p.max_key < self._key_lo:
+            return False
+        if self._key_hi is not None and p.min_key > self._key_hi:
+            return False
+        return True
 
     def partitions(self):
         if self.kind == "data":
             parts = []
             for f in _list_files(self.path, "-Data.db"):
-                parts.extend(_plan_file(f, self.max_split))
+                parts.extend(q for q in _plan_file(f, self.max_split)
+                             if self._overlaps(q))
             return parts or [RangePartition("", 0, 0, 0)]
         if self.kind == "index":
             return [RangePartition(f, 0, os.path.getsize(f),
@@ -261,6 +330,12 @@ def register(spark) -> None:
                         zf.write(full, os.path.relpath(full, pkg_dir))
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
+    try:
+        # pushFilters() on a Python reader requires this flag; without it
+        # Spark refuses to plan ANY read of the source.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     try:
         spark.dataSource.register(SSTableDataSource)
     except Exception as exc:  # already registered

@@ -1,0 +1,102 @@
+"""S10/S11/S9 compatibility sinks + key-range scan pruning."""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+
+from sstable_hadoop_spark.functions import (
+    companion_path,
+    manifest_tsv,
+    root_name,
+    to_msgpack_base64_lines,
+    to_text_lines,
+)
+from sstable_hadoop_spark.functions.msgpack_lite import packb, unpackb
+from sstable_hadoop_spark.operators import (
+    collect_rows,
+    explode_cells,
+    live_view,
+    lww_row,
+)
+from tests.conftest import AS_OF_MS, cells_as_records
+
+
+def test_msgpack_lite_roundtrip():
+    obj = [b"key", [[b"name", b"val", 12345678901234, 0, 0],
+                    [b"n2", b"", -5, 1 << 40, 255]]]
+    assert unpackb(packb(obj)) == obj
+
+
+def test_msgpack_sink_decodes_to_merged_rows(spark, sstable_dir, cell_fixture):
+    cells = explode_cells(spark.read.format("sstable").load(sstable_dir))
+    live = live_view(cells, AS_OF_MS)
+    lines = to_msgpack_base64_lines(
+        collect_rows(live, by_generation=False)).collect()
+    decoded = {bytes(r[0]): r[1]
+               for r in (unpackb(base64.b64decode(row["value"]))
+                         for row in lines)}
+    want_keys = {r["key"] for r in live.select("key").distinct().collect()}
+    assert set(decoded) == {bytes(k) for k in want_keys}
+    # spot-check cell payload shape: [name, value, ts, expiresMillis, ttlSecs]
+    some = next(iter(decoded.values()))
+    assert all(len(c) == 5 for c in some)
+    assert all(isinstance(c[0], bytes) and isinstance(c[2], int) for c in some)
+
+
+def test_text_sink_format(spark):
+    df = spark.createDataFrame(
+        [(b"k1", b"colA", "NORMAL", b"hello", 42, None, None, 1),
+         (b"k2", b"colB", "DELETED", None, 43, None, None, 1),
+         (b"k3", b"colC", "EXPIRING", b"x", 44, 60, AS_OF_MS, 1)],
+        "key binary, name binary, state string, data binary, "
+        "timestamp bigint, ttl bigint, expiration bigint, generation int")
+    lines = {r["value"] for r in to_text_lines(df).collect()}
+    assert lines == {"k1\tColumn(colA,hello,42)", "k2\tDeleted(colB)",
+                     "k3\tUnknown"}
+
+
+def test_manifest_tsv(spark, sstable_dir):
+    m = spark.read.format("sstable").option("kind", "manifest") \
+        .option("max_split_bytes", "4096").load(sstable_dir)
+    lines = manifest_tsv(m).collect()
+    assert len(lines) == m.count()
+    first = lines[0]["value"].split("\t")
+    assert len(first) == 8 and first[1].isdigit()
+
+
+def test_companion_path_and_root_name(spark):
+    df = spark.createDataFrame([("/a/b/ks-cf-3-Data.db",)], "path string")
+    got = df.select(
+        companion_path("path", "CompressionInfo").alias("ci"),
+        companion_path("path", "Index").alias("ix"),
+        root_name("path").alias("root")).collect()[0]
+    assert got["ci"] == "/a/b/ks-cf-3-CompressionInfo.db"
+    assert got["ix"] == "/a/b/ks-cf-3-Index.db"
+    assert got["root"] == "ks-cf-3"
+
+
+def test_key_pushdown_prunes_partitions(sstable_dir):
+    """Partition pruning via Index.db key bounds (unit level: reader
+    object), then end-to-end correctness through Spark."""
+    from pyspark.sql.datasource import EqualTo
+
+    from sstable_hadoop_spark.sources.datasource import SSTableReader
+
+    r_all = SSTableReader({"path": sstable_dir, "max_split_bytes": "1024"})
+    n_all = len(r_all.partitions())
+
+    r_pruned = SSTableReader({"path": sstable_dir, "max_split_bytes": "1024"})
+    kept = r_pruned.pushFilters([EqualTo(("key",), b"key-0001")])
+    assert list(kept)  # filters returned → Spark still re-applies
+    n_pruned = len(r_pruned.partitions())
+    assert 0 < n_pruned < n_all
+
+
+def test_key_filter_end_to_end(spark, sstable_dir, cell_fixture):
+    df = spark.read.format("sstable").option("max_split_bytes", "1024") \
+        .load(sstable_dir)
+    got = df.filter(F.col("key") == F.lit(b"key-0001")).collect()
+    want = [r for g, r in cell_fixture if r.key == b"key-0001"]
+    assert len(got) == len(want) > 0
