@@ -53,24 +53,39 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def ts_us(col: str | F.Column) -> F.Column:
-    """nano-epoch long → µs epoch long (timestamps arrive as nanos).
+def _dtype(df: DataFrame, name: str) -> str:
+    for f in df.schema.fields:
+        if f.name == name:
+            return f.dataType.simpleString()
+    raise KeyError(name)
+
+
+def ts_us(df: DataFrame, name: str) -> F.Column:
+    """Time column → µs epoch long.  Testdata is heterogeneous: `events.ts`
+    is TIMESTAMP(NANOS) parquet (read as nano-epoch long via
+    nanosAsLong), while orders/lineitem dates are TIMESTAMP_NTZ.
 
     NB: ``long / int`` in Spark SQL is DOUBLE division — at nano-epoch
     magnitude (~1.7e18 > 2^53) that rounds.  Decimal division is exact.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.col(name)
+    if _dtype(df, name).startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp"))  # session TZ is UTC
     return F.floor(c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
 
 
-def ts_ms(col: str | F.Column) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
+def ts_ms(df: DataFrame, name: str) -> F.Column:
+    c = F.col(name)
+    if _dtype(df, name).startswith("timestamp"):
+        return F.unix_millis(c.cast("timestamp"))
     return F.floor(c.cast("decimal(38,0)") / F.lit(1000000)).cast("long")
 
 
-def as_timestamp(col: str | F.Column) -> F.Column:
-    """nano-epoch long → TimestampType (µs precision) for date functions."""
-    return F.timestamp_micros(ts_us(col))
+def as_timestamp(df: DataFrame, name: str) -> F.Column:
+    """Time column → TimestampType (µs precision) for date functions."""
+    if _dtype(df, name).startswith("timestamp"):
+        return F.col(name).cast("timestamp")
+    return F.timestamp_micros(ts_us(df, name))
 
 
 # ---------------------------------------------------------------------------
@@ -99,10 +114,10 @@ def derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.alias("state"),
         F.when(F.col("value") < 10, F.lit(None).cast("binary"))
          .otherwise(F.encode(F.col("props"), "UTF-8")).alias("data"),
-        ts_us("ts").alias("timestamp"),
+        ts_us(ev, "ts").alias("timestamp"),
         F.when(expiring, F.lit(86400)).cast("long").alias("ttl"),
         F.when(expiring,
-               ts_ms("ts")
+               ts_ms(ev, "ts")
                + ((F.col("event_id") % 3) * 500 + 30) * _DAY_MS)
          .cast("long").alias("expiration"),
         (F.col("event_id") % 4 + 1).cast("int").alias("generation"),
@@ -189,6 +204,378 @@ QUALIFY row_number() OVER (PARTITION BY key_str, name_str
 def live_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+A5: winners minus tombstones minus expired-at-AS_OF."""
     return _render_winners(live_view(derived_cells(spark, sf_dir), AS_OF_MS))
+
+
+# ---------------------------------------------------------------------------
+# M3 — declared relational surface (SURVEY.md §2.3/§2.5/§2.6/A8).
+# The reference delegated all of this to Pig Latin; the engine's native
+# surface is Spark DataFrame/SQL.  Aggregated doubles are rounded to
+# absorb summation-order ulp noise between engines.
+# ---------------------------------------------------------------------------
+
+
+@query("scan_project_filter", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R'
+""")
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + column pruning: predicate and projection reach the parquet
+    scan (PushedFilters / ReadSchema in .explain)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") > 45)
+                      & (F.col("l_returnflag") == "R"))
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_returnflag"))
+
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       count(*)                                                 AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 hash aggregation, TPC-H Q1 shape (partial agg map-side; AQE
+    coalesces reducers)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order")))
+
+
+@query("join_agg_revenue", oracle="""
+SELECT c.c_mktsegment,
+       count(DISTINCT o.o_orderkey)                             AS n_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)    AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 equi joins + aggregation: lineitem ⋈ orders ⋈ customer.
+    customer is broadcast (small dim); lineitem⋈orders shuffles on the
+    shared orderkey."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("c_mktsegment").agg(
+                  F.countDistinct("o_orderkey").alias("n_orders"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue")))
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 left-semi join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_name"))
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 anti join (tombstone-subtraction shape, A4): customers with
+    no large order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_mktsegment"))
+
+
+@query("join_asof_latest_order", oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+QUALIFY row_number() OVER (PARTITION BY c.c_custkey
+                           ORDER BY epoch_us(o.o_orderdate) DESC,
+                                    o.o_orderkey DESC) = 1
+""")
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 as-of join: latest order per customer — the LWW argmax shape
+    (SSTableData.scala:52) over a business table, as max_by."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    latest = (o.groupBy("o_custkey").agg(F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct(ts_us(o, "o_orderdate").alias("t"),
+                 F.col("o_orderkey").alias("k"))).alias("w")))
+    return (c.join(latest, c.c_custkey == latest.o_custkey)
+             .select("c_custkey", F.col("w.o_orderkey").alias("o_orderkey"),
+                     F.col("w.o_totalprice").alias("o_totalprice")))
+
+
+@query("window_topk_orders", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+""")
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking window: top-3 orders by price per customer."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3)
+             .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+@query("window_running_revenue", oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch_us(o_orderdate), o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM orders
+""")
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic window with an explicit frame."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(ts_us(o, "o_orderdate"), F.asc("o_orderkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
+
+
+@query("rollup_lineitem", oracle="""
+SELECT coalesce(l_returnflag, '<all>')  AS l_returnflag,
+       coalesce(l_linestatus, '<all>')  AS l_linestatus,
+       count(*)                         AS n,
+       round(sum(l_quantity), 2)        AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 rollup (subtotals + grand total)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+                "n", "sum_qty"))
+
+
+@query("cube_orders", oracle="""
+SELECT coalesce(o_orderstatus, '<all>')   AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       count(*)                           AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 cube (all grouping-set combinations)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n"))
+             .select(F.coalesce("o_orderstatus", F.lit("<all>"))
+                      .alias("o_orderstatus"),
+                     F.coalesce("o_orderpriority", F.lit("<all>"))
+                      .alias("o_orderpriority"), "n"))
+
+
+@query("grouping_sets_nation_segment", oracle="""
+SELECT coalesce(cast(c_nationkey AS varchar), '<all>') AS nation,
+       coalesce(c_mktsegment, '<all>')                 AS segment,
+       count(*)                                        AS n,
+       round(sum(c_acctbal), 2)                        AS sum_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+""")
+def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 grouping sets via SQL."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql("""
+        SELECT coalesce(cast(c_nationkey AS string), '<all>') AS nation,
+               coalesce(c_mktsegment, '<all>')                AS segment,
+               count(*)                                       AS n,
+               round(sum(c_acctbal), 2)                       AS sum_bal
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+    """)
+
+
+@query("set_ops_customers", oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < -500
+""")
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set operations: intersect + union (distinct)."""
+    c = load(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    seg = c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")) \
+           .select("c_custkey")
+    poor = c.filter(F.col("c_acctbal") < -500).select("c_custkey")
+    return rich.intersect(seg).union(poor).distinct()
+
+
+@query("except_unordered_parts", oracle="""
+SELECT p_partkey FROM part WHERE p_size >= 20
+EXCEPT
+SELECT p_partkey FROM part WHERE p_type LIKE '%BRASS%'
+""")
+def except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 except — the tombstone-shadowing shape (A4) as a set op."""
+    p = load(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") >= 20).select("p_partkey")
+    brass = p.filter(F.col("p_type").like("%BRASS%")).select("p_partkey")
+    return big.exceptAll(brass).distinct()
+
+
+@query("topk_global_orders", oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 global sort + limit (TakeOrderedAndProject — no full sort at
+    scale, each partition contributes its local top-k)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+             .select("o_orderkey", "o_totalprice").limit(10))
+
+
+@query("scalar_date_string_math", oracle="""
+SELECT strftime(o_orderdate, '%Y-%m')            AS order_month,
+       count(*)                                  AS n,
+       round(sum(o_totalprice), 2)               AS total,
+       round(min(o_totalprice) / 100.0, 4)       AS min_h,
+       max(upper(substr(o_orderpriority, 1, 1))) AS pri_initial
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m')
+""")
+def scalar_date_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar surface: date_format/substr/upper/arithmetic
+    (the reference's joda-time dependency never used in source —
+    pom.xml:94-97; Spark built-ins are the declared surface)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format(as_timestamp(o, "o_orderdate"), "yyyy-MM")
+                      .alias("order_month"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total"),
+                  F.round(F.min("o_totalprice") / 100.0, 4).alias("min_h"),
+                  F.max(F.upper(F.substring("o_orderpriority", 1, 1)))
+                   .alias("pri_initial")))
+
+
+@query("json_events_extract", oracle="""
+SELECT event_type,
+       cast(json_extract_string(props, '$.k') AS bigint) % 10 AS k_bucket,
+       count(*)                                              AS n,
+       round(avg("value"), 4)                                AS avg_value
+FROM events
+GROUP BY event_type, cast(json_extract_string(props, '$.k') AS bigint) % 10
+""")
+def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 JSON functions over events.props."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint") % 10
+    return (ev.groupBy("event_type", k.alias("k_bucket"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+@query("union_slices_distinct", oracle="""
+SELECT DISTINCT event_id, user_id FROM (
+    SELECT event_id, user_id FROM events WHERE value > 150
+    UNION ALL
+    SELECT event_id, user_id FROM events WHERE event_type = 'click'
+)
+""")
+def union_slices_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 union (multi-generation concatenation shape) + distinct."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 150).select("event_id", "user_id")
+    b = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    return a.unionByName(b).distinct()
+
+
+@query("distinct_exact_counts", oracle="""
+SELECT count(DISTINCT user_id)    AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       count(*)                   AS n_events
+FROM events
+""")
+def distinct_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 distinct aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("n_users"),
+                  F.countDistinct("event_type").alias("n_types"),
+                  F.count("*").alias("n_events"))
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketches differ by engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 approx_count_distinct (HyperLogLog++) — no SQL oracle since
+    sketch estimates are engine-specific; driver records rows-only."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+
+
+@query("five_way_join_region_revenue", oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def five_way_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one shuffle join on the fact keys, broadcast for
+    every dimension (customer/nation/region are tiny at any SF relative
+    to lineitem)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .groupBy(F.col("r_name").alias("region"),
+                       F.col("n_name").alias("nation"))
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
