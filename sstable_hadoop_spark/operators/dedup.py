@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale training-data pipelines —
+exact, n-gram Jaccard, MinHash/LSH, and SimHash near-dup detection.
+
+No reference counterpart (declared extension, SURVEY.md §2.9 E1/E2);
+built entirely from Spark built-ins so every step stays inside
+whole-stage codegen — no Python in the hot path.
+
+Determinism: all hashing derives from md5 of the content (same hex in
+every engine), never engine-specific ``hash()``, so results are
+reproducible and DuckDB oracles can replicate them bit-for-bit.
+
+Scale notes (100 TB):
+- every operator is shuffle-bounded by (hash) or (shingle) keys; no
+  cross joins, no driver-side state;
+- the shingle→pair join fans out quadratically per shingle, so
+  ``max_doc_freq`` drops ultra-common shingles (stopword shingles carry
+  no dedup signal; standard winnowing practice) — bounds the worst key
+  to ``max_doc_freq²`` pairs;
+- MinHash/LSH replaces the all-pairs Jaccard with banded candidate
+  generation: cost is ``O(docs × num_perm)`` + per-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """E1: keep the lowest-id row per distinct content (md5 grouping).
+    One hash-partition shuffle; survivors keep all original columns."""
+    w_id = F.col(id_col)
+    h = F.md5(F.col(content_col))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (df.groupBy(h.alias("_h"))
+              .agg(F.min_by(payload, w_id).alias("_keep"))
+              .select("_keep.*"))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Tokenization is a plain whitespace split (lower-cased)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # 1-based slice positions: i in [1, size-n+1].  Guarded: sequence()
+    # with start > stop generates a DESCENDING array, so short docs
+    # must yield an empty shingle set explicitly.
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(sh).alias("shingle"))
+              .distinct())
+
+
+def _shingle_sizes(shingles: DataFrame) -> DataFrame:
+    return shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+
+def jaccard_pairs(shingles: DataFrame, min_jaccard: float = 0.5,
+                  max_doc_freq: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all (a < b) pairs with
+    ``|A∩B| / |A∪B| >= min_jaccard``, via an equi-join on shared
+    shingles (never a cross join).
+
+    Returns (id_a, id_b, jaccard)."""
+    if max_doc_freq is not None:
+        rare = (shingles.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle"))
+        shingles = shingles.join(rare, "shingle")
+    sizes = _shingle_sizes(shingles)
+    a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}),
+                  "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}),
+                  "id_b")
+            .select("id_a", "id_b",
+                    (F.col("inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard))
+
+
+def minhash_signatures(shingles: DataFrame,
+                       num_perm: int = 16) -> DataFrame:
+    """MinHash signature per document: for permutation ``i``, the
+    lexicographic min of ``md5(i || '|' || shingle)``.  md5-hex min is a
+    uniform minimum — equivalent to a random permutation per ``i`` —
+    and is engine-portable (same strings in DuckDB).
+
+    Returns (id, sig_0 .. sig_{num_perm-1}); one aggregation pass."""
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+            .alias(f"sig_{i}") for i in range(num_perm)]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Band the signature (bands × rows_per_band must equal the
+    signature width); docs sharing any band bucket become candidates.
+    Standard S-curve: P(candidate) = 1-(1-j^rows)^bands."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.concat_ws("#", F.lit(str(b)), *cols).alias("bucket"))
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "bucket")
+    return (a.join(b, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 4,
+                        num_perm: int = 16, bands: int = 4,
+                        min_jaccard: float = 0.5,
+                        max_doc_freq: int | None = 1000) -> DataFrame:
+    """E2 end-to-end: shingle → MinHash → LSH bands → candidate pairs →
+    exact-Jaccard verification.  Output (id_a, id_b, jaccard) — LSH may
+    miss pairs (recall < 1) but never emits a pair below threshold
+    (precision = 1, because candidates are re-verified)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") <= max_doc_freq).select("shingle"))
+        sh = sh.join(rare, "shingle")
+    sigs = minhash_signatures(sh, num_perm)
+    cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    exact = jaccard_pairs(sh, min_jaccard, max_doc_freq=None)
+    return cand.join(exact, ["id_a", "id_b"])
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint (≤60 bits to stay in a signed bigint): token
+    hash bits vote ±1, sign of the per-bit sum becomes the bit.
+    Near-duplicate documents differ in few bits (small Hamming
+    distance).  Single explode + one aggregation with ``bits``
+    column expressions — no per-bit row expansion.
+
+    Returns (id, simhash: bigint)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                       .alias("tok")))
+    # 60-bit token hash from md5 (15 hex chars), exact via decimal conv
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(20,0)") \
+         .cast("long")
+    toks = toks.select("id", h.alias("h"))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
+                          1).otherwise(-1)).alias(f"b{i}")
+             for i in range(bits)]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 8,
+                       bits: int = 60, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash with block-key candidate generation:
+    split the fingerprint into ``blocks`` segments — pairs within
+    ``max_hamming`` for suitable parameters share at least one exact
+    segment (pigeonhole: guaranteed when max_hamming < blocks), so the
+    join is an equi-join on (block_idx, segment), never all-pairs."""
+    fps = simhash64(df, text_col, id_col, bits)
+    seg_bits = bits // blocks
+    mask = (1 << seg_bits) - 1
+    segs = fps.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(i)),
+                        F.shiftright(F.col("simhash"), i * seg_bits)
+                         .bitwiseAND(mask))
+            for i in range(blocks)])).alias("seg"))
+    a = segs.select(F.col("id").alias("id_a"),
+                    F.col("simhash").alias("fp_a"), "seg")
+    b = segs.select(F.col("id").alias("id_b"),
+                    F.col("simhash").alias("fp_b"), "seg")
+    return (a.join(b, "seg")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     hamming64(F.col("fp_a"), F.col("fp_b"))
+                     .alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (declared extension E3,
+SURVEY.md §2.9): brute-force cosine top-k as the exact baseline, and an
+LSH-bucketed (random hyperplane / IVF-style) variant as the 100 TB
+scale path.
+
+All vector math is JVM-side (``zip_with`` / ``aggregate`` over
+``array<float>``); no Python in the hot path.
+
+Scale notes:
+- brute force is O(Q×N) — fine for small query sets against big
+  corpora (broadcast the queries), unusable for all-pairs at 100 TB;
+- the LSH variant buckets vectors by sign-pattern against fixed random
+  hyperplanes (deterministically derived from md5, so results are
+  reproducible across runs/engines) and only scores within-bucket
+  pairs: cost O(N × probes + Σ bucket²).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small) is broadcast against ``embeddings`` (large): the
+    join is a BroadcastNestedLoopJoin — each corpus partition scores
+    locally, then a per-query top-k (groupBy + partial top-k via
+    window on the joined result).  Self-matches are excluded by id.
+
+    Returns (query_id, vec_id, cos)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("_qvec"))
+    e = embeddings.select(F.col(id_col), F.col(vec_col).alias("_evec"))
+    scored = (e.crossJoin(F.broadcast(q))
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(query_id_col, id_col,
+                       cosine(F.col("_qvec"), F.col("_evec")).alias("cos")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select(query_id_col, id_col, "cos", "rk"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "simplanes") -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 — no RNG
+    state, reproducible everywhere.  Component (p, d) maps md5 bytes to
+    a uniform in [-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2 ** 64  # [0, 1)
+            comps.append(2.0 * u - 1.0)
+        inv = 1.0 / math.sqrt(sum(c * c for c in comps))
+        planes.append([c * inv for c in comps])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = 1 iff vec · plane_p >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(c) for c in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(0).cast("long")
+    return bucket
+
+
+def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", dim: int = 64,
+                    n_planes: int = 3, n_tables: int = 6) -> DataFrame:
+    """Approximate top-k with multi-table random-hyperplane LSH: the
+    corpus is bucketed by sign pattern in each of ``n_tables``
+    independent tables; a corpus vector is a candidate if it collides
+    with the query in ANY table.
+
+    Per-table collision for neighbors at angle θ is (1−θ/π)^n_planes;
+    recall ≈ 1−(1−p)^n_tables while the expected candidate fraction
+    stays ≈ n_tables·2^-n_planes — both dials explicit.  Output shape
+    matches ``cosine_topk``; a query may return fewer than k rows."""
+    from pyspark.sql.window import Window
+
+    def bucketed(df, idc, vec_alias):
+        buckets = F.array(*[
+            F.concat_ws(":", F.lit(str(t)),
+                        lsh_bucket(F.col(vec_col),
+                                   _hyperplanes(dim, n_planes,
+                                                seed=f"table{t}")))
+            for t in range(n_tables)])
+        return df.select(F.col(idc), F.col(vec_col).alias(vec_alias),
+                         F.explode(buckets).alias("_bucket"))
+
+    e = bucketed(embeddings, id_col, "_evec")
+    q = bucketed(queries, query_id_col, "_qvec")
+    scored = (e.join(F.broadcast(q), "_bucket")
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(query_id_col, id_col,
+                       cosine(F.col("_qvec"), F.col("_evec")).alias("cos"))
+               .distinct())
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select(query_id_col, id_col, "cos", "rk"))

@@ -578,6 +578,291 @@ def five_way_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("revenue")))
 
 
+# ---------------------------------------------------------------------------
+# M4 — LLM-pipeline extensions E1-E5 (SURVEY.md §2.9) over documents /
+# embeddings.  Deterministic md5-based hashing throughout so DuckDB can
+# replicate even the MinHash/LSH pipeline exactly.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_N = 4
+
+# Word-4-gram shingles in DuckDB, matching operators.dedup.word_shingles
+# exactly: lower → split on \s+ → 1-based windows of 4 → DISTINCT.
+_SHINGLES_CTE = f"""
+WITH shingles AS (
+    SELECT DISTINCT doc_id AS id,
+           unnest([array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ')
+                   FOR i IN range(1, greatest(len(toks) - {_SHINGLE_N - 2}, 1))])
+               AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+          FROM documents)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id)
+"""
+
+_JACCARD_SQL = """
+, inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+jac AS (
+    SELECT id_a, id_b,
+           inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.id
+    JOIN sizes sb ON inter.id_b = sb.id
+)
+"""
+
+
+@query("dedup_exact", oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact content dedup — md5 grouping, keep lowest doc_id."""
+    from sstable_hadoop_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@query("dedup_ngram_jaccard", oracle=_SHINGLES_CTE + _JACCARD_SQL + """
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2a: exact n-gram Jaccard near-dup pairs (shingle equi-join,
+    never cross join)."""
+    from sstable_hadoop_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=_SHINGLE_N)
+    return (jaccard_pairs(sh, min_jaccard=0.5, max_doc_freq=None)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replica of the full MinHash→LSH→verify pipeline: same md5
+    permutations (min of md5('i|' || shingle)), same '#'-joined band
+    buckets, same exact-Jaccard verification."""
+    num_perm, bands, rows = 16, 4, 4
+    sig_aggs = ",\n           ".join(
+        f"min(md5(concat('{i}|', shingle))) AS sig_{i}"
+        for i in range(num_perm))
+    band_list = []
+    for b in range(bands):
+        parts = [f"'{b}'"] + [f"sig_{b * rows + r}" for r in range(rows)]
+        band_list.append("concat_ws('#', " + ", ".join(parts) + ")")
+    return (_SHINGLES_CTE + f"""
+, sigs AS (
+    SELECT id, {sig_aggs}
+    FROM shingles GROUP BY id
+),
+banded AS (
+    SELECT id, unnest([{", ".join(band_list)}]) AS bucket FROM sigs
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+)
+""" + _JACCARD_SQL + """
+SELECT j.id_a, j.id_b, round(j.jaccard, 6) AS jaccard
+FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.5
+""")
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b: MinHash + banded LSH candidates, exact-Jaccard verified.
+    Deterministic md5 permutations (oracle replicates them exactly)."""
+    from sstable_hadoop_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return (minhash_dedup_pairs(docs, n=_SHINGLE_N, num_perm=16, bands=4,
+                                min_jaccard=0.5, max_doc_freq=None)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+@query("dedup_simhash")  # rows-only: hex→int conv not expressible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c: SimHash near-dup pairs via block-key candidate join;
+    checked by property tests (tests/test_extensions.py) instead of a
+    SQL oracle."""
+    from sstable_hadoop_spark.operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=12)
+
+
+@query("similarity_topk_bruteforce", oracle="""
+SELECT q.vec_id AS query_id, e.vec_id, rk, round(cos, 4) AS cos
+FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS eid,
+           list_cosine_similarity(q.embedding, e.embedding) AS cos,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+    FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+    WHERE q.vec_id < 8
+) s
+JOIN embeddings q ON s.qid = q.vec_id
+JOIN embeddings e ON s.eid = e.vec_id
+WHERE rk <= 5
+""")
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: exact cosine top-5 neighbors for 8 query vectors — broadcast
+    nested-loop scoring + per-query rank."""
+    from sstable_hadoop_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries_df = emb_d.filter(F.col("vec_id") < 8) \
+                      .withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk(emb_d, queries_df, k=5)
+            .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
+
+
+@query("similarity_topk_lsh")  # rows-only: approximate by construction
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: random-hyperplane LSH bucketing; recall vs brute
+    force asserted in tests/test_extensions.py."""
+    from sstable_hadoop_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries_df = emb_d.filter(F.col("vec_id") < 8) \
+                      .withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_lsh(emb_d, queries_df, k=5)
+            .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
+
+
+@query("text_quality_stats", oracle=r"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t IN ('the','a','of','and','to','in','is','it')))
+             * 1.0 / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1),
+             6) AS stopword_ratio,
+       round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 5000
+                         THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                            / greatest(length(text), 1))
+             + 0.3 * (len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          t -> t IN ('the','a','of','and','to','in','is','it')))
+                      * 1.0
+                      / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1)),
+             6) AS quality
+FROM documents
+""")
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-document token counts, punctuation/stopword ratios, and
+    the composite quality score."""
+    from sstable_hadoop_spark.operators.text import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@query("lang_id_heuristic", oracle=r"""
+WITH scored AS (
+    SELECT doc_id, lang AS lang_label,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('der','die','und','ist'))) AS score_de,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('the','and','of','is'))) AS score_en,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('el','la','y','es'))) AS score_es,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('le','la','et','est'))) AS score_fr,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('的','是','了','在'))) AS score_zh
+    FROM documents
+)
+SELECT doc_id, lang_label,
+       greatest(score_de, score_en, score_es, score_fr, score_zh) AS best_score,
+       CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scored
+""")
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: marker-word language ID with deterministic argmax."""
+    from sstable_hadoop_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return lang_id(docs)
+
+
+@query("doc_fingerprint", oracle=f"""
+WITH shingles AS (
+    SELECT doc_id AS id,
+           unnest([md5(array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))
+                   FOR i IN range(1, greatest(len(toks) - {_SHINGLE_N - 2}, 1))])
+               AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+          FROM documents)
+)
+SELECT id, min(shingle) AS fingerprint
+FROM shingles GROUP BY id
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: winnowing-style rolling-hash fingerprint (min md5 over word
+    n-gram shingles)."""
+    from sstable_hadoop_spark.operators.text import doc_fingerprint as fp
+
+    docs = load(spark, sf_dir, "documents")
+    return fp(docs, n=_SHINGLE_N)
+
+
+@query("token_stats_by_lang", oracle=r"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(len(regexp_split_to_array(lower(text), '\s+'))) AS total_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY lang, source
+""")
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 rollup: corpus token accounting per (lang, source)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return (docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+@query("multimodal_features")  # rows-only: mapInPandas kernel, no SQL twin
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: binary-payload feature extraction via Arrow-batched
+    mapInPandas (deterministic fake decode; schema/batch plumbing is
+    the real thing under test)."""
+    from sstable_hadoop_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return (extract_features(media)
+            .select("media_id", "modality", "n_bytes",
+                    F.round(F.element_at("features", 1), 6).alias("f0")))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

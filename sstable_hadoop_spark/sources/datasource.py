@@ -314,20 +314,31 @@ def register(spark) -> None:
     the DataSource instance is cloudpickle'd by reference and unpickled
     inside worker processes, whose ``sys.path`` does not necessarily
     include this package's location (it is not site-installed)."""
+    import hashlib
+
     import sstable_hadoop_spark
 
     pkg_dir = os.path.dirname(os.path.dirname(
         os.path.abspath(sstable_hadoop_spark.__file__)))
+    sources = []
+    for root, _dirs, files in os.walk(
+            os.path.join(pkg_dir, "sstable_hadoop_spark")):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                sources.append((full, os.path.relpath(full, pkg_dir),
+                                st.st_mtime_ns, st.st_size))
+    # content-addressed zip name → stale caches from earlier package
+    # versions are never shipped to workers
+    digest = hashlib.md5(repr([(s[1], s[2], s[3])
+                               for s in sources]).encode()).hexdigest()[:12]
     zip_path = os.path.join(tempfile.gettempdir(),
-                            "sstable_hadoop_spark_pkg.zip")
+                            f"sstable_hadoop_spark_pkg_{digest}.zip")
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
-            for root, _dirs, files in os.walk(
-                    os.path.join(pkg_dir, "sstable_hadoop_spark")):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, pkg_dir))
+            for full, rel, _mt, _sz in sources:
+                zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
     try:

@@ -1,0 +1,147 @@
+"""E1-E5 extension operators: golden rules for dedup, recall bounds for
+the approximate (LSH) paths vs their exact baselines, multimodal
+plumbing shape + determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from sstable_hadoop_spark.queries import load
+
+    return load(spark, SF, "documents")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from sstable_hadoop_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    from sstable_hadoop_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "z y x w v u t s")],
+        "doc_id bigint, text string")
+    pairs = jaccard_pairs(word_shingles(df, n=3)).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH must find a healthy fraction of the true >=0.5-Jaccard pairs
+    (recall) and never emit a below-threshold pair (precision=1 by
+    re-verification)."""
+    from sstable_hadoop_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+        word_shingles,
+    )
+
+    docs = _docs(spark)
+    exact = {(r["id_a"], r["id_b"])
+             for r in jaccard_pairs(word_shingles(docs, n=4), 0.5,
+                                    max_doc_freq=None).collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_dedup_pairs(docs, n=4, min_jaccard=0.5,
+                                        max_doc_freq=None).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert got <= exact          # precision = 1
+    assert len(got) / len(exact) >= 0.5  # banded-LSH recall at j>=0.5
+
+
+def test_simhash_properties(spark):
+    from sstable_hadoop_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "the quick brown fox leaps over the lazy dog again and again"),
+         (4, "completely different words entirely unrelated content here now")],
+        "doc_id bigint, text string")
+    fps = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    ham = lambda a, b: bin(fps[a] ^ fps[b]).count("1")
+    assert ham(1, 2) == 0                # identical text → identical hash
+    assert ham(1, 3) < ham(1, 4)         # near-dup closer than unrelated
+    assert ham(1, 3) <= 20
+
+
+def test_simhash_near_pairs_finds_duplicate(spark):
+    from sstable_hadoop_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "one two three four five six seven eight")],
+        "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_pairs(df, max_hamming=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_similarity_lsh_recall_vs_bruteforce(spark):
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in cosine_topk_lsh(emb, q, k=5).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from sstable_hadoop_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+        resize_images,
+        sample_frames,
+    )
+
+    media = media_from_documents(_docs(spark)).limit(60).cache()
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r["features"])
+    # determinism: same payload → same features
+    again = {r["media_id"]: r["features"] for r in feats.collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+    imgs = resize_images(media, 224, 224)
+    img_rows = imgs.collect()
+    assert img_rows and all(r["meta"]["width"] == 224 for r in img_rows)
+    assert set(imgs.columns) == {"media_id", "modality", "payload", "meta"}
+
+    frames = sample_frames(media, every_ms=1000)
+    f_rows = frames.collect()
+    n_videos = media.filter(F.col("modality") == "video").count()
+    assert len(f_rows) >= n_videos  # ≥1 frame per video
+    assert {r["media_id"] for r in f_rows} == \
+        {r["media_id"] for r in
+         media.filter(F.col("modality") == "video").collect()}
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
