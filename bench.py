@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Engine benchmark — headline queries from BASELINE.md at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the ``noop`` sink (forces
+execution of every operator, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+BENCH_QUERIES = {
+    # BASELINE.md bench name → queries.py entry
+    "flagship_lww_merge": "flagship_lww_merge",
+    "scan_project_filter": "scan_project_filter",
+    "join_agg": "join_agg_revenue",
+    "window_topk": "window_topk_orders",
+    "dedup_minhash": "dedup_minhash_lsh",
+    "similarity_topk": "similarity_topk_bruteforce",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    from sstable_hadoop_spark.plans import get_session
+    from sstable_hadoop_spark.queries import all_queries
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the session (JVM/codegen/Arrow init) outside the clock
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # two iterations per query, report the min: steady-state throughput
+    # (first execution of each plan pays one-time codegen/JIT costs that
+    # a long-running cluster job amortizes away)
+    timings: dict[str, float] = {}
+    for bench_name, query_name in BENCH_QUERIES.items():
+        fn = registry[query_name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[bench_name] = round(best, 3)
+
+    result = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

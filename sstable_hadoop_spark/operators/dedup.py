@@ -39,9 +39,16 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 
 
 def word_shingles(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = 4) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-    Tokenization is a plain whitespace split (lower-cased)."""
+                  id_col: str = "doc_id", n: int = 4,
+                  distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
+    Tokenization is a plain whitespace split (lower-cased).
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is itself set-semantic (min aggregation, collect_set)."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     # 1-based slice positions: i in [1, size-n+1].  Guarded: sequence()
     # with start > stop generates a DESCENDING array, so short docs
@@ -51,9 +58,8 @@ def word_shingles(df: DataFrame, text_col: str = "text",
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(sh).alias("shingle"))
-              .distinct())
+    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingle_sizes(shingles: DataFrame) -> DataFrame:
@@ -134,15 +140,41 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     exact-Jaccard verification.  Output (id_a, id_b, jaccard) — LSH may
     miss pairs (recall < 1) but never emits a pair below threshold
     (precision = 1, because candidates are re-verified)."""
-    sh = word_shingles(df, text_col, id_col, n)
+    # non-distinct shingles: every consumer below is set-semantic (min /
+    # collect_set), so the dedup shuffle would be pure waste
+    sh = word_shingles(df, text_col, id_col, n, distinct=False)
     if max_doc_freq is not None:
-        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        rare = (sh.distinct().groupBy("shingle")
+                  .agg(F.count("*").alias("df"))
                   .filter(F.col("df") <= max_doc_freq).select("shingle"))
         sh = sh.join(rare, "shingle")
-    sigs = minhash_signatures(sh, num_perm)
-    cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
-    exact = jaccard_pairs(sh, min_jaccard, max_doc_freq=None)
-    return cand.join(exact, ["id_a", "id_b"])
+    # ONE aggregation pass builds everything per doc: the minhash
+    # signature, the shingle count, and the shingle set (bounded by doc
+    # length, so safe to carry).  Verification then joins the SMALL
+    # candidate-pair set back to per-doc profiles and computes the
+    # exact Jaccard via array_intersect — no second shingle fan-out
+    # join, no all-pairs work.
+    sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+                .alias(f"sig_{i}") for i in range(num_perm)]
+    profile = (sh.groupBy("id")
+                 .agg(*sig_aggs,
+                      F.collect_set("shingle").alias("sh_set"))
+                 .withColumn("n_sh", F.size("sh_set")))
+    cand = lsh_candidate_pairs(
+        profile.select("id", *[f"sig_{i}" for i in range(num_perm)]),
+        bands, num_perm // bands)
+    pa = profile.select(F.col("id").alias("id_a"),
+                        F.col("n_sh").alias("n_a"),
+                        F.col("sh_set").alias("set_a"))
+    pb = profile.select(F.col("id").alias("id_b"),
+                        F.col("n_sh").alias("n_b"),
+                        F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+                .select("id_a", "id_b",
+                        (inter / (F.col("n_a") + F.col("n_b") - inter))
+                        .alias("jaccard"))
+                .filter(F.col("jaccard") >= min_jaccard))
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
@@ -154,6 +186,9 @@ def simhash64(df: DataFrame, text_col: str = "text",
     column expressions — no per-bit row expansion.
 
     Returns (id, simhash: bigint)."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
                        .alias("tok")))

@@ -44,6 +44,9 @@ def text_stats(df: DataFrame, text_col: str = "text",
     (length_ok: 100 ≤ chars ≤ 5000) — the standard cheap-filter shape
     for pretraining corpora (length / punctuation / stopword-density
     heuristics)."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text)

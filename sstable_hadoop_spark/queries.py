@@ -103,7 +103,9 @@ _DAY_MS = 86400000
 
 
 def derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    from sstable_hadoop_spark.operators._util import ensure_parallelism
+
+    ev = ensure_parallelism(load(spark, sf_dir, "events"))
     state = (F.when(F.col("value") < 10, "DELETED")
               .when(F.col("value") > 200, "EXPIRING")
               .otherwise("NORMAL"))
@@ -861,6 +863,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (extract_features(media)
             .select("media_id", "modality", "n_bytes",
                     F.round(F.element_at("features", 1), 6).alias("f0")))
+
+
+# ---------------------------------------------------------------------------
+# M5 — streaming window views in batch mode (SURVEY.md §2.8).  The same
+# functions run unchanged on readStream inputs (tests/test_streaming.py
+# proves stream == batch); batch mode is the oracle-checkable twin.
+# ---------------------------------------------------------------------------
+
+
+@query("window_tumbling_events", oracle="""
+SELECT epoch_us(date_trunc('hour', ts))                    AS w_start_us,
+       epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)  AS w_end_us,
+       event_type,
+       count(*)                                            AS n,
+       round(avg("value"), 4)                              AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""")
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type (streaming twin:
+    tumbling_counts with a watermark)."""
+    from sstable_hadoop_spark.streaming import tumbling_counts
+
+    return tumbling_counts(load(spark, sf_dir, "events"), "1 hour")
+
+
+@query("window_sliding_events", oracle="""
+WITH assigned AS (
+    SELECT event_type,
+           unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+    FROM events
+)
+SELECT epoch_us(w_start)                     AS w_start_us,
+       epoch_us(w_start + INTERVAL 2 HOUR)   AS w_end_us,
+       event_type,
+       count(*)                              AS n
+FROM assigned
+GROUP BY w_start, event_type
+""")
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window counts (each event in 2 windows)."""
+    from sstable_hadoop_spark.streaming import sliding_counts
+
+    return sliding_counts(load(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@query("window_session_events", oracle="""
+WITH t AS (
+    SELECT user_id, epoch_us(ts) AS t_us, "value",
+           CASE WHEN epoch_us(ts)
+                     - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts))
+                     >= 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+s AS (
+    SELECT user_id, t_us, "value",
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM t
+)
+SELECT min(t_us)                  AS w_start_us,
+       max(t_us) + 1800000000     AS w_end_us,
+       user_id,
+       count(*)                   AS n_events,
+       round(sum("value"), 2)     AS sum_value
+FROM s
+GROUP BY user_id, session_id
+""")
+def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — dynamic-length windows;
+    oracle is the classic gaps-and-islands construction."""
+    from sstable_hadoop_spark.streaming import session_counts
+
+    return session_counts(load(spark, sf_dir, "events"), "30 minutes")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
