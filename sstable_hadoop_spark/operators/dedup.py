@@ -177,6 +177,61 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                 .filter(F.col("jaccard") >= min_jaccard))
 
 
+def dedup_components(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 4,
+                     min_jaccard: float = 0.5,
+                     max_iter: int = 20) -> DataFrame:
+    """Group near-duplicates into clusters: connected components over
+    the MinHash-LSH pair graph via iterative smallest-label
+    propagation, then mark the lowest-id doc per cluster canonical.
+
+    Returns (doc_id, cluster_id, is_canonical) for every input doc
+    (singletons are their own cluster).
+
+    Scale notes: each iteration is one join + one aggregation on the
+    edge list (O(E) shuffle); iterations needed = graph diameter, and
+    near-dup graphs are overwhelmingly tiny cliques (diameter ≤ ~3), so
+    the loop converges in a handful of rounds.  ``max_iter`` bounds the
+    pathological chain case.  Labels are checkpointed via localCheckpoint
+    to keep lineage from growing unboundedly."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, n=n,
+                                min_jaccard=min_jaccard)
+    edges = (pairs.select("id_a", "id_b")
+             .union(pairs.select(F.col("id_b").alias("id_a"),
+                                 F.col("id_a").alias("id_b"))))
+    # label = min reachable id seen so far, starting with each node's
+    # own id over nodes that have at least one edge
+    labels = (edges.select(F.col("id_a").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges.id_b == labels.id)
+                        .groupBy("id_a")
+                        .agg(F.min("label").alias("nbr_label")))
+        updated = (labels.join(neighbor_min,
+                               labels.id == neighbor_min.id_a, "left")
+                   .select(F.col("id"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nbr_label"),
+                                              F.col("label")))
+                           .alias("label")))
+        updated = updated.localCheckpoint()
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.label") != F.col("l.label")).count())
+        labels = updated
+        if changed == 0:
+            break
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    out = (all_docs.join(labels.withColumnsRenamed(
+        {"id": "doc_id", "label": "cluster_id"}), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")))
+    return out.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash fingerprint (≤60 bits to stay in a signed bigint): token

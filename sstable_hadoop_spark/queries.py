@@ -941,6 +941,338 @@ def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(load(spark, sf_dir, "events"), "30 minutes")
 
 
+# ---------------------------------------------------------------------------
+# SSTable scan path through the driver gate: materialize the derived
+# cell table as REAL multi-generation SSTable files (binary codec),
+# read them back through spark.read.format("sstable"), and check
+# against the SQL derivation — the full custom-source path
+# (S1/S3/S5, A1) under the oracle, not just pytest.
+# ---------------------------------------------------------------------------
+
+
+def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
+    """Write the derived cells as sorted multi-generation SSTables under
+    a deterministic temp dir (idempotent per sf_dir; gens 3-4 snappy)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, SSTableWriter
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"sstable_rt_{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    rows = derived_cells(spark, sf_dir).collect()  # sf0.01 ≈ 10k cells
+    by_gen: dict[int, dict[bytes, list[Cell]]] = {}
+    for r in rows:
+        cell = Cell(name=bytes(r["name"]), state=r["state"],
+                    data=bytes(r["data"]) if r["data"] is not None else None,
+                    timestamp=r["timestamp"], ttl=r["ttl"],
+                    expiration=r["expiration"])
+        by_gen.setdefault(r["generation"], {}).setdefault(
+            bytes(r["key"]), []).append(cell)
+    for g, keyed in sorted(by_gen.items()):
+        w = SSTableWriter(out, "events-cf", generation=g,
+                          compressed=(g >= 3), summary_rate=32)
+        for key in sorted(keyed):
+            # deterministic cell order within the row
+            cells = sorted(keyed[key],
+                           key=lambda c: (c.name, c.timestamp, c.state))
+            w.write_row(Row(key=key, cells=cells))
+        w.close()
+    open(done, "w").close()
+    return out
+
+
+@query("sstable_scan_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+""")
+def sstable_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write derived cells to real SSTable files (2 plain + 2 snappy
+    generations), scan via the custom data source, explode — must
+    reproduce every input cell exactly (codec+source fidelity under the
+    driver's oracle)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    df = spark.read.format("sstable") \
+        .option("max_split_bytes", str(64 * 1024)).load(path)
+    return _render_winners(explode_cells(df)).withColumn(
+        "generation", F.col("generation"))
+
+
+@query("sstable_index_keys", oracle=f"""
+{_CELLS_CTE}
+SELECT DISTINCT key_str, generation FROM cells
+""")
+def sstable_index_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S8: scan Index.db files, project keys (offset dropped, the
+    Pig index loader's projection — SSTableIndexLoader.scala:24-26)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    idx = spark.read.format("sstable").option("kind", "index").load(path)
+    return idx.select(F.col("key").cast("string").alias("key_str"),
+                      "generation").distinct()
+
+
+@query("sstable_split_manifest")  # rows-only: split planning is physical
+def sstable_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/G2: the split manifest as a DataFrame + A7 min/max offset
+    aggregation over planned splits per file."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    m = spark.read.format("sstable").option("kind", "manifest") \
+        .option("max_split_bytes", str(16 * 1024)).load(path)
+    return (m.groupBy("filename").agg(
+        F.count("*").alias("n_splits"),
+        F.min("byte_start").alias("min_off"),
+        F.max(F.col("byte_start") + F.col("byte_length")).alias("max_end"),
+        F.sum("byte_length").alias("total_bytes")))
+
+
+# ---------------------------------------------------------------------------
+# Coverage widening: subqueries, window gallery, statistics, pivot,
+# string functions, embedding near-dup, dedup clustering.
+# ---------------------------------------------------------------------------
+
+
+@query("subquery_above_avg_orders", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+""")
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (uncorrelated) — Catalyst folds it to a literal
+    after one aggregation pass."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders_sq)
+    """)
+
+
+@query("subquery_correlated_max_item", oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT max(l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey)
+""")
+def subquery_correlated_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — decorrelated by Catalyst into an
+    aggregate + join (no per-row re-execution)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem_sq l1
+        WHERE l_extendedprice = (SELECT max(l_extendedprice) FROM lineitem_sq l2
+                                 WHERE l2.l_orderkey = l1.l_orderkey)
+    """)
+
+
+@query("window_gallery", oracle="""
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w        AS prev_price,
+       lead(o_totalprice) OVER w       AS next_price,
+       dense_rank() OVER w2            AS price_drank,
+       ntile(4) OVER w2                AS price_quartile,
+       round(percent_rank() OVER w2, 6) AS price_prank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic gallery: lag/lead/dense_rank/ntile/percent_rank."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(ts_us(o, "o_orderdate"),
+                                                F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                 F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(w2).alias("price_drank"),
+        F.ntile(4).over(w2).alias("price_quartile"),
+        F.round(F.percent_rank().over(w2), 6).alias("price_prank"))
+
+
+@query("stats_aggregates", oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+       round(var_samp(l_discount), 6)                    AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(median(l_quantity), 4)                      AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4)     AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 statistical aggregates: stddev/variance/corr/covar/median/
+    exact percentile."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+         .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+         .alias("covar_qty_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+         .alias("p90_price")))
+
+
+@query("pivot_status_by_priority", oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (fixed status set →
+    bounded output columns; never pivot on unbounded cardinality)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .pivot("o_orderstatus", ["F", "O", "P"])
+             .agg(F.count(F.lit(1)))
+             .select("o_orderpriority",
+                     F.coalesce("F", F.lit(0)).alias("status_f"),
+                     F.coalesce("O", F.lit(0)).alias("status_o"),
+                     F.coalesce("P", F.lit(0)).alias("status_p")))
+
+
+@query("string_function_gallery", oracle="""
+SELECT c_custkey,
+       upper(c_name)                                   AS uname,
+       substr(c_name, 10, 5)                           AS midpart,
+       length(c_name)                                  AS name_len,
+       replace(c_mktsegment, 'I', '!')                 AS seg_repl,
+       lpad(cast(c_nationkey AS varchar), 4, '0')      AS nat_pad,
+       split_part(c_name, '#', 2)                      AS name_num,
+       regexp_extract(c_name, '[0-9]+')                AS digits,
+       concat_ws('|', c_mktsegment, cast(c_nationkey AS varchar)) AS joined
+FROM customer
+""")
+def string_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 string surface: case, substring, replace, pad, split,
+    regexp extraction, concat."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 10, 5).alias("midpart"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("I"), F.lit("!"))
+         .alias("seg_repl"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_pad"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_extract(F.col("c_name"), "[0-9]+", 0).alias("digits"),
+        F.concat_ws("|", F.col("c_mktsegment"),
+                    F.col("c_nationkey").cast("string")).alias("joined"))
+
+
+@query("null_handling_gallery", oracle="""
+SELECT e.event_id,
+       coalesce(nullif(e.event_type, 'error'), '<errored>') AS type_or_flag,
+       CASE WHEN e."value" IS NULL THEN -1 ELSE e."value" END AS val_nvl,
+       least(e."value", 100.0)    AS val_capped,
+       greatest(e."value", 1.0)   AS val_floored
+FROM events e
+""")
+def null_handling_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 null semantics: nullif/coalesce/case/least/greatest."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")),
+                   F.lit("<errored>")).alias("type_or_flag"),
+        F.when(F.col("value").isNull(), -1.0).otherwise(F.col("value"))
+         .alias("val_nvl"),
+        F.least(F.col("value"), F.lit(100.0)).alias("val_capped"),
+        F.greatest(F.col("value"), F.lit(1.0)).alias("val_floored"))
+
+
+@query("array_agg_sorted_events", oracle="""
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY epoch_us(ts), event_id), ',')
+           AS type_seq,
+       count(*) AS n
+FROM events
+GROUP BY user_id
+""")
+def array_agg_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive collect: the per-user event-type sequence in
+    event-time order (deterministic via (ts, event_id) sort key)."""
+    ev = load(spark, sf_dir, "events")
+    pair = F.struct(ts_us(ev, "ts").alias("t"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"))
+    return (ev.groupBy("user_id")
+              .agg(F.array_sort(F.collect_list(pair)).alias("seq"),
+                   F.count("*").alias("n"))
+              .select("user_id",
+                      F.array_join(F.transform("seq", lambda s: s["et"]), ",")
+                       .alias("type_seq"), "n"))
+
+
+@query("embedding_cosine_near_dup", oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+""")
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding near-dup: all pairs with cosine ≥ 0.5.  Exact
+    variant (oracle-checkable); the LSH-bucketed scale path is
+    similarity_topk_lsh.  The pair join is bounded here by corpus size;
+    at 100 TB use cosine_topk_lsh buckets instead."""
+    from sstable_hadoop_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("_vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("_va"), F.col("_vb")).alias("_c"))
+             .filter(F.col("_c") >= 0.5)
+             .select("id_a", "id_b", F.round("_c", 4).alias("cos")))
+
+
+@query("dedup_clusters")  # rows-only: iterative algorithm, no SQL twin
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 end-game: group near-duplicate docs into clusters
+    (connected components over the Jaccard pair graph, iterative
+    smallest-id label propagation) and pick the canonical doc per
+    cluster.  Output: (doc_id, cluster_id, is_canonical)."""
+    from sstable_hadoop_spark.operators.dedup import dedup_components
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_components(docs, min_jaccard=0.5)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

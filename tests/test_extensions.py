@@ -145,3 +145,24 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False)
+
+
+def test_dedup_components_clusters(spark):
+    """Known graph: {1,2,3} near-dups (transitively), {4,5} near-dups,
+    6 unique → clusters led by 1, 4, 6."""
+    from sstable_hadoop_spark.operators.dedup import dedup_components
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, base),
+         (4, "x1 x2 x3 x4 x5 x6 x7 x8"), (5, "x1 x2 x3 x4 x5 x6 x7 x8"),
+         (6, "q1 q2 q3 q4 q5 q6 q7 q8")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_components(df, min_jaccard=0.4).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[4] == (4, True)
+    assert got[5] == (4, False)
+    assert got[6] == (6, True)
