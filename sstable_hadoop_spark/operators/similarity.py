@@ -89,6 +89,51 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", n_centroids: int = 16,
+                    n_probe: int = 3, seed: str = "ivf") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning: assign
+    every corpus vector to its nearest of ``n_centroids`` fixed
+    pseudo-random centroids (deterministic md5 derivation — a stand-in
+    for a trained k-means codebook); score each query only against the
+    ``n_probe`` centroids nearest to it.
+
+    Scale path: corpus partition = centroid cell (cluster by cell at
+    write time for locality); per-query cost drops from O(N) to
+    O(N·n_probe/n_centroids).  Returns (query_id, vec_id, cos, rk)."""
+    from pyspark.sql.window import Window
+
+    dim = 64  # centroids derived at fixed dim; vectors must match
+    cents = _hyperplanes(dim, n_centroids, seed=seed)  # unit vectors
+
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    def top_cells(vec, n):
+        scored = F.transform(
+            dots(vec),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_evec"),
+        F.element_at(top_cells(F.col(vec_col), 1), 1)["cell"].alias("_cell"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.explode(F.transform(top_cells(F.col(vec_col), n_probe),
+                              lambda s: s["cell"])).alias("_cell"))
+    scored = (e.join(F.broadcast(q), "_cell")
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(query_id_col, id_col,
+                       cosine(F.col("_qvec"), F.col("_evec")).alias("cos")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select(query_id_col, id_col, "cos", "rk"))
+
+
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", dim: int = 64,

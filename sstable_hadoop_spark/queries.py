@@ -746,6 +746,53 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
 
 
+@query("similarity_topk_ivf")  # rows-only: approximate by construction
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF variant: nearest-centroid inverted lists, n_probe cells
+    per query; recall vs brute force asserted in tests."""
+    from sstable_hadoop_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries_df = emb_d.filter(F.col("vec_id") < 8) \
+                      .withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_ivf(emb_d, queries_df, k=5)
+            .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
+
+
+@query("msgpack_sink_lines")  # rows-only: binary packing has no SQL twin
+def msgpack_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the reference's base64(msgpack(MsgPackRow)) output format
+    over the merged live view (mapred/SSTableData.scala:97-118);
+    round-trip decodability is asserted in tests/test_sinks_and_pushdown."""
+    from sstable_hadoop_spark.functions import to_msgpack_base64_lines
+    from sstable_hadoop_spark.operators import collect_rows
+
+    live = live_view(derived_cells(spark, sf_dir), AS_OF_MS)
+    return to_msgpack_base64_lines(collect_rows(live, by_generation=False))
+
+
+@query("text_sink_lines", oracle=f"""
+{_CELLS_CTE}
+SELECT concat(key_str, chr(9),
+              CASE WHEN state = 'NORMAL'
+                   THEN concat('Column(', name_str, ',', data_str, ',',
+                               cast(ts_us AS varchar), ')')
+                   WHEN state = 'DELETED' THEN concat('Deleted(', name_str, ')')
+                   ELSE 'Unknown' END) AS value
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str ORDER BY {_ORDER}) = 1
+""")
+def text_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: the reference's text output — row-LWW winner rendered via
+    WritableColumn.toString (Column(...)/Deleted(...)/Unknown,
+    WritableColumn.java:95-103), key TAB-prefixed."""
+    from sstable_hadoop_spark.functions import to_text_lines
+
+    return to_text_lines(lww_row(derived_cells(spark, sf_dir)))
+
+
 @query("text_quality_stats", oracle=r"""
 SELECT doc_id,
        length(text) AS n_chars_m,

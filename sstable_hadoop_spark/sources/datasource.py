@@ -43,6 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -50,6 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     ArrayType,
@@ -285,6 +287,75 @@ class SSTableReader(DataSourceReader):
                            chunks, gen)
 
 
+@dataclass
+class _WriteCommit(WriterCommitMessage):
+    files: list
+
+
+class SSTableWriteTask(DataSourceWriter):
+    """Distributed SSTable sink: each task writes its partition as one
+    SSTable generation family per distinct ``generation`` value,
+    key-sorted (rows are buffered and sorted per task — bounded by the
+    ~128 MiB partition size, so no global sort is required; pre-
+    ``repartitionByRange("key")`` upstream for globally disjoint key
+    ranges per file).
+
+    File naming ``{name}p{partition}-{generation}-Data.db`` keeps the
+    generation parseable by ``codec.generation_of`` while making task
+    outputs collision-free.  Input schema must be DATA_SCHEMA
+    (key, columns, generation).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sstable sink requires a path")
+        self.name = options.get("name", "sstable")
+        self.compressed = str(options.get("compressed", "false")).lower() == "true"
+        self.chunk_length = int(options.get("chunk_length",
+                                            codec.DEFAULT_CHUNK_LENGTH))
+        self.summary_rate = int(options.get("summary_rate",
+                                            codec.DEFAULT_SUMMARY_RATE))
+
+    def write(self, iterator) -> _WriteCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        by_gen: dict[int, list[codec.Row]] = {}
+        for row in iterator:
+            cells = [codec.Cell(name=bytes(c["name"]), state=c["state"],
+                                data=(bytes(c["data"])
+                                      if c["data"] is not None else None),
+                                timestamp=c["timestamp"], ttl=c["ttl"],
+                                expiration=c["expiration"])
+                     for c in (row["columns"] or [])]
+            by_gen.setdefault(int(row["generation"]), []).append(
+                codec.Row(key=bytes(row["key"]), cells=cells))
+        files = []
+        for gen, rows in sorted(by_gen.items()):
+            rows.sort(key=lambda r: r.key)
+            writer = codec.SSTableWriter(
+                self.path, f"{self.name}p{pid}", generation=gen,
+                compressed=self.compressed, chunk_length=self.chunk_length,
+                summary_rate=self.summary_rate)
+            for r in rows:
+                writer.write_row(r)
+            files.extend(writer.close().values())
+        return _WriteCommit(files=files)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                for f in m.files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+
+
 class SSTableDataSource(DataSource):
     """``spark.read.format("sstable")``.
 
@@ -305,6 +376,22 @@ class SSTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SSTableReader:
         return SSTableReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> SSTableWriteTask:
+        names = set(schema.fieldNames())
+        if not {"key", "columns", "generation"} <= names:
+            raise ValueError(
+                "sstable sink requires (key, columns, generation) — got "
+                f"{sorted(names)}")
+        if overwrite:
+            import glob as g
+            import re as _re
+
+            path = self.options.get("path", "")
+            for f in g.glob(os.path.join(path, "*.db")):
+                if _re.search(r"-(Data|Index|Summary|CompressionInfo)\.db$", f):
+                    os.remove(f)
+        return SSTableWriteTask(dict(self.options))
 
 
 def register(spark) -> None:

@@ -90,3 +90,50 @@ def test_split_scan_matches_whole_scan(spark, sstable_dir):
     b = {(bytes(r["key"]), r["generation"]) for r in split.collect()}
     assert a == b
     assert split.count() == whole.count()  # no dup rows across splits
+
+
+def test_write_sink_roundtrip(spark, tmp_path):
+    """df.write.format('sstable') → read back → identical cell set
+    (distributed writer, 2 generations, one compressed run)."""
+    from sstable_hadoop_spark.operators import collect_rows, explode_cells
+
+    cells = spark.createDataFrame(
+        [(f"k{i:03d}".encode(), f"c{i % 5}".encode(),
+          "NORMAL" if i % 4 else "DELETED",
+          None if i % 4 == 0 else f"v{i}".encode(),
+          1000 + i, None, None, 1 + (i % 2))
+         for i in range(200)],
+        "key binary, name binary, state string, data binary, "
+        "timestamp bigint, ttl bigint, expiration bigint, generation int")
+    nested = collect_rows(cells, by_generation=True)
+
+    out = str(tmp_path / "written")
+    (nested.repartition(4, "key").write.format("sstable")
+     .option("path", out).mode("append").save())
+
+    back = explode_cells(spark.read.format("sstable").load(out))
+    want = {tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                  for v in r) for r in cells.collect()}
+    got = {tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                 for v in r)
+           for r in back.select(*cells.columns).collect()}
+    assert got == want
+
+
+def test_write_sink_compressed(spark, tmp_path):
+    from sstable_hadoop_spark.operators import collect_rows, explode_cells
+
+    cells = spark.createDataFrame(
+        [(f"k{i:03d}".encode(), b"c", "NORMAL", b"v" * 100, i, None, None, 1)
+         for i in range(300)],
+        "key binary, name binary, state string, data binary, "
+        "timestamp bigint, ttl bigint, expiration bigint, generation int")
+    out = str(tmp_path / "written_c")
+    (collect_rows(cells, by_generation=True).coalesce(2)
+     .write.format("sstable").option("path", out)
+     .option("compressed", "true").option("chunk_length", "1024")
+     .mode("append").save())
+    import glob
+    assert glob.glob(out + "/*-CompressionInfo.db")
+    back = explode_cells(spark.read.format("sstable").load(out))
+    assert back.count() == 300

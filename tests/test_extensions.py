@@ -166,3 +166,22 @@ def test_dedup_components_clusters(spark):
     assert got[4] == (4, True)
     assert got[5] == (4, False)
     assert got[6] == (6, True)
+
+
+def test_similarity_ivf_recall_vs_bruteforce(spark):
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in cosine_topk_ivf(emb, q, k=5).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): codec round-trip fidelity over
+arbitrary rows, and the LWW merge against an independent pure-Python
+model of the deterministic total order (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sstable_hadoop_spark.sources.codec import (
+    Cell,
+    Row,
+    SSTableWriter,
+    read_data_rows,
+    read_index_entries,
+)
+
+_state = st.sampled_from(["NORMAL", "DELETED", "EXPIRING"])
+_bytes = st.binary(min_size=0, max_size=64)
+_ts = st.integers(min_value=-2**40, max_value=2**40)
+
+
+@st.composite
+def cells(draw):
+    state = draw(_state)
+    return Cell(
+        name=draw(st.binary(min_size=1, max_size=32)),
+        state=state,
+        data=None if state == "DELETED" else draw(_bytes),
+        timestamp=draw(_ts),
+        ttl=draw(st.integers(0, 10**6)) if state == "EXPIRING" else None,
+        expiration=draw(st.integers(0, 2**45)) if state == "EXPIRING" else None,
+    )
+
+
+@st.composite
+def rows(draw):
+    return Row(key=draw(st.binary(min_size=1, max_size=48)),
+               cells=draw(st.lists(cells(), min_size=0, max_size=6)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(rows(), min_size=1, max_size=12),
+       st.booleans(), st.sampled_from([256, 1024, 65536]))
+def test_codec_roundtrip_arbitrary(tmp_path_factory, row_list, compressed,
+                                   chunk_length):
+    d = tmp_path_factory.mktemp("hyp")
+    w = SSTableWriter(str(d), "hyp", generation=1, compressed=compressed,
+                      chunk_length=chunk_length, summary_rate=3)
+    for r in row_list:
+        w.write_row(r)
+    paths = w.close()
+    back = list(read_data_rows(paths["data"]))
+    assert len(back) == len(row_list)
+    for a, b in zip(row_list, back):
+        assert a.key == b.key
+        assert a.cells == b.cells
+    # index invariant: every offset is a readable row start for its key
+    for key, pos in read_index_entries(paths["index"]):
+        assert next(read_data_rows(paths["data"], start=pos)).key == key
+
+
+# --- LWW model ------------------------------------------------------------
+
+_RANK = {"DELETED": 2, "EXPIRING": 1, "NORMAL": 0}
+
+
+def _order(rec):
+    """The engine's documented total order (operators/lww.py)."""
+    _key, _name, state, data, ts, _ttl, _exp, gen = rec
+    return (ts, _RANK[state], gen,
+            base64.b64encode(data or b"").decode(),
+            base64.b64encode(_name).decode())
+
+
+def model_lww_cell(records):
+    winners = {}
+    for rec in records:
+        k = (rec[0], rec[1])
+        if k not in winners or _order(rec) > _order(winners[k]):
+            winners[k] = rec
+    return winners
+
+
+_cell_record = st.tuples(
+    st.sampled_from([b"k1", b"k2", b"\xc3\x28"]),      # few keys → collisions
+    st.sampled_from([b"a", b"b", b"c"]),               # few names → collisions
+    _state,
+    st.one_of(st.none(), st.binary(max_size=8)),
+    st.integers(0, 5),                                 # tiny ts range → ties
+    st.one_of(st.none(), st.integers(0, 100)),
+    st.one_of(st.none(), st.integers(0, 100)),
+    st.integers(1, 4),
+)
+
+
+def _fix(rec):
+    k, n, state, data, ts, ttl, exp, gen = rec
+    if state == "DELETED":
+        data = None
+    else:
+        data = data or b""
+    if state != "EXPIRING":
+        ttl = exp = None
+    else:
+        ttl, exp = ttl or 0, exp or 0
+    return (k, n, state, data, ts, ttl, exp, gen)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_cell_record, min_size=1, max_size=40))
+def test_lww_cell_matches_python_model(spark, recs):
+    """Spark lww_cell == independent python model on adversarial inputs
+    (timestamp ties, duplicate (key,name), tombstones).  Model equality
+    implies idempotence/commutativity/associativity of the merge."""
+    from sstable_hadoop_spark.operators import lww_cell
+
+    recs = [_fix(r) for r in recs]
+    df = spark.createDataFrame(
+        recs,
+        "key binary, name binary, state string, data binary, "
+        "timestamp bigint, ttl bigint, expiration bigint, generation int")
+    got = {(bytes(r["key"]), bytes(r["name"])):
+           (r["state"], r["timestamp"], r["generation"],
+            bytes(r["data"]) if r["data"] is not None else None)
+           for r in lww_cell(df).collect()}
+    want = {(k, n): (rec[2], rec[4], rec[7], rec[3])
+            for (k, n), rec in model_lww_cell(recs).items()}
+    assert got == want
