@@ -1,0 +1,69 @@
+"""Skew-mitigation helpers for hot keys at scale.
+
+AQE's skew-join splitting handles joins automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in the session factory),
+but a single hot GROUP BY key still lands on one reducer.  Salted
+two-phase aggregation spreads the hot key over ``n_salts`` reducers,
+then merges the partials — the standard remedy when one row key holds
+millions of cells (a known Cassandra wide-row pathology the reference's
+MR jobs would also serialize on a single reducer).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               aggs: dict[str, tuple[str, str]],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for algebraic aggregates.
+
+    ``aggs`` maps output column → (input column, fn) with fn one of
+    ``sum | count | min | max``.  Phase 1 aggregates on
+    (keys + salt) — the hot key spreads over ``n_salts`` reducers —
+    phase 2 merges partials on the true keys (count partials re-merge
+    with sum).
+
+    >>> salted_agg(cells, ["key"], {"n": ("*", "count"),
+    ...                             "max_ts": ("timestamp", "max")})
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts) \
+        .alias("_salt")
+    phase1_aggs = []
+    for out, (col, fn) in aggs.items():
+        c = F.lit(1) if col == "*" else F.col(col)
+        phase1_aggs.append(getattr(F, "count" if fn == "count" else fn)(c)
+                           .alias(f"_p_{out}"))
+    phase1 = (df.withColumn("_salt", salt)
+                .groupBy(*keys, "_salt")
+                .agg(*phase1_aggs))
+    phase2_aggs = [getattr(F, merge_fn[fn])(F.col(f"_p_{out}")).alias(out)
+                   for out, (_col, fn) in aggs.items()]
+    return phase1.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_lww_cell(cells: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-cell LWW for pathologically hot row keys: phase 1 picks a
+    local winner per (key, name, salt); phase 2 merges the ≤n_salts
+    survivors per (key, name).  Same result as ``lww_cell`` (max_by is
+    associative), bounded reducer load."""
+    from .lww import CELL_COLS, _order_key
+
+    payload = F.struct(*[F.col(c) for c in CELL_COLS])
+    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts)
+    local = (cells.withColumn("_salt", salt)
+             .groupBy("key", "name", "_salt")
+             .agg(F.max_by(payload, _order_key()).alias("w"))
+             .select("key", "name", "w.state", "w.data", "w.timestamp",
+                     "w.ttl", "w.expiration", "w.generation"))
+    return (local
+            .groupBy("key", "name")
+            .agg(F.max_by(F.struct(*[F.col(c) for c in CELL_COLS]),
+                          _order_key()).alias("w"))
+            .select("key", "name", "w.state", "w.data", "w.timestamp",
+                    "w.ttl", "w.expiration", "w.generation"))

@@ -43,6 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -287,6 +288,63 @@ class SSTableReader(DataSourceReader):
                            chunks, gen)
 
 
+class SSTableStreamReader(DataSourceStreamReader):
+    """Streaming scan: each micro-batch reads SSTable generation files
+    that appeared in the directory since the last offset — the
+    continuous view of the cell model (SURVEY.md §1.3/§2.8).  Feed into
+    ``streaming.streaming_lww_cells`` for a continuously-maintained
+    merged table.
+
+    Offsets are the sorted list of ingested Data.db file names (exact,
+    replayable: ``partitions(start, end)`` derives the batch's file set
+    from the two offsets alone, so checkpoint recovery re-reads exactly
+    the in-flight files).  Reads execute on executors, one partition
+    per planned split per new file — the driver only lists the
+    directory."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sstable stream source requires a path")
+        if options.get("kind", "data") != "data":
+            raise ValueError("sstable streaming supports kind=data only")
+        self.max_split = int(options.get("max_split_bytes",
+                                         DEFAULT_MAX_SPLIT_BYTES))
+
+    def _list(self) -> list[str]:
+        return sorted(os.path.basename(f)
+                      for f in _list_files(self.path, "-Data.db"))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._list()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        parts: list[RangePartition] = []
+        for base in new:
+            full = os.path.join(self.path, base)
+            if os.path.exists(full):
+                parts.extend(_plan_file(full, self.max_split))
+        # Spark requires ≥1 partition; empty batch → one no-op marker
+        return parts or [RangePartition("", 0, 0, 0)]
+
+    def read(self, partition: RangePartition):
+        if not partition.path:
+            return
+        for row in codec.read_data_rows(partition.path, partition.start,
+                                        partition.end):
+            yield (row.key,
+                   [(c.name, c.state, c.data, c.timestamp, c.ttl,
+                     c.expiration) for c in row.cells],
+                   partition.generation)
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 @dataclass
 class _WriteCommit(WriterCommitMessage):
     files: list
@@ -376,6 +434,9 @@ class SSTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SSTableReader:
         return SSTableReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> SSTableStreamReader:
+        return SSTableStreamReader(dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> SSTableWriteTask:
         names = set(schema.fieldNames())

@@ -185,3 +185,61 @@ def test_similarity_ivf_recall_vs_bruteforce(spark):
               for r in cosine_topk_ivf(emb, q, k=5).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_salted_agg_matches_plain(spark):
+    from sstable_hadoop_spark.operators.skew import salted_agg
+    from sstable_hadoop_spark.queries import load
+
+    li = load(spark, SF, "lineitem")
+    plain = {(r["l_returnflag"],): (r["n"], r["s"], r["mx"])
+             for r in li.groupBy("l_returnflag").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("s"),
+                 F.max("l_extendedprice").alias("mx")).collect()}
+    salted = {(r["l_returnflag"],): (r["n"], round(r["s"], 4), r["mx"])
+              for r in salted_agg(
+                  li, ["l_returnflag"],
+                  {"n": ("*", "count"), "s": ("l_quantity", "sum"),
+                   "mx": ("l_extendedprice", "max")}).collect()}
+    salted = {k: (n, s, mx) for k, (n, s, mx) in salted.items()}
+    for k in plain:
+        pn, ps, pmx = plain[k]
+        sn, ss, smx = salted[k]
+        assert pn == sn and pmx == smx
+        assert abs(ps - ss) < 1e-6
+
+
+def test_salted_lww_matches_plain(spark, sstable_dir):
+    from sstable_hadoop_spark.operators import explode_cells, lww_cell
+    from sstable_hadoop_spark.operators.skew import salted_lww_cell
+
+    cells = explode_cells(spark.read.format("sstable").load(sstable_dir))
+    plain = {(bytes(r["key"]), bytes(r["name"])): (r["state"], r["timestamp"])
+             for r in lww_cell(cells).collect()}
+    salted = {(bytes(r["key"]), bytes(r["name"])): (r["state"], r["timestamp"])
+              for r in salted_lww_cell(cells, n_salts=8).collect()}
+    assert plain == salted
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    from sstable_hadoop_spark.queries import load
+    from sstable_hadoop_spark.streaming.dedup import dedup_events_stream
+
+    events = load(spark, SF, "events")
+    dup = events.union(events)  # every event twice
+    # batch twin
+    assert dedup_events_stream(dup).count() == events.count()
+
+    src = str(tmp_path / "dup_events")
+    dup.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(dup.schema)
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    out = dedup_events_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert not q.isActive
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_sink").collect()[0]
+    # no duplicate event may survive within the watermark horizon
+    assert n["c"] == n["n"]

@@ -80,3 +80,53 @@ def test_streaming_lww_converges_to_batch(spark, tmp_path):
     want = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"],
              r["generation"]) for r in lww_cell(cells).collect()}
     assert got == want
+
+
+def test_sstable_stream_source_incremental(spark, tmp_path):
+    """readStream.format('sstable'): generation files appearing in the
+    directory stream in incrementally; checkpoint recovery reads only
+    new files on restart; streamed total equals batch scan."""
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def gen(g, n):
+        return [Row(f"k{i:03d}".encode(),
+                    [Cell(b"c", "NORMAL", f"g{g}".encode(), g * 100 + i)])
+                for i in range(n)]
+
+    write_sstable(d, "ks-cf", gen(1, 20), generation=1)
+    write_sstable(d, "ks-cf", gen(2, 30), generation=2, compressed=True)
+
+    def run_batch():
+        stream = spark.readStream.format("sstable").load(d)
+        q = (stream.select(F.col("key").cast("string").alias("key"),
+                           F.size("columns").alias("n_cells"), "generation")
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_batch()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 50
+    assert {r["generation"] for r in first} == {1, 2}
+
+    # a third generation arrives → restart picks up ONLY the new file
+    write_sstable(d, "ks-cf", gen(3, 10), generation=3)
+    run_batch()
+    all_rows = spark.read.parquet(out).collect()
+    assert len(all_rows) == 60
+    by_gen = {}
+    for r in all_rows:
+        by_gen[r["generation"]] = by_gen.get(r["generation"], 0) + 1
+    assert by_gen == {1: 20, 2: 30, 3: 10}
+
+    batch = spark.read.format("sstable").load(d)
+    assert batch.count() == 60
