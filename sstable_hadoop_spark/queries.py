@@ -50,6 +50,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # parquet uses TIMESTAMP(NANOS), readable only as nano-epoch longs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Python-worker closures (pandas UDFs, mapInPandas) import this
+    # package inside worker processes — ship it once per session.
+    from sstable_hadoop_spark.sources.datasource import ship_package
+
+    ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -455,13 +455,15 @@ class SSTableDataSource(DataSource):
         return SSTableWriteTask(dict(self.options))
 
 
-def register(spark) -> None:
-    """Idempotently register the source with a SparkSession.
+def ship_package(spark) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
 
-    Also ships the package to Spark's Python workers via ``addPyFile``:
-    the DataSource instance is cloudpickle'd by reference and unpickled
-    inside worker processes, whose ``sys.path`` does not necessarily
-    include this package's location (it is not site-installed)."""
+    Needed by anything unpickled inside worker processes — the
+    DataSource itself, pandas UDF / mapInPandas closures referencing
+    package modules — since workers' ``sys.path`` does not necessarily
+    include this package's location (it is not site-installed).
+    Idempotent per session; the zip name is content-addressed so stale
+    caches from earlier package versions are never shipped."""
     import hashlib
 
     import sstable_hadoop_spark
@@ -477,10 +479,10 @@ def register(spark) -> None:
                 st = os.stat(full)
                 sources.append((full, os.path.relpath(full, pkg_dir),
                                 st.st_mtime_ns, st.st_size))
-    # content-addressed zip name → stale caches from earlier package
-    # versions are never shipped to workers
     digest = hashlib.md5(repr([(s[1], s[2], s[3])
                                for s in sources]).encode()).hexdigest()[:12]
+    if getattr(spark, "_sstable_pkg_digest", None) == digest:
+        return
     zip_path = os.path.join(tempfile.gettempdir(),
                             f"sstable_hadoop_spark_pkg_{digest}.zip")
     if not os.path.exists(zip_path):
@@ -489,6 +491,12 @@ def register(spark) -> None:
                 zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
+    spark._sstable_pkg_digest = digest
+
+
+def register(spark) -> None:
+    """Idempotently register the source with a SparkSession."""
+    ship_package(spark)
     try:
         # pushFilters() on a Python reader requires this flag; without it
         # Spark refuses to plan ANY read of the source.
