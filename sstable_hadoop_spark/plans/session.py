@@ -16,6 +16,16 @@ from pyspark.sql import SparkSession
 def session_builder(app_name: str = "sstable_hadoop_spark",
                     master: str | None = None) -> SparkSession.Builder:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Streaming Python data sources run in a driver-side runner process
+    # spawned by the JVM with the JVM's environment — addPyFile does not
+    # reach it.  Exporting PYTHONPATH BEFORE the JVM starts makes the
+    # package importable there (no-op when site-installed).
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_dir = os.path.dirname(pkg_dir)
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (f"{repo_dir}{os.pathsep}{existing}"
+                                    if existing else repo_dir)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")

@@ -38,6 +38,7 @@ import glob as _glob
 import os
 import tempfile
 import zipfile
+import struct
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -182,6 +183,10 @@ class SSTableReader(DataSourceReader):
         self.kind = options.get("kind", "data")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
+        # Spark convention: skip unreadable files instead of failing the
+        # job (torn writes, partial uploads). Default false = fail fast.
+        self.ignore_corrupt = str(options.get("ignore_corrupt_files",
+                                              "false")).lower() == "true"
         self._key_lo: bytes | None = None  # inclusive
         self._key_hi: bytes | None = None  # inclusive
 
@@ -261,8 +266,20 @@ class SSTableReader(DataSourceReader):
         if not partition.path:
             return
         if self.kind == "data":
-            for row in codec.read_data_rows(partition.path, partition.start,
-                                            partition.end):
+            rows = codec.read_data_rows(partition.path, partition.start,
+                                        partition.end)
+            while True:
+                try:
+                    row = next(rows)
+                except StopIteration:
+                    return
+                except (EOFError, IOError, struct.error, KeyError) as exc:
+                    if self.ignore_corrupt:
+                        return  # drop the remainder of this split
+                    raise IOError(
+                        f"corrupt sstable split {partition.path}"
+                        f"[{partition.start}:{partition.end}]: {exc}"
+                    ) from exc
                 yield (row.key,
                        [(c.name, c.state, c.data, c.timestamp, c.ttl,
                          c.expiration) for c in row.cells],
@@ -491,6 +508,12 @@ def ship_package(spark) -> None:
                 zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
+    # Streaming source runners are separate driver-side python processes
+    # that do NOT see addPyFile paths — they inherit PYTHONPATH.
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (f"{pkg_dir}{os.pathsep}{existing}"
+                                    if existing else pkg_dir)
     spark._sstable_pkg_digest = digest
 
 

@@ -1,0 +1,62 @@
+"""Scale-path evidence: bucketed tables co-locate fact⋈fact joins —
+the shuffle that dominates lineitem⋈orders at 100 TB disappears when
+both sides are bucketed on the join key (PERF.md claim)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    from sstable_hadoop_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_b"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("o_b"))
+    return "li_b", "o_b"
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    li_b, o_b = warehouse
+    li = spark.table(li_b)
+    o = spark.table(o_b)
+    # disable broadcast so the join would otherwise need an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+                    .groupBy("o_orderstatus")
+                    .agg(F.sum("l_quantity").alias("q")))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides pre-bucketed on the key → SortMergeJoin with NO
+        # shuffle exchange under it
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        agg_part = plan.split("SortMergeJoin", 1)[0]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # correctness unchanged
+        got = {r["o_orderstatus"]: r["q"] for r in joined.collect()}
+        from sstable_hadoop_spark.queries import load
+
+        sf = "/root/testdata/sf0.001"
+        want = {r["o_orderstatus"]: r["q"]
+                for r in load(spark, sf, "lineitem")
+                .join(load(spark, sf, "orders"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderstatus")
+                .agg(F.sum("l_quantity").alias("q")).collect()}
+        assert set(got) == set(want)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-6
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))

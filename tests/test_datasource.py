@@ -137,3 +137,30 @@ def test_write_sink_compressed(spark, tmp_path):
     assert glob.glob(out + "/*-CompressionInfo.db")
     back = explode_cells(spark.read.format("sstable").load(out))
     assert back.count() == 300
+
+
+def test_corrupt_file_handling(spark, tmp_path):
+    """Truncated Data.db: default read fails loudly; with
+    ignore_corrupt_files the readable prefix is returned."""
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+
+    d = str(tmp_path / "corrupt")
+    paths = write_sstable(
+        d, "ok", [Row(f"k{i}".encode(), [Cell(b"c", "NORMAL", b"v" * 50, i)])
+                  for i in range(50)], generation=1)
+    # truncate mid-row and drop the index so planning can't see offsets
+    import os
+    size = os.path.getsize(paths["data"])
+    with open(paths["data"], "r+b") as f:
+        f.truncate(size - 31)
+    os.remove(paths["index"])
+
+    with _pytest.raises(Exception):
+        spark.read.format("sstable").load(d).count()
+
+    lenient = (spark.read.format("sstable")
+               .option("ignore_corrupt_files", "true").load(d))
+    n = lenient.count()
+    assert 0 < n < 50  # readable prefix survives, tail dropped
