@@ -13,11 +13,19 @@ from pyspark.sql import functions as F
 def warehouse(spark, tmp_path_factory):
     from sstable_hadoop_spark.queries import load
 
+    import shutil
+
     sf = "/root/testdata/sf0.001"
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders")
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    # a fresh metastore doesn't know stale table dirs from prior runs —
+    # remove the locations too or saveAsTable fails
+    warehouse = spark.conf.get("spark.sql.warehouse.dir",
+                               "spark-warehouse").replace("file:", "")
+    for t in ("li_b", "o_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
        .mode("overwrite").saveAsTable("li_b"))
     (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
