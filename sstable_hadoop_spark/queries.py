@@ -1325,6 +1325,93 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, min_jaccard=0.5)
 
 
+@query("array_function_gallery", oracle="""
+SELECT vec_id,
+       len(embedding)                                  AS dim,
+       round(list_aggregate(embedding, 'sum'), 4)      AS vsum,
+       round(list_aggregate(embedding, 'max'), 4)      AS vmax,
+       round(list_aggregate(embedding, 'min'), 4)      AS vmin,
+       round(embedding[1], 4)                          AS first_c,
+       round(list_aggregate(embedding[1:8], 'sum'), 4) AS head_sum,
+       list_contains([cast(label AS bigint)], 3)       AS is_label3
+FROM embeddings
+""")
+def array_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 array surface: size/aggregate/min/max/slice/element_at/
+    contains over array<float> (all JVM-side, codegen)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("vsum"),
+        F.round(F.array_max(v), 4).alias("vmax"),
+        F.round(F.array_min(v), 4).alias("vmin"),
+        F.round(F.element_at(v, 1), 4).alias("first_c"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x),
+                4).alias("head_sum"),
+        F.array_contains(F.array(F.col("label").cast("bigint")), 3)
+         .alias("is_label3"))
+
+
+@query("cast_decimal_gallery", oracle="""
+SELECT o_orderkey,
+       cast(cast(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+       cast(cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       cast(o_orderkey AS VARCHAR)                         AS key_str,
+       try_cast(o_orderpriority AS BIGINT)                 AS pri_num,
+       cast(floor(o_totalprice / 1000) AS INT)             AS bucket_k
+FROM orders
+""")
+def cast_decimal_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 type surface: decimal casts with exact cents arithmetic,
+    string casts, try_cast null-on-failure."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        dec.cast("string").alias("price_str"),
+        (dec * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderpriority").try_cast("bigint").alias("pri_num"),
+        F.floor(F.col("o_totalprice") / 1000).cast("int").alias("bucket_k"))
+
+
+@query("date_arithmetic_gallery", oracle="""
+SELECT o_orderkey,
+       strftime(cast(o_orderdate AS DATE), '%Y-%m-%d')        AS d,
+       strftime(cast(o_orderdate + INTERVAL 30 DAY AS DATE),
+                '%Y-%m-%d')                                   AS d_plus30,
+       date_diff('day', DATE '2024-01-01',
+                 cast(o_orderdate AS DATE))                   AS days_since,
+       extract(year FROM o_orderdate)                         AS y,
+       extract(month FROM o_orderdate)                        AS m,
+       dayofweek(cast(o_orderdate AS DATE))                   AS dow,
+       strftime(cast(date_trunc('week', o_orderdate) AS DATE),
+                '%Y-%m-%d')                                   AS week_start
+FROM orders
+""")
+def date_arithmetic_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 date surface: interval arithmetic, datediff, extraction,
+    truncation (joda-time was a pom dep the reference never used —
+    pom.xml:94-97; this is the declared replacement surface)."""
+    o = load(spark, sf_dir, "orders")
+    t = as_timestamp(o, "o_orderdate")
+    d = t.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d_plus30"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since"),
+        F.year(t).alias("y"),
+        F.month(t).alias("m"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.date_format(F.date_trunc("week", t).cast("date"), "yyyy-MM-dd")
+         .alias("week_start"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -243,3 +243,31 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_sink").collect()[0]
     # no duplicate event may survive within the watermark horizon
     assert n["c"] == n["n"]
+
+
+def test_sql_interface_views(spark, sstable_dir):
+    from tests.conftest import AS_OF_MS
+
+    from sstable_hadoop_spark.sql import create_temp_views
+
+    created = create_temp_views(spark, SF, sstable_dir=sstable_dir,
+                                as_of_ms=AS_OF_MS)
+    assert "lineitem" in created and "sstable_merged" in created
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    merged = spark.sql("""
+        SELECT count(*) AS n FROM sstable_merged WHERE state = 'DELETED'
+    """).collect()[0]["n"]
+    assert merged > 0
+    live_tomb = spark.sql("""
+        SELECT count(*) AS n FROM sstable_live WHERE state = 'DELETED'
+    """).collect()[0]["n"]
+    assert live_tomb == 0
+    # joinable: sstable cells against a parquet dimension via SQL only
+    joined = spark.sql("""
+        SELECT c.key_str, count(*) AS n
+        FROM sstable_cells c JOIN sstable_index i
+          ON c.key = i.key AND c.generation = i.generation
+        GROUP BY c.key_str ORDER BY n DESC LIMIT 5
+    """).collect()
+    assert joined
