@@ -1412,6 +1412,32 @@ def date_arithmetic_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("week_start"))
 
 
+@query("grouped_normalize_embeddings", oracle="""
+WITH stats AS (
+    SELECT label,
+           avg(embedding[1]) AS mu,
+           stddev_pop(embedding[1]) AS sd
+    FROM embeddings GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round((e.embedding[1] - s.mu)
+             / (CASE WHEN s.sd = 0 THEN 1.0 ELSE s.sd END), 6) AS z0
+FROM embeddings e JOIN stats s ON e.label = s.label
+""")
+def grouped_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 grouped-map (applyInPandas, the Reducer-equivalent):
+    per-label z-score standardization of embeddings.  Oracle checks the
+    first component against the SQL formulation."""
+    from sstable_hadoop_spark.operators.grouped import (
+        normalize_embeddings_per_label,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = normalize_embeddings_per_label(emb)
+    return out.select("vec_id", "label",
+                      F.round(F.element_at("normalized", 1), 6).alias("z0"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
