@@ -1017,6 +1017,18 @@ def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
+    # concurrency guard: one builder wins the mkdir, others wait for it
+    build = out + ".building"
+    try:
+        os.makedirs(build)
+    except FileExistsError:
+        import time
+
+        for _ in range(600):
+            if os.path.exists(done):
+                return out
+            time.sleep(0.5)
+        raise TimeoutError(f"materialize race never completed: {out}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     rows = derived_cells(spark, sf_dir).collect()  # sf0.01 ≈ 10k cells
@@ -1038,6 +1050,7 @@ def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
             w.write_row(Row(key=key, cells=cells))
         w.close()
     open(done, "w").close()
+    shutil.rmtree(build, ignore_errors=True)
     return out
 
 
@@ -1410,6 +1423,32 @@ def date_arithmetic_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek(d) - 1).alias("dow"),
         F.date_format(F.date_trunc("week", t).cast("date"), "yyyy-MM-dd")
          .alias("week_start"))
+
+
+@query("range_join_price_bands", oracle="""
+WITH bands(band, lo, hi) AS (
+    VALUES ('small', 0.0, 100000.0),
+           ('mid', 100000.0, 250000.0),
+           ('large', 250000.0, 1e9)
+)
+SELECT b.band, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""")
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 theta/range join: orders banded by a small inline range
+    dimension — BroadcastNestedLoopJoin (bands broadcast; the fact side
+    never shuffles)."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
+         ("large", 250000.0, 1e9)], "band string, lo double, hi double")
+    return (o.join(F.broadcast(bands),
+                   (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+             .groupBy("band")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
 @query("grouped_normalize_embeddings", oracle="""

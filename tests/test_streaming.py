@@ -130,3 +130,38 @@ def test_sstable_stream_source_incremental(spark, tmp_path):
 
     batch = spark.read.format("sstable").load(d)
     assert batch.count() == 60
+
+
+def test_stream_flush_to_sstables_roundtrip(spark, tmp_path):
+    """Streaming ingest → per-batch LWW → SSTable generation flush;
+    batch scan + merge of the flushed directory equals batch lww_cell
+    over the original cells (write path closes the read-path loop)."""
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.operators import explode_cells, lww_cell
+    from sstable_hadoop_spark.queries import derived_cells
+    from sstable_hadoop_spark.streaming.compaction import (
+        flush_stream_to_sstables,
+    )
+
+    cells = derived_cells(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "cells_in")
+    for g in [1, 2, 3, 4]:  # one file per generation, arrival-ordered
+        (cells.filter(F.col("generation") == g).coalesce(1)
+              .write.mode("append").parquet(src))
+
+    out = str(tmp_path / "sstables_out")
+    q = flush_stream_to_sstables(
+        spark.readStream.schema(cells.schema)
+             .option("maxFilesPerTrigger", "1").parquet(src),
+        out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    merged_disk = lww_cell(
+        explode_cells(spark.read.format("sstable").load(out)))
+    got = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
+           for r in merged_disk.collect()}
+    want = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
+            for r in lww_cell(cells).collect()}
+    assert got == want
