@@ -1451,6 +1451,45 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+@query("map_function_gallery", oracle="""
+SELECT event_id,
+       array_to_string(json_keys(props), ',')             AS keys_csv,
+       cast(json_extract_string(props, '$.k') AS bigint)  AS k_val,
+       len(json_keys(props))                              AS n_keys,
+       json_extract_string(props, '$.missing') IS NULL    AS no_missing
+FROM events
+""")
+def map_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 map surface: JSON parsed to map<string,string>, then
+    map_keys/size/element access (from_json + map functions)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "missing").isNull().alias("no_missing"))
+
+
+@query("explode_posexplode_embeddings", oracle="""
+SELECT vec_id,
+       generate_subscripts(embedding[1:4], 1) - 1 AS pos,
+       round(unnest(embedding[1:4]), 4)           AS component
+FROM embeddings
+WHERE vec_id < 50
+""")
+def explode_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/A1 generator surface: posexplode over array slices (the
+    cell-explode pattern on numeric vectors)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return (emb.select("vec_id",
+                       F.posexplode(F.slice(F.transform(
+                           "embedding", lambda x: x.cast("double")), 1, 4)))
+               .select("vec_id", F.col("pos"),
+                       F.round("col", 4).alias("component")))
+
+
 @query("grouped_normalize_embeddings", oracle="""
 WITH stats AS (
     SELECT label,
