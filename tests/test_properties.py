@@ -130,3 +130,31 @@ def test_lww_cell_matches_python_model(spark, recs):
     want = {(k, n): (rec[2], rec[4], rec[7], rec[3])
             for (k, n), rec in model_lww_cell(recs).items()}
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(rows(), min_size=1, max_size=30),
+       st.integers(min_value=64, max_value=8192),
+       st.booleans())
+def test_split_planning_tiles_any_file(tmp_path_factory, row_list,
+                                       max_split, compressed):
+    """G2 invariant under fuzz: for ANY max_split size, planned
+    partitions tile the uncompressed stream exactly and reading them
+    yields every row exactly once in order."""
+    from sstable_hadoop_spark.sources.datasource import _plan_file
+
+    d = tmp_path_factory.mktemp("hyp_split")
+    w = SSTableWriter(str(d), "hs", generation=1, compressed=compressed,
+                      chunk_length=512)
+    for r in row_list:
+        w.write_row(r)
+    paths = w.close()
+    parts = _plan_file(paths["data"], max_split=max_split)
+    assert parts[0].start == 0
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+    got = []
+    for p in parts:
+        got.extend(read_data_rows(p.path, p.start, p.end))
+    assert [r.key for r in got] == [r.key for r in row_list]
+    assert [r.cells for r in got] == [r.cells for r in row_list]
