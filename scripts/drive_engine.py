@@ -130,3 +130,13 @@ back = spark.read.format("sstable").load(wdir)
 print("sink round-trip rows:", back.count())
 assert back.count() == 2
 print("DRIVE 3 PASSED")
+
+print("== compaction drive ==")
+from sstable_hadoop_spark.operators.compaction import compact
+cdir = tempfile.mkdtemp()
+compact(spark, d, cdir)  # the demo dir from the first drive section
+cback = spark.read.format("sstable").load(cdir)
+print("compacted generations:", [r["generation"] for r in cback.select("generation").distinct().collect()],
+      "rows:", cback.count())
+assert cback.count() == 2  # alice + bob merged rows
+print("DRIVE 4 PASSED")

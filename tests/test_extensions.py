@@ -271,3 +271,41 @@ def test_sql_interface_views(spark, sstable_dir):
         GROUP BY c.key_str ORDER BY n DESC LIMIT 5
     """).collect()
     assert joined
+
+
+def test_compaction_roundtrip_and_gc(spark, sstable_dir, tmp_path):
+    """Major compaction: merged output dir scans back to exactly the
+    pre-compaction winners; GC purges old tombstones + expired cells
+    but retains newer tombstones."""
+    from tests.conftest import AS_OF_MS
+
+    from sstable_hadoop_spark.operators import explode_cells, lww_cell
+    from sstable_hadoop_spark.operators.compaction import compact
+
+    cells = explode_cells(spark.read.format("sstable").load(sstable_dir))
+    want = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
+            for r in lww_cell(cells).collect()}
+
+    out = str(tmp_path / "compacted")
+    compact(spark, sstable_dir, out)
+    back = explode_cells(spark.read.format("sstable").load(out))
+    got = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
+           for r in back.collect()}
+    assert got == want
+    # single generation, newer than all inputs
+    gens = {r["generation"] for r in back.select("generation").distinct().collect()}
+    assert gens == {5}
+
+    # GC: purge everything tombstoned/expired before AS_OF
+    out2 = str(tmp_path / "compacted_gc")
+    compact(spark, sstable_dir, out2, gc_before_ms=AS_OF_MS)
+    back2 = explode_cells(spark.read.format("sstable").load(out2))
+    rows2 = back2.collect()
+    # every fixture timestamp predates AS_OF → no tombstones survive GC
+    assert all(r["state"] != "DELETED" for r in rows2)
+    assert all(r["expiration"] is None or r["expiration"] > AS_OF_MS
+               for r in rows2)
+    # and GC only ever removes rows, never changes surviving winners
+    got2 = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
+            for r in rows2}
+    assert got2 <= want
