@@ -47,14 +47,14 @@ def main() -> None:
     # warm the session (JVM/codegen/Arrow init) outside the clock
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # two iterations per query, report the min: steady-state throughput
+    # three iterations per query, report the min: steady-state throughput
     # (first execution of each plan pays one-time codegen/JIT costs that
     # a long-running cluster job amortizes away)
     timings: dict[str, float] = {}
     for bench_name, query_name in BENCH_QUERIES.items():
         fn = registry[query_name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
