@@ -218,6 +218,10 @@ class SSTableWriter:
                 f.write(key)
                 f.write(struct.pack(">Q", index_offsets[i]))
         paths["summary"] = summary_path
+
+        filter_path = self.base + "-Filter.db"
+        write_bloom(filter_path, [k for k, _ in self._index])
+        paths["filter"] = filter_path
         return paths
 
 
@@ -423,6 +427,55 @@ def read_summary_entries(summary_path: str) -> Iterator[tuple[bytes, int]]:
             key = f.read(key_len)
             (off,) = struct.unpack(">Q", f.read(8))
             yield key, off
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (-Filter.db) — Cassandra's per-SSTable key membership
+# component.  Layout: u32 m_bits, u8 k_hashes, ceil(m/8) filter bytes.
+# Hashing: k independent md5-derived positions (engine-portable, no
+# murmur dependency).
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import math as _math
+
+
+def _bloom_positions(key: bytes, k: int, m_bits: int) -> list[int]:
+    return [int.from_bytes(
+        _hashlib.md5(bytes([i]) + key).digest()[:8], "big") % m_bits
+        for i in range(k)]
+
+
+def build_bloom(keys: list[bytes], fp_rate: float = 0.01) -> tuple[bytes, int, int]:
+    """Return (filter_bytes, m_bits, k) sized for ``fp_rate``."""
+    n = max(len(keys), 1)
+    m_bits = max(8, int(-n * _math.log(fp_rate) / (_math.log(2) ** 2)))
+    k = max(1, round(m_bits / n * _math.log(2)))
+    bits = bytearray((m_bits + 7) // 8)
+    for key in keys:
+        for pos in _bloom_positions(key, k, m_bits):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return bytes(bits), m_bits, k
+
+
+def write_bloom(path: str, keys: list[bytes], fp_rate: float = 0.01) -> None:
+    bits, m_bits, k = build_bloom(keys, fp_rate)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">IB", m_bits, k))
+        f.write(bits)
+
+
+class BloomFilter:
+    def __init__(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.m_bits, self.k = struct.unpack(">IB", f.read(5))
+            self.bits = f.read()
+
+    def might_contain(self, key: bytes) -> bool:
+        for pos in _bloom_positions(key, self.k, self.m_bits):
+            if not (self.bits[pos // 8] >> (pos % 8)) & 1:
+                return False
+        return True
 
 
 def generation_of(data_path: str) -> int:

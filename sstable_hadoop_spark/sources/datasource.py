@@ -237,10 +237,27 @@ class SSTableReader(DataSourceReader):
             return False
         return True
 
+    def _bloom_rejects(self, data_path: str) -> bool:
+        """Point lookups (key == k) skip whole files via the per-SSTable
+        bloom filter (-Filter.db) — Cassandra's read-path first check.
+        Bloom says 'definitely absent' only; false positives just fall
+        through to the range-pruned scan."""
+        if self._key_lo is None or self._key_lo != self._key_hi:
+            return False
+        f_path = data_path.replace("-Data.db", "-Filter.db")
+        if not os.path.exists(f_path):
+            return False
+        try:
+            return not codec.BloomFilter(f_path).might_contain(self._key_lo)
+        except (IOError, struct.error):
+            return False  # unreadable filter → never prune
+
     def partitions(self):
         if self.kind == "data":
             parts = []
             for f in _list_files(self.path, "-Data.db"):
+                if self._bloom_rejects(f):
+                    continue
                 parts.extend(q for q in _plan_file(f, self.max_split)
                              if self._overlaps(q))
             return parts or [RangePartition("", 0, 0, 0)]

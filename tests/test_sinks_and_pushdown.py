@@ -100,3 +100,57 @@ def test_key_filter_end_to_end(spark, sstable_dir, cell_fixture):
     got = df.filter(F.col("key") == F.lit(b"key-0001")).collect()
     want = [r for g, r in cell_fixture if r.key == b"key-0001"]
     assert len(got) == len(want) > 0
+
+
+def test_bloom_filter_unit():
+    from sstable_hadoop_spark.sources.codec import BloomFilter, write_bloom
+
+    import tempfile, os
+    keys = [f"key-{i}".encode() for i in range(1000)]
+    path = os.path.join(tempfile.mkdtemp(), "t-Filter.db")
+    write_bloom(path, keys, fp_rate=0.01)
+    bf = BloomFilter(path)
+    assert all(bf.might_contain(k) for k in keys)  # no false negatives
+    fp = sum(bf.might_contain(f"absent-{i}".encode()) for i in range(1000))
+    assert fp < 50  # ~1% target, generous bound
+
+
+def test_bloom_prunes_absent_key_files(tmp_path):
+    """Point lookup for a key present only in generation 2 must plan
+    zero partitions for generation 1's file (bloom rejection)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.sources.datasource import SSTableReader
+
+    d = str(tmp_path)
+    write_sstable(d, "bf", [Row(f"g1-{i:03d}".encode(),
+                                [Cell(b"c", "NORMAL", b"v", i)])
+                            for i in range(200)], generation=1)
+    write_sstable(d, "bf", [Row(f"g2-{i:03d}".encode(),
+                                [Cell(b"c", "NORMAL", b"v", i)])
+                            for i in range(200)], generation=2)
+
+    r = SSTableReader({"path": d})
+    r.pushFilters([EqualTo(("key",), b"g2-050")])
+    parts = [p for p in r.partitions() if p.path]
+    assert parts, "the containing generation must survive"
+    assert all("bf-2-" in p.path for p in parts), \
+        f"gen-1 file should be bloom-pruned: {[p.path for p in parts]}"
+
+
+def test_bloom_pruned_scan_correct(spark, tmp_path):
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+
+    d = str(tmp_path / "bfe2e")
+    write_sstable(d, "bf", [Row(f"g1-{i:03d}".encode(),
+                                [Cell(b"c", "NORMAL", b"v", i)])
+                            for i in range(100)], generation=1)
+    write_sstable(d, "bf", [Row(f"g2-{i:03d}".encode(),
+                                [Cell(b"c", "NORMAL", b"v", i)])
+                            for i in range(100)], generation=2)
+    df = spark.read.format("sstable").load(d)
+    hit = df.filter(df.key == b"g2-042").collect()
+    assert len(hit) == 1 and hit[0]["generation"] == 2
+    miss = df.filter(df.key == b"nope").collect()
+    assert miss == []
