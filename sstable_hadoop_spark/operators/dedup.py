@@ -269,15 +269,28 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 8,
-                       bits: int = 60, blocks: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash with block-key candidate generation:
-    split the fingerprint into ``blocks`` segments — pairs within
-    ``max_hamming`` for suitable parameters share at least one exact
-    segment (pigeonhole: guaranteed when max_hamming < blocks), so the
-    join is an equi-join on (block_idx, segment), never all-pairs."""
-    fps = simhash64(df, text_col, id_col, bits)
+def simhash_near_pairs_from_fps(fps: DataFrame, max_hamming: int = 3,
+                                bits: int = 60,
+                                blocks: int = 4) -> DataFrame:
+    """Block-key candidate generation over precomputed fingerprints
+    (id, simhash): split the fingerprint into ``blocks`` segments; a
+    pair within ``max_hamming`` has differing bits in at most
+    ``max_hamming`` distinct segments, so when ``max_hamming < blocks``
+    the pigeonhole principle guarantees at least one exactly-equal
+    segment — the join is an equi-join on (block_idx, segment), never
+    all-pairs, with **recall = 1** (verified by exact Hamming filter,
+    so precision = 1 too).
+
+    The invariant is enforced, not documented-and-hoped: parameters
+    that void the guarantee raise immediately (the standard Manku/
+    Google config is 64-bit, 4 blocks, Hamming <= 3)."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole recall guarantee requires max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks}); raise "
+            f"blocks or lower max_hamming")
+    if blocks > bits:
+        raise ValueError(f"blocks={blocks} exceeds bits={bits}")
     seg_bits = bits // blocks
     mask = (1 << seg_bits) - 1
     segs = fps.select(
@@ -298,3 +311,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                      .alias("hamming"))
              .distinct()
              .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bits: int = 60, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: fingerprint the text, then block-key
+    candidate join (see ``simhash_near_pairs_from_fps`` for the recall
+    guarantee and parameter invariant)."""
+    fps = simhash64(df, text_col, id_col, bits)
+    return simhash_near_pairs_from_fps(fps, max_hamming, bits, blocks)

@@ -134,6 +134,46 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                   .select(query_id_col, id_col, "cos", "rk"))
 
 
+def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64, n_planes: int = 3,
+                        n_tables: int = 6) -> DataFrame:
+    """All-pairs embedding near-dup WITHOUT the all-pairs join: bucket
+    every vector by sign pattern in ``n_tables`` independent
+    random-hyperplane tables; a pair is a candidate iff it collides in
+    ANY table; candidates are verified with the exact cosine.
+
+    Semantics: precision = 1 (exact verify), recall < 1 with the
+    standard S-curve 1-(1-(1-θ/π)^n_planes)^n_tables — dial n_tables
+    up for recall, n_planes up to shrink buckets.  Candidate cost is
+    Σ bucket² per table instead of N²; at 100 TB raise ``n_planes``
+    so expected bucket size stays bounded (each +1 plane halves it).
+
+    Deterministic md5-derived planes — an engine-independent oracle can
+    replicate the buckets bit-for-bit.  Returns (id_a, id_b, cos)."""
+    buckets = F.array(*[
+        F.concat_ws(":", F.lit(str(t)),
+                    lsh_bucket(F.col(vec_col),
+                               _hyperplanes(dim, n_planes, seed=f"table{t}")))
+        for t in range(n_tables)])
+    banded = embeddings.select(F.col(id_col).alias("id"),
+                               F.explode(buckets).alias("_bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "_bucket")
+    b = banded.select(F.col("id").alias("id_b"), "_bucket")
+    cand = (a.join(b, "_bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+    pa = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("_va"))
+    pb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("_vb"))
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+                .select("id_a", "id_b",
+                        cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+                .filter(F.col("cos") >= threshold))
+
+
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", dim: int = 64,

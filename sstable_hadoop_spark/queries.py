@@ -637,18 +637,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
 
 
-@query("dedup_ngram_jaccard", oracle=_SHINGLES_CTE + _JACCARD_SQL + """
+_JACCARD_DOC_FREQ_CAP = 1000
+
+# Doc-frequency-capped Jaccard: drop shingles shared by more than `cap`
+# docs BEFORE the pair join (hot "stopword shingles" carry no dedup
+# signal and fan out quadratically).  Sizes are recomputed over the
+# capped shingle sets — exactly what operators.dedup.jaccard_pairs does.
+_JACCARD_CAPPED_SQL = f"""
+, freq_ok AS (
+    SELECT shingle FROM shingles
+    GROUP BY shingle HAVING count(*) <= {_JACCARD_DOC_FREQ_CAP}
+),
+shingles_c AS (
+    SELECT s.id, s.shingle FROM shingles s JOIN freq_ok USING (shingle)
+),
+sizes_c AS (SELECT id, count(*) AS n_sh FROM shingles_c GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM shingles_c a JOIN shingles_c b
+      ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+jac AS (
+    SELECT id_a, id_b,
+           inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes_c sa ON inter.id_a = sa.id
+    JOIN sizes_c sb ON inter.id_b = sb.id
+)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_SHINGLES_CTE + _JACCARD_CAPPED_SQL + """
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= 0.5
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2a: exact n-gram Jaccard near-dup pairs (shingle equi-join,
-    never cross join)."""
+    never cross join).  Hot shingles above the doc-frequency cap are
+    dropped before the join — bounds the worst key to cap² pairs; the
+    oracle CTE replicates the cap exactly."""
     from sstable_hadoop_spark.operators.dedup import jaccard_pairs, word_shingles
 
     docs = load(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=_SHINGLE_N)
-    return (jaccard_pairs(sh, min_jaccard=0.5, max_doc_freq=None)
+    return (jaccard_pairs(sh, min_jaccard=0.5,
+                          max_doc_freq=_JACCARD_DOC_FREQ_CAP)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
@@ -703,7 +737,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sstable_hadoop_spark.operators.dedup import simhash_near_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=12)
+    # Manku-style parameters: Hamming <= 3 with 4 blocks keeps the
+    # pigeonhole recall guarantee (max_hamming < blocks) — the operator
+    # raises on parameters that would silently lose pairs.
+    return simhash_near_pairs(docs, max_hamming=3, blocks=4)
 
 
 @query("similarity_topk_bruteforce", oracle="""
@@ -885,7 +922,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("token_stats_by_lang", oracle=r"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len(regexp_split_to_array(lower(text), '\s+'))) AS total_tokens,
+       CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS total_tokens,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents
 GROUP BY lang, source
@@ -1299,31 +1336,68 @@ def array_agg_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("type_seq"), "n"))
 
 
-@query("embedding_cosine_near_dup", oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
-""")
+_NEAR_DUP_PLANES, _NEAR_DUP_TABLES, _NEAR_DUP_DIM = 3, 6, 64
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB replica of the sign-LSH bucketed near-dup pipeline: the
+    md5-derived hyperplanes are inlined as literals and each dot
+    product is written as an explicit left-to-right term sum — the same
+    fold order as Spark's ``aggregate(zip_with(...))`` — so every sign
+    decision (and therefore every bucket) matches bit-for-bit."""
+    from sstable_hadoop_spark.operators.similarity import _hyperplanes
+
+    bucket_exprs = []
+    for t in range(_NEAR_DUP_TABLES):
+        planes = _hyperplanes(_NEAR_DUP_DIM, _NEAR_DUP_PLANES,
+                              seed=f"table{t}")
+        bits = []
+        for p, plane in enumerate(planes):
+            dot = " + ".join(f"e[{d + 1}]*{plane[d]!r}"
+                             for d in range(_NEAR_DUP_DIM))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 "
+                        f"THEN {1 << p} ELSE 0 END)")
+        bucket_exprs.append(
+            f"'{t}' || ':' || CAST({' + '.join(bits)} AS VARCHAR)")
+    buckets = ",\n        ".join(bucket_exprs)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+buckets AS (
+    SELECT vec_id, unnest([
+        {buckets}]) AS bucket
+    FROM emb
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.e, eb.e), 4) AS cos
+FROM cand c
+JOIN emb ea ON c.id_a = ea.vec_id
+JOIN emb eb ON c.id_b = eb.vec_id
+WHERE list_cosine_similarity(ea.e, eb.e) >= 0.5
+"""
+
+
+@query("embedding_cosine_near_dup", oracle=_near_dup_oracle())
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 embedding near-dup: all pairs with cosine ≥ 0.5.  Exact
-    variant (oracle-checkable); the LSH-bucketed scale path is
-    similarity_topk_lsh.  The pair join is bounded here by corpus size;
-    at 100 TB use cosine_topk_lsh buckets instead."""
-    from sstable_hadoop_spark.operators.similarity import cosine
+    """E2 embedding near-dup at scale: sign-LSH bucketed candidates
+    (6 tables × 3 planes, deterministic md5 hyperplanes) verified with
+    the exact cosine — no cartesian/BNLJ stage anywhere; the oracle
+    replicates the buckets exactly, so the approximate candidate set is
+    itself oracle-checked (precision 1, recall by S-curve)."""
+    from sstable_hadoop_spark.operators.similarity import cosine_near_dup_lsh
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("_vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     cosine(F.col("_va"), F.col("_vb")).alias("_c"))
-             .filter(F.col("_c") >= 0.5)
-             .select("id_a", "id_b", F.round("_c", 4).alias("cos")))
+    return (cosine_near_dup_lsh(emb, threshold=0.5,
+                                dim=_NEAR_DUP_DIM,
+                                n_planes=_NEAR_DUP_PLANES,
+                                n_tables=_NEAR_DUP_TABLES)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
 
 @query("dedup_clusters")  # rows-only: iterative algorithm, no SQL twin

@@ -87,9 +87,75 @@ def test_simhash_near_pairs_finds_duplicate(spark):
          (3, "one two three four five six seven eight")],
         "doc_id bigint, text string")
     pairs = {(r["id_a"], r["id_b"]) for r in
-             simhash_near_pairs(df, max_hamming=4).collect()}
+             simhash_near_pairs(df, max_hamming=4, blocks=5).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pigeonhole_invariant_enforced(spark):
+    from sstable_hadoop_spark.operators.dedup import simhash_near_pairs_from_fps
+
+    fps = spark.createDataFrame([(1, 0)], "id bigint, simhash bigint")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs_from_fps(fps, max_hamming=4, blocks=4)
+
+
+def test_simhash_blockjoin_recall_at_exact_hamming(spark):
+    """Pigeonhole recall guarantee: plant fingerprint pairs at EXACTLY
+    max_hamming differing bits (the worst case the guarantee covers)
+    in adversarial positions — spread across distinct blocks, and
+    clumped inside one block — and assert the block-key candidate join
+    finds every one of them."""
+    import random
+
+    from sstable_hadoop_spark.operators.dedup import simhash_near_pairs_from_fps
+
+    rng = random.Random(7)
+    bits, blocks, max_h = 60, 4, 3
+    rows, expected = [], set()
+    for g in range(40):
+        base = rng.getrandbits(bits)
+        if g % 2 == 0:  # spread: one flipped bit in each of max_h blocks
+            flip_positions = [b * (bits // blocks) + rng.randrange(bits // blocks)
+                              for b in rng.sample(range(blocks), max_h)]
+        else:           # clumped: all flips inside a single block
+            blk = rng.randrange(blocks)
+            flip_positions = rng.sample(
+                range(blk * (bits // blocks), (blk + 1) * (bits // blocks)),
+                max_h)
+        partner = base
+        for p in flip_positions:
+            partner ^= 1 << p
+        a_id, b_id = 2 * g, 2 * g + 1
+        rows += [(a_id, base), (b_id, partner)]
+        expected.add((a_id, b_id))
+    fps = spark.createDataFrame(rows, "id bigint, simhash bigint")
+    found = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs_from_fps(
+                 fps, max_hamming=max_h, bits=bits, blocks=blocks).collect()}
+    missed = expected - set(found)
+    assert not missed, f"planted pairs at Hamming={max_h} missed: {missed}"
+    assert all(found[p] == max_h for p in expected if p in found)
+
+
+def test_cosine_near_dup_lsh_no_cartesian(spark):
+    """The bucketed near-dup plan must not contain a nested-loop /
+    cartesian stage, and must find high-cosine planted near-dups."""
+    from sstable_hadoop_spark.operators.similarity import cosine_near_dup_lsh
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    # plant an exact duplicate of vec 0 under a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    df = cosine_near_dup_lsh(emb.unionAll(dup), threshold=0.99)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert (0, 100000) in pairs
 
 
 def test_similarity_lsh_recall_vs_bruteforce(spark):
