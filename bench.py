@@ -26,6 +26,10 @@ BENCH_QUERIES = {
     "window_topk": "window_topk_orders",
     "dedup_minhash": "dedup_minhash_lsh",
     "similarity_topk": "similarity_topk_bruteforce",
+    # r2 additions: regression guards for the custom source's Arrow scan
+    # path and the join planner (broadcast dims + AQE)
+    "sstable_scan": "sstable_scan_roundtrip",
+    "five_way_join": "five_way_join_region_revenue",
 }
 
 

@@ -187,6 +187,11 @@ class SSTableReader(DataSourceReader):
         # job (torn writes, partial uploads). Default false = fail fast.
         self.ignore_corrupt = str(options.get("ignore_corrupt_files",
                                               "false")).lower() == "true"
+        # Arrow-batched reads are the default hot path (one Arrow IPC
+        # transfer per ~4k rows instead of one pickled tuple per row);
+        # use_arrow=false falls back to the row iterator.
+        self.use_arrow = str(options.get("use_arrow",
+                                         "true")).lower() == "true"
         self._key_lo: bytes | None = None  # inclusive
         self._key_hi: bytes | None = None  # inclusive
 
@@ -283,11 +288,15 @@ class SSTableReader(DataSourceReader):
         if not partition.path:
             return
         if self.kind == "data":
-            rows = codec.read_data_rows(partition.path, partition.start,
-                                        partition.end)
+            src = (codec.read_data_batches(partition.path, partition.start,
+                                           partition.end,
+                                           generation=partition.generation)
+                   if self.use_arrow else
+                   codec.read_data_rows(partition.path, partition.start,
+                                        partition.end))
             while True:
                 try:
-                    row = next(rows)
+                    item = next(src)
                 except StopIteration:
                     return
                 except (EOFError, IOError, struct.error, KeyError) as exc:
@@ -297,10 +306,13 @@ class SSTableReader(DataSourceReader):
                         f"corrupt sstable split {partition.path}"
                         f"[{partition.start}:{partition.end}]: {exc}"
                     ) from exc
-                yield (row.key,
-                       [(c.name, c.state, c.data, c.timestamp, c.ttl,
-                         c.expiration) for c in row.cells],
-                       partition.generation)
+                if self.use_arrow:
+                    yield item  # pyarrow.RecordBatch
+                else:
+                    yield (item.key,
+                           [(c.name, c.state, c.data, c.timestamp, c.ttl,
+                             c.expiration) for c in item.cells],
+                           partition.generation)
         elif self.kind == "index":
             for key, pos in codec.read_index_entries(partition.path,
                                                      partition.start,

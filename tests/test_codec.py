@@ -107,3 +107,48 @@ def test_partition_planning_tiles_file(tmp_path):
     for p in parts:
         got.extend(r.key for r in read_data_rows(p.path, p.start, p.end))
     assert got == [r.key for r in rows]
+
+
+def test_read_data_batches_equals_row_iterator(tmp_path):
+    """The Arrow hot path must produce exactly the rows of the row
+    iterator — all three cell states, both compression modes, and
+    parse windows far smaller than a row batch (forcing window-edge
+    row straddling and multi-batch output)."""
+    rows = []
+    for i in range(500):
+        cells = [
+            Cell(name=f"n{j}".encode(), state="NORMAL",
+                 data=f"v{i}:{j}".encode() * (1 + i % 7),
+                 timestamp=10_000 + i) for j in range(i % 4)]
+        if i % 3 == 0:
+            cells.append(Cell(name=b"dead", state="DELETED",
+                              timestamp=20_000 + i))
+        if i % 5 == 0:
+            cells.append(Cell(name=b"exp", state="EXPIRING", data=b"ttl'd",
+                              timestamp=30_000 + i, ttl=60,
+                              expiration=40_000 + i))
+        rows.append(Row(key=f"key{i:05d}".encode(), cells=cells))
+
+    for compressed in (False, True):
+        d = str(tmp_path / f"eq_{compressed}")
+        paths = codec.write_sstable(d, "eq", rows, generation=3,
+                                    compressed=compressed, chunk_length=2048)
+        expect = [(r.key,
+                   [(c.name, c.state, c.data, c.timestamp, c.ttl,
+                     c.expiration) for c in r.cells], 3)
+                  for r in read_data_rows(paths["data"])]
+        from sstable_hadoop_spark.sources.codec import read_data_batches
+
+        got = []
+        n_batches = 0
+        for b in read_data_batches(paths["data"], generation=3,
+                                   rows_per_batch=64, read_block=512):
+            n_batches += 1
+            for rec in b.to_pylist():
+                got.append((rec["key"],
+                            [(c["name"], c["state"], c["data"],
+                              c["timestamp"], c["ttl"], c["expiration"])
+                             for c in rec["columns"]],
+                            rec["generation"]))
+        assert n_batches > 1
+        assert got == expect
