@@ -36,18 +36,26 @@ def _pack_row():
     if _pack_row_udf is None:
         @pandas_udf("string")
         def pack_row(key: pd.Series, columns: pd.Series) -> pd.Series:
+            # Tombstone winners: the reference sets value/ts only for
+            # NORMAL|EXPIRING (SSTableData.scala:102-105), so a DELETED
+            # cell keeps the MsgPackCol defaults — value=null (msgpack
+            # nil) and ts=0 — NOT the tombstone's real timestamp.
+            def cell(c):
+                dead = c["state"] == "DELETED"
+                return [
+                    bytes(c["name"]),
+                    None if dead else
+                    (bytes(c["data"]) if c["data"] is not None else b""),
+                    0 if dead else int(c["timestamp"]),
+                    int(c["expiration"]) if c["expiration"] is not None else 0,
+                    int(c["ttl"]) if c["ttl"] is not None else 0,
+                ]
+
             out = []
             for k, cols in zip(key, columns):
-                cols = cols if cols is not None else []
-                packed = packb([
-                    bytes(k),
-                    [[bytes(c["name"]),
-                      bytes(c["data"]) if c["data"] is not None else b"",
-                      int(c["timestamp"]),
-                      int(c["expiration"]) if c["expiration"] is not None else 0,
-                      int(c["ttl"]) if c["ttl"] is not None else 0]
-                     for c in cols],
-                ])
+                packed = packb([bytes(k),
+                                [cell(c) for c in (cols if cols is not None
+                                                   else [])]])
                 out.append(base64.b64encode(packed).decode("ascii"))
             return pd.Series(out)
 
@@ -84,23 +92,31 @@ def manifest_tsv(manifest: DataFrame) -> DataFrame:
     ).alias("value"))
 
 
+def _hex_pairs(col) -> "F.Column":
+    """Hadoop ``BytesWritable.toString`` rendering: lowercase two-digit
+    hex per byte, space-separated (e.g. b'col' → '63 6f 6c')."""
+    return F.rtrim(F.regexp_replace(F.lower(F.hex(col)), "(..)", "$1 "))
+
+
 def to_text_lines(winners: DataFrame) -> DataFrame:
     """Row-LWW winners → ``key<TAB>rendered-cell`` text lines (S11).
 
     Rendering follows WritableColumn.toString (WritableColumn.java:95-103):
     ``Column(name,data,timestamp)`` for NORMAL, ``Deleted(name)`` for
     DELETED, ``Unknown`` otherwise (the reference renders EXPIRING as
-    ``Unknown`` — reproduced verbatim).  Binary name/data are rendered
-    as UTF-8 text like the reference's implicit toString.
+    ``Unknown`` — reproduced verbatim).  ``name``/``data`` interpolate
+    Hadoop ``BytesWritable``, whose toString emits space-separated hex
+    byte pairs — reproduced here; the row key interpolates ``Text``,
+    which renders as UTF-8.
     """
     rendered = (
         F.when(F.col("state") == "NORMAL",
                F.format_string("Column(%s,%s,%d)",
-                               F.col("name").cast("string"),
-                               F.col("data").cast("string"),
+                               _hex_pairs(F.col("name")),
+                               _hex_pairs(F.col("data")),
                                F.col("timestamp")))
          .when(F.col("state") == "DELETED",
-               F.format_string("Deleted(%s)", F.col("name").cast("string")))
+               F.format_string("Deleted(%s)", _hex_pairs(F.col("name"))))
          .otherwise(F.lit("Unknown")))
     return winners.select(
         F.concat_ws("\t", F.col("key").cast("string"), rendered)

@@ -819,9 +819,16 @@ def msgpack_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 {_CELLS_CTE}
 SELECT concat(key_str, chr(9),
               CASE WHEN state = 'NORMAL'
-                   THEN concat('Column(', name_str, ',', data_str, ',',
+                   THEN concat('Column(',
+                               rtrim(regexp_replace(lower(hex(encode(name_str))),
+                                                    '(..)', '\\1 ', 'g')), ',',
+                               rtrim(regexp_replace(lower(hex(encode(data_str))),
+                                                    '(..)', '\\1 ', 'g')), ',',
                                cast(ts_us AS varchar), ')')
-                   WHEN state = 'DELETED' THEN concat('Deleted(', name_str, ')')
+                   WHEN state = 'DELETED'
+                   THEN concat('Deleted(',
+                               rtrim(regexp_replace(lower(hex(encode(name_str))),
+                                                    '(..)', '\\1 ', 'g')), ')')
                    ELSE 'Unknown' END) AS value
 FROM cells
 QUALIFY row_number() OVER (PARTITION BY key_str ORDER BY {_ORDER}) = 1
@@ -829,7 +836,8 @@ QUALIFY row_number() OVER (PARTITION BY key_str ORDER BY {_ORDER}) = 1
 def text_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: the reference's text output — row-LWW winner rendered via
     WritableColumn.toString (Column(...)/Deleted(...)/Unknown,
-    WritableColumn.java:95-103), key TAB-prefixed."""
+    WritableColumn.java:95-103; name/data render as BytesWritable's
+    space-separated hex pairs), key TAB-prefixed."""
     from sstable_hadoop_spark.functions import to_text_lines
 
     return to_text_lines(lww_row(derived_cells(spark, sf_dir)))

@@ -341,12 +341,20 @@ class SSTableStreamReader(DataSourceStreamReader):
     ``streaming.streaming_lww_cells`` for a continuously-maintained
     merged table.
 
-    Offsets are the sorted list of ingested Data.db file names (exact,
-    replayable: ``partitions(start, end)`` derives the batch's file set
-    from the two offsets alone, so checkpoint recovery re-reads exactly
-    the in-flight files).  Reads execute on executors, one partition
-    per planned split per new file — the driver only lists the
-    directory."""
+    Offsets are a compact ``(mtime_ns, basename)`` high-water mark —
+    O(1) per micro-batch regardless of directory history, so the
+    checkpoint/offset log stays bounded over a long-running stream
+    (a full-file-set offset would grow quadratically).  A batch is the
+    directory files with ``start_wm < (mtime_ns, name) <= end_wm``;
+    replay after recovery re-derives the same set from the directory
+    listing.  Assumes producers create files with non-decreasing
+    mtimes (the standard file-source contract); a file landing with an
+    mtime at-or-below an already-committed watermark is missed —
+    nanosecond mtime ties make that window effectively zero.  Legacy
+    full-file-set offsets from older checkpoints are still understood.
+
+    Reads execute on executors, one partition per planned split per new
+    file — the driver only lists the directory."""
 
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
@@ -357,18 +365,38 @@ class SSTableStreamReader(DataSourceStreamReader):
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
 
-    def _list(self) -> list[str]:
-        return sorted(os.path.basename(f)
-                      for f in _list_files(self.path, "-Data.db"))
+    def _stamped(self) -> dict[str, tuple[int, str]]:
+        """basename → (mtime_ns, basename) for every Data.db present."""
+        out = {}
+        for f in _list_files(self.path, "-Data.db"):
+            base = os.path.basename(f)
+            try:
+                out[base] = (os.stat(f).st_mtime_ns, base)
+            except OSError:
+                continue  # raced with a concurrent delete
+        return out
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"wm": [0, ""]}
 
     def latestOffset(self) -> dict:
-        return {"files": self._list()}
+        stamped = self._stamped()
+        wm = max(stamped.values(), default=(0, ""))
+        return {"wm": list(wm)}
+
+    @staticmethod
+    def _covered(offset: dict,
+                 stamped: dict[str, tuple[int, str]]) -> set[str]:
+        """Basenames a given offset has already committed."""
+        if "files" in offset:  # legacy full-set offset (pre-watermark)
+            return set(offset["files"])
+        wm = tuple(offset.get("wm", (0, "")))
+        return {b for b, s in stamped.items() if s <= wm}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        stamped = self._stamped()
+        new = sorted(self._covered(end, stamped)
+                     - self._covered(start, stamped))
         parts: list[RangePartition] = []
         for base in new:
             full = os.path.join(self.path, base)
@@ -496,7 +524,9 @@ class SSTableDataSource(DataSource):
 
             path = self.options.get("path", "")
             for f in g.glob(os.path.join(path, "*.db")):
-                if _re.search(r"-(Data|Index|Summary|CompressionInfo)\.db$", f):
+                if _re.search(
+                        r"-(Data|Index|Summary|CompressionInfo|Filter)\.db$",
+                        f):
                     os.remove(f)
         return SSTableWriteTask(dict(self.options))
 
@@ -537,12 +567,12 @@ def ship_package(spark) -> None:
                 zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
-    # Streaming source runners are separate driver-side python processes
-    # that do NOT see addPyFile paths — they inherit PYTHONPATH.
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_dir not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (f"{pkg_dir}{os.pathsep}{existing}"
-                                    if existing else pkg_dir)
+    # Streaming source runner processes are spawned BY THE JVM with the
+    # environment captured at JVM launch, so mutating os.environ here
+    # cannot reach them — only the pre-JVM PYTHONPATH export in
+    # plans.session_builder() does.  Streaming reads of this source
+    # therefore require the session factory (get_session()); batch
+    # reads and UDFs are covered by the addPyFile above either way.
     spark._sstable_pkg_digest = digest
 
 

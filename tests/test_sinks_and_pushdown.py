@@ -53,8 +53,32 @@ def test_text_sink_format(spark):
         "key binary, name binary, state string, data binary, "
         "timestamp bigint, ttl bigint, expiration bigint, generation int")
     lines = {r["value"] for r in to_text_lines(df).collect()}
-    assert lines == {"k1\tColumn(colA,hello,42)", "k2\tDeleted(colB)",
-                     "k3\tUnknown"}
+
+    def hx(b: bytes) -> str:  # BytesWritable.toString: hex pairs
+        return " ".join(f"{x:02x}" for x in b)
+
+    assert lines == {
+        f"k1\tColumn({hx(b'colA')},{hx(b'hello')},42)",
+        f"k2\tDeleted({hx(b'colB')})",
+        "k3\tUnknown"}
+
+
+def test_msgpack_sink_tombstone_encoding(spark):
+    """DELETED winners keep MsgPackCol defaults — value nil, ts 0 —
+    because the reference only assigns value/ts for NORMAL|EXPIRING
+    (SSTableData.scala:102-105)."""
+    df = spark.createDataFrame(
+        [(b"k1", [(b"live", "NORMAL", b"v", 42, None, None),
+                  (b"dead", "DELETED", None, 99, None, None),
+                  (b"exp", "EXPIRING", b"t", 7, 60, AS_OF_MS)])],
+        "key binary, columns array<struct<name:binary,state:string,"
+        "data:binary,timestamp:bigint,ttl:bigint,expiration:bigint>>")
+    (line,) = to_msgpack_base64_lines(df).collect()
+    key, cols = unpackb(base64.b64decode(line["value"]))
+    got = {c[0]: c for c in cols}
+    assert got[b"live"] == [b"live", b"v", 42, 0, 0]
+    assert got[b"dead"] == [b"dead", None, 0, 0, 0]   # nil value, ts=0
+    assert got[b"exp"] == [b"exp", b"t", 7, AS_OF_MS, 60]
 
 
 def test_manifest_tsv(spark, sstable_dir):

@@ -165,3 +165,44 @@ def test_stream_flush_to_sstables_roundtrip(spark, tmp_path):
     want = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
             for r in lww_cell(cells).collect()}
     assert got == want
+
+
+def test_stream_offsets_are_compact_and_legacy_compatible(tmp_path):
+    """Offsets are an O(1) (mtime_ns, name) watermark, not the full
+    file history; legacy full-set offsets from old checkpoints still
+    resolve to the correct new-file set."""
+    import os
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.sources.datasource import SSTableStreamReader
+
+    d = str(tmp_path / "src")
+    r = SSTableStreamReader({"path": d})
+    os.makedirs(d)
+    assert r.partitions(r.initialOffset(), r.latestOffset()) and \
+        r.partitions(r.initialOffset(), r.latestOffset())[0].path == ""
+
+    def one(g):
+        write_sstable(d, "ks-cf", [Row(b"k", [Cell(b"c", "NORMAL", b"v", g)])],
+                      generation=g)
+        # distinct mtimes even on coarse-granularity filesystems
+        path = os.path.join(d, f"ks-cf-{g}-Data.db")
+        os.utime(path, ns=(g * 10**9, g * 10**9))
+
+    one(1)
+    one(2)
+    o1 = r.latestOffset()
+    assert set(o1) == {"wm"} and len(o1["wm"]) == 2  # compact: no file list
+    got = {os.path.basename(p.path)
+           for p in r.partitions(r.initialOffset(), o1)}
+    assert got == {"ks-cf-1-Data.db", "ks-cf-2-Data.db"}
+
+    one(3)
+    o2 = r.latestOffset()
+    got = {os.path.basename(p.path) for p in r.partitions(o1, o2)}
+    assert got == {"ks-cf-3-Data.db"}
+
+    # legacy checkpoint offset (pre-watermark full file set)
+    legacy = {"files": ["ks-cf-1-Data.db", "ks-cf-2-Data.db"]}
+    got = {os.path.basename(p.path) for p in r.partitions(legacy, o2)}
+    assert got == {"ks-cf-3-Data.db"}
