@@ -1120,6 +1120,83 @@ def sstable_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "generation", F.col("generation"))
 
 
+def _materialize_cassandra(spark: SparkSession, sf_dir: str) -> str:
+    """Write the derived cells as REAL Cassandra 1.x-layout files
+    (uncompressed, with 1.x Index.db companions for split planning);
+    idempotent per sf_dir like ``_materialize_sstables``."""
+    import hashlib
+    import os
+    import shutil
+    import struct as _struct
+    import tempfile
+    import time
+
+    from sstable_hadoop_spark.sources.cassandra1x import encode_cassandra_row
+    from sstable_hadoop_spark.sources.codec import Cell, Row
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"cassandra1x_{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    build = out + ".building"
+    try:
+        os.makedirs(build)
+    except FileExistsError:
+        for _ in range(600):
+            if os.path.exists(done):
+                return out
+            time.sleep(0.5)
+        raise TimeoutError(f"cassandra materialize race never completed: {out}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    rows = derived_cells(spark, sf_dir).collect()  # sf0.01 ≈ 10k cells
+    by_gen: dict[int, dict[bytes, list[Cell]]] = {}
+    for r in rows:
+        cell = Cell(name=bytes(r["name"]), state=r["state"],
+                    data=bytes(r["data"]) if r["data"] is not None else None,
+                    timestamp=r["timestamp"], ttl=r["ttl"],
+                    expiration=r["expiration"])
+        by_gen.setdefault(r["generation"], {}).setdefault(
+            bytes(r["key"]), []).append(cell)
+    for g, keyed in sorted(by_gen.items()):
+        data_path = os.path.join(out, f"Keyspace1-events-hc-{g}-Data.db")
+        index_path = data_path.replace("-Data.db", "-Index.db")
+        with open(data_path, "wb") as df_, open(index_path, "wb") as ix:
+            for key in sorted(keyed):
+                cells = sorted(keyed[key],
+                               key=lambda c: (c.name, c.timestamp, c.state))
+                ix.write(_struct.pack(">H", len(key)) + key
+                         + _struct.pack(">Q", df_.tell()))
+                df_.write(encode_cassandra_row(Row(key=key, cells=cells)))
+    open(done, "w").close()
+    shutil.rmtree(build, ignore_errors=True)
+    return out
+
+
+@query("cassandra_format_scan", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+""")
+def cassandra_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Cassandra 1.x layout end-to-end: derived cells serialized
+    in the public pre-1.2 row format (row bloom + column index +
+    deletion info + flagged columns), scanned back through
+    ``format=cassandra`` with Index.db-driven splits — every cell must
+    survive bit-for-bit under the driver's oracle (closes the r1
+    reference-fidelity gap; sources/cassandra1x.py)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_cassandra(spark, sf_dir)
+    df = (spark.read.format("sstable").option("format", "cassandra")
+          .option("max_split_bytes", str(64 * 1024)).load(path))
+    return _render_winners(explode_cells(df)).withColumn(
+        "generation", F.col("generation"))
+
+
 @query("sstable_index_keys", oracle=f"""
 {_CELLS_CTE}
 SELECT DISTINCT key_str, generation FROM cells

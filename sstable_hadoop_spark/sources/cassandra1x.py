@@ -1,0 +1,180 @@
+"""Best-effort reader for REAL Cassandra 1.x ``*-Data.db`` files — the
+files the reference actually consumes (via the external
+``com.tehasdf:scala-sstable-reader`` dependency, reference
+pom.xml:73-77; cell variants surfaced at
+SSTableDataRecordReader.scala:66-71).
+
+Layout parsed here is the public pre-1.2 "big" row format, as
+serialized by ``SSTableWriter`` / ``ColumnSerializer`` in Apache
+Cassandra 0.7-1.1 (all integers big-endian, Java DataOutput):
+
+Data.db row::
+
+    u16 key_len, key
+    u64 data_size                  -- bytes remaining in this row
+    i32 bloom_size,  <bloom_size bytes>    -- row-level bloom (skipped)
+    i32 index_size,  <index_size bytes>    -- column index     (skipped)
+    i32 local_deletion_time        -- row tombstone info
+    i64 marked_for_delete_at
+    i32 column_count
+    column*:
+        u16 name_len, name
+        u8  flags                  -- 0x01 DELETION, 0x02 EXPIRATION,
+                                   -- 0x04 COUNTER, 0x08 COUNTER_UPDATE,
+                                   -- 0x10 RANGE_TOMBSTONE
+        [0x02] i32 ttl_secs, i32 local_expiration_time (epoch seconds)
+        i64 timestamp              -- microseconds by convention
+        i32 value_len, value
+
+Index.db entries are ``u16 key_len, key, u64 data_offset`` — identical
+to this package's native index layout, so split planning reuses
+``codec.read_index_entries`` unchanged.
+
+Mapping into the engine's cell model (= what the reference's record
+reader yields):
+
+- DELETION flag  → ``Cell(state='DELETED')``; the 4-byte value (the
+  column's localDeletionTime) is dropped, like the reference's
+  ``Deleted(name, timestamp)`` variant.
+- EXPIRATION flag → ``Cell(state='EXPIRING', ttl=ttl_secs,
+  expiration=local_expiration_time * 1000)`` (model stores ms).
+- no flag        → ``Cell(state='NORMAL')``.
+- COUNTER flags and RANGE_TOMBSTONE raise ``UnsupportedColumnError``
+  (no counterpart in the reference's 3-variant model).
+- Row-level tombstones (``marked_for_delete_at``) are parsed but not
+  surfaced — the reference's loader exposes key → columns only.
+
+Compressed 1.x tables (CompressionInfo.db present) are rejected with a
+clear error: the 1.x chunk checksum/compression envelope is not
+replicated here (best-effort scope, SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+from .codec import (
+    STATE_DELETED,
+    STATE_EXPIRING,
+    STATE_NORMAL,
+    Cell,
+    Row,
+)
+
+DELETION_MASK = 0x01
+EXPIRATION_MASK = 0x02
+COUNTER_MASK = 0x04
+COUNTER_UPDATE_MASK = 0x08
+RANGE_TOMBSTONE_MASK = 0x10
+
+
+class UnsupportedColumnError(ValueError):
+    """Column kind outside the reference's NORMAL/DELETED/EXPIRING
+    model (counters, range tombstones)."""
+
+
+def _read_exact(f, n: int) -> bytes:
+    buf = f.read(n)
+    if len(buf) != n:
+        raise EOFError(f"truncated cassandra row: wanted {n} bytes, "
+                       f"got {len(buf)}")
+    return buf
+
+
+def read_cassandra_rows(data_path: str, start: int = 0,
+                        end: int | None = None) -> Iterator[Row]:
+    """Iterate rows of a real Cassandra 1.x Data.db within byte range
+    [start, end); ``start`` must be a row boundary (0 or an Index.db
+    offset).  Uncompressed tables only."""
+    ci = data_path.replace("-Data.db", "-CompressionInfo.db")
+    if os.path.exists(ci):
+        raise NotImplementedError(
+            "compressed Cassandra 1.x tables are not supported "
+            "(CompressionInfo.db present); decompress offline or use "
+            "the native sstable format")
+    with open(data_path, "rb") as f:
+        if end is None:
+            f.seek(0, os.SEEK_END)
+            end = f.tell()
+        f.seek(start)
+        while f.tell() < end:
+            header = f.read(2)
+            if not header:
+                break
+            if len(header) != 2:
+                raise EOFError("truncated row key length")
+            (key_len,) = struct.unpack(">H", header)
+            key = _read_exact(f, key_len)
+            (_data_size,) = struct.unpack(">Q", _read_exact(f, 8))
+            (bloom_size,) = struct.unpack(">i", _read_exact(f, 4))
+            f.seek(bloom_size, os.SEEK_CUR)  # row bloom filter
+            (index_size,) = struct.unpack(">i", _read_exact(f, 4))
+            f.seek(index_size, os.SEEK_CUR)  # column index
+            _local_deletion, _marked_for_delete = struct.unpack(
+                ">iq", _read_exact(f, 12))
+            (n_cols,) = struct.unpack(">i", _read_exact(f, 4))
+            cells = []
+            for _ in range(n_cols):
+                (name_len,) = struct.unpack(">H", _read_exact(f, 2))
+                name = _read_exact(f, name_len)
+                (flags,) = struct.unpack(">B", _read_exact(f, 1))
+                if flags & (COUNTER_MASK | COUNTER_UPDATE_MASK
+                            | RANGE_TOMBSTONE_MASK):
+                    raise UnsupportedColumnError(
+                        f"column flags 0x{flags:02x} (counter/range-"
+                        f"tombstone) have no reference counterpart")
+                ttl = expiration = None
+                if flags & EXPIRATION_MASK:
+                    ttl, local_exp = struct.unpack(
+                        ">ii", _read_exact(f, 8))
+                    expiration = local_exp * 1000  # epoch s → ms
+                (timestamp,) = struct.unpack(">q", _read_exact(f, 8))
+                (value_len,) = struct.unpack(">i", _read_exact(f, 4))
+                value = _read_exact(f, value_len)
+                if flags & DELETION_MASK:
+                    cells.append(Cell(name=name, state=STATE_DELETED,
+                                      timestamp=timestamp))
+                elif flags & EXPIRATION_MASK:
+                    cells.append(Cell(name=name, state=STATE_EXPIRING,
+                                      data=value, timestamp=timestamp,
+                                      ttl=ttl, expiration=expiration))
+                else:
+                    cells.append(Cell(name=name, state=STATE_NORMAL,
+                                      data=value, timestamp=timestamp))
+            yield Row(key=key, cells=cells)
+
+
+def encode_cassandra_row(row: Row, *, local_deletion_time: int = 0x7FFFFFFF,
+                         marked_for_delete_at: int = -(1 << 63),
+                         bloom: bytes = b"", column_index: bytes = b"") -> bytes:
+    """Serialize one row in the 1.x layout — fixture/test support (the
+    write path of this engine stays the native format; this exists so
+    round-trip tests don't hand-compute length fields)."""
+    body = bytearray()
+    body += struct.pack(">i", len(bloom)) + bloom
+    body += struct.pack(">i", len(column_index)) + column_index
+    body += struct.pack(">iq", local_deletion_time, marked_for_delete_at)
+    body += struct.pack(">i", len(row.cells))
+    for c in row.cells:
+        body += struct.pack(">H", len(c.name)) + c.name
+        if c.state == STATE_DELETED:
+            # value carries the column's localDeletionTime (4 bytes)
+            body += struct.pack(">B", DELETION_MASK)
+            body += struct.pack(">q", c.timestamp)
+            body += struct.pack(">i", 4) + struct.pack(">i", 0)
+        elif c.state == STATE_EXPIRING:
+            body += struct.pack(">B", EXPIRATION_MASK)
+            body += struct.pack(">ii", c.ttl or 0,
+                                (c.expiration or 0) // 1000)
+            body += struct.pack(">q", c.timestamp)
+            data = c.data or b""
+            body += struct.pack(">i", len(data)) + data
+        else:
+            body += struct.pack(">B", 0)
+            body += struct.pack(">q", c.timestamp)
+            data = c.data or b""
+            body += struct.pack(">i", len(data)) + data
+    return (struct.pack(">H", len(row.key)) + row.key
+            + struct.pack(">Q", len(body)) + bytes(body))

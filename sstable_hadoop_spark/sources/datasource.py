@@ -181,6 +181,16 @@ class SSTableReader(DataSourceReader):
         if not self.path:
             raise ValueError("sstable source requires a path")
         self.kind = options.get("kind", "data")
+        # format=native (this package's layout, default) | cassandra
+        # (real Apache Cassandra 1.x files, best-effort; see
+        # sources/cassandra1x.py for the parsed public layout)
+        self.fmt = options.get("format", "native")
+        if self.fmt not in ("native", "cassandra"):
+            raise ValueError(f"unknown format: {self.fmt}")
+        if self.fmt == "cassandra" and self.kind == "summary":
+            raise ValueError(
+                "kind=summary is not available for format=cassandra "
+                "(1.x Summary.db is a JVM-serialized structure)")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
         # Spark convention: skip unreadable files instead of failing the
@@ -261,8 +271,16 @@ class SSTableReader(DataSourceReader):
         if self.kind == "data":
             parts = []
             for f in _list_files(self.path, "-Data.db"):
-                if self._bloom_rejects(f):
+                # -Filter.db bloom pruning is native-format only (the
+                # real Cassandra Filter.db is a different serialization
+                # — misparsing it must never prune)
+                if self.fmt == "native" and self._bloom_rejects(f):
                     continue
+                if self.fmt == "cassandra" and os.path.exists(
+                        f.replace("-Data.db", "-CompressionInfo.db")):
+                    raise NotImplementedError(
+                        f"compressed Cassandra 1.x table {f} is not "
+                        f"supported (see sources/cassandra1x.py)")
                 parts.extend(q for q in _plan_file(f, self.max_split)
                              if self._overlaps(q))
             return parts or [RangePartition("", 0, 0, 0)]
@@ -288,12 +306,20 @@ class SSTableReader(DataSourceReader):
         if not partition.path:
             return
         if self.kind == "data":
-            src = (codec.read_data_batches(partition.path, partition.start,
-                                           partition.end,
-                                           generation=partition.generation)
-                   if self.use_arrow else
-                   codec.read_data_rows(partition.path, partition.start,
-                                        partition.end))
+            if self.fmt == "cassandra":
+                from . import cassandra1x
+
+                src = cassandra1x.read_cassandra_rows(
+                    partition.path, partition.start, partition.end)
+                use_arrow = False
+            else:
+                use_arrow = self.use_arrow
+                src = (codec.read_data_batches(
+                           partition.path, partition.start, partition.end,
+                           generation=partition.generation)
+                       if use_arrow else
+                       codec.read_data_rows(partition.path, partition.start,
+                                            partition.end))
             while True:
                 try:
                     item = next(src)
@@ -306,7 +332,7 @@ class SSTableReader(DataSourceReader):
                         f"corrupt sstable split {partition.path}"
                         f"[{partition.start}:{partition.end}]: {exc}"
                     ) from exc
-                if self.use_arrow:
+                if use_arrow:
                     yield item  # pyarrow.RecordBatch
                 else:
                     yield (item.key,
@@ -362,6 +388,8 @@ class SSTableStreamReader(DataSourceStreamReader):
             raise ValueError("sstable stream source requires a path")
         if options.get("kind", "data") != "data":
             raise ValueError("sstable streaming supports kind=data only")
+        if options.get("format", "native") != "native":
+            raise ValueError("sstable streaming supports format=native only")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
 
