@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sstable_hadoop_spark.operators import (
+    collect_rows,
     explode_cells,
     live_view,
     lww_cell,
@@ -1047,36 +1048,45 @@ def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
-    """Write the derived cells as sorted multi-generation SSTables under
-    a deterministic temp dir (idempotent per sf_dir; gens 3-4 snappy)."""
-    import hashlib
+def _idempotent_tmpdir(tag: str, build) -> str:
+    """Deterministic temp dir built exactly once per ``tag``: the first
+    caller wins a mkdir guard and runs ``build(out_dir)``; concurrent
+    callers wait on the sibling ``.done`` marker (kept OUTSIDE the dir
+    so directory listings — parquet, file streams — never see it)."""
     import os
     import shutil
     import tempfile
+    import time
 
-    from sstable_hadoop_spark.sources.codec import Cell, Row, SSTableWriter
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"sstable_rt_{tag}")
-    done = os.path.join(out, "_DONE")
+    out = os.path.join(tempfile.gettempdir(), tag)
+    done = out + ".done"
     if os.path.exists(done):
         return out
-    # concurrency guard: one builder wins the mkdir, others wait for it
-    build = out + ".building"
+    guard = out + ".building"
     try:
-        os.makedirs(build)
+        os.makedirs(guard)
     except FileExistsError:
-        import time
-
         for _ in range(600):
             if os.path.exists(done):
                 return out
             time.sleep(0.5)
         raise TimeoutError(f"materialize race never completed: {out}")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    rows = derived_cells(spark, sf_dir).collect()  # sf0.01 ≈ 10k cells
+    try:
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        build(out)
+        open(done, "w").close()
+    finally:
+        shutil.rmtree(guard, ignore_errors=True)
+    return out
+
+
+def _cells_by_generation(spark: SparkSession, sf_dir: str):
+    """Collect the derived cell table driver-side, grouped
+    generation → key → [Cell] (sf0.01 ≈ 10k cells, bounded)."""
+    from sstable_hadoop_spark.sources.codec import Cell
+
+    rows = derived_cells(spark, sf_dir).collect()
     by_gen: dict[int, dict[bytes, list[Cell]]] = {}
     for r in rows:
         cell = Cell(name=bytes(r["name"]), state=r["state"],
@@ -1085,18 +1095,34 @@ def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
                     expiration=r["expiration"])
         by_gen.setdefault(r["generation"], {}).setdefault(
             bytes(r["key"]), []).append(cell)
-    for g, keyed in sorted(by_gen.items()):
-        w = SSTableWriter(out, "events-cf", generation=g,
-                          compressed=(g >= 3), summary_rate=32)
-        for key in sorted(keyed):
-            # deterministic cell order within the row
-            cells = sorted(keyed[key],
-                           key=lambda c: (c.name, c.timestamp, c.state))
-            w.write_row(Row(key=key, cells=cells))
-        w.close()
-    open(done, "w").close()
-    shutil.rmtree(build, ignore_errors=True)
-    return out
+    return by_gen
+
+
+def _sorted_row(key: bytes, cells: list) -> "object":
+    from sstable_hadoop_spark.sources.codec import Row
+
+    return Row(key=key, cells=sorted(
+        cells, key=lambda c: (c.name, c.timestamp, c.state)))
+
+
+def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
+    """Write the derived cells as sorted multi-generation SSTables under
+    a deterministic temp dir (idempotent per sf_dir; gens 3-4 snappy)."""
+    import hashlib
+
+    from sstable_hadoop_spark.sources.codec import SSTableWriter
+
+    def build(out: str) -> None:
+        by_gen = _cells_by_generation(spark, sf_dir)
+        for g, keyed in sorted(by_gen.items()):
+            w = SSTableWriter(out, "events-cf", generation=g,
+                              compressed=(g >= 3), summary_rate=32)
+            for key in sorted(keyed):
+                w.write_row(_sorted_row(key, keyed[key]))
+            w.close()
+
+    tag = "sstable_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
 
 
 @query("sstable_scan_roundtrip", oracle=f"""
@@ -1126,52 +1152,24 @@ def _materialize_cassandra(spark: SparkSession, sf_dir: str) -> str:
     idempotent per sf_dir like ``_materialize_sstables``."""
     import hashlib
     import os
-    import shutil
     import struct as _struct
-    import tempfile
-    import time
 
     from sstable_hadoop_spark.sources.cassandra1x import encode_cassandra_row
-    from sstable_hadoop_spark.sources.codec import Cell, Row
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"cassandra1x_{tag}")
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        return out
-    build = out + ".building"
-    try:
-        os.makedirs(build)
-    except FileExistsError:
-        for _ in range(600):
-            if os.path.exists(done):
-                return out
-            time.sleep(0.5)
-        raise TimeoutError(f"cassandra materialize race never completed: {out}")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    rows = derived_cells(spark, sf_dir).collect()  # sf0.01 ≈ 10k cells
-    by_gen: dict[int, dict[bytes, list[Cell]]] = {}
-    for r in rows:
-        cell = Cell(name=bytes(r["name"]), state=r["state"],
-                    data=bytes(r["data"]) if r["data"] is not None else None,
-                    timestamp=r["timestamp"], ttl=r["ttl"],
-                    expiration=r["expiration"])
-        by_gen.setdefault(r["generation"], {}).setdefault(
-            bytes(r["key"]), []).append(cell)
-    for g, keyed in sorted(by_gen.items()):
-        data_path = os.path.join(out, f"Keyspace1-events-hc-{g}-Data.db")
-        index_path = data_path.replace("-Data.db", "-Index.db")
-        with open(data_path, "wb") as df_, open(index_path, "wb") as ix:
-            for key in sorted(keyed):
-                cells = sorted(keyed[key],
-                               key=lambda c: (c.name, c.timestamp, c.state))
-                ix.write(_struct.pack(">H", len(key)) + key
-                         + _struct.pack(">Q", df_.tell()))
-                df_.write(encode_cassandra_row(Row(key=key, cells=cells)))
-    open(done, "w").close()
-    shutil.rmtree(build, ignore_errors=True)
-    return out
+    def build(out: str) -> None:
+        by_gen = _cells_by_generation(spark, sf_dir)
+        for g, keyed in sorted(by_gen.items()):
+            data_path = os.path.join(out, f"Keyspace1-events-hc-{g}-Data.db")
+            index_path = data_path.replace("-Data.db", "-Index.db")
+            with open(data_path, "wb") as df_, open(index_path, "wb") as ix:
+                for key in sorted(keyed):
+                    ix.write(_struct.pack(">H", len(key)) + key
+                             + _struct.pack(">Q", df_.tell()))
+                    df_.write(encode_cassandra_row(_sorted_row(key,
+                                                               keyed[key])))
+
+    tag = "cassandra1x_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
 
 
 @query("cassandra_format_scan", oracle=f"""
@@ -1195,6 +1193,138 @@ def cassandra_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("max_split_bytes", str(64 * 1024)).load(path))
     return _render_winners(explode_cells(df)).withColumn(
         "generation", F.col("generation"))
+
+
+def _materialize_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Write the derived cells through the DISTRIBUTED sstable sink
+    (each Spark task writes its own key-sorted generation family,
+    snappy-compressed) — idempotent per sf_dir."""
+    import hashlib
+
+    def build(out: str) -> None:
+        nested = collect_rows(derived_cells(spark, sf_dir),
+                              by_generation=True)
+        (nested.repartitionByRange(4, "key")
+               .write.format("sstable").option("path", out)
+               .option("name", "sinkrt").option("compressed", "true")
+               .option("summary_rate", "32").mode("append").save())
+
+    tag = "sstable_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("write_sink_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+""")
+def write_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed write path under the oracle: cells regrouped into row
+    envelopes, written by the sstable SINK (key-range-partitioned tasks,
+    snappy chunks, datasource.py SSTableWriteTask), re-scanned through
+    the source — the write→read identity must hold for every cell."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sink(spark, sf_dir)
+    df = (spark.read.format("sstable")
+          .option("max_split_bytes", str(64 * 1024)).load(path))
+    return _render_winners(explode_cells(df)).withColumn(
+        "generation", F.col("generation"))
+
+
+_COMPACT_GEN = 9
+
+
+def _materialize_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Run major compaction over the materialized multi-generation
+    SSTables into a single merged generation — idempotent per sf_dir."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.compaction import compact
+
+    in_dir = _materialize_sstables(spark, sf_dir)
+
+    def build(out: str) -> None:
+        compact(spark, in_dir, out, generation=_COMPACT_GEN,
+                target_partitions=4)
+
+    tag = "sstable_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("compaction_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, cast({_COMPACT_GEN} AS int) AS generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major compaction end-to-end under the oracle: 4 generations →
+    ``compact()`` (per-cell LWW merge, one merged generation written
+    through the distributed sink) → re-scan.  Must equal batch
+    ``lww_cell`` of the inputs with the generation relabeled
+    (operators/compaction.py; reference pipeline
+    ReadSSTableWithoutSplits.scala:14-33)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_compacted(spark, sf_dir)
+    df = spark.read.format("sstable").load(path)
+    return _render_winners(explode_cells(df)).withColumn(
+        "generation", F.col("generation"))
+
+
+@query("streaming_lww_flush", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def streaming_lww_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming LWW under the oracle: cells arrive one
+    generation per micro-batch (file stream, ``maxFilesPerTrigger=1``,
+    ``availableNow`` flush); ``applyInPandasWithState`` folds each batch
+    into per-key state (streaming/lww_stream.py) and emits changed
+    winners.  Winners only ever improve under the LWW total order, so
+    the max-order emission per (key, name) — reduced with the batch
+    ``lww_cell`` operator over the memory-sink emissions — must equal
+    the batch winners exactly."""
+    import hashlib
+    import uuid
+
+    from sstable_hadoop_spark.streaming import streaming_lww_cells
+
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        for g in (1, 2, 3, 4):
+            (cells.filter(F.col("generation") == g).coalesce(1)
+                  .write.mode("append").parquet(out))
+
+    tag = "cells_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _idempotent_tmpdir(tag, build)
+
+    # AQE cannot coalesce streaming stages — pin the state-store shuffle
+    # width explicitly so a bare (driver) session doesn't run 200
+    # near-empty stateful tasks per micro-batch.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = (spark.readStream.schema(cells.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sink = f"lww_flush_{uuid.uuid4().hex[:8]}"
+    q = (streaming_lww_cells(stream)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return _render_winners(lww_cell(spark.table(sink)))
 
 
 @query("sstable_index_keys", oracle=f"""
