@@ -30,6 +30,8 @@ BENCH_QUERIES = {
     # path and the join planner (broadcast dims + AQE)
     "sstable_scan": "sstable_scan_roundtrip",
     "five_way_join": "five_way_join_region_revenue",
+    # hot-key LWW through the auto skew probe (operators/skew.py)
+    "lww_skewed": "lww_skewed_auto",
 }
 
 

@@ -74,13 +74,38 @@ def explode_cells(df: DataFrame) -> DataFrame:
               .select("key", "cell.*", "generation"))
 
 
-def lww_cell(cells: DataFrame) -> DataFrame:
+def lww_cell(cells: DataFrame, *, skew: str = "never",
+             n_salts: int = 16) -> DataFrame:
     """One winning cell per (key, name) across all generations.
 
     Topology identical to the reference's shuffle→HashMap-merge
     (SSTableData.scala:85-95) but with partial aggregation: one
     hash-agg, one shuffle on (key, name).
+
+    ``skew`` handles the Cassandra wide-row pathology (millions of
+    writes to one cell serializing on a single reducer at 100 TB):
+
+    - ``"never"`` (default): single hash-agg — right for typical data;
+      map-side partial aggregation already absorbs per-partition
+      duplication.
+    - ``"always"``: two-phase salted merge over ``n_salts`` reducers
+      (``skew.salted_lww_cell``; result-identical, max_by is
+      associative).
+    - ``"auto"``: probe with ``skew.detect_group_skew`` (partition-head
+      sample, one tiny driver collect) and pick the path — the user no
+      longer needs to know the salted variant exists.
     """
+    if skew not in ("never", "auto", "always"):
+        raise ValueError(f"skew must be never|auto|always, got {skew!r}")
+    if skew == "auto":
+        from .skew import detect_group_skew
+
+        skew = "always" if detect_group_skew(cells, ["key", "name"]) \
+            else "never"
+    if skew == "always":
+        from .skew import salted_lww_cell
+
+        return salted_lww_cell(cells, n_salts=n_salts)
     payload = F.struct(*[F.col(c) for c in CELL_COLS])
     return (cells
             .groupBy("key", "name")

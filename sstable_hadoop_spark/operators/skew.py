@@ -17,6 +17,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _head_sample(df: DataFrame, cols: Sequence[str],
+                 rows_per_partition: int) -> DataFrame:
+    """First ``rows_per_partition`` rows of every partition, via a
+    mapInPandas that stops pulling Arrow batches once satisfied — cost
+    is O(partitions × rows_per_partition), NOT a full scan, so it stays
+    cheap at 100 TB (vs ``sample(fraction)``, which reads everything)."""
+    proj = df.select(*cols)
+
+    def take(batches):
+        n = 0
+        for pdf in batches:
+            if n >= rows_per_partition:
+                break
+            chunk = pdf.iloc[:rows_per_partition - n]
+            n += len(chunk)
+            yield chunk
+
+    return proj.mapInPandas(take, proj.schema)
+
+
+def detect_group_skew(df: DataFrame, keys: Sequence[str],
+                      rows_per_partition: int = 1000,
+                      skew_factor: int = 32,
+                      min_hot: int = 100) -> bool:
+    """Cheap pre-flight skew probe for a ``groupBy(keys)``: head-sample
+    each partition, count per key, and flag when the hottest sampled key
+    holds ≥ ``skew_factor``× the mean group size (and at least
+    ``min_hot`` sampled rows, so near-empty samples never trigger).
+
+    One small driver-side collect of a 1-row aggregate; the sample scan
+    touches only the first batch(es) of each partition."""
+    row = (_head_sample(df, keys, rows_per_partition)
+           .groupBy(*keys).count()
+           .agg(F.max("count").alias("mx"), F.sum("count").alias("n"),
+                F.count(F.lit(1)).alias("g"))
+           .collect()[0])
+    if not row["g"]:
+        return False
+    mean = row["n"] / row["g"]
+    return row["mx"] >= min_hot and row["mx"] >= skew_factor * mean
+
+
 def salted_agg(df: DataFrame, keys: Sequence[str],
                aggs: dict[str, tuple[str, str]],
                n_salts: int = 16) -> DataFrame:

@@ -1327,6 +1327,36 @@ def streaming_lww_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_winners(lww_cell(spark.table(sink)))
 
 
+@query("lww_skewed_auto", oracle=f"""
+{_CELLS_CTE},
+skewed AS (
+    SELECT CASE WHEN cast(key_str AS int) % 5 < 2
+                THEN 'hot' ELSE key_str END AS key_str,
+           name_str, state, data_str, ts_us, expiration, generation
+    FROM cells
+)
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM skewed
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def lww_skewed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key LWW under the oracle: ~40% of all cells are remapped onto
+    one row key (the Cassandra wide-row pathology), then merged with
+    ``lww_cell(skew="auto")`` — the partition-head skew probe
+    (operators/skew.py detect_group_skew) decides between the plain
+    hash-agg and the two-phase salted merge; either path must equal the
+    SQL winners exactly."""
+    cells = derived_cells(spark, sf_dir)
+    skewed = cells.withColumn(
+        "key",
+        F.when(F.decode(F.col("key"), "UTF-8").cast("int") % 5 < 2,
+               F.encode(F.lit("hot"), "UTF-8"))
+         .otherwise(F.col("key")))
+    return _render_winners(lww_cell(skewed, skew="auto"))
+
+
 @query("sstable_index_keys", oracle=f"""
 {_CELLS_CTE}
 SELECT DISTINCT key_str, generation FROM cells

@@ -288,6 +288,44 @@ def test_salted_lww_matches_plain(spark, sstable_dir):
     assert plain == salted
 
 
+def test_lww_cell_skew_modes_agree(spark, sstable_dir):
+    import pytest
+
+    from sstable_hadoop_spark.operators import explode_cells, lww_cell
+
+    cells = explode_cells(spark.read.format("sstable").load(sstable_dir))
+
+    def snap(df):
+        return {(bytes(r["key"]), bytes(r["name"])):
+                (r["state"], r["timestamp"], r["generation"])
+                for r in df.collect()}
+
+    plain = snap(lww_cell(cells))
+    assert snap(lww_cell(cells, skew="always", n_salts=8)) == plain
+    assert snap(lww_cell(cells, skew="auto")) == plain
+    with pytest.raises(ValueError, match="skew"):
+        lww_cell(cells, skew="sometimes")
+
+
+def test_detect_group_skew(spark):
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.operators.skew import detect_group_skew
+
+    # uniform: 10k rows over 1k keys → no group dominates
+    uniform = spark.range(10000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+    assert not detect_group_skew(uniform, ["k"])
+    # skewed: half of all rows share one key
+    skewed = spark.range(10000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(-1))
+         .otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"))
+    assert detect_group_skew(skewed, ["k"])
+    # empty input never flags
+    assert not detect_group_skew(uniform.filter("k < 0"), ["k"])
+
+
 def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     from sstable_hadoop_spark.queries import load
     from sstable_hadoop_spark.streaming.dedup import dedup_events_stream
