@@ -75,18 +75,18 @@ def manifest_tsv(manifest: DataFrame) -> DataFrame:
     innerLength, uncompressedLength, chunkOffsetsCSV``
     (GenerateSSTableDataSplits.scala:213,
     SplitSSTableDataRecordReader.scala:28-31).  Write with
-    ``.write.text(path)``.  Inner offset/length equal the split range in
-    this engine (splits start at row boundaries, so there is no inner
-    skew to record — the reference needed it because its splits started
-    at compression-chunk boundaries)."""
+    ``.write.text(path)``.  For compressed tables byteStart/byteLength
+    are compressed-file positions and innerOffset locates the first row
+    inside the uncompressed chunk range, exactly like the reference's
+    reducer output."""
     return manifest.select(F.concat_ws(
         "\t",
         F.col("filename"),
         F.col("split_index"),
         F.col("byte_start"),
         F.col("byte_length"),
-        F.col("byte_start").alias("inner_offset"),
-        F.col("byte_length").alias("inner_length"),
+        F.col("inner_offset"),
+        F.col("inner_length"),
         F.col("uncompressed_length"),
         F.concat_ws(",", F.col("chunks")),
     ).alias("value"))

@@ -96,12 +96,23 @@ SUMMARY_SCHEMA = StructType([
 
 # One row per planned split — the split manifest of the reference's
 # Job-2 output (GenerateSSTableDataSplits.scala:213) exposed as a
-# queryable DataFrame instead of a TSV.
+# queryable DataFrame instead of a TSV.  Like the reference,
+# byte_start/byte_length are FILE-space (compressed bytes for a
+# compressed table: rawSplitPosition/length), inner_offset/inner_length
+# locate the split's rows inside the uncompressed view of its chunk
+# range (the reference's firstKeyOffset / lastKeyOffset-firstKeyOffset),
+# uncompressed_length is the chunk range's uncompressed size, and
+# chunks lists the compressed chunk positions the split spans.  Splits
+# are planned at ROW boundaries (not chunk boundaries), so adjacent
+# compressed splits may share their boundary chunk — byte ranges can
+# overlap by at most one chunk; uncompressed files tile exactly.
 MANIFEST_SCHEMA = StructType([
     StructField("filename", StringType(), False),
     StructField("split_index", LongType(), False),
     StructField("byte_start", LongType(), False),
     StructField("byte_length", LongType(), False),
+    StructField("inner_offset", LongType(), False),
+    StructField("inner_length", LongType(), False),
     StructField("uncompressed_length", LongType(), False),
     StructField("chunks", ArrayType(LongType()), True),
     StructField("generation", IntegerType(), False),
@@ -351,13 +362,32 @@ class SSTableReader(DataSourceReader):
             for f in _list_files(partition.path, "-Data.db"):
                 gen = codec.generation_of(f)
                 ci_path = f.replace("-Data.db", "-CompressionInfo.db")
-                chunks = None
-                if os.path.exists(ci_path):
-                    chunks = codec.read_compression_info(ci_path).chunk_offsets
+                ci = (codec.read_compression_info(ci_path)
+                      if os.path.exists(ci_path) else None)
+                csize = os.path.getsize(f)
+                base = os.path.basename(f).replace("-Data.db", "")
                 for i, p in enumerate(_plan_file(f, self.max_split)):
-                    yield (os.path.basename(f).replace("-Data.db", ""),
-                           i, p.start, p.end - p.start, p.end - p.start,
-                           chunks, gen)
+                    if ci is None or not ci.chunk_offsets:
+                        # uncompressed: file space == uncompressed space
+                        yield (base, i, p.start, p.end - p.start,
+                               0, p.end - p.start, p.end - p.start,
+                               None, gen)
+                        continue
+                    # compressed: map the uncompressed row range onto
+                    # its chunk range, report compressed-file positions
+                    # (reference DataSplitReducer,
+                    # GenerateSSTableDataSplits.scala:187-213)
+                    lth = ci.chunk_length
+                    first = p.start // lth
+                    last = max(first, -(-p.end // lth) - 1)
+                    cstart = ci.chunk_offsets[first]
+                    cend = (ci.chunk_offsets[last + 1]
+                            if last + 1 < len(ci.chunk_offsets) else csize)
+                    uncomp = (min(ci.uncompressed_length, (last + 1) * lth)
+                              - first * lth)
+                    yield (base, i, cstart, cend - cstart,
+                           p.start - first * lth, p.end - p.start,
+                           uncomp, ci.chunk_offsets[first:last + 1], gen)
 
 
 class SSTableStreamReader(DataSourceStreamReader):

@@ -74,10 +74,42 @@ def test_manifest_scan(spark, sstable_dir):
     by_file = {}
     for r in sorted(rows, key=lambda r: (r["filename"], r["split_index"])):
         by_file.setdefault(r["filename"], []).append(r)
-    for parts in by_file.values():
-        # consecutive splits tile the file (G2 invariant)
+    for fname, parts in by_file.items():
+        compressed = parts[0]["chunks"] is not None
         for a, b in zip(parts, parts[1:]):
-            assert a["byte_start"] + a["byte_length"] == b["byte_start"]
+            if compressed:
+                # compressed-space ranges: monotone and gap-free, but a
+                # row-boundary split may share its edge chunk with the
+                # next split → overlap of at most one chunk
+                assert b["byte_start"] <= a["byte_start"] + a["byte_length"]
+                assert b["byte_start"] >= a["byte_start"]
+                assert b["chunks"][0] >= a["chunks"][0]
+            else:
+                # uncompressed files tile exactly (G2 invariant)
+                assert a["byte_start"] + a["byte_length"] == b["byte_start"]
+        if compressed:
+            import os
+
+            from sstable_hadoop_spark.sources.codec import (
+                read_compression_info,
+            )
+
+            root = parts[0]["filename"]
+            ci = read_compression_info(
+                os.path.join(sstable_dir, root + "-CompressionInfo.db"))
+            # inner ranges cover the whole uncompressed stream exactly
+            assert sum(p["inner_length"] for p in parts) \
+                == ci.uncompressed_length
+            # byte ranges land inside the compressed file
+            fsize = os.path.getsize(
+                os.path.join(sstable_dir, root + "-Data.db"))
+            for p in parts:
+                assert 0 <= p["byte_start"] <= fsize
+                assert p["byte_start"] + p["byte_length"] <= fsize
+                assert 0 <= p["inner_offset"] < max(
+                    p["uncompressed_length"], 1)
+                # chunks are the compressed positions the split spans
+                assert p["chunks"][0] == p["byte_start"]
 
 
 def test_split_scan_matches_whole_scan(spark, sstable_dir):
