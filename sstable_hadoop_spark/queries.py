@@ -1148,27 +1148,37 @@ def sstable_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _materialize_cassandra(spark: SparkSession, sf_dir: str) -> str:
     """Write the derived cells as REAL Cassandra 1.x-layout files
-    (uncompressed, with 1.x Index.db companions for split planning);
-    idempotent per sf_dir like ``_materialize_sstables``."""
+    (gens 1-2 plain, gens 3-4 snappy-chunked with real-layout
+    CompressionInfo.db; Index.db offsets are uncompressed-space, as in
+    1.x); idempotent per sf_dir like ``_materialize_sstables``."""
     import hashlib
     import os
     import struct as _struct
 
-    from sstable_hadoop_spark.sources.cassandra1x import encode_cassandra_row
+    from sstable_hadoop_spark.sources.cassandra1x import (
+        encode_cassandra_row,
+        write_cassandra_compressed,
+    )
 
     def build(out: str) -> None:
         by_gen = _cells_by_generation(spark, sf_dir)
         for g, keyed in sorted(by_gen.items()):
             data_path = os.path.join(out, f"Keyspace1-events-hc-{g}-Data.db")
             index_path = data_path.replace("-Data.db", "-Index.db")
-            with open(data_path, "wb") as df_, open(index_path, "wb") as ix:
+            raw = bytearray()
+            with open(index_path, "wb") as ix:
                 for key in sorted(keyed):
                     ix.write(_struct.pack(">H", len(key)) + key
-                             + _struct.pack(">Q", df_.tell()))
-                    df_.write(encode_cassandra_row(_sorted_row(key,
-                                                               keyed[key])))
+                             + _struct.pack(">Q", len(raw)))
+                    raw += encode_cassandra_row(_sorted_row(key, keyed[key]))
+            if g >= 3:
+                write_cassandra_compressed(data_path, bytes(raw),
+                                           chunk_length=16 * 1024)
+            else:
+                with open(data_path, "wb") as df_:
+                    df_.write(raw)
 
-    tag = "cassandra1x_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = "cassandra1x2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return _idempotent_tmpdir(tag, build)
 
 
@@ -1181,7 +1191,8 @@ FROM cells
 def cassandra_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Cassandra 1.x layout end-to-end: derived cells serialized
     in the public pre-1.2 row format (row bloom + column index +
-    deletion info + flagged columns), scanned back through
+    deletion info + flagged columns; gens 3-4 snappy-chunked behind a
+    real-layout CompressionInfo.db), scanned back through
     ``format=cassandra`` with Index.db-driven splits — every cell must
     survive bit-for-bit under the driver's oracle (closes the r1
     reference-fidelity gap; sources/cassandra1x.py)."""

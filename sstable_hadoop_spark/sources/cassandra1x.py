@@ -44,15 +44,24 @@ reader yields):
 - Row-level tombstones (``marked_for_delete_at``) are parsed but not
   surfaced — the reference's loader exposes key → columns only.
 
-Compressed 1.x tables (CompressionInfo.db present) are rejected with a
-clear error: the 1.x chunk checksum/compression envelope is not
-replicated here (best-effort scope, SURVEY.md §7 risk 1).
+Compressed 1.x tables are supported for the Snappy default: the real
+``CompressionInfo.db`` (java DataOutput: ``writeUTF`` compressor class,
+option pairs, chunk length, uncompressed data length, chunk count +
+compressed chunk offsets — Apache Cassandra 1.x
+``CompressionMetadata.Writer``) is parsed into the engine's
+``CompressionInfo`` model, and Data.db chunks ([snappy block][4-byte
+Adler32 of the compressed bytes], ``CompressedSequentialWriter``) are
+streamed through the codec's chunked reader one chunk at a time — NOT
+the reference's whole-split-in-memory decompress
+(SplitSSTableDataRecordReader.scala:58-72).  Non-snappy compressors
+raise a clear error.
 """
 
 from __future__ import annotations
 
 import os
 import struct
+import zlib
 from typing import Iterator
 
 from .codec import (
@@ -60,7 +69,10 @@ from .codec import (
     STATE_EXPIRING,
     STATE_NORMAL,
     Cell,
+    ChunkedDecompressingReader,
+    CompressionInfo,
     Row,
+    _compress,
 )
 
 DELETION_MASK = 0x01
@@ -83,21 +95,60 @@ def _read_exact(f, n: int) -> bytes:
     return buf
 
 
+def _read_java_utf(f) -> str:
+    """java DataOutput.writeUTF: u16 length + modified-UTF-8 bytes
+    (identical to UTF-8 for the ASCII class names written here)."""
+    (n,) = struct.unpack(">H", _read_exact(f, 2))
+    return _read_exact(f, n).decode("utf-8")
+
+
+def read_cassandra_compression_info(path: str) -> CompressionInfo:
+    """Parse a REAL Cassandra 1.x CompressionInfo.db
+    (``CompressionMetadata.Writer`` layout: compressor class UTF,
+    option-pair count + UTF pairs, i32 chunkLength, i64 dataLength,
+    i32 chunkCount, chunkCount × i64 compressed chunk offsets)."""
+    with open(path, "rb") as f:
+        compressor = _read_java_utf(f)
+        (n_opts,) = struct.unpack(">i", _read_exact(f, 4))
+        for _ in range(n_opts):
+            _read_java_utf(f), _read_java_utf(f)
+        chunk_length, data_length, n_chunks = struct.unpack(
+            ">iqi", _read_exact(f, 16))
+        offsets = list(struct.unpack(f">{n_chunks}q",
+                                     _read_exact(f, 8 * n_chunks)))
+    short = compressor.rsplit(".", 1)[-1]
+    if short != "SnappyCompressor":
+        raise NotImplementedError(
+            f"Cassandra 1.x compressor {compressor!r} is not supported "
+            f"(snappy only)")
+    return CompressionInfo("snappy", chunk_length, data_length, offsets)
+
+
+def _open_reader(data_path: str):
+    """(reader with seek/tell/read over the UNCOMPRESSED stream,
+    uncompressed length, file handle to close)."""
+    f = open(data_path, "rb")
+    ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
+    if os.path.exists(ci_path):
+        info = read_cassandra_compression_info(ci_path)
+        return (ChunkedDecompressingReader(f, info, checksum="adler32"),
+                info.uncompressed_length, f)
+    f.seek(0, os.SEEK_END)
+    size = f.tell()
+    f.seek(0)
+    return f, size, f
+
+
 def read_cassandra_rows(data_path: str, start: int = 0,
                         end: int | None = None) -> Iterator[Row]:
-    """Iterate rows of a real Cassandra 1.x Data.db within byte range
-    [start, end); ``start`` must be a row boundary (0 or an Index.db
-    offset).  Uncompressed tables only."""
-    ci = data_path.replace("-Data.db", "-CompressionInfo.db")
-    if os.path.exists(ci):
-        raise NotImplementedError(
-            "compressed Cassandra 1.x tables are not supported "
-            "(CompressionInfo.db present); decompress offline or use "
-            "the native sstable format")
-    with open(data_path, "rb") as f:
+    """Iterate rows of a real Cassandra 1.x Data.db within
+    uncompressed-space byte range [start, end); ``start`` must be a row
+    boundary (0 or an Index.db offset).  Transparently decompresses
+    snappy chunked tables (CompressionInfo.db present)."""
+    f, total, fh = _open_reader(data_path)
+    try:
         if end is None:
-            f.seek(0, os.SEEK_END)
-            end = f.tell()
+            end = total
         f.seek(start)
         while f.tell() < end:
             header = f.read(2)
@@ -109,9 +160,9 @@ def read_cassandra_rows(data_path: str, start: int = 0,
             key = _read_exact(f, key_len)
             (_data_size,) = struct.unpack(">Q", _read_exact(f, 8))
             (bloom_size,) = struct.unpack(">i", _read_exact(f, 4))
-            f.seek(bloom_size, os.SEEK_CUR)  # row bloom filter
+            f.seek(f.tell() + bloom_size)  # row bloom filter
             (index_size,) = struct.unpack(">i", _read_exact(f, 4))
-            f.seek(index_size, os.SEEK_CUR)  # column index
+            f.seek(f.tell() + index_size)  # column index
             _local_deletion, _marked_for_delete = struct.unpack(
                 ">iq", _read_exact(f, 12))
             (n_cols,) = struct.unpack(">i", _read_exact(f, 4))
@@ -144,6 +195,29 @@ def read_cassandra_rows(data_path: str, start: int = 0,
                     cells.append(Cell(name=name, state=STATE_NORMAL,
                                       data=value, timestamp=timestamp))
             yield Row(key=key, cells=cells)
+    finally:
+        fh.close()
+
+
+def write_cassandra_compressed(data_path: str, raw: bytes,
+                               chunk_length: int = 64 * 1024) -> None:
+    """Fixture/test support: write ``raw`` (a concatenation of
+    ``encode_cassandra_row`` outputs) as a snappy-chunked 1.x Data.db +
+    its real-layout CompressionInfo.db companion."""
+    ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
+    offsets = []
+    with open(data_path, "wb") as f:
+        for start in range(0, max(len(raw), 1), chunk_length):
+            offsets.append(f.tell())
+            comp = _compress(raw[start:start + chunk_length], "snappy")
+            f.write(comp)
+            f.write(struct.pack(">I", zlib.adler32(comp) & 0xFFFFFFFF))
+    with open(ci_path, "wb") as f:
+        name = b"org.apache.cassandra.io.compress.SnappyCompressor"
+        f.write(struct.pack(">H", len(name)) + name)
+        f.write(struct.pack(">i", 0))  # no options
+        f.write(struct.pack(">iqi", chunk_length, len(raw), len(offsets)))
+        f.write(struct.pack(f">{len(offsets)}q", *offsets))
 
 
 def encode_cassandra_row(row: Row, *, local_deletion_time: int = 0x7FFFFFFF,

@@ -267,13 +267,19 @@ class ChunkedDecompressingReader:
     """
 
     def __init__(self, f: BinaryIO, info: CompressionInfo,
-                 file_size: int | None = None) -> None:
+                 file_size: int | None = None,
+                 checksum: str = "crc32") -> None:
         self._f = f
         self._info = info
         if file_size is None:
             f.seek(0, os.SEEK_END)
             file_size = f.tell()
         self._file_size = file_size
+        # native chunks carry a CRC32 trailer; real Cassandra 1.x chunks
+        # carry Adler32 (CompressedSequentialWriter)
+        if checksum not in ("crc32", "adler32"):
+            raise ValueError(f"unknown chunk checksum: {checksum}")
+        self._cksum = zlib.crc32 if checksum == "crc32" else zlib.adler32
         self._chunk_idx = -1
         self._chunk = b""
         self._chunk_pos = 0  # uncompressed offset of start of current chunk
@@ -292,8 +298,8 @@ class ChunkedDecompressingReader:
         self._f.seek(start)
         blob = self._f.read(end - start)
         comp, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
-        if zlib.crc32(comp) & 0xFFFFFFFF != crc:
-            raise IOError(f"chunk {idx}: crc mismatch")
+        if self._cksum(comp) & 0xFFFFFFFF != crc:
+            raise IOError(f"chunk {idx}: checksum mismatch")
         remaining = self._info.uncompressed_length - idx * self._info.chunk_length
         size = min(self._info.chunk_length, remaining)
         self._chunk = _decompress(comp, self._info.algo, size)

@@ -145,7 +145,8 @@ def _list_files(path: str, suffix: str) -> list[str]:
     return hits
 
 
-def _plan_file(data_path: str, max_split: int) -> list[RangePartition]:
+def _plan_file(data_path: str, max_split: int,
+               ci_reader=None) -> list[RangePartition]:
     """Split one Data.db at row boundaries taken from Index.db.
 
     Performs, in one metadata pass, what the reference's G1/G2 jobs do
@@ -161,7 +162,10 @@ def _plan_file(data_path: str, max_split: int) -> list[RangePartition]:
     index_path = data_path.replace("-Data.db", "-Index.db")
     ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
     if os.path.exists(ci_path):
-        total = codec.read_compression_info(ci_path).uncompressed_length
+        # ci_reader parses the companion's format (native by default;
+        # cassandra1x for format=cassandra files)
+        total = (ci_reader or codec.read_compression_info)(
+            ci_path).uncompressed_length
     else:
         total = os.path.getsize(data_path)
 
@@ -280,6 +284,11 @@ class SSTableReader(DataSourceReader):
 
     def partitions(self):
         if self.kind == "data":
+            ci_reader = None
+            if self.fmt == "cassandra":
+                from .cassandra1x import read_cassandra_compression_info
+
+                ci_reader = read_cassandra_compression_info
             parts = []
             for f in _list_files(self.path, "-Data.db"):
                 # -Filter.db bloom pruning is native-format only (the
@@ -287,13 +296,9 @@ class SSTableReader(DataSourceReader):
                 # — misparsing it must never prune)
                 if self.fmt == "native" and self._bloom_rejects(f):
                     continue
-                if self.fmt == "cassandra" and os.path.exists(
-                        f.replace("-Data.db", "-CompressionInfo.db")):
-                    raise NotImplementedError(
-                        f"compressed Cassandra 1.x table {f} is not "
-                        f"supported (see sources/cassandra1x.py)")
-                parts.extend(q for q in _plan_file(f, self.max_split)
-                             if self._overlaps(q))
+                parts.extend(
+                    q for q in _plan_file(f, self.max_split, ci_reader)
+                    if self._overlaps(q))
             return parts or [RangePartition("", 0, 0, 0)]
         if self.kind == "index":
             return [RangePartition(f, 0, os.path.getsize(f),
@@ -359,14 +364,20 @@ class SSTableReader(DataSourceReader):
             for key, off in codec.read_summary_entries(partition.path):
                 yield key, off, partition.generation
         elif self.kind == "manifest":
+            if self.fmt == "cassandra":
+                from .cassandra1x import read_cassandra_compression_info \
+                    as _read_ci
+            else:
+                _read_ci = codec.read_compression_info
             for f in _list_files(partition.path, "-Data.db"):
                 gen = codec.generation_of(f)
                 ci_path = f.replace("-Data.db", "-CompressionInfo.db")
-                ci = (codec.read_compression_info(ci_path)
+                ci = (_read_ci(ci_path)
                       if os.path.exists(ci_path) else None)
                 csize = os.path.getsize(f)
                 base = os.path.basename(f).replace("-Data.db", "")
-                for i, p in enumerate(_plan_file(f, self.max_split)):
+                for i, p in enumerate(_plan_file(f, self.max_split,
+                                                 _read_ci)):
                     if ci is None or not ci.chunk_offsets:
                         # uncompressed: file space == uncompressed space
                         yield (base, i, p.start, p.end - p.start,

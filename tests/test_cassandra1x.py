@@ -13,7 +13,9 @@ import pytest
 from sstable_hadoop_spark.sources.cassandra1x import (
     UnsupportedColumnError,
     encode_cassandra_row,
+    read_cassandra_compression_info,
     read_cassandra_rows,
+    write_cassandra_compressed,
 )
 from sstable_hadoop_spark.sources.codec import Cell, Row
 
@@ -92,6 +94,68 @@ def test_counter_columns_rejected(tmp_path):
         list(read_cassandra_rows(data))
 
 
+def _many_rows(n: int, gen: int = 1) -> list[Row]:
+    return [Row(f"k{i:04d}".encode(),
+                [Cell(b"c0", "NORMAL", f"g{gen}v{i}".encode() * 7,
+                      gen * 1000 + i),
+                 Cell(b"c1", "DELETED", timestamp=gen * 1000 + i)])
+            for i in range(n)]
+
+
+def test_compressed_roundtrip_with_split_reads(tmp_path):
+    """Snappy-chunked 1.x table: full scan and uncompressed-space range
+    reads both reproduce every row; CompressionInfo.db parses as the
+    real CompressionMetadata layout."""
+    rows = _many_rows(300)
+    raw = bytearray()
+    offsets = []
+    for r in rows:
+        offsets.append(len(raw))
+        raw += encode_cassandra_row(r)
+    data = str(tmp_path / "ks-cf-hc-1-Data.db")
+    write_cassandra_compressed(data, bytes(raw), chunk_length=1024)
+
+    info = read_cassandra_compression_info(
+        data.replace("-Data.db", "-CompressionInfo.db"))
+    assert info.algo == "snappy" and info.chunk_length == 1024
+    assert info.uncompressed_length == len(raw)
+    assert len(info.chunk_offsets) == (len(raw) + 1023) // 1024
+
+    got = list(read_cassandra_rows(data))
+    assert [(r.key, len(r.cells)) for r in got] \
+        == [(r.key, len(r.cells)) for r in rows]
+    assert got[37].cells[0].data == rows[37].cells[0].data
+    # range read from a row boundary in uncompressed space
+    mid = 150
+    tail = list(read_cassandra_rows(data, offsets[mid], len(raw)))
+    assert [r.key for r in tail] == [r.key for r in rows[mid:]]
+
+
+def test_compressed_checksum_corruption_detected(tmp_path):
+    raw = b"".join(encode_cassandra_row(r) for r in _many_rows(50))
+    data = str(tmp_path / "ks-cf-hc-1-Data.db")
+    write_cassandra_compressed(data, raw, chunk_length=512)
+    blob = bytearray(open(data, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF  # flip one compressed byte
+    with open(data, "wb") as f:
+        f.write(blob)
+    with pytest.raises(Exception, match="checksum|corrupt"):
+        list(read_cassandra_rows(data))
+
+
+def test_non_snappy_compressor_rejected(tmp_path):
+    import struct as s
+
+    ci = str(tmp_path / "ks-cf-hc-1-CompressionInfo.db")
+    name = b"org.apache.cassandra.io.compress.DeflateCompressor"
+    with open(ci, "wb") as f:
+        f.write(s.pack(">H", len(name)) + name)
+        f.write(s.pack(">i", 0))
+        f.write(s.pack(">iqi", 1024, 0, 0))
+    with pytest.raises(NotImplementedError, match="Deflate"):
+        read_cassandra_compression_info(ci)
+
+
 def test_spark_reads_cassandra_format_with_index_splits(spark, tmp_path):
     """End-to-end: format=cassandra through the DataSource, with a 1.x
     Index.db driving split planning (same u16-key/u64-offset layout as
@@ -100,18 +164,26 @@ def test_spark_reads_cassandra_format_with_index_splits(spark, tmp_path):
 
     d = str(tmp_path / "cass")
     os.makedirs(d)
+    # gen 1 plain, gen 2 snappy-chunked (Index.db stays uncompressed-space)
     for gen, n in ((1, 40), (2, 25)):
         data_path = os.path.join(d, f"Keyspace1-Standard1-hc-{gen}-Data.db")
         index_path = data_path.replace("-Data.db", "-Index.db")
-        with open(data_path, "wb") as df_, open(index_path, "wb") as ix:
+        raw = bytearray()
+        with open(index_path, "wb") as ix:
             for i in range(n):
                 key = f"k{i:04d}".encode()
                 cells = [Cell(b"c0", "NORMAL", f"g{gen}v{i}".encode(),
                               gen * 1000 + i),
                          Cell(b"c1", "DELETED", timestamp=gen * 1000 + i)]
                 ix.write(struct.pack(">H", len(key)) + key
-                         + struct.pack(">Q", df_.tell()))
-                df_.write(encode_cassandra_row(Row(key, cells)))
+                         + struct.pack(">Q", len(raw)))
+                raw += encode_cassandra_row(Row(key, cells))
+        if gen == 2:
+            write_cassandra_compressed(data_path, bytes(raw),
+                                       chunk_length=512)
+        else:
+            with open(data_path, "wb") as df_:
+                df_.write(raw)
 
     reader = (spark.read.format("sstable").option("format", "cassandra")
               .option("max_split_bytes", "1024"))
