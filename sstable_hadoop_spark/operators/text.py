@@ -37,13 +37,18 @@ def _tokens(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document token/char statistics + a quality score in [0,1].
 
     quality = 0.4·length_ok + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio
     (length_ok: 100 ≤ chars ≤ 5000) — the standard cheap-filter shape
     for pretraining corpora (length / punctuation / stopword-density
-    heuristics)."""
+    heuristics).
+
+    ``keep`` passes extra input columns through, so downstream stages
+    (language ID, rollups) chain as projections over ONE scan instead
+    of re-joining on the id."""
     from ._util import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -68,28 +73,32 @@ def text_stats(df: DataFrame, text_col: str = "text",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
+        *[F.col(c) for c in keep],
     )
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            keep: tuple[str, ...] = ()) -> DataFrame:
     """Keyword-profile language ID: count marker-word hits per language,
     predict the argmax (ties broken by language code ascending, so the
-    result is total-ordered and oracle-reproducible)."""
+    result is total-ordered and oracle-reproducible).  ``keep`` passes
+    extra input columns through (see ``text_stats``)."""
     toks = _tokens(F.col(text_col))
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(*marks))).alias(f"score_{lang}")
         for lang, marks in sorted(LANG_MARKERS.items())
     ]
     scored = df.select(F.col(id_col), F.col("lang").alias("lang_label"),
-                       *scores)
+                       *scores, *[F.col(c) for c in keep])
     best = F.greatest(*[F.col(f"score_{lang}")
                         for lang in sorted(LANG_MARKERS)])
     pred = F.coalesce(
         *[F.when(F.col(f"score_{lang}") == best, F.lit(lang))
           for lang in sorted(LANG_MARKERS)])
     return scored.select(id_col, "lang_label", best.alias("best_score"),
-                         pred.alias("pred_lang"))
+                         pred.alias("pred_lang"),
+                         *[F.col(c) for c in keep])
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text",

@@ -928,6 +928,100 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp(docs, n=_SHINGLE_N)
 
 
+# Rounded per-doc quality, identical to operators.text.text_stats —
+# shared by the standalone stats query and the curation pipeline.
+_QUALITY_SQL = r"""
+round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 5000
+             THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                     / greatest(length(text), 1))
+      + 0.3 * (len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                   t -> t IN ('the','a','of','and','to','in','is','it')))
+               * 1.0
+               / greatest(len(regexp_split_to_array(lower(text), '\s+')),
+                          1)), 6)
+"""
+
+_CURATION_QUALITY_MIN = 0.5
+
+
+@query("corpus_curation_pipeline", oracle=rf"""
+WITH uniq AS (
+    SELECT * FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+stats AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           {_QUALITY_SQL} AS quality
+    FROM uniq
+),
+scored AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('der','die','und','ist'))) AS score_de,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('the','and','of','is'))) AS score_en,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('el','la','y','es'))) AS score_es,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('le','la','et','est'))) AS score_fr,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('的','是','了','在'))) AS score_zh
+    FROM uniq
+),
+langs AS (
+    SELECT doc_id,
+           CASE WHEN score_de = greatest(score_de, score_en, score_es,
+                                         score_fr, score_zh) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es,
+                                         score_fr, score_zh) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es,
+                                         score_fr, score_zh) THEN 'es'
+                WHEN score_fr = greatest(score_de, score_en, score_es,
+                                         score_fr, score_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+)
+SELECT pred_lang,
+       count(*) AS docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM stats JOIN langs USING (doc_id)
+WHERE quality >= {_CURATION_QUALITY_MIN}
+GROUP BY pred_lang
+""")
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E4 composed as ONE curation job — the shape of a real
+    pretraining-corpus pass: exact-dedup (keep lowest doc_id per
+    md5(text)), drop low-quality documents, language-ID the survivors,
+    roll up kept-doc/token/quality totals per predicted language.
+
+    Plan: dedup is one hash shuffle; stats and lang-ID chain as codegen
+    projections over the survivors via column pass-through (``keep=``)
+    — NO re-join on doc_id anywhere; the rollup is a tiny 5-group
+    aggregation.  At 100 TB this is dedup-shuffle + one scan, which is
+    the minimum any curation pass needs."""
+    from sstable_hadoop_spark.operators.dedup import exact_dedup
+    from sstable_hadoop_spark.operators.text import lang_id, text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    kept = exact_dedup(docs)
+    stats = text_stats(kept, keep=("text", "lang")).filter(
+        F.col("quality") >= _CURATION_QUALITY_MIN)
+    scored = lang_id(stats, keep=("n_tokens", "n_bpe_tokens", "quality"))
+    return (scored
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("docs_kept"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.sum("n_bpe_tokens").cast("long")
+                  .alias("total_bpe_tokens"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality")))
+
+
 @query("token_stats_by_lang", oracle=r"""
 SELECT lang, source,
        count(*) AS n_docs,
