@@ -1383,6 +1383,29 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "generation", F.col("generation"))
 
 
+def _stage_cell_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the derived cells as one parquet file per generation with
+    strictly increasing mtimes, so a file stream (oldest-first default)
+    replays generations in order — arrival order then equals generation
+    order, which the flush round-trip's tie-break relies on."""
+    import hashlib
+    import os
+
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        for g in (1, 2, 3, 4):
+            before = set(os.listdir(out))
+            (cells.filter(F.col("generation") == g).coalesce(1)
+                  .write.mode("append").parquet(out))
+            for f in os.listdir(out):
+                if f.endswith(".parquet") and f not in before:
+                    os.utime(os.path.join(out, f), (g * 1000, g * 1000))
+
+    tag = "cells_stream2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
 @query("streaming_lww_flush", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
@@ -1400,20 +1423,12 @@ def streaming_lww_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max-order emission per (key, name) — reduced with the batch
     ``lww_cell`` operator over the memory-sink emissions — must equal
     the batch winners exactly."""
-    import hashlib
     import uuid
 
     from sstable_hadoop_spark.streaming import streaming_lww_cells
 
+    src = _stage_cell_stream(spark, sf_dir)
     cells = derived_cells(spark, sf_dir)
-
-    def build(out: str) -> None:
-        for g in (1, 2, 3, 4):
-            (cells.filter(F.col("generation") == g).coalesce(1)
-                  .write.mode("append").parquet(out))
-
-    tag = "cells_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _idempotent_tmpdir(tag, build)
 
     # AQE cannot coalesce streaming stages — pin the state-store shuffle
     # width explicitly so a bare (driver) session doesn't run 200
@@ -1430,6 +1445,54 @@ def streaming_lww_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return _render_winners(lww_cell(spark.table(sink)))
+
+
+@query("streaming_flush_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def streaming_flush_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memtable/flush write path under the oracle
+    (streaming/compaction.py): cells arrive one generation per
+    micro-batch, each batch is locally LWW-merged and flushed as a NEW
+    SSTable generation through the distributed sink; batch ``lww_cell``
+    over a re-scan of the flushed directory must equal the flat batch
+    winners.  Staged mtimes make arrival order == generation order
+    (batch g-1 flushes generation g), so winners keep their original
+    generation and the LWW tie-break agrees with the SQL twin."""
+    import hashlib
+
+    from sstable_hadoop_spark.sources.datasource import register
+    from sstable_hadoop_spark.streaming.compaction import (
+        flush_stream_to_sstables,
+    )
+
+    register(spark)
+    src = _stage_cell_stream(spark, sf_dir)
+    cells = derived_cells(spark, sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        import os
+
+        stream = (spark.readStream.schema(cells.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = flush_stream_to_sstables(
+            stream, out, os.path.join(out, "_checkpoint"),
+            compressed=True)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    tag = "sstable_flush_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = _idempotent_tmpdir(tag, build)
+    flushed = spark.read.format("sstable").load(out)
+    return _render_winners(lww_cell(explode_cells(flushed)))
 
 
 @query("lww_skewed_auto", oracle=f"""
