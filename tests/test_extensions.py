@@ -377,6 +377,17 @@ def test_sql_interface_views(spark, sstable_dir):
     assert joined
 
 
+def test_curation_pipeline_plan_is_join_free(spark):
+    """The curation pipeline chains stats and lang-ID as projections
+    via column pass-through — a regression here (someone re-joining on
+    doc_id) doubles the shuffle count at 100 TB."""
+    from sstable_hadoop_spark.queries import corpus_curation_pipeline
+
+    df = corpus_curation_pipeline(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_size_tiered_bucketing(tmp_path):
     """STCS semantics on a synthetic size distribution: similar-size
     files bucket together, buckets below min_threshold are not due,

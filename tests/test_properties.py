@@ -62,6 +62,60 @@ def test_codec_roundtrip_arbitrary(tmp_path_factory, row_list, compressed,
         assert next(read_data_rows(paths["data"], start=pos)).key == key
 
 
+# --- real Cassandra 1.x codec --------------------------------------------
+
+
+@st.composite
+def cassandra_cells(draw):
+    """1.x layout constraints: ttl/localExpiration are i32 seconds, so
+    expiration(ms) is a second-multiple below 2^31 s."""
+    state = draw(_state)
+    return Cell(
+        name=draw(st.binary(min_size=1, max_size=32)),
+        state=state,
+        data=None if state == "DELETED" else draw(_bytes),
+        timestamp=draw(_ts),
+        ttl=draw(st.integers(0, 2**31 - 1)) if state == "EXPIRING" else None,
+        expiration=(draw(st.integers(0, 2**31 - 1)) * 1000
+                    if state == "EXPIRING" else None),
+    )
+
+
+@st.composite
+def cassandra_rows(draw):
+    return Row(key=draw(st.binary(min_size=1, max_size=48)),
+               cells=draw(st.lists(cassandra_cells(), min_size=0,
+                                   max_size=6)))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(cassandra_rows(), min_size=1, max_size=10),
+       st.booleans(), st.sampled_from([256, 4096]))
+def test_cassandra1x_roundtrip_arbitrary(tmp_path_factory, row_list,
+                                         compressed, chunk_length):
+    """encode → (optionally snappy-chunk) → read reproduces every cell;
+    DELETED winners come back data-less with their timestamp."""
+    from sstable_hadoop_spark.sources.cassandra1x import (
+        encode_cassandra_row,
+        read_cassandra_rows,
+        write_cassandra_compressed,
+    )
+
+    d = tmp_path_factory.mktemp("cass_hyp")
+    data = str(d / "ks-cf-hc-1-Data.db")
+    raw = b"".join(encode_cassandra_row(r) for r in row_list)
+    if compressed:
+        write_cassandra_compressed(data, raw, chunk_length=chunk_length)
+    else:
+        with open(data, "wb") as f:
+            f.write(raw)
+    back = list(read_cassandra_rows(data))
+    assert len(back) == len(row_list)
+    for a, b in zip(row_list, back):
+        assert a.key == b.key
+        assert a.cells == b.cells
+
+
 # --- LWW model ------------------------------------------------------------
 
 _RANK = {"DELETED": 2, "EXPIRING": 1, "NORMAL": 0}
