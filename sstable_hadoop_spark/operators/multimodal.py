@@ -4,12 +4,17 @@ processed by Arrow-batched ``mapInPandas`` pipelines.
 
 The SSTable cell model is already bytes-first (BinaryType data,
 WritableColumn.java:17-18), so binary payload columns are native to the
-engine.  Actual media decoding (PIL/ffmpeg/librosa) is NOT available in
-this container — the decode kernels are STUBBED: ``fake=True`` (default)
-runs a deterministic arithmetic fake so the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is fully real and
-testable; ``fake=False`` raises NotImplementedError where the real
-library call belongs.
+engine.  Decode kernels come in two tiers:
+
+- ``fake=True`` (default): deterministic arithmetic stand-in, so the
+  Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+  is exercised without any media dependency.
+- ``fake=False``: REAL decoding for the formats parseable with the
+  standard library alone — 24-bit uncompressed BMP images and PCM-16
+  WAV audio (both public formats; codecs below, pure struct+numpy).
+  Compressed formats (JPEG/PNG/MP3/video containers) raise
+  NotImplementedError naming the library they need (PIL/ffmpeg —
+  not in this container).
 
 Scale notes: payloads never pass through the driver; mapInPandas
 processes Arrow batches per partition, and feature outputs are small
@@ -20,8 +25,10 @@ not media bytes.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,6 +64,113 @@ FEATURES_SCHEMA = StructType([
 ])
 
 
+# --- stdlib-only media codecs (real formats, no PIL/ffmpeg) ---------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding) — the classic public layout."""
+    h, w, _ = rgb.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += rgb[y, :, ::-1].tobytes()  # BGR on disk
+        body += b"\0" * pad
+    off = 14 + 40
+    return (struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+            + bytes(body))
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP is supported "
+            f"(got bpp={bpp}, compression={comp})")
+    pad = (-(w * 3)) % 4
+    rows = []
+    pos = off
+    for _ in range(abs(h)):
+        rows.append(np.frombuffer(payload, np.uint8, w * 3, pos)
+                    .reshape(w, 3)[:, ::-1])  # BGR → RGB
+        pos += w * 3 + pad
+    if h > 0:
+        rows.reverse()  # bottom-up on disk
+    return np.stack(rows)
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → RIFF/WAVE with one PCM ``data`` chunk."""
+    data = pcm.astype("<i2").tobytes()
+    return (struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+            + struct.pack("<4sI", b"data", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM-16 → (sample_rate, int16 samples); walks chunks,
+    so extra chunks (LIST, fact) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, _ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 WAV is supported (fmt={fmt}, "
+                    f"bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(body, "<i2")
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, data
+
+
+def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real decode → fixed-size features for the stdlib formats.
+
+    image (BMP): [1, w/4096, h/4096, meanR, meanG, meanB,
+                  10-bin luminance histogram]         (normalized, 16)
+    audio (WAV): [2, rate/48000, dur_s/60, rms,
+                  12-bin |amplitude| histogram]       (normalized, 16)
+    """
+    if payload[:2] == b"BM":
+        img = decode_bmp(payload)
+        h, w, _ = img.shape
+        lum = img.astype(np.float32).mean(axis=2) / 255.0
+        hist, _ = np.histogram(lum, bins=10, range=(0.0, 1.0))
+        out = [1.0, w / 4096.0, h / 4096.0,
+               *(img.reshape(-1, 3).mean(axis=0) / 255.0),
+               *(hist / max(lum.size, 1))]
+    elif payload[:4] == b"RIFF":
+        rate, pcm = decode_wav(payload)
+        x = pcm.astype(np.float32) / 32768.0
+        hist, _ = np.histogram(np.abs(x), bins=12, range=(0.0, 1.0))
+        out = [2.0, rate / 48000.0, (len(x) / rate) / 60.0,
+               float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+               *(hist / max(len(x), 1))]
+    else:
+        raise NotImplementedError(
+            "real decode supports BMP/WAV only; JPEG/PNG need PIL and "
+            "video containers need ffmpeg — not in this container")
+    out = [float(v) for v in out]
+    return (out + [0.0] * dim)[:dim]
+
+
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: md5-seeded
     pseudo-features in [0, 1).  Replace with a real decoder + model when
@@ -73,11 +187,10 @@ def extract_features(media: DataFrame, fake: bool = True,
                      dim: int = FEATURE_DIM) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
     (Arrow batches; one python worker per partition; media bytes stay
-    on executors)."""
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg/librosa — not in "
-            "this container; run with fake=True for the plumbing path")
+    on executors).  ``fake=False`` decodes for real — BMP/WAV via the
+    stdlib codecs above; other formats raise inside the task naming the
+    missing library."""
+    kernel = _fake_decode_features if fake else _real_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,7 +199,7 @@ def extract_features(media: DataFrame, fake: bool = True,
                 "modality": pdf["modality"],
                 "n_bytes": pdf["payload"].map(len),
                 "features": pdf["payload"].map(
-                    lambda p: _fake_decode_features(bytes(p), dim)),
+                    lambda p: kernel(bytes(p), dim)),
             })
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
@@ -94,20 +207,33 @@ def extract_features(media: DataFrame, fake: bool = True,
 
 def resize_images(media: DataFrame, width: int, height: int,
                   fake: bool = True) -> DataFrame:
-    """Image resize kernel: passes payloads through mapInPandas keeping
-    the media schema; the fake path tags metadata with the new size."""
-    if not fake:
-        raise NotImplementedError("real resize requires PIL — stubbed")
+    """Image resize kernel over mapInPandas, keeping the media schema.
+    ``fake=False`` really resizes BMP payloads (nearest-neighbor index
+    mapping — the standard cheap kernel) and re-encodes; other image
+    formats raise naming PIL.  The fake path passes payloads through
+    and only rewrites metadata."""
+
+    def _resize_bmp(payload: bytes) -> bytes:
+        if payload[:2] != b"BM":
+            raise NotImplementedError(
+                "real resize supports BMP only; JPEG/PNG need PIL")
+        img = decode_bmp(payload)
+        h, w, _ = img.shape
+        ys = (np.arange(height) * h // height).clip(0, h - 1)
+        xs = (np.arange(width) * w // width).clip(0, w - 1)
+        return encode_bmp(img[np.ix_(ys, xs)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [{"mime": (m or {}).get("mime") if isinstance(m, dict) else None,
                      "width": width, "height": height,
                      "duration_ms": None} for m in pdf["meta"]]
+            payloads = (pdf["payload"] if fake else
+                        pdf["payload"].map(lambda p: _resize_bmp(bytes(p))))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
-                "payload": pdf["payload"],
+                "payload": payloads,
                 "meta": meta,
             })
 

@@ -209,8 +209,65 @@ def test_multimodal_plumbing(spark):
         {r["media_id"] for r in
          media.filter(F.col("modality") == "video").collect()}
 
-    with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
+    # text payloads are not decodable media: the real path must fail
+    # inside the task naming the supported/missing formats
+    with pytest.raises(Exception, match="BMP/WAV|PIL"):
+        extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_decode_bmp_wav(spark):
+    """fake=False actually decodes: BMP mean-channel and WAV RMS land in
+    the feature vector; nearest-neighbor resize really resizes."""
+    import numpy as np
+
+    from sstable_hadoop_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        extract_features,
+        resize_images,
+    )
+
+    # 6x5 image (odd row length exercises BMP 4-byte padding)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    t = np.arange(1600)
+    pcm = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    rate, back = decode_wav(encode_wav(pcm, 16000))
+    assert rate == 16000 and np.array_equal(back, pcm)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(img)),
+          {"mime": "image/bmp", "width": 5, "height": 6,
+           "duration_ms": None}),
+         (2, "audio", bytearray(encode_wav(pcm, 16000)),
+          {"mime": "audio/wav", "width": None, "height": None,
+           "duration_ms": 100})],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:long,height:long,duration_ms:long>")
+
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media, fake=False).collect()}
+    # image: tag, w/4096, h/4096, mean RGB
+    assert feats[1][0] == 1.0
+    assert abs(feats[1][3] - img[:, :, 0].mean() / 255.0) < 1e-6
+    assert abs(feats[1][5] - img[:, :, 2].mean() / 255.0) < 1e-6
+    # audio: tag, rate, duration, rms
+    x = pcm.astype(np.float64) / 32768.0
+    assert feats[2][0] == 2.0
+    assert abs(feats[2][1] - 16000 / 48000) < 1e-6
+    assert abs(feats[2][3] - float(np.sqrt((x * x).mean()))) < 1e-5
+
+    (out,) = resize_images(media, 3, 2, fake=False).collect()
+    resized = decode_bmp(bytes(out["payload"]))
+    assert resized.shape == (2, 3, 3)
+    ys = (np.arange(2) * 6 // 2).clip(0, 5)
+    xs = (np.arange(3) * 5 // 3).clip(0, 4)
+    assert np.array_equal(resized, img[np.ix_(ys, xs)])
+    assert out["meta"]["width"] == 3 and out["meta"]["height"] == 2
 
 
 def test_dedup_components_clusters(spark):
