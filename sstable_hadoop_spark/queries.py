@@ -1057,6 +1057,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.element_at("features", 1), 6).alias("f0")))
 
 
+@query("multimodal_real_decode")  # rows-only: binary decode, no SQL twin
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 real-decode path under the driver gate: deterministic BMP
+    images and PCM WAV clips are synthesized per doc_id ON EXECUTORS
+    (stdlib codecs, operators/multimodal.py), decoded for real by
+    ``extract_features(fake=False)``, and reduced per modality — no
+    payload ever reaches the driver."""
+    from sstable_hadoop_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(600)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_hadoop_spark.operators.multimodal import (
+            encode_bmp,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = {"media_id": [], "modality": [], "payload": [],
+                    "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.default_rng(did)
+                if did % 2 == 0:
+                    img = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+                    payload, modality = encode_bmp(img), "image"
+                    meta = {"mime": "image/bmp", "width": 9, "height": 8,
+                            "duration_ms": None}
+                else:
+                    pcm = rng.integers(-20000, 20000, 800).astype(np.int16)
+                    payload, modality = encode_wav(pcm, 16000), "audio"
+                    meta = {"mime": "audio/wav", "width": None,
+                            "height": None, "duration_ms": 50}
+                rows["media_id"].append(did)
+                rows["modality"].append(modality)
+                rows["payload"].append(payload)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return (extract_features(media, fake=False)
+            .groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+                 F.round(F.avg(F.element_at("features", 4)), 4)
+                  .alias("avg_f3")))
+
+
 # ---------------------------------------------------------------------------
 # M5 — streaming window views in batch mode (SURVEY.md §2.8).  The same
 # functions run unchanged on readStream inputs (tests/test_streaming.py
