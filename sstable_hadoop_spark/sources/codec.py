@@ -561,6 +561,77 @@ def read_data_batches(data_path: str, start: int = 0,
         yield flush()
 
 
+def rows_to_batches(row_iter: Iterator[Row], generation: int = 0,
+                    rows_per_batch: int = 4096):
+    """Generic ``Row`` iterator → ``pyarrow.RecordBatch`` adapter
+    (DATA_SCHEMA + generation).  Arrow transfer for read paths whose
+    parse loop is not window-vectorized — e.g. ``format=cassandra``
+    (cassandra1x.read_cassandra_rows): the per-row parse stays Python,
+    but rows cross into Spark as Arrow columns instead of one pickled
+    tuple each."""
+    import pyarrow as pa
+
+    cell_struct = pa.struct([
+        pa.field("name", pa.binary(), nullable=False),
+        pa.field("state", pa.string(), nullable=False),
+        pa.field("data", pa.binary()),
+        pa.field("timestamp", pa.int64(), nullable=False),
+        pa.field("ttl", pa.int64()),
+        pa.field("expiration", pa.int64()),
+    ])
+    schema = pa.schema([
+        pa.field("key", pa.binary(), nullable=False),
+        pa.field("columns", pa.list_(cell_struct), nullable=False),
+        pa.field("generation", pa.int32(), nullable=False),
+    ])
+
+    keys: list[bytes] = []
+    cell_offsets: list[int] = [0]
+    c_name: list[bytes] = []
+    c_state: list[str] = []
+    c_data: list[bytes | None] = []
+    c_ts: list[int] = []
+    c_ttl: list[int | None] = []
+    c_exp: list[int | None] = []
+
+    def flush():
+        struct_arr = pa.StructArray.from_arrays(
+            [pa.array(c_name, pa.binary()),
+             pa.array(c_state, pa.string()),
+             pa.array(c_data, pa.binary()),
+             pa.array(c_ts, pa.int64()),
+             pa.array(c_ttl, pa.int64()),
+             pa.array(c_exp, pa.int64())],
+            fields=list(cell_struct))
+        cols = pa.ListArray.from_arrays(
+            pa.array(cell_offsets, pa.int32()), struct_arr)
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(keys, pa.binary()), cols,
+             pa.array([generation] * len(keys), pa.int32())],
+            schema=schema)
+        keys.clear()
+        del cell_offsets[:]
+        cell_offsets.append(0)
+        c_name.clear(); c_state.clear(); c_data.clear()
+        c_ts.clear(); c_ttl.clear(); c_exp.clear()
+        return batch
+
+    for row in row_iter:
+        keys.append(row.key)
+        for c in row.cells:
+            c_name.append(c.name)
+            c_state.append(c.state)
+            c_data.append(c.data)
+            c_ts.append(c.timestamp)
+            c_ttl.append(c.ttl)
+            c_exp.append(c.expiration)
+        cell_offsets.append(len(c_name))
+        if len(keys) >= rows_per_batch:
+            yield flush()
+    if keys:
+        yield flush()
+
+
 def read_index_entries(index_path: str, start: int = 0,
                        end: int | None = None) -> Iterator[tuple[bytes, int]]:
     """Iterate (key, data_offset) from an Index.db

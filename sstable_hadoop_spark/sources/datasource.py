@@ -325,9 +325,12 @@ class SSTableReader(DataSourceReader):
             if self.fmt == "cassandra":
                 from . import cassandra1x
 
-                src = cassandra1x.read_cassandra_rows(
+                rows = cassandra1x.read_cassandra_rows(
                     partition.path, partition.start, partition.end)
-                use_arrow = False
+                use_arrow = self.use_arrow
+                src = (codec.rows_to_batches(
+                           rows, generation=partition.generation)
+                       if use_arrow else rows)
             else:
                 use_arrow = self.use_arrow
                 src = (codec.read_data_batches(
