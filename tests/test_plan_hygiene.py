@@ -1,0 +1,48 @@
+"""Automated physical-plan audit over every registered query: no
+CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+broadcast nested loop is the *documented, intentionally-exact* strategy
+(tiny broadcast side).  This locks in the round-1 verdict's
+scale-killers (uncapped fan-out, cartesian near-dup) as regressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# the build side is a broadcast-small set and the op is the documented
+# exact baseline (never the scale path).
+ALLOWED_BNLJ = {
+    "similarity_topk_bruteforce",   # 8 broadcast query vectors × corpus
+    "range_join_price_bands",       # broadcast band dimension (5 rows)
+}
+
+# Eagerly-executing queries (streaming runs, driver-side materializer
+# heavy) — their *final* DataFrame is a plain agg over a local table;
+# auditing them would re-run the stream per test. Covered by their own
+# oracle rows instead.
+SKIP_EAGER = {
+    "streaming_lww_flush",
+    "streaming_flush_roundtrip",
+}
+
+
+def _query_names():
+    from sstable_hadoop_spark.queries import all_queries
+
+    return sorted(n for n in all_queries() if n not in SKIP_EAGER)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_no_cartesian_and_bnlj_only_where_documented(spark, name):
+    from sstable_hadoop_spark.queries import all_queries
+
+    df = all_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} gained a BroadcastNestedLoopJoin — either fix the "
+            f"join or document it in ALLOWED_BNLJ with a justification")
