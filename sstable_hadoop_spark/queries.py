@@ -1294,6 +1294,27 @@ def sstable_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "generation", F.col("generation"))
 
 
+@query("sstable_cells_scan", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+""")
+def sstable_cells_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat ``kind=cells`` scan under the oracle: one record per cell
+    straight off the source (wide-row-safe — batches flush on cell
+    count, no nested row value is ever built), must equal the nested
+    scan + explode bit-for-bit."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    df = (spark.read.format("sstable").option("kind", "cells")
+          .option("max_split_bytes", str(64 * 1024)).load(path))
+    return _render_winners(df).withColumn(
+        "generation", F.col("generation"))
+
+
 def _materialize_cassandra(spark: SparkSession, sf_dir: str) -> str:
     """Write the derived cells as REAL Cassandra 1.x-layout files
     (gens 1-2 plain, gens 3-4 snappy-chunked with real-layout

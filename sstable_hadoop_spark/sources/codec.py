@@ -561,6 +561,77 @@ def read_data_batches(data_path: str, start: int = 0,
         yield flush()
 
 
+def read_cells_flat(data_path: str, start: int = 0,
+                    end: int | None = None) -> Iterator[tuple]:
+    """Iterate (key, Cell) pairs of one Data.db within uncompressed
+    byte range [start, end) WITHOUT materializing per-row cell lists —
+    memory is O(1) per cell even for pathological million-cell wide
+    rows, where the nested ``read_data_rows`` shape must hold the whole
+    row."""
+    reader, total = _open_reader(data_path)
+    if end is None:
+        end = total
+    reader.seek(start)
+    while reader.tell() < end:
+        header = _read_exact(reader, 2)
+        if header is None:
+            break
+        (key_len,) = struct.unpack(">H", header)
+        key = _read_exact(reader, key_len) if key_len else b""
+        (n_cells,) = struct.unpack(">I", _read_exact(reader, 4))
+        for _ in range(n_cells):
+            yield key, _read_cell(reader)
+
+
+def cells_to_batches(cell_iter: Iterator[tuple], generation: int = 0,
+                     cells_per_batch: int = 8192):
+    """(key, Cell) iterator → flat ``pyarrow.RecordBatch`` stream
+    (CELLS_SCHEMA: one record per cell).  Batches flush on CELL count,
+    so a single wide row spreads across batches — bounded executor
+    memory where the nested schema cannot be."""
+    import pyarrow as pa
+
+    schema = pa.schema([
+        pa.field("key", pa.binary(), nullable=False),
+        pa.field("name", pa.binary(), nullable=False),
+        pa.field("state", pa.string(), nullable=False),
+        pa.field("data", pa.binary()),
+        pa.field("timestamp", pa.int64(), nullable=False),
+        pa.field("ttl", pa.int64()),
+        pa.field("expiration", pa.int64()),
+        pa.field("generation", pa.int32(), nullable=False),
+    ])
+    cols: list[list] = [[], [], [], [], [], [], []]
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(cols[0], pa.binary()),
+             pa.array(cols[1], pa.binary()),
+             pa.array(cols[2], pa.string()),
+             pa.array(cols[3], pa.binary()),
+             pa.array(cols[4], pa.int64()),
+             pa.array(cols[5], pa.int64()),
+             pa.array(cols[6], pa.int64()),
+             pa.array([generation] * len(cols[0]), pa.int32())],
+            schema=schema)
+        for c in cols:
+            c.clear()
+        return batch
+
+    for key, cell in cell_iter:
+        cols[0].append(key)
+        cols[1].append(cell.name)
+        cols[2].append(cell.state)
+        cols[3].append(cell.data)
+        cols[4].append(cell.timestamp)
+        cols[5].append(cell.ttl)
+        cols[6].append(cell.expiration)
+        if len(cols[0]) >= cells_per_batch:
+            yield flush()
+    if cols[0]:
+        yield flush()
+
+
 def rows_to_batches(row_iter: Iterator[Row], generation: int = 0,
                     rows_per_batch: int = 4096):
     """Generic ``Row`` iterator → ``pyarrow.RecordBatch`` adapter

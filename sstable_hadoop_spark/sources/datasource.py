@@ -82,6 +82,21 @@ DATA_SCHEMA = StructType([
     StructField("generation", IntegerType(), False),
 ])
 
+# kind=cells: one record per CELL (the shape of operators.explode_cells
+# output) — batches flush on cell count, so wide rows never materialize
+# as a single nested value; prefer it when the first downstream op
+# would be explode_cells anyway.
+CELLS_SCHEMA = StructType([
+    StructField("key", BinaryType(), False),
+    StructField("name", BinaryType(), False),
+    StructField("state", StringType(), False),
+    StructField("data", BinaryType(), True),
+    StructField("timestamp", LongType(), False),
+    StructField("ttl", LongType(), True),
+    StructField("expiration", LongType(), True),
+    StructField("generation", IntegerType(), False),
+])
+
 INDEX_SCHEMA = StructType([
     StructField("key", BinaryType(), False),
     StructField("pos", LongType(), False),
@@ -236,7 +251,7 @@ class SSTableReader(DataSourceReader):
                 return v.encode("utf-8")
             return None
 
-        if self.kind == "data":
+        if self.kind in ("data", "cells"):
             for f in filters:
                 attr = getattr(f, "attribute", None)
                 if attr != ("key",):
@@ -283,7 +298,7 @@ class SSTableReader(DataSourceReader):
             return False  # unreadable filter → never prune
 
     def partitions(self):
-        if self.kind == "data":
+        if self.kind in ("data", "cells"):
             ci_reader = None
             if self.fmt == "cassandra":
                 from .cassandra1x import read_cassandra_compression_info
@@ -320,6 +335,40 @@ class SSTableReader(DataSourceReader):
 
     def read(self, partition: RangePartition):
         if not partition.path:
+            return
+        if self.kind == "cells":
+            if self.fmt == "cassandra":
+                from . import cassandra1x
+
+                cell_iter = ((row.key, c) for row in
+                             cassandra1x.read_cassandra_rows(
+                                 partition.path, partition.start,
+                                 partition.end)
+                             for c in row.cells)
+            else:
+                cell_iter = codec.read_cells_flat(
+                    partition.path, partition.start, partition.end)
+            src = (codec.cells_to_batches(
+                       cell_iter, generation=partition.generation)
+                   if self.use_arrow else cell_iter)
+            while True:
+                try:
+                    item = next(src)
+                except StopIteration:
+                    return
+                except (EOFError, IOError, struct.error, KeyError) as exc:
+                    if self.ignore_corrupt:
+                        return
+                    raise IOError(
+                        f"corrupt sstable split {partition.path}"
+                        f"[{partition.start}:{partition.end}]: {exc}"
+                    ) from exc
+                if self.use_arrow:
+                    yield item  # pyarrow.RecordBatch
+                else:
+                    key, c = item
+                    yield (key, c.name, c.state, c.data, c.timestamp,
+                           c.ttl, c.expiration, partition.generation)
             return
         if self.kind == "data":
             if self.fmt == "cassandra":
@@ -565,7 +614,10 @@ class SSTableDataSource(DataSource):
 
     Options:
       path             directory (recursed) or single file
-      kind             data | index | summary | manifest   (default data)
+      kind             data | cells | index | summary | manifest
+                       (default data; cells = one flat record per cell,
+                       wide-row-safe)
+      format           native | cassandra  (real 1.x files)
       max_split_bytes  target uncompressed split size (default 128 MiB)
     """
 
@@ -575,8 +627,9 @@ class SSTableDataSource(DataSource):
 
     def schema(self) -> StructType:
         kind = self.options.get("kind", "data")
-        return {"data": DATA_SCHEMA, "index": INDEX_SCHEMA,
-                "summary": SUMMARY_SCHEMA, "manifest": MANIFEST_SCHEMA}[kind]
+        return {"data": DATA_SCHEMA, "cells": CELLS_SCHEMA,
+                "index": INDEX_SCHEMA, "summary": SUMMARY_SCHEMA,
+                "manifest": MANIFEST_SCHEMA}[kind]
 
     def reader(self, schema: StructType) -> SSTableReader:
         return SSTableReader(dict(self.options))

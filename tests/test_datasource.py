@@ -112,6 +112,33 @@ def test_manifest_scan(spark, sstable_dir):
                 assert p["chunks"][0] == p["byte_start"]
 
 
+def test_cells_kind_matches_exploded_data_scan(spark, sstable_dir):
+    """kind=cells (flat, wide-row-safe) must equal
+    explode_cells(kind=data) cell-for-cell, with splits, Arrow off/on,
+    and key pushdown."""
+    from sstable_hadoop_spark.operators import explode_cells
+
+    def snap(df):
+        return sorted(
+            (bytes(r["key"]), bytes(r["name"]), r["state"],
+             None if r["data"] is None else bytes(r["data"]),
+             r["timestamp"], r["ttl"], r["expiration"], r["generation"])
+            for r in df.collect())
+
+    base = snap(explode_cells(
+        spark.read.format("sstable").load(sstable_dir)))
+    flat = spark.read.format("sstable").option("kind", "cells") \
+        .option("max_split_bytes", "2048").load(sstable_dir)
+    assert snap(flat) == base
+    no_arrow = spark.read.format("sstable").option("kind", "cells") \
+        .option("use_arrow", "false").load(sstable_dir)
+    assert snap(no_arrow) == base
+    # key filter still correct (partition pruning is correctness-free)
+    some_key = base[0][0]
+    got = snap(flat.filter(F.col("key") == some_key))
+    assert got == [c for c in base if c[0] == some_key]
+
+
 def test_split_scan_matches_whole_scan(spark, sstable_dir):
     whole = spark.read.format("sstable").load(sstable_dir)
     split = spark.read.format("sstable") \
