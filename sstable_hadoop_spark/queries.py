@@ -774,10 +774,60 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
 
 
-@query("similarity_topk_lsh")  # rows-only: approximate by construction
+def _topk_lsh_oracle() -> str:
+    """DuckDB replica of the multi-table sign-LSH top-k: hyperplanes
+    inlined as literals with the same left-to-right dot fold as Spark's
+    ``aggregate(zip_with(...))``, so buckets (and therefore the
+    candidate set) match bit-for-bit — the approximation itself is
+    oracle-checked, like ``_near_dup_oracle``."""
+    from sstable_hadoop_spark.operators.similarity import _hyperplanes
+
+    n_planes, n_tables, dim, k = 3, 6, 64, 5
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=f"table{t}")
+        bits = []
+        for p, plane in enumerate(planes):
+            dot = " + ".join(f"e[{d + 1}]*{plane[d]!r}"
+                             for d in range(dim))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 "
+                        f"THEN {1 << p} ELSE 0 END)")
+        bucket_exprs.append(
+            f"'{t}' || ':' || CAST({' + '.join(bits)} AS VARCHAR)")
+    buckets = ",\n        ".join(bucket_exprs)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+buckets AS (
+    SELECT vec_id, unnest([
+        {buckets}]) AS bucket
+    FROM emb
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+    FROM buckets q JOIN buckets e ON q.bucket = e.bucket
+    WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           list_cosine_similarity(eq.e, ee.e) AS cos,
+           row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(eq.e, ee.e) DESC,
+                        c.vec_id) AS rk
+    FROM cand c
+    JOIN emb eq ON eq.vec_id = c.query_id
+    JOIN emb ee ON ee.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, rk, round(cos, 4) AS cos
+FROM scored WHERE rk <= {k}
+"""
+
+
+@query("similarity_topk_lsh", oracle=_topk_lsh_oracle())
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path: random-hyperplane LSH bucketing; recall vs brute
-    force asserted in tests/test_extensions.py."""
+    force asserted in tests/test_extensions.py, and the bucketed
+    candidate set itself replicated in the DuckDB oracle."""
     from sstable_hadoop_spark.operators.similarity import cosine_topk_lsh
 
     emb = load(spark, sf_dir, "embeddings")
@@ -789,10 +839,62 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
 
 
-@query("similarity_topk_ivf")  # rows-only: approximate by construction
+def _topk_ivf_oracle() -> str:
+    """DuckDB replica of the IVF path: the 16 md5-derived centroids are
+    inlined, every vector's cell = argmax centroid dot (ties → larger
+    cell, matching Spark's ``reverse(array_sort(struct(d, cell)))``),
+    queries probe their top-3 cells, candidates get the exact cosine +
+    rank."""
+    from sstable_hadoop_spark.operators.similarity import _hyperplanes
+
+    n_centroids, n_probe, dim, k = 16, 3, 64, 5
+    cents = _hyperplanes(dim, n_centroids, seed="ivf")
+    dot_cols = ",\n           ".join(
+        "(" + " + ".join(f"e[{d + 1}]*{cent[d]!r}" for d in range(dim))
+        + f") AS d_{c}"
+        for c, cent in enumerate(cents))
+    cells = ", ".join("{'d': d_%d, 'cell': %d}" % (c, c)
+                      for c in range(n_centroids))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dots AS (
+    SELECT vec_id,
+           {dot_cols}
+    FROM emb
+),
+ranked AS (
+    SELECT vec_id, u.cell, u.d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY u.d DESC, u.cell DESC) AS cell_rk
+    FROM dots, unnest([{cells}]) AS t(u)
+),
+e_cell AS (SELECT vec_id, cell FROM ranked WHERE cell_rk = 1),
+q_cell AS (
+    SELECT vec_id AS query_id, cell FROM ranked
+    WHERE cell_rk <= {n_probe} AND vec_id < 8
+),
+scored AS (
+    SELECT q.query_id, ec.vec_id,
+           list_cosine_similarity(eq.e, ee.e) AS cos,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(eq.e, ee.e) DESC,
+                        ec.vec_id) AS rk
+    FROM q_cell q
+    JOIN e_cell ec ON ec.cell = q.cell AND ec.vec_id != q.query_id
+    JOIN emb eq ON eq.vec_id = q.query_id
+    JOIN emb ee ON ee.vec_id = ec.vec_id
+)
+SELECT query_id, vec_id, rk, round(cos, 4) AS cos
+FROM scored WHERE rk <= {k}
+"""
+
+
+@query("similarity_topk_ivf", oracle=_topk_ivf_oracle())
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 IVF variant: nearest-centroid inverted lists, n_probe cells
-    per query; recall vs brute force asserted in tests."""
+    per query; recall vs brute force asserted in tests, and the cell
+    assignment + probe set replicated in the DuckDB oracle."""
     from sstable_hadoop_spark.operators.similarity import cosine_topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1888,12 +1990,77 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
 
-@query("dedup_clusters")  # rows-only: iterative algorithm, no SQL twin
+def _clusters_oracle() -> str:
+    """DuckDB replica of the full clustering pipeline: the MinHash-LSH
+    pair graph (same capped shingles, md5 permutations, band buckets,
+    exact-Jaccard verify as ``_minhash_oracle`` — with the operator's
+    default doc-frequency cap) closed into connected components by a
+    recursive reachability CTE, min label per node."""
+    num_perm, bands, rows = 16, 4, 4
+    sig_aggs = ",\n           ".join(
+        f"min(md5(concat('{i}|', shingle))) AS sig_{i}"
+        for i in range(num_perm))
+    band_list = []
+    for b in range(bands):
+        parts = [f"'{b}'"] + [f"sig_{b * rows + r}" for r in range(rows)]
+        band_list.append("concat_ws('#', " + ", ".join(parts) + ")")
+    head = _SHINGLES_CTE.replace("WITH shingles",
+                                 "WITH RECURSIVE shingles", 1)
+    return head + f"""
+, freq_ok AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 1000
+),
+shingles_c AS (
+    SELECT s.id, s.shingle FROM shingles s JOIN freq_ok USING (shingle)
+),
+sizes_c AS (SELECT id, count(*) AS n_sh FROM shingles_c GROUP BY id),
+sigs AS (SELECT id, {sig_aggs} FROM shingles_c GROUP BY id),
+banded AS (
+    SELECT id, unnest([{", ".join(band_list)}]) AS bucket FROM sigs
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+),
+inter_c AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM shingles_c a JOIN shingles_c b
+      ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN inter_c i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes_c sa ON sa.id = c.id_a
+    JOIN sizes_c sb ON sb.id = c.id_b
+    WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT DISTINCT src AS id, src AS label FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E2 end-game: group near-duplicate docs into clusters
-    (connected components over the Jaccard pair graph, iterative
+    (connected components over the MinHash pair graph, iterative
     smallest-id label propagation) and pick the canonical doc per
-    cluster.  Output: (doc_id, cluster_id, is_canonical)."""
+    cluster.  Output: (doc_id, cluster_id, is_canonical).  The oracle
+    closes the same pair graph with a recursive CTE — the iterative
+    algorithm is fully SQL-checked."""
     from sstable_hadoop_spark.operators.dedup import dedup_components
 
     docs = load(spark, sf_dir, "documents")
