@@ -730,11 +730,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
-@query("dedup_simhash")  # rows-only: hex→int conv not expressible in DuckDB
+def _simhash_oracle() -> str:
+    """DuckDB replica of the SimHash pipeline: the 60-bit token hash
+    (``conv(substr(md5, 1, 15), 16, 10)``) is rebuilt with positional
+    hex-digit arithmetic, per-bit ±1 votes and the fingerprint with
+    ``>>``/``&`` bit ops, block segments with the same 15-bit masks,
+    and the exact Hamming verify with ``bit_count(xor(...))``."""
+    bits, blocks = 60, 4
+    seg_bits = bits // blocks
+    mask = (1 << seg_bits) - 1
+    hex_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15))
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits))
+    segs = ", ".join(
+        f"'{i}' || ':' || CAST((fp >> {i * seg_bits}) & {mask} AS VARCHAR)"
+        for i in range(blocks))
+    return rf"""
+WITH toks AS (
+    SELECT doc_id AS id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+    FROM documents
+),
+hashes AS (SELECT id, ({hex_terms}) AS h FROM toks),
+votes AS (
+    SELECT id,
+           {votes}
+    FROM hashes GROUP BY id
+),
+fps AS (SELECT id, CAST({fp_terms} AS BIGINT) AS fp FROM votes),
+segs AS (SELECT id, fp, unnest([{segs}]) AS seg FROM fps),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           xor(a.fp, b.fp) AS x
+    FROM segs a JOIN segs b ON a.seg = b.seg AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(x) AS hamming
+FROM pairs WHERE bit_count(x) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: SimHash near-dup pairs via block-key candidate join;
-    checked by property tests (tests/test_extensions.py) instead of a
-    SQL oracle."""
+    property-tested (tests/test_extensions.py) AND bit-exactly
+    replicated in the DuckDB oracle."""
     from sstable_hadoop_spark.operators.dedup import simhash_near_pairs
 
     docs = load(spark, sf_dir, "documents")
