@@ -83,6 +83,21 @@ except Exception as ex:
 tiny = spark.read.format("sstable").option("max_split_bytes", "64").load(d)
 print("tiny-split partitions:", tiny.rdd.getNumPartitions(), "rows:", tiny.count())
 assert tiny.count() == df.count()
+# kind=cells flat twin: cell count equals sum(size(columns)) of kind=data
+flat = spark.read.format("sstable").option("kind", "cells").load(d)
+n_cells = df.selectExpr("sum(size(columns))").collect()[0][0]
+print("kind=cells rows:", flat.count(), "expected:", n_cells)
+assert flat.count() == n_cells
+assert spark.read.format("sstable").option("kind", "cells") \
+    .load(empty).count() == 0
+# format=cassandra: empty dir is a clean zero-row scan too
+assert spark.read.format("sstable").option("format", "cassandra") \
+    .load(empty).count() == 0
+try:
+    spark.read.format("sstable").option("format", "bogus").load(d).count()
+    print("PROBE FAIL: bogus format accepted")
+except Exception as ex:
+    print("bogus format rejected:", str(ex).splitlines()[0][:100])
 print("ALL DRIVE CHECKS PASSED")
 
 print("== pushdown drive ==")
