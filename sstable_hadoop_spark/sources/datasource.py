@@ -479,8 +479,10 @@ class SSTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sstable stream source requires a path")
-        if options.get("kind", "data") != "data":
-            raise ValueError("sstable streaming supports kind=data only")
+        self.kind = options.get("kind", "data")
+        if self.kind not in ("data", "cells"):
+            raise ValueError(
+                "sstable streaming supports kind=data|cells only")
         if options.get("format", "native") != "native":
             raise ValueError("sstable streaming supports format=native only")
         self.max_split = int(options.get("max_split_bytes",
@@ -528,6 +530,14 @@ class SSTableStreamReader(DataSourceStreamReader):
 
     def read(self, partition: RangePartition):
         if not partition.path:
+            return
+        if self.kind == "cells":
+            # flat cell stream: feeds streaming.streaming_lww_cells
+            # directly (its input schema), wide-row-safe
+            for key, c in codec.read_cells_flat(
+                    partition.path, partition.start, partition.end):
+                yield (key, c.name, c.state, c.data, c.timestamp,
+                       c.ttl, c.expiration, partition.generation)
             return
         for row in codec.read_data_rows(partition.path, partition.start,
                                         partition.end):

@@ -132,6 +132,43 @@ def test_sstable_stream_source_incremental(spark, tmp_path):
     assert batch.count() == 60
 
 
+def test_streaming_cells_kind_feeds_lww_state(spark, tmp_path):
+    """kind=cells stream: flat records match streaming_lww_cells' input
+    schema directly — stream the directory, fold through the stateful
+    LWW, final winners equal batch lww over the same files."""
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.operators import explode_cells, lww_cell
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.streaming import streaming_lww_cells
+
+    d = str(tmp_path / "cells_src")
+    for g in (1, 2):
+        write_sstable(
+            d, "ks-cf",
+            [Row(f"k{i:02d}".encode(),
+                 [Cell(b"c", "NORMAL", f"g{g}".encode(), g * 100 + i)])
+             for i in range(15)],
+            generation=g)
+
+    stream = (spark.readStream.format("sstable")
+              .option("kind", "cells").load(d))
+    q = (streaming_lww_cells(stream)
+         .writeStream.format("memory").queryName("cells_lww_sink")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {(bytes(r["key"]), bytes(r["name"])): (r["timestamp"],
+                                                 r["generation"])
+           for r in lww_cell(spark.table("cells_lww_sink")).collect()}
+    want = {(bytes(r["key"]), bytes(r["name"])): (r["timestamp"],
+                                                  r["generation"])
+            for r in lww_cell(explode_cells(
+                spark.read.format("sstable").load(d))).collect()}
+    assert got == want and len(got) == 15
+
+
 def test_stream_flush_to_sstables_roundtrip(spark, tmp_path):
     """Streaming ingest → per-batch LWW → SSTable generation flush;
     batch scan + merge of the flushed directory equals batch lww_cell
