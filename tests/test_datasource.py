@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from tests.conftest import cells_as_records
@@ -110,6 +112,77 @@ def test_manifest_scan(spark, sstable_dir):
                     p["uncompressed_length"], 1)
                 # chunks are the compressed positions the split spans
                 assert p["chunks"][0] == p["byte_start"]
+
+
+def test_manifest_compressed_ranges_consumable_like_reference(
+        spark, sstable_dir):
+    """A reference-style consumer (SplitSSTableDataRecordReader:
+    read compressed [byteStart, byteStart+byteLength), decompress the
+    chunk list, seek innerOffset, read innerLength) must recover
+    exactly the rows of each split — proves the manifest's
+    compressed-space fields are actually consumable, not just shaped
+    right."""
+    from sstable_hadoop_spark.sources.codec import (
+        _decompress,
+        read_compression_info,
+        read_data_rows,
+    )
+
+    m = spark.read.format("sstable").option("kind", "manifest") \
+        .option("max_split_bytes", "4096").load(sstable_dir)
+    rows = [r for r in m.collect() if r["chunks"] is not None]
+    assert rows, "fixture should contain compressed generations"
+    checked = 0
+    for r in rows:
+        data_path = os.path.join(sstable_dir, r["filename"] + "-Data.db")
+        ci = read_compression_info(
+            os.path.join(sstable_dir,
+                         r["filename"] + "-CompressionInfo.db"))
+        blob = open(data_path, "rb").read()[
+            r["byte_start"]:r["byte_start"] + r["byte_length"]]
+        # chunk boundaries relative to the fetched range, as the
+        # reference offsets them (SplitSSTableDataRecordReader.scala:66)
+        rel = [c - r["byte_start"] for c in r["chunks"]] + [len(blob)]
+        out = bytearray()
+        first_chunk = ci.chunk_offsets.index(r["chunks"][0])
+        for i, (s, e) in enumerate(zip(rel, rel[1:])):
+            comp = blob[s:e - 4]  # strip the 4-byte checksum trailer
+            idx = first_chunk + i
+            remaining = ci.uncompressed_length - idx * ci.chunk_length
+            out += _decompress(comp, ci.algo,
+                               min(ci.chunk_length, remaining))
+        inner = bytes(out[r["inner_offset"]:
+                          r["inner_offset"] + r["inner_length"]])
+        # parse rows straight off the recovered inner range
+        got = list(read_data_rows_from_bytes(inner))
+        # engine's own uncompressed-range read of the same split
+        u_start = first_chunk * ci.chunk_length + r["inner_offset"]
+        want = list(read_data_rows(data_path, u_start,
+                                   u_start + r["inner_length"]))
+        assert [(x.key, x.cells) for x in got] \
+            == [(x.key, x.cells) for x in want]
+        assert sum(len(c) for c in [x.cells for x in got]) >= 0
+        checked += 1
+    assert checked >= 2
+
+
+def read_data_rows_from_bytes(raw: bytes):
+    """Parse native-layout rows from an in-memory uncompressed blob
+    (test helper emulating the reference's in-memory split parse)."""
+    import io
+    import struct
+
+    from sstable_hadoop_spark.sources.codec import Row, _read_cell
+
+    buf = io.BytesIO(raw)
+    while True:
+        header = buf.read(2)
+        if not header:
+            return
+        (key_len,) = struct.unpack(">H", header)
+        key = buf.read(key_len)
+        (n_cells,) = struct.unpack(">I", buf.read(4))
+        yield Row(key=key, cells=[_read_cell(buf) for _ in range(n_cells)])
 
 
 def test_cells_kind_matches_exploded_data_scan(spark, sstable_dir):
