@@ -32,6 +32,8 @@ BENCH_QUERIES = {
     "five_way_join": "five_way_join_region_revenue",
     # hot-key LWW through the auto skew probe (operators/skew.py)
     "lww_skewed": "lww_skewed_auto",
+    # the reference's headline job: file scan (flat cells) → LWW merge
+    "sstable_lww": "sstable_lww_merge",
     # end-to-end LLM-corpus pass: dedup → quality filter → lang-ID →
     # per-language rollup, join-free (one dedup shuffle + one scan)
     "corpus_curation": "corpus_curation_pipeline",

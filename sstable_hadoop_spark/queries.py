@@ -1463,6 +1463,30 @@ def sstable_cells_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "generation", F.col("generation"))
 
 
+@query("sstable_lww_merge", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def sstable_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL headline job end-to-end
+    (ReadSSTableWithoutSplits.scala:14-33): scan real multi-generation
+    SSTable files through the custom source (flat ``kind=cells``, no
+    nested assembly) and per-cell LWW-merge them — winners must equal
+    the SQL derivation's winners exactly.  One scan + one (key, name)
+    shuffle with map-side partial aggregation."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    cells = (spark.read.format("sstable").option("kind", "cells")
+             .option("max_split_bytes", str(64 * 1024)).load(path))
+    return _render_winners(lww_cell(cells))
+
+
 def _materialize_cassandra(spark: SparkSession, sf_dir: str) -> str:
     """Write the derived cells as REAL Cassandra 1.x-layout files
     (gens 1-2 plain, gens 3-4 snappy-chunked with real-layout
