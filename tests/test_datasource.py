@@ -212,6 +212,29 @@ def test_cells_kind_matches_exploded_data_scan(spark, sstable_dir):
     assert got == [c for c in base if c[0] == some_key]
 
 
+def test_cells_kind_handles_wide_row(spark, tmp_path):
+    """The Cassandra wide-row pathology: one row key holding 200k cells
+    streams through kind=cells in bounded batches (the nested shape
+    would hold the whole row as a single value)."""
+    from sstable_hadoop_spark.sources.codec import (
+        Cell,
+        Row,
+        write_sstable,
+    )
+
+    d = str(tmp_path / "wide")
+    n = 200_000
+    cells = [Cell(f"c{i:06d}".encode(), "NORMAL", b"v", i)
+             for i in range(n)]
+    write_sstable(d, "wide-cf", [Row(b"widekey", cells)], generation=1)
+
+    flat = spark.read.format("sstable").option("kind", "cells").load(d)
+    assert flat.count() == n
+    agg = flat.selectExpr("min(timestamp) AS lo", "max(timestamp) AS hi",
+                          "count(DISTINCT name) AS names").collect()[0]
+    assert (agg["lo"], agg["hi"], agg["names"]) == (0, n - 1, n)
+
+
 def test_split_scan_matches_whole_scan(spark, sstable_dir):
     whole = spark.read.format("sstable").load(sstable_dir)
     split = spark.read.format("sstable") \
