@@ -44,16 +44,18 @@ reader yields):
 - Row-level tombstones (``marked_for_delete_at``) are parsed but not
   surfaced — the reference's loader exposes key → columns only.
 
-Compressed 1.x tables are supported for the Snappy default: the real
+Compressed 1.x tables are supported for both built-in 1.x compressors
+— Snappy (the default) and Deflate (zlib streams): the real
 ``CompressionInfo.db`` (java DataOutput: ``writeUTF`` compressor class,
 option pairs, chunk length, uncompressed data length, chunk count +
 compressed chunk offsets — Apache Cassandra 1.x
 ``CompressionMetadata.Writer``) is parsed into the engine's
-``CompressionInfo`` model, and Data.db chunks ([snappy block][4-byte
-Adler32 of the compressed bytes], ``CompressedSequentialWriter``) are
-streamed through the codec's chunked reader one chunk at a time — NOT
-the reference's whole-split-in-memory decompress
-(SplitSSTableDataRecordReader.scala:58-72).  Non-snappy compressors
+``CompressionInfo`` model, and Data.db chunks ([compressed block]
+[4-byte Adler32 of the compressed bytes],
+``CompressedSequentialWriter``) are streamed through the codec's
+chunked reader one chunk at a time — NOT the reference's
+whole-split-in-memory decompress
+(SplitSSTableDataRecordReader.scala:58-72).  Other compressor classes
 raise a clear error.
 """
 
@@ -117,11 +119,13 @@ def read_cassandra_compression_info(path: str) -> CompressionInfo:
         offsets = list(struct.unpack(f">{n_chunks}q",
                                      _read_exact(f, 8 * n_chunks)))
     short = compressor.rsplit(".", 1)[-1]
-    if short != "SnappyCompressor":
+    algo = {"SnappyCompressor": "snappy",
+            "DeflateCompressor": "deflate"}.get(short)
+    if algo is None:
         raise NotImplementedError(
             f"Cassandra 1.x compressor {compressor!r} is not supported "
-            f"(snappy only)")
-    return CompressionInfo("snappy", chunk_length, data_length, offsets)
+            f"(snappy and deflate only)")
+    return CompressionInfo(algo, chunk_length, data_length, offsets)
 
 
 def _open_reader(data_path: str):
@@ -200,20 +204,23 @@ def read_cassandra_rows(data_path: str, start: int = 0,
 
 
 def write_cassandra_compressed(data_path: str, raw: bytes,
-                               chunk_length: int = 64 * 1024) -> None:
+                               chunk_length: int = 64 * 1024,
+                               algo: str = "snappy") -> None:
     """Fixture/test support: write ``raw`` (a concatenation of
-    ``encode_cassandra_row`` outputs) as a snappy-chunked 1.x Data.db +
-    its real-layout CompressionInfo.db companion."""
+    ``encode_cassandra_row`` outputs) as a chunked 1.x Data.db +
+    its real-layout CompressionInfo.db companion (snappy or deflate)."""
     ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
     offsets = []
     with open(data_path, "wb") as f:
         for start in range(0, max(len(raw), 1), chunk_length):
             offsets.append(f.tell())
-            comp = _compress(raw[start:start + chunk_length], "snappy")
+            comp = _compress(raw[start:start + chunk_length], algo)
             f.write(comp)
             f.write(struct.pack(">I", zlib.adler32(comp) & 0xFFFFFFFF))
     with open(ci_path, "wb") as f:
-        name = b"org.apache.cassandra.io.compress.SnappyCompressor"
+        name = (b"org.apache.cassandra.io.compress.SnappyCompressor"
+                if algo == "snappy" else
+                b"org.apache.cassandra.io.compress.DeflateCompressor")
         f.write(struct.pack(">H", len(name)) + name)
         f.write(struct.pack(">i", 0))  # no options
         f.write(struct.pack(">iqi", chunk_length, len(raw), len(offsets)))

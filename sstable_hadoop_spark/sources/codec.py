@@ -55,9 +55,13 @@ try:  # pyarrow ships snappy/lz4/zstd codecs; no python-snappy needed
     import pyarrow as _pa
 
     def _compress(data: bytes, algo: str) -> bytes:
+        if algo == "deflate":  # zlib stream (Cassandra DeflateCompressor)
+            return zlib.compress(data)
         return _pa.compress(data, codec=algo, asbytes=True)
 
     def _decompress(data: bytes, algo: str, uncompressed_size: int) -> bytes:
+        if algo == "deflate":
+            return zlib.decompress(data)
         return _pa.decompress(data, decompressed_size=uncompressed_size,
                               codec=algo, asbytes=True)
 
@@ -66,12 +70,12 @@ except ImportError:  # pragma: no cover - pyarrow is a hard dep of pyspark
     _HAVE_CODECS = False
 
     def _compress(data: bytes, algo: str) -> bytes:
-        if algo != "zlib":
+        if algo not in ("zlib", "deflate"):
             raise RuntimeError("pyarrow unavailable; only zlib supported")
         return zlib.compress(data)
 
     def _decompress(data: bytes, algo: str, uncompressed_size: int) -> bytes:
-        if algo != "zlib":
+        if algo not in ("zlib", "deflate"):
             raise RuntimeError("pyarrow unavailable; only zlib supported")
         return zlib.decompress(data)
 

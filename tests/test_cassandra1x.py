@@ -143,16 +143,32 @@ def test_compressed_checksum_corruption_detected(tmp_path):
         list(read_cassandra_rows(data))
 
 
-def test_non_snappy_compressor_rejected(tmp_path):
+def test_deflate_compressed_roundtrip(tmp_path):
+    """Cassandra 1.x's other built-in compressor (DeflateCompressor =
+    zlib streams) reads back identically."""
+    rows = _many_rows(120)
+    raw = b"".join(encode_cassandra_row(r) for r in rows)
+    data = str(tmp_path / "ks-cf-hc-1-Data.db")
+    write_cassandra_compressed(data, raw, chunk_length=1024,
+                               algo="deflate")
+    info = read_cassandra_compression_info(
+        data.replace("-Data.db", "-CompressionInfo.db"))
+    assert info.algo == "deflate"
+    back = list(read_cassandra_rows(data))
+    assert [(r.key, r.cells) for r in back] \
+        == [(r.key, r.cells) for r in rows]
+
+
+def test_unknown_compressor_rejected(tmp_path):
     import struct as s
 
     ci = str(tmp_path / "ks-cf-hc-1-CompressionInfo.db")
-    name = b"org.apache.cassandra.io.compress.DeflateCompressor"
+    name = b"org.apache.cassandra.io.compress.LZ4Compressor"
     with open(ci, "wb") as f:
         f.write(s.pack(">H", len(name)) + name)
         f.write(s.pack(">i", 0))
         f.write(s.pack(">iqi", 1024, 0, 0))
-    with pytest.raises(NotImplementedError, match="Deflate"):
+    with pytest.raises(NotImplementedError, match="LZ4"):
         read_cassandra_compression_info(ci)
 
 
