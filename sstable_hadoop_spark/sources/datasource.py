@@ -483,8 +483,9 @@ class SSTableStreamReader(DataSourceStreamReader):
         if self.kind not in ("data", "cells"):
             raise ValueError(
                 "sstable streaming supports kind=data|cells only")
-        if options.get("format", "native") != "native":
-            raise ValueError("sstable streaming supports format=native only")
+        self.fmt = options.get("format", "native")
+        if self.fmt not in ("native", "cassandra"):
+            raise ValueError(f"unknown format: {self.fmt}")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
 
@@ -517,6 +518,11 @@ class SSTableStreamReader(DataSourceStreamReader):
         return {b for b, s in stamped.items() if s <= wm}
 
     def partitions(self, start: dict, end: dict):
+        ci_reader = None
+        if self.fmt == "cassandra":
+            from .cassandra1x import read_cassandra_compression_info
+
+            ci_reader = read_cassandra_compression_info
         stamped = self._stamped()
         new = sorted(self._covered(end, stamped)
                      - self._covered(start, stamped))
@@ -524,9 +530,18 @@ class SSTableStreamReader(DataSourceStreamReader):
         for base in new:
             full = os.path.join(self.path, base)
             if os.path.exists(full):
-                parts.extend(_plan_file(full, self.max_split))
+                parts.extend(_plan_file(full, self.max_split, ci_reader))
         # Spark requires ≥1 partition; empty batch → one no-op marker
         return parts or [RangePartition("", 0, 0, 0)]
+
+    def _rows(self, partition: RangePartition):
+        if self.fmt == "cassandra":
+            from .cassandra1x import read_cassandra_rows
+
+            return read_cassandra_rows(partition.path, partition.start,
+                                       partition.end)
+        return codec.read_data_rows(partition.path, partition.start,
+                                    partition.end)
 
     def read(self, partition: RangePartition):
         if not partition.path:
@@ -534,13 +549,17 @@ class SSTableStreamReader(DataSourceStreamReader):
         if self.kind == "cells":
             # flat cell stream: feeds streaming.streaming_lww_cells
             # directly (its input schema), wide-row-safe
-            for key, c in codec.read_cells_flat(
-                    partition.path, partition.start, partition.end):
+            if self.fmt == "cassandra":
+                cell_iter = ((row.key, c) for row in self._rows(partition)
+                             for c in row.cells)
+            else:
+                cell_iter = codec.read_cells_flat(
+                    partition.path, partition.start, partition.end)
+            for key, c in cell_iter:
                 yield (key, c.name, c.state, c.data, c.timestamp,
                        c.ttl, c.expiration, partition.generation)
             return
-        for row in codec.read_data_rows(partition.path, partition.start,
-                                        partition.end):
+        for row in self._rows(partition):
             yield (row.key,
                    [(c.name, c.state, c.data, c.timestamp, c.ttl,
                      c.expiration) for c in row.cells],

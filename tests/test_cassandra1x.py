@@ -159,6 +159,58 @@ def test_deflate_compressed_roundtrip(tmp_path):
         == [(r.key, r.cells) for r in rows]
 
 
+def test_streaming_cassandra_format(spark, tmp_path):
+    """Live 1.x backup directory as a stream: generation files appear
+    incrementally, each micro-batch reads only the new ones, compressed
+    and plain alike."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "cass_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    os.makedirs(d)
+
+    def write_gen(gen, n, compressed):
+        data_path = os.path.join(d, f"Ks-cf-hc-{gen}-Data.db")
+        raw = b"".join(
+            encode_cassandra_row(Row(f"k{i:03d}".encode(),
+                                     [Cell(b"c", "NORMAL",
+                                           f"g{gen}".encode(),
+                                           gen * 100 + i)]))
+            for i in range(n))
+        if compressed:
+            write_cassandra_compressed(data_path, raw, chunk_length=512)
+        else:
+            with open(data_path, "wb") as f:
+                f.write(raw)
+
+    write_gen(1, 20, False)
+    write_gen(2, 15, True)
+
+    def run_batch():
+        stream = (spark.readStream.format("sstable")
+                  .option("format", "cassandra").option("kind", "cells")
+                  .load(d))
+        q = (stream.select(F.col("key").cast("string").alias("k"),
+                           "generation")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_batch()
+    assert spark.read.parquet(out).count() == 35
+    time.sleep(0.01)  # ensure a later mtime for the new generation
+    write_gen(3, 5, False)
+    run_batch()
+    got = spark.read.parquet(out).groupBy("generation").count().collect()
+    assert {r["generation"]: r["count"] for r in got} == {1: 20, 2: 15,
+                                                          3: 5}
+
+
 def test_unknown_compressor_rejected(tmp_path):
     import struct as s
 
