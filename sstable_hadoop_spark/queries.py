@@ -315,6 +315,69 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("c_custkey", "c_mktsegment"))
 
 
+@query("join_outer_gallery", oracle="""
+WITH big AS (
+    SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS big_rev
+    FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
+),
+urgent AS (
+    SELECT o_custkey, count(*) AS n_urgent
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+)
+SELECT coalesce(b.o_custkey, u.o_custkey) AS custkey,
+       coalesce(n_big, 0)      AS n_big,
+       coalesce(big_rev, 0.0)  AS big_rev,
+       coalesce(n_urgent, 0)   AS n_urgent,
+       (b.o_custkey IS NULL)   AS only_urgent,
+       (u.o_custkey IS NULL)   AS only_big
+FROM big b FULL OUTER JOIN urgent u ON b.o_custkey = u.o_custkey
+""")
+def join_outer_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 outer joins (the Pig OUTER JOIN surface the reference's
+    loaders feed): FULL OUTER of two per-customer aggregates with
+    null-side markers; left/right outer are degenerate cases of the
+    same plan."""
+    o = load(spark, sf_dir, "orders")
+    big = (o.filter(F.col("o_totalprice") > 350000)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_big"),
+                 F.round(F.sum("o_totalprice"), 2).alias("big_rev")))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+               .groupBy(F.col("o_custkey").alias("u_custkey"))
+               .agg(F.count(F.lit(1)).alias("n_urgent")))
+    j = big.join(urgent, big.o_custkey == urgent.u_custkey, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "u_custkey").alias("custkey"),
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        F.coalesce("big_rev", F.lit(0.0)).alias("big_rev"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.col("o_custkey").isNull().alias("only_urgent"),
+        F.col("u_custkey").isNull().alias("only_big"))
+
+
+@query("doc_length_histogram", oracle="""
+SELECT cast(floor(least(greatest(n_chars, 0), 4999) / 250) AS int)
+           AS bucket,
+       count(*) AS n_docs,
+       cast(min(n_chars) AS bigint) AS min_chars,
+       cast(max(n_chars) AS bigint) AS max_chars
+FROM documents
+GROUP BY 1
+""")
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 histogram shape (SURVEY §2.9): fixed-width n_chars buckets
+    (250-char bins, clamped to [0, 5000)) with per-bucket extremes —
+    explicit floor math on both sides, engine-portable."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.floor(
+        F.least(F.greatest(F.col("n_chars"), F.lit(0)), F.lit(4999))
+        / 250).cast("int")
+    return (d.groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("n_chars").cast("long").alias("min_chars"),
+                  F.max("n_chars").cast("long").alias("max_chars")))
+
+
 @query("join_asof_latest_order", oracle="""
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM customer c
