@@ -434,6 +434,18 @@ def test_sql_interface_views(spark, sstable_dir):
     assert joined
 
 
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """approx_count_distinct has no SQL oracle (engine-specific HLL
+    sketches) — pin its accuracy against the exact count instead:
+    rsd=0.01 must land within 5% at this cardinality."""
+    from sstable_hadoop_spark.queries import approx_distinct_users, load
+
+    approx = approx_distinct_users(spark, SF).collect()[0]["approx_users"]
+    exact = (load(spark, SF, "events")
+             .select("user_id").distinct().count())
+    assert abs(approx - exact) <= max(0.05 * exact, 2)
+
+
 def test_curation_pipeline_plan_is_join_free(spark):
     """The curation pipeline chains stats and lang-ID as projections
     via column pass-through — a regression here (someone re-joining on
