@@ -39,8 +39,15 @@ reader yields):
 - EXPIRATION flag → ``Cell(state='EXPIRING', ttl=ttl_secs,
   expiration=local_expiration_time * 1000)`` (model stores ms).
 - no flag        → ``Cell(state='NORMAL')``.
-- COUNTER flags and RANGE_TOMBSTONE raise ``UnsupportedColumnError``
-  (no counterpart in the reference's 3-variant model).
+- COUNTER flags and RANGE_TOMBSTONE have no counterpart in the
+  reference's 3-variant model (SSTableDataRecordReader.scala:66-71
+  would hit a MatchError on them too).  Default ``on_unsupported=
+  "error"`` raises ``UnsupportedColumnError``; ``"skip"`` parses past
+  them using their public 1.x serialized layouts (counter: i64
+  timestampOfLastDelete + i64 timestamp + i32/value; counter update:
+  i64 timestamp + i32/value; range tombstone: u16/max-name + i32
+  localDeletionTime + i64 markedForDeleteAt) and counts them, so one
+  exotic column does not fail a whole backup scan.
 - Row-level tombstones (``marked_for_delete_at``) are parsed but not
   surfaced — the reference's loader exposes key → columns only.
 
@@ -143,12 +150,35 @@ def _open_reader(data_path: str):
     return f, size, f
 
 
+def _checked_size(n: int, what: str, bound: int) -> int:
+    """Validate an i32 size field read from the file.  A corrupt or
+    adversarial negative value would otherwise seek BACKWARDS and loop
+    forever re-reading the same region (never raising, so
+    ``ignore_corrupt_files`` — which relies on exceptions — could not
+    contain it); an absurdly large one would over-read silently."""
+    if n < 0 or n > bound:
+        raise IOError(
+            f"corrupt cassandra row: {what}={n} outside [0, {bound}]")
+    return n
+
+
 def read_cassandra_rows(data_path: str, start: int = 0,
-                        end: int | None = None) -> Iterator[Row]:
+                        end: int | None = None, *,
+                        on_unsupported: str = "error",
+                        skipped: list | None = None) -> Iterator[Row]:
     """Iterate rows of a real Cassandra 1.x Data.db within
     uncompressed-space byte range [start, end); ``start`` must be a row
     boundary (0 or an Index.db offset).  Transparently decompresses
-    snappy chunked tables (CompressionInfo.db present)."""
+    snappy chunked tables (CompressionInfo.db present).
+
+    ``on_unsupported``: "error" (default) raises on counter /
+    range-tombstone columns; "skip" parses past them, incrementing
+    ``skipped[0]`` when a one-element list is supplied (per-partition
+    count, surfaced by the DataSource via a log line).
+    """
+    if on_unsupported not in ("error", "skip"):
+        raise ValueError(f"on_unsupported must be error|skip, "
+                         f"got {on_unsupported!r}")
     f, total, fh = _open_reader(data_path)
     try:
         if end is None:
@@ -162,14 +192,22 @@ def read_cassandra_rows(data_path: str, start: int = 0,
                 raise EOFError("truncated row key length")
             (key_len,) = struct.unpack(">H", header)
             key = _read_exact(f, key_len)
-            (_data_size,) = struct.unpack(">Q", _read_exact(f, 8))
+            (data_size,) = struct.unpack(">Q", _read_exact(f, 8))
+            if data_size > total - f.tell():
+                raise IOError(
+                    f"corrupt cassandra row: data_size={data_size} "
+                    f"exceeds remaining file bytes {total - f.tell()}")
+            bound = int(data_size)
             (bloom_size,) = struct.unpack(">i", _read_exact(f, 4))
-            f.seek(f.tell() + bloom_size)  # row bloom filter
+            f.seek(f.tell() + _checked_size(bloom_size, "bloom_size",
+                                            bound))  # row bloom filter
             (index_size,) = struct.unpack(">i", _read_exact(f, 4))
-            f.seek(f.tell() + index_size)  # column index
+            f.seek(f.tell() + _checked_size(index_size, "index_size",
+                                            bound))  # column index
             _local_deletion, _marked_for_delete = struct.unpack(
                 ">iq", _read_exact(f, 12))
             (n_cols,) = struct.unpack(">i", _read_exact(f, 4))
+            _checked_size(n_cols, "column_count", bound)
             cells = []
             for _ in range(n_cols):
                 (name_len,) = struct.unpack(">H", _read_exact(f, 2))
@@ -177,9 +215,26 @@ def read_cassandra_rows(data_path: str, start: int = 0,
                 (flags,) = struct.unpack(">B", _read_exact(f, 1))
                 if flags & (COUNTER_MASK | COUNTER_UPDATE_MASK
                             | RANGE_TOMBSTONE_MASK):
-                    raise UnsupportedColumnError(
-                        f"column flags 0x{flags:02x} (counter/range-"
-                        f"tombstone) have no reference counterpart")
+                    if on_unsupported == "error":
+                        raise UnsupportedColumnError(
+                            f"column flags 0x{flags:02x} (counter/range-"
+                            f"tombstone) have no reference counterpart "
+                            f"(pass on_unsupported=skip to skip them)")
+                    if flags & RANGE_TOMBSTONE_MASK:
+                        # u16 max-name, i32 localDeletionTime,
+                        # i64 markedForDeleteAt (RangeTombstone layout)
+                        (mx,) = struct.unpack(">H", _read_exact(f, 2))
+                        _read_exact(f, mx + 12)
+                    else:
+                        if flags & COUNTER_MASK:
+                            _read_exact(f, 8)  # timestampOfLastDelete
+                        _read_exact(f, 8)  # timestamp
+                        (vlen,) = struct.unpack(">i", _read_exact(f, 4))
+                        _read_exact(f, _checked_size(vlen, "value_len",
+                                                     bound))
+                    if skipped is not None:
+                        skipped[0] += 1
+                    continue
                 ttl = expiration = None
                 if flags & EXPIRATION_MASK:
                     ttl, local_exp = struct.unpack(
@@ -187,7 +242,8 @@ def read_cassandra_rows(data_path: str, start: int = 0,
                     expiration = local_exp * 1000  # epoch s → ms
                 (timestamp,) = struct.unpack(">q", _read_exact(f, 8))
                 (value_len,) = struct.unpack(">i", _read_exact(f, 4))
-                value = _read_exact(f, value_len)
+                value = _read_exact(f, _checked_size(value_len, "value_len",
+                                                     bound))
                 if flags & DELETION_MASK:
                     cells.append(Cell(name=name, state=STATE_DELETED,
                                       timestamp=timestamp))
@@ -227,17 +283,45 @@ def write_cassandra_compressed(data_path: str, raw: bytes,
         f.write(struct.pack(f">{len(offsets)}q", *offsets))
 
 
+def encode_unsupported_column(kind: str, name: bytes, *,
+                              timestamp: int = 0, value: bytes = b"\0" * 8,
+                              max_name: bytes = b"") -> bytes:
+    """Fixture/test support: serialize a column OUTSIDE the reference's
+    3-variant model, in its public 1.x layout — ``kind`` is "counter",
+    "counter_update", or "range_tombstone" — so tests can prove
+    ``on_unsupported=skip`` walks past real exotic columns."""
+    out = struct.pack(">H", len(name)) + name
+    if kind == "counter":
+        return (out + struct.pack(">B", COUNTER_MASK)
+                + struct.pack(">qq", 0, timestamp)  # lastDelete, ts
+                + struct.pack(">i", len(value)) + value)
+    if kind == "counter_update":
+        return (out + struct.pack(">B", COUNTER_UPDATE_MASK)
+                + struct.pack(">q", timestamp)
+                + struct.pack(">i", len(value)) + value)
+    if kind == "range_tombstone":
+        return (out + struct.pack(">B", RANGE_TOMBSTONE_MASK)
+                + struct.pack(">H", len(max_name)) + max_name
+                + struct.pack(">iq", 0, timestamp))
+    raise ValueError(f"unknown unsupported-column kind {kind!r}")
+
+
 def encode_cassandra_row(row: Row, *, local_deletion_time: int = 0x7FFFFFFF,
                          marked_for_delete_at: int = -(1 << 63),
-                         bloom: bytes = b"", column_index: bytes = b"") -> bytes:
+                         bloom: bytes = b"", column_index: bytes = b"",
+                         extra_cells: list[bytes] | None = None) -> bytes:
     """Serialize one row in the 1.x layout — fixture/test support (the
     write path of this engine stays the native format; this exists so
-    round-trip tests don't hand-compute length fields)."""
+    round-trip tests don't hand-compute length fields).
+
+    ``extra_cells``: pre-serialized column byte strings (e.g. from
+    ``encode_unsupported_column``) appended after the model cells and
+    counted in the column count."""
     body = bytearray()
     body += struct.pack(">i", len(bloom)) + bloom
     body += struct.pack(">i", len(column_index)) + column_index
     body += struct.pack(">iq", local_deletion_time, marked_for_delete_at)
-    body += struct.pack(">i", len(row.cells))
+    body += struct.pack(">i", len(row.cells) + len(extra_cells or []))
     for c in row.cells:
         body += struct.pack(">H", len(c.name)) + c.name
         if c.state == STATE_DELETED:
@@ -257,5 +341,7 @@ def encode_cassandra_row(row: Row, *, local_deletion_time: int = 0x7FFFFFFF,
             body += struct.pack(">q", c.timestamp)
             data = c.data or b""
             body += struct.pack(">i", len(data)) + data
+    for raw in extra_cells or []:
+        body += raw
     return (struct.pack(">H", len(row.key)) + row.key
             + struct.pack(">Q", len(body)) + bytes(body))

@@ -232,6 +232,14 @@ class SSTableReader(DataSourceReader):
         # use_arrow=false falls back to the row iterator.
         self.use_arrow = str(options.get("use_arrow",
                                          "true")).lower() == "true"
+        # format=cassandra only: error (default) | skip for columns
+        # outside the 3-variant model (counters, range tombstones) —
+        # real backups can contain them (cassandra1x.py module doc)
+        self.on_unsupported = str(options.get("on_unsupported", "error"))
+        if self.on_unsupported not in ("error", "skip"):
+            raise ValueError(
+                f"on_unsupported must be error|skip, "
+                f"got {self.on_unsupported!r}")
         self._key_lo: bytes | None = None  # inclusive
         self._key_hi: bytes | None = None  # inclusive
 
@@ -333,9 +341,20 @@ class SSTableReader(DataSourceReader):
             return [RangePartition(self.path, 0, 0, 0)]
         raise ValueError(f"unknown kind: {self.kind}")
 
+    @staticmethod
+    def _log_skipped(partition: RangePartition, skipped: list) -> None:
+        if skipped[0]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sstable %s[%d:%d]: skipped %d unsupported column(s) "
+                "(on_unsupported=skip)", partition.path, partition.start,
+                partition.end, skipped[0])
+
     def read(self, partition: RangePartition):
         if not partition.path:
             return
+        skipped = [0]
         if self.kind == "cells":
             if self.fmt == "cassandra":
                 from . import cassandra1x
@@ -343,7 +362,9 @@ class SSTableReader(DataSourceReader):
                 cell_iter = ((row.key, c) for row in
                              cassandra1x.read_cassandra_rows(
                                  partition.path, partition.start,
-                                 partition.end)
+                                 partition.end,
+                                 on_unsupported=self.on_unsupported,
+                                 skipped=skipped)
                              for c in row.cells)
             else:
                 cell_iter = codec.read_cells_flat(
@@ -355,6 +376,7 @@ class SSTableReader(DataSourceReader):
                 try:
                     item = next(src)
                 except StopIteration:
+                    self._log_skipped(partition, skipped)
                     return
                 except (EOFError, IOError, struct.error, KeyError) as exc:
                     if self.ignore_corrupt:
@@ -375,7 +397,8 @@ class SSTableReader(DataSourceReader):
                 from . import cassandra1x
 
                 rows = cassandra1x.read_cassandra_rows(
-                    partition.path, partition.start, partition.end)
+                    partition.path, partition.start, partition.end,
+                    on_unsupported=self.on_unsupported, skipped=skipped)
                 use_arrow = self.use_arrow
                 src = (codec.rows_to_batches(
                            rows, generation=partition.generation)
@@ -392,6 +415,7 @@ class SSTableReader(DataSourceReader):
                 try:
                     item = next(src)
                 except StopIteration:
+                    self._log_skipped(partition, skipped)
                     return
                 except (EOFError, IOError, struct.error, KeyError) as exc:
                     if self.ignore_corrupt:
@@ -460,17 +484,29 @@ class SSTableStreamReader(DataSourceStreamReader):
     ``streaming.streaming_lww_cells`` for a continuously-maintained
     merged table.
 
-    Offsets are a compact ``(mtime_ns, basename)`` high-water mark —
-    O(1) per micro-batch regardless of directory history, so the
+    Offsets are a compact ``(mtime_ns, basename)`` high-water mark
+    plus a BOUNDED tail of recently-seen basenames — the same shape as
+    Spark's file source seen-map with compaction, so the
     checkpoint/offset log stays bounded over a long-running stream
-    (a full-file-set offset would grow quadratically).  A batch is the
-    directory files with ``start_wm < (mtime_ns, name) <= end_wm``;
-    replay after recovery re-derives the same set from the directory
-    listing.  Assumes producers create files with non-decreasing
-    mtimes (the standard file-source contract); a file landing with an
-    mtime at-or-below an already-committed watermark is missed —
-    nanosecond mtime ties make that window effectively zero.  Legacy
-    full-file-set offsets from older checkpoints are still understood.
+    (a full-file-set offset would grow quadratically).  A file is
+    covered by an offset when its stamp is ≤ the watermark AND either
+    its mtime is older than the offset's grace floor or its basename
+    is in the offset's seen tail; a batch is ``covered(end) −
+    covered(start)``.  Out-of-order mtimes are common in practice
+    (``cp -p`` / ``rsync -t``, object-store restores, a slow writer
+    finishing after a newer file was committed): a late file whose
+    mtime lands inside the grace window (``late_file_grace_ms``,
+    default 60 s) but whose name is not yet in the seen tail is still
+    picked up by the next batch.  Only files later than the grace
+    window are excluded — and that exclusion is logged.  The seen tail
+    is capped at ``seen_files_cap`` names (default 1024); when the cap
+    is hit the effective grace floor rises to the oldest retained
+    name, keeping offsets O(cap).  Replay after recovery re-derives
+    batch membership from the directory listing with the same covered
+    rule, so recovered batches match the originally executed ones for
+    any file inside the grace window.  Legacy full-file-set and
+    bare-watermark offsets from older checkpoints are still
+    understood.
 
     Reads execute on executors, one partition per planned split per new
     file — the driver only lists the directory."""
@@ -488,6 +524,17 @@ class SSTableStreamReader(DataSourceStreamReader):
             raise ValueError(f"unknown format: {self.fmt}")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
+        self.on_unsupported = str(options.get("on_unsupported", "error"))
+        if self.on_unsupported not in ("error", "skip"):
+            raise ValueError(
+                f"on_unsupported must be error|skip, "
+                f"got {self.on_unsupported!r}")
+        self.grace_ns = int(options.get("late_file_grace_ms",
+                                        60_000)) * 1_000_000
+        self.seen_cap = int(options.get("seen_files_cap", 1024))
+        # driver-side, best-effort late-file detection (log only):
+        self._known: set[str] = set()
+        self._prev_offset: dict | None = None
 
     def _stamped(self) -> dict[str, tuple[int, str]]:
         """basename → (mtime_ns, basename) for every Data.db present."""
@@ -501,12 +548,35 @@ class SSTableStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"wm": [0, ""]}
+        return {"wm": [0, ""], "floor": 0, "seen": []}
 
     def latestOffset(self) -> dict:
         stamped = self._stamped()
+        if self._prev_offset is not None:
+            # a basename first observed NOW but already covered by the
+            # last offset arrived with an mtime beyond the grace window
+            # — it will never be read; surface that instead of silence
+            for b in self._covered(self._prev_offset, stamped):
+                if b not in self._known:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "sstable stream %s: file %s appeared with mtime "
+                        "at-or-below the committed watermark (beyond the "
+                        "%d ms grace window) — excluded from the stream",
+                        self.path, b, self.grace_ns // 1_000_000)
+        self._known.update(stamped)
         wm = max(stamped.values(), default=(0, ""))
-        return {"wm": list(wm)}
+        floor = wm[0] - self.grace_ns
+        recent = sorted((s for s in stamped.values() if s[0] >= floor),
+                        reverse=True)
+        if len(recent) > self.seen_cap:
+            recent = recent[:self.seen_cap]
+            floor = recent[-1][0]  # cap hit → grace floor rises
+        offset = {"wm": list(wm), "floor": floor,
+                  "seen": sorted(b for _, b in recent)}
+        self._prev_offset = offset
+        return offset
 
     @staticmethod
     def _covered(offset: dict,
@@ -515,7 +585,12 @@ class SSTableStreamReader(DataSourceStreamReader):
         if "files" in offset:  # legacy full-set offset (pre-watermark)
             return set(offset["files"])
         wm = tuple(offset.get("wm", (0, "")))
-        return {b for b, s in stamped.items() if s <= wm}
+        if "seen" not in offset:  # legacy bare-watermark offset
+            return {b for b, s in stamped.items() if s <= wm}
+        floor = offset.get("floor", 0)
+        seen = set(offset["seen"])
+        return {b for b, s in stamped.items()
+                if s <= wm and (s[0] < floor or b in seen)}
 
     def partitions(self, start: dict, end: dict):
         ci_reader = None
@@ -539,7 +614,8 @@ class SSTableStreamReader(DataSourceStreamReader):
             from .cassandra1x import read_cassandra_rows
 
             return read_cassandra_rows(partition.path, partition.start,
-                                       partition.end)
+                                       partition.end,
+                                       on_unsupported=self.on_unsupported)
         return codec.read_data_rows(partition.path, partition.start,
                                     partition.end)
 
@@ -646,8 +722,13 @@ class SSTableDataSource(DataSource):
       kind             data | cells | index | summary | manifest
                        (default data; cells = one flat record per cell,
                        wide-row-safe)
-      format           native | cassandra  (real 1.x files)
+      format           native | cassandra  (real 1.x files; real
+                       Summary.db is JVM-serialized and deliberately
+                       unsupported — split planning uses Index.db,
+                       which carries strictly more information)
       max_split_bytes  target uncompressed split size (default 128 MiB)
+      on_unsupported   error | skip  (format=cassandra: counter /
+                       range-tombstone columns; skip logs a count)
     """
 
     @classmethod

@@ -274,3 +274,102 @@ def test_spark_reads_cassandra_format_with_index_splits(spark, tmp_path):
     # summary kind: clear rejection
     with pytest.raises(Exception, match="summary"):
         reader.option("kind", "summary").load(d).collect()
+
+
+def test_on_unsupported_skip_walks_past_exotic_columns(tmp_path):
+    """ADVICE r2 #4: counters / range tombstones in real backups should
+    be skippable (with a count) rather than failing the whole scan.
+    A clean row AFTER the exotic columns proves the skip re-syncs on
+    the exact serialized layouts."""
+    from sstable_hadoop_spark.sources.cassandra1x import (
+        encode_unsupported_column,
+    )
+
+    raw = encode_cassandra_row(
+        Row(b"row1", [Cell(b"colA", "NORMAL", b"hello", 1000)]),
+        extra_cells=[
+            encode_unsupported_column("counter", b"cnt", timestamp=5,
+                                      value=b"\x00" * 8),
+            encode_unsupported_column("counter_update", b"cup", timestamp=6,
+                                      value=b"\x01" * 8),
+            encode_unsupported_column("range_tombstone", b"ra", timestamp=7,
+                                      max_name=b"rz"),
+        ])
+    raw += encode_cassandra_row(
+        Row(b"row2", [Cell(b"colB", "NORMAL", b"x", 2000)]))
+    data = str(tmp_path / "ks-cf-hc-1-Data.db")
+    with open(data, "wb") as f:
+        f.write(raw)
+
+    with pytest.raises(UnsupportedColumnError):
+        list(read_cassandra_rows(data))
+    skipped = [0]
+    rows = list(read_cassandra_rows(data, on_unsupported="skip",
+                                    skipped=skipped))
+    assert [(r.key, [(c.name, c.data) for c in r.cells]) for r in rows] == [
+        (b"row1", [(b"colA", b"hello")]),
+        (b"row2", [(b"colB", b"x")]),
+    ]
+    assert skipped[0] == 3
+    with pytest.raises(ValueError, match="on_unsupported"):
+        list(read_cassandra_rows(data, on_unsupported="banana"))
+
+
+def test_spark_scan_skips_counter_columns_with_option(spark, tmp_path):
+    """End-to-end: option("on_unsupported", "skip") through the
+    DataSource reads a backup containing a counter column."""
+    from sstable_hadoop_spark.sources.cassandra1x import (
+        encode_unsupported_column,
+    )
+
+    d = str(tmp_path / "snap")
+    os.makedirs(d)
+    raw = encode_cassandra_row(
+        Row(b"k1", [Cell(b"c", "NORMAL", b"v1", 10)]),
+        extra_cells=[encode_unsupported_column("counter", b"hits")])
+    raw += encode_cassandra_row(Row(b"k2", [Cell(b"c", "NORMAL", b"v2", 20)]))
+    with open(os.path.join(d, "ks-cf-hc-1-Data.db"), "wb") as f:
+        f.write(raw)
+
+    base = spark.read.format("sstable").option("format", "cassandra")
+    with pytest.raises(Exception, match="[Uu]nsupported"):
+        base.load(d).collect()
+    got = base.option("on_unsupported", "skip").load(d).collect()
+    assert {bytes(r["key"]) for r in got} == {b"k1", b"k2"}
+    assert all(len(r["columns"]) == 1 for r in got)
+    with pytest.raises(Exception, match="on_unsupported"):
+        base.option("on_unsupported", "nope").load(d).collect()
+
+
+@pytest.mark.parametrize("field,value", [
+    ("bloom", -8), ("index", -4), ("value_len", -1), ("value_len", 1 << 30),
+])
+def test_corrupt_negative_sizes_raise_instead_of_looping(tmp_path, field,
+                                                         value):
+    """ADVICE r2 #3: a corrupt/adversarial negative i32 size used to
+    seek BACKWARDS and loop forever; it must raise so
+    ignore_corrupt_files (exception-based) can contain it."""
+    out = bytearray()
+    out += struct.pack(">H", 1) + b"k"
+    body = bytearray()
+    body += struct.pack(">i", value if field == "bloom" else 0)
+    body += struct.pack(">i", value if field == "index" else 0)
+    body += struct.pack(">iq", 0x7FFFFFFF, -(1 << 63))
+    body += struct.pack(">i", 1)
+    body += struct.pack(">H", 1) + b"c" + struct.pack(">B", 0)
+    body += struct.pack(">q", 1000)
+    body += struct.pack(">i", value if field == "value_len" else 0)
+    out += struct.pack(">Q", len(body)) + bytes(body)
+    data = str(tmp_path / "ks-cf-hc-1-Data.db")
+    with open(data, "wb") as f:
+        f.write(out)
+    with pytest.raises((IOError, EOFError)):
+        list(read_cassandra_rows(data))
+
+
+def test_corrupt_data_size_exceeding_file_raises(tmp_path):
+    data = str(tmp_path / "ks-cf-hc-1-Data.db")
+    with open(data, "wb") as f:
+        f.write(struct.pack(">H", 1) + b"k" + struct.pack(">Q", 1 << 40))
+    with pytest.raises((IOError, EOFError)):
+        list(read_cassandra_rows(data))

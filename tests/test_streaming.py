@@ -229,7 +229,9 @@ def test_stream_offsets_are_compact_and_legacy_compatible(tmp_path):
     one(1)
     one(2)
     o1 = r.latestOffset()
-    assert set(o1) == {"wm"} and len(o1["wm"]) == 2  # compact: no file list
+    # compact: watermark + bounded seen tail, never the full history
+    assert set(o1) == {"wm", "floor", "seen"} and len(o1["wm"]) == 2
+    assert len(o1["seen"]) <= r.seen_cap
     got = {os.path.basename(p.path)
            for p in r.partitions(r.initialOffset(), o1)}
     assert got == {"ks-cf-1-Data.db", "ks-cf-2-Data.db"}
