@@ -2378,9 +2378,80 @@ def grouped_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("normalized", 1), 6).alias("z0"))
 
 
+# The driver's correctness gate checks the FIRST 50 entries of
+# ``all_queries()``.  Registration order above is topical, so we curate
+# the window explicitly each round: queries that have never had a
+# driver row (or whose last row is stale) come first, followed by the
+# permanent regression core (flagship + one per operator family + this
+# round's new/risky code).  Everything else stays registered — the
+# local parity suite (tests/test_oracle_parity.py) runs the
+# driver-identical compare over ALL queries every round.
+_DRIVER_WINDOW: list[str] = [
+    # -- never driver-checked before round 4 --------------------------
+    "streaming_lww_flush",
+    "streaming_flush_roundtrip",
+    "lww_skewed_auto",
+    "array_agg_sorted_events",
+    "embedding_cosine_near_dup",
+    "dedup_clusters",
+    "array_function_gallery",
+    "cast_decimal_gallery",
+    "date_arithmetic_gallery",
+    "range_join_price_bands",
+    "map_function_gallery",
+    "explode_posexplode_embeddings",
+    "grouped_normalize_embeddings",
+    # -- last driver row was round 1 (stale) --------------------------
+    "sstable_index_keys",
+    "sstable_split_manifest",
+    "subquery_above_avg_orders",
+    "subquery_correlated_max_item",
+    "window_gallery",
+    "stats_aggregates",
+    "pivot_status_by_priority",
+    "string_function_gallery",
+    "null_handling_gallery",
+    # -- permanent regression core (green r2+r3) ----------------------
+    "flagship_lww_merge",
+    "live_view_asof",
+    "scan_project_filter",
+    "q1_pricing_summary",
+    "join_agg_revenue",
+    "join_asof_latest_order",
+    "five_way_join_region_revenue",
+    "window_topk_orders",
+    "rollup_lineitem",
+    "topk_global_orders",
+    "json_events_extract",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "text_quality_stats",
+    "corpus_curation_pipeline",
+    "multimodal_real_decode",
+    "window_tumbling_events",
+    "window_session_events",
+    "sstable_scan_roundtrip",
+    "sstable_lww_merge",
+    "cassandra_format_scan",
+    "write_sink_roundtrip",
+    "compaction_roundtrip",
+]
+
+
+def _window_order(d: dict) -> dict:
+    ordered = {k: d[k] for k in _DRIVER_WINDOW if k in d}
+    ordered.update((k, v) for k, v in d.items() if k not in ordered)
+    return ordered
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _window_order(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _window_order(_ORACLES)
