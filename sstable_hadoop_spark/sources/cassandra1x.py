@@ -73,6 +73,8 @@ import struct
 import zlib
 from typing import Iterator
 
+from . import fs
+
 from .codec import (
     STATE_DELETED,
     STATE_EXPIRING,
@@ -116,7 +118,7 @@ def read_cassandra_compression_info(path: str) -> CompressionInfo:
     (``CompressionMetadata.Writer`` layout: compressor class UTF,
     option-pair count + UTF pairs, i32 chunkLength, i64 dataLength,
     i32 chunkCount, chunkCount × i64 compressed chunk offsets)."""
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         compressor = _read_java_utf(f)
         (n_opts,) = struct.unpack(">i", _read_exact(f, 4))
         for _ in range(n_opts):
@@ -138,9 +140,9 @@ def read_cassandra_compression_info(path: str) -> CompressionInfo:
 def _open_reader(data_path: str):
     """(reader with seek/tell/read over the UNCOMPRESSED stream,
     uncompressed length, file handle to close)."""
-    f = open(data_path, "rb")
+    f = fs.open_input(data_path)
     ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
-    if os.path.exists(ci_path):
+    if fs.exists(ci_path):
         info = read_cassandra_compression_info(ci_path)
         return (ChunkedDecompressingReader(f, info, checksum="adler32"),
                 info.uncompressed_length, f)
@@ -267,13 +269,13 @@ def write_cassandra_compressed(data_path: str, raw: bytes,
     its real-layout CompressionInfo.db companion (snappy or deflate)."""
     ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
     offsets = []
-    with open(data_path, "wb") as f:
+    with fs.open_output(data_path) as f:
         for start in range(0, max(len(raw), 1), chunk_length):
             offsets.append(f.tell())
             comp = _compress(raw[start:start + chunk_length], algo)
             f.write(comp)
             f.write(struct.pack(">I", zlib.adler32(comp) & 0xFFFFFFFF))
-    with open(ci_path, "wb") as f:
+    with fs.open_output(ci_path) as f:
         name = (b"org.apache.cassandra.io.compress.SnappyCompressor"
                 if algo == "snappy" else
                 b"org.apache.cassandra.io.compress.DeflateCompressor")

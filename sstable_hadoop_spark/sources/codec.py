@@ -51,6 +51,8 @@ import zlib
 from dataclasses import dataclass, field
 from typing import BinaryIO, Iterable, Iterator
 
+from . import fs
+
 try:  # pyarrow ships snappy/lz4/zstd codecs; no python-snappy needed
     import pyarrow as _pa
 
@@ -175,21 +177,21 @@ class SSTableWriter:
         self._data.write(_encode_row(row))
 
     def close(self) -> dict[str, str]:
-        os.makedirs(self.directory, exist_ok=True)
+        fs.makedirs(self.directory)
         paths = {}
         raw = self._data.getvalue()
 
         data_path = self.base + _DATA_SUFFIX
         if self.compressed:
             chunk_offsets: list[int] = []
-            with open(data_path, "wb") as f:
+            with fs.open_output(data_path) as f:
                 for start in range(0, max(len(raw), 1), self.chunk_length):
                     chunk_offsets.append(f.tell())
                     comp = _compress(raw[start:start + self.chunk_length], self.algo)
                     f.write(comp)
                     f.write(struct.pack(">I", zlib.crc32(comp) & 0xFFFFFFFF))
             ci_path = self.base + "-CompressionInfo.db"
-            with open(ci_path, "wb") as f:
+            with fs.open_output(ci_path) as f:
                 algo_b = self.algo.encode("ascii")
                 f.write(struct.pack(">B", len(algo_b)))
                 f.write(algo_b)
@@ -199,13 +201,13 @@ class SSTableWriter:
                     f.write(struct.pack(">Q", off))
             paths["compression_info"] = ci_path
         else:
-            with open(data_path, "wb") as f:
+            with fs.open_output(data_path) as f:
                 f.write(raw)
         paths["data"] = data_path
 
         index_path = self.base + "-Index.db"
         index_offsets: list[int] = []
-        with open(index_path, "wb") as f:
+        with fs.open_output(index_path) as f:
             for key, pos in self._index:
                 index_offsets.append(f.tell())
                 f.write(struct.pack(">H", len(key)))
@@ -214,7 +216,7 @@ class SSTableWriter:
         paths["index"] = index_path
 
         summary_path = self.base + "-Summary.db"
-        with open(summary_path, "wb") as f:
+        with fs.open_output(summary_path) as f:
             f.write(struct.pack(">I", self.summary_rate))
             for i in range(0, len(self._index), self.summary_rate):
                 key = self._index[i][0]
@@ -250,7 +252,7 @@ class CompressionInfo:
 
 
 def read_compression_info(path: str) -> CompressionInfo:
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         (algo_len,) = struct.unpack(">B", f.read(1))
         algo = f.read(algo_len).decode("ascii")
         chunk_length, uncompressed_length, n_chunks = struct.unpack(
@@ -373,8 +375,8 @@ def _open_reader(data_path: str):
     reference's ``sstable.compressed`` switch
     (SSTableDataRecordReader.scala:37-45) but without manual config."""
     ci_path = data_path.replace(_DATA_SUFFIX, "-CompressionInfo.db")
-    f = open(data_path, "rb")
-    if os.path.exists(ci_path):
+    f = fs.open_input(data_path)
+    if fs.exists(ci_path):
         info = read_compression_info(ci_path)
         return ChunkedDecompressingReader(f, info), info.uncompressed_length
     f.seek(0, os.SEEK_END)
@@ -711,7 +713,7 @@ def read_index_entries(index_path: str, start: int = 0,
                        end: int | None = None) -> Iterator[tuple[bytes, int]]:
     """Iterate (key, data_offset) from an Index.db
     (reference SSTableIndexRecordReader.scala:47-58)."""
-    with open(index_path, "rb") as f:
+    with fs.open_input(index_path) as f:
         if end is None:
             f.seek(0, os.SEEK_END)
             end = f.tell()
@@ -729,7 +731,7 @@ def read_index_entries(index_path: str, start: int = 0,
 def read_summary_entries(summary_path: str) -> Iterator[tuple[bytes, int]]:
     """Iterate (key, index_offset) samples from a Summary.db
     (reference GenerateSSTableIndexSplits.scala:75-91)."""
-    with open(summary_path, "rb") as f:
+    with fs.open_input(summary_path) as f:
         f.read(4)  # sample rate header
         while True:
             header = f.read(2)
@@ -772,14 +774,14 @@ def build_bloom(keys: list[bytes], fp_rate: float = 0.01) -> tuple[bytes, int, i
 
 def write_bloom(path: str, keys: list[bytes], fp_rate: float = 0.01) -> None:
     bits, m_bits, k = build_bloom(keys, fp_rate)
-    with open(path, "wb") as f:
+    with fs.open_output(path) as f:
         f.write(struct.pack(">IB", m_bits, k))
         f.write(bits)
 
 
 class BloomFilter:
     def __init__(self, path: str) -> None:
-        with open(path, "rb") as f:
+        with fs.open_input(path) as f:
             self.m_bits, self.k = struct.unpack(">IB", f.read(5))
             self.bits = f.read()
 

@@ -34,7 +34,6 @@ capability the reference reads the index for but never exploits
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import tempfile
 import zipfile
@@ -65,7 +64,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from . import codec
+from . import codec, fs
 
 CELL_STRUCT = StructType([
     StructField("name", BinaryType(), False),
@@ -150,14 +149,7 @@ class RangePartition(InputPartition):
 def _list_files(path: str, suffix: str) -> list[str]:
     """Directory-listing suffix filter, the reference's P1 operator
     (SSTableDataInputFormat.scala:13-18)."""
-    if os.path.isfile(path):
-        return [path]
-    hits = []
-    for p in sorted(_glob.glob(os.path.join(path, "**", f"*{suffix}"),
-                               recursive=True)):
-        if os.path.isfile(p):
-            hits.append(p)
-    return hits
+    return fs.list_files(path, suffix)
 
 
 def _plan_file(data_path: str, max_split: int,
@@ -176,15 +168,15 @@ def _plan_file(data_path: str, max_split: int,
     gen = codec.generation_of(data_path)
     index_path = data_path.replace("-Data.db", "-Index.db")
     ci_path = data_path.replace("-Data.db", "-CompressionInfo.db")
-    if os.path.exists(ci_path):
+    if fs.exists(ci_path):
         # ci_reader parses the companion's format (native by default;
         # cassandra1x for format=cassandra files)
         total = (ci_reader or codec.read_compression_info)(
             ci_path).uncompressed_length
     else:
-        total = os.path.getsize(data_path)
+        total = fs.file_size(data_path)
 
-    if not os.path.exists(index_path):
+    if not fs.exists(index_path):
         return [RangePartition(data_path, 0, total, gen)]
 
     parts: list[RangePartition] = []
@@ -298,7 +290,7 @@ class SSTableReader(DataSourceReader):
         if self._key_lo is None or self._key_lo != self._key_hi:
             return False
         f_path = data_path.replace("-Data.db", "-Filter.db")
-        if not os.path.exists(f_path):
+        if not fs.exists(f_path):
             return False
         try:
             return not codec.BloomFilter(f_path).might_contain(self._key_lo)
@@ -324,13 +316,13 @@ class SSTableReader(DataSourceReader):
                     if self._overlaps(q))
             return parts or [RangePartition("", 0, 0, 0)]
         if self.kind == "index":
-            return [RangePartition(f, 0, os.path.getsize(f),
+            return [RangePartition(f, 0, fs.file_size(f),
                                    codec.generation_of(
                                        f.replace("-Index.db", "-Data.db")))
                     for f in _list_files(self.path, "-Index.db")] \
                 or [RangePartition("", 0, 0, 0)]
         if self.kind == "summary":
-            return [RangePartition(f, 0, os.path.getsize(f),
+            return [RangePartition(f, 0, fs.file_size(f),
                                    codec.generation_of(
                                        f.replace("-Summary.db", "-Data.db")))
                     for f in _list_files(self.path, "-Summary.db")] \
@@ -449,8 +441,8 @@ class SSTableReader(DataSourceReader):
                 gen = codec.generation_of(f)
                 ci_path = f.replace("-Data.db", "-CompressionInfo.db")
                 ci = (_read_ci(ci_path)
-                      if os.path.exists(ci_path) else None)
-                csize = os.path.getsize(f)
+                      if fs.exists(ci_path) else None)
+                csize = fs.file_size(f)
                 base = os.path.basename(f).replace("-Data.db", "")
                 for i, p in enumerate(_plan_file(f, self.max_split,
                                                  _read_ci)):
@@ -542,7 +534,7 @@ class SSTableStreamReader(DataSourceStreamReader):
         for f in _list_files(self.path, "-Data.db"):
             base = os.path.basename(f)
             try:
-                out[base] = (os.stat(f).st_mtime_ns, base)
+                out[base] = (fs.mtime_ns(f), base)
             except OSError:
                 continue  # raced with a concurrent delete
         return out
@@ -604,7 +596,7 @@ class SSTableStreamReader(DataSourceStreamReader):
         parts: list[RangePartition] = []
         for base in new:
             full = os.path.join(self.path, base)
-            if os.path.exists(full):
+            if fs.exists(full):
                 parts.extend(_plan_file(full, self.max_split, ci_reader))
         # Spark requires ≥1 partition; empty batch → one no-op marker
         return parts or [RangePartition("", 0, 0, 0)]
@@ -709,7 +701,7 @@ class SSTableWriteTask(DataSourceWriter):
             if m is not None:
                 for f in m.files:
                     try:
-                        os.remove(f)
+                        fs.remove(f)
                     except OSError:
                         pass
 
@@ -754,15 +746,14 @@ class SSTableDataSource(DataSource):
                 "sstable sink requires (key, columns, generation) — got "
                 f"{sorted(names)}")
         if overwrite:
-            import glob as g
             import re as _re
 
             path = self.options.get("path", "")
-            for f in g.glob(os.path.join(path, "*.db")):
+            for f in fs.list_files(path, ".db"):
                 if _re.search(
                         r"-(Data|Index|Summary|CompressionInfo|Filter)\.db$",
                         f):
-                    os.remove(f)
+                    fs.remove(f)
         return SSTableWriteTask(dict(self.options))
 
 

@@ -1,0 +1,213 @@
+"""Filesystem abstraction for the SSTable source/sink.
+
+Bare paths (no URI scheme) take the built-in ``open``/``glob`` fast
+path — zero overhead for executor-local disks and unit tests.  Any
+path with a scheme (``file://``, ``s3://``, ``hdfs://``, ``gs://``,
+...) routes through :mod:`pyarrow.fs`, the Spark-ecosystem equivalent
+of the Hadoop ``FileSystem`` API the reference is built on
+(FSSeekableDataInputStream.scala:3, SSTableDataInputFormat.scala:13-18,
+GenerateSSTableDataSplits.scala:218-233): the driver lists the store
+once to plan splits, and each executor opens its own byte-range read
+directly against the object store / DFS.
+
+Remote reads are wrapped in a 256 KiB ``io.BufferedReader`` so the
+codec's many small ``struct`` reads coalesce into object-store-sized
+GETs; the chunked decompressing reader on top of this already reads
+64 KiB chunks, so a compressed scan does one buffered GET per few
+chunks rather than one round trip per cell.
+
+Filesystem instances are constructed per operation (``from_uri``),
+which costs milliseconds — acceptable because the engine opens O(1)
+files per planned split, never per row.  Schemes pyarrow does not know
+can be injected with :func:`register_scheme` (used by tests to mount a
+fake remote store; a production deployment would register an
+fsspec-backed handler the same way).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import glob as _glob
+from urllib.parse import urlsplit
+
+__all__ = [
+    "has_scheme", "resolve", "open_input", "open_output", "exists",
+    "is_file", "file_size", "mtime_ns", "list_files", "makedirs",
+    "remove", "register_scheme",
+]
+
+_BUFFER_SIZE = 256 * 1024
+
+# scheme → (pyarrow.fs.FileSystem, strip_prefix) injected by
+# register_scheme(); consulted before FileSystem.from_uri so tests /
+# deployments can mount stores pyarrow cannot construct from a URI.
+_SCHEMES: dict[str, tuple] = {}
+
+
+def register_scheme(scheme: str, filesystem, strip_netloc: bool = True):
+    """Mount ``filesystem`` (a ``pyarrow.fs.FileSystem``) at
+    ``scheme://``.  With ``strip_netloc`` the authority component joins
+    the in-filesystem path (``mem://bucket/a`` → ``bucket/a``),
+    matching pyarrow's s3/gs convention."""
+    _SCHEMES[scheme] = (filesystem, strip_netloc)
+
+
+def has_scheme(path: str) -> bool:
+    # Windows drive letters ("C:\\") never reach here (posix runtime);
+    # a scheme is ALPHA *(ALPHA/DIGIT/+/-/.) "://"
+    i = path.find("://")
+    return i > 0 and path[:i].replace("+", "").replace("-", "") \
+                         .replace(".", "").isalnum()
+
+
+def resolve(path: str):
+    """URI → (pyarrow FileSystem, in-filesystem path, prefix) with
+    ``prefix + in_fs_path`` reconstructing the user-visible form, so
+    listings round-trip back into open calls on executors."""
+    from pyarrow import fs as pafs
+
+    sp = urlsplit(path)
+    if sp.scheme in _SCHEMES:
+        filesystem, strip = _SCHEMES[sp.scheme]
+        fspath = (f"{sp.netloc}{sp.path}" if strip and sp.netloc
+                  else sp.path.lstrip("/") if strip else sp.path)
+        prefix = path[:len(path) - len(fspath)]
+        return filesystem, fspath, prefix
+    filesystem, fspath = pafs.FileSystem.from_uri(path)
+    if path.endswith(fspath):
+        prefix = path[:len(path) - len(fspath)]
+    else:  # %-encoded paths: fall back to scheme+authority
+        prefix = f"{sp.scheme}://{sp.netloc}"
+    return filesystem, fspath, prefix
+
+
+class _ArrowRaw(io.RawIOBase):
+    """RawIOBase adapter over a pyarrow NativeFile so io.BufferedReader
+    can coalesce the codec's small struct reads."""
+
+    def __init__(self, nf) -> None:
+        self._nf = nf
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._nf.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+    def seek(self, off: int, whence: int = 0) -> int:
+        return self._nf.seek(off, whence)
+
+    def tell(self) -> int:
+        return self._nf.tell()
+
+    def close(self) -> None:
+        try:
+            self._nf.close()
+        finally:
+            super().close()
+
+
+def open_input(path: str):
+    """Seekable binary reader for ``path`` (buffered when remote)."""
+    if not has_scheme(path):
+        return open(path, "rb")
+    filesystem, fspath, _ = resolve(path)
+    return io.BufferedReader(_ArrowRaw(filesystem.open_input_file(fspath)),
+                             buffer_size=_BUFFER_SIZE)
+
+
+def open_output(path: str):
+    """Binary writer supporting ``write``/``tell``/context manager."""
+    if not has_scheme(path):
+        return open(path, "wb")
+    filesystem, fspath, _ = resolve(path)
+    return filesystem.open_output_stream(fspath, compression=None)
+
+
+def _info(path: str):
+    filesystem, fspath, _ = resolve(path)
+    return filesystem.get_file_info([fspath])[0]
+
+
+def exists(path: str) -> bool:
+    if not has_scheme(path):
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+
+    return _info(path).type != pafs.FileType.NotFound
+
+
+def is_file(path: str) -> bool:
+    if not has_scheme(path):
+        return os.path.isfile(path)
+    from pyarrow import fs as pafs
+
+    return _info(path).type == pafs.FileType.File
+
+
+def file_size(path: str) -> int:
+    if not has_scheme(path):
+        return os.path.getsize(path)
+    return _info(path).size
+
+
+def mtime_ns(path: str) -> int:
+    """Modification stamp in ns; stores without mtime report 0 (their
+    files then sort oldest, which only affects streaming-offset order,
+    never batch correctness)."""
+    if not has_scheme(path):
+        return os.stat(path).st_mtime_ns
+    info = _info(path)
+    if info.mtime_ns is not None:
+        return info.mtime_ns
+    return int(info.mtime.timestamp() * 1e9) if info.mtime else 0
+
+
+def list_files(path: str, suffix: str) -> list[str]:
+    """Recursive suffix-filtered listing of a directory (or the path
+    itself if it is a file), sorted; returned entries keep the caller's
+    scheme so they can be re-opened anywhere (driver plans, executors
+    read)."""
+    if not has_scheme(path):
+        if os.path.isfile(path):
+            return [path]
+        return [p for p in sorted(
+                    _glob.glob(os.path.join(path, "**", f"*{suffix}"),
+                               recursive=True))
+                if os.path.isfile(p)]
+    from pyarrow import fs as pafs
+
+    filesystem, fspath, prefix = resolve(path)
+    info = filesystem.get_file_info([fspath])[0]
+    if info.type == pafs.FileType.File:
+        return [path]
+    if info.type == pafs.FileType.NotFound:
+        return []
+    sel = pafs.FileSelector(fspath, recursive=True, allow_not_found=True)
+    return sorted(prefix + fi.path
+                  for fi in filesystem.get_file_info(sel)
+                  if fi.type == pafs.FileType.File
+                  and fi.path.endswith(suffix))
+
+
+def makedirs(path: str) -> None:
+    if not has_scheme(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    filesystem, fspath, _ = resolve(path)
+    filesystem.create_dir(fspath, recursive=True)
+
+
+def remove(path: str) -> None:
+    if not has_scheme(path):
+        os.remove(path)
+        return
+    filesystem, fspath, _ = resolve(path)
+    filesystem.delete_file(fspath)

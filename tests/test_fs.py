@@ -1,0 +1,157 @@
+"""Filesystem abstraction (sources/fs.py): the engine must read and
+write SSTable directories addressed by URI — the reference's whole
+deployment model is a distributed filesystem
+(FSSeekableDataInputStream.scala:3, SSTableDataInputFormat.scala:13-18).
+``file://`` exercises the real pyarrow.fs branch end-to-end through
+Spark executors; a registered custom scheme proves arbitrary stores
+(s3://, hdfs://, fsspec-backed) slot in with no planner changes."""
+
+from __future__ import annotations
+
+import pytest
+
+from sstable_hadoop_spark.sources import fs
+from sstable_hadoop_spark.sources.codec import (
+    Cell, Row, read_data_rows, write_sstable,
+)
+
+
+def test_has_scheme():
+    assert fs.has_scheme("file:///tmp/x")
+    assert fs.has_scheme("s3://bucket/key")
+    assert fs.has_scheme("hdfs://nn:8020/a")
+    assert not fs.has_scheme("/tmp/x")
+    assert not fs.has_scheme("relative/path")
+    assert not fs.has_scheme("x")
+
+
+def test_list_files_missing_dir_is_empty(tmp_path):
+    assert fs.list_files(f"file://{tmp_path}/nope", "-Data.db") == []
+    assert fs.list_files(f"{tmp_path}/nope", "-Data.db") == []
+
+
+def _rows():
+    return [Row(key=f"k{i:03d}".encode(),
+                cells=[Cell(name=b"c", state="NORMAL",
+                            data=f"v{i}".encode(), timestamp=1000 + i)])
+            for i in range(50)]
+
+
+def test_file_uri_write_read_roundtrip(tmp_path):
+    """write_sstable through file:// and byte-identical read back via
+    both the URI and the bare path."""
+    d = str(tmp_path / "gen")
+    write_sstable(f"file://{d}", "cf", _rows(), generation=1,
+                  compressed=True)
+    uri_files = fs.list_files(f"file://{d}", "-Data.db")
+    assert uri_files == [f"file://{d}/cf-1-Data.db"]
+    got_uri = list(read_data_rows(uri_files[0]))
+    got_bare = list(read_data_rows(f"{d}/cf-1-Data.db"))
+    assert got_uri == got_bare
+    assert [r.key for r in got_uri] == [r.key for r in _rows()]
+
+
+def test_file_uri_spark_scan_matches_bare_path(spark, sstable_dir,
+                                               cell_fixture):
+    """Executors re-open partition paths carrying the scheme: a
+    file:// scan must plan (splits, pruning) and read identically to
+    the bare-path scan."""
+    bare = (spark.read.format("sstable").option("path", sstable_dir)
+            .load().orderBy("key", "generation"))
+    uri = (spark.read.format("sstable")
+           .option("path", f"file://{sstable_dir}")
+           .load().orderBy("key", "generation"))
+    assert uri.count() == bare.count()
+    assert [r.asDict() for r in uri.collect()] == \
+        [r.asDict() for r in bare.collect()]
+
+
+def test_file_uri_spark_index_and_manifest(spark, sstable_dir):
+    idx = (spark.read.format("sstable")
+           .option("path", f"file://{sstable_dir}")
+           .option("kind", "index").load())
+    assert idx.count() > 0
+    man = (spark.read.format("sstable")
+           .option("path", f"file://{sstable_dir}")
+           .option("kind", "manifest").load())
+    assert man.count() > 0
+
+
+def test_file_uri_spark_write_sink(spark, tmp_path):
+    """Distributed sink through a URI: tasks write via fs.open_output,
+    abort/overwrite paths go through fs.remove."""
+    src = spark.createDataFrame(
+        [(bytearray(b"k1"),
+          [(bytearray(b"c"), "NORMAL", bytearray(b"v"), 5, None, None)],
+          1)],
+        "key binary, columns array<struct<name:binary,state:string,"
+        "data:binary,timestamp:long,ttl:long,expiration:long>>, "
+        "generation int")
+    out = str(tmp_path / "sunk")
+    (src.write.format("sstable").option("path", f"file://{out}")
+     .mode("append").save())
+    back = (spark.read.format("sstable")
+            .option("path", f"file://{out}").load())
+    assert back.count() == 1
+    assert bytes(back.first()["key"]) == b"k1"
+
+
+def test_registered_scheme_mounts_custom_store(tmp_path):
+    """register_scheme() mounts any pyarrow FileSystem at a new scheme
+    — the extension point for stores from_uri cannot build (fsspec
+    wrappers, test fakes).  A SubTree filesystem behaves like a remote
+    store with its own namespace."""
+    from pyarrow import fs as pafs
+
+    root = tmp_path / "fakestore"
+    root.mkdir()
+    fs.register_scheme("mem", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    try:
+        write_sstable("mem://bucket/t", "cf", _rows(), generation=2)
+        # physically landed inside the subtree, invisible via "mem"
+        assert (root / "bucket" / "t" / "cf-2-Data.db").exists()
+        listed = fs.list_files("mem://bucket/t", "-Data.db")
+        assert listed == ["mem://bucket/t/cf-2-Data.db"]
+        assert fs.exists("mem://bucket/t/cf-2-Index.db")
+        assert fs.file_size(listed[0]) > 0
+        got = list(read_data_rows(listed[0]))
+        assert [r.key for r in got] == [r.key for r in _rows()]
+        fs.remove("mem://bucket/t/cf-2-Summary.db")
+        assert not fs.exists("mem://bucket/t/cf-2-Summary.db")
+    finally:
+        fs._SCHEMES.pop("mem", None)
+
+
+def test_registered_scheme_planner_splits(tmp_path):
+    """Split planning (the G1/G2 metadata pass) runs against a custom
+    scheme without touching local-path code."""
+    from pyarrow import fs as pafs
+
+    from sstable_hadoop_spark.sources.datasource import _plan_file
+
+    root = tmp_path / "store2"
+    root.mkdir()
+    fs.register_scheme("mem2", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    try:
+        write_sstable("mem2://d", "cf", _rows(), generation=1)
+        parts = _plan_file("mem2://d/cf-1-Data.db", max_split=256)
+        assert len(parts) > 1  # tiny target forces multiple splits
+        seen = []
+        for p in parts:
+            assert p.path.startswith("mem2://")
+            seen.extend(r.key for r in read_data_rows(
+                p.path, p.start, p.end))
+        assert seen == [r.key for r in _rows()]
+    finally:
+        fs._SCHEMES.pop("mem2", None)
+
+
+def test_mtime_ns_uri(tmp_path):
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"abc")
+    assert fs.mtime_ns(f"file://{f}") > 0
+    assert fs.file_size(f"file://{f}") == 3
+    assert fs.is_file(f"file://{f}")
+    assert not fs.is_file(f"file://{tmp_path}")
