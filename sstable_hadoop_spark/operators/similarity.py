@@ -64,6 +64,30 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                   .select(query_id_col, id_col, "cos", "rk"))
 
 
+def _resolve_dim(dim: int | None, df: DataFrame, vec_col: str) -> int:
+    """``dim=None`` derives the width from the data (one-row metadata
+    peek on the driver — O(1), same class as the skew probe)."""
+    if dim is not None:
+        return dim
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(
+            f"cannot derive embedding dim: column {vec_col!r} is empty")
+    return int(row["d"])
+
+
+def _checked_vec(vec: Column, dim: int, where: str) -> Column:
+    """Fail fast (JVM-side, per row) when a vector's width disagrees
+    with the hyperplane/centroid dim — ``zip_with`` would otherwise
+    silently null-pad and produce wrong buckets."""
+    return F.when(F.size(vec) == dim, vec).otherwise(F.raise_error(
+        F.format_string(
+            f"{where}: embedding dim mismatch — hyperplanes are "
+            f"{dim}-dim but vector has %s components (pass dim= "
+            "explicitly, or dim=None to derive it from the data)",
+            F.size(vec))))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: str = "simplanes") -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from md5 — no RNG
     state, reproducible everywhere.  Component (p, d) maps md5 bytes to
@@ -92,7 +116,8 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", n_centroids: int = 16,
-                    n_probe: int = 3, seed: str = "ivf") -> DataFrame:
+                    n_probe: int = 3, seed: str = "ivf",
+                    dim: int | None = 64) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: assign
     every corpus vector to its nearest of ``n_centroids`` fixed
     pseudo-random centroids (deterministic md5 derivation — a stand-in
@@ -104,7 +129,7 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     O(N·n_probe/n_centroids).  Returns (query_id, vec_id, cos, rk)."""
     from pyspark.sql.window import Window
 
-    dim = 64  # centroids derived at fixed dim; vectors must match
+    dim = _resolve_dim(dim, embeddings, vec_col)
     cents = _hyperplanes(dim, n_centroids, seed=seed)  # unit vectors
 
     def dots(vec):
@@ -117,12 +142,13 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
+    vec_ok = _checked_vec(F.col(vec_col), dim, "cosine_topk_ivf")
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).alias("_evec"),
-        F.element_at(top_cells(F.col(vec_col), 1), 1)["cell"].alias("_cell"))
+        F.element_at(top_cells(vec_ok, 1), 1)["cell"].alias("_cell"))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        F.explode(F.transform(top_cells(F.col(vec_col), n_probe),
+        F.explode(F.transform(top_cells(vec_ok, n_probe),
                               lambda s: s["cell"])).alias("_cell"))
     scored = (e.join(F.broadcast(q), "_cell")
                .filter(F.col(id_col) != F.col(query_id_col))
@@ -136,7 +162,7 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, n_planes: int = 3,
+                        dim: int | None = 64, n_planes: int = 3,
                         n_tables: int = 6) -> DataFrame:
     """All-pairs embedding near-dup WITHOUT the all-pairs join: bucket
     every vector by sign pattern in ``n_tables`` independent
@@ -151,9 +177,11 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,
 
     Deterministic md5-derived planes — an engine-independent oracle can
     replicate the buckets bit-for-bit.  Returns (id_a, id_b, cos)."""
+    dim = _resolve_dim(dim, embeddings, vec_col)
+    vec = _checked_vec(F.col(vec_col), dim, "cosine_near_dup_lsh")
     buckets = F.array(*[
         F.concat_ws(":", F.lit(str(t)),
-                    lsh_bucket(F.col(vec_col),
+                    lsh_bucket(vec,
                                _hyperplanes(dim, n_planes, seed=f"table{t}")))
         for t in range(n_tables)])
     banded = embeddings.select(F.col(id_col).alias("id"),
@@ -176,7 +204,7 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,
 
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id", dim: int = 64,
+                    query_id_col: str = "query_id", dim: int | None = 64,
                     n_planes: int = 3, n_tables: int = 6) -> DataFrame:
     """Approximate top-k with multi-table random-hyperplane LSH: the
     corpus is bucketed by sign pattern in each of ``n_tables``
@@ -189,10 +217,13 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     matches ``cosine_topk``; a query may return fewer than k rows."""
     from pyspark.sql.window import Window
 
+    dim = _resolve_dim(dim, embeddings, vec_col)
+
     def bucketed(df, idc, vec_alias):
+        vec = _checked_vec(F.col(vec_col), dim, "cosine_topk_lsh")
         buckets = F.array(*[
             F.concat_ws(":", F.lit(str(t)),
-                        lsh_bucket(F.col(vec_col),
+                        lsh_bucket(vec,
                                    _hyperplanes(dim, n_planes,
                                                 seed=f"table{t}")))
             for t in range(n_tables)])

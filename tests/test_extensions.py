@@ -545,3 +545,63 @@ def test_compaction_roundtrip_and_gc(spark, sstable_dir, tmp_path):
     got2 = {(bytes(r["key"]), bytes(r["name"]), r["state"], r["timestamp"])
             for r in rows2}
     assert got2 <= want
+
+
+def _dim32_embeddings(spark, n=40):
+    """Deterministic 32-dim vectors — exercises the non-default width."""
+    import math
+
+    rows = [(i, [math.sin(i * 31 + d) for d in range(32)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_vector_ops_dim_mismatch_raises(spark):
+    """dim=64 hyperplanes against 32-wide vectors must raise a clear
+    per-row error, never silently null-pad (zip_with) into wrong
+    buckets."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_near_dup_lsh,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    emb = _dim32_embeddings(spark)
+    q = emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id")
+    for df in (cosine_near_dup_lsh(emb, threshold=0.9),
+               cosine_topk_lsh(emb, q, k=3),
+               cosine_topk_ivf(emb, q, k=3)):
+        with pytest.raises(Exception, match="dim mismatch"):
+            df.collect()
+
+
+def test_vector_ops_dim_derived_from_data(spark):
+    """dim=None derives the width from the data; LSH/IVF then run
+    cleanly on 32-dim vectors and find the planted duplicate."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_near_dup_lsh,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    emb = _dim32_embeddings(spark)
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in cosine_near_dup_lsh(emb.unionAll(dup), threshold=0.99,
+                                          dim=None).collect()}
+    assert (0, 1000) in pairs
+
+    q = emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id")
+    assert cosine_topk_lsh(emb, q, k=3, dim=None).count() > 0
+    assert cosine_topk_ivf(emb, q, k=3, dim=None).count() > 0
+
+
+def test_vector_ops_dim_derive_empty_raises(spark):
+    from sstable_hadoop_spark.operators.similarity import cosine_near_dup_lsh
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot derive"):
+        cosine_near_dup_lsh(empty, dim=None)
