@@ -34,6 +34,9 @@ BENCH_QUERIES = {
     "lww_skewed": "lww_skewed_auto",
     # the reference's headline job: file scan (flat cells) → LWW merge
     "sstable_lww": "sstable_lww_merge",
+    # key-only projected scan (columns=key,generation) — must bench
+    # measurably below sstable_scan (r4: explicit column projection)
+    "sstable_keys": "sstable_keys_scan",
     # end-to-end LLM-corpus pass: dedup → quality filter → lang-ID →
     # per-language rollup, join-free (one dedup shuffle + one scan)
     "corpus_curation": "corpus_curation_pipeline",

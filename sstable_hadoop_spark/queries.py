@@ -1851,6 +1851,27 @@ def sstable_index_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "generation").distinct()
 
 
+@query("sstable_keys_scan", oracle=f"""
+{_CELLS_CTE}
+SELECT DISTINCT key_str, generation FROM cells
+""")
+def sstable_keys_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-only DATA scan via the source's explicit column projection
+    (``columns=key,generation`` — the pruning Catalyst can't push
+    through the Python DataSource API): the codec walks cell headers
+    purely to find row boundaries, materializing no cell value, and
+    the Arrow batch carries just (key, generation).  Must equal the
+    index-derived key set (S5/S8 parity through the Data.db path)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    keys = (spark.read.format("sstable")
+            .option("columns", "key,generation").load(path))
+    return keys.select(F.col("key").cast("string").alias("key_str"),
+                       "generation").distinct()
+
+
 @query("sstable_split_manifest")  # rows-only: split planning is physical
 def sstable_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/G2: the split manifest as a DataFrame + A7 min/max offset
@@ -2401,6 +2422,8 @@ _DRIVER_WINDOW: list[str] = [
     "map_function_gallery",
     "explode_posexplode_embeddings",
     "grouped_normalize_embeddings",
+    # -- new in round 4 -----------------------------------------------
+    "sstable_keys_scan",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2421,7 +2444,6 @@ _DRIVER_WINDOW: list[str] = [
     "five_way_join_region_revenue",
     "window_topk_orders",
     "rollup_lineitem",
-    "topk_global_orders",
     "json_events_extract",
     "dedup_exact",
     "dedup_ngram_jaccard",

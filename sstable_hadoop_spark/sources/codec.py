@@ -353,7 +353,12 @@ def _read_exact(reader, n: int) -> bytes | None:
     return buf
 
 
-def _read_cell(reader) -> Cell:
+def _read_cell(reader, skip_value: bool = False) -> Cell:
+    """``skip_value`` seeks past the value bytes instead of
+    materializing them (data → None) — the codec-level half of the
+    scan's ``skip_values`` projection: the stream is still consumed
+    sequentially (chunk decompression can't skip I/O) but no bytes
+    object is built or shipped."""
     (name_len,) = struct.unpack(">H", _read_exact(reader, 2))
     name = _read_exact(reader, name_len) if name_len else b""
     state_code, timestamp = struct.unpack(">Bq", _read_exact(reader, 9))
@@ -364,7 +369,10 @@ def _read_cell(reader) -> Cell:
         ttl, expiration = struct.unpack(">qq", _read_exact(reader, 16))
     if state != STATE_DELETED:
         (data_len,) = struct.unpack(">I", _read_exact(reader, 4))
-        data = _read_exact(reader, data_len) if data_len else b""
+        if skip_value:
+            reader.seek(reader.tell() + data_len)
+        else:
+            data = _read_exact(reader, data_len) if data_len else b""
     return Cell(name=name, state=state, data=data, timestamp=timestamp,
                 ttl=ttl, expiration=expiration)
 
@@ -386,11 +394,13 @@ def _open_reader(data_path: str):
 
 
 def read_data_rows(data_path: str, start: int = 0,
-                   end: int | None = None) -> Iterator[Row]:
+                   end: int | None = None,
+                   skip_values: bool = False) -> Iterator[Row]:
     """Iterate rows of one Data.db within uncompressed byte range
     [start, end).  ``start`` must be a row boundary (offset 0 or an
     offset taken from Index.db).  Streams row-at-a-time in O(1) memory,
     like the reference's reader loop (SSTableDataRecordReader.scala:85-97).
+    ``skip_values`` seeks past cell value bytes (data → None).
     """
     reader, total = _open_reader(data_path)
     if end is None:
@@ -403,14 +413,17 @@ def read_data_rows(data_path: str, start: int = 0,
         (key_len,) = struct.unpack(">H", header)
         key = _read_exact(reader, key_len) if key_len else b""
         (n_cells,) = struct.unpack(">I", _read_exact(reader, 4))
-        cells = [_read_cell(reader) for _ in range(n_cells)]
+        cells = [_read_cell(reader, skip_value=skip_values)
+                 for _ in range(n_cells)]
         yield Row(key=key, cells=cells)
 
 
 def read_data_batches(data_path: str, start: int = 0,
                       end: int | None = None, generation: int = 0,
                       rows_per_batch: int = 4096,
-                      read_block: int = 8 * 1024 * 1024):
+                      read_block: int = 8 * 1024 * 1024,
+                      skip_values: bool = False,
+                      project: tuple[str, ...] | None = None):
     """Iterate ``pyarrow.RecordBatch`` objects over rows of one Data.db
     within uncompressed byte range [start, end) — the vectorized twin of
     ``read_data_rows`` for the Spark DataSource hot path.
@@ -425,8 +438,28 @@ def read_data_batches(data_path: str, start: int = 0,
 
     Schema matches ``datasource.DATA_SCHEMA`` + the partition's
     ``generation``: (key binary, columns list<struct>, generation int32).
+
+    Column projection (the pruning the Python DataSource API cannot
+    push down itself — the reference reads Index.db for key-only jobs,
+    SSTableIndexRecordReader.scala:47-58, but has no way to prune a
+    Data.db scan):
+    - ``project`` keeps only the named top-level fields; without
+      ``columns`` in the projection the parse loop walks cell headers
+      purely to find the next row boundary — no cell object, list, or
+      bytes slice is ever built, and the Arrow batch carries just the
+      projected columns;
+    - ``skip_values`` keeps the cell structure but nulls ``data``
+      without slicing the value bytes (a key+timestamp scan at full
+      cell fidelity).
+    The byte stream itself is still consumed sequentially — chunked
+    compression means value bytes must be decompressed regardless; the
+    savings are materialization, batch width, and transfer.
     """
     import pyarrow as pa
+
+    want = (("key", "columns", "generation") if project is None
+            else tuple(project))
+    need_cells = "columns" in want
 
     cell_struct = pa.struct([
         pa.field("name", pa.binary(), nullable=False),
@@ -436,11 +469,13 @@ def read_data_batches(data_path: str, start: int = 0,
         pa.field("ttl", pa.int64()),
         pa.field("expiration", pa.int64()),
     ])
-    schema = pa.schema([
-        pa.field("key", pa.binary(), nullable=False),
-        pa.field("columns", pa.list_(cell_struct), nullable=False),
-        pa.field("generation", pa.int32(), nullable=False),
-    ])
+    full_fields = {
+        "key": pa.field("key", pa.binary(), nullable=False),
+        "columns": pa.field("columns", pa.list_(cell_struct),
+                            nullable=False),
+        "generation": pa.field("generation", pa.int32(), nullable=False),
+    }
+    schema = pa.schema([full_fields[n] for n in want])
 
     reader, total = _open_reader(data_path)
     if end is None:
@@ -453,6 +488,7 @@ def read_data_batches(data_path: str, start: int = 0,
     unpack_from = struct.unpack_from
     code_to_state = _CODE_TO_STATE
 
+    n_rows = 0
     keys: list[bytes] = []
     cell_offsets: list[int] = [0]
     c_name: list[bytes] = []
@@ -463,20 +499,27 @@ def read_data_batches(data_path: str, start: int = 0,
     c_exp: list[int | None] = []
 
     def flush():
-        struct_arr = pa.StructArray.from_arrays(
-            [pa.array(c_name, pa.binary()),
-             pa.array(c_state, pa.string()),
-             pa.array(c_data, pa.binary()),
-             pa.array(c_ts, pa.int64()),
-             pa.array(c_ttl, pa.int64()),
-             pa.array(c_exp, pa.int64())],
-            fields=list(cell_struct))
-        cols = pa.ListArray.from_arrays(
-            pa.array(cell_offsets, pa.int32()), struct_arr)
-        batch = pa.RecordBatch.from_arrays(
-            [pa.array(keys, pa.binary()), cols,
-             pa.array([generation] * len(keys), pa.int32())],
-            schema=schema)
+        nonlocal n_rows
+        arrays = {}
+        if "key" in want:
+            arrays["key"] = pa.array(keys, pa.binary())
+        if need_cells:
+            struct_arr = pa.StructArray.from_arrays(
+                [pa.array(c_name, pa.binary()),
+                 pa.array(c_state, pa.string()),
+                 pa.array(c_data, pa.binary()),
+                 pa.array(c_ts, pa.int64()),
+                 pa.array(c_ttl, pa.int64()),
+                 pa.array(c_exp, pa.int64())],
+                fields=list(cell_struct))
+            arrays["columns"] = pa.ListArray.from_arrays(
+                pa.array(cell_offsets, pa.int32()), struct_arr)
+        if "generation" in want:
+            arrays["generation"] = pa.array([generation] * n_rows,
+                                            pa.int32())
+        batch = pa.RecordBatch.from_arrays([arrays[n] for n in want],
+                                           schema=schema)
+        n_rows = 0
         keys.clear()
         del cell_offsets[:]
         cell_offsets.append(0)
@@ -512,31 +555,42 @@ def read_data_batches(data_path: str, start: int = 0,
             for _ in range(n_cells):
                 (name_len,) = unpack_from(">H", buf, p)
                 p += 2
-                name = buf[p:p + name_len]
-                if len(name) != name_len:
+                if need_cells:
+                    name = buf[p:p + name_len]
+                    if len(name) != name_len:
+                        raise EOFError("truncated cell name")
+                elif p + name_len > len(buf):
                     raise EOFError("truncated cell name")
                 p += name_len
                 state_code, ts = unpack_from(">Bq", buf, p)
                 p += 9
-                state = code_to_state[state_code]
+                if state_code not in code_to_state:
+                    raise KeyError(f"bad cell state code {state_code}")
                 ttl = exp = None
                 data: bytes | None = None
                 if state_code == 2:  # EXPIRING
-                    ttl, exp = unpack_from(">qq", buf, p)
+                    if need_cells:
+                        ttl, exp = unpack_from(">qq", buf, p)
+                    elif p + 16 > len(buf):
+                        raise EOFError("truncated cell expiry")
                     p += 16
                 if state_code != 1:  # not DELETED
                     (data_len,) = unpack_from(">I", buf, p)
                     p += 4
-                    data = buf[p:p + data_len]
-                    if len(data) != data_len:
+                    if need_cells and not skip_values:
+                        data = buf[p:p + data_len]
+                        if len(data) != data_len:
+                            raise EOFError("truncated cell data")
+                    elif p + data_len > len(buf):
                         raise EOFError("truncated cell data")
                     p += data_len
-                row_names.append(name)
-                row_states.append(state)
-                row_datas.append(data)
-                row_ts.append(ts)
-                row_ttl.append(ttl)
-                row_exp.append(exp)
+                if need_cells:
+                    row_names.append(name)
+                    row_states.append(code_to_state[state_code])
+                    row_datas.append(data)
+                    row_ts.append(ts)
+                    row_ttl.append(ttl)
+                    row_exp.append(exp)
         except (struct.error, EOFError):
             if remaining > 0:
                 # row straddles the window edge — widen and retry
@@ -548,32 +602,36 @@ def read_data_batches(data_path: str, start: int = 0,
                     continue
             # truncated stream: surface the readable prefix first so
             # ignore_corrupt_files keeps it, then fail the iterator
-            if keys:
+            if n_rows:
                 yield flush()
             raise EOFError(f"truncated row at uncompressed offset "
                            f"{start + pos} of {data_path}")
         pos = p
-        keys.append(key)
-        c_name.extend(row_names)
-        c_state.extend(row_states)
-        c_data.extend(row_datas)
-        c_ts.extend(row_ts)
-        c_ttl.extend(row_ttl)
-        c_exp.extend(row_exp)
-        cell_offsets.append(len(c_name))
-        if len(keys) >= rows_per_batch:
+        n_rows += 1
+        if "key" in want:
+            keys.append(key)
+        if need_cells:
+            c_name.extend(row_names)
+            c_state.extend(row_states)
+            c_data.extend(row_datas)
+            c_ts.extend(row_ts)
+            c_ttl.extend(row_ttl)
+            c_exp.extend(row_exp)
+            cell_offsets.append(len(c_name))
+        if n_rows >= rows_per_batch:
             yield flush()
-    if keys:
+    if n_rows:
         yield flush()
 
 
 def read_cells_flat(data_path: str, start: int = 0,
-                    end: int | None = None) -> Iterator[tuple]:
+                    end: int | None = None,
+                    skip_values: bool = False) -> Iterator[tuple]:
     """Iterate (key, Cell) pairs of one Data.db within uncompressed
     byte range [start, end) WITHOUT materializing per-row cell lists —
     memory is O(1) per cell even for pathological million-cell wide
     rows, where the nested ``read_data_rows`` shape must hold the whole
-    row."""
+    row.  ``skip_values`` seeks past value bytes (data → None)."""
     reader, total = _open_reader(data_path)
     if end is None:
         end = total
@@ -586,66 +644,83 @@ def read_cells_flat(data_path: str, start: int = 0,
         key = _read_exact(reader, key_len) if key_len else b""
         (n_cells,) = struct.unpack(">I", _read_exact(reader, 4))
         for _ in range(n_cells):
-            yield key, _read_cell(reader)
+            yield key, _read_cell(reader, skip_value=skip_values)
 
 
 def cells_to_batches(cell_iter: Iterator[tuple], generation: int = 0,
-                     cells_per_batch: int = 8192):
+                     cells_per_batch: int = 8192,
+                     project: tuple[str, ...] | None = None):
     """(key, Cell) iterator → flat ``pyarrow.RecordBatch`` stream
     (CELLS_SCHEMA: one record per cell).  Batches flush on CELL count,
     so a single wide row spreads across batches — bounded executor
-    memory where the nested schema cannot be."""
+    memory where the nested schema cannot be.  ``project`` keeps only
+    the named fields (Arrow batches narrow accordingly)."""
     import pyarrow as pa
 
-    schema = pa.schema([
-        pa.field("key", pa.binary(), nullable=False),
-        pa.field("name", pa.binary(), nullable=False),
-        pa.field("state", pa.string(), nullable=False),
-        pa.field("data", pa.binary()),
-        pa.field("timestamp", pa.int64(), nullable=False),
-        pa.field("ttl", pa.int64()),
-        pa.field("expiration", pa.int64()),
-        pa.field("generation", pa.int32(), nullable=False),
-    ])
-    cols: list[list] = [[], [], [], [], [], [], []]
+    full = {
+        "key": (pa.field("key", pa.binary(), nullable=False),
+                lambda key, cell: key),
+        "name": (pa.field("name", pa.binary(), nullable=False),
+                 lambda key, cell: cell.name),
+        "state": (pa.field("state", pa.string(), nullable=False),
+                  lambda key, cell: cell.state),
+        "data": (pa.field("data", pa.binary()),
+                 lambda key, cell: cell.data),
+        "timestamp": (pa.field("timestamp", pa.int64(), nullable=False),
+                      lambda key, cell: cell.timestamp),
+        "ttl": (pa.field("ttl", pa.int64()),
+                lambda key, cell: cell.ttl),
+        "expiration": (pa.field("expiration", pa.int64()),
+                       lambda key, cell: cell.expiration),
+    }
+    want = (("key", "name", "state", "data", "timestamp", "ttl",
+             "expiration", "generation") if project is None
+            else tuple(project))
+    getters = [full[n][1] for n in want if n != "generation"]
+    schema = pa.schema([full[n][0] if n != "generation" else
+                        pa.field("generation", pa.int32(), nullable=False)
+                        for n in want])
+    cols: list[list] = [[] for _ in getters]
+    n_cells = 0
 
     def flush():
-        batch = pa.RecordBatch.from_arrays(
-            [pa.array(cols[0], pa.binary()),
-             pa.array(cols[1], pa.binary()),
-             pa.array(cols[2], pa.string()),
-             pa.array(cols[3], pa.binary()),
-             pa.array(cols[4], pa.int64()),
-             pa.array(cols[5], pa.int64()),
-             pa.array(cols[6], pa.int64()),
-             pa.array([generation] * len(cols[0]), pa.int32())],
-            schema=schema)
+        nonlocal n_cells
+        arrays = []
+        i = 0
+        for n in want:
+            if n == "generation":
+                arrays.append(pa.array([generation] * n_cells, pa.int32()))
+            else:
+                arrays.append(pa.array(cols[i], schema.field(n).type))
+                i += 1
+        batch = pa.RecordBatch.from_arrays(arrays, schema=schema)
+        n_cells = 0
         for c in cols:
             c.clear()
         return batch
 
     for key, cell in cell_iter:
-        cols[0].append(key)
-        cols[1].append(cell.name)
-        cols[2].append(cell.state)
-        cols[3].append(cell.data)
-        cols[4].append(cell.timestamp)
-        cols[5].append(cell.ttl)
-        cols[6].append(cell.expiration)
-        if len(cols[0]) >= cells_per_batch:
+        for c, get in zip(cols, getters):
+            c.append(get(key, cell))
+        n_cells += 1
+        if n_cells >= cells_per_batch:
             yield flush()
-    if cols[0]:
+    if n_cells:
         yield flush()
 
 
 def rows_to_batches(row_iter: Iterator[Row], generation: int = 0,
-                    rows_per_batch: int = 4096):
+                    rows_per_batch: int = 4096,
+                    skip_values: bool = False,
+                    project: tuple[str, ...] | None = None):
     """Generic ``Row`` iterator → ``pyarrow.RecordBatch`` adapter
     (DATA_SCHEMA + generation).  Arrow transfer for read paths whose
     parse loop is not window-vectorized — e.g. ``format=cassandra``
     (cassandra1x.read_cassandra_rows): the per-row parse stays Python,
     but rows cross into Spark as Arrow columns instead of one pickled
-    tuple each."""
+    tuple each.  ``project``/``skip_values`` prune post-parse (the 1.x
+    parser must still walk the full row), narrowing the Arrow
+    transfer."""
     import pyarrow as pa
 
     cell_struct = pa.struct([
@@ -662,6 +737,12 @@ def rows_to_batches(row_iter: Iterator[Row], generation: int = 0,
         pa.field("generation", pa.int32(), nullable=False),
     ])
 
+    want = (("key", "columns", "generation") if project is None
+            else tuple(project))
+    need_cells = "columns" in want
+    schema = pa.schema([schema.field(n) for n in want])
+
+    n_rows = 0
     keys: list[bytes] = []
     cell_offsets: list[int] = [0]
     c_name: list[bytes] = []
@@ -672,20 +753,27 @@ def rows_to_batches(row_iter: Iterator[Row], generation: int = 0,
     c_exp: list[int | None] = []
 
     def flush():
-        struct_arr = pa.StructArray.from_arrays(
-            [pa.array(c_name, pa.binary()),
-             pa.array(c_state, pa.string()),
-             pa.array(c_data, pa.binary()),
-             pa.array(c_ts, pa.int64()),
-             pa.array(c_ttl, pa.int64()),
-             pa.array(c_exp, pa.int64())],
-            fields=list(cell_struct))
-        cols = pa.ListArray.from_arrays(
-            pa.array(cell_offsets, pa.int32()), struct_arr)
-        batch = pa.RecordBatch.from_arrays(
-            [pa.array(keys, pa.binary()), cols,
-             pa.array([generation] * len(keys), pa.int32())],
-            schema=schema)
+        nonlocal n_rows
+        arrays = {}
+        if "key" in want:
+            arrays["key"] = pa.array(keys, pa.binary())
+        if need_cells:
+            struct_arr = pa.StructArray.from_arrays(
+                [pa.array(c_name, pa.binary()),
+                 pa.array(c_state, pa.string()),
+                 pa.array(c_data, pa.binary()),
+                 pa.array(c_ts, pa.int64()),
+                 pa.array(c_ttl, pa.int64()),
+                 pa.array(c_exp, pa.int64())],
+                fields=list(cell_struct))
+            arrays["columns"] = pa.ListArray.from_arrays(
+                pa.array(cell_offsets, pa.int32()), struct_arr)
+        if "generation" in want:
+            arrays["generation"] = pa.array([generation] * n_rows,
+                                            pa.int32())
+        batch = pa.RecordBatch.from_arrays([arrays[n] for n in want],
+                                           schema=schema)
+        n_rows = 0
         keys.clear()
         del cell_offsets[:]
         cell_offsets.append(0)
@@ -694,18 +782,21 @@ def rows_to_batches(row_iter: Iterator[Row], generation: int = 0,
         return batch
 
     for row in row_iter:
-        keys.append(row.key)
-        for c in row.cells:
-            c_name.append(c.name)
-            c_state.append(c.state)
-            c_data.append(c.data)
-            c_ts.append(c.timestamp)
-            c_ttl.append(c.ttl)
-            c_exp.append(c.expiration)
-        cell_offsets.append(len(c_name))
-        if len(keys) >= rows_per_batch:
+        n_rows += 1
+        if "key" in want:
+            keys.append(row.key)
+        if need_cells:
+            for c in row.cells:
+                c_name.append(c.name)
+                c_state.append(c.state)
+                c_data.append(None if skip_values else c.data)
+                c_ts.append(c.timestamp)
+                c_ttl.append(c.ttl)
+                c_exp.append(c.expiration)
+            cell_offsets.append(len(c_name))
+        if n_rows >= rows_per_batch:
             yield flush()
-    if keys:
+    if n_rows:
         yield flush()
 
 

@@ -135,6 +135,10 @@ MANIFEST_SCHEMA = StructType([
 DEFAULT_MAX_SPLIT_BYTES = 128 * 1024 * 1024  # reference used 256 MiB
                                              # (GenerateSSTableDataSplits.scala:238)
 
+_SCHEMAS_BY_KIND = {"data": DATA_SCHEMA, "cells": CELLS_SCHEMA,
+                    "index": INDEX_SCHEMA, "summary": SUMMARY_SCHEMA,
+                    "manifest": MANIFEST_SCHEMA}
+
 
 @dataclass
 class RangePartition(InputPartition):
@@ -144,6 +148,28 @@ class RangePartition(InputPartition):
     generation: int
     min_key: bytes | None = None  # exact per-split key bounds from Index.db
     max_key: bytes | None = None
+
+
+def _parse_columns(options: dict) -> tuple[str, ...] | None:
+    """``option("columns", "key,generation")`` → validated projection
+    tuple in schema-field order (None = all columns)."""
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    kind = options.get("kind", "data")
+    names = [c.strip() for c in str(raw).split(",") if c.strip()]
+    schema = _SCHEMAS_BY_KIND.get(kind)
+    if schema is None:
+        raise ValueError(f"unknown kind: {kind}")
+    known = schema.fieldNames()
+    bad = [n for n in names if n not in known]
+    if bad:
+        raise ValueError(
+            f"columns option names unknown field(s) {bad} for "
+            f"kind={kind}; available: {known}")
+    if not names:
+        raise ValueError("columns option must name at least one field")
+    return tuple(n for n in known if n in names)
 
 
 def _list_files(path: str, suffix: str) -> list[str]:
@@ -232,6 +258,14 @@ class SSTableReader(DataSourceReader):
             raise ValueError(
                 f"on_unsupported must be error|skip, "
                 f"got {self.on_unsupported!r}")
+        # Explicit column projection — the pruning Catalyst cannot push
+        # through the Python DataSource API.  columns= narrows the scan
+        # schema itself (codec skips materializing pruned fields);
+        # skip_values= keeps the schema but nulls cell data without
+        # slicing the value bytes.
+        self.project = _parse_columns(dict(options))
+        self.skip_values = str(options.get("skip_values",
+                                           "false")).lower() == "true"
         self._key_lo: bytes | None = None  # inclusive
         self._key_hi: bytes | None = None  # inclusive
 
@@ -343,6 +377,17 @@ class SSTableReader(DataSourceReader):
                 "(on_unsupported=skip)", partition.path, partition.start,
                 partition.end, skipped[0])
 
+    def _project_tuples(self, kind: str, tuples):
+        """Non-Arrow fallback projection: narrow full-width tuples to
+        ``self.project`` (schema-order)."""
+        if self.project is None:
+            yield from tuples
+            return
+        names = _SCHEMAS_BY_KIND[kind].fieldNames()
+        idx = [names.index(n) for n in self.project]
+        for t in tuples:
+            yield tuple(t[i] for i in idx)
+
     def read(self, partition: RangePartition):
         if not partition.path:
             return
@@ -358,12 +403,24 @@ class SSTableReader(DataSourceReader):
                                  on_unsupported=self.on_unsupported,
                                  skipped=skipped)
                              for c in row.cells)
+                if self.skip_values:
+                    # 1.x parse walks the full row; prune post-parse
+                    from dataclasses import replace as _replace
+
+                    cell_iter = ((k, _replace(c, data=None))
+                                 for k, c in cell_iter)
             else:
                 cell_iter = codec.read_cells_flat(
-                    partition.path, partition.start, partition.end)
+                    partition.path, partition.start, partition.end,
+                    skip_values=self.skip_values)
             src = (codec.cells_to_batches(
-                       cell_iter, generation=partition.generation)
-                   if self.use_arrow else cell_iter)
+                       cell_iter, generation=partition.generation,
+                       project=self.project)
+                   if self.use_arrow else
+                   self._project_tuples("cells", (
+                       (key, c.name, c.state, c.data, c.timestamp,
+                        c.ttl, c.expiration, partition.generation)
+                       for key, c in cell_iter)))
             while True:
                 try:
                     item = next(src)
@@ -377,12 +434,7 @@ class SSTableReader(DataSourceReader):
                         f"corrupt sstable split {partition.path}"
                         f"[{partition.start}:{partition.end}]: {exc}"
                     ) from exc
-                if self.use_arrow:
-                    yield item  # pyarrow.RecordBatch
-                else:
-                    key, c = item
-                    yield (key, c.name, c.state, c.data, c.timestamp,
-                           c.ttl, c.expiration, partition.generation)
+                yield item  # RecordBatch (arrow) or projected tuple
             return
         if self.kind == "data":
             if self.fmt == "cassandra":
@@ -393,16 +445,30 @@ class SSTableReader(DataSourceReader):
                     on_unsupported=self.on_unsupported, skipped=skipped)
                 use_arrow = self.use_arrow
                 src = (codec.rows_to_batches(
-                           rows, generation=partition.generation)
+                           rows, generation=partition.generation,
+                           skip_values=self.skip_values,
+                           project=self.project)
                        if use_arrow else rows)
             else:
                 use_arrow = self.use_arrow
                 src = (codec.read_data_batches(
                            partition.path, partition.start, partition.end,
-                           generation=partition.generation)
+                           generation=partition.generation,
+                           skip_values=self.skip_values,
+                           project=self.project)
                        if use_arrow else
                        codec.read_data_rows(partition.path, partition.start,
-                                            partition.end))
+                                            partition.end,
+                                            skip_values=self.skip_values))
+            if not use_arrow:
+                src = self._project_tuples("data", (
+                    (item.key,
+                     [(c.name, c.state,
+                       None if self.skip_values else c.data,
+                       c.timestamp, c.ttl, c.expiration)
+                      for c in item.cells],
+                     partition.generation)
+                    for item in src))
             while True:
                 try:
                     item = next(src)
@@ -416,57 +482,57 @@ class SSTableReader(DataSourceReader):
                         f"corrupt sstable split {partition.path}"
                         f"[{partition.start}:{partition.end}]: {exc}"
                     ) from exc
-                if use_arrow:
-                    yield item  # pyarrow.RecordBatch
-                else:
-                    yield (item.key,
-                           [(c.name, c.state, c.data, c.timestamp, c.ttl,
-                             c.expiration) for c in item.cells],
-                           partition.generation)
+                yield item  # RecordBatch (arrow) or projected tuple
         elif self.kind == "index":
-            for key, pos in codec.read_index_entries(partition.path,
-                                                     partition.start,
-                                                     partition.end):
-                yield key, pos, partition.generation
+            yield from self._project_tuples("index", (
+                (key, pos, partition.generation)
+                for key, pos in codec.read_index_entries(
+                    partition.path, partition.start, partition.end)))
         elif self.kind == "summary":
-            for key, off in codec.read_summary_entries(partition.path):
-                yield key, off, partition.generation
+            yield from self._project_tuples("summary", (
+                (key, off, partition.generation)
+                for key, off in codec.read_summary_entries(
+                    partition.path)))
         elif self.kind == "manifest":
-            if self.fmt == "cassandra":
-                from .cassandra1x import read_cassandra_compression_info \
-                    as _read_ci
-            else:
-                _read_ci = codec.read_compression_info
-            for f in _list_files(partition.path, "-Data.db"):
-                gen = codec.generation_of(f)
-                ci_path = f.replace("-Data.db", "-CompressionInfo.db")
-                ci = (_read_ci(ci_path)
-                      if fs.exists(ci_path) else None)
-                csize = fs.file_size(f)
-                base = os.path.basename(f).replace("-Data.db", "")
-                for i, p in enumerate(_plan_file(f, self.max_split,
-                                                 _read_ci)):
-                    if ci is None or not ci.chunk_offsets:
-                        # uncompressed: file space == uncompressed space
-                        yield (base, i, p.start, p.end - p.start,
-                               0, p.end - p.start, p.end - p.start,
-                               None, gen)
-                        continue
-                    # compressed: map the uncompressed row range onto
-                    # its chunk range, report compressed-file positions
-                    # (reference DataSplitReducer,
-                    # GenerateSSTableDataSplits.scala:187-213)
-                    lth = ci.chunk_length
-                    first = p.start // lth
-                    last = max(first, -(-p.end // lth) - 1)
-                    cstart = ci.chunk_offsets[first]
-                    cend = (ci.chunk_offsets[last + 1]
-                            if last + 1 < len(ci.chunk_offsets) else csize)
-                    uncomp = (min(ci.uncompressed_length, (last + 1) * lth)
-                              - first * lth)
-                    yield (base, i, cstart, cend - cstart,
-                           p.start - first * lth, p.end - p.start,
-                           uncomp, ci.chunk_offsets[first:last + 1], gen)
+            yield from self._project_tuples(
+                "manifest", self._manifest_rows(partition))
+
+    def _manifest_rows(self, partition: RangePartition):
+        if self.fmt == "cassandra":
+            from .cassandra1x import read_cassandra_compression_info \
+                as _read_ci
+        else:
+            _read_ci = codec.read_compression_info
+        for f in _list_files(partition.path, "-Data.db"):
+            gen = codec.generation_of(f)
+            ci_path = f.replace("-Data.db", "-CompressionInfo.db")
+            ci = (_read_ci(ci_path)
+                  if fs.exists(ci_path) else None)
+            csize = fs.file_size(f)
+            base = os.path.basename(f).replace("-Data.db", "")
+            for i, p in enumerate(_plan_file(f, self.max_split,
+                                             _read_ci)):
+                if ci is None or not ci.chunk_offsets:
+                    # uncompressed: file space == uncompressed space
+                    yield (base, i, p.start, p.end - p.start,
+                           0, p.end - p.start, p.end - p.start,
+                           None, gen)
+                    continue
+                # compressed: map the uncompressed row range onto
+                # its chunk range, report compressed-file positions
+                # (reference DataSplitReducer,
+                # GenerateSSTableDataSplits.scala:187-213)
+                lth = ci.chunk_length
+                first = p.start // lth
+                last = max(first, -(-p.end // lth) - 1)
+                cstart = ci.chunk_offsets[first]
+                cend = (ci.chunk_offsets[last + 1]
+                        if last + 1 < len(ci.chunk_offsets) else csize)
+                uncomp = (min(ci.uncompressed_length, (last + 1) * lth)
+                          - first * lth)
+                yield (base, i, cstart, cend - cstart,
+                       p.start - first * lth, p.end - p.start,
+                       uncomp, ci.chunk_offsets[first:last + 1], gen)
 
 
 class SSTableStreamReader(DataSourceStreamReader):
@@ -729,9 +795,12 @@ class SSTableDataSource(DataSource):
 
     def schema(self) -> StructType:
         kind = self.options.get("kind", "data")
-        return {"data": DATA_SCHEMA, "cells": CELLS_SCHEMA,
-                "index": INDEX_SCHEMA, "summary": SUMMARY_SCHEMA,
-                "manifest": MANIFEST_SCHEMA}[kind]
+        full = _SCHEMAS_BY_KIND[kind]
+        project = _parse_columns(dict(self.options))
+        if project is None:
+            return full
+        fields = {f.name: f for f in full.fields}
+        return StructType([fields[n] for n in project])
 
     def reader(self, schema: StructType) -> SSTableReader:
         return SSTableReader(dict(self.options))
