@@ -10,9 +10,10 @@ engine.  Decode kernels come in two tiers:
   Spark-side plumbing (schema, batching, partitioning, UDF signatures)
   is exercised without any media dependency.
 - ``fake=False``: REAL decoding for the formats parseable with the
-  standard library alone — 24-bit uncompressed BMP images and PCM-16
-  WAV audio (both public formats; codecs below, pure struct+numpy).
-  Compressed formats (JPEG/PNG/MP3/video containers) raise
+  standard library alone — 24-bit uncompressed BMP, non-interlaced
+  8-bit PNG (zlib inflate + scanline unfiltering), and PCM-16 WAV
+  (all public formats; codecs below, pure struct+zlib+numpy).
+  Remaining formats (JPEG/MP3/video containers) raise
   NotImplementedError naming the library they need (PIL/ffmpeg —
   not in this container).
 
@@ -107,6 +108,106 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.stack(rows)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG
+    (filter-0 scanlines, one zlib IDAT) — the minimal public writer."""
+    import zlib
+
+    h, w, _ = rgb.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (grayscale / RGB / RGBA, all five
+    scanline filters) → (h, w, 3) uint8 RGB — stdlib zlib inflate +
+    per-row unfiltering, no PIL.  Grayscale is expanded to RGB; the
+    alpha channel of RGBA is dropped (features/resize operate on
+    color).  Palette, 16-bit, and Adam7-interlaced PNGs raise
+    ``NotImplementedError`` naming the limitation."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = ctype = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced PNG is supported "
+                    f"(got depth={depth}, interlace={interlace})")
+            if ctype not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG color type {ctype} (palette/alpha-gray) is "
+                    "not supported — decode with PIL")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        p += 1
+        row = np.frombuffer(raw, np.uint8, stride, p).astype(np.int32)
+        p += stride
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (rec[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = rec
+        out[y] = rec
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]  # RGBA → drop alpha
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono samples → RIFF/WAVE with one PCM ``data`` chunk."""
     data = pcm.astype("<i2").tobytes()
@@ -143,13 +244,14 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Real decode → fixed-size features for the stdlib formats.
 
-    image (BMP): [1, w/4096, h/4096, meanR, meanG, meanB,
-                  10-bin luminance histogram]         (normalized, 16)
-    audio (WAV): [2, rate/48000, dur_s/60, rms,
-                  12-bin |amplitude| histogram]       (normalized, 16)
+    image (BMP/PNG): [1, w/4096, h/4096, meanR, meanG, meanB,
+                      10-bin luminance histogram]     (normalized, 16)
+    audio (WAV):     [2, rate/48000, dur_s/60, rms,
+                      12-bin |amplitude| histogram]   (normalized, 16)
     """
-    if payload[:2] == b"BM":
-        img = decode_bmp(payload)
+    if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+        img = (decode_bmp(payload) if payload[:2] == b"BM"
+               else decode_png(payload))
         h, w, _ = img.shape
         lum = img.astype(np.float32).mean(axis=2) / 255.0
         hist, _ = np.histogram(lum, bins=10, range=(0.0, 1.0))
@@ -165,7 +267,7 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
                *(hist / max(len(x), 1))]
     else:
         raise NotImplementedError(
-            "real decode supports BMP/WAV only; JPEG/PNG need PIL and "
+            "real decode supports BMP/PNG/WAV only; JPEG needs PIL and "
             "video containers need ffmpeg — not in this container")
     out = [float(v) for v in out]
     return (out + [0.0] * dim)[:dim]
@@ -208,20 +310,23 @@ def extract_features(media: DataFrame, fake: bool = True,
 def resize_images(media: DataFrame, width: int, height: int,
                   fake: bool = True) -> DataFrame:
     """Image resize kernel over mapInPandas, keeping the media schema.
-    ``fake=False`` really resizes BMP payloads (nearest-neighbor index
-    mapping — the standard cheap kernel) and re-encodes; other image
-    formats raise naming PIL.  The fake path passes payloads through
-    and only rewrites metadata."""
+    ``fake=False`` really resizes BMP and PNG payloads (nearest-neighbor
+    index mapping — the standard cheap kernel) and re-encodes in the
+    input's format; other image formats raise naming PIL.  The fake
+    path passes payloads through and only rewrites metadata."""
 
-    def _resize_bmp(payload: bytes) -> bytes:
-        if payload[:2] != b"BM":
+    def _resize_image(payload: bytes) -> bytes:
+        if payload[:2] == b"BM":
+            img, enc = decode_bmp(payload), encode_bmp
+        elif payload[:8] == _PNG_SIG:
+            img, enc = decode_png(payload), encode_png
+        else:
             raise NotImplementedError(
-                "real resize supports BMP only; JPEG/PNG need PIL")
-        img = decode_bmp(payload)
+                "real resize supports BMP/PNG only; JPEG needs PIL")
         h, w, _ = img.shape
         ys = (np.arange(height) * h // height).clip(0, h - 1)
         xs = (np.arange(width) * w // width).clip(0, w - 1)
-        return encode_bmp(img[np.ix_(ys, xs)])
+        return enc(img[np.ix_(ys, xs)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -229,7 +334,7 @@ def resize_images(media: DataFrame, width: int, height: int,
                      "width": width, "height": height,
                      "duration_ms": None} for m in pdf["meta"]]
             payloads = (pdf["payload"] if fake else
-                        pdf["payload"].map(lambda p: _resize_bmp(bytes(p))))
+                        pdf["payload"].map(lambda p: _resize_image(bytes(p))))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],

@@ -1271,10 +1271,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_real_decode")  # rows-only: binary decode, no SQL twin
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 real-decode path under the driver gate: deterministic BMP
-    images and PCM WAV clips are synthesized per doc_id ON EXECUTORS
-    (stdlib codecs, operators/multimodal.py), decoded for real by
-    ``extract_features(fake=False)``, and reduced per modality — no
-    payload ever reaches the driver."""
+    and PNG images plus PCM WAV clips are synthesized per doc_id ON
+    EXECUTORS (stdlib codecs, operators/multimodal.py), decoded for
+    real by ``extract_features(fake=False)``, and reduced per
+    modality+mime — no payload ever reaches the driver."""
     from sstable_hadoop_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -1288,6 +1288,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from sstable_hadoop_spark.operators.multimodal import (
             encode_bmp,
+            encode_png,
             encode_wav,
         )
 
@@ -1297,10 +1298,15 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 rng = np.random.default_rng(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     img = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
                     payload, modality = encode_bmp(img), "image"
                     meta = {"mime": "image/bmp", "width": 9, "height": 8,
+                            "duration_ms": None}
+                elif did % 3 == 1:
+                    img = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+                    payload, modality = encode_png(img), "image"
+                    meta = {"mime": "image/png", "width": 9, "height": 8,
                             "duration_ms": None}
                 else:
                     pcm = rng.integers(-20000, 20000, 800).astype(np.int16)

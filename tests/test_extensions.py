@@ -605,3 +605,118 @@ def test_vector_ops_dim_derive_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="cannot derive"):
         cosine_near_dup_lsh(empty, dim=None)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-codec checks: encode→decode identity; an externally-crafted
+    IDAT using every scanline filter type (0/1/2/3/4) unfilters
+    correctly; grayscale expands to RGB and RGBA drops alpha."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sstable_hadoop_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def png_with_filters(px, ctype, ch, filters):
+        h, w = px.shape[0], px.shape[1]
+        flat = px.reshape(h, w * ch).astype(np.int32)
+        raw = bytearray()
+        prev = np.zeros(w * ch, np.int32)
+        for y, ftype in zip(range(h), filters):
+            rec = flat[y]
+            if ftype == 0:
+                enc = rec
+            elif ftype == 1:  # Sub
+                a = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+                enc = (rec - a) & 0xFF
+            elif ftype == 2:  # Up
+                enc = (rec - prev) & 0xFF
+            elif ftype == 3:  # Average
+                a = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+                enc = (rec - (a + prev) // 2) & 0xFF
+            else:  # Paeth
+                a = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+                c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+                b = prev
+                pp = a + b - c
+                pa, pb, pc = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                enc = (rec - pred) & 0xFF
+            raw += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+            prev = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    payload = png_with_filters(px, ctype=2, ch=3, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(payload), px)
+
+    gray = rng.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+    got = decode_png(png_with_filters(gray, ctype=0, ch=1,
+                                      filters=[4, 3, 2, 1]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    rgba = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    got = decode_png(png_with_filters(rgba, ctype=6, ch=4,
+                                      filters=[1, 4, 3]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK")
+    interlaced = (_PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(interlaced)
+
+
+def test_multimodal_real_decode_png(spark):
+    """fake=False decodes PNG payloads through the Spark kernel: feature
+    means match the pixels, and resize re-encodes as PNG."""
+    import numpy as np
+
+    from sstable_hadoop_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(img)),
+          {"mime": "image/png", "width": 5, "height": 6,
+           "duration_ms": None})],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:long,height:long,duration_ms:long>")
+
+    (row,) = extract_features(media, fake=False).collect()
+    assert row["features"][0] == 1.0
+    assert abs(row["features"][3] - img[:, :, 0].mean() / 255.0) < 1e-6
+    assert abs(row["features"][5] - img[:, :, 2].mean() / 255.0) < 1e-6
+
+    (out,) = resize_images(media, 3, 2, fake=False).collect()
+    payload = bytes(out["payload"])
+    assert payload[:8] == _PNG_SIG  # stays PNG
+    resized = decode_png(payload)
+    ys = (np.arange(2) * 6 // 2).clip(0, 5)
+    xs = (np.arange(3) * 5 // 3).clip(0, 4)
+    assert np.array_equal(resized, img[np.ix_(ys, xs)])
