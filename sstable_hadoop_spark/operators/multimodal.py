@@ -356,19 +356,28 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "frame_ms": [],
-                    "payload": []}
-            for _, r in pdf.iterrows():
-                dur = (r["meta"] or {}).get("duration_ms") or 0
-                n = max(int(dur // every_ms), 1)
-                for i in range(n):
-                    rows["media_id"].append(r["media_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame_ms"].append(i * every_ms)
-                    payload = bytes(r["payload"])
-                    step = max(len(payload) // n, 1)
-                    rows["payload"].append(payload[i * step:(i + 1) * step])
-            yield pd.DataFrame(rows)
+            # vectorized explode: one np.repeat per batch for ids,
+            # one concatenated arange for frame indices; only the
+            # payload slicing (inherently per-bytes-object) is a
+            # python comprehension
+            durs = pdf["meta"].map(
+                lambda m: (m or {}).get("duration_ms") or 0)
+            counts = np.maximum(durs.to_numpy(np.int64) // every_ms, 1)
+            frame_idx = np.concatenate(
+                [np.arange(n) for n in counts]) if len(counts) else \
+                np.array([], np.int64)
+            payloads: list[bytes] = []
+            for p, n in zip(pdf["payload"], counts):
+                b = bytes(p)
+                step = max(len(b) // n, 1)
+                payloads.extend(b[i * step:(i + 1) * step]
+                                for i in range(n))
+            yield pd.DataFrame({
+                "media_id": np.repeat(pdf["media_id"].to_numpy(), counts),
+                "frame_idx": frame_idx,
+                "frame_ms": frame_idx * every_ms,
+                "payload": payloads,
+            })
 
     schema = StructType([
         StructField("media_id", LongType(), False),

@@ -590,6 +590,10 @@ class SSTableStreamReader(DataSourceStreamReader):
         self.grace_ns = int(options.get("late_file_grace_ms",
                                         60_000)) * 1_000_000
         self.seen_cap = int(options.get("seen_files_cap", 1024))
+        # same explicit projection options as the batch reader
+        self.project = _parse_columns(dict(options))
+        self.skip_values = str(options.get("skip_values",
+                                           "false")).lower() == "true"
         # driver-side, best-effort late-file detection (log only):
         self._known: set[str] = set()
         self._prev_offset: dict | None = None
@@ -675,11 +679,22 @@ class SSTableStreamReader(DataSourceStreamReader):
                                        partition.end,
                                        on_unsupported=self.on_unsupported)
         return codec.read_data_rows(partition.path, partition.start,
-                                    partition.end)
+                                    partition.end,
+                                    skip_values=self.skip_values)
+
+    def _project_tuples(self, kind: str, tuples):
+        if self.project is None:
+            yield from tuples
+            return
+        names = _SCHEMAS_BY_KIND[kind].fieldNames()
+        idx = [names.index(n) for n in self.project]
+        for t in tuples:
+            yield tuple(t[i] for i in idx)
 
     def read(self, partition: RangePartition):
         if not partition.path:
             return
+        null_data = self.skip_values and self.fmt == "cassandra"
         if self.kind == "cells":
             # flat cell stream: feeds streaming.streaming_lww_cells
             # directly (its input schema), wide-row-safe
@@ -688,16 +703,20 @@ class SSTableStreamReader(DataSourceStreamReader):
                              for c in row.cells)
             else:
                 cell_iter = codec.read_cells_flat(
-                    partition.path, partition.start, partition.end)
-            for key, c in cell_iter:
-                yield (key, c.name, c.state, c.data, c.timestamp,
-                       c.ttl, c.expiration, partition.generation)
+                    partition.path, partition.start, partition.end,
+                    skip_values=self.skip_values)
+            yield from self._project_tuples("cells", (
+                (key, c.name, c.state,
+                 None if null_data else c.data, c.timestamp,
+                 c.ttl, c.expiration, partition.generation)
+                for key, c in cell_iter))
             return
-        for row in self._rows(partition):
-            yield (row.key,
-                   [(c.name, c.state, c.data, c.timestamp, c.ttl,
-                     c.expiration) for c in row.cells],
-                   partition.generation)
+        yield from self._project_tuples("data", (
+            (row.key,
+             [(c.name, c.state, None if null_data else c.data,
+               c.timestamp, c.ttl, c.expiration) for c in row.cells],
+             partition.generation)
+            for row in self._rows(partition)))
 
     def commit(self, end: dict) -> None:
         return None

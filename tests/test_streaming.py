@@ -245,3 +245,36 @@ def test_stream_offsets_are_compact_and_legacy_compatible(tmp_path):
     legacy = {"files": ["ks-cf-1-Data.db", "ks-cf-2-Data.db"]}
     got = {os.path.basename(p.path) for p in r.partitions(legacy, o2)}
     assert got == {"ks-cf-3-Data.db"}
+
+
+def test_sstable_stream_projection_options(spark, tmp_path):
+    """columns= / skip_values= apply to readStream too: the projected
+    stream schema matches the batch reader's, values null out, and row
+    sets agree with the batch scan."""
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+
+    d = str(tmp_path / "proj_src")
+    rows = [Row(f"k{i:02d}".encode(),
+                [Cell(b"c", "NORMAL", b"v" * 30, 100 + i)])
+            for i in range(25)]
+    write_sstable(d, "ks-cf", rows, generation=1, compressed=True)
+
+    proj = (spark.readStream.format("sstable")
+            .option("columns", "key,generation").load(d))
+    assert proj.schema.fieldNames() == ["key", "generation"]
+    q = (proj.writeStream.format("memory").queryName("proj_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    got = sorted(bytes(r["key"])
+                 for r in spark.sql("select * from proj_sink").collect())
+    assert got == sorted(r.key for r in rows)
+
+    sv = (spark.readStream.format("sstable").option("kind", "cells")
+          .option("skip_values", "true").load(d))
+    q = (sv.writeStream.format("memory").queryName("sv_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    cells = spark.sql("select * from sv_sink").collect()
+    assert len(cells) == 25
+    assert all(r["data"] is None for r in cells)
+    assert {r["timestamp"] for r in cells} == {100 + i for i in range(25)}
