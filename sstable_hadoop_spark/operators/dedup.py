@@ -144,10 +144,17 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     # collect_set), so the dedup shuffle would be pure waste
     sh = word_shingles(df, text_col, id_col, n, distinct=False)
     if max_doc_freq is not None:
-        rare = (sh.distinct().groupBy("shingle")
-                  .agg(F.count("*").alias("df"))
-                  .filter(F.col("df") <= max_doc_freq).select("shingle"))
-        sh = sh.join(rare, "shingle")
+        # the cap keeps shingles with doc-freq ≤ cap.  The KEPT set is
+        # nearly all shingles (huge), the DROPPED set is the handful of
+        # stop-word-like shingles exceeding the cap — so express the
+        # filter as a broadcast ANTI join against the tiny hot set:
+        # one partial-agg shuffle to count doc-freqs, zero shuffles of
+        # the shingle fan-out itself (vs distinct + groupBy + inner
+        # join with the huge rare set — three fan-out shuffles).
+        hot = (sh.groupBy("shingle")
+                 .agg(F.count_distinct("id").alias("df"))
+                 .filter(F.col("df") > max_doc_freq).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # ONE aggregation pass builds everything per doc: the minhash
     # signature, the shingle count, and the shingle set (bounded by doc
     # length, so safe to carry).  Verification then joins the SMALL
