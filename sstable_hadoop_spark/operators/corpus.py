@@ -1,0 +1,133 @@
+"""Corpus-curation operators for training-data pipelines (extension
+E4+, SURVEY.md §2.9): deterministic train/val/test splitting,
+stratified sampling, fixed-size token chunking (sequence packing's
+declarative core), and TF-IDF top-terms.
+
+All Spark built-ins inside codegen — no Python UDFs, no driver-side
+data movement.  Determinism everywhere: assignment decisions hash
+md5(seed:id) and compare the first 8 hex chars lexicographically
+against precomputed fixed-width hex thresholds — fixed-width lowercase
+hex compares identically as a string in any engine, so every operator
+has a bit-exact DuckDB oracle and re-runs reproduce the same split /
+sample on any cluster size or row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] → 8-char lowercase hex of floor(f·2^32); a
+    uniform md5 prefix is below it with probability ≈ fraction."""
+    return format(min(int(fraction * 2 ** 32), 2 ** 32 - 1), "08x")
+
+
+def _bucket(seed: str, *cols: Column) -> Column:
+    """Uniform [0,1)-equivalent bucket: first 8 hex chars of
+    md5(seed:col:col...)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed),
+                          *[c.cast("string") for c in cols])), 1, 8)
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: dict[str, float] | None = None,
+               seed: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from cumulative weight thresholds over the id-hash bucket.  The
+    assignment depends only on (seed, id) — stable across runs,
+    cluster sizes, and row orders, and needs no shuffle (a pure
+    projection over whatever partitioning the input already has).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = _bucket(seed, F.col(id_col))
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < _hex_threshold(acc)
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    split = (F.lit(names[0]) if expr is None
+             else expr.otherwise(names[-1]))
+    return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      default_fraction: float = 0.0,
+                      seed: str = "sample") -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance languages
+    in a pretraining mix): keep a row iff its (seed, stratum, id) hash
+    bucket falls below the stratum's fraction threshold.  Exact-filter
+    semantics (no RNG state, no sampleBy approximation) — reproducible
+    and oracle-checkable; a pure filter, no shuffle."""
+    bucket = _bucket(seed, F.col(strata_col), F.col(id_col))
+    expr: Column = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        expr = (F.when(F.col(strata_col) == stratum,
+                       F.lit(_hex_threshold(frac))).otherwise(expr))
+    return df.filter(bucket < expr)
+
+
+def token_chunks(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 chunk_size: int = 64) -> DataFrame:
+    """Fixed-size token chunking — the declarative core of sequence
+    packing for LM training: each document's whitespace token stream
+    splits into ⌈n/chunk_size⌉ chunks of ≤ chunk_size tokens.  One
+    explode over a per-row ``sequence`` (no join, no shuffle; output
+    partitioning inherits the scan).  Returns (id, chunk_idx, n_tokens,
+    chunk_text)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1))
+    out = df.select(F.col(id_col), toks.alias("_toks"),
+                    idx.alias("chunk_idx"))
+    chunk = F.slice(F.col("_toks"),
+                    F.col("chunk_idx") * chunk_size + 1, chunk_size)
+    return out.select(
+        id_col, "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    min_term_len: int = 2) -> DataFrame:
+    """Per-document top-k TF-IDF terms (ln((N+1)/(df+1)) idf; ties
+    broken by term ascending, so the result is total-ordered).
+
+    Topology: one token explode → (doc, term) count agg → term
+    doc-frequency agg joined back on term → WindowGroupLimit top-k.
+    The corpus size N rides along as a broadcast 1-row aggregate —
+    no driver-side count.  At 100 TB the term join shuffles by term
+    (skew on stop-word terms is bounded by ``min_term_len`` plus the
+    idf weighting making them never reach top-k)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    terms = (df.select(F.col(id_col).alias("id"),
+                       F.explode(toks).alias("term"))
+               .filter(F.length("term") >= min_term_len))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .select("id", "term",
+                        (F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0))
+                                             / (F.col("df_t") + F.lit(1.0))))
+                        .alias("tfidf")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select("id", "term", F.round("tfidf", 6).alias("tfidf"),
+                          "rk"))

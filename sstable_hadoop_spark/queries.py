@@ -1251,6 +1251,132 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars")))
 
 
+# Corpus-curation thresholds shared between the Spark operators and
+# their oracles (operators/corpus.py derivation: first 8 md5 hex chars
+# compared against floor(f·2^32) as fixed-width hex — identical string
+# comparison semantics in any engine).
+def _hexth(f: float) -> str:
+    from sstable_hadoop_spark.operators.corpus import _hex_threshold
+
+    return _hex_threshold(f)
+
+
+@query("corpus_hash_split", oracle=f"""
+SELECT doc_id,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS varchar)), 1, 8)
+                 < '{{T90}}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS varchar)), 1, 8)
+                 < '{{T95}}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by id-hash
+    threshold — stable across runs/cluster sizes/row orders, zero
+    shuffles (operators/corpus.py hash_split)."""
+    from sstable_hadoop_spark.operators.corpus import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_split(docs, weights={"train": 0.9, "val": 0.05,
+                                     "test": 0.05}).select(
+        "doc_id", "split")
+
+
+@query("corpus_stratified_sample", oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('sample:' || lang || ':' || CAST(doc_id AS varchar)),
+             1, 8)
+      < CASE lang WHEN 'en' THEN '{{S50}}'
+                  WHEN 'de' THEN '{{S25}}'
+                  ELSE '{{S10}}' END
+""")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (rebalance a pretraining
+    language mix: keep 50% en, 25% de, 10% everything else) — exact
+    filter semantics, no RNG state, no shuffle
+    (operators/corpus.py stratified_sample)."""
+    from sstable_hadoop_spark.operators.corpus import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                             default_fraction=0.1).select(
+        "doc_id", "lang")
+
+
+@query("corpus_token_chunks", oracle=r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+    FROM documents
+), c AS (
+    SELECT doc_id, toks,
+           unnest(range(greatest(CAST(ceil(len(toks) / 32.0) AS BIGINT),
+                                 1))) AS chunk_idx
+    FROM t
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * 32 + 1,
+                           chunk_idx * 32 + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * 32 + 1,
+                                  chunk_idx * 32 + 32), ' ') AS chunk_text
+FROM c
+""")
+def corpus_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (sequence packing's declarative core):
+    every document splits into ≤32-token chunks via one per-row
+    sequence explode — no join, no shuffle
+    (operators/corpus.py token_chunks)."""
+    from sstable_hadoop_spark.operators.corpus import token_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return token_chunks(docs, chunk_size=32).select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"), "chunk_text")
+
+
+@query("corpus_tfidf_top_terms", oracle=r"""
+WITH terms AS (
+    SELECT doc_id AS id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT id, term, count(*) AS tf FROM terms
+    WHERE length(term) >= 2 GROUP BY id, term
+), dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT id, term, round(tf * ln((n_docs + 1.0) / (df_t + 1.0)), 6) AS tfidf,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT tf.id, tf.term, tf.tf, dfreq.df_t, n.n_docs,
+           row_number() OVER (
+               PARTITION BY tf.id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0))
+                        DESC, tf.term) AS rk
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rk <= 3
+""")
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: token explode → tf agg → df agg
+    joined by term → broadcast 1-row corpus count → WindowGroupLimit
+    top-k (operators/corpus.py tfidf_top_terms)."""
+    from sstable_hadoop_spark.operators.corpus import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3, min_term_len=2)
+
+
+# substitute the shared hex thresholds into the oracles above
+for _q, _subs in (
+        ("corpus_hash_split", {"T90": _hexth(0.9), "T95": _hexth(0.95)}),
+        ("corpus_stratified_sample", {"S50": _hexth(0.5),
+                                      "S25": _hexth(0.25),
+                                      "S10": _hexth(0.1)})):
+    for _k, _v in _subs.items():
+        _ORACLES[_q] = _ORACLES[_q].replace("{" + _k + "}", _v)
+
+
 @query("multimodal_features")  # rows-only: mapInPandas kernel, no SQL twin
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: binary-payload feature extraction via Arrow-batched
@@ -2430,6 +2556,10 @@ _DRIVER_WINDOW: list[str] = [
     "grouped_normalize_embeddings",
     # -- new in round 4 -----------------------------------------------
     "sstable_keys_scan",
+    "corpus_hash_split",
+    "corpus_stratified_sample",
+    "corpus_token_chunks",
+    "corpus_tfidf_top_terms",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2440,17 +2570,16 @@ _DRIVER_WINDOW: list[str] = [
     "pivot_status_by_priority",
     "string_function_gallery",
     "null_handling_gallery",
-    # -- permanent regression core (green r2+r3) ----------------------
+    # -- permanent regression core (green r2+r3; rollup/json/session/
+    #    live_view rotated out for the r4 additions — all have 2 green
+    #    driver rows cumulatively) --------------------------------------
     "flagship_lww_merge",
-    "live_view_asof",
     "scan_project_filter",
     "q1_pricing_summary",
     "join_agg_revenue",
     "join_asof_latest_order",
     "five_way_join_region_revenue",
     "window_topk_orders",
-    "rollup_lineitem",
-    "json_events_extract",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -2462,7 +2591,6 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_curation_pipeline",
     "multimodal_real_decode",
     "window_tumbling_events",
-    "window_session_events",
     "sstable_scan_roundtrip",
     "sstable_lww_merge",
     "cassandra_format_scan",

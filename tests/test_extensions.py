@@ -720,3 +720,91 @@ def test_multimodal_real_decode_png(spark):
     ys = (np.arange(2) * 6 // 2).clip(0, 5)
     xs = (np.arange(3) * 5 // 3).clip(0, 4)
     assert np.array_equal(resized, img[np.ix_(ys, xs)])
+
+
+def test_corpus_hash_split_deterministic_and_complete(spark):
+    """Every row gets exactly one split; assignment is identical across
+    invocations and row orders; proportions land near the weights."""
+    from sstable_hadoop_spark.operators.corpus import hash_split
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(docs).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.orderBy(F.desc("doc_id")))
+         .select("doc_id", "split").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n > 0.8          # 0.9 nominal
+    assert 0.0 < c["val"] / n < 0.15     # 0.05 nominal
+    assert 0.0 < c["test"] / n < 0.15
+
+
+def test_corpus_stratified_sample_rates(spark):
+    """Per-stratum keep rates track the requested fractions; the kept
+    set is a deterministic subset (re-run identical)."""
+    from sstable_hadoop_spark.operators.corpus import stratified_sample
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                             default_fraction=0.0)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "de"}  # default 0 drops other strata
+    assert 0.2 < got.get("en", 0) / totals["en"] < 0.8
+    assert got.get("de", 0) / totals["de"] < 0.6
+    again = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
+def test_corpus_token_chunks_reassemble(spark):
+    """Chunks tile each document exactly: sizes ≤ chunk_size, indices
+    contiguous from 0, and re-joining chunk texts restores the
+    lowercased token stream."""
+    from sstable_hadoop_spark.operators.corpus import token_chunks
+
+    df = spark.createDataFrame(
+        [(1, "A b c d e f g"), (2, "x"), (3, "one two three four five")],
+        "doc_id bigint, text string")
+    rows = sorted(((r["doc_id"], r["chunk_idx"], r["n_tokens"],
+                    r["chunk_text"])
+                   for r in token_chunks(df, chunk_size=3).collect()))
+    by_doc = {}
+    for did, idx, n, txt in rows:
+        by_doc.setdefault(did, []).append((idx, n, txt))
+    assert [i for i, _, _ in by_doc[1]] == [0, 1, 2]
+    assert [n for _, n, _ in by_doc[1]] == [3, 3, 1]
+    assert " ".join(t for _, _, t in by_doc[1]) == "a b c d e f g"
+    assert by_doc[2] == [(0, 1, "x")]
+    assert [n for _, n, _ in by_doc[3]] == [3, 2]
+
+
+def test_corpus_tfidf_known_example(spark):
+    """Hand-checkable corpus: a term unique to one doc outranks terms
+    shared by all docs."""
+    from sstable_hadoop_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple banana banana"), (2, "apple cherry"),
+         (3, "apple date")],
+        "doc_id bigint, text string")
+    rows = {(r["id"], r["rk"]): (r["term"], r["tfidf"])
+            for r in tfidf_top_terms(df, k=2).collect()}
+    # 'apple' appears in every doc → idf ln(4/4)=0 → never rank 1,
+    # tfidf exactly 0 wherever it does appear
+    assert rows[(1, 1)][0] == "banana"
+    assert rows[(2, 1)][0] == "cherry"
+    assert rows[(3, 1)][0] == "date"
+    for key, (term, score) in rows.items():
+        if term == "apple":
+            assert key[1] == 2 and score == 0.0
+    # banana tf=2, idf=ln(2) → 2·ln(2)
+    import math
+    assert abs(rows[(1, 1)][1] - round(2 * math.log(2), 6)) < 1e-9

@@ -17,6 +17,9 @@ SF = "/root/testdata/sf0.001"
 ALLOWED_BNLJ = {
     "similarity_topk_bruteforce",   # 8 broadcast query vectors × corpus
     "range_join_price_bands",       # broadcast band dimension (5 rows)
+    "corpus_tfidf_top_terms",       # 1-row broadcast corpus-count agg
+                                    # cross-joined onto tf×df (constant
+                                    # build side; avoids a driver count)
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer
