@@ -101,6 +101,62 @@ def lang_id(df: DataFrame, text_col: str = "text",
                          *[F.col(c) for c in keep])
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       keep: tuple[str, ...] = ()) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText-style
+    family): fraction of duplicate lines, fraction of tokens inside the
+    single most-frequent 2-gram, and the distinct-token ratio.  High
+    duplicate-line or top-2-gram fractions flag boilerplate/spam docs
+    for corpus filtering.
+
+    All per-row array math (split / transform / aggregate) inside
+    codegen — no explode, no shuffle, no UDF; ``keep`` chains further
+    stages over the same scan."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    grams = F.when(
+        n_tokens >= 2,
+        F.transform(F.sequence(F.lit(1), n_tokens - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    # occurrences of the modal 2-gram: sort, then longest equal-run via
+    # a struct-accumulator aggregate — O(g log g) per row, not the
+    # O(g²) count-of-self-per-gram shape
+    def _longest_run(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_gram_hits = F.when(n_tokens >= 2, F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        _longest_run,
+        lambda acc: acc["best"])).otherwise(F.lit(0))
+
+    return df.select(
+        F.col(id_col),
+        F.round(dup_lines / F.greatest(n_lines, F.lit(1)), 6)
+         .alias("dup_line_frac"),
+        # a 2-gram occurring k times covers 2k tokens (clamped to 1.0
+        # for degenerate repeated-token docs)
+        F.round(F.least(top_gram_hits * 2 / F.greatest(n_tokens, F.lit(1)),
+                        F.lit(1.0)), 6).alias("top_bigram_frac"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.greatest(n_tokens, F.lit(1)), 6)
+         .alias("distinct_token_ratio"),
+        *[F.col(c) for c in keep],
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 4) -> DataFrame:
     """Winnowing-style content fingerprint: the minimum md5 over word

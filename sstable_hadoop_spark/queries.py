@@ -1251,6 +1251,43 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars")))
 
 
+@query("corpus_repetition_signals", oracle=r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\n'),
+                       ln -> length(trim(ln)) > 0) AS lines,
+           regexp_split_to_array(lower(text), '\s+') AS toks
+    FROM documents
+), grams AS (
+    SELECT b.doc_id, b.toks[i] || ' ' || b.toks[i + 1] AS gram
+    FROM base b, unnest(range(1, greatest(len(b.toks), 1))) AS u(i)
+    WHERE len(b.toks) >= 2
+), top AS (
+    SELECT doc_id, max(c) AS top_hits FROM (
+        SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       round((len(lines) - len(list_distinct(lines)))
+             * 1.0 / greatest(len(lines), 1), 6) AS dup_line_frac,
+       round(least(coalesce(top_hits, 0) * 2.0
+                   / greatest(len(toks), 1), 1.0), 6) AS top_bigram_frac,
+       round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+           AS distinct_token_ratio
+FROM base b LEFT JOIN top USING (doc_id)
+""")
+def corpus_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-
+    line fraction, modal-2-gram token coverage, distinct-token ratio —
+    all per-row array math inside codegen, no explode/shuffle/UDF
+    (operators/text.py repetition_signals; the oracle derives the modal
+    2-gram by explode+count, proving the per-row run-length formula)."""
+    from sstable_hadoop_spark.operators.text import repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
 # Corpus-curation thresholds shared between the Spark operators and
 # their oracles (operators/corpus.py derivation: first 8 md5 hex chars
 # compared against floor(f·2^32) as fixed-width hex — identical string
@@ -2560,6 +2597,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_stratified_sample",
     "corpus_token_chunks",
     "corpus_tfidf_top_terms",
+    "corpus_repetition_signals",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2581,7 +2619,6 @@ _DRIVER_WINDOW: list[str] = [
     "five_way_join_region_revenue",
     "window_topk_orders",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",

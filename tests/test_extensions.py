@@ -808,3 +808,33 @@ def test_corpus_tfidf_known_example(spark):
     # banana tf=2, idf=ln(2) → 2·ln(2)
     import math
     assert abs(rows[(1, 1)][1] - round(2 * math.log(2), 6)) < 1e-9
+
+
+def test_repetition_signals_known_docs(spark):
+    """Hand-built docs: clean text scores low; a boilerplate doc with
+    duplicated lines and a dominating 2-gram scores high."""
+    from sstable_hadoop_spark.operators.text import repetition_signals
+
+    clean = "alpha beta gamma delta\nepsilon zeta eta theta"
+    spam = ("click here\nclick here\nclick here\nbuy now")
+    one_tok = "single"
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam), (3, one_tok)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    assert got[1]["dup_line_frac"] == 0.0
+    # clean: all 7 bigrams distinct -> modal covers 2/8 tokens
+    assert abs(got[1]["top_bigram_frac"] - 0.25) < 1e-9
+    assert got[1]["distinct_token_ratio"] == 1.0
+
+    # spam: 4 lines, 2 duplicates of 'click here' -> 2/4
+    assert abs(got[2]["dup_line_frac"] - 0.5) < 1e-9
+    # tokens: click here x3 buy now = 8 tokens; 'click here' occurs 3x
+    # as a bigram -> covers min(6/8, 1)
+    assert abs(got[2]["top_bigram_frac"] - 0.75) < 1e-9
+    assert abs(got[2]["distinct_token_ratio"] - 0.5) < 1e-9
+
+    # degenerate single-token doc: no bigrams, nothing divides by zero
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[3]["distinct_token_ratio"] == 1.0
