@@ -98,6 +98,73 @@ def token_chunks(df: DataFrame, text_col: str = "text",
         F.concat_ws(" ", chunk).alias("chunk_text"))
 
 
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 256,
+                   n_groups: int = 64) -> DataFrame:
+    """Greedy sequence packing for LM training: assign documents to
+    fixed-token-budget bins with best-fit-decreasing (same 11/9·OPT+O(1)
+    guarantee family as first-fit, O(n log n) via a bisected
+    remaining-capacity list) — the stateful packing `token_chunks`
+    can't express declaratively.
+
+    Scale design: docs hash into ``n_groups`` independent packing
+    groups (set ≈ cluster parallelism), each packed by one
+    ``applyInPandas`` kernel that sees only (id, n_tokens) — token
+    counts are computed JVM-side and the TEXT NEVER ENTERS the Python
+    kernel, so kernel input is ~16 bytes/doc regardless of corpus
+    size; join the returned assignment back to the text by id when
+    materializing.  Deterministic: group = crc32-style md5 bucket,
+    order = (n_tokens desc, id), so re-runs reproduce bin ids exactly.
+
+    Returns (id, n_tokens, pack_group, bin_id, bin_fill) where
+    ``bin_id`` is globally unique and ``bin_fill`` is the bin's total
+    tokens.  A doc longer than ``budget`` gets a dedicated bin
+    (truncation policy belongs to the tokenizer stage)."""
+    import pandas as pd
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    group = (F.conv(_bucket("pack", F.col(id_col)), 16, 10)
+             .cast("long") % n_groups).cast("int")
+    meta = df.select(F.col(id_col).alias("id"),
+                     F.size(toks).cast("long").alias("n_tokens"),
+                     group.alias("pack_group"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(["n_tokens", "id"],
+                              ascending=[False, True],
+                              ignore_index=True)
+        g = int(pdf["pack_group"].iloc[0])
+        open_bins: list[list[int]] = []  # sorted [remaining, bin_idx]
+        fills: list[int] = []            # final fill per bin_idx
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            # best fit: the open bin with the SMALLEST remaining
+            # capacity that still holds n (ties → lowest bin idx)
+            i = bisect.bisect_left(open_bins, [n, -1])
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                fills[b] += n
+                if rem - n > 0:
+                    bisect.insort(open_bins, [rem - n, b])
+                assign.append(b)
+            else:
+                b = len(fills)
+                fills.append(n)
+                if budget - n > 0:
+                    bisect.insort(open_bins, [budget - n, b])
+                assign.append(b)
+        pdf["bin_id"] = [g * (1 << 32) + b for b in assign]
+        pdf["bin_fill"] = [fills[b] for b in assign]
+        return pdf
+
+    out_schema = ("id long, n_tokens long, pack_group int, "
+                  "bin_id long, bin_fill long")
+    return meta.groupBy("pack_group").applyInPandas(pack, out_schema)
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3,
                     min_term_len: int = 2) -> DataFrame:

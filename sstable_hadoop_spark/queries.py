@@ -1414,6 +1414,26 @@ for _q, _subs in (
         _ORACLES[_q] = _ORACLES[_q].replace("{" + _k + "}", _v)
 
 
+@query("corpus_pack_sequences")  # rows-only: stateful greedy bin
+                                 # packing has no SQL twin (recursive
+                                 # sequential state); invariants pinned
+                                 # by tests/test_extensions.py
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (best-fit-decreasing) into 256-token bins:
+    U-applyInPandas over (id, n_tokens) metadata only — text never
+    enters the Python kernel (operators/corpus.py pack_sequences).
+    Returns the per-group bin utilization rollup (deterministic)."""
+    from sstable_hadoop_spark.operators.corpus import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=256, n_groups=16)
+    return (packed.groupBy("pack_group")
+            .agg(F.count_distinct("bin_id").alias("n_bins"),
+                 F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("pack_group"))
+
+
 @query("multimodal_features")  # rows-only: mapInPandas kernel, no SQL twin
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: binary-payload feature extraction via Arrow-batched
@@ -2598,6 +2618,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_token_chunks",
     "corpus_tfidf_top_terms",
     "corpus_repetition_signals",
+    "corpus_pack_sequences",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2624,7 +2645,6 @@ _DRIVER_WINDOW: list[str] = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "text_quality_stats",
     "corpus_curation_pipeline",
     "multimodal_real_decode",
     "window_tumbling_events",

@@ -838,3 +838,52 @@ def test_repetition_signals_known_docs(spark):
     # degenerate single-token doc: no bigrams, nothing divides by zero
     assert got[3]["top_bigram_frac"] == 0.0
     assert got[3]["distinct_token_ratio"] == 1.0
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc assigned exactly once; no bin exceeds the budget
+    except a dedicated oversized-doc bin; bin_fill is consistent;
+    assignment is deterministic across row orders; packing beats the
+    one-doc-per-bin baseline."""
+    from sstable_hadoop_spark.operators.corpus import pack_sequences
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    budget = 256
+    out = pack_sequences(docs, budget=budget, n_groups=8).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    assert len({r["id"] for r in out}) == n_docs
+
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bin_id, rows in by_bin.items():
+        fill = sum(r["n_tokens"] for r in rows)
+        assert all(r["bin_fill"] == fill for r in rows)
+        if fill > budget:  # only a single oversized doc may overflow
+            assert len(rows) == 1 and rows[0]["n_tokens"] > budget
+    # packing actually packs: fewer bins than docs
+    assert len(by_bin) < n_docs
+    # determinism under input reordering
+    again = pack_sequences(docs.orderBy(F.desc("doc_id")), budget=budget,
+                           n_groups=8).collect()
+    assert {(r["id"], r["bin_id"]) for r in again} == \
+        {(r["id"], r["bin_id"]) for r in out}
+
+
+def test_pack_sequences_best_fit_exact(spark):
+    """Hand-checkable: sizes 6,5,4,3,2 with budget 9 best-fit-decreasing
+    → bins {6,3} {5,4} {2}."""
+    from sstable_hadoop_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([6, 5, 4, 3, 2])],
+        "doc_id bigint, text string")
+    out = pack_sequences(docs, budget=9, n_groups=1).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r["bin_id"], set()).add(r["n_tokens"])
+    assert sorted(sorted(v) for v in bins.values()) == \
+        [[2], [3, 6], [4, 5]]
