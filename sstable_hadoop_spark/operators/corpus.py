@@ -77,25 +77,29 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
 
 def token_chunks(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
-                 chunk_size: int = 64) -> DataFrame:
+                 chunk_size: int = 64,
+                 keep: tuple[str, ...] = ()) -> DataFrame:
     """Fixed-size token chunking — the declarative core of sequence
     packing for LM training: each document's whitespace token stream
     splits into ⌈n/chunk_size⌉ chunks of ≤ chunk_size tokens.  One
     explode over a per-row ``sequence`` (no join, no shuffle; output
     partitioning inherits the scan).  Returns (id, chunk_idx, n_tokens,
-    chunk_text)."""
+    chunk_text); ``keep`` passes extra input columns through for
+    join-free chaining."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
     idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1))
     out = df.select(F.col(id_col), toks.alias("_toks"),
-                    idx.alias("chunk_idx"))
+                    idx.alias("chunk_idx"),
+                    *[F.col(c) for c in keep])
     chunk = F.slice(F.col("_toks"),
                     F.col("chunk_idx") * chunk_size + 1, chunk_size)
     return out.select(
         id_col, "chunk_idx",
         F.size(chunk).alias("n_tokens"),
-        F.concat_ws(" ", chunk).alias("chunk_text"))
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        *[F.col(c) for c in keep])
 
 
 def pack_sequences(df: DataFrame, text_col: str = "text",

@@ -1404,12 +1404,70 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3, min_term_len=2)
 
 
+@query("corpus_training_export", oracle=r"""
+WITH sampled AS (
+    SELECT * FROM documents
+    WHERE substr(md5('sample:' || lang || ':'
+                     || CAST(doc_id AS varchar)), 1, 8)
+          < CASE lang WHEN 'en' THEN '{S50}'
+                      WHEN 'de' THEN '{S25}'
+                      ELSE '{S10}' END
+), train AS (
+    SELECT * FROM sampled
+    WHERE substr(md5('split:' || CAST(doc_id AS varchar)), 1, 8)
+          < '{T90}'
+), t AS (
+    SELECT doc_id, lang,
+           regexp_split_to_array(lower(text), '\s+') AS toks
+    FROM train
+), c AS (
+    SELECT doc_id, lang, toks,
+           unnest(range(greatest(CAST(ceil(len(toks) / 32.0) AS BIGINT),
+                                 1))) AS chunk_idx
+    FROM t
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(len(list_slice(toks, chunk_idx * 32 + 1,
+                               chunk_idx * 32 + 32))) AS BIGINT)
+           AS total_tokens
+FROM c GROUP BY lang
+""")
+def corpus_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data export pass in ONE scan, join-free:
+    stratified language rebalance → deterministic train split →
+    32-token chunking (keep= pass-through carries lang) → per-language
+    chunk/token rollup.  Every stage is a projection or per-row
+    explode over the previous one — the only shuffle is the final
+    rollup (operators/corpus.py)."""
+    from sstable_hadoop_spark.operators.corpus import (
+        hash_split,
+        stratified_sample,
+        token_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                                default_fraction=0.1)
+    train = hash_split(sampled).filter(F.col("split") == "train")
+    chunks = token_chunks(train, chunk_size=32, keep=("lang",))
+    return (chunks.groupBy("lang")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_chunks"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
 # substitute the shared hex thresholds into the oracles above
 for _q, _subs in (
         ("corpus_hash_split", {"T90": _hexth(0.9), "T95": _hexth(0.95)}),
         ("corpus_stratified_sample", {"S50": _hexth(0.5),
                                       "S25": _hexth(0.25),
-                                      "S10": _hexth(0.1)})):
+                                      "S10": _hexth(0.1)}),
+        ("corpus_training_export", {"T90": _hexth(0.9),
+                                    "S50": _hexth(0.5),
+                                    "S25": _hexth(0.25),
+                                    "S10": _hexth(0.1)})):
     for _k, _v in _subs.items():
         _ORACLES[_q] = _ORACLES[_q].replace("{" + _k + "}", _v)
 
@@ -2619,6 +2677,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_tfidf_top_terms",
     "corpus_repetition_signals",
     "corpus_pack_sequences",
+    "corpus_training_export",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2643,7 +2702,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
     "similarity_topk_ivf",
     "corpus_curation_pipeline",
     "multimodal_real_decode",
