@@ -40,6 +40,9 @@ BENCH_QUERIES = {
     # end-to-end LLM-corpus pass: dedup → quality filter → lang-ID →
     # per-language rollup, join-free (one dedup shuffle + one scan)
     "corpus_curation": "corpus_curation_pipeline",
+    # training-data export: stratified sample → hash split → token
+    # chunking → rollup in one scan (r4 corpus operators)
+    "corpus_export": "corpus_training_export",
 }
 
 
