@@ -212,3 +212,61 @@ def test_split_planning_tiles_any_file(tmp_path_factory, row_list,
         got.extend(read_data_rows(p.path, p.start, p.end))
     assert [r.key for r in got] == [r.key for r in row_list]
     assert [r.cells for r in got] == [r.cells for r in row_list]
+
+
+# ---- corpus operators: pure-Python models over arbitrary docs ------
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=1, max_size=40).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=12, unique=True),
+       chunk=st.integers(min_value=1, max_value=7))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_chunks_tile_any_doc(spark, docs, chunk):
+    """Chunks tile every doc exactly: indices contiguous from 0, sizes
+    chunk_size except a short tail, re-join restores the token
+    stream."""
+    from sstable_hadoop_spark.operators.corpus import token_chunks
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id bigint, text string")
+    got = {}
+    for r in token_chunks(df, chunk_size=chunk).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"]))
+    for did, text in enumerate(docs):
+        toks = text.lower().split()
+        parts = sorted(got[did])
+        assert [i for i, _, _ in parts] == list(range(len(parts)))
+        assert sum(n for _, n, _ in parts) == len(toks)
+        assert all(n == chunk for _, n, _ in parts[:-1])
+        assert " ".join(t for _, _, t in parts) == " ".join(toks)
+
+
+@given(sizes=st.lists(st.integers(min_value=1, max_value=30),
+                      min_size=1, max_size=25),
+       budget=st.integers(min_value=5, max_value=40))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_invariants_any_sizes(spark, sizes, budget):
+    """For arbitrary doc sizes and budgets: every doc assigned once,
+    no bin over budget unless it is a single oversized doc, and
+    bin_fill equals the bin's true total."""
+    from sstable_hadoop_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+        "doc_id bigint, text string")
+    out = pack_sequences(df, budget=budget, n_groups=3).collect()
+    assert len(out) == len(sizes)
+    by_bin = {}
+    for r in out:
+        assert r["n_tokens"] == sizes[r["id"]]
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for rows_ in by_bin.values():
+        fill = sum(r["n_tokens"] for r in rows_)
+        assert all(r["bin_fill"] == fill for r in rows_)
+        if fill > budget:
+            assert len(rows_) == 1 and rows_[0]["n_tokens"] > budget
