@@ -1439,8 +1439,9 @@ def corpus_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified language rebalance → deterministic train split →
     32-token chunking (keep= pass-through carries lang) → per-language
     chunk/token rollup.  Every stage is a projection or per-row
-    explode over the previous one — the only shuffle is the final
-    rollup (operators/corpus.py)."""
+    explode over the previous one — the only shuffles are the final
+    rollup's two-phase exact-distinct (plan-verified: the sample/split
+    hash filters push into the parquet scan) (operators/corpus.py)."""
     from sstable_hadoop_spark.operators.corpus import (
         hash_split,
         stratified_sample,
