@@ -2099,6 +2099,30 @@ def sstable_index_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "generation").distinct()
 
 
+@query("sstable_scan_file_uri", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+""")
+def sstable_scan_file_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scan addressed by URI (``file://``) — every byte of
+    list/plan/read flows through the pyarrow.fs filesystem layer
+    (sources/fs.py; executors re-open partition paths carrying the
+    scheme) and must be bit-identical to the bare-path scan under the
+    oracle.  Proves the r4 filesystem abstraction at the driver gate,
+    not just in unit tests."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    df = spark.read.format("sstable") \
+        .option("max_split_bytes", str(64 * 1024)) \
+        .load(f"file://{path}")
+    return _render_winners(explode_cells(df)).withColumn(
+        "generation", F.col("generation"))
+
+
 @query("sstable_keys_scan", oracle=f"""
 {_CELLS_CTE}
 SELECT DISTINCT key_str, generation FROM cells
@@ -2672,6 +2696,7 @@ _DRIVER_WINDOW: list[str] = [
     "grouped_normalize_embeddings",
     # -- new in round 4 -----------------------------------------------
     "sstable_keys_scan",
+    "sstable_scan_file_uri",
     "corpus_hash_split",
     "corpus_stratified_sample",
     "corpus_token_chunks",
@@ -2698,7 +2723,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_agg_revenue",
     "join_asof_latest_order",
     "five_way_join_region_revenue",
-    "window_topk_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
