@@ -102,6 +102,71 @@ def token_chunks(df: DataFrame, text_col: str = "text",
         *[F.col(c) for c in keep])
 
 
+# PII patterns — deliberately simple, public regex shapes (emails,
+# international-ish phone numbers, IPv4, 16-digit card runs).  Order
+# matters: longer/more-specific first so a card number is not half
+# eaten by the phone pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("card", r"\b(?:\d[ -]?){15}\d\b"),
+    ("phone", r"\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               keep: tuple[str, ...] = ()) -> DataFrame:
+    """Regex PII scrubbing (emails → ``<EMAIL>`` etc.) plus per-doc hit
+    counts — the standard pre-training redaction pass.  A chain of
+    ``regexp_replace``/``regexp_count`` built-ins inside codegen; no
+    UDF, no shuffle.  Returns (id, text, n_email, n_card, n_phone,
+    n_ipv4) with ``keep`` pass-through."""
+    text = F.col(text_col)
+    counts = [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+              for name, pat in PII_PATTERNS]
+    for name, pat in PII_PATTERNS:
+        text = F.regexp_replace(text, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), text.alias(text_col), *counts,
+                     *[F.col(c) for c in keep])
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", n: int = 8,
+                  max_hits: int = 0) -> DataFrame:
+    """Benchmark decontamination: flag (and drop) training documents
+    sharing any word ``n``-gram with a benchmark/eval set — the
+    standard guard against test-set leakage into a pretraining corpus.
+
+    Topology: benchmark n-grams are a DISTINCT, typically tiny set →
+    broadcast; each training doc checks membership of its own n-grams
+    with a broadcast LEFT SEMI-style join and survives iff its overlap
+    count ≤ ``max_hits``.  Cost is one pass over the corpus fan-out
+    with zero corpus shuffles; the benchmark side is metadata-sized.
+    Returns the clean subset of ``df`` (all original columns)."""
+    def grams(col):
+        toks = F.split(F.lower(col), r"\s+")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.md5(F.concat_ws(" ",
+                                                    F.slice(toks, i, n))))
+        ).otherwise(F.array(F.md5(F.lower(col))))
+
+    bench = (benchmark.select(
+        F.explode(grams(F.col(bench_text_col))).alias("gram")).distinct())
+    doc_grams = df.select(F.col(id_col).alias("_did"),
+                          F.explode(grams(F.col(text_col))).alias("gram"))
+    dirty = (doc_grams.join(F.broadcast(bench), "gram", "left_semi")
+                      .groupBy("_did")
+                      .agg(F.count("*").alias("_hits"))
+                      .filter(F.col("_hits") > max_hits)
+                      .select("_did"))
+    return df.join(F.broadcast(dirty),
+                   df[id_col] == dirty["_did"], "left_anti")
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", budget: int = 256,
                    n_groups: int = 64) -> DataFrame:

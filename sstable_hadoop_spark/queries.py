@@ -1404,6 +1404,95 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3, min_term_len=2)
 
 
+@query("corpus_redact_pii", oracle=r"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS varchar)
+                || '@example.com or +1 555-01'
+                || printf('%02d', doc_id % 100)
+                || ' ip 10.0.0.' || CAST(doc_id % 256 AS varchar) AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b(?:\d[ -]?){15}\d\b', '<CARD>', 'g'),
+           '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}',
+           '<PHONE>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b(?:\d[ -]?){15}\d\b')) AS INTEGER) AS n_card,
+       CAST(len(regexp_extract_all(text,
+         '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}'))
+           AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ipv4
+FROM seeded
+""")
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing under the oracle: deterministic synthetic PII
+    (email/phone/IP derived from doc_id) is appended to every doc, then
+    redacted by the regexp_replace chain with per-pattern hit counts —
+    Java and RE2 regex semantics must agree token-for-token
+    (operators/corpus.py redact_pii; no UDF, no shuffle)."""
+    from sstable_hadoop_spark.operators.corpus import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1 555-01"),
+                 F.format_string("%02d", F.col("doc_id") % 100),
+                 F.lit(" ip 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string")).alias("text"))
+    return redact_pii(seeded)
+
+
+_DECON_N = 8
+
+
+@query("corpus_decontaminate", oracle=f"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(lower(text), '\\s+') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= {_DECON_N}
+                  THEN [md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' '))
+                        FOR i IN range(1, len(toks) - {_DECON_N - 2})]
+                  ELSE [md5(lower(text))] END) AS gram
+    FROM t
+), bg AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), dirty AS (
+    SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+""")
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the oracle: docs with
+    doc_id % 97 == 0 act as the eval set; any training doc sharing a
+    word 8-gram with it (including the eval docs themselves and their
+    duplicates) is dropped.  Benchmark grams broadcast; zero corpus
+    shuffles (operators/corpus.py decontaminate)."""
+    from sstable_hadoop_spark.operators.corpus import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=_DECON_N).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
 @query("corpus_training_export", oracle=r"""
 WITH sampled AS (
     SELECT * FROM documents
@@ -2704,6 +2793,8 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_repetition_signals",
     "corpus_pack_sequences",
     "corpus_training_export",
+    "corpus_redact_pii",
+    "corpus_decontaminate",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2725,9 +2816,7 @@ _DRIVER_WINDOW: list[str] = [
     "five_way_join_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
     "corpus_curation_pipeline",
     "multimodal_real_decode",
     "window_tumbling_events",

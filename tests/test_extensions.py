@@ -887,3 +887,45 @@ def test_pack_sequences_best_fit_exact(spark):
         bins.setdefault(r["bin_id"], set()).add(r["n_tokens"])
     assert sorted(sorted(v) for v in bins.values()) == \
         [[2], [3, 6], [4, 5]]
+
+
+def test_redact_pii_crafted(spark):
+    from sstable_hadoop_spark.operators.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io and 4111 1111 1111 1111 now"),
+         (2, "call +44 20 7946 0958 from 192.168.0.1"),
+         (3, "clean text only")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in got[1]["text"] and "a.b+c@" not in got[1]["text"]
+    assert "<CARD>" in got[1]["text"] and "4111" not in got[1]["text"]
+    assert got[1]["n_email"] == 1 and got[1]["n_card"] == 1
+    assert "<PHONE>" in got[2]["text"]
+    assert "<IPV4>" in got[2]["text"] and "192.168" not in got[2]["text"]
+    assert got[2]["n_ipv4"] == 1
+    assert got[3]["text"] == "clean text only"
+    assert got[3]["n_email"] == got[3]["n_phone"] == 0
+
+
+def test_decontaminate_drops_overlaps_only(spark):
+    """Planted contamination: the benchmark doc, its verbatim copy, and
+    a doc embedding one benchmark 8-gram are dropped; clean docs
+    survive."""
+    from sstable_hadoop_spark.operators.corpus import decontaminate
+
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    docs = spark.createDataFrame(
+        [(1, bench_text),                                  # the benchmark doc
+         (2, bench_text),                                  # verbatim dup
+         (3, "intro " + " ".join(f"q{i}" for i in range(1, 9)) + " outro"),
+         (4, "totally unrelated words one two three four five six seven"),
+         (5, "short doc")],
+        "doc_id bigint, text string")
+    bench = docs.filter(F.col("doc_id") == 1)
+    kept = {r["doc_id"]
+            for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {4, 5}
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
