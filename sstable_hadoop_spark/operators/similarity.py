@@ -131,6 +131,21 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     dim = _resolve_dim(dim, embeddings, vec_col)
     cents = _hyperplanes(dim, n_centroids, seed=seed)  # unit vectors
+    return _ivf_topk(embeddings, queries, cents, k, id_col, vec_col,
+                     query_id_col, n_probe, where="cosine_topk_ivf")
+
+
+def _ivf_topk(embeddings: DataFrame, queries: DataFrame,
+              cents: list[list[float]], k: int, id_col: str,
+              vec_col: str, query_id_col: str, n_probe: int,
+              where: str) -> DataFrame:
+    """Shared IVF topology: assign corpus vectors to their best cell by
+    dot against the (broadcast-as-literals) centroid table, explode
+    each query to its ``n_probe`` nearest cells, bucket-join, exact
+    cosine, WindowGroupLimit top-k."""
+    from pyspark.sql.window import Window
+
+    dim = len(cents[0])
 
     def dots(vec):
         return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
@@ -142,7 +157,7 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
-    vec_ok = _checked_vec(F.col(vec_col), dim, "cosine_topk_ivf")
+    vec_ok = _checked_vec(F.col(vec_col), dim, where)
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).alias("_evec"),
         F.element_at(top_cells(vec_ok, 1), 1)["cell"].alias("_cell"))
@@ -158,6 +173,42 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") <= k)
                   .select(query_id_col, id_col, "cos", "rk"))
+
+
+def cosine_topk_ivf_trained(embeddings: DataFrame, queries: DataFrame,
+                            k: int = 5, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            query_id_col: str = "query_id",
+                            n_centroids: int = 16, n_probe: int = 3,
+                            seed: int = 7, max_iter: int = 10,
+                            sample_fraction: float | None = None)\
+        -> DataFrame:
+    """IVF with a TRAINED codebook: fit Spark ML k-means (seeded →
+    deterministic) on the corpus (optionally a ``sample_fraction``
+    sample at 100 TB — codebook quality needs only a sample),
+    L2-normalize the centers (spherical assignment matches the cosine
+    metric), then run the same bucket topology as ``cosine_topk_ivf``.
+    Replaces the md5 pseudo-codebook with real data-adaptive cells —
+    tighter clusters → higher recall at the same n_probe.  Training is
+    one MLlib job; centers ship as plan literals (same as the fixed
+    codebook), so query-time cost is identical."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction is not None:
+        train = train.sample(sample_fraction, seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    cents = []
+    for c in model.clusterCenters():
+        comps = [float(x) for x in c]
+        inv = 1.0 / (math.sqrt(sum(x * x for x in comps)) or 1.0)
+        cents.append([x * inv for x in comps])
+    return _ivf_topk(embeddings, queries, cents, k, id_col, vec_col,
+                     query_id_col, n_probe, where="cosine_topk_ivf_trained")
 
 
 def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,

@@ -1404,6 +1404,27 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3, min_term_len=2)
 
 
+@query("similarity_topk_ivf_trained")  # rows-only: MLlib k-means
+                                       # internals have no SQL twin;
+                                       # recall pinned vs brute force
+                                       # in tests/test_extensions.py
+def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF with a TRAINED (seeded Spark ML k-means) codebook —
+    data-adaptive cells replacing the md5 pseudo-codebook; same bucket
+    topology and query-time cost (operators/similarity.py)."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivf_trained,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    return cosine_topk_ivf_trained(emb, q, k=5).withColumn(
+        "cos", F.round("cos", 6))
+
+
 @query("corpus_redact_pii", oracle=r"""
 WITH seeded AS (
     SELECT doc_id,
@@ -2795,6 +2816,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_training_export",
     "corpus_redact_pii",
     "corpus_decontaminate",
+    "similarity_topk_ivf_trained",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2812,7 +2834,6 @@ _DRIVER_WINDOW: list[str] = [
     "scan_project_filter",
     "q1_pricing_summary",
     "join_agg_revenue",
-    "join_asof_latest_order",
     "five_way_join_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -929,3 +929,35 @@ def test_decontaminate_drops_overlaps_only(spark):
     plan = decontaminate(docs, bench, n=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_similarity_ivf_trained_recall(spark):
+    """The trained-codebook IVF must reach at least the recall of the
+    fixed md5 codebook on the testdata corpus (data-adaptive cells)
+    and be deterministic under its seed."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_ivf_trained,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed(
+        "vec_id", "query_id")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    fixed = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk_ivf(emb, q, k=5).collect()}
+    trained = {(r["query_id"], r["vec_id"])
+               for r in cosine_topk_ivf_trained(emb, q, k=5).collect()}
+    r_fixed = len(fixed & exact) / len(exact)
+    r_trained = len(trained & exact) / len(exact)
+    assert r_trained >= 0.3
+    assert r_trained >= r_fixed - 0.1, \
+        f"trained recall {r_trained} far below fixed {r_fixed}"
+    again = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk_ivf_trained(emb, q, k=5).collect()}
+    assert again == trained
