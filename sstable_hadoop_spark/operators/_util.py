@@ -14,6 +14,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     ≥ default-parallelism partitions and this is a no-op — no shuffle
     is added on the 100 TB path.
     """
+    if df.isStreaming:
+        # partitioning is governed by the source/trigger on a stream
+        # (df.rdd is illegal there); operators stay usable unchanged
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(target // 2, 2):

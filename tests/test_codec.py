@@ -152,3 +152,27 @@ def test_read_data_batches_equals_row_iterator(tmp_path):
                             rec["generation"]))
         assert n_batches > 1
         assert got == expect
+
+
+def test_writer_supports_lz4_and_zstd(tmp_path):
+    """The native chunked format stores the codec name, so any pyarrow
+    codec round-trips — lz4 and zstd beyond the default snappy (and
+    deflate for Cassandra parity)."""
+    from sstable_hadoop_spark.sources.codec import (
+        Cell,
+        Row,
+        read_data_rows,
+        write_sstable,
+    )
+
+    rows = [Row(key=f"k{i:03d}".encode(),
+                cells=[Cell(name=b"c", state="NORMAL",
+                            data=(f"v{i}" * 20).encode(), timestamp=i)])
+            for i in range(200)]
+    for algo in ("lz4", "zstd", "deflate"):
+        d = str(tmp_path / algo)
+        write_sstable(d, "cf", rows, generation=1, compressed=True,
+                      algo=algo)
+        got = list(read_data_rows(f"{d}/cf-1-Data.db"))
+        assert [r.key for r in got] == [r.key for r in rows]
+        assert got[5].cells[0].data == rows[5].cells[0].data

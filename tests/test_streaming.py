@@ -278,3 +278,41 @@ def test_sstable_stream_projection_options(spark, tmp_path):
     assert len(cells) == 25
     assert all(r["data"] is None for r in cells)
     assert {r["timestamp"] for r in cells} == {100 + i for i in range(25)}
+
+
+def test_streaming_corpus_pipeline_equals_batch(spark, tmp_path):
+    """The corpus curation stages (quality stats → PII redaction →
+    token chunking) are stateless projections/explodes, so they run
+    UNCHANGED on a readStream input and must produce exactly the batch
+    result — continuous corpus ingestion needs no separate code
+    path."""
+    from sstable_hadoop_spark.operators.corpus import (
+        redact_pii,
+        token_chunks,
+    )
+    from sstable_hadoop_spark.operators.text import text_stats
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents").limit(200)
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+    batch_in = spark.read.parquet(src)
+
+    def pipeline(df):
+        scored = text_stats(df, keep=("text",))
+        good = scored.filter(F.col("quality") > 0.3)
+        clean = redact_pii(good.select("doc_id", "text"))
+        return token_chunks(clean, chunk_size=16)
+
+    stream = (spark.readStream.schema(batch_in.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (pipeline(stream).writeStream.format("memory")
+         .queryName("corpus_sink").outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+
+    got = {(r["doc_id"], r["chunk_idx"], r["chunk_text"])
+           for r in spark.sql("select * from corpus_sink").collect()}
+    want = {(r["doc_id"], r["chunk_idx"], r["chunk_text"])
+            for r in pipeline(batch_in).collect()}
+    assert got == want and want
