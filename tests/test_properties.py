@@ -270,3 +270,41 @@ def test_pack_sequences_invariants_any_sizes(spark, sizes, budget):
         assert all(r["bin_fill"] == fill for r in rows_)
         if fill > budget:
             assert len(rows_) == 1 and rows_[0]["n_tokens"] > budget
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(rows(), min_size=1, max_size=25),
+       st.integers(min_value=64, max_value=4096),
+       st.booleans())
+def test_projected_scan_matches_full_any_rows(tmp_path_factory, row_list,
+                                              max_split, compressed):
+    """The r4 projection fast paths must agree with the full parse for
+    ANY row content and split plan: key-only batches see exactly the
+    full scan's keys per split, and skip_values preserves everything
+    except data (which nulls out)."""
+    from sstable_hadoop_spark.sources.codec import read_data_batches
+    from sstable_hadoop_spark.sources.datasource import _plan_file
+
+    d = tmp_path_factory.mktemp("hyp_proj")
+    w = SSTableWriter(str(d), "hp", generation=1, compressed=compressed,
+                      chunk_length=512)
+    for r in row_list:
+        w.write_row(r)
+    paths = w.close()
+    for p in _plan_file(paths["data"], max_split=max_split):
+        full = [r for b in read_data_batches(p.path, p.start, p.end)
+                for r in b.to_pylist()]
+        keys = [r["key"] for b in read_data_batches(
+                    p.path, p.start, p.end, project=("key",))
+                for r in b.to_pylist()]
+        assert keys == [r["key"] for r in full]
+        skipped = [r for b in read_data_batches(
+                       p.path, p.start, p.end, skip_values=True)
+                   for r in b.to_pylist()]
+        assert len(skipped) == len(full)
+        for sr, fr in zip(skipped, full):
+            assert sr["key"] == fr["key"]
+            for sc, fc in zip(sr["columns"], fr["columns"]):
+                assert sc["data"] is None
+                assert {k: v for k, v in sc.items() if k != "data"} == \
+                    {k: v for k, v in fc.items() if k != "data"}
