@@ -86,6 +86,9 @@ def token_chunks(df: DataFrame, text_col: str = "text",
     partitioning inherits the scan).  Returns (id, chunk_idx, n_tokens,
     chunk_text); ``keep`` passes extra input columns through for
     join-free chaining."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
@@ -123,6 +126,9 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     UDF, no shuffle.  Returns (id, text, n_email, n_card, n_phone,
     n_ipv4) with ``keep`` pass-through."""
     text = F.col(text_col)
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     counts = [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
               for name, pat in PII_PATTERNS]
     for name, pat in PII_PATTERNS:
@@ -154,6 +160,9 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
                                                     F.slice(toks, i, n))))
         ).otherwise(F.array(F.md5(F.lower(col))))
 
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     bench = (benchmark.select(
         F.explode(grams(F.col(bench_text_col))).alias("gram")).distinct())
     doc_grams = df.select(F.col(id_col).alias("_did"),
@@ -246,6 +255,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     no driver-side count.  At 100 TB the term join shuffles by term
     (skew on stop-word terms is bounded by ``min_term_len`` plus the
     idf weighting making them never reach top-k)."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     terms = (df.select(F.col(id_col).alias("id"),
                        F.explode(toks).alias("term"))

@@ -113,6 +113,9 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     All per-row array math (split / transform / aggregate) inside
     codegen — no explode, no shuffle, no UDF; ``keep`` chains further
     stages over the same scan."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     lines = F.filter(F.split(text, r"\n"),
                      lambda ln: F.length(F.trim(ln)) > 0)
