@@ -292,6 +292,9 @@ def extract_features(media: DataFrame, fake: bool = True,
     on executors).  ``fake=False`` decodes for real — BMP/WAV via the
     stdlib codecs above; other formats raise inside the task naming the
     missing library."""
+    from ._util import ensure_parallelism
+
+    media = ensure_parallelism(media)
     kernel = _fake_decode_features if fake else _real_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -327,6 +330,10 @@ def resize_images(media: DataFrame, width: int, height: int,
         ys = (np.arange(height) * h // height).clip(0, h - 1)
         xs = (np.arange(width) * w // width).clip(0, w - 1)
         return enc(img[np.ix_(ys, xs)])
+
+    from ._util import ensure_parallelism
+
+    media = ensure_parallelism(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

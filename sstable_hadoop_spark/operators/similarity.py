@@ -50,6 +50,9 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Returns (query_id, vec_id, cos)."""
     from pyspark.sql.window import Window
 
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     q = queries.select(F.col(query_id_col),
                        F.col(vec_col).alias("_qvec"))
     e = embeddings.select(F.col(id_col), F.col(vec_col).alias("_evec"))
@@ -145,6 +148,9 @@ def _ivf_topk(embeddings: DataFrame, queries: DataFrame,
     cosine, WindowGroupLimit top-k."""
     from pyspark.sql.window import Window
 
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     dim = len(cents[0])
 
     def dots(vec):
@@ -228,6 +234,9 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,
 
     Deterministic md5-derived planes — an engine-independent oracle can
     replicate the buckets bit-for-bit.  Returns (id_a, id_b, cos)."""
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     dim = _resolve_dim(dim, embeddings, vec_col)
     vec = _checked_vec(F.col(vec_col), dim, "cosine_near_dup_lsh")
     buckets = F.array(*[
@@ -268,6 +277,9 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     matches ``cosine_topk``; a query may return fewer than k rows."""
     from pyspark.sql.window import Window
 
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     dim = _resolve_dim(dim, embeddings, vec_col)
 
     def bucketed(df, idc, vec_alias):

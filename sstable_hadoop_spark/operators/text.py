@@ -165,6 +165,9 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     """Winnowing-style content fingerprint: the minimum md5 over word
     n-gram shingles — stable under reordering of surrounding documents,
     shifts only when the n-gram set changes.  (id, fingerprint)."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = _tokens(F.col(text_col))
     sh = F.when(
         F.size(toks) >= n,
