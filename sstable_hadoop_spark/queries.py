@@ -2233,6 +2233,43 @@ def sstable_scan_file_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
         "generation", F.col("generation"))
 
 
+@query("sstable_winner_index", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY ts_us DESC,
+                                    CASE state WHEN 'DELETED' THEN 2
+                                         WHEN 'EXPIRING' THEN 1
+                                         ELSE 0 END DESC,
+                                    generation DESC,
+                                    to_base64(encode(name_str)) DESC) = 1
+""")
+def sstable_winner_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW winner INDEX without materializing values: a
+    ``skip_values=true`` scan (codec seeks past every value byte)
+    feeds the per-cell merge on (timestamp, state, generation) alone —
+    the 'which cell version is live' query a compaction planner or
+    repair job runs, at key-scan cost instead of full-scan cost.
+    Winner identity must match the full merge's (value tie-break never
+    fires here because the fixture's (ts,state,gen) order is already
+    total — asserted by the oracle's value-free ORDER BY)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    cells = (spark.read.format("sstable").option("kind", "cells")
+             .option("skip_values", "true")
+             .option("max_split_bytes", str(64 * 1024)).load(path))
+    win = lww_cell(cells)
+    return win.select(
+        F.decode(F.col("key"), "UTF-8").alias("key_str"),
+        F.decode(F.col("name"), "UTF-8").alias("name_str"),
+        F.col("state"),
+        F.col("timestamp").alias("ts_us"),
+        F.col("generation"))
+
+
 @query("sstable_keys_scan", oracle=f"""
 {_CELLS_CTE}
 SELECT DISTINCT key_str, generation FROM cells
