@@ -647,6 +647,156 @@ def read_cells_flat(data_path: str, start: int = 0,
             yield key, _read_cell(reader, skip_value=skip_values)
 
 
+def read_cell_batches(data_path: str, start: int = 0,
+                      end: int | None = None, generation: int = 0,
+                      cells_per_batch: int = 8192,
+                      read_block: int = 8 * 1024 * 1024,
+                      skip_values: bool = False,
+                      project: tuple[str, ...] | None = None):
+    """Windowed fast parse of one Data.db straight into FLAT cell
+    ``pyarrow.RecordBatch`` objects (CELLS_SCHEMA order) — the
+    ``kind=cells`` twin of ``read_data_batches``: ``unpack_from`` over
+    an in-memory block instead of per-field file reads, one Arrow
+    transfer per ~``cells_per_batch`` cells.  Batches flush on CELL
+    count (checked after every cell, so a single wide row spreads
+    across batches — bounded memory where the nested shape cannot be).
+    ``project``/``skip_values`` as in ``read_data_batches``."""
+    import pyarrow as pa
+
+    all_names = ("key", "name", "state", "data", "timestamp", "ttl",
+                 "expiration", "generation")
+    want = all_names if project is None else tuple(project)
+    types = {"key": pa.binary(), "name": pa.binary(),
+             "state": pa.string(), "data": pa.binary(),
+             "timestamp": pa.int64(), "ttl": pa.int64(),
+             "expiration": pa.int64(), "generation": pa.int32()}
+    nullable = {"data", "ttl", "expiration"}
+    schema = pa.schema([pa.field(n, types[n], nullable=n in nullable)
+                        for n in want])
+
+    reader, total = _open_reader(data_path)
+    if end is None:
+        end = total
+    reader.seek(start)
+    remaining = end - start
+
+    buf = b""
+    pos = 0
+    unpack_from = struct.unpack_from
+    code_to_state = _CODE_TO_STATE
+
+    cols: dict[str, list] = {n: [] for n in want if n != "generation"}
+    n_out = 0
+
+    def flush():
+        nonlocal n_out
+        arrays = [pa.array(cols[n], types[n]) if n != "generation"
+                  else pa.array([generation] * n_out, pa.int32())
+                  for n in want]
+        batch = pa.RecordBatch.from_arrays(arrays, schema=schema)
+        n_out = 0
+        for c in cols.values():
+            c.clear()
+        return batch
+
+    def walk_row(b: bytes, at: int) -> int:
+        """Bounds-only walk: offset just past the row at ``at``, or
+        raise EOFError/struct.error if the window ends mid-row."""
+        (key_len,) = unpack_from(">H", b, at)
+        p = at + 2 + key_len
+        (n_cells,) = unpack_from(">I", b, p)
+        p += 4
+        for _ in range(n_cells):
+            (name_len,) = unpack_from(">H", b, p)
+            p += 2 + name_len
+            state_code, _ts = unpack_from(">Bq", b, p)
+            p += 9
+            if state_code not in code_to_state:
+                raise KeyError(f"bad cell state code {state_code}")
+            if state_code == 2:
+                p += 16
+            if state_code != 1:
+                (data_len,) = unpack_from(">I", b, p)
+                p += 4 + data_len
+        if p > len(b):
+            raise EOFError("row extends past window")
+        return p
+
+    while True:
+        if remaining > 0 and len(buf) - pos < read_block:
+            block = reader.read(min(read_block, remaining))
+            if not block and len(buf) == pos:
+                break
+            remaining -= len(block)
+            buf = buf[pos:] + block
+            pos = 0
+        if pos >= len(buf):
+            break
+        # phase 1: ensure the WHOLE row is inside the buffer (cheap
+        # header walk; widens the window on a row that straddles it),
+        # so phase 2 can flush mid-row without any rollback concern —
+        # wide rows spread across batches with bounded cell memory
+        try:
+            row_end = walk_row(buf, pos)
+        except (struct.error, EOFError):
+            if remaining > 0:
+                block = reader.read(min(read_block, remaining))
+                if block:
+                    remaining -= len(block)
+                    buf = buf[pos:] + block
+                    pos = 0
+                    continue
+            if n_out:
+                yield flush()
+            raise EOFError(f"truncated row at uncompressed offset "
+                           f"{start + pos} of {data_path}")
+        # phase 2: materialize + emit (no bounds re-checks needed)
+        (key_len,) = unpack_from(">H", buf, pos)
+        p = pos + 2
+        key = buf[p:p + key_len]
+        p += key_len
+        (n_cells,) = unpack_from(">I", buf, p)
+        p += 4
+        for _ in range(n_cells):
+            (name_len,) = unpack_from(">H", buf, p)
+            p += 2
+            name = buf[p:p + name_len]
+            p += name_len
+            state_code, ts = unpack_from(">Bq", buf, p)
+            p += 9
+            ttl = exp = None
+            data: bytes | None = None
+            if state_code == 2:  # EXPIRING
+                ttl, exp = unpack_from(">qq", buf, p)
+                p += 16
+            if state_code != 1:  # not DELETED
+                (data_len,) = unpack_from(">I", buf, p)
+                p += 4
+                if not skip_values:
+                    data = buf[p:p + data_len]
+                p += data_len
+            if "key" in cols:
+                cols["key"].append(key)
+            if "name" in cols:
+                cols["name"].append(name)
+            if "state" in cols:
+                cols["state"].append(code_to_state[state_code])
+            if "data" in cols:
+                cols["data"].append(data)
+            if "timestamp" in cols:
+                cols["timestamp"].append(ts)
+            if "ttl" in cols:
+                cols["ttl"].append(ttl)
+            if "expiration" in cols:
+                cols["expiration"].append(exp)
+            n_out += 1
+            if n_out >= cells_per_batch:
+                yield flush()
+        pos = row_end
+    if n_out:
+        yield flush()
+
+
 def cells_to_batches(cell_iter: Iterator[tuple], generation: int = 0,
                      cells_per_batch: int = 8192,
                      project: tuple[str, ...] | None = None):

@@ -409,18 +409,30 @@ class SSTableReader(DataSourceReader):
 
                     cell_iter = ((k, _replace(c, data=None))
                                  for k, c in cell_iter)
+            elif self.use_arrow:
+                # windowed fast parse straight into flat Arrow batches
+                # (read_cell_batches: unpack_from over in-memory blocks,
+                # per-cell flush keeps wide rows bounded)
+                cell_iter = None
             else:
                 cell_iter = codec.read_cells_flat(
                     partition.path, partition.start, partition.end,
                     skip_values=self.skip_values)
-            src = (codec.cells_to_batches(
-                       cell_iter, generation=partition.generation,
-                       project=self.project)
-                   if self.use_arrow else
-                   self._project_tuples("cells", (
-                       (key, c.name, c.state, c.data, c.timestamp,
-                        c.ttl, c.expiration, partition.generation)
-                       for key, c in cell_iter)))
+            if self.use_arrow:
+                src = (codec.cells_to_batches(
+                           cell_iter, generation=partition.generation,
+                           project=self.project)
+                       if cell_iter is not None else
+                       codec.read_cell_batches(
+                           partition.path, partition.start, partition.end,
+                           generation=partition.generation,
+                           skip_values=self.skip_values,
+                           project=self.project))
+            else:
+                src = self._project_tuples("cells", (
+                    (key, c.name, c.state, c.data, c.timestamp,
+                     c.ttl, c.expiration, partition.generation)
+                    for key, c in cell_iter))
             while True:
                 try:
                     item = next(src)
