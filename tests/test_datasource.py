@@ -451,3 +451,27 @@ def test_skip_values_cassandra_format(spark, tmp_path):
             .option("columns", "key,generation").load(d))
     assert proj.columns == ["key", "generation"]
     assert proj.count() == 10
+
+
+def test_corrupt_file_handling_cells_kind(spark, tmp_path):
+    """Truncation semantics hold on the kind=cells windowed fast path
+    too: loud failure by default, readable prefix with
+    ignore_corrupt_files."""
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+
+    d = str(tmp_path / "corrupt_cells")
+    paths = write_sstable(
+        d, "ok", [Row(f"k{i}".encode(), [Cell(b"c", "NORMAL", b"v" * 50, i)])
+                  for i in range(50)], generation=1)
+    size = os.path.getsize(paths["data"])
+    with open(paths["data"], "r+b") as f:
+        f.truncate(size - 31)
+    os.remove(paths["index"])
+
+    base = spark.read.format("sstable").option("kind", "cells")
+    with _pytest.raises(Exception):
+        base.load(d).count()
+    n = (base.option("ignore_corrupt_files", "true").load(d)).count()
+    assert 0 < n < 50
