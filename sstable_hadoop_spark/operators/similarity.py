@@ -181,6 +181,91 @@ def _ivf_topk(embeddings: DataFrame, queries: DataFrame,
                   .select(query_id_col, id_col, "cos", "rk"))
 
 
+def ivf_cell_of(vec_col: str, cents: list[list[float]]):
+    """Column expression: the IVF cell (argmax-dot centroid index) of a
+    vector — shared by the query-time assignment and the clustered
+    writer."""
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    scored = F.transform(
+        dots(F.col(vec_col)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+    return F.element_at(F.reverse(F.array_sort(scored)), 1)["cell"]
+
+
+def write_ivf_clustered(embeddings: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_centroids: int = 16, seed: str = "ivf") -> None:
+    """Materialize the corpus CLUSTERED BY IVF cell: one parquet
+    partition directory per centroid cell (hive-style ``_cell=N``).
+    This is the write-time locality the IVF docstring promises — a
+    probe-time read then touches only ``n_probe`` of ``n_centroids``
+    directories via Catalyst partition pruning, so query I/O drops to
+    ``n_probe/n_centroids`` of the corpus BEFORE any row is read."""
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
+    dim = _resolve_dim(None, embeddings, vec_col)
+    cents = _hyperplanes(dim, n_centroids, seed=seed)
+    (embeddings
+     .withColumn("_cell", ivf_cell_of(vec_col, cents))
+     .repartition("_cell")
+     .write.partitionBy("_cell").mode("overwrite").parquet(path))
+
+
+def cosine_topk_ivf_stored(spark, path: str, queries: DataFrame,
+                           k: int = 5, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           query_id_col: str = "query_id",
+                           n_centroids: int = 16, n_probe: int = 3,
+                           seed: str = "ivf",
+                           dim: int | None = None) -> DataFrame:
+    """IVF top-k over a cell-clustered store: probe cells for the
+    query set are computed driver-side (|queries| × n_centroids dots —
+    metadata-sized), the corpus scan filters ``_cell IN (probed)`` so
+    Catalyst prunes unprobed partition directories at plan time, and
+    scoring proceeds exactly as ``cosine_topk_ivf``.  Results are
+    identical to the unstored IVF with the same centroids/probes."""
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(path)
+    dim = _resolve_dim(dim, emb, vec_col)
+    cents = _hyperplanes(dim, n_centroids, seed=seed)
+
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    def top_cells(vec, n):
+        scored = F.transform(
+            dots(vec),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    vec_ok = _checked_vec(F.col(vec_col), dim, "cosine_topk_ivf_stored")
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.explode(F.transform(top_cells(vec_ok, n_probe),
+                              lambda s: s["cell"])).alias("_cell"))
+    # the probed-cell set is tiny (≤ |queries|·n_probe ≤ n_centroids);
+    # an IN-list literal lets Catalyst prune partitions at PLAN time
+    probed = sorted({r["_cell"] for r in q.select("_cell")
+                    .distinct().collect()})
+    e = emb.filter(F.col("_cell").isin(probed)) \
+           .select(F.col(id_col), F.col(vec_col).alias("_evec"), "_cell")
+    scored = (e.join(F.broadcast(q), "_cell")
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(query_id_col, id_col,
+                       cosine(F.col("_qvec"), F.col("_evec")).alias("cos")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select(query_id_col, id_col, "cos", "rk"))
+
+
 def cosine_topk_ivf_trained(embeddings: DataFrame, queries: DataFrame,
                             k: int = 5, id_col: str = "vec_id",
                             vec_col: str = "embedding",

@@ -1015,6 +1015,48 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
 
 
+def _materialize_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write the embeddings corpus CLUSTERED BY IVF cell (hive-style
+    ``_cell=N`` parquet partitions) — idempotent per sf_dir."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.similarity import (
+        write_ivf_clustered,
+    )
+
+    def build(out: str) -> None:
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform(
+                "embedding", lambda x: x.cast("double")).alias("embedding"))
+        write_ivf_clustered(emb, out)
+
+    tag = "ivf_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("similarity_topk_ivf_stored", oracle=_topk_ivf_oracle())
+def similarity_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF over a CELL-CLUSTERED store: the corpus is written once
+    partitioned by IVF cell (write_ivf_clustered), the query-set probe
+    cells become an IN-list so Catalyst prunes unprobed partition
+    directories at plan time (n_probe/n_centroids of the corpus never
+    leaves disk), and results must be bit-identical to the unstored
+    IVF — same oracle (operators/similarity.py
+    cosine_topk_ivf_stored)."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivf_stored,
+    )
+
+    path = _materialize_ivf_store(spark, sf_dir)
+    emb_d = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries_df = emb_d.filter(F.col("vec_id") < 8) \
+                      .withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_ivf_stored(spark, path, queries_df, k=5)
+            .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
+
+
 @query("msgpack_sink_lines")  # rows-only: binary packing has no SQL twin
 def msgpack_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: the reference's base64(msgpack(MsgPackRow)) output format
@@ -2854,6 +2896,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_redact_pii",
     "corpus_decontaminate",
     "similarity_topk_ivf_trained",
+    "similarity_topk_ivf_stored",
     # -- last driver row was round 1 (stale) --------------------------
     "sstable_index_keys",
     "sstable_split_manifest",
@@ -2877,7 +2920,6 @@ _DRIVER_WINDOW: list[str] = [
     "similarity_topk_bruteforce",
     "corpus_curation_pipeline",
     "multimodal_real_decode",
-    "window_tumbling_events",
     "sstable_scan_roundtrip",
     "sstable_lww_merge",
     "cassandra_format_scan",

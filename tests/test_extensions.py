@@ -961,3 +961,36 @@ def test_similarity_ivf_trained_recall(spark):
     again = {(r["query_id"], r["vec_id"])
              for r in cosine_topk_ivf_trained(emb, q, k=5).collect()}
     assert again == trained
+
+
+def test_ivf_stored_partition_pruning(spark, tmp_path):
+    """The cell-clustered store must prune unprobed cells at PLAN time:
+    the parquet scan's partition filters name _cell, and results equal
+    the unstored IVF exactly."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_stored,
+        write_ivf_clustered,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    path = str(tmp_path / "ivfstore")
+    write_ivf_clustered(emb, path)
+    import os
+    cells = [d for d in os.listdir(path) if d.startswith("_cell=")]
+    assert len(cells) > 1  # corpus actually spread over cells
+
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id")
+    stored = cosine_topk_ivf_stored(spark, path, q, k=5)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+
+    got = {(r["query_id"], r["vec_id"], r["rk"])
+           for r in stored.collect()}
+    want = {(r["query_id"], r["vec_id"], r["rk"])
+            for r in cosine_topk_ivf(emb, q, k=5, dim=None).collect()}
+    assert got == want
