@@ -308,3 +308,28 @@ def test_projected_scan_matches_full_any_rows(tmp_path_factory, row_list,
                 assert sc["data"] is None
                 assert {k: v for k, v in sc.items() if k != "data"} == \
                     {k: v for k, v in fc.items() if k != "data"}
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=60, unique=True))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_split_matches_python_model(spark, ids):
+    """hash_split agrees with an independent pure-Python md5 model for
+    arbitrary ids — the engine-portable determinism the oracle relies
+    on."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.corpus import (
+        _hex_threshold,
+        hash_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {r["doc_id"]: r["split"]
+           for r in hash_split(df).select("doc_id", "split").collect()}
+    t90, t95 = _hex_threshold(0.9), _hex_threshold(0.95)
+    for i in ids:
+        b = hashlib.md5(f"split:{i}".encode()).hexdigest()[:8]
+        want = "train" if b < t90 else ("val" if b < t95 else "test")
+        assert got[i] == want, (i, b, got[i], want)
