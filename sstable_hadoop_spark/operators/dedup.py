@@ -161,11 +161,22 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     # candidate-pair set back to per-doc profiles and computes the
     # exact Jaccard via array_intersect — no second shingle fan-out
     # join, no all-pairs work.
+    #
+    # The carried set holds 8-byte md5-prefix hashes, NOT the shingle
+    # strings — at corpus scale the verification profile is the heavy
+    # shuffle payload, and 60-bit longs cut its bytes several-fold vs
+    # ~25-byte word shingles.  Jaccard over the hashed sets equals
+    # string-set Jaccard absent a 60-bit collision inside one doc
+    # pair's union (P ≈ 2^-60 per pair) — and md5 is engine-portable,
+    # so the DuckDB oracle (which self-joins raw shingle strings)
+    # stays bit-exact.
     sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
                 .alias(f"sig_{i}") for i in range(num_perm)]
+    sh_hash = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+                .cast("long"))
     profile = (sh.groupBy("id")
                  .agg(*sig_aggs,
-                      F.collect_set("shingle").alias("sh_set"))
+                      F.collect_set(sh_hash).alias("sh_set"))
                  .withColumn("n_sh", F.size("sh_set")))
     cand = lsh_candidate_pairs(
         profile.select("id", *[f"sig_{i}" for i in range(num_perm)]),

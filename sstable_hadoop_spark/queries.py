@@ -109,9 +109,13 @@ _DAY_MS = 86400000
 
 
 def derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sstable_hadoop_spark.operators._util import ensure_parallelism
-
-    ev = ensure_parallelism(load(spark, sf_dir, "events"))
+    # No ensure_parallelism here: this is a pure codegen projection whose
+    # consumers are LWW groupBy aggregations that shuffle (with map-side
+    # partial aggregation) anyway — a repartition ahead of that shuffle
+    # doubles exchange volume for zero parallelism gain.  Per-row-heavy
+    # operators (shingling, regex, vector math) call ensure_parallelism
+    # themselves; see operators/_util.py.
+    ev = load(spark, sf_dir, "events")
     state = (F.when(F.col("value") < 10, "DELETED")
               .when(F.col("value") > 200, "EXPIRING")
               .otherwise("NORMAL"))
