@@ -261,6 +261,43 @@ def read_cassandra_rows(data_path: str, start: int = 0,
         fh.close()
 
 
+def read_cassandra_summary_entries(path: str) -> "Iterator[tuple[bytes, int]]":
+    """Iterate ``(key, index_offset)`` samples from a REAL Cassandra
+    1.x ``*-Summary.db`` — the persisted ``IndexSummary`` the
+    reference walks via ``IndexSummaryReader`` to plan Index.db byte
+    splits (GenerateSSTableIndexSplits.scala:75-91; each yielded
+    ``IndexPosition.location`` is the offset of a sampled key's entry
+    in Index.db).
+
+    Layout (java DataOutput, all big-endian):
+    ``writeInt`` sample count, then per sample ``writeUTF`` key
+    (u16 length + modified-UTF-8 bytes) / ``writeLong`` index offset.
+    Keys are returned as UTF-8 bytes to match the engine's binary key
+    model."""
+    with fs.open_input(path) as f:
+        (count,) = struct.unpack(">i", _read_exact(f, 4))
+        if count < 0:
+            raise IOError(f"corrupt 1.x Summary.db {path}: "
+                          f"negative sample count {count}")
+        for _ in range(count):
+            key = _read_java_utf(f).encode("utf-8")
+            (off,) = struct.unpack(">q", _read_exact(f, 8))
+            yield key, off
+
+
+def write_cassandra_summary(path: str,
+                            entries: "list[tuple[bytes, int]]") -> None:
+    """Fixture/test support: serialize ``(key, index_offset)`` samples
+    in the real 1.x ``IndexSummary`` layout parsed above."""
+    entries = list(entries)
+    with fs.open_output(path) as f:
+        f.write(struct.pack(">i", len(entries)))
+        for key, off in entries:
+            kb = key if isinstance(key, bytes) else str(key).encode("utf-8")
+            f.write(struct.pack(">H", len(kb)) + kb)
+            f.write(struct.pack(">q", off))
+
+
 def write_cassandra_compressed(data_path: str, raw: bytes,
                                chunk_length: int = 64 * 1024,
                                algo: str = "snappy") -> None:

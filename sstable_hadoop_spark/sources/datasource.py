@@ -235,10 +235,6 @@ class SSTableReader(DataSourceReader):
         self.fmt = options.get("format", "native")
         if self.fmt not in ("native", "cassandra"):
             raise ValueError(f"unknown format: {self.fmt}")
-        if self.fmt == "cassandra" and self.kind == "summary":
-            raise ValueError(
-                "kind=summary is not available for format=cassandra "
-                "(1.x Summary.db is a JVM-serialized structure)")
         self.max_split = int(options.get("max_split_bytes",
                                          DEFAULT_MAX_SPLIT_BYTES))
         # Spark convention: skip unreadable files instead of failing the
@@ -350,11 +346,10 @@ class SSTableReader(DataSourceReader):
                     if self._overlaps(q))
             return parts or [RangePartition("", 0, 0, 0)]
         if self.kind == "index":
-            return [RangePartition(f, 0, fs.file_size(f),
-                                   codec.generation_of(
-                                       f.replace("-Index.db", "-Data.db")))
-                    for f in _list_files(self.path, "-Index.db")] \
-                or [RangePartition("", 0, 0, 0)]
+            parts = []
+            for f in _list_files(self.path, "-Index.db"):
+                parts.extend(self._plan_index_file(f))
+            return parts or [RangePartition("", 0, 0, 0)]
         if self.kind == "summary":
             return [RangePartition(f, 0, fs.file_size(f),
                                    codec.generation_of(
@@ -366,6 +361,36 @@ class SSTableReader(DataSourceReader):
             # (manifest rows are tiny metadata).
             return [RangePartition(self.path, 0, 0, 0)]
         raise ValueError(f"unknown kind: {self.kind}")
+
+    def _plan_index_file(self, f: str) -> list[RangePartition]:
+        """Plan byte-range splits of one Index.db.  A file over
+        ``max_split_bytes`` is split at Summary.db sample offsets —
+        exactly the reference's GenerateSSTableIndexSplits job
+        (IndexMapper, GenerateSSTableIndexSplits.scala:61-96: walk the
+        summary; every time the gap since the previous cut exceeds
+        max_split, emit (prevPos, len); final remainder to EOF).
+        Summary offsets are Index.db record boundaries, so each split
+        parses cleanly.  Without a Summary.db companion the file stays
+        one split (index records are var-length; mid-file offsets are
+        not safe cut points)."""
+        gen = codec.generation_of(f.replace("-Index.db", "-Data.db"))
+        size = fs.file_size(f)
+        summary_path = f.replace("-Index.db", "-Summary.db")
+        if size <= self.max_split or not fs.is_file(summary_path):
+            return [RangePartition(f, 0, size, gen)]
+        if self.fmt == "cassandra":
+            from .cassandra1x import read_cassandra_summary_entries \
+                as _read_summary
+        else:
+            _read_summary = codec.read_summary_entries
+        parts, prev = [], 0
+        for _key, off in _read_summary(summary_path):
+            if off - prev > self.max_split:
+                parts.append(RangePartition(f, prev, off, gen))
+                prev = off
+        if size - prev > 0 or not parts:
+            parts.append(RangePartition(f, prev, size, gen))
+        return parts
 
     @staticmethod
     def _log_skipped(partition: RangePartition, skipped: list) -> None:
@@ -501,10 +526,14 @@ class SSTableReader(DataSourceReader):
                 for key, pos in codec.read_index_entries(
                     partition.path, partition.start, partition.end)))
         elif self.kind == "summary":
+            if self.fmt == "cassandra":
+                from .cassandra1x import read_cassandra_summary_entries \
+                    as _read_summary
+            else:
+                _read_summary = codec.read_summary_entries
             yield from self._project_tuples("summary", (
                 (key, off, partition.generation)
-                for key, off in codec.read_summary_entries(
-                    partition.path)))
+                for key, off in _read_summary(partition.path)))
         elif self.kind == "manifest":
             yield from self._project_tuples(
                 "manifest", self._manifest_rows(partition))
@@ -811,10 +840,13 @@ class SSTableDataSource(DataSource):
       kind             data | cells | index | summary | manifest
                        (default data; cells = one flat record per cell,
                        wide-row-safe)
-      format           native | cassandra  (real 1.x files; real
-                       Summary.db is JVM-serialized and deliberately
-                       unsupported — split planning uses Index.db,
-                       which carries strictly more information)
+      format           native | cassandra  (real 1.x files, incl. the
+                       persisted IndexSummary layout of Summary.db —
+                       writeInt count + writeUTF key / writeLong
+                       offset pairs; Summary samples also drive
+                       Index.db split planning for files over
+                       max_split_bytes, mirroring the reference's
+                       GenerateSSTableIndexSplits job)
       max_split_bytes  target uncompressed split size (default 128 MiB)
       on_unsupported   error | skip  (format=cassandra: counter /
                        range-tombstone columns; skip logs a count)
