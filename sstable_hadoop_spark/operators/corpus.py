@@ -20,8 +20,15 @@ from pyspark.sql import functions as F
 
 def _hex_threshold(fraction: float) -> str:
     """fraction in [0,1] → 8-char lowercase hex of floor(f·2^32); a
-    uniform md5 prefix is below it with probability ≈ fraction."""
-    return format(min(int(fraction * 2 ** 32), 2 ** 32 - 1), "08x")
+    uniform md5 prefix is below it with probability ≈ fraction.
+
+    fraction ≥ 1.0 returns ``"g"``: every hex digit sorts below 'g',
+    so ``bucket < 'g'`` is trivially true — a clamped 'ffffffff'
+    threshold under strict '<' would misassign the ~2^-32 of rows
+    whose bucket is exactly 'ffffffff' (ADVICE r4)."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * 2 ** 32), 0), "08x")
 
 
 def _bucket(seed: str, *cols: Column) -> Column:
@@ -172,8 +179,12 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
                       .agg(F.count("*").alias("_hits"))
                       .filter(F.col("_hits") > max_hits)
                       .select("_did"))
-    return df.join(F.broadcast(dirty),
-                   df[id_col] == dirty["_did"], "left_anti")
+    # No broadcast hint on the dirty side: under heavy contamination it
+    # can be as large as the overlapping corpus subset, which would
+    # blow the broadcast limit at scale (ADVICE r4).  AQE promotes the
+    # anti join to broadcast at runtime whenever dirty is actually
+    # small, so the common case still avoids shuffling the corpus.
+    return df.join(dirty, df[id_col] == dirty["_did"], "left_anti")
 
 
 def pack_sequences(df: DataFrame, text_col: str = "text",
@@ -238,7 +249,10 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
         pdf["bin_fill"] = [fills[b] for b in assign]
         return pdf
 
-    out_schema = ("id long, n_tokens long, pack_group int, "
+    # id keeps the input column's type (string doc ids work like every
+    # other corpus operator — ADVICE r4)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"id {id_type}, n_tokens long, pack_group int, "
                   "bin_id long, bin_fill long")
     return meta.groupBy("pack_group").applyInPandas(pack, out_schema)
 

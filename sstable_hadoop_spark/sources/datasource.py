@@ -878,10 +878,17 @@ class SSTableDataSource(DataSource):
                 "sstable sink requires (key, columns, generation) — got "
                 f"{sorted(names)}")
         if overwrite:
+            import os.path as _osp
             import re as _re
 
             path = self.options.get("path", "")
             for f in fs.list_files(path, ".db"):
+                # TOP-LEVEL files only: overwrite replaces the table at
+                # this path, never sstables in nested subdirectories
+                # (fs.list_files is recursive; ADVICE r4 — preserve the
+                # original glob(path/*.db) delete scope)
+                if _osp.dirname(f.rstrip("/")) != path.rstrip("/"):
+                    continue
                 if _re.search(
                         r"-(Data|Index|Summary|CompressionInfo|Filter)\.db$",
                         f):

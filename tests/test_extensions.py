@@ -994,3 +994,82 @@ def test_ivf_stored_partition_pruning(spark, tmp_path):
     want = {(r["query_id"], r["vec_id"], r["rk"])
             for r in cosine_topk_ivf(emb, q, k=5, dim=None).collect()}
     assert got == want
+
+
+def test_hash_split_fraction_one_keeps_ffffffff_bucket(spark):
+    """ADVICE r4: fraction ≥ 1.0 must be a trivially-true predicate,
+    not a clamped 'ffffffff' threshold under strict '<' — every row
+    lands in the stratum / the sample, including a bucket of exactly
+    'ffffffff'."""
+    from sstable_hadoop_spark.operators.corpus import (
+        _hex_threshold,
+        hash_split,
+        stratified_sample,
+    )
+
+    assert _hex_threshold(1.0) == "g" and "ffffffff" < "g"
+    docs = spark.createDataFrame(
+        [(i, "en", "text") for i in range(200)],
+        "doc_id bigint, lang string, text string")
+    # single 1.0-weight split: every row must be assigned to it
+    only = hash_split(docs, weights={"train": 1.0})
+    assert only.filter(F.col("split") == "train").count() == 200
+    # 1.0-fraction stratum keeps every row
+    assert stratified_sample(docs, {"en": 1.0}).count() == 200
+    # cumulative weights summing to exactly 1.0 still cover all rows
+    full = hash_split(docs, weights={"a": 0.5, "b": 0.5})
+    assert full.count() == 200
+    assert full.filter(F.col("split").isNull()).count() == 0
+
+
+def test_pack_sequences_string_ids(spark):
+    """ADVICE r4: pack_sequences must accept non-integer id columns
+    like every other corpus operator."""
+    from sstable_hadoop_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("doc-a", "one two three"), ("doc-b", "four five"),
+         ("doc-c", "six")],
+        "doc_id string, text string")
+    out = pack_sequences(docs, budget=4, n_groups=2).collect()
+    assert {r["id"] for r in out} == {"doc-a", "doc-b", "doc-c"}
+    assert all(isinstance(r["id"], str) for r in out)
+
+
+def test_sink_overwrite_spares_nested_subdirectories(spark, tmp_path):
+    """ADVICE r4: overwrite replaces the table AT the path; sstables in
+    nested subdirectories must survive the sweep."""
+    import os
+
+    from sstable_hadoop_spark.sources import codec
+    from sstable_hadoop_spark.sources.codec import Cell, Row
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    top = str(tmp_path)
+    nested = os.path.join(top, "other_table")
+    os.makedirs(nested)
+    codec.write_sstable(top, "tbl", [Row(b"k1", [Cell(b"c", "NORMAL",
+                                                      b"v", 1)])])
+    codec.write_sstable(nested, "tbl", [Row(b"k2", [Cell(b"c", "NORMAL",
+                                                         b"v", 1)])])
+    nested_before = sorted(os.listdir(nested))
+    assert nested_before  # fixture sanity
+
+    rows = spark.createDataFrame(
+        [(b"k9", [(b"c", "NORMAL", b"v9", 9, None, None)], 5)],
+        "key binary, columns array<struct<name:binary,state:string,"
+        "data:binary,timestamp:long,ttl:long,expiration:long>>, "
+        "generation int")
+    (rows.write.format("sstable").option("path", top)
+         .option("name", "tbl").mode("overwrite").save())
+
+    # nested table untouched by the sweep
+    assert sorted(os.listdir(nested)) == nested_before
+    # top level: generation-1 files swept, the new write's files remain
+    top_data = [f for f in os.listdir(top) if f.endswith("-Data.db")]
+    assert top_data and all("-1-" not in f for f in top_data)
+    # the nested table still reads back (scan is recursive by design)
+    got = (spark.read.format("sstable").load(nested)
+           .select("key").collect())
+    assert {bytes(r["key"]) for r in got} == {b"k2"}
