@@ -1061,11 +1061,65 @@ def similarity_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "rk", F.round("cos", 4).alias("cos")))
 
 
-@query("msgpack_sink_lines")  # rows-only: binary packing has no SQL twin
+# msgpack built IN SQL, byte for byte: each piece is emitted as hex and
+# unhex'd once at the end — an oracle fully independent of the Python
+# encoder (functions/msgpack_lite.py), so a packing bug on either side
+# breaks the hash.  Row shape (reference mapred/SSTableData.scala:64-77):
+# [key: bin, [[name: bin, value: bin, ts, expiresMillis, ttlSecs]...]],
+# bin-family byte arrays, minimal-width unsigned ints.
+_MSGPACK_INT = """CASE WHEN {v} <= 127 THEN printf('%02x', {v})
+         WHEN {v} <= 255 THEN 'cc' || printf('%02x', {v})
+         WHEN {v} <= 65535 THEN 'cd' || printf('%04x', {v})
+         WHEN {v} <= 4294967295 THEN 'ce' || printf('%08x', {v})
+         ELSE 'cf' || printf('%016x', {v}) END"""
+
+_MSGPACK_BIN = """CASE WHEN octet_length({b}) <= 255
+         THEN 'c4' || printf('%02x', octet_length({b}))
+         ELSE 'c5' || printf('%04x', octet_length({b})) END || hex({b})"""
+
+
+@query("msgpack_sink_lines", oracle=f"""
+{_CELLS_CTE}
+, live AS (
+    SELECT key_str, name_str, data_str, ts_us,
+           coalesce(expiration, 0) AS exp_ms,
+           CASE WHEN state = 'EXPIRING' THEN 86400 ELSE 0 END AS ttl_s
+    FROM cells
+    QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                               ORDER BY {_ORDER}) = 1
+       AND state != 'DELETED'
+       AND (expiration IS NULL OR expiration > {AS_OF_MS})
+),
+enc AS (
+    SELECT key_str, name_str,
+           '95'
+           || {_MSGPACK_BIN.format(b="encode(name_str)")}
+           || {_MSGPACK_BIN.format(b="encode(coalesce(data_str, ''))")}
+           || {_MSGPACK_INT.format(v="ts_us")}
+           || {_MSGPACK_INT.format(v="exp_ms")}
+           || {_MSGPACK_INT.format(v="ttl_s")} AS cell_hex
+    FROM live
+),
+packed AS (
+    SELECT key_str, count(*) AS n,
+           string_agg(cell_hex, '' ORDER BY hex(encode(name_str)))
+               AS cells_hex
+    FROM enc GROUP BY key_str
+)
+SELECT to_base64(unhex(
+    '92'
+    || {_MSGPACK_BIN.format(b="encode(key_str)")}
+    || CASE WHEN n <= 15 THEN printf('%02x', 144 + n)
+            ELSE 'dc' || printf('%04x', n) END
+    || cells_hex)) AS value
+FROM packed
+""")
 def msgpack_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: the reference's base64(msgpack(MsgPackRow)) output format
     over the merged live view (mapred/SSTableData.scala:97-118);
-    round-trip decodability is asserted in tests/test_sinks_and_pushdown."""
+    round-trip decodability is asserted in tests/test_sinks_and_pushdown,
+    and the DuckDB oracle re-derives the msgpack BYTES independently in
+    SQL (hex assembly above), making the line strings hash-checkable."""
     from sstable_hadoop_spark.functions import to_msgpack_base64_lines
     from sstable_hadoop_spark.operators import collect_rows
 
@@ -1666,7 +1720,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.element_at("features", 1), 6).alias("f0")))
 
 
-@query("multimodal_real_decode")  # rows-only: binary decode, no SQL twin
+# Pinned-literal oracle (VERDICT r4 next-round #2): payloads are seeded
+# per doc_id and the kept id set is a filter (order-independent), so the
+# decoded feature aggregates are fixed values at sf0.01; decode
+# correctness against known images/clips is proven separately in
+# tests/test_extensions.py.
+@query("multimodal_real_decode", oracle="""
+SELECT * FROM (VALUES
+    ('audio', 166, 1644.0, 0.3534),
+    ('image', 334, 285.0, 0.5002)
+) AS t(modality, n, avg_bytes, avg_f3)
+""")
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 real-decode path under the driver gate: deterministic BMP
     and PNG images plus PCM WAV clips are synthesized per doc_id ON
@@ -1678,7 +1742,10 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(600)
+    # filter, not limit(600): the kept id set must be row-order
+    # independent so the pinned-literal oracle stays valid
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 600))
 
     def gen(batches):
         import numpy as np
@@ -1718,12 +1785,17 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    # decimal-cast before avg: decimal sums are exact and therefore
+    # partitioning/order independent, so the rounded result is a
+    # stable pin for the literal oracle (float sums are not)
     return (extract_features(media, fake=False)
             .groupBy("modality")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
-                 F.round(F.avg(F.element_at("features", 4)), 4)
-                  .alias("avg_f3")))
+                 F.round(F.avg(F.col("n_bytes").cast("decimal(20,6)")), 2)
+                  .cast("double").alias("avg_bytes"),
+                 F.round(F.avg(F.element_at("features", 4)
+                               .cast("decimal(24,10)")), 4)
+                  .cast("double").alias("avg_f3")))
 
 
 # ---------------------------------------------------------------------------
@@ -2392,17 +2464,35 @@ def sstable_keys_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "generation").distinct()
 
 
-@query("sstable_split_manifest")  # rows-only: split planning is physical
+# Pinned-literal oracle (VERDICT r4 next-round #2): the materialized
+# generations are deterministic functions of the sf0.01 events table, so
+# the planned-split geometry is a fixed value — pinning it makes every
+# codec/split-planner drift hash-visible.  (The driver compares oracles
+# at sf=0.01 only; pytest invariants in test_datasource.py cover the
+# split semantics at other scales.)
+@query("sstable_split_manifest", oracle="""
+SELECT * FROM (VALUES
+    ('events-cf-1', 5, 0, 69269, 69269),
+    ('events-cf-2', 5, 0, 69970, 69970),
+    ('events-cf-3', 5, 0, 33473, 129694),
+    ('events-cf-4', 5, 0, 33531, 129516)
+) AS t(file, n_splits, min_off, max_end, total_bytes)
+""")
 def sstable_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/G2: the split manifest as a DataFrame + A7 min/max offset
-    aggregation over planned splits per file."""
+    aggregation over planned splits per file.  Gens 3-4 are
+    snappy-compressed: byte-space totals exceed max_end because
+    adjacent compressed splits may share a boundary chunk."""
     from sstable_hadoop_spark.sources.datasource import register
 
     register(spark)
     path = _materialize_sstables(spark, sf_dir)
     m = spark.read.format("sstable").option("kind", "manifest") \
         .option("max_split_bytes", str(16 * 1024)).load(path)
-    return (m.groupBy("filename").agg(
+    # basename, not the /tmp fixture path: the result must be
+    # machine-layout independent so the literal oracle can pin it
+    base = F.element_at(F.split(F.col("filename"), "/"), -1)
+    return (m.groupBy(base.alias("file")).agg(
         F.count("*").alias("n_splits"),
         F.min("byte_start").alias("min_off"),
         F.max(F.col("byte_start") + F.col("byte_length")).alias("max_end"),
