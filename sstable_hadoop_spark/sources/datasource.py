@@ -600,7 +600,11 @@ class SSTableStreamReader(DataSourceStreamReader):
     window are excluded — and that exclusion is logged.  The seen tail
     is capped at ``seen_files_cap`` names (default 1024); when the cap
     is hit the effective grace floor rises to the oldest retained
-    name, keeping offsets O(cap).  Replay after recovery re-derives
+    name, keeping offsets O(cap).  ``max_files_per_trigger`` (Spark
+    file-source ``maxFilesPerTrigger`` analog) bounds how many NEW
+    files each trigger admits, oldest stamp first — a restarted stream
+    over a huge backlog drains it across micro-batches instead of
+    planning one giant first batch.  Replay after recovery re-derives
     batch membership from the directory listing with the same covered
     rule, so recovered batches match the originally executed ones for
     any file inside the grace window.  Legacy full-file-set and
@@ -631,6 +635,18 @@ class SSTableStreamReader(DataSourceStreamReader):
         self.grace_ns = int(options.get("late_file_grace_ms",
                                         60_000)) * 1_000_000
         self.seen_cap = int(options.get("seen_files_cap", 1024))
+        # Backpressure (Spark file-source maxFilesPerTrigger analog): a
+        # restarted stream facing a 100k-generation backlog must not
+        # plan one giant first micro-batch.  Oldest-first admission —
+        # late files inside the grace window sort first and are drained
+        # with priority.
+        raw_mft = (options.get("max_files_per_trigger")
+                   or options.get("maxFilesPerTrigger")
+                   or options.get("maxfilespertrigger"))
+        self.max_files = int(raw_mft) if raw_mft is not None else None
+        if self.max_files is not None and self.max_files <= 0:
+            raise ValueError("max_files_per_trigger must be positive, "
+                             f"got {self.max_files}")
         # same explicit projection options as the batch reader
         self.project = _parse_columns(dict(options))
         self.skip_values = str(options.get("skip_values",
@@ -669,7 +685,23 @@ class SSTableStreamReader(DataSourceStreamReader):
                         "%d ms grace window) — excluded from the stream",
                         self.path, b, self.grace_ns // 1_000_000)
         self._known.update(stamped)
+        if self.max_files is not None:
+            prev = self._prev_offset or self.initialOffset()
+            already = self._covered(prev, stamped)
+            backlog = sorted(s for b, s in stamped.items()
+                             if b not in already)
+            if len(backlog) > self.max_files:
+                admit = set(backlog[:self.max_files])
+                # cap the offset advance: excluded files all carry
+                # stamps above every admitted stamp, so they stay past
+                # the new watermark and surface in later triggers
+                stamped = {b: s for b, s in stamped.items()
+                           if b in already or s in admit}
         wm = max(stamped.values(), default=(0, ""))
+        if self._prev_offset is not None:
+            # never regress the watermark (newest covered file may have
+            # been compacted away between triggers)
+            wm = max(wm, tuple(self._prev_offset["wm"]))
         floor = wm[0] - self.grace_ns
         recent = sorted((s for s in stamped.values() if s[0] >= floor),
                         reverse=True)

@@ -316,3 +316,73 @@ def test_streaming_corpus_pipeline_equals_batch(spark, tmp_path):
     want = {(r["doc_id"], r["chunk_idx"], r["chunk_text"])
             for r in pipeline(batch_in).collect()}
     assert got == want and want
+
+
+def test_stream_backpressure_max_files_per_trigger(tmp_path):
+    """VERDICT r4 #8: a restarted stream facing a big generation
+    backlog must not plan one giant first micro-batch —
+    ``max_files_per_trigger`` admits oldest-first and drains the
+    backlog across triggers; an uncapped reader still sees everything
+    at once."""
+    import os
+
+    import pytest
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.sources.datasource import SSTableStreamReader
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+
+    def one(g):
+        write_sstable(d, "ks-cf",
+                      [Row(b"k", [Cell(b"c", "NORMAL", b"v", g)])],
+                      generation=g)
+        path = os.path.join(d, f"ks-cf-{g}-Data.db")
+        os.utime(path, ns=(g * 10**9, g * 10**9))
+
+    for g in range(1, 8):
+        one(g)
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        SSTableStreamReader({"path": d, "max_files_per_trigger": "0"})
+
+    r = SSTableStreamReader({"path": d, "max_files_per_trigger": "2"})
+    prev = r.initialOffset()
+    batches = []
+    for _ in range(10):
+        o = r.latestOffset()
+        batch = sorted(os.path.basename(p.path)
+                       for p in r.partitions(prev, o) if p.path)
+        if not batch:
+            break
+        batches.append(batch)
+        prev = o
+    # bounded batches, oldest first, full drain, no duplicates
+    assert [len(b) for b in batches] == [2, 2, 2, 1]
+    assert [f for b in batches for f in b] == \
+        [f"ks-cf-{g}-Data.db" for g in range(1, 8)]
+
+    # a LATE file (mtime inside the grace window, below the watermark)
+    # is admitted with priority ahead of a newer arrival
+    one(9)
+    late = os.path.join(d, "ks-cf-8-Data.db")
+    write_sstable(d, "ks-cf",
+                  [Row(b"k", [Cell(b"c", "NORMAL", b"v", 8)])],
+                  generation=8)
+    os.utime(late, ns=(8 * 10**9, 8 * 10**9))
+    r2 = SSTableStreamReader({"path": d, "max_files_per_trigger": "1",
+                              "late_file_grace_ms": str(10**9)})
+    o = r2.latestOffset()  # covers the existing backlog in one admit? no:
+    # cap=1 admits exactly the oldest uncovered file first
+    first = sorted(os.path.basename(p.path)
+                   for p in r2.partitions(r2.initialOffset(), o) if p.path)
+    assert first == ["ks-cf-1-Data.db"]
+
+    # uncapped reader: the whole directory in one batch
+    r3 = SSTableStreamReader({"path": d})
+    all_files = sorted(os.path.basename(p.path)
+                       for p in r3.partitions(r3.initialOffset(),
+                                              r3.latestOffset())
+                       if p.path)
+    assert all_files == [f"ks-cf-{g}-Data.db" for g in range(1, 10)]
