@@ -11,11 +11,12 @@ engine.  Decode kernels come in two tiers:
   is exercised without any media dependency.
 - ``fake=False``: REAL decoding for the formats parseable with the
   standard library alone — 24-bit uncompressed BMP, non-interlaced
-  8-bit PNG (zlib inflate + scanline unfiltering), and PCM-16 WAV
-  (all public formats; codecs below, pure struct+zlib+numpy).
-  Remaining formats (JPEG/MP3/video containers) raise
-  NotImplementedError naming the library they need (PIL/ffmpeg —
-  not in this container).
+  8-bit PNG (zlib inflate + scanline unfiltering), baseline JPEG
+  (jpeg_codec.py: Annex K Huffman + 8x8 DCT, 4:4:4/4:2:2/4:2:0,
+  restart intervals), and PCM-16 WAV (all public formats; pure
+  struct+zlib+numpy).  Remaining formats (progressive JPEG, MP3,
+  video containers) raise NotImplementedError naming the library
+  they need (PIL/ffmpeg — not in this container).
 
 Scale notes: payloads never pass through the driver; mapInPandas
 processes Arrow batches per partition, and feature outputs are small
@@ -249,9 +250,15 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     audio (WAV):     [2, rate/48000, dur_s/60, rms,
                       12-bin |amplitude| histogram]   (normalized, 16)
     """
-    if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
-        img = (decode_bmp(payload) if payload[:2] == b"BM"
-               else decode_png(payload))
+    if (payload[:2] == b"BM" or payload[:8] == _PNG_SIG
+            or payload[:2] == b"\xff\xd8"):
+        if payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        elif payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+        else:
+            from .jpeg_codec import decode_jpeg
+            img = decode_jpeg(payload)
         h, w, _ = img.shape
         lum = img.astype(np.float32).mean(axis=2) / 255.0
         hist, _ = np.histogram(lum, bins=10, range=(0.0, 1.0))
@@ -267,8 +274,8 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
                *(hist / max(len(x), 1))]
     else:
         raise NotImplementedError(
-            "real decode supports BMP/PNG/WAV only; JPEG needs PIL and "
-            "video containers need ffmpeg — not in this container")
+            "real decode supports BMP/PNG/JPEG/WAV; video containers "
+            "need ffmpeg — not in this container")
     out = [float(v) for v in out]
     return (out + [0.0] * dim)[:dim]
 
@@ -323,9 +330,13 @@ def resize_images(media: DataFrame, width: int, height: int,
             img, enc = decode_bmp(payload), encode_bmp
         elif payload[:8] == _PNG_SIG:
             img, enc = decode_png(payload), encode_png
+        elif payload[:2] == b"\xff\xd8":
+            from .jpeg_codec import decode_jpeg, encode_jpeg
+            img, enc = decode_jpeg(payload), encode_jpeg
         else:
             raise NotImplementedError(
-                "real resize supports BMP/PNG only; JPEG needs PIL")
+                "real resize supports BMP/PNG/JPEG; other image "
+                "formats need PIL")
         h, w, _ = img.shape
         ys = (np.arange(height) * h // height).clip(0, h - 1)
         xs = (np.arange(width) * w // width).clip(0, w - 1)
