@@ -412,6 +412,21 @@ class _BitReader:
             self.pos += 2
 
 
+_DEFAULT_HUFF_CACHE: dict[tuple[int, int], dict] = {}
+
+
+def _default_huff(tc: int, th: int) -> dict[tuple[int, int], int]:
+    """Annex K decode table for (class, slot) — used when a scan
+    references a table no DHT defined (headerless MJPEG frames)."""
+    key = (tc, th)
+    if key not in _DEFAULT_HUFF_CACHE:
+        table = {(0, 0): K3_DC_LUMA, (0, 1): K4_DC_CHROMA,
+                 (1, 0): K5_AC_LUMA, (1, 1): K6_AC_CHROMA}[
+                     (tc, min(th, 1))]
+        _DEFAULT_HUFF_CACHE[key] = _build_decode_table(*table)
+    return _DEFAULT_HUFF_CACHE[key]
+
+
 def _receive_extend(r: _BitReader, cat: int) -> int:
     if cat == 0:
         return 0
@@ -500,8 +515,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 c = by_id[cs]
-                c["dc"] = htables[(0, tt >> 4)]
-                c["ac"] = htables[(1, tt & 0x0F)]
+                # MJPEG quirk (OpenDML): frames may omit DHT entirely —
+                # the Annex K tables are implicit.  Fall back to them
+                # per-slot when a referenced table was never defined.
+                c["dc"] = htables.get((0, tt >> 4)) or _default_huff(
+                    0, tt >> 4)
+                c["ac"] = htables.get((1, tt & 0x0F)) or _default_huff(
+                    1, tt & 0x0F)
                 scan.append(c)
             return _decode_scan(payload, pos, scan, qtables, h, w, restart)
     raise ValueError("JPEG missing SOS segment")

@@ -13,10 +13,13 @@ engine.  Decode kernels come in two tiers:
   standard library alone — 24-bit uncompressed BMP, non-interlaced
   8-bit PNG (zlib inflate + scanline unfiltering), baseline JPEG
   (jpeg_codec.py: Annex K Huffman + 8x8 DCT, 4:4:4/4:2:2/4:2:0,
-  restart intervals), and PCM-16 WAV (all public formats; pure
-  struct+zlib+numpy).  Remaining formats (progressive JPEG, MP3,
-  video containers) raise NotImplementedError naming the library
-  they need (PIL/ffmpeg — not in this container).
+  restart intervals), PCM-16 WAV, and MJPEG-in-AVI video
+  (avi_mjpeg.py: RIFF container walk + per-frame JPEG decode, real
+  frame sampling under ``sample_frames(fake=False)``) — all public
+  formats, pure struct+zlib+numpy.  Remaining formats (progressive
+  JPEG, MP3, non-MJPEG video codecs) raise NotImplementedError
+  naming the library they need (PIL/ffmpeg — not in this
+  container).
 
 Scale notes: payloads never pass through the driver; mapInPandas
 processes Arrow batches per partition, and feature outputs are small
@@ -265,6 +268,10 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
         out = [1.0, w / 4096.0, h / 4096.0,
                *(img.reshape(-1, 3).mean(axis=0) / 255.0),
                *(hist / max(lum.size, 1))]
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avi_mjpeg import video_features
+        out = video_features(payload, dim)
+        return out
     elif payload[:4] == b"RIFF":
         rate, pcm = decode_wav(payload)
         x = pcm.astype(np.float32) / 32768.0
@@ -274,8 +281,8 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
                *(hist / max(len(x), 1))]
     else:
         raise NotImplementedError(
-            "real decode supports BMP/PNG/JPEG/WAV; video containers "
-            "need ffmpeg — not in this container")
+            "real decode supports BMP/PNG/JPEG/WAV/MJPEG-AVI; other "
+            "video containers need ffmpeg — not in this container")
     out = [float(v) for v in out]
     return (out + [0.0] * dim)[:dim]
 
@@ -368,9 +375,39 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.  The
     fake path derives frame count from meta.duration_ms and synthesizes
-    frame payload slices deterministically."""
+    frame payload slices deterministically.  ``fake=False`` REALLY
+    samples MJPEG-AVI containers (operators/avi_mjpeg.py): each output
+    payload is the sampled frame's JPEG bytes; non-MJPEG codecs raise
+    inside the task naming ffmpeg.  Only sampled frames leave the task,
+    so the downstream shuffle carries n_sampled images, never videos."""
     if not fake:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        from .avi_mjpeg import sample_mjpeg_frames
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, mss, payloads = [], [], [], []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    for i, ms, jpeg in sample_mjpeg_frames(
+                            bytes(p), every_ms):
+                        ids.append(mid)
+                        idxs.append(i)
+                        mss.append(ms)
+                        payloads.append(jpeg)
+                yield pd.DataFrame({
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ms": pd.Series(mss, dtype="int64"),
+                    "payload": payloads,
+                })
+
+        schema = StructType([
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("frame_ms", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ])
+        return media.filter(F.col("modality") == "video") \
+                    .mapInPandas(run_real, schema=schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1810,6 +1810,96 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("avg_f3")))
 
 
+# Pinned-literal oracle (deterministic fixture, same policy as
+# multimodal_real_decode): per-doc MJPEG AVIs are synthesized on
+# executors, REALLY frame-sampled and per-frame JPEG-decoded, and the
+# rounded decimal aggregates below are order/partitioning independent.
+@query("multimodal_video_frames", oracle="""
+SELECT * FROM (VALUES
+    (0, 500, 1016.83, 0.499),
+    (2, 400, 1016.42, 0.5006)
+) AS t(frame_idx, n, avg_bytes, avg_mean_r)
+""")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 video real path under the driver gate: deterministic MJPEG
+    AVI containers (2-6 frames, fps 10, alternating omitted-DHT
+    frames — the classic headerless-MJPEG quirk) are built per doc_id
+    ON EXECUTORS, sampled every 250 ms by ``sample_frames(fake=False)``
+    (operators/avi_mjpeg.py), and every sampled frame is decoded for
+    real by the baseline JPEG codec; per-frame_idx aggregates pin the
+    oracle.  Only sampled JPEG frames cross the shuffle, never
+    containers."""
+    from sstable_hadoop_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 600))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_hadoop_spark.operators.avi_mjpeg import (
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = {"media_id": [], "modality": [], "payload": [],
+                    "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.default_rng(did)
+                n_frames = 2 + did % 5
+                frames = [rng.integers(0, 256, (16, 24, 3),
+                                       dtype=np.uint8)
+                          for _ in range(n_frames)]
+                payload = encode_avi_mjpeg(
+                    frames, fps=10, quality=85,
+                    omit_dht=(did % 2 == 0))
+                rows["media_id"].append(did)
+                rows["modality"].append("video")
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {"mime": "video/x-msvideo", "width": 24,
+                     "height": 16, "duration_ms": n_frames * 100})
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=250, fake=False)
+    # decode every sampled frame for real with the image kernel,
+    # keeping frame_idx alongside (extract_features' schema drops it,
+    # so this uses its kernel directly in a dedicated mapInPandas)
+    from sstable_hadoop_spark.operators.multimodal import FEATURE_DIM
+
+    def decode(batches):
+        import pandas as pd
+
+        from sstable_hadoop_spark.operators.multimodal import (
+            _real_features,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "frame_idx": pdf["frame_idx"],
+                "n_bytes": pdf["payload"].map(len),
+                "mean_r": pdf["payload"].map(
+                    lambda p: _real_features(bytes(p), FEATURE_DIM)[3]),
+            })
+
+    decoded = frames.mapInPandas(
+        decode, schema="frame_idx long, n_bytes long, mean_r double")
+    return (decoded
+            .filter(F.col("frame_idx") % 2 == 0)  # keep the pin small
+            .groupBy("frame_idx")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("n_bytes").cast("decimal(20,6)")), 2)
+                  .cast("double").alias("avg_bytes"),
+                 F.round(F.avg(F.col("mean_r").cast("decimal(24,10)")), 4)
+                  .cast("double").alias("avg_mean_r")))
+
+
 # ---------------------------------------------------------------------------
 # M5 — streaming window views in batch mode (SURVEY.md §2.8).  The same
 # functions run unchanged on readStream inputs (tests/test_streaming.py
@@ -3037,6 +3127,10 @@ _DRIVER_WINDOW: list[str] = [
     "msgpack_sink_lines",
     "sstable_split_manifest",
     "multimodal_real_decode",
+    # -- new this round: E5 video real path (MJPEG AVI frame sampling
+    #    + per-frame JPEG decode); takes compaction_roundtrip's slot
+    #    (3 cumulative green rows, code untouched this round) ---------
+    "multimodal_video_frames",
     # -- code touched this round (repartition cut, corpus edge-case
     #    fixes, decontaminate join fallback, stream backpressure) -----
     "corpus_hash_split",
@@ -3094,7 +3188,6 @@ _DRIVER_WINDOW: list[str] = [
     "sstable_lww_merge",
     "cassandra_format_scan",
     "write_sink_roundtrip",
-    "compaction_roundtrip",
 ]
 
 

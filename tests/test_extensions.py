@@ -211,7 +211,7 @@ def test_multimodal_plumbing(spark):
 
     # text payloads are not decodable media: the real path must fail
     # inside the task naming the supported/missing formats
-    with pytest.raises(Exception, match="BMP/WAV|PIL"):
+    with pytest.raises(Exception, match="BMP/PNG/JPEG|ffmpeg"):
         extract_features(media, fake=False).collect()
 
 

@@ -187,3 +187,92 @@ def test_spark_extract_and_resize_jpeg(spark):
     resized = decode_jpeg(bytes(out["payload"]))
     assert bytes(out["payload"])[:2] == b"\xff\xd8"  # stays JPEG
     assert resized.shape == (8, 12, 3)
+
+
+# --- MJPEG-in-AVI container (operators/avi_mjpeg.py) ----------------------
+
+
+def test_avi_roundtrip_and_dht_fallback():
+    """Container round trip; headerless-MJPEG frames (DHT stripped)
+    decode identically via the Annex K fallback."""
+    from sstable_hadoop_spark.operators.avi_mjpeg import (
+        _strip_dht,
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    frames = [np.full((16, 24, 3), 10 * i, np.uint8) for i in range(6)]
+    full = encode_avi_mjpeg(frames, fps=10)
+    lean = encode_avi_mjpeg(frames, fps=10, omit_dht=True)
+    assert len(lean) < len(full)  # tables really stripped
+    for payload in (full, lean):
+        avi = parse_avi_mjpeg(payload)
+        assert (avi["n_frames"], avi["width"], avi["height"],
+                avi["usec_per_frame"]) == (6, 24, 16, 100000)
+        mid = decode_jpeg(avi["frames"][3])
+        assert abs(float(mid.mean()) - 30.0) < 2.0
+    # a stripped frame alone still decodes (default-table path)
+    naked = _strip_dht(encode_jpeg(gradient(16, 16), 90))
+    assert b"\xff\xc4" not in naked[:naked.find(b"\xff\xda")]
+    assert decode_jpeg(naked).shape == (16, 16, 3)
+
+
+def test_avi_sampling_and_rejection():
+    from sstable_hadoop_spark.operators.avi_mjpeg import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+        sample_mjpeg_frames,
+    )
+
+    frames = [np.full((8, 8, 3), 20 * i, np.uint8) for i in range(12)]
+    avi = encode_avi_mjpeg(frames, fps=10)  # 1200 ms of video
+    got = [(i, ms) for i, ms, _ in sample_mjpeg_frames(avi, 300)]
+    assert got == [(0, 0), (3, 300), (6, 600), (9, 900)]
+    # sub-frame-duration video still yields the first frame
+    one = encode_avi_mjpeg(frames[:1], fps=10)
+    assert [(i, ms) for i, ms, _ in sample_mjpeg_frames(one, 5000)] \
+        == [(0, 0)]
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(b"RIFFxxxxWAVE")
+    # non-MJPEG handler raises naming ffmpeg
+    h264 = bytearray(avi)
+    pos = h264.find(b"vidsMJPG")
+    h264[pos + 4:pos + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        parse_avi_mjpeg(bytes(h264))
+
+
+def test_spark_sample_frames_real_and_video_features(spark):
+    """fake=False frame sampling emits real JPEG frame payloads; the
+    feature kernel dispatches AVI payloads to video features."""
+    from sstable_hadoop_spark.operators.avi_mjpeg import encode_avi_mjpeg
+    from sstable_hadoop_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+    )
+
+    frames = [np.full((16, 24, 3), 30 * i, np.uint8) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, fps=10, omit_dht=True)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(avi),
+          {"mime": "video/x-msvideo", "width": 24, "height": 16,
+           "duration_ms": 500})],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:long,height:long,duration_ms:long>")
+
+    rows = sorted(sample_frames(media, every_ms=200, fake=False).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["frame_ms"]) for r in rows] == \
+        [(0, 0), (2, 200), (4, 400)]
+    for r in rows:
+        img = decode_jpeg(bytes(r["payload"]))  # payload IS a JPEG
+        assert img.shape == (16, 24, 3)
+        assert abs(float(img.mean()) - 30.0 * r["frame_idx"]) < 3.0
+
+    (feat,) = extract_features(media, fake=False).collect()
+    f = feat["features"]
+    assert f[0] == 3.0                      # video tag
+    assert abs(f[3] - 5 / 1000.0) < 1e-6    # n_frames
+    assert abs(f[4] - 0.5 / 60.0) < 1e-6    # duration
+    # mean luminance of the middle frame (value 60)
+    assert abs(f[5] - 60.0 / 255.0) < 0.02

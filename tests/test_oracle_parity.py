@@ -99,12 +99,15 @@ def test_driver_window_curated():
     missing = [n for n in q._DRIVER_WINDOW if n not in q._QUERIES]
     assert not missing, f"window names not registered: {missing}"
     window = set(names[:50])
+    # round-5 curation: the never-driver-checked pair, the newly-oracled
+    # trio, this round's new/touched code, and the regression core
     must_cover = {
+        "sstable_winner_index", "cassandra_summary_splits",
+        "msgpack_sink_lines", "sstable_split_manifest",
+        "multimodal_real_decode", "multimodal_video_frames",
         "streaming_lww_flush", "streaming_flush_roundtrip",
-        "lww_skewed_auto", "dedup_clusters", "embedding_cosine_near_dup",
-        "range_join_price_bands", "grouped_normalize_embeddings",
-        "array_agg_sorted_events", "flagship_lww_merge",
-        "sstable_scan_roundtrip",
+        "dedup_minhash_lsh", "flagship_lww_merge",
+        "sstable_scan_roundtrip", "write_sink_roundtrip",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
     # oracles follow the same ordering
