@@ -131,15 +131,25 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
              .distinct())
 
 
-def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 4,
-                        num_perm: int = 16, bands: int = 4,
-                        min_jaccard: float = 0.5,
-                        max_doc_freq: int | None = 1000) -> DataFrame:
-    """E2 end-to-end: shingle → MinHash → LSH bands → candidate pairs →
-    exact-Jaccard verification.  Output (id_a, id_b, jaccard) — LSH may
-    miss pairs (recall < 1) but never emits a pair below threshold
-    (precision = 1, because candidates are re-verified)."""
+def minhash_profiles(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 4,
+                     num_perm: int = 16,
+                     max_doc_freq: int | None = 1000) -> DataFrame:
+    """Per-document MinHash verification profile:
+    (id, sig_0..sig_{num_perm-1}, sh_set, n_sh).
+
+    ONE aggregation pass builds everything — the signature, the hashed
+    shingle set, and its size.  ``sh_set`` carries 8-byte md5-prefix
+    longs, NOT shingle strings: at corpus scale the profile is the
+    heavy shuffle payload, and 60-bit longs cut its bytes several-fold
+    vs ~25-byte word shingles.  Jaccard over the hashed sets equals
+    string-set Jaccard absent a 60-bit collision inside one pair's
+    union (P ≈ 2^-60) — and md5 is engine-portable, so DuckDB oracles
+    (which self-join raw shingle strings) stay bit-exact.
+
+    This is also the PERSISTENCE format for incremental dedup: write
+    it once per corpus snapshot, and new batches dedup against it
+    without re-shingling the corpus (minhash_dedup_incremental)."""
     # non-distinct shingles: every consumer below is set-semantic (min /
     # collect_set), so the dedup shuffle would be pure waste
     sh = word_shingles(df, text_col, id_col, n, distinct=False)
@@ -155,44 +165,106 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                  .agg(F.count_distinct("id").alias("df"))
                  .filter(F.col("df") > max_doc_freq).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # ONE aggregation pass builds everything per doc: the minhash
-    # signature, the shingle count, and the shingle set (bounded by doc
-    # length, so safe to carry).  Verification then joins the SMALL
-    # candidate-pair set back to per-doc profiles and computes the
-    # exact Jaccard via array_intersect — no second shingle fan-out
-    # join, no all-pairs work.
-    #
-    # The carried set holds 8-byte md5-prefix hashes, NOT the shingle
-    # strings — at corpus scale the verification profile is the heavy
-    # shuffle payload, and 60-bit longs cut its bytes several-fold vs
-    # ~25-byte word shingles.  Jaccard over the hashed sets equals
-    # string-set Jaccard absent a 60-bit collision inside one doc
-    # pair's union (P ≈ 2^-60 per pair) — and md5 is engine-portable,
-    # so the DuckDB oracle (which self-joins raw shingle strings)
-    # stays bit-exact.
     sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
                 .alias(f"sig_{i}") for i in range(num_perm)]
     sh_hash = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
                 .cast("long"))
-    profile = (sh.groupBy("id")
-                 .agg(*sig_aggs,
-                      F.collect_set(sh_hash).alias("sh_set"))
-                 .withColumn("n_sh", F.size("sh_set")))
-    cand = lsh_candidate_pairs(
-        profile.select("id", *[f"sig_{i}" for i in range(num_perm)]),
-        bands, num_perm // bands)
-    pa = profile.select(F.col("id").alias("id_a"),
-                        F.col("n_sh").alias("n_a"),
-                        F.col("sh_set").alias("set_a"))
-    pb = profile.select(F.col("id").alias("id_b"),
-                        F.col("n_sh").alias("n_b"),
-                        F.col("sh_set").alias("set_b"))
+    return (sh.groupBy("id")
+              .agg(*sig_aggs,
+                   F.collect_set(sh_hash).alias("sh_set"))
+              .withColumn("n_sh", F.size("sh_set")))
+
+
+def _verify_pairs(cand: DataFrame, profiles: DataFrame,
+                  min_jaccard: float) -> DataFrame:
+    """Join the SMALL candidate-pair set back to per-doc profiles and
+    compute exact Jaccard via array_intersect — no second shingle
+    fan-out join, no all-pairs work."""
+    pa = profiles.select(F.col("id").alias("id_a"),
+                         F.col("n_sh").alias("n_a"),
+                         F.col("sh_set").alias("set_a"))
+    pb = profiles.select(F.col("id").alias("id_b"),
+                         F.col("n_sh").alias("n_b"),
+                         F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (cand.join(pa, "id_a").join(pb, "id_b")
                 .select("id_a", "id_b",
                         (inter / (F.col("n_a") + F.col("n_b") - inter))
                         .alias("jaccard"))
                 .filter(F.col("jaccard") >= min_jaccard))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 4,
+                        num_perm: int = 16, bands: int = 4,
+                        min_jaccard: float = 0.5,
+                        max_doc_freq: int | None = 1000) -> DataFrame:
+    """E2 end-to-end: shingle → MinHash → LSH bands → candidate pairs →
+    exact-Jaccard verification.  Output (id_a, id_b, jaccard) — LSH may
+    miss pairs (recall < 1) but never emits a pair below threshold
+    (precision = 1, because candidates are re-verified)."""
+    profile = minhash_profiles(df, text_col, id_col, n, num_perm,
+                               max_doc_freq)
+    cand = lsh_candidate_pairs(
+        profile.select("id", *[f"sig_{i}" for i in range(num_perm)]),
+        bands, num_perm // bands)
+    return _verify_pairs(cand, profile, min_jaccard)
+
+
+def minhash_dedup_incremental(new_docs: DataFrame,
+                              stored_profiles: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 4,
+                              num_perm: int = 16, bands: int = 4,
+                              min_jaccard: float = 0.5,
+                              max_doc_freq: int | None = 1000) -> DataFrame:
+    """Incremental near-dup detection: a NEW batch against a stored
+    corpus, without re-shingling the corpus.
+
+    ``stored_profiles`` is a prior ``minhash_profiles`` output (read
+    from parquet in practice; same n/num_perm required).  Output
+    (id_a, id_b, jaccard) where id_a is ALWAYS a new-batch doc and
+    id_b is either an older new-batch doc or a stored doc — the pair
+    orientation a daily-ingest filter needs ("drop the new doc").
+    stored×stored pairs are never generated or verified.
+
+    Scale design (the whole point): cost is O(new × num_perm) hashing
+    + a band-bucket join where the NEW side is tiny — AQE broadcast-
+    promotes it, so the corpus bands are read once and never shuffled.
+    A 100 TB corpus deduped daily re-hashes only the day's batch; the
+    corpus contributes a columnar scan of (id, sig_*) plus profile
+    lookups for the candidate ids.  Store profiles bucketed by id to
+    make the verification join co-located."""
+    new_prof = minhash_profiles(new_docs, text_col, id_col, n,
+                                num_perm, max_doc_freq)
+    sig_cols = [f"sig_{i}" for i in range(num_perm)]
+    rows_per_band = num_perm // bands
+
+    def banded(profiles: DataFrame) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            cols = [F.col(f"sig_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)]
+            band_cols.append(
+                F.concat_ws("#", F.lit(str(b)), *cols).alias("bucket"))
+        return profiles.select(
+            "id", F.explode(F.array(*band_cols)).alias("bucket"))
+
+    new_b = banded(new_prof.select("id", *sig_cols))
+    stored_b = banded(stored_profiles.select("id", *sig_cols))
+    # new×new (ordered) ∪ new×stored; stored×stored never materializes
+    nn = (new_b.select(F.col("id").alias("id_a"), "bucket")
+          .join(new_b.select(F.col("id").alias("id_b"), "bucket"),
+                "bucket")
+          .filter(F.col("id_a") < F.col("id_b")))
+    ns = (new_b.select(F.col("id").alias("id_a"), "bucket")
+          .join(stored_b.select(F.col("id").alias("id_b"), "bucket"),
+                "bucket"))
+    cand = nn.select("id_a", "id_b").union(
+        ns.select("id_a", "id_b")).distinct()
+    profiles = new_prof.unionByName(
+        stored_profiles.select(*new_prof.columns))
+    return _verify_pairs(cand, profiles, min_jaccard)
 
 
 def dedup_components(df: DataFrame, text_col: str = "text",

@@ -811,6 +811,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _minhash_incremental_oracle(split_id: int = 400) -> str:
+    """DuckDB replica of the INCREMENTAL pipeline: same sigs/bands as
+    the batch oracle, but candidates are restricted to pairs touching
+    the new batch (id >= split) — new×new kept ordered, new×stored
+    oriented new→stored, stored×stored never generated.  Verification
+    reuses the symmetric jac CTE via least/greatest."""
+    num_perm, bands, rows = 16, 4, 4
+    sig_aggs = ",\n           ".join(
+        f"min(md5(concat('{i}|', shingle))) AS sig_{i}"
+        for i in range(num_perm))
+    band_list = []
+    for b in range(bands):
+        parts = [f"'{b}'"] + [f"sig_{b * rows + r}" for r in range(rows)]
+        band_list.append("concat_ws('#', " + ", ".join(parts) + ")")
+    return (_SHINGLES_CTE + f"""
+, sigs AS (
+    SELECT id, {sig_aggs}
+    FROM shingles GROUP BY id
+),
+banded AS (
+    SELECT id, unnest([{", ".join(band_list)}]) AS bucket FROM sigs
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b ON a.bucket = b.bucket
+    WHERE a.id >= {split_id}
+      AND ((b.id >= {split_id} AND a.id < b.id) OR b.id < {split_id})
+)
+""" + _JACCARD_SQL + """
+SELECT c.id_a, c.id_b, round(j.jaccard, 6) AS jaccard
+FROM cand c
+JOIN jac j ON j.id_a = least(c.id_a, c.id_b)
+          AND j.id_b = greatest(c.id_a, c.id_b)
+WHERE j.jaccard >= 0.5
+""")
+
+
+@query("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b incremental: docs with id >= 400 are 'today's batch', the
+    rest is the stored corpus whose minhash_profiles would be read
+    from parquet in production — the corpus is never re-shingled and
+    stored×stored pairs never materialize (operators/dedup.py
+    minhash_dedup_incremental).  id_a is always a new-batch doc."""
+    from sstable_hadoop_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_profiles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stored = minhash_profiles(docs.filter(F.col("doc_id") < 400),
+                              n=_SHINGLE_N, num_perm=16,
+                              max_doc_freq=None)
+    new = docs.filter(F.col("doc_id") >= 400)
+    return (minhash_dedup_incremental(new, stored, n=_SHINGLE_N,
+                                      num_perm=16, bands=4,
+                                      min_jaccard=0.5, max_doc_freq=None)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
 def _simhash_oracle() -> str:
     """DuckDB replica of the SimHash pipeline: the 60-bit token hash
     (``conv(substr(md5, 1, 15), 16, 10)``) is rebuilt with positional
@@ -3190,6 +3250,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_decontaminate",
     "streaming_lww_flush",
     "streaming_flush_roundtrip",
+    "dedup_minhash_incremental",   # new r5 operator (batch-vs-stored)
     # -- last driver row was round 3 (stale per the 2-round policy) ---
     "lww_row_coarse",
     "live_view_asof",
@@ -3209,7 +3270,8 @@ _DRIVER_WINDOW: list[str] = [
     "scalar_date_string_math",
     "json_events_extract",
     "union_slices_distinct",
-    "distinct_exact_counts",
+    # (distinct_exact_counts — 3 green rows, 1-row pure-SQL result —
+    #  yields its slot to dedup_minhash_incremental's first row)
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_topk_lsh",

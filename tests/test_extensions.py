@@ -1073,3 +1073,41 @@ def test_sink_overwrite_spares_nested_subdirectories(spark, tmp_path):
     got = (spark.read.format("sstable").load(nested)
            .select("key").collect())
     assert {bytes(r["key"]) for r in got} == {b"k2"}
+
+
+def test_minhash_incremental_matches_batch(spark):
+    """Incremental dedup (new batch vs stored profiles) must agree
+    with the batch pipeline run over the full corpus, restricted to
+    pairs touching the new batch — same candidates, same Jaccard —
+    and must never emit stored×stored pairs."""
+    from sstable_hadoop_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_dedup_pairs,
+        minhash_profiles,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    split = 400
+    stored = minhash_profiles(docs.filter(F.col("doc_id") < split),
+                              num_perm=16, max_doc_freq=None)
+    inc = minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") >= split), stored,
+        num_perm=16, bands=4, min_jaccard=0.5, max_doc_freq=None)
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+           for r in inc.collect()}
+    # orientation contract: id_a is always new
+    assert all(a >= split for a, _ in got)
+
+    batch = minhash_dedup_pairs(docs, num_perm=16, bands=4,
+                                min_jaccard=0.5, max_doc_freq=None)
+    want = {}
+    for r in batch.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a >= split or b >= split:   # touching the new batch
+            # re-orient to new-first as the incremental contract does
+            if a >= split:
+                want[(a, b)] = round(r["jaccard"], 6)
+            else:
+                want[(b, a)] = round(r["jaccard"], 6)
+    assert got == want and got  # equal and non-trivial
