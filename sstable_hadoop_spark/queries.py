@@ -811,12 +811,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
-def _minhash_incremental_oracle(split_id: int = 400) -> str:
+def _minhash_incremental_oracle(mod: int = 10) -> str:
     """DuckDB replica of the INCREMENTAL pipeline: same sigs/bands as
     the batch oracle, but candidates are restricted to pairs touching
-    the new batch (id >= split) — new×new kept ordered, new×stored
-    oriented new→stored, stored×stored never generated.  Verification
-    reuses the symmetric jac CTE via least/greatest."""
+    the new batch (id % mod = 0, an SF-proportional ~10% slice) —
+    new×new kept ordered, new×stored oriented new→stored,
+    stored×stored never generated.  Verification reuses the symmetric
+    jac CTE via least/greatest."""
     num_perm, bands, rows = 16, 4, 4
     sig_aggs = ",\n           ".join(
         f"min(md5(concat('{i}|', shingle))) AS sig_{i}"
@@ -836,8 +837,8 @@ banded AS (
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM banded a JOIN banded b ON a.bucket = b.bucket
-    WHERE a.id >= {split_id}
-      AND ((b.id >= {split_id} AND a.id < b.id) OR b.id < {split_id})
+    WHERE a.id % {mod} = 0
+      AND ((b.id % {mod} = 0 AND a.id < b.id) OR b.id % {mod} <> 0)
 )
 """ + _JACCARD_SQL + """
 SELECT c.id_a, c.id_b, round(j.jaccard, 6) AS jaccard
@@ -850,21 +851,22 @@ WHERE j.jaccard >= 0.5
 
 @query("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2b incremental: docs with id >= 400 are 'today's batch', the
-    rest is the stored corpus whose minhash_profiles would be read
-    from parquet in production — the corpus is never re-shingled and
-    stored×stored pairs never materialize (operators/dedup.py
-    minhash_dedup_incremental).  id_a is always a new-batch doc."""
+    """E2b incremental: docs with id % 10 == 0 are 'today's batch'
+    (~10% of the corpus at every SF), the rest is the stored corpus
+    whose minhash_profiles would be read from parquet in production —
+    the corpus is never re-shingled and stored×stored pairs never
+    materialize (operators/dedup.py minhash_dedup_incremental).
+    id_a is always a new-batch doc."""
     from sstable_hadoop_spark.operators.dedup import (
         minhash_dedup_incremental,
         minhash_profiles,
     )
 
     docs = load(spark, sf_dir, "documents")
-    stored = minhash_profiles(docs.filter(F.col("doc_id") < 400),
+    stored = minhash_profiles(docs.filter(F.col("doc_id") % 10 != 0),
                               n=_SHINGLE_N, num_perm=16,
                               max_doc_freq=None)
-    new = docs.filter(F.col("doc_id") >= 400)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
     return (minhash_dedup_incremental(new, stored, n=_SHINGLE_N,
                                       num_perm=16, bands=4,
                                       min_jaccard=0.5, max_doc_freq=None)

@@ -26,3 +26,67 @@ def dedup_events_stream(events: DataFrame, keys: list[str] | None = None,
     if within_watermark:
         return ev.dropDuplicatesWithinWatermark(keys)
     return ev.dropDuplicates(keys)
+
+
+def minhash_dedup_foreach_batch(stored_profiles_path: str,
+                                pairs_out_path: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 4,
+                                num_perm: int = 16, bands: int = 4,
+                                min_jaccard: float = 0.5,
+                                max_doc_freq: int | None = 1000,
+                                update_profiles: bool = True):
+    """Continuous-ingest near-dup detection: a ``foreachBatch`` body
+    that runs ``minhash_dedup_incremental`` per micro-batch against
+    the profile store, appends the detected pairs, and (optionally)
+    appends the batch's own profiles so LATER batches dedup against
+    it — the streaming twin of the batch incremental operator.
+
+    MinHash profiles need a full per-doc aggregation, which structured
+    streaming cannot express mid-stream in append mode; foreachBatch
+    is the standard escape hatch and keeps every batch a plain batch
+    plan (broadcast new side, corpus never re-shingled).  Idempotence:
+    both writes go under ``batch_id``-named subdirectories, so Spark's
+    micro-batch replay after failure overwrites rather than re-appends.
+
+    Usage::
+
+        body = minhash_dedup_foreach_batch(profiles, pairs)
+        stream.writeStream.foreachBatch(body).start()
+    """
+    from ..operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_profiles,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            stored = spark.read.parquet(stored_profiles_path)
+            have_store = True
+        except Exception:
+            stored = None
+            have_store = False
+        new_prof = minhash_profiles(batch_df, text_col, id_col, n,
+                                    num_perm, max_doc_freq)
+        if have_store:
+            pairs = minhash_dedup_incremental(
+                batch_df, stored, text_col, id_col, n, num_perm,
+                bands, min_jaccard, max_doc_freq)
+        else:
+            from ..operators.dedup import (
+                _verify_pairs,
+                lsh_candidate_pairs,
+            )
+            sig_cols = [f"sig_{i}" for i in range(num_perm)]
+            cand = lsh_candidate_pairs(
+                new_prof.select("id", *sig_cols), bands,
+                num_perm // bands)
+            pairs = _verify_pairs(cand, new_prof, min_jaccard)
+        (pairs.write.mode("overwrite")
+              .parquet(f"{pairs_out_path}/batch_id={batch_id}"))
+        if update_profiles:
+            (new_prof.write.mode("overwrite")
+             .parquet(f"{stored_profiles_path}/batch_id={batch_id}"))
+
+    return body

@@ -386,3 +386,84 @@ def test_stream_backpressure_max_files_per_trigger(tmp_path):
                                               r3.latestOffset())
                        if p.path)
     assert all_files == [f"ks-cf-{g}-Data.db" for g in range(1, 10)]
+
+
+def test_streaming_minhash_dedup_foreach_batch(spark, tmp_path):
+    """Continuous-ingest minhash dedup: batches arriving one file per
+    trigger dedup against the profile store AND earlier batches'
+    profiles, matching the batch incremental operator's verdicts for
+    the same corpus split."""
+    from sstable_hadoop_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_profiles,
+    )
+    from sstable_hadoop_spark.queries import load
+    from sstable_hadoop_spark.streaming.dedup import (
+        minhash_dedup_foreach_batch,
+    )
+
+    docs = load(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
+
+    profiles_path = str(tmp_path / "profiles")
+    pairs_path = str(tmp_path / "pairs")
+    src = str(tmp_path / "incoming")
+    # seed the store with the corpus profiles (the production one-time
+    # build), then stream the new docs in several micro-batches
+    minhash_profiles(corpus, num_perm=16, max_doc_freq=None) \
+        .write.parquet(f"{profiles_path}/batch_id=seed")
+    batch_docs.select("doc_id", "text").repartition(3).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema(batch_docs.select("doc_id", "text").schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(minhash_dedup_foreach_batch(
+             profiles_path, pairs_path, num_perm=16, bands=4,
+             min_jaccard=0.5, max_doc_freq=None))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    _await(q)
+
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+           for r in spark.read.parquet(pairs_path).collect()}
+    stored = minhash_profiles(corpus, num_perm=16, max_doc_freq=None)
+    want_df = minhash_dedup_incremental(
+        batch_docs, stored, num_perm=16, bands=4,
+        min_jaccard=0.5, max_doc_freq=None)
+    want = {}
+    for r in want_df.collect():
+        want[(r["id_a"], r["id_b"])] = round(r["jaccard"], 6)
+    # the stream saw new docs split across micro-batches: new×new pairs
+    # may be oriented by arrival order instead of id order — normalize
+    norm = lambda d: {tuple(sorted(k)): v for k, v in d.items()}
+    assert norm(got) == norm(want) and got
+    # later batches' profiles landed in the store
+    store_ids = {r["id"] for r in
+                 spark.read.parquet(profiles_path).select("id").collect()}
+    assert {r["doc_id"] for r in batch_docs.collect()} <= store_ids
+
+
+def test_streaming_minhash_dedup_first_batch_no_store(spark, tmp_path):
+    """Before any profile store exists, the first batch dedups against
+    itself (batch-internal pairs only) and seeds the store."""
+    from sstable_hadoop_spark.streaming.dedup import (
+        minhash_dedup_foreach_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+         (3, "q r s t u v w x y z")],
+        "doc_id bigint, text string")
+    profiles_path = str(tmp_path / "p")
+    pairs_path = str(tmp_path / "out")
+    body = minhash_dedup_foreach_batch(profiles_path, pairs_path,
+                                       num_perm=16, bands=4,
+                                       min_jaccard=0.5,
+                                       max_doc_freq=None)
+    body(docs, 0)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {(1, 2)}
+    assert spark.read.parquet(profiles_path).count() == 3
