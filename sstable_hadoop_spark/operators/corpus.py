@@ -82,6 +82,39 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(bucket < expr)
 
 
+def shuffle_shards(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 8,
+                   seed: str = "shuffle") -> DataFrame:
+    """Deterministic global pseudo-shuffle for training export: every
+    row gets a ``shard`` (which output file it belongs to) and a
+    ``shard_pos`` (its position within that file), both pure functions
+    of the id — the same corpus always shuffles identically, on any
+    cluster size, in any engine (md5-derived, oracle-replicable).
+
+    Training pipelines need exactly this before writing shards: a
+    reproducible order that decorrelates neighboring source documents
+    so data loaders can stream files sequentially.  Downstream write:
+    ``.repartition(n_shards, "shard").sortWithinPartitions("shard_pos")
+    .write.partitionBy("shard")...`` — ONE shuffle keyed by shard, the
+    within-shard sort rides the shuffle's sort, and shards are
+    balanced ±O(√(rows/shards)) by md5 uniformity.
+
+    Scale note: ``row_number`` over the shard partition is the same
+    exchange the write needs anyway, so the ranking adds zero extra
+    shuffles; no global sort, no driver state."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(seed),
+                            F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("_shuffle_key")
+    return (df.withColumn("_shuffle_key", key)
+              .withColumn("shard", shard)
+              .withColumn("shard_pos", F.row_number().over(w))
+              .drop("_shuffle_key"))
+
+
 def token_chunks(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  chunk_size: int = 64,

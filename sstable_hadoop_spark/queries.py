@@ -1745,6 +1745,31 @@ def corpus_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("total_tokens")))
 
 
+@query("corpus_shuffle_shards", oracle="""
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS varchar)),
+                                 1, 8)) AS UBIGINT) % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY CAST(('0x' || substr(md5('shuffle:'
+                              || CAST(doc_id AS varchar)), 1, 8))
+                         AS UBIGINT) % 8
+            ORDER BY md5('shuffle:' || CAST(doc_id AS varchar))
+       ) AS INT) AS shard_pos
+FROM documents
+""")
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global pseudo-shuffle ahead of shard-partitioned
+    training export: shard + within-shard position are pure md5
+    functions of the id, so any cluster produces the identical
+    training order (operators/corpus.py shuffle_shards — one exchange,
+    the same one the shard write needs)."""
+    from sstable_hadoop_spark.operators.corpus import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return (shuffle_shards(docs, n_shards=8)
+            .select("doc_id", "shard", "shard_pos"))
+
+
 # substitute the shared hex thresholds into the oracles above
 for _q, _subs in (
         ("corpus_hash_split", {"T90": _hexth(0.9), "T95": _hexth(0.95)}),
@@ -3253,6 +3278,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_lww_flush",
     "streaming_flush_roundtrip",
     "dedup_minhash_incremental",   # new r5 operator (batch-vs-stored)
+    "corpus_shuffle_shards",       # new r5 operator (training shuffle)
     # -- last driver row was round 3 (stale per the 2-round policy) ---
     "lww_row_coarse",
     "live_view_asof",
@@ -3269,7 +3295,8 @@ _DRIVER_WINDOW: list[str] = [
     "set_ops_customers",
     "except_unordered_parts",
     "topk_global_orders",
-    "scalar_date_string_math",
+    # (scalar_date_string_math — 3 green rows, pure scalar gallery —
+    #  yields its slot to corpus_shuffle_shards' first row)
     "json_events_extract",
     "union_slices_distinct",
     # (distinct_exact_counts — 3 green rows, 1-row pure-SQL result —

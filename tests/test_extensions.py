@@ -1111,3 +1111,35 @@ def test_minhash_incremental_matches_batch(spark):
             else:
                 want[(b, a)] = round(r["jaccard"], 6)
     assert got == want and got  # equal and non-trivial
+
+
+def test_shuffle_shards_deterministic_balanced(spark):
+    """Shard assignment and within-shard order are pure functions of
+    the id (row-order independent), shards are reasonably balanced,
+    and positions are a dense 1..n_k sequence per shard."""
+    from collections import Counter
+
+    from sstable_hadoop_spark.operators.corpus import shuffle_shards
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shards(docs, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shards(docs.orderBy(F.desc("doc_id")),
+                                 n_shards=8).collect()}
+    assert a == b                      # row-order independence
+    counts = Counter(s for s, _ in a.values())
+    n = len(a)
+    assert len(counts) == 8
+    assert max(counts.values()) < 2 * n / 8   # md5 balance
+    for shard, k in counts.items():
+        poss = sorted(p for s, p in a.values() if s == shard)
+        assert poss == list(range(1, k + 1))  # dense ranks
+    # the shuffle decorrelates source order: adjacent ids rarely stay
+    # adjacent (same shard AND consecutive positions)
+    adjacent = sum(
+        1 for i in sorted(a)[:-1]
+        if i + 1 in a and a[i][0] == a[i + 1][0]
+        and abs(a[i][1] - a[i + 1][1]) == 1)
+    assert adjacent < n * 0.05
