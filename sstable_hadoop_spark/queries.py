@@ -1770,6 +1770,40 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shard", "shard_pos"))
 
 
+def _zorder_oracle(bits: int = 16) -> str:
+    """DuckDB replica of the Morton interleave: per-bit extract/shift
+    terms summed — engine-portable bit arithmetic, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return f"""
+WITH src AS (
+    SELECT doc_id,
+           least(greatest(doc_id, 0), {(1 << bits) - 1}) AS x,
+           least(greatest(n_chars, 0), {(1 << bits) - 1}) AS y
+    FROM documents
+)
+SELECT doc_id, CAST({" + ".join(terms)} AS BIGINT) AS zkey
+FROM src
+"""
+
+
+@query("zorder_key_gallery", oracle=_zorder_oracle())
+def zorder_key_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order clustering key over (doc_id, n_chars) — the
+    multi-column layout clustering `write_zordered` sorts by
+    (operators/layout.py); pruning effect proven against a
+    single-column sort in tests/test_extensions.py via scan-node
+    row-group metrics."""
+    from sstable_hadoop_spark.operators.layout import zorder_key
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        zorder_key("doc_id", "n_chars", bits=16).alias("zkey"))
+
+
 # substitute the shared hex thresholds into the oracles above
 for _q, _subs in (
         ("corpus_hash_split", {"T90": _hexth(0.9), "T95": _hexth(0.95)}),
@@ -3279,6 +3313,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_flush_roundtrip",
     "dedup_minhash_incremental",   # new r5 operator (batch-vs-stored)
     "corpus_shuffle_shards",       # new r5 operator (training shuffle)
+    "zorder_key_gallery",          # new r5 operator (layout clustering)
     # -- last driver row was round 3 (stale per the 2-round policy) ---
     "lww_row_coarse",
     "live_view_asof",
@@ -3298,7 +3333,8 @@ _DRIVER_WINDOW: list[str] = [
     # (scalar_date_string_math — 3 green rows, pure scalar gallery —
     #  yields its slot to corpus_shuffle_shards' first row)
     "json_events_extract",
-    "union_slices_distinct",
+    # (union_slices_distinct — 3 green rows, pure set-op SQL — yields
+    #  its slot to zorder_key_gallery's first row)
     # (distinct_exact_counts — 3 green rows, 1-row pure-SQL result —
     #  yields its slot to dedup_minhash_incremental's first row)
     "dedup_ngram_jaccard",

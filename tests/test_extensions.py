@@ -1143,3 +1143,62 @@ def test_shuffle_shards_deterministic_balanced(spark):
         if i + 1 in a and a[i][0] == a[i + 1][0]
         and abs(a[i][1] - a[i + 1][1]) == 1)
     assert adjacent < n * 0.05
+
+
+def test_zorder_key_matches_reference_and_bounds(spark):
+    from sstable_hadoop_spark.operators.layout import zorder_key
+
+    df = spark.range(0, 512).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 512).alias("y"))
+    rows = df.withColumn("z", zorder_key("x", "y", bits=9)).collect()
+
+    def morton(x, y, bits=9):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert all(r["z"] == morton(r["x"], r["y"]) for r in rows)
+    # clamping: negatives floor to 0, overflow saturates
+    one = spark.createDataFrame([(-5, 1 << 40)], "x long, y long") \
+        .select(zorder_key("x", "y", bits=9).alias("z")).collect()[0]["z"]
+    assert one == morton(0, (1 << 9) - 1)
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_key("x", "y", bits=32)
+    with pytest.raises(ValueError, match="two columns"):
+        zorder_key("x")
+
+
+def test_zorder_layout_prunes_on_every_column(spark, tmp_path):
+    """The clustered layout's row-group stats must prune scans for
+    predicates on EITHER z-ordered column; a single-column sort only
+    prunes its leading column (full scan on the other).  Metrics come
+    from the scan node itself, so this measures real parquet
+    row-group pruning, not plan shape."""
+    from sstable_hadoop_spark.operators.layout import write_zordered
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"))
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    write_zordered(df, zdir, ["x", "y"], n_files=16, bits=12)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.parquet(xdir))
+
+    def scan_rows(path, pred):
+        sdf = spark.read.parquet(path).filter(pred)
+        sdf.collect()
+        return (sdf._jdf.queryExecution().executedPlan()
+                .collectLeaves().apply(0)
+                .metrics().apply("numOutputRows").value())
+
+    x_pred = "x BETWEEN 1000 AND 1200"
+    y_pred = "y BETWEEN 2000 AND 2200"
+    # z-order: meaningful pruning on both columns individually
+    assert scan_rows(zdir, x_pred) <= 4096 / 2
+    assert scan_rows(zdir, y_pred) <= 4096 / 2
+    # x-sort: optimal on x, useless on y — the 100 TB failure mode
+    assert scan_rows(xdir, x_pred) <= 4096 / 4
+    assert scan_rows(xdir, y_pred) == 4096
