@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -264,6 +265,9 @@ class SSTableReader(DataSourceReader):
                                            "false")).lower() == "true"
         self._key_lo: bytes | None = None  # inclusive
         self._key_hi: bytes | None = None  # inclusive
+        self._gen_lo: int | None = None    # inclusive
+        self._gen_hi: int | None = None    # inclusive
+        self._gen_in: set[int] | None = None
 
     def pushFilters(self, filters: list[Filter]):
         """Key-range scan pruning from Index.db split bounds — the
@@ -295,6 +299,33 @@ class SSTableReader(DataSourceReader):
                     self._tighten(v, None)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
                     self._tighten(None, v)
+        # generation is derivable from the FILENAME, so generation
+        # predicates prune whole files at plan time, exactly — the
+        # incremental-consumer pattern (generation > last_processed)
+        # costs a directory listing, not a scan.  Open bounds are
+        # adjusted by 1 because file pruning needs inclusive bounds.
+        if self.kind in ("data", "cells", "index"):
+            for f in filters:
+                if getattr(f, "attribute", None) != ("generation",):
+                    continue
+                v = getattr(f, "value", None)
+                if isinstance(f, EqualTo) and isinstance(v, int):
+                    self._tighten_gen(v, v)
+                elif isinstance(f, GreaterThan) and isinstance(v, int):
+                    self._tighten_gen(v + 1, None)
+                elif isinstance(f, GreaterThanOrEqual) and isinstance(v, int):
+                    self._tighten_gen(v, None)
+                elif isinstance(f, LessThan) and isinstance(v, int):
+                    self._tighten_gen(None, v - 1)
+                elif isinstance(f, LessThanOrEqual) and isinstance(v, int):
+                    self._tighten_gen(None, v)
+                elif isinstance(f, In):
+                    vals = [x for x in getattr(f, "value", ())
+                            if isinstance(x, int)]
+                    if vals and len(vals) == len(getattr(f, "value", ())):
+                        s = set(vals)
+                        self._gen_in = (s if self._gen_in is None
+                                        else self._gen_in & s)
         return filters  # Spark re-applies everything
 
     def _tighten(self, lo: bytes | None, hi: bytes | None) -> None:
@@ -302,6 +333,34 @@ class SSTableReader(DataSourceReader):
             self._key_lo = lo
         if hi is not None and (self._key_hi is None or hi < self._key_hi):
             self._key_hi = hi
+
+    def _tighten_gen(self, lo: int | None, hi: int | None) -> None:
+        if lo is not None and (self._gen_lo is None or lo > self._gen_lo):
+            self._gen_lo = lo
+        if hi is not None and (self._gen_hi is None or hi < self._gen_hi):
+            self._gen_hi = hi
+
+    def _gen_admits(self, path: str) -> bool:
+        """File-level generation pruning (exact: generation IS the
+        filename's generation; Spark still re-applies the filter).
+        Works for any component filename (-Data.db, -Index.db, ...);
+        an unparseable name never prunes."""
+        if (self._gen_lo is None and self._gen_hi is None
+                and self._gen_in is None):
+            return True
+        import re as _re
+
+        m = _re.search(r"-(\d+)-[A-Za-z]+\.db$", os.path.basename(path))
+        if m is None:
+            return True
+        g = int(m.group(1))
+        if self._gen_lo is not None and g < self._gen_lo:
+            return False
+        if self._gen_hi is not None and g > self._gen_hi:
+            return False
+        if self._gen_in is not None and g not in self._gen_in:
+            return False
+        return True
 
     def _overlaps(self, p: RangePartition) -> bool:
         if p.min_key is None or p.max_key is None:
@@ -336,6 +395,8 @@ class SSTableReader(DataSourceReader):
                 ci_reader = read_cassandra_compression_info
             parts = []
             for f in _list_files(self.path, "-Data.db"):
+                if not self._gen_admits(f):
+                    continue
                 # -Filter.db bloom pruning is native-format only (the
                 # real Cassandra Filter.db is a different serialization
                 # — misparsing it must never prune)
@@ -348,6 +409,8 @@ class SSTableReader(DataSourceReader):
         if self.kind == "index":
             parts = []
             for f in _list_files(self.path, "-Index.db"):
+                if not self._gen_admits(f):
+                    continue
                 parts.extend(self._plan_index_file(f))
             return parts or [RangePartition("", 0, 0, 0)]
         if self.kind == "summary":

@@ -178,3 +178,54 @@ def test_bloom_pruned_scan_correct(spark, tmp_path):
     assert len(hit) == 1 and hit[0]["generation"] == 2
     miss = df.filter(df.key == b"nope").collect()
     assert miss == []
+
+
+def test_generation_pushdown_prunes_files(spark, tmp_path):
+    """Generation predicates prune whole files at PLAN time (generation
+    is the filename's generation — exact, and Spark re-applies the
+    filter anyway): the incremental-consumer pattern
+    `generation > last_processed` costs a listing, not a scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        LessThanOrEqual,
+    )
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.sources.datasource import SSTableReader
+
+    d = str(tmp_path / "gens")
+    for gen in (1, 2, 3, 4):
+        write_sstable(d, "tbl", [
+            Row(key=f"k{gen}{i}".encode(),
+                cells=[Cell(name=b"c", data=b"v",
+                            timestamp=gen * 10 + i)])
+            for i in range(5)], generation=gen)
+
+    def planned(*filters):
+        r = SSTableReader({"path": d})
+        r.pushFilters(list(filters))
+        parts = [p for p in r.partitions() if p.path]
+        return {p.path.rsplit("-", 2)[-2] for p in parts}
+
+    assert planned() == {"1", "2", "3", "4"}
+    assert planned(GreaterThan(("generation",), 2)) == {"3", "4"}
+    assert planned(EqualTo(("generation",), 3)) == {"3"}
+    assert planned(In(("generation",), (1, 4))) == {"1", "4"}
+    assert planned(GreaterThan(("generation",), 1),
+                   LessThanOrEqual(("generation",), 3)) == {"2", "3"}
+    # non-generation / non-int filters never prune
+    assert planned(EqualTo(("other",), 3)) == {"1", "2", "3", "4"}
+    assert planned(EqualTo(("generation",), "3")) == {"1", "2", "3", "4"}
+
+    # end to end: results equal the unpruned scan + filter
+    base = spark.read.format("sstable").load(d)
+    for pred, want in [(F.col("generation") > 2, 10),
+                       (F.col("generation") == 3, 5),
+                       (F.col("generation").isin(1, 4), 10)]:
+        assert base.filter(pred).count() == want
+    # index kind prunes too
+    idx = (spark.read.format("sstable").option("kind", "index").load(d)
+           .filter(F.col("generation") > 3))
+    assert idx.count() == 5
