@@ -290,11 +290,16 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: md5-seeded
     pseudo-features in [0, 1).  Replace with a real decoder + model when
-    media libraries are available."""
-    h = hashlib.md5(payload).digest()
+    media libraries are available.
+
+    Formula: feature[i] = first-4-bytes of md5(payload || byte(i)) as
+    a [0,1) fraction — chosen so a SQL engine can replicate it
+    (``md5(text || chr(i))`` for UTF-8 payloads and i < 128), making
+    the fake path cross-engine oracle-checkable, not just
+    deterministic."""
     out = []
     for i in range(dim):
-        hi = hashlib.md5(h + bytes([i])).digest()
+        hi = hashlib.md5(payload + bytes([i])).digest()
         out.append(int.from_bytes(hi[:4], "big") / 2 ** 32)
     return out
 

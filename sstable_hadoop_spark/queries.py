@@ -1875,11 +1875,29 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("pack_group"))
 
 
-@query("multimodal_features")  # rows-only: mapInPandas kernel, no SQL twin
+# The fake kernel is md5(payload || byte(i)) by design, so DuckDB
+# replicates it exactly for UTF-8 payloads: a REAL cross-engine oracle
+# for the mapInPandas plumbing (r5 — was the last rows-only E5 query).
+@query("multimodal_features", oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       -- the engine stores features as float32: replicate that exact
+       -- quantization (CAST AS FLOAT) before rounding, or the 6th
+       -- decimal drifts
+       round(CAST(CAST(
+           CAST(('0x' || substr(md5(text || chr(0)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS FLOAT) AS DOUBLE), 6) AS f0
+FROM documents
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: binary-payload feature extraction via Arrow-batched
     mapInPandas (deterministic fake decode; schema/batch plumbing is
-    the real thing under test)."""
+    the real thing under test).  The kernel formula is deliberately
+    SQL-replicable (see operators/multimodal.py), so even the fake
+    path is hash-checked cross-engine."""
     from sstable_hadoop_spark.operators.multimodal import (
         extract_features,
         media_from_documents,
@@ -3329,7 +3347,8 @@ _DRIVER_WINDOW: list[str] = [
     "grouping_sets_nation_segment",
     "set_ops_customers",
     "except_unordered_parts",
-    "topk_global_orders",
+    # (topk_global_orders — 3 green rows, LIMIT-only SQL — yields its
+    #  slot to multimodal_features' first hash-checked row)
     # (scalar_date_string_math — 3 green rows, pure scalar gallery —
     #  yields its slot to corpus_shuffle_shards' first row)
     "json_events_extract",
@@ -3351,12 +3370,8 @@ _DRIVER_WINDOW: list[str] = [
     "window_session_events",
     "sstable_cells_scan",
     "approx_distinct_users",   # r5: exact-keyed HLL pin — first hash row
-    # (multimodal_features is also r3-stale but stays no_oracle — its
-    #  fake-decode kernel is md5-of-digest, which DuckDB cannot express
-    #  (VARCHAR-only md5) and a 500-row pinned literal would be
-    #  circular; the REAL kernels are oracle-checked via
-    #  multimodal_real_decode / multimodal_video_frames, and the fake
-    #  path keeps its pytest determinism coverage.)
+    "multimodal_features",     # r5: fake kernel redefined SQL-replicable
+                               # (md5(payload||byte(i))) — first hash row
     # -- permanent regression core, trimmed to the rows that exercise
     #    this round's risky code paths (LWW repartition cut, MinHash
     #    hashed-shingle verify, codec fast parse, sink overwrite scope);
