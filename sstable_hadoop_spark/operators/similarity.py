@@ -266,38 +266,117 @@ def cosine_topk_ivf_stored(spark, path: str, queries: DataFrame,
                   .select(query_id_col, id_col, "cos", "rk"))
 
 
+def train_spherical_kmeans(embeddings: DataFrame,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           n_centroids: int = 16, n_iter: int = 4,
+                           seed: str = "kmeans-ivf",
+                           sample_fraction: float | None = None)\
+        -> list[list[float]]:
+    """Deterministic spherical k-means codebook — bit-reproducible on
+    any cluster size / partitioning / row order:
+
+    - init: the ``n_centroids`` unit vectors whose md5(seed:id) ranks
+      lowest (a pure function of the data, no RNG);
+    - assign: argmax dot against the current centers (per-row double
+      arithmetic — partitioning-independent), ties to the larger cell
+      (same rule as ``ivf_cell_of``);
+    - update: component means aggregated in DECIMAL (exact, so the sum
+      is independent of partition/merge order — the step that makes
+      floating-point k-means nondeterministic), then L2-normalized in
+      double on the driver; empty cells keep their previous center;
+    - EXACTLY ``n_iter`` iterations, no convergence test.
+
+    This reproducibility is what lets a driver query pin the trained
+    centers in a cross-engine oracle.  Cost per iteration: one
+    scan + one tiny groupBy (n_centroids × dim decimal means); at
+    100 TB pass ``sample_fraction`` — codebook quality needs only a
+    sample."""
+    import math
+
+    dim = _resolve_dim(None, embeddings, vec_col)
+    base = embeddings.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("_v"))
+    if sample_fraction is not None:
+        # md5-threshold sample, not .sample(): row-order independent
+        frac_hex = format(int(sample_fraction * 2 ** 32), "08x")
+        base = base.filter(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|s|"),
+                                       F.col("_id").cast("string"))),
+                        1, 8) < frac_hex)
+    nrm = F.sqrt(F.aggregate("_v", F.lit(0.0),
+                             lambda a, x: a + x * x))
+    unit = base.select(
+        "_id",
+        F.transform("_v", lambda x: x / nrm).alias("_u"))
+
+    init = (unit
+            .withColumn("_r", F.md5(F.concat(F.lit(f"{seed}:"),
+                                             F.col("_id").cast("string"))))
+            .orderBy("_r").limit(n_centroids).collect())
+    cents = [[float(x) for x in r["_u"]] for r in init]
+
+    for _ in range(n_iter):
+        cell = ivf_cell_of("_u", cents)
+        mean_aggs = [
+            F.avg(F.element_at("_u", i + 1).cast("decimal(20,18)"))
+            .alias(f"m{i}") for i in range(dim)]
+        got = {r["_cell"]: [float(r[f"m{i}"]) for i in range(dim)]
+               for r in unit.withColumn("_cell", cell)
+                            .groupBy("_cell").agg(*mean_aggs).collect()}
+        nxt = []
+        for c in range(n_centroids):
+            if c in got:
+                v = got[c]
+                inv = 1.0 / (math.sqrt(sum(x * x for x in v)) or 1.0)
+                nxt.append([x * inv for x in v])
+            else:
+                nxt.append(cents[c])
+        cents = nxt
+    return cents
+
+
 def cosine_topk_ivf_trained(embeddings: DataFrame, queries: DataFrame,
                             k: int = 5, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             query_id_col: str = "query_id",
                             n_centroids: int = 16, n_probe: int = 3,
                             seed: int = 7, max_iter: int = 10,
-                            sample_fraction: float | None = None)\
-        -> DataFrame:
-    """IVF with a TRAINED codebook: fit Spark ML k-means (seeded →
-    deterministic) on the corpus (optionally a ``sample_fraction``
-    sample at 100 TB — codebook quality needs only a sample),
-    L2-normalize the centers (spherical assignment matches the cosine
-    metric), then run the same bucket topology as ``cosine_topk_ivf``.
-    Replaces the md5 pseudo-codebook with real data-adaptive cells —
-    tighter clusters → higher recall at the same n_probe.  Training is
-    one MLlib job; centers ship as plan literals (same as the fixed
-    codebook), so query-time cost is identical."""
+                            sample_fraction: float | None = None,
+                            trainer: str = "spherical") -> DataFrame:
+    """IVF with a TRAINED codebook, then the same bucket topology as
+    ``cosine_topk_ivf`` — data-adaptive cells replace the md5
+    pseudo-codebook (tighter clusters → higher recall at equal
+    n_probe); centers ship as plan literals, so query-time cost is
+    identical.
+
+    ``trainer="spherical"`` (default) uses the bit-deterministic
+    in-house spherical k-means above (cross-engine oracle-checkable);
+    ``trainer="ml"`` keeps the seeded Spark ML k-means path (same
+    topology, centers deterministic only per partitioning)."""
     import math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if trainer == "spherical":
+        cents = train_spherical_kmeans(
+            embeddings, vec_col, id_col, n_centroids,
+            n_iter=min(max_iter, 4), seed=f"kmeans-ivf-{seed}",
+            sample_fraction=sample_fraction)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    train = embeddings.select(array_to_vector(
-        F.col(vec_col).cast("array<double>")).alias("features"))
-    if sample_fraction is not None:
-        train = train.sample(sample_fraction, seed)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
-    cents = []
-    for c in model.clusterCenters():
-        comps = [float(x) for x in c]
-        inv = 1.0 / (math.sqrt(sum(x * x for x in comps)) or 1.0)
-        cents.append([x * inv for x in comps])
+        train = embeddings.select(array_to_vector(
+            F.col(vec_col).cast("array<double>")).alias("features"))
+        if sample_fraction is not None:
+            train = train.sample(sample_fraction, seed)
+        model = KMeans(k=n_centroids, seed=seed,
+                       maxIter=max_iter).fit(train)
+        cents = []
+        for c in model.clusterCenters():
+            comps = [float(x) for x in c]
+            inv = 1.0 / (math.sqrt(sum(x * x for x in comps)) or 1.0)
+            cents.append([x * inv for x in comps])
     return _ivf_topk(embeddings, queries, cents, k, id_col, vec_col,
                      query_id_col, n_probe, where="cosine_topk_ivf_trained")
 

@@ -1580,14 +1580,83 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3, min_term_len=2)
 
 
-@query("similarity_topk_ivf_trained")  # rows-only: MLlib k-means
-                                       # internals have no SQL twin;
-                                       # recall pinned vs brute force
-                                       # in tests/test_extensions.py
+def _topk_ivf_trained_oracle() -> str:
+    """Hybrid oracle for the TRAINED IVF (same policy as the sequence
+    packer): the k-means training loop is iterative (non-SQL), but the
+    trainer is bit-deterministic (decimal-exact means,
+    partitioning-independent — operators/similarity.py
+    train_spherical_kmeans), so its codebook is pinned per corpus —
+    selected by a data signature the oracle computes itself — and
+    EVERYTHING ELSE (cell assignment, probe set, cosine, rank) is
+    re-derived declaratively, identically to the untrained IVF oracle.
+    A training change, data change, or nondeterminism mismatches."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "operators",
+                           "_trained_centers.json")) as f:
+        pinned = json.load(f)
+    n_probe, k = 3, 5
+    dim = 64
+    rows = []
+    for sig, cents in pinned.items():
+        for cell, c in enumerate(cents):
+            arr = ", ".join(repr(float(x)) for x in c)
+            rows.append(f"('{sig}', {cell}, [{arr}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    dot = " + ".join(f"e.e[{i + 1}]*c.c[{i + 1}]" for i in range(dim))
+    return f"""
+WITH sig AS (
+    SELECT CAST(count(*) AS VARCHAR) || ':'
+           || CAST(round(sum(embedding[1]), 3) AS VARCHAR) AS s
+    FROM embeddings
+),
+cents AS (
+    SELECT t.cell, t.c
+    FROM (VALUES
+    {values}
+    ) AS t(s, cell, c) JOIN sig ON t.s = sig.s
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dots AS (
+    SELECT e.vec_id, c.cell, ({dot}) AS d
+    FROM emb e CROSS JOIN cents c
+),
+ranked AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, cell DESC) AS cell_rk
+    FROM dots
+),
+e_cell AS (SELECT vec_id, cell FROM ranked WHERE cell_rk = 1),
+q_cell AS (
+    SELECT vec_id AS query_id, cell FROM ranked
+    WHERE cell_rk <= {n_probe} AND vec_id < 8
+),
+scored AS (
+    SELECT q.query_id, ec.vec_id,
+           list_cosine_similarity(eq.e, ee.e) AS cos,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(eq.e, ee.e) DESC,
+                        ec.vec_id) AS rk
+    FROM q_cell q
+    JOIN e_cell ec ON ec.cell = q.cell AND ec.vec_id != q.query_id
+    JOIN emb eq ON eq.vec_id = q.query_id
+    JOIN emb ee ON ee.vec_id = ec.vec_id
+)
+SELECT query_id, vec_id, rk, round(cos, 4) AS cos
+FROM scored WHERE rk <= {k}
+"""
+
+
+@query("similarity_topk_ivf_trained", oracle=_topk_ivf_trained_oracle())
 def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 IVF with a TRAINED (seeded Spark ML k-means) codebook —
-    data-adaptive cells replacing the md5 pseudo-codebook; same bucket
-    topology and query-time cost (operators/similarity.py)."""
+    """E3 IVF with a TRAINED codebook — bit-deterministic spherical
+    k-means (operators/similarity.py train_spherical_kmeans) replacing
+    the md5 pseudo-codebook; same bucket topology and query-time cost.
+    The oracle pins the codebook (training is the one iterative step)
+    and re-derives assignment/probe/rank declaratively."""
     from sstable_hadoop_spark.operators.similarity import (
         cosine_topk_ivf_trained,
     )
@@ -1597,8 +1666,9 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lambda x: x.cast("double")).alias("embedding"))
     q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
         "vec_id", "query_id")
-    return cosine_topk_ivf_trained(emb, q, k=5).withColumn(
-        "cos", F.round("cos", 6))
+    return (cosine_topk_ivf_trained(emb, q, k=5)
+            .select("query_id", "vec_id", "rk",
+                    F.round("cos", 4).alias("cos")))
 
 
 @query("corpus_redact_pii", oracle=r"""
@@ -3332,6 +3402,8 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_minhash_incremental",   # new r5 operator (batch-vs-stored)
     "corpus_shuffle_shards",       # new r5 operator (training shuffle)
     "zorder_key_gallery",          # new r5 operator (layout clustering)
+    "similarity_topk_ivf_trained", # r5: deterministic k-means + pinned-
+                                   # codebook oracle — first hash row
     # -- last driver row was round 3 (stale per the 2-round policy) ---
     "lww_row_coarse",
     "live_view_asof",
@@ -3341,7 +3413,8 @@ _DRIVER_WINDOW: list[str] = [
     "doc_length_histogram",
     "join_asof_latest_order",
     "window_topk_orders",
-    "window_running_revenue",
+    # (window_running_revenue — 3 green rows, pure window SQL — yields
+    #  its slot to similarity_topk_ivf_trained's first hash row)
     "rollup_lineitem",
     "cube_orders",
     "grouping_sets_nation_segment",
