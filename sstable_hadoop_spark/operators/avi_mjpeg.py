@@ -145,7 +145,11 @@ def sample_mjpeg_frames(payload: bytes, every_ms: int) -> list[tuple[int, int, b
     """(frame_idx, frame_ms, jpeg_bytes) for one frame per ``every_ms``
     of video time (the frame whose timestamp covers each sample tick);
     always yields at least the first frame."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     avi = parse_avi_mjpeg(payload)
+    if avi["n_frames"] == 0:
+        raise ValueError("MJPEG AVI contains no frames")
     usec = avi["usec_per_frame"] or 33333
     out = []
     seen = set()
@@ -166,6 +170,8 @@ def video_features(payload: bytes, dim: int) -> list[float]:
      mean luminance of the middle frame, 10-bin luminance histogram]
     (decodes ONE frame — feature cost is O(frame), not O(video))."""
     avi = parse_avi_mjpeg(payload)
+    if avi["n_frames"] == 0:
+        raise ValueError("MJPEG AVI contains no frames")
     usec = avi["usec_per_frame"] or 33333
     mid = decode_jpeg(avi["frames"][avi["n_frames"] // 2])
     lum = mid.astype(np.float32).mean(axis=2) / 255.0

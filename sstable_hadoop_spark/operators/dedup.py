@@ -217,7 +217,9 @@ def minhash_dedup_incremental(new_docs: DataFrame,
                               id_col: str = "doc_id", n: int = 4,
                               num_perm: int = 16, bands: int = 4,
                               min_jaccard: float = 0.5,
-                              max_doc_freq: int | None = 1000) -> DataFrame:
+                              max_doc_freq: int | None = 1000,
+                              new_profiles: DataFrame | None = None)\
+        -> DataFrame:
     """Incremental near-dup detection: a NEW batch against a stored
     corpus, without re-shingling the corpus.
 
@@ -228,6 +230,17 @@ def minhash_dedup_incremental(new_docs: DataFrame,
     orientation a daily-ingest filter needs ("drop the new doc").
     stored×stored pairs are never generated or verified.
 
+    Ids appearing on BOTH sides (e.g. a crash-replayed micro-batch
+    whose own profiles already landed in the store) are excluded from
+    the stored side before banding, so re-runs never produce
+    jaccard-1.0 self-pairs or doubled verification rows — replay
+    output equals first-run output.
+
+    ``new_profiles`` optionally supplies an already-computed
+    ``minhash_profiles(new_docs)`` so callers that persist the batch's
+    profiles anyway (the streaming foreachBatch) don't shingle the
+    batch twice.
+
     Scale design (the whole point): cost is O(new × num_perm) hashing
     + a band-bucket join where the NEW side is tiny — AQE broadcast-
     promotes it, so the corpus bands are read once and never shuffled.
@@ -235,8 +248,11 @@ def minhash_dedup_incremental(new_docs: DataFrame,
     corpus contributes a columnar scan of (id, sig_*) plus profile
     lookups for the candidate ids.  Store profiles bucketed by id to
     make the verification join co-located."""
-    new_prof = minhash_profiles(new_docs, text_col, id_col, n,
-                                num_perm, max_doc_freq)
+    new_prof = (new_profiles if new_profiles is not None
+                else minhash_profiles(new_docs, text_col, id_col, n,
+                                      num_perm, max_doc_freq))
+    stored_profiles = stored_profiles.join(
+        new_prof.select("id"), "id", "left_anti")
     sig_cols = [f"sig_{i}" for i in range(num_perm)]
     rows_per_band = num_perm // bands
 

@@ -465,6 +465,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so FF FF DB parses as DQT, not marker 0xFF
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -510,6 +514,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                     # SOS → entropy data
             ns = body[0]
+            if comps and ns < len(comps):
+                # spec-valid but out of scope: decoding only the first
+                # scan would silently return luma-as-grayscale for a
+                # color image — refuse loudly instead
+                raise NotImplementedError(
+                    f"non-interleaved baseline JPEG ({ns}-component "
+                    f"scan of a {len(comps)}-component image) not "
+                    "supported — single interleaved scan only")
             by_id = {c["id"]: c for c in comps}
             scan = []
             for i in range(ns):

@@ -298,13 +298,17 @@ def train_spherical_kmeans(embeddings: DataFrame,
     base = embeddings.select(F.col(id_col).alias("_id"),
                              F.col(vec_col).cast("array<double>")
                              .alias("_v"))
-    if sample_fraction is not None:
-        # md5-threshold sample, not .sample(): row-order independent
-        frac_hex = format(int(sample_fraction * 2 ** 32), "08x")
+    if sample_fraction is not None and sample_fraction < 1.0:
+        # md5-threshold sample, not .sample(): row-order independent.
+        # Reuses corpus._hex_threshold for the fraction>=1.0 clamp
+        # semantics (a 9-char '100000000' threshold would silently
+        # keep ~1/16 of rows under the 8-char lexicographic compare).
+        from .corpus import _hex_threshold
+
         base = base.filter(
             F.substring(F.md5(F.concat(F.lit(f"{seed}|s|"),
                                        F.col("_id").cast("string"))),
-                        1, 8) < frac_hex)
+                        1, 8) < _hex_threshold(sample_fraction))
     nrm = F.sqrt(F.aggregate("_v", F.lit(0.0),
                              lambda a, x: a + x * x))
     unit = base.select(
@@ -315,6 +319,11 @@ def train_spherical_kmeans(embeddings: DataFrame,
             .withColumn("_r", F.md5(F.concat(F.lit(f"{seed}:"),
                                              F.col("_id").cast("string"))))
             .orderBy("_r").limit(n_centroids).collect())
+    if not init:
+        raise ValueError("cannot train a codebook on an empty corpus")
+    # fewer rows than requested centers → every row is its own center
+    # (the ML path's k>n behavior); callers get len(result) cells
+    n_centroids = min(n_centroids, len(init))
     cents = [[float(x) for x in r["_u"]] for r in init]
 
     for _ in range(n_iter):

@@ -106,11 +106,62 @@ def _read_exact(f, n: int) -> bytes:
     return buf
 
 
+def _decode_modified_utf8(b: bytes) -> str:
+    """Java modified UTF-8 → str: U+0000 is written as C0 80 (invalid
+    strict UTF-8) and supplementary-plane chars as CESU-8 surrogate
+    pairs.  Strict UTF-8 is a fast path; the manual walk only runs for
+    payloads strict decoding rejects."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    out, i, n = [], 0, len(b)
+    while i < n:
+        c = b[i]
+        if c < 0x80:
+            out.append(chr(c))
+            i += 1
+        elif c & 0xE0 == 0xC0:
+            out.append(chr(((c & 0x1F) << 6) | (b[i + 1] & 0x3F)))
+            i += 2
+        elif c & 0xF0 == 0xE0:
+            out.append(chr(((c & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6)
+                           | (b[i + 2] & 0x3F)))
+            i += 3
+        else:
+            raise ValueError(f"invalid modified-UTF-8 byte {c:#x}")
+    s = "".join(out)
+    # recombine CESU-8 surrogate pairs into supplementary-plane chars
+    return s.encode("utf-16", "surrogatepass").decode("utf-16")
+
+
+def _encode_modified_utf8(s: str) -> bytes:
+    """str → Java modified UTF-8 (writeUTF payload bytes)."""
+    out = bytearray()
+    for ch in s:
+        cp = ord(ch)
+        if 0x0001 <= cp <= 0x007F:
+            out.append(cp)
+        elif cp <= 0x07FF:  # includes U+0000 → C0 80
+            out += bytes([0xC0 | (cp >> 6), 0x80 | (cp & 0x3F)])
+        elif cp <= 0xFFFF:
+            out += bytes([0xE0 | (cp >> 12), 0x80 | ((cp >> 6) & 0x3F),
+                          0x80 | (cp & 0x3F)])
+        else:  # encode as CESU-8 surrogate pair
+            cp -= 0x10000
+            for half in (0xD800 | (cp >> 10), 0xDC00 | (cp & 0x3FF)):
+                out += bytes([0xE0 | (half >> 12),
+                              0x80 | ((half >> 6) & 0x3F),
+                              0x80 | (half & 0x3F)])
+    return bytes(out)
+
+
 def _read_java_utf(f) -> str:
     """java DataOutput.writeUTF: u16 length + modified-UTF-8 bytes
-    (identical to UTF-8 for the ASCII class names written here)."""
+    (U+0000 as C0 80, supplementary planes as CESU-8 — real 1.x files
+    with non-ASCII keys need the full decode, not strict UTF-8)."""
     (n,) = struct.unpack(">H", _read_exact(f, 2))
-    return _read_exact(f, n).decode("utf-8")
+    return _decode_modified_utf8(_read_exact(f, n))
 
 
 def read_cassandra_compression_info(path: str) -> CompressionInfo:
@@ -288,12 +339,15 @@ def read_cassandra_summary_entries(path: str) -> "Iterator[tuple[bytes, int]]":
 def write_cassandra_summary(path: str,
                             entries: "list[tuple[bytes, int]]") -> None:
     """Fixture/test support: serialize ``(key, index_offset)`` samples
-    in the real 1.x ``IndexSummary`` layout parsed above."""
+    in the real 1.x ``IndexSummary`` layout parsed above — keys go
+    through Java modified UTF-8 (writeUTF), same as the reader."""
     entries = list(entries)
     with fs.open_output(path) as f:
         f.write(struct.pack(">i", len(entries)))
         for key, off in entries:
-            kb = key if isinstance(key, bytes) else str(key).encode("utf-8")
+            s = (key.decode("utf-8") if isinstance(key, bytes)
+                 else str(key))
+            kb = _encode_modified_utf8(s)
             f.write(struct.pack(">H", len(kb)) + kb)
             f.write(struct.pack(">q", off))
 

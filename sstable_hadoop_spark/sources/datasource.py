@@ -717,6 +717,16 @@ class SSTableStreamReader(DataSourceStreamReader):
         # driver-side, best-effort late-file detection (log only):
         self._known: set[str] = set()
         self._prev_offset: dict | None = None
+        # Spark calls initialOffset() ONLY when no checkpoint exists —
+        # so its absence before the first latestOffset() means we are
+        # restarting from an unknown committed offset, where capped
+        # (oldest-first) admission would emit a coverage-REGRESSING
+        # offset and poison the offset chain with re-reads of
+        # already-committed files.  Fresh starts cap from trigger 1;
+        # restarts emit one uncapped (full-coverage) offset — the
+        # planned batch is still only covered(end)−covered(checkpoint),
+        # i.e. the true backlog — and cap from trigger 2 on.
+        self._fresh_start = False
 
     def _stamped(self) -> dict[str, tuple[int, str]]:
         """basename → (mtime_ns, basename) for every Data.db present."""
@@ -730,6 +740,7 @@ class SSTableStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
+        self._fresh_start = True
         return {"wm": [0, ""], "floor": 0, "seen": []}
 
     def latestOffset(self) -> dict:
@@ -748,8 +759,10 @@ class SSTableStreamReader(DataSourceStreamReader):
                         "%d ms grace window) — excluded from the stream",
                         self.path, b, self.grace_ns // 1_000_000)
         self._known.update(stamped)
-        if self.max_files is not None:
-            prev = self._prev_offset or self.initialOffset()
+        if self.max_files is not None and (self._prev_offset is not None
+                                           or self._fresh_start):
+            prev = self._prev_offset or {"wm": [0, ""], "floor": 0,
+                                         "seen": []}
             already = self._covered(prev, stamped)
             backlog = sorted(s for b, s in stamped.items()
                              if b not in already)
@@ -761,7 +774,7 @@ class SSTableStreamReader(DataSourceStreamReader):
                 stamped = {b: s for b, s in stamped.items()
                            if b in already or s in admit}
         wm = max(stamped.values(), default=(0, ""))
-        if self._prev_offset is not None:
+        if self._prev_offset is not None and "wm" in self._prev_offset:
             # never regress the watermark (newest covered file may have
             # been compacted away between triggers)
             wm = max(wm, tuple(self._prev_offset["wm"]))
@@ -790,7 +803,32 @@ class SSTableStreamReader(DataSourceStreamReader):
         return {b for b, s in stamped.items()
                 if s <= wm and (s[0] < floor or b in seen)}
 
+    def _adopt(self, offset: dict | None) -> None:
+        """Ratchet the in-memory previous offset from a CHECKPOINTED
+        offset Spark hands back through partitions()/commit().
+
+        After a restart ``self._prev_offset`` is gone, so the first
+        ``latestOffset()`` would otherwise admit from scratch — with
+        ``max_files_per_trigger`` that means re-admitting the OLDEST
+        on-disk files the checkpoint already committed and replaying
+        them (duplicate data).  Adopting the checkpoint as the floor
+        restores exactly-once: the one batch planned against a stale
+        end offset computes covered(end)−covered(start) ⊆ ∅ (an empty
+        batch, never a duplicate), and every later trigger builds on
+        the adopted checkpoint."""
+        if not offset:
+            return
+        if self._prev_offset is None:
+            self._prev_offset = offset
+            return
+        new_wm = tuple(offset.get("wm", (0, "")))
+        cur_wm = tuple(self._prev_offset.get("wm", (0, "")))
+        if new_wm > cur_wm:
+            self._prev_offset = offset
+
     def partitions(self, start: dict, end: dict):
+        self._adopt(start)
+        self._adopt(end)
         ci_reader = None
         if self.fmt == "cassandra":
             from .cassandra1x import read_cassandra_compression_info
@@ -855,7 +893,10 @@ class SSTableStreamReader(DataSourceStreamReader):
             for row in self._rows(partition)))
 
     def commit(self, end: dict) -> None:
-        return None
+        # nothing to clean up, but ratchet the committed offset so a
+        # restart-recovery path that commits before the next
+        # latestOffset() also restores the admission floor
+        self._adopt(end)
 
 
 @dataclass

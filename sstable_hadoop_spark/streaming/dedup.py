@@ -46,8 +46,11 @@ def minhash_dedup_foreach_batch(stored_profiles_path: str,
     streaming cannot express mid-stream in append mode; foreachBatch
     is the standard escape hatch and keeps every batch a plain batch
     plan (broadcast new side, corpus never re-shingled).  Idempotence:
-    both writes go under ``batch_id``-named subdirectories, so Spark's
-    micro-batch replay after failure overwrites rather than re-appends.
+    both writes go under ``batch_id``-named subdirectories (replay
+    overwrites rather than re-appends), and the incremental operator
+    excludes the batch's own ids from the stored side — so a replay
+    that crashed AFTER its profile write still reproduces the original
+    pairs, never jaccard-1.0 self-matches.
 
     Usage::
 
@@ -69,10 +72,15 @@ def minhash_dedup_foreach_batch(stored_profiles_path: str,
             have_store = False
         new_prof = minhash_profiles(batch_df, text_col, id_col, n,
                                     num_perm, max_doc_freq)
+        # localCheckpoint: the profile lineage feeds BOTH the pair
+        # detection and the store write — cut it once so the batch is
+        # shingled/aggregated a single time, not per consumer
+        new_prof = new_prof.localCheckpoint()
         if have_store:
             pairs = minhash_dedup_incremental(
                 batch_df, stored, text_col, id_col, n, num_perm,
-                bands, min_jaccard, max_doc_freq)
+                bands, min_jaccard, max_doc_freq,
+                new_profiles=new_prof)
         else:
             from ..operators.dedup import (
                 _verify_pairs,

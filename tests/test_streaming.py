@@ -373,10 +373,14 @@ def test_stream_backpressure_max_files_per_trigger(tmp_path):
     os.utime(late, ns=(8 * 10**9, 8 * 10**9))
     r2 = SSTableStreamReader({"path": d, "max_files_per_trigger": "1",
                               "late_file_grace_ms": str(10**9)})
-    o = r2.latestOffset()  # covers the existing backlog in one admit? no:
+    # Spark's fresh-start order: initialOffset() BEFORE the first
+    # latestOffset() (its absence signals a checkpoint restart, where
+    # the first trigger is deliberately uncapped)
+    prev0 = r2.initialOffset()
+    o = r2.latestOffset()
     # cap=1 admits exactly the oldest uncovered file first
     first = sorted(os.path.basename(p.path)
-                   for p in r2.partitions(r2.initialOffset(), o) if p.path)
+                   for p in r2.partitions(prev0, o) if p.path)
     assert first == ["ks-cf-1-Data.db"]
 
     # uncapped reader: the whole directory in one batch
@@ -467,3 +471,76 @@ def test_streaming_minhash_dedup_first_batch_no_store(spark, tmp_path):
              for r in spark.read.parquet(pairs_path).collect()}
     assert pairs == {(1, 2)}
     assert spark.read.parquet(profiles_path).count() == 3
+
+
+def test_stream_backpressure_restart_is_exactly_once(tmp_path):
+    """Restart with max_files_per_trigger: a FRESH reader instance
+    (in-memory state lost, no initialOffset call — Spark only invokes
+    it when no checkpoint exists) resuming from a checkpointed offset
+    must never re-emit files that offset already covered.  The first
+    post-restart trigger is deliberately uncapped (a capped oldest-
+    first admission would emit a coverage-regressing offset and poison
+    the offset chain); capping resumes once the reader has state."""
+    import os
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.sources.datasource import SSTableStreamReader
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+
+    def one(g):
+        write_sstable(d, "ks-cf",
+                      [Row(b"k", [Cell(b"c", "NORMAL", b"v", g)])],
+                      generation=g)
+        os.utime(os.path.join(d, f"ks-cf-{g}-Data.db"),
+                 ns=(g * 10**9, g * 10**9))
+
+    for g in range(1, 11):
+        one(g)
+
+    opts = {"path": d, "max_files_per_trigger": "3"}
+
+    def drain(reader, prev, max_triggers=10):
+        seen = []
+        for _ in range(max_triggers):
+            o = reader.latestOffset()
+            batch = sorted(os.path.basename(p.path)
+                           for p in reader.partitions(prev, o) if p.path)
+            seen.append(batch)
+            prev = o
+            reader.commit(o)
+            if not batch and o == prev:
+                pass
+        return seen, prev
+
+    # phase 1: first reader commits two capped batches (files 1..6)
+    r1 = SSTableStreamReader(opts)
+    prev = r1.initialOffset()
+    committed = []
+    for _ in range(2):
+        o = r1.latestOffset()
+        committed += [os.path.basename(p.path)
+                      for p in r1.partitions(prev, o) if p.path]
+        r1.commit(o)
+        prev = o
+    assert len(committed) == 6 and len(set(committed)) == 6
+
+    # phase 2: RESTART — new reader, only the checkpointed offset
+    r2 = SSTableStreamReader(opts)
+    emitted = []
+    start = prev
+    for _ in range(8):
+        o = r2.latestOffset()
+        batch = [os.path.basename(p.path)
+                 for p in r2.partitions(start, o) if p.path]
+        emitted += batch
+        r2.commit(o)
+        start = o
+    # every pre-restart file appears ZERO more times; the backlog
+    # (7..10) drains exactly once each
+    assert not (set(emitted) & set(committed)), \
+        f"replayed committed files: {set(emitted) & set(committed)}"
+    assert sorted(emitted) == sorted(
+        f"ks-cf-{g}-Data.db" for g in range(7, 11))
+    assert len(emitted) == len(set(emitted))
