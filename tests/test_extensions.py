@@ -1202,3 +1202,34 @@ def test_zorder_layout_prunes_on_every_column(spark, tmp_path):
     # x-sort: optimal on x, useless on y — the 100 TB failure mode
     assert scan_rows(xdir, x_pred) <= 4096 / 4
     assert scan_rows(xdir, y_pred) == 4096
+
+
+def test_minhash_incremental_overlap_replay_safe(spark):
+    """An id present in BOTH the new batch and the stored profiles
+    (crash-replay state) must not produce jaccard-1.0 self-pairs or
+    doubled rows — replay output equals first-run output."""
+    from sstable_hadoop_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_profiles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "p q r s t u v w"), (4, "z y x w v u t s")],
+        "doc_id bigint, text string")
+    new = docs.filter(F.col("doc_id") <= 2)
+    clean_store = minhash_profiles(docs.filter(F.col("doc_id") >= 3),
+                                   num_perm=16, max_doc_freq=None)
+    # replayed store: the batch's own profiles already landed in it
+    dirty_store = clean_store.unionByName(
+        minhash_profiles(new, num_perm=16, max_doc_freq=None))
+
+    def pairs(store):
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                      for r in minhash_dedup_incremental(
+                          new, store, num_perm=16, bands=4,
+                          min_jaccard=0.5, max_doc_freq=None).collect())
+
+    first = pairs(clean_store)
+    replay = pairs(dirty_store)
+    assert first == replay == [(1, 2, 1.0)]
