@@ -544,3 +544,50 @@ def test_stream_backpressure_restart_is_exactly_once(tmp_path):
     assert sorted(emitted) == sorted(
         f"ks-cf-{g}-Data.db" for g in range(7, 11))
     assert len(emitted) == len(set(emitted))
+
+
+def test_stream_backpressure_uncommitted_batch_replay(tmp_path):
+    """The other restart path: the offset log holds a planned-but-
+    uncommitted batch.  A fresh reader re-running partitions(start,
+    end) must emit exactly the original batch (pure function of the
+    offsets), and the continuation after commit drains the rest
+    without duplicates or losses."""
+    import os
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, write_sstable
+    from sstable_hadoop_spark.sources.datasource import SSTableStreamReader
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for g in range(1, 8):
+        write_sstable(d, "ks-cf",
+                      [Row(b"k", [Cell(b"c", "NORMAL", b"v", g)])],
+                      generation=g)
+        os.utime(os.path.join(d, f"ks-cf-{g}-Data.db"),
+                 ns=(g * 10**9, g * 10**9))
+
+    opts = {"path": d, "max_files_per_trigger": "3"}
+    r1 = SSTableStreamReader(opts)
+    start = r1.initialOffset()
+    end = r1.latestOffset()           # plans files 1-3, logged
+    original = sorted(os.path.basename(p.path)
+                      for p in r1.partitions(start, end) if p.path)
+    assert len(original) == 3
+    # crash before commit → restart: fresh reader replays (start, end)
+    r2 = SSTableStreamReader(opts)
+    replayed = sorted(os.path.basename(p.path)
+                      for p in r2.partitions(start, end) if p.path)
+    assert replayed == original      # bit-identical batch
+    r2.commit(end)
+    # continuation drains 4-7 exactly once (capped again: 3 then 1)
+    emitted, prev = [], end
+    for _ in range(4):
+        o = r2.latestOffset()
+        emitted += [os.path.basename(p.path)
+                    for p in r2.partitions(prev, o) if p.path]
+        r2.commit(o)
+        prev = o
+    assert sorted(set(emitted)) == sorted(
+        f"ks-cf-{g}-Data.db" for g in range(4, 8))
+    assert len(emitted) == len(set(emitted))
+    assert not (set(emitted) & set(original))
