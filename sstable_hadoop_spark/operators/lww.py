@@ -114,6 +114,33 @@ def lww_cell(cells: DataFrame, *, skew: str = "never",
                     "w.ttl", "w.expiration", "w.generation"))
 
 
+def lww_refresh(stored_winners: DataFrame, new_cells: DataFrame, *,
+                skew: str = "never", n_salts: int = 16) -> DataFrame:
+    """Incremental LWW view maintenance: fold a DELTA (new generations'
+    cells) into a previously-materialized winners table without
+    re-merging old generations.
+
+    Correct because the per-cell merge is an associative, idempotent
+    argmax over the deterministic total order:
+    ``lww(lww(A) ∪ B) == lww(A ∪ B)`` — the stored winner of each
+    (key, name) is the only row of A that can still win, so carrying
+    winners instead of history loses nothing.  (Tombstone winners must
+    stay IN the stored table for this to hold — drop them only in a
+    read-side ``live_view``, or a resurrected older value could win a
+    later refresh.)
+
+    Scale story (the compaction-avoiding path): a 100 TB corpus's
+    nightly refresh shuffles O(live cells + delta), not O(all
+    generations); store the winners bucketed by (key, name) and the
+    union side co-locates, leaving the delta as the only shuffled
+    input.  Repeated refreshes are idempotent."""
+    cols = ["key", "name", *[c for c in CELL_COLS
+                             if c not in ("key", "name")]]
+    sw = stored_winners.select(*cols)
+    return lww_cell(sw.unionByName(new_cells.select(*cols)),
+                    skew=skew, n_salts=n_salts)
+
+
 def lww_row(cells: DataFrame) -> DataFrame:
     """The single newest cell of the entire row (coarse merge,
     reference SSTableDataReducer argmax, SSTableData.scala:48-53)."""

@@ -187,6 +187,33 @@ def flagship_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_winners(lww_cell(derived_cells(spark, sf_dir)))
 
 
+# Same oracle as flagship ON PURPOSE: the incremental refresh must be
+# indistinguishable from the full re-merge — lww(lww(gens 1-3) ∪ gen 4)
+# == lww(gens 1-4) by argmax associativity (operators/lww.py
+# lww_refresh).  A refresh that dropped tombstone winners, re-ordered
+# ties, or lost a column would hash-mismatch here.
+@query("lww_incremental_refresh", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def lww_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LWW view maintenance: generations 1-3 are the
+    stored materialized winners (merged once, as a nightly job would
+    persist them); generation 4 is the day's delta, folded in WITHOUT
+    re-merging history — shuffles O(winners + delta), not O(all
+    generations) (operators/lww.py lww_refresh)."""
+    from sstable_hadoop_spark.operators.lww import lww_refresh
+
+    cells = derived_cells(spark, sf_dir)
+    stored = lww_cell(cells.filter(F.col("generation") <= 3))
+    delta = cells.filter(F.col("generation") == 4)
+    return _render_winners(lww_refresh(stored, delta))
+
+
 @query("lww_row_coarse", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, ts_us, generation
@@ -3404,6 +3431,7 @@ _DRIVER_WINDOW: list[str] = [
     "zorder_key_gallery",          # new r5 operator (layout clustering)
     "similarity_topk_ivf_trained", # r5: deterministic k-means + pinned-
                                    # codebook oracle — first hash row
+    "lww_incremental_refresh",     # new r5 operator (view maintenance)
     # -- last driver row was round 3 (stale per the 2-round policy) ---
     "lww_row_coarse",
     "live_view_asof",
@@ -3424,7 +3452,8 @@ _DRIVER_WINDOW: list[str] = [
     #  slot to multimodal_features' first hash-checked row)
     # (scalar_date_string_math — 3 green rows, pure scalar gallery —
     #  yields its slot to corpus_shuffle_shards' first row)
-    "json_events_extract",
+    # (json_events_extract — 3 green rows, pure JSON-fn SQL — yields
+    #  its slot to lww_incremental_refresh's first row)
     # (union_slices_distinct — 3 green rows, pure set-op SQL — yields
     #  its slot to zorder_key_gallery's first row)
     # (distinct_exact_counts — 3 green rows, 1-row pure-SQL result —

@@ -183,3 +183,49 @@ def test_explode_collect_roundtrip(spark, sstable_dir):
                        for c in r["columns"])))
          for r in back.collect()}
     assert a == b
+
+
+def test_lww_refresh_equals_full_merge(spark):
+    """lww(lww(A) ∪ B) == lww(A ∪ B): folding a delta generation into
+    stored winners is indistinguishable from the full re-merge —
+    including when the stored winner is a TOMBSTONE that the delta
+    does not beat (dropping tombstones from the store would resurrect
+    the older value)."""
+    from sstable_hadoop_spark.operators.lww import lww_cell, lww_refresh
+
+    rows = [
+        # k1/c: old value (g1) < tombstone (g2, stored winner);
+        # the delta's even-older write must NOT resurrect it
+        (b"k1", b"c", "NORMAL", b"old", 100, None, None, 1),
+        (b"k1", b"c", "DELETED", None, 200, None, None, 2),
+        (b"k1", b"c", "NORMAL", b"stale", 50, None, None, 4),
+        # k2/c: delta genuinely wins
+        (b"k2", b"c", "NORMAL", b"v1", 100, None, None, 1),
+        (b"k2", b"c", "NORMAL", b"v2", 300, None, None, 4),
+        # k3/c: delta-only key
+        (b"k3", b"c", "NORMAL", b"new", 10, None, None, 4),
+        # k4/c: stored-only key survives untouched
+        (b"k4", b"c", "EXPIRING", b"t", 70, 60, 999999, 3),
+    ]
+    schema = ("key binary, name binary, state string, data binary, "
+              "timestamp long, ttl long, expiration long, generation int")
+    cells = spark.createDataFrame(rows, schema)
+    stored = lww_cell(cells.filter(F.col("generation") <= 3))
+    delta = cells.filter(F.col("generation") == 4)
+
+    def canon(df):
+        return {(bytes(r["key"]), bytes(r["name"])):
+                (r["state"], bytes(r["data"] or b""), r["timestamp"],
+                 r["generation"])
+                for r in df.collect()}
+
+    full = canon(lww_cell(cells))
+    refreshed = canon(lww_refresh(stored, delta))
+    assert refreshed == full
+    assert refreshed[(b"k1", b"c")][0] == "DELETED"  # tombstone held
+    assert refreshed[(b"k2", b"c")][1] == b"v2"
+    # idempotence: refreshing the refreshed view with the same delta
+    # changes nothing
+    again = canon(lww_refresh(
+        lww_refresh(stored, delta), delta))
+    assert again == full
