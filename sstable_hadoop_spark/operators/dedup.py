@@ -211,6 +211,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return _verify_pairs(cand, profile, min_jaccard)
 
 
+def write_profile_store(profiles: DataFrame, table_name: str,
+                        n_buckets: int = 64) -> None:
+    """Persist a ``minhash_profiles`` output as the incremental-dedup
+    corpus store: bucketed + sorted by id, so the verification join
+    reads the stored side pre-partitioned (no exchange on the corpus
+    profiles — only the tiny candidate set shuffles).  Size
+    ``n_buckets`` so a bucket's profiles fit one executor's memory at
+    the target corpus scale."""
+    (profiles.write.bucketBy(n_buckets, "id").sortBy("id")
+     .mode("overwrite").saveAsTable(table_name))
+
+
 def minhash_dedup_incremental(new_docs: DataFrame,
                               stored_profiles: DataFrame,
                               text_col: str = "text",

@@ -68,3 +68,48 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_bucketed_profile_store_cuts_dedup_shuffles(spark):
+    """The incremental-dedup verification join over a BUCKETED profile
+    store plans strictly fewer hash exchanges than over raw profiles
+    (the corpus side arrives pre-partitioned), with identical pairs."""
+    import shutil
+
+    from sstable_hadoop_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_profiles,
+        write_profile_store,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    prof = minhash_profiles(corpus, num_perm=16, max_doc_freq=None)
+
+    spark.sql("DROP TABLE IF EXISTS prof_store")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir",
+                               "spark-warehouse").replace("file:", "")
+    shutil.rmtree(f"{warehouse}/prof_store", ignore_errors=True)
+    write_profile_store(prof, "prof_store", n_buckets=8)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def run(store):
+            df = minhash_dedup_incremental(
+                new, store, num_perm=16, bands=4,
+                min_jaccard=0.5, max_doc_freq=None)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            pairs = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                     for r in df.collect()}
+            return plan.count("Exchange hashpartitioning"), pairs
+
+        raw_exchanges, raw_pairs = run(prof)
+        b_exchanges, b_pairs = run(spark.table("prof_store"))
+        assert b_pairs == raw_pairs and raw_pairs  # identical result
+        assert b_exchanges < raw_exchanges, \
+            f"bucketed store did not cut shuffles: {b_exchanges} vs " \
+            f"{raw_exchanges}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
