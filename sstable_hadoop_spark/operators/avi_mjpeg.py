@@ -80,8 +80,11 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 30,
     maxbuf = max(len(j) for j in jpegs)
     avih = struct.pack("<14I", usec, maxbuf * fps, 0, 0x10,  # HASINDEX
                        len(jpegs), 0, 1, maxbuf, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII",
-            0, 0, 0, 0, 1, fps, 0, len(jpegs), maxbuf, 0xFFFFFFFF, 0, 0))
+    # 56-byte AVISTREAMHEADER: rcFrame is a full 8-byte RECT
+    # (left, top, right, bottom as words), not a packed dword
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII",
+            0, 0, 0, 0, 1, fps, 0, len(jpegs), maxbuf, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)

@@ -122,17 +122,24 @@ def _decode_modified_utf8(b: bytes) -> str:
             out.append(chr(c))
             i += 1
         elif c & 0xE0 == 0xC0:
+            if i + 1 >= n:
+                raise ValueError("truncated modified-UTF-8 sequence")
             out.append(chr(((c & 0x1F) << 6) | (b[i + 1] & 0x3F)))
             i += 2
         elif c & 0xF0 == 0xE0:
+            if i + 2 >= n:
+                raise ValueError("truncated modified-UTF-8 sequence")
             out.append(chr(((c & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6)
                            | (b[i + 2] & 0x3F)))
             i += 3
         else:
             raise ValueError(f"invalid modified-UTF-8 byte {c:#x}")
     s = "".join(out)
-    # recombine CESU-8 surrogate pairs into supplementary-plane chars
-    return s.encode("utf-16", "surrogatepass").decode("utf-16")
+    # recombine CESU-8 surrogate pairs into supplementary-plane chars;
+    # surrogatepass on BOTH legs because a lone surrogate is legal here
+    # (Java strings need not be well-formed UTF-16)
+    return (s.encode("utf-16-le", "surrogatepass")
+             .decode("utf-16-le", "surrogatepass"))
 
 
 def _encode_modified_utf8(s: str) -> bytes:

@@ -63,11 +63,21 @@ def minhash_dedup_foreach_batch(stored_profiles_path: str,
     )
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             stored = spark.read.parquet(stored_profiles_path)
             have_store = True
-        except Exception:
+        except AnalysisException as e:
+            # only a genuinely-absent store means "first batch"; any
+            # other read failure (permissions, corrupt footer, flaky
+            # FS) must fail the batch so Spark retries it — otherwise
+            # the batch silently dedups only against itself and the
+            # missed corpus pairs are never re-detected (ADVICE r5)
+            if "PATH_NOT_FOUND" not in str(e) \
+                    and "Path does not exist" not in str(e):
+                raise
             stored = None
             have_store = False
         new_prof = minhash_profiles(batch_df, text_col, id_col, n,

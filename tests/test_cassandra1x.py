@@ -458,3 +458,29 @@ def test_corrupt_data_size_exceeding_file_raises(tmp_path):
         f.write(struct.pack(">H", 1) + b"k" + struct.pack(">Q", 1 << 40))
     with pytest.raises((IOError, EOFError)):
         list(read_cassandra_rows(data))
+
+
+def test_modified_utf8_edge_cases():
+    """ADVICE r5: truncated multibyte sequences raise ValueError (not
+    IndexError), and a lone UTF-16 surrogate — legal in Java modified
+    UTF-8 since Java strings need not be well-formed UTF-16 — survives
+    the CESU-8 recombine step instead of crashing it."""
+    from sstable_hadoop_spark.sources.cassandra1x import (
+        _decode_modified_utf8,
+    )
+
+    # U+0000 as C0 80 (the modified-UTF-8 signature case)
+    assert _decode_modified_utf8(b"a\xc0\x80b") == "a\x00b"
+    # supplementary plane via CESU-8 surrogate pair: U+1F600 written
+    # as the 3+3-byte encodings of D83D DE00 (strict UTF-8 rejects
+    # this, forcing the manual walk + recombine)
+    cesu = "\ud83d\ude00".encode("utf-8", "surrogatepass")
+    assert _decode_modified_utf8(b"x" + cesu) == "x\U0001f600"
+    # lone high surrogate decodes to the surrogate code point
+    lone = "\ud83d".encode("utf-8", "surrogatepass")
+    assert _decode_modified_utf8(lone) == "\ud83d"
+    # truncated 2-byte and 3-byte sequences: ValueError, not IndexError
+    with pytest.raises(ValueError):
+        _decode_modified_utf8(b"a\xc0")
+    with pytest.raises(ValueError):
+        _decode_modified_utf8(b"a\xe1\x80")

@@ -889,6 +889,43 @@ def test_pack_sequences_best_fit_exact(spark):
         [[2], [3, 6], [4, 5]]
 
 
+# Exact per-group BFD bin counts for the driver query's parameters
+# (budget=256, n_groups=16) on both test corpora.  These literals used
+# to live in the corpus_pack_sequences oracle as a CASE whose unmatched
+# keys went silently NULL under the driver's DuckDB (the r5 red row);
+# the driver projection now checks only re-derivable columns + the
+# lb <= n_bins <= n_docs invariant, and the sequential-state output is
+# pinned HERE, where a mismatch names the group that moved.
+_PACK_EXPECTED = {
+    "sf0.001": {0: (8, 2013), 1: (8, 1874), 2: (6, 1363), 3: (7, 1645),
+                4: (7, 1603), 5: (8, 1962), 6: (6, 1389), 7: (6, 1495),
+                8: (8, 1819), 9: (11, 2608), 10: (7, 1696), 11: (7, 1747),
+                12: (5, 1222), 13: (7, 1687), 14: (6, 1485), 15: (10, 2331)},
+    "sf0.01": {0: (9, 2035), 1: (7, 1650), 2: (5, 1119), 3: (8, 1905),
+               4: (6, 1395), 5: (10, 2289), 6: (6, 1282), 7: (6, 1399),
+               8: (8, 1806), 9: (8, 1944), 10: (7, 1752), 11: (8, 1923),
+               12: (6, 1443), 13: (6, 1522), 14: (7, 1672), 15: (9, 2029)},
+}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_pack_sequences_exact_bin_counts(spark, sf):
+    """Pin the exact best-fit-decreasing bin count and token total per
+    pack group on the driver corpora — the sequential-state quantity
+    the SQL oracle cannot re-derive."""
+    from sstable_hadoop_spark.operators.corpus import pack_sequences
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, f"/root/testdata/{sf}", "documents")
+    packed = pack_sequences(docs, budget=256, n_groups=16)
+    rows = (packed.groupBy("pack_group")
+            .agg(F.count_distinct("bin_id").alias("n_bins"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .collect())
+    got = {r["pack_group"]: (r["n_bins"], r["total_tokens"]) for r in rows}
+    assert got == _PACK_EXPECTED[sf]
+
+
 def test_redact_pii_crafted(spark):
     from sstable_hadoop_spark.operators.corpus import redact_pii
 

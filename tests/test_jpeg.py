@@ -332,3 +332,23 @@ def test_avi_sampling_properties(n_frames, fps, every_ms, omit, seed):
     assert idxs == sorted(set(idxs))
     assert all(0 <= i < n_frames for i in idxs)
     assert decode_jpeg(got[-1][2]).shape == (8, 16, 3)
+
+
+def test_avi_stream_header_is_56_bytes():
+    """ADVICE r5: strh must carry the full 56-byte AVISTREAMHEADER
+    (rcFrame is an 8-byte RECT); strict third-party readers reject a
+    52-byte body."""
+    import struct
+
+    import numpy as np
+
+    from sstable_hadoop_spark.operators.avi_mjpeg import encode_avi_mjpeg
+
+    frame = np.zeros((8, 8, 3), dtype=np.uint8)
+    avi = encode_avi_mjpeg([frame, frame], fps=5)
+    i = avi.index(b"strh")
+    size = struct.unpack("<I", avi[i + 4:i + 8])[0]
+    assert size == 56
+    # rcFrame right/bottom carry the frame dimensions
+    right, bottom = struct.unpack("<HH", avi[i + 8 + 52:i + 8 + 56])
+    assert (right, bottom) == (8, 8)
