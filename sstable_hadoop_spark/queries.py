@@ -3417,89 +3417,67 @@ def grouped_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local parity suite (tests/test_oracle_parity.py) runs the
 # driver-identical compare over ALL queries every round.
 _DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked (highest priority) ----------------------
-    "sstable_winner_index",        # r4 addition, only query with no row
-    "cassandra_summary_splits",    # new this round (real 1.x Summary.db)
-    # -- newly-oracled this round (first hash-checked rows) -----------
-    "msgpack_sink_lines",
-    "sstable_split_manifest",
-    "multimodal_real_decode",
-    # -- new this round: E5 video real path (MJPEG AVI frame sampling
-    #    + per-frame JPEG decode); takes compaction_roundtrip's slot
-    #    (3 cumulative green rows, code untouched this round) ---------
-    "multimodal_video_frames",
-    # -- code touched this round (repartition cut, corpus edge-case
-    #    fixes, decontaminate join fallback, stream backpressure) -----
-    "corpus_hash_split",
-    "corpus_stratified_sample",
+    # -- r5's one red row, oracle rebuilt this round (highest priority)
     "corpus_pack_sequences",
-    "corpus_decontaminate",
-    "streaming_lww_flush",
-    "streaming_flush_roundtrip",
-    "dedup_minhash_incremental",   # new r5 operator (batch-vs-stored)
-    "corpus_shuffle_shards",       # new r5 operator (training shuffle)
-    "zorder_key_gallery",          # new r5 operator (layout clustering)
-    "similarity_topk_ivf_trained", # r5: deterministic k-means + pinned-
-                                   # codebook oracle — first hash row
-    "lww_incremental_refresh",     # new r5 operator (view maintenance)
-    # -- last driver row was round 3 (stale per the 2-round policy) ---
-    "lww_row_coarse",
-    "live_view_asof",
-    "join_semi",
-    "join_anti",
-    "join_outer_gallery",
-    "doc_length_histogram",
-    "join_asof_latest_order",
-    "window_topk_orders",
-    # (window_running_revenue — 3 green rows, pure window SQL — yields
-    #  its slot to similarity_topk_ivf_trained's first hash row)
-    "rollup_lineitem",
-    "cube_orders",
-    "grouping_sets_nation_segment",
-    "set_ops_customers",
-    "except_unordered_parts",
-    # (topk_global_orders — 3 green rows, LIMIT-only SQL — yields its
-    #  slot to multimodal_features' first hash-checked row)
-    # (scalar_date_string_math — 3 green rows, pure scalar gallery —
-    #  yields its slot to corpus_shuffle_shards' first row)
-    # (json_events_extract — 3 green rows, pure JSON-fn SQL — yields
-    #  its slot to lww_incremental_refresh's first row)
-    # (union_slices_distinct — 3 green rows, pure set-op SQL — yields
-    #  its slot to zorder_key_gallery's first row)
-    # (distinct_exact_counts — 3 green rows, 1-row pure-SQL result —
-    #  yields its slot to dedup_minhash_incremental's first row)
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "text_sink_lines",
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "token_stats_by_lang",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_session_events",
-    "sstable_cells_scan",
-    "approx_distinct_users",   # r5: exact-keyed HLL pin — first hash row
-    "multimodal_features",     # r5: fake kernel redefined SQL-replicable
-                               # (md5(payload||byte(i))) — first hash row
-    # -- permanent regression core, trimmed to the rows that exercise
-    #    this round's risky code paths (LWW repartition cut, MinHash
-    #    hashed-shingle verify, codec fast parse, sink overwrite scope);
-    #    the dropped members (q1, join_agg, five_way, scan_project,
-    #    dedup_exact, similarity_bruteforce, corpus_curation) each have
-    #    3-4 cumulative green rows and unchanged pure-SQL plans --------
-    "flagship_lww_merge",
-    "dedup_minhash_lsh",
-    "sstable_lww_merge",       # also covers the cells-scan/codec path
-    "cassandra_format_scan",
-    "write_sink_roundtrip",
+    # -- last green round 3: 3 rounds stale, MUST cycle back (VERDICT
+    #    r5 next-round #3; the staleness guard in test_oracle_parity
+    #    now enforces this mechanically) -----------------------------
+    "window_running_revenue",
+    "topk_global_orders",
+    "scalar_date_string_math",
+    "json_events_extract",
+    "union_slices_distinct",
+    "distinct_exact_counts",
+    # -- last green round 4: would go >2 stale at r7 if skipped now;
+    #    with 92 queries and 50 slots the sustainable cadence is
+    #    alternating halves, so the whole r4 cohort rides this round
+    #    (the r5 cohort — 49 queries, all green last round — rotates
+    #    back in r7) --------------------------------------------------
+    "scan_project_filter",
+    "q1_pricing_summary",
+    "join_agg_revenue",
+    "five_way_join_region_revenue",
+    "dedup_exact",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf_stored",
+    "corpus_curation_pipeline",
+    "corpus_repetition_signals",
+    "corpus_token_chunks",
+    "corpus_tfidf_top_terms",
+    "corpus_redact_pii",
+    "corpus_training_export",
+    "sstable_scan_roundtrip",
+    "compaction_roundtrip",
+    "lww_skewed_auto",
+    "sstable_index_keys",
+    "sstable_scan_file_uri",
+    "sstable_keys_scan",
+    "subquery_above_avg_orders",
+    "subquery_correlated_max_item",
+    "window_gallery",
+    "stats_aggregates",
+    "pivot_status_by_priority",
+    "string_function_gallery",
+    "null_handling_gallery",
+    "array_agg_sorted_events",
+    "embedding_cosine_near_dup",
+    "dedup_clusters",
+    "array_function_gallery",
+    "cast_decimal_gallery",
+    "date_arithmetic_gallery",
+    "range_join_price_bands",
+    "map_function_gallery",
+    "explode_posexplode_embeddings",
+    "grouped_normalize_embeddings",
+    # -- code touched this round + permanent regression core ----------
+    "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
+    "cassandra_summary_splits",    # modified-UTF-8 decoder hardened
+    "cassandra_format_scan",       # same read path, batch scan
+    "dedup_minhash_incremental",   # store-read catch narrowed
+    "sstable_lww_merge",           # core + codec cells path
+    "flagship_lww_merge",          # permanent flagship row
+    "write_sink_roundtrip",        # sink + fixture write path
 ]
-# (sstable_scan_roundtrip — 4 cumulative green rows, batch scan path
-#  untouched this round — yields its slot to approx_distinct_users'
-#  first hash-checked row; scan coverage stays via sstable_lww_merge
-#  and cassandra_format_scan.)
 
 
 def _window_order(d: dict) -> dict:

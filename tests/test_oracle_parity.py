@@ -11,6 +11,7 @@ import os
 import duckdb
 import pytest
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -99,17 +100,54 @@ def test_driver_window_curated():
     missing = [n for n in q._DRIVER_WINDOW if n not in q._QUERIES]
     assert not missing, f"window names not registered: {missing}"
     window = set(names[:50])
-    # round-5 curation: the never-driver-checked pair, the newly-oracled
-    # trio, this round's new/touched code, and the regression core
+    assert len(q._DRIVER_WINDOW) == 50  # the driver checks exactly 50
+    # round-6 curation: the rebuilt red row, the r3-stale six, this
+    # round's touched code, and the regression core
     must_cover = {
-        "sstable_winner_index", "cassandra_summary_splits",
-        "msgpack_sink_lines", "sstable_split_manifest",
-        "multimodal_real_decode", "multimodal_video_frames",
-        "streaming_lww_flush", "streaming_flush_roundtrip",
-        "dedup_minhash_lsh", "flagship_lww_merge",
-        "approx_distinct_users", "write_sink_roundtrip",
+        "corpus_pack_sequences",
+        "window_running_revenue", "topk_global_orders",
+        "scalar_date_string_math", "json_events_extract",
+        "union_slices_distinct", "distinct_exact_counts",
+        "multimodal_video_frames", "cassandra_summary_splits",
+        "cassandra_format_scan", "dedup_minhash_incremental",
+        "sstable_lww_merge", "flagship_lww_merge",
+        "write_sink_roundtrip",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
     # oracles follow the same ordering
     assert [n for n in names if n in q._ORACLES][:10] == \
         [n for n in q.all_oracles()][:10]
+
+
+def test_driver_window_staleness_guard():
+    """VERDICT r5 next-round #8: the curation policy must never let a
+    query's latest driver-green row rot silently.  Parse the cumulative
+    CORRECTNESS_r*.json ledger; every registered query that is red,
+    never-checked, or whose latest green round is more than 2 behind
+    the newest ledger round MUST sit inside the first-50 window (i.e.
+    be scheduled for re-check next driver run)."""
+    import glob
+    import json
+    import re
+
+    from sstable_hadoop_spark import queries as q
+
+    latest_green: dict[str, int] = {}
+    newest = 0
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        newest = max(newest, rnd)
+        for name, v in json.load(open(p)).items():
+            ok = (v.get("rows_match") and v.get("schema_match")
+                  and v.get("hash_match", True) and not v.get("err"))
+            if ok:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    if not newest:  # fresh clone without ledger files
+        pytest.skip("no CORRECTNESS ledger present")
+    window = set(list(q.all_queries())[:50])
+    overdue = sorted(
+        name for name in q._QUERIES
+        if latest_green.get(name, 0) < newest - 2 and name not in window)
+    assert not overdue, (
+        f"queries stale beyond the 2-round policy and NOT scheduled in "
+        f"the driver window: {overdue}")
