@@ -383,6 +383,44 @@ def write_cassandra_compressed(data_path: str, raw: bytes,
         f.write(struct.pack(f">{len(offsets)}q", *offsets))
 
 
+def write_cassandra_family(out_dir: str, name: str, generation: int,
+                           rows: "list[Row]", *, compressed: bool = False,
+                           chunk_length: int = 16 * 1024,
+                           summary_rate: int = 32) -> "list[str]":
+    """Write one complete 1.x generation family —
+    ``{name}-{generation}-{Data,Index,Summary[,CompressionInfo]}.db`` —
+    from KEY-SORTED rows: Data.db rows in the public pre-1.2 layout,
+    Index.db ``(u16 key, u64 uncompressed offset)`` entries, the
+    persisted IndexSummary sampling every ``summary_rate``-th key, and
+    (when ``compressed``) snappy chunks behind a real-layout
+    CompressionInfo.db.  The write side of the ``format=cassandra``
+    scan path; one task per generation keeps global key order, so this
+    is the sink body for generation-disjoint distributed writes."""
+    fs.makedirs(out_dir)
+    data_path = os.path.join(out_dir, f"{name}-{generation}-Data.db")
+    index_path = data_path.replace("-Data.db", "-Index.db")
+    raw = bytearray()
+    samples = []
+    with fs.open_output(index_path) as ix:
+        for i, row in enumerate(rows):
+            if i % summary_rate == 0:
+                samples.append((row.key, ix.tell()))
+            ix.write(struct.pack(">H", len(row.key)) + row.key
+                     + struct.pack(">Q", len(raw)))
+            raw += encode_cassandra_row(row)
+    summary_path = data_path.replace("-Data.db", "-Summary.db")
+    write_cassandra_summary(summary_path, samples)
+    files = [data_path, index_path, summary_path]
+    if compressed:
+        write_cassandra_compressed(data_path, bytes(raw),
+                                   chunk_length=chunk_length)
+        files.append(data_path.replace("-Data.db", "-CompressionInfo.db"))
+    else:
+        with fs.open_output(data_path) as f:
+            f.write(bytes(raw))
+    return files
+
+
 def encode_unsupported_column(kind: str, name: bytes, *,
                               timestamp: int = 0, value: bytes = b"\0" * 8,
                               max_name: bytes = b"") -> bytes:

@@ -916,6 +916,13 @@ class SSTableWriteTask(DataSourceWriter):
     generation parseable by ``codec.generation_of`` while making task
     outputs collision-free.  Input schema must be DATA_SCHEMA
     (key, columns, generation).
+
+    ``option("task_suffix", "false")`` drops the ``p{partition}`` task
+    tag, producing classic single-family names ``{name}-{gen}-Data.db``
+    — valid ONLY when the input is partitioned so no generation spans
+    two tasks (e.g. ``df.repartition(n, "generation")``); a collision
+    is detected (the target family already exists) and fails the task
+    rather than silently interleaving two writers' rows.
     """
 
     def __init__(self, options: dict) -> None:
@@ -924,6 +931,13 @@ class SSTableWriteTask(DataSourceWriter):
             raise ValueError("sstable sink requires a path")
         self.name = options.get("name", "sstable")
         self.compressed = str(options.get("compressed", "false")).lower() == "true"
+        self.task_suffix = str(options.get("task_suffix",
+                                           "true")).lower() == "true"
+        self.format = options.get("format", "native")
+        if self.format not in ("native", "cassandra"):
+            raise ValueError(
+                f"sstable sink format must be native|cassandra, "
+                f"got {self.format!r}")
         self.chunk_length = int(options.get("chunk_length",
                                             codec.DEFAULT_CHUNK_LENGTH))
         self.summary_rate = int(options.get("summary_rate",
@@ -944,10 +958,29 @@ class SSTableWriteTask(DataSourceWriter):
             by_gen.setdefault(int(row["generation"]), []).append(
                 codec.Row(key=bytes(row["key"]), cells=cells))
         files = []
+        stem = f"{self.name}p{pid}" if self.task_suffix else self.name
         for gen, rows in sorted(by_gen.items()):
             rows.sort(key=lambda r: r.key)
+            if not self.task_suffix:
+                target = os.path.join(self.path,
+                                      f"{stem}-{gen}-Data.db")
+                if fs.exists(target):
+                    raise IOError(
+                        f"sstable sink task_suffix=false collision: "
+                        f"{target} already exists — generation {gen} "
+                        f"spans multiple tasks; repartition the input "
+                        f"by generation first")
+            if self.format == "cassandra":
+                from . import cassandra1x
+
+                files.extend(cassandra1x.write_cassandra_family(
+                    self.path, stem, gen, rows,
+                    compressed=self.compressed,
+                    chunk_length=self.chunk_length,
+                    summary_rate=self.summary_rate))
+                continue
             writer = codec.SSTableWriter(
-                self.path, f"{self.name}p{pid}", generation=gen,
+                self.path, stem, generation=gen,
                 compressed=self.compressed, chunk_length=self.chunk_length,
                 summary_rate=self.summary_rate)
             for r in rows:

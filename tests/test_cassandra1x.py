@@ -675,3 +675,73 @@ def test_golden_family_spark_end_to_end(spark, tmp_path):
     assert got[(b"beta", b"name")][0] == "DELETED"
     assert got[(b"beta", b"session")] == ("EXPIRING", b"tok")
     assert got[(b"gamma", b"city")] == ("NORMAL", b"Oslo")
+
+
+def test_cassandra_sink_roundtrip(spark, tmp_path):
+    """The sink's ``format=cassandra`` write path (r6): nested rows
+    written as real 1.x generation families distributed-style, read
+    back bit-for-bit through ``format=cassandra`` — write/read symmetry
+    for the reference's own file format."""
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    d = str(tmp_path / "csink")
+    rows = []
+    for gen in (1, 2):
+        for i in range(80):
+            rows.append((f"k{i:03d}".encode(),
+                         [(b"c0", "NORMAL", f"g{gen}v{i}".encode(),
+                           gen * 1000 + i, None, None),
+                          (b"c1", "DELETED", None, gen * 1000 + i,
+                           None, None)],
+                         gen))
+    schema = ("key binary, columns array<struct<name:binary,state:string,"
+              "data:binary,timestamp:long,ttl:int,expiration:long>>, "
+              "generation int")
+    df = spark.createDataFrame(rows, schema)
+    (df.repartition(2, "generation")
+       .write.format("sstable").option("path", d)
+       .option("format", "cassandra").option("name", "Ks-cf-hc")
+       .option("task_suffix", "false")
+       .option("compressed", "true").option("chunk_length", "1024")
+       .option("summary_rate", "16").mode("append").save())
+    files = sorted(os.listdir(d))
+    assert "Ks-cf-hc-1-Data.db" in files
+    assert "Ks-cf-hc-2-CompressionInfo.db" in files
+    assert "Ks-cf-hc-1-Summary.db" in files
+    back = (spark.read.format("sstable").option("format", "cassandra")
+            .option("kind", "cells").load(d))
+    got = {(r["key"], r["name"], r["generation"]): (r["state"], r["data"])
+           for r in back.collect()}
+    assert len(got) == 320
+    assert got[(b"k007", b"c0", 2)] == ("NORMAL", b"g2v7")
+    assert got[(b"k007", b"c1", 1)][0] == "DELETED"
+    # summary sampling: every 16th sorted key per generation
+    summ = (spark.read.format("sstable").option("format", "cassandra")
+            .option("kind", "summary").load(d))
+    keys = sorted(r["key"] for r in summ.collect() if r["generation"] == 1)
+    assert keys == [f"k{i:03d}".encode() for i in range(0, 80, 16)]
+
+
+def test_sink_task_suffix_collision_guard(spark, tmp_path):
+    """task_suffix=false with a generation spanning two tasks must fail
+    loudly, not interleave two writers' rows."""
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    d = str(tmp_path / "clash")
+    schema = ("key binary, columns array<struct<name:binary,state:string,"
+              "data:binary,timestamp:long,ttl:int,expiration:long>>, "
+              "generation int")
+    rows = [(f"k{i}".encode(), [(b"c", "NORMAL", b"v", 1, None, None)], 1)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, schema)
+    with _pytest.raises(Exception, match="collision|already exists"):
+        (df.repartition(4)  # round-robin: gen 1 spans several tasks
+           .write.format("sstable").option("path", d)
+           .option("name", "x").option("task_suffix", "false")
+           .mode("append").save())
