@@ -2349,6 +2349,29 @@ def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
     return _idempotent_tmpdir(tag, build)
 
 
+def _fixture_split_bytes(path: str) -> int:
+    """Split size keeping ~8 byte-range splits per Data.db at ANY
+    fixture scale — small enough that every driver run still exercises
+    split tiling (the 64 KiB floor reproduces the historical sf0.01
+    geometry exactly), large enough that per-split scheduling overhead
+    cannot dominate the scan as the fixture grows.  Measured r6 at
+    sf1: 330 fixed 64 KiB splits cost 2.76 s of pure per-partition
+    overhead vs 0.74 s with ~650 KiB splits, while the codec itself
+    parses the whole fixture in 1.76 s single-threaded — the scan was
+    scheduler-bound, not parse-bound.  (Production scans use the
+    source's 128 MiB default; this helper exists because the fixture
+    queries deliberately force multi-split files.)"""
+    import glob as _glob
+    import os
+
+    sizes = [os.path.getsize(f) for f in
+             _glob.glob(os.path.join(path, "*-Data.db"))]
+    if not sizes:
+        return 64 * 1024
+    per_file = sum(sizes) // len(sizes) // 8
+    return max(64 * 1024, min(per_file, 128 * 1024 * 1024))
+
+
 @query("sstable_scan_roundtrip", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
@@ -2365,7 +2388,7 @@ def sstable_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = _materialize_sstables(spark, sf_dir)
     df = spark.read.format("sstable") \
-        .option("max_split_bytes", str(64 * 1024)).load(path)
+        .option("max_split_bytes", str(_fixture_split_bytes(path))).load(path)
     return _render_winners(explode_cells(df)).withColumn(
         "generation", F.col("generation"))
 
@@ -2386,7 +2409,7 @@ def sstable_cells_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = _materialize_sstables(spark, sf_dir)
     df = (spark.read.format("sstable").option("kind", "cells")
-          .option("max_split_bytes", str(64 * 1024)).load(path))
+          .option("max_split_bytes", str(_fixture_split_bytes(path))).load(path))
     return _render_winners(df).withColumn(
         "generation", F.col("generation"))
 
@@ -2411,7 +2434,7 @@ def sstable_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = _materialize_sstables(spark, sf_dir)
     cells = (spark.read.format("sstable").option("kind", "cells")
-             .option("max_split_bytes", str(64 * 1024)).load(path))
+             .option("max_split_bytes", str(_fixture_split_bytes(path))).load(path))
     return _render_winners(lww_cell(cells))
 
 
@@ -2471,7 +2494,7 @@ def cassandra_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = _materialize_cassandra(spark, sf_dir)
     df = (spark.read.format("sstable").option("format", "cassandra")
-          .option("max_split_bytes", str(64 * 1024)).load(path))
+          .option("max_split_bytes", str(_fixture_split_bytes(path))).load(path))
     return _render_winners(explode_cells(df)).withColumn(
         "generation", F.col("generation"))
 
@@ -2554,7 +2577,7 @@ def write_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = _materialize_sink(spark, sf_dir)
     df = (spark.read.format("sstable")
-          .option("max_split_bytes", str(64 * 1024)).load(path))
+          .option("max_split_bytes", str(_fixture_split_bytes(path))).load(path))
     return _render_winners(explode_cells(df)).withColumn(
         "generation", F.col("generation"))
 
@@ -2779,7 +2802,7 @@ def sstable_scan_file_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = _materialize_sstables(spark, sf_dir)
     df = spark.read.format("sstable") \
-        .option("max_split_bytes", str(64 * 1024)) \
+        .option("max_split_bytes", str(_fixture_split_bytes(path))) \
         .load(f"file://{path}")
     return _render_winners(explode_cells(df)).withColumn(
         "generation", F.col("generation"))
@@ -2812,7 +2835,7 @@ def sstable_winner_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _materialize_sstables(spark, sf_dir)
     cells = (spark.read.format("sstable").option("kind", "cells")
              .option("skip_values", "true")
-             .option("max_split_bytes", str(64 * 1024)).load(path))
+             .option("max_split_bytes", str(_fixture_split_bytes(path))).load(path))
     win = lww_cell(cells)
     return win.select(
         F.decode(F.col("key"), "UTF-8").alias("key_str"),
