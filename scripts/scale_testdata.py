@@ -76,13 +76,39 @@ def scale(factor: int = 10, src: str = "/root/testdata/sf0.1",
             SELECT event_id + r*{ke} AS event_id, ts,
                    user_id + r*{ku} AS user_id, event_type, value, props
             FROM events, {rep}""",
+        # Scale-INVARIANT duplicate structure (r6): the old ``text ||
+        # ' r'||r`` kept every base doc's shingles intact across ALL
+        # replicas, so every doc became a factor-sized near-dup clique
+        # and candidate pairs grew QUADRATICALLY with the factor — a
+        # generator artifact no real corpus shows (it made dedup
+        # benchmarks measure the artifact, not the engine).  Now only
+        # 10% of docs are cross-replica duplicate carriers, and only
+        # within a replica PAIR (suffix keyed on r//2 → bounded
+        # cluster size 2 regardless of factor); every other doc's
+        # tokens are rewritten with a per-replica tag, sharing zero
+        # shingles across replicas.  Within-replica duplicate
+        # structure (the sf0.1 original) replicates untouched, so
+        # duplicate MASS stays a constant fraction of the corpus.
         "documents": f"""
             SELECT doc_id + r*{kd} AS doc_id,
                    CASE WHEN r = 0 THEN text
-                        ELSE text || ' r' || r END AS text,
+                        ELSE array_to_string(list_transform(
+                               regexp_split_to_array(text, '\\s+'),
+                               t -> t || CASE WHEN doc_id % 10 = 0
+                                    THEN 'p' || CAST(r // 2 AS VARCHAR)
+                                    ELSE 'x' || CAST(r AS VARCHAR) END),
+                             ' ')
+                   END AS text,
                    lang, source,
                    length(CASE WHEN r = 0 THEN text
-                               ELSE text || ' r' || r END) AS n_chars
+                               ELSE array_to_string(list_transform(
+                                      regexp_split_to_array(text, '\\s+'),
+                                      t -> t || CASE WHEN doc_id % 10 = 0
+                                           THEN 'p' || CAST(r // 2 AS VARCHAR)
+                                           ELSE 'x' || CAST(r AS VARCHAR)
+                                           END),
+                                    ' ')
+                          END) AS n_chars
             FROM documents, {rep}""",
         "embeddings": f"""
             SELECT vec_id + r*{kv} AS vec_id,

@@ -439,3 +439,40 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     guarantee and parameter invariant)."""
     fps = simhash64(df, text_col, id_col, bits)
     return simhash_near_pairs_from_fps(fps, max_hamming, bits, blocks)
+
+
+def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8,
+                          min_df: int = 2) -> DataFrame:
+    """Span-level duplication profile (r6): for every document, how
+    much of it is built from word n-grams that also appear in at least
+    ``min_df`` documents — the substring-duplication signal behind
+    span-dedup of LM training data (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 uses exact
+    suffix-array spans; this is the distributed n-gram approximation
+    of the same measure).
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction): distinct n-grams
+    per doc, how many of them are corpus-duplicated, and the ratio —
+    the curation filter drops or trims docs with high dup_fraction.
+
+    Topology: one shingle explode → distinct → gram doc-frequency agg
+    → join BACK on the gram (co-partitioned with the agg's exchange,
+    no extra shuffle) → per-doc conditional count.  Grams travel as
+    60-bit md5-prefix hashes, not strings (the r5 shuffle-bytes
+    lesson).  No all-pairs joins anywhere; the worst key is a gram
+    shared by every doc, bounded by the df aggregation itself."""
+    gram_hash = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15),
+                       16, 10).cast("long")
+    grams = (word_shingles(df, text_col, id_col, n=n, distinct=True)
+             .select("id", gram_hash.alias("g")))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    return (grams.join(dfreq, "g")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+                  .alias("n_dup_grams"))
+            .select("id", "n_grams", "n_dup_grams",
+                    F.round(F.col("n_dup_grams")
+                            / F.greatest(F.col("n_grams"), F.lit(1)), 6)
+                    .alias("dup_fraction")))

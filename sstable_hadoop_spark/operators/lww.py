@@ -190,3 +190,44 @@ def collect_rows(cells: DataFrame, by_generation: bool = True) -> DataFrame:
             .groupBy(*keys)
             .agg(F.array_sort(F.collect_list(cell_struct)).alias("columns"))
             .select(*out_cols))
+
+
+def winner_diff(cells_a: DataFrame, cells_b: DataFrame, *,
+                skew: str = "never") -> DataFrame:
+    """Anti-entropy diff between two cell sets (r6): per-cell LWW
+    winners of A and B full-outer-joined on (key, name), keeping only
+    the cells whose winning version differs — the repair work-list a
+    Cassandra operator derives from two replicas' (or two epochs')
+    SSTables, computed as one relational plan instead of Merkle-tree
+    exchange rounds.
+
+    status: ``only_a`` / ``only_b`` (the cell exists on one side) or
+    ``differs`` (both sides have a winner but state, value, timestamp
+    or generation disagree).  Equal winners are dropped — the result
+    is exactly the divergence set, O(|diff|) output at any corpus
+    size.
+
+    Topology: two independent LWW merges (each one shuffle on
+    (key, name), map-side partials) feeding a full outer sort-merge
+    join on the SAME (key, name) keys — AQE reuses co-partitioning, no
+    extra exchange beyond the three unavoidable ones."""
+    wa = lww_cell(cells_a, skew=skew).withColumnsRenamed(
+        {c: f"a_{c}" for c in CELL_COLS if c not in ("key", "name")})
+    wb = lww_cell(cells_b, skew=skew).withColumnsRenamed(
+        {c: f"b_{c}" for c in CELL_COLS if c not in ("key", "name")})
+    j = wa.join(wb, ["key", "name"], "full_outer")
+    same = (
+        (F.col("a_state") == F.col("b_state"))
+        & (F.col("a_timestamp") == F.col("b_timestamp"))
+        & (F.col("a_generation") == F.col("b_generation"))
+        & (F.coalesce(F.col("a_data") == F.col("b_data"),
+                      F.col("a_data").isNull() & F.col("b_data").isNull()))
+    )
+    status = (F.when(F.col("a_state").isNull(), F.lit("only_b"))
+               .when(F.col("b_state").isNull(), F.lit("only_a"))
+               .otherwise(F.lit("differs")))
+    return (j.filter(F.col("a_state").isNull()
+                     | F.col("b_state").isNull() | ~same)
+             .select("key", "name", status.alias("status"),
+                     "a_state", "a_timestamp", "a_generation",
+                     "b_state", "b_timestamp", "b_generation"))

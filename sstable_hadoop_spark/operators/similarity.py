@@ -477,3 +477,197 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") <= k)
                   .select(query_id_col, id_col, "cos", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r6): the 100 TB vector-compression path.  A
+# 64-dim float64 vector is 512 bytes; its PQ code is ``m`` small ints.
+# Search never touches the original vectors — an ADC (asymmetric
+# distance computation) scan scores the CODES against a per-query
+# lookup table, so the working set shrinks ~100× and the scan
+# parallelizes like any narrow columnar table.  (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public.)
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(embeddings: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", m: int = 4,
+                       k_codes: int = 16, n_iter: int = 4,
+                       seed: str = "pq", dim: int | None = None,
+                       sample_fraction: float | None = None)\
+        -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means: split ``dim`` into ``m``
+    contiguous subspaces and train ``k_codes`` centroids in each with
+    the same bit-reproducible recipe as ``train_spherical_kmeans``
+    (md5-ranked init, DECIMAL-exact means, fixed iteration count) —
+    but PLAIN L2 k-means on raw subvectors (no normalization: PQ
+    approximates the dot product subspace-by-subspace).
+
+    Returns ``codebooks[j][c] = centroid c of subspace j`` (each of
+    length dim/m), pinnable in a cross-engine oracle.  Cost: one scan
+    + one (m × k_codes × dim/m) decimal groupBy per iteration, all
+    subspaces trained in the SAME pass (the assignment column is an
+    array of per-subspace argmins); ``sample_fraction`` bounds the
+    training scan at 100 TB."""
+    dim = _resolve_dim(dim, embeddings, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    base = embeddings.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("_v"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from .corpus import _hex_threshold
+
+        base = base.filter(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|s|"),
+                                       F.col("_id").cast("string"))),
+                        1, 8) < _hex_threshold(sample_fraction))
+
+    init_rows = (base
+                 .withColumn("_r", F.md5(F.concat(F.lit(f"{seed}:"),
+                                                  F.col("_id")
+                                                  .cast("string"))))
+                 .orderBy("_r").limit(k_codes).collect())
+    if not init_rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    k_codes = min(k_codes, len(init_rows))
+    books = [[[float(r["_v"][j * d_sub + i]) for i in range(d_sub)]
+              for r in init_rows] for j in range(m)]
+
+    for _ in range(n_iter):
+        assign = F.array(*[
+            _pq_code_of_sub(F.slice("_v", j * d_sub + 1, d_sub), books[j])
+            for j in range(m)])
+        with_a = base.withColumn("_a", assign)
+        aggs = [F.avg(F.when(F.element_at("_a", j + 1) == c,
+                             F.element_at("_v", j * d_sub + i + 1))
+                      .cast("decimal(20,15)")).alias(f"m_{j}_{c}_{i}")
+                for j in range(m) for c in range(k_codes)
+                for i in range(d_sub)]
+        row = with_a.agg(*aggs).collect()[0]
+        books = [[[float(row[f"m_{j}_{c}_{i}"])
+                   if row[f"m_{j}_{c}_{i}"] is not None
+                   else books[j][c][i]
+                   for i in range(d_sub)]
+                  for c in range(k_codes)] for j in range(m)]
+    return books
+
+
+def _pq_code_of_sub(sub: Column, book: list[list[float]]) -> Column:
+    """Argmin-L2 code of one subvector against one codebook, as a pure
+    column expression (ties → LOWER code, the standard argmin rule;
+    deterministic because distances are exact doubles either side)."""
+    def l2(c):
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(x) for x in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, v: a + v)
+
+    dists = F.array(*[l2(c) for c in book])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding")\
+        -> DataFrame:
+    """(id, codes array<int> of length m): the compressed table a
+    100 TB deployment stores INSTEAD of raw vectors.  Pure codegen
+    projection — one scan, no shuffle, no Python."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[
+        _pq_code_of_sub(F.slice(vec, j * d_sub + 1, d_sub), codebooks[j])
+        for j in range(m)])
+    return embeddings.select(F.col(id_col).alias("id"),
+                             codes.alias("codes"))
+
+
+def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id", m: int = 4,
+                   k_codes: int = 16, seed: str = "pq",
+                   codebooks: list[list[list[float]]] | None = None,
+                   codes: DataFrame | None = None,
+                   sample_fraction: float | None = None,
+                   rerank_factor: int | None = None) -> DataFrame:
+    """ADC top-k over PQ codes: score(q, x) ≈ Σ_j q_j · cb[j][code_j]
+    ranked per query (approximate dot; queries are pre-normalized so
+    the ranking approximates cosine).
+
+    Topology: the codes table (``m`` ints/row) is the ONLY large input
+    — the query side broadcasts, scoring is a fixed-order literal
+    lookup expression inside whole-stage codegen (no groupBy: the sum
+    over subspaces is an ordered fold, bit-stable for the oracle), and
+    the per-query top-k is a WindowGroupLimit.  Pass a pre-encoded
+    ``codes`` DataFrame to search without touching vectors at all (the
+    production path: encode once, search many).
+
+    ``rerank_factor``: the standard two-stage recipe — ADC shortlists
+    ``k × rerank_factor`` candidates per query from the codes alone,
+    then ONLY those candidates' original vectors are fetched (a join
+    on id, k×factor×|Q| rows — not a scan) and re-ranked by exact
+    cosine.  Restores fine-order recall that quantization loses while
+    keeping the corpus-sized pass on compressed codes; returns
+    (query_id, id, rk, cos) instead of the raw ADC score."""
+    from pyspark.sql.window import Window
+
+    from ._util import ensure_parallelism
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, vec_col, id_col, m, k_codes, seed=seed,
+            sample_fraction=sample_fraction)
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    codes = ensure_parallelism(codes)
+
+    qn = F.col(vec_col).cast("array<double>")
+    qunit = F.transform(
+        qn, lambda x: x / F.sqrt(F.aggregate(
+            qn, F.lit(0.0), lambda a, v: a + v * v)))
+    q = queries.select(F.col(query_id_col), qunit.alias("_q"))
+
+    def partial(j):
+        book = F.array(*[F.array(*[F.lit(x) for x in c])
+                         for c in codebooks[j]])
+        cent = F.element_at(book, F.element_at("codes", j + 1) + 1)
+        return F.aggregate(
+            F.zip_with(F.slice("_q", j * d_sub + 1, d_sub), cent,
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda a, v: a + v)
+
+    score = partial(0)
+    for j in range(1, m):
+        score = score + partial(j)
+    scored = (codes.crossJoin(F.broadcast(q))
+                   .filter(F.col("id") != F.col(query_id_col))
+                   .select(query_id_col, "id", score.alias("adc")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.asc("id"))
+    if rerank_factor is None:
+        return (scored.withColumn("rk", F.row_number().over(w))
+                      .filter(F.col("rk") <= k)
+                      .select(query_id_col, F.col("id").alias(id_col),
+                              "rk", "adc"))
+    short = (scored.withColumn("_srk", F.row_number().over(w))
+                   .filter(F.col("_srk") <= k * rerank_factor)
+                   .select(query_id_col, "id"))
+    vecs = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("_evec"))
+    qv = queries.select(F.col(query_id_col),
+                        F.col(vec_col).cast("array<double>")
+                        .alias("_qvec"))
+    exact = (short.join(vecs, "id").join(F.broadcast(qv), query_id_col)
+                  .select(query_id_col, "id",
+                          cosine(F.col("_qvec"), F.col("_evec"))
+                          .alias("cos")))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos"),
+                                                  F.asc("id"))
+    return (exact.withColumn("rk", F.row_number().over(w2))
+                 .filter(F.col("rk") <= k)
+                 .select(query_id_col, F.col("id").alias(id_col),
+                         "rk", "cos"))

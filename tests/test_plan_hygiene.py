@@ -20,6 +20,11 @@ ALLOWED_BNLJ = {
     "corpus_tfidf_top_terms",       # 1-row broadcast corpus-count agg
                                     # cross-joined onto tf×df (constant
                                     # build side; avoids a driver count)
+    "similarity_topk_pq",           # 8 broadcast query vectors × the
+                                    # CODES table (m ints/row — the ADC
+                                    # scan over compressed codes IS the
+                                    # intended full pass; ~100× smaller
+                                    # than scanning vectors)
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer
