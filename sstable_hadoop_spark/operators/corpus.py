@@ -326,3 +326,58 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                   .filter(F.col("rk") <= k)
                   .select("id", "term", F.round("tfidf", 6).alias("tfidf"),
                           "rk"))
+
+
+def mixture_sample(df: DataFrame, budgets: dict[str, int],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text", n_shards: int = 8,
+                   seed: str = "mix") -> DataFrame:
+    """Token-budgeted data-mixture construction: sample each source's
+    documents, in a deterministic md5 priority order, until that
+    source's token budget is reached — the "data mixture" step every
+    LM training pipeline runs to hit per-source token ratios
+    (web 60% / code 20% / books 20%-style recipes).
+
+    Scale design: a single per-source cumulative sum would serialize a
+    100 TB web crawl through one task, so each source's budget is
+    pre-split across ``n_shards`` md5 shards (shard s gets
+    ``budget//n + (s < budget % n)`` — exact, engine-replicable) and
+    the running total is windowed over (source, shard): one exchange,
+    parallelism = sources × shards, every shard an independent greedy
+    prefix.  md5 uniformity balances shard token mass ±O(√(tokens)),
+    so the realized mixture converges to the recipe while admission
+    stays a pure function of (seed, id) — re-runs, any cluster size,
+    any row order, and the DuckDB oracle all pick the identical
+    document set.
+
+    Returns admitted docs only: (id, source, shard, n_tokens,
+    cum_tokens ≤ shard budget).  Sources absent from ``budgets`` are
+    dropped."""
+    from pyspark.sql.window import Window
+
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    pairs: list[Column] = []
+    for s, b in budgets.items():
+        pairs += [F.lit(s), F.lit(int(b))]
+    budget = F.element_at(F.create_map(*pairs), F.col(source_col))
+    key = _bucket(seed, F.col(id_col))
+    shard = (F.conv(key, 16, 10).cast("long") % n_shards).cast("int")
+    toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+")).cast("long")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(source_col).alias("source"),
+                      shard.alias("shard"),
+                      toks.alias("n_tokens"),
+                      key.alias("_pri"),
+                      budget.alias("_budget"))
+              .filter(F.col("_budget").isNotNull()))
+    shard_budget = (F.floor(F.col("_budget") / n_shards)
+                    + F.when(F.col("shard") < F.col("_budget") % n_shards,
+                             1).otherwise(0)).cast("long")
+    w = (Window.partitionBy("source", "shard")
+               .orderBy(F.asc("_pri"), F.asc("id"))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+                .filter(F.col("cum_tokens") <= shard_budget)
+                .select("id", "source", "shard", "n_tokens", "cum_tokens"))

@@ -3598,6 +3598,104 @@ def lww_winner_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_state", F.col("b_timestamp").alias("b_ts_us"), "b_generation")
 
 
+# Mixture recipe (r6): token budgets per source, decaying — enough to
+# bite (every budgeted source's corpus exceeds its budget at sf0.01+),
+# with every other source dropped.  Shared literal between the Spark
+# map and the oracle CASE.
+_MIXTURE_BUDGETS = {"src0": 900, "src1": 600, "src2": 450,
+                    "src3": 300, "src4": 150, "src5": 75}
+_MIXTURE_SHARDS = 4
+
+
+def _mixture_case() -> str:
+    arms = " ".join(f"WHEN '{s}' THEN {b}"
+                    for s, b in _MIXTURE_BUDGETS.items())
+    return f"CASE source {arms} END"
+
+
+@query("corpus_mixture_sample", oracle=f"""
+WITH base AS (
+    SELECT doc_id AS id, source,
+           CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS UBIGINT)
+                % {_MIXTURE_SHARDS} AS INT)                  AS shard,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                AS BIGINT)                                   AS n_tokens,
+           substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS pri,
+           CAST({{MIX_CASE}} AS BIGINT)                      AS budget
+    FROM documents
+    WHERE {{MIX_CASE}} IS NOT NULL
+), cum AS (
+    SELECT id, source, shard, n_tokens, budget,
+           SUM(n_tokens) OVER (PARTITION BY source, shard
+                               ORDER BY pri, id
+                               ROWS UNBOUNDED PRECEDING)     AS cum_tokens
+    FROM base
+)
+SELECT id, source, shard, n_tokens, cum_tokens
+FROM cum
+WHERE cum_tokens <= budget // {_MIXTURE_SHARDS}
+                    + CASE WHEN shard < budget % {_MIXTURE_SHARDS}
+                           THEN 1 ELSE 0 END
+""".replace("{MIX_CASE}", _mixture_case()))
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ data-mixture construction (r6): per-source token-budgeted
+    sampling in deterministic md5 priority order, budgets pre-split
+    across md5 shards so a 100 TB source's greedy prefix parallelizes
+    instead of serializing through one task
+    (operators/corpus.py mixture_sample).  The training-recipe step
+    ("60% web / 20% code / 20% books, N tokens total") as one
+    exchange + windowed running sum."""
+    from sstable_hadoop_spark.operators.corpus import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIXTURE_BUDGETS,
+                          n_shards=_MIXTURE_SHARDS)
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query("events_sessionize", oracle=f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+), flagged AS (
+    SELECT user_id, ts_us, value,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+    SELECT user_id, ts_us, value,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS INT)
+               AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*)                    AS n_events,
+       min(ts_us)                  AS start_us,
+       max(ts_us)                  AS end_us,
+       max(ts_us) - min(ts_us)     AS span_us,
+       round(sum(value), 4)        AS sum_value
+FROM sess
+GROUP BY user_id, session_seq
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ gap-based sessionization (r6): per-user 30-min-inactivity
+    sessions over the event stream, rolled up per session — the batch
+    twin of the streaming session_window (streaming/windows.py), as
+    ONE exchange (lag + running sum + rollup all ride the user-key
+    partitioning; operators/sessions.py)."""
+    from sstable_hadoop_spark.operators.sessions import session_rollup
+
+    ev = load(spark, sf_dir, "events")
+    return session_rollup(ev, ts_us(ev, "ts"),
+                          gap_us=_SESSION_GAP_US)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so we curate
 # the window explicitly each round: queries that have never had a
@@ -3651,8 +3749,9 @@ _DRIVER_WINDOW: list[str] = [
     "array_agg_sorted_events",
     "embedding_cosine_near_dup",
     "dedup_clusters",
-    "array_function_gallery",
-    "cast_decimal_gallery",
+    # (array_function_gallery / cast_decimal_gallery join the three
+    #  galleries below riding the r7 window — their slots go to the
+    #  two NEW mixture/session queries)
     "range_join_price_bands",
     "explode_posexplode_embeddings",
     "grouped_normalize_embeddings",
@@ -3664,6 +3763,8 @@ _DRIVER_WINDOW: list[str] = [
     "similarity_topk_pq",          # E3 product quantization + ADC
     "dedup_common_spans",          # E2 span-duplication profile
     "lww_winner_diff",             # anti-entropy winner diff
+    "corpus_mixture_sample",       # E4+ token-budget mixture recipe
+    "events_sessionize",           # E4+ gap sessionization, 1 exchange
     # -- code touched this round + permanent regression core ----------
     "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
     "cassandra_summary_splits",    # modified-UTF-8 decoder hardened

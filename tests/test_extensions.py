@@ -1429,3 +1429,95 @@ def test_pq_recall_on_clustered_data(spark):
     for r in rr:
         by_rr.setdefault(r["query_id"], set()).add(r["vec_id"])
     assert by_rr == by_ex, (by_rr, by_ex)
+
+
+def test_mixture_sample_budget_and_greedy_prefix(spark):
+    """Every admitted doc's running total stays within its shard
+    budget; the admitted set is exactly a priority-order prefix per
+    (source, shard); unbudgeted sources are dropped."""
+    from sstable_hadoop_spark.operators.corpus import mixture_sample
+
+    docs = _docs(spark)
+    budgets = {"src0": 200, "src1": 120}
+    out = mixture_sample(docs, budgets, n_shards=4).collect()
+    assert out, "budgets should admit at least one doc"
+    assert {r["source"] for r in out} <= set(budgets)
+    per_shard: dict = {}
+    for r in out:
+        k = (r["source"], r["shard"])
+        per_shard.setdefault(k, []).append(r)
+    for (src, shard), rows in per_shard.items():
+        b = budgets[src] // 4 + (1 if shard < budgets[src] % 4 else 0)
+        tot = sum(r["n_tokens"] for r in rows)
+        assert tot <= b
+        assert max(r["cum_tokens"] for r in rows) == tot
+
+    # greedy prefix: recompute priorities for ALL docs of a budgeted
+    # source-shard; admitted ids must be the maximal prefix fitting b
+    import hashlib
+
+    rows = [(r["doc_id"],
+             len(str(r["text"]).lower().split()),
+             r["source"]) for r in docs.collect()
+            if r["source"] in budgets]
+    for (src, shard), admitted in per_shard.items():
+        pool = []
+        for did, ntok, s in rows:
+            if s != src:
+                continue
+            h = hashlib.md5(f"mix:{did}".encode()).hexdigest()[:8]
+            if int(h, 16) % 4 == shard:
+                pool.append((h, did, ntok))
+        pool.sort()
+        b = budgets[src] // 4 + (1 if shard < budgets[src] % 4 else 0)
+        expect, cum = [], 0
+        for h, did, ntok in pool:
+            if cum + ntok > b:
+                break
+            cum += ntok
+            expect.append(did)
+        assert sorted(r["id"] for r in admitted) == sorted(expect)
+
+
+def test_mixture_sample_row_order_invariant(spark):
+    from sstable_hadoop_spark.operators.corpus import mixture_sample
+
+    docs = _docs(spark)
+    budgets = {"src2": 150, "src3": 90}
+    a = {(r["id"], r["cum_tokens"])
+         for r in mixture_sample(docs, budgets).collect()}
+    b = {(r["id"], r["cum_tokens"])
+         for r in mixture_sample(
+             docs.orderBy(F.desc("doc_id")).repartition(7),
+             budgets).collect()}
+    assert a == b and a
+
+
+def test_sessionize_hand_checked(spark):
+    """30-min gap boundaries, first-event session open, tied
+    timestamps share a session, per-user independence."""
+    from sstable_hadoop_spark.operators.sessions import (
+        session_rollup,
+        sessionize,
+    )
+
+    m = 60 * 1_000_000  # one minute in µs
+    df = spark.createDataFrame(
+        [(1, 0 * m, 1.0),        # u1 s1
+         (1, 10 * m, 2.0),       # u1 s1 (10 min gap)
+         (1, 41 * m, 4.0),       # u1 s2 (31 min gap > 30)
+         (1, 41 * m, 8.0),       # u1 s2 (tied ts)
+         (1, 71 * m, 16.0),      # u1 s2 (exactly 30 min: NOT new)
+         (2, 500 * m, 1.5)],     # u2 s1
+        "user_id bigint, t long, value double")
+    s = sessionize(df, F.col("t"), gap_us=30 * m)
+    got = {(r["user_id"], r["t"], r["session_seq"]) for r in s.collect()}
+    assert got == {(1, 0, 1), (1, 10 * m, 1), (1, 41 * m, 2),
+                   (1, 71 * m, 2), (2, 500 * m, 1)} | {(1, 41 * m, 2)}
+    roll = {(r["user_id"], r["session_seq"]):
+            (r["n_events"], r["span_us"], r["sum_value"])
+            for r in session_rollup(df, F.col("t"),
+                                    gap_us=30 * m).collect()}
+    assert roll == {(1, 1): (2, 10 * m, 3.0),
+                    (1, 2): (3, 30 * m, 28.0),
+                    (2, 1): (1, 0, 1.5)}

@@ -54,3 +54,14 @@ def test_no_cartesian_and_bnlj_only_where_documented(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} gained a BroadcastNestedLoopJoin — either fix the "
             f"join or document it in ALLOWED_BNLJ with a justification")
+
+
+def test_sessionize_single_exchange(spark):
+    """events_sessionize's lag-window, session counter, and rollup all
+    ride one user-key hash partitioning — exactly one Exchange in the
+    physical plan (the 100 TB claim in operators/sessions.py)."""
+    from sstable_hadoop_spark.queries import all_queries
+
+    df = all_queries()["events_sessionize"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
