@@ -3696,6 +3696,67 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gap_us=_SESSION_GAP_US)
 
 
+_HTTP_ENVELOPE = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+
+
+def _materialize_warc(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents corpus as gzipped WARC ``response`` records
+    (HTTP envelope + text payload — the CommonCrawl shape) under a
+    deterministic tmp dir; distributed through the warc sink, one gzip
+    member per record."""
+
+    def build(out: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        payload = F.encode(
+            F.concat(F.lit(_HTTP_ENVELOPE), F.col("text")), "UTF-8")
+        recs = docs.select(
+            F.concat(F.lit("http://corpus.example/doc/"),
+                     F.col("doc_id")).alias("target_uri"),
+            payload.alias("payload"),
+            F.lit("response").alias("warc_type"),
+            F.lit("application/http; msgtype=response")
+             .alias("content_type"))
+        recs.repartition(4).write.format("warc").mode("append").save(out)
+
+    import hashlib
+
+    tag = "warc_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("warc_ingest", oracle="""
+SELECT doc_id,
+       200                                       AS http_status,
+       CAST(45 + octet_length(encode(text)) AS BIGINT)
+                                                 AS content_length,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+       md5(text)                                 AS body_md5
+FROM documents
+""")
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference SOURCE (r6): ingest the corpus from gzipped
+    WARC (ISO 28500 — the CommonCrawl interchange format), HTTP
+    envelopes parsed executor-side (sources/warc.py).  The fixture is
+    written by the warc SINK from the same documents table, so the
+    oracle re-derives every checked column — including the md5 of the
+    round-tripped HTTP body — straight from ``documents`` in SQL.
+    45 = len("HTTP/1.1 200 OK\\r\\nContent-Type: text/plain\\r\\n\\r\\n"),
+    the envelope the fixture prepends."""
+    assert len(_HTTP_ENVELOPE.encode()) == 45
+    warc_dir = _materialize_warc(spark, sf_dir)
+    recs = (spark.read.format("warc")
+            .option("columns",
+                    "target_uri,content_length,http_status,http_body")
+            .load(warc_dir))
+    return recs.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("content_length"),
+        F.length("http_body").cast("long").alias("n_body_bytes"),
+        F.md5("http_body").alias("body_md5"))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so we curate
 # the window explicitly each round: queries that have never had a
@@ -3749,10 +3810,9 @@ _DRIVER_WINDOW: list[str] = [
     "array_agg_sorted_events",
     "embedding_cosine_near_dup",
     "dedup_clusters",
-    # (array_function_gallery / cast_decimal_gallery join the three
-    #  galleries below riding the r7 window — their slots go to the
-    #  two NEW mixture/session queries)
-    "range_join_price_bands",
+    # (array_function_gallery / cast_decimal_gallery /
+    #  range_join_price_bands join the galleries riding the r7 window —
+    #  their slots go to the three NEW mixture/session/warc queries)
     "explode_posexplode_embeddings",
     "grouped_normalize_embeddings",
     # (string_function_gallery / date_arithmetic_gallery /
@@ -3765,6 +3825,7 @@ _DRIVER_WINDOW: list[str] = [
     "lww_winner_diff",             # anti-entropy winner diff
     "corpus_mixture_sample",       # E4+ token-budget mixture recipe
     "events_sessionize",           # E4+ gap sessionization, 1 exchange
+    "warc_ingest",                 # WARC source/sink round trip
     # -- code touched this round + permanent regression core ----------
     "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
     "cassandra_summary_splits",    # modified-UTF-8 decoder hardened

@@ -1119,8 +1119,11 @@ def register(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
-    try:
-        spark.dataSource.register(SSTableDataSource)
-    except Exception as exc:  # already registered
-        if "already" not in str(exc).lower():
-            raise
+    from .warc import WarcDataSource
+
+    for source in (SSTableDataSource, WarcDataSource):
+        try:
+            spark.dataSource.register(source)
+        except Exception as exc:  # already registered
+            if "already" not in str(exc).lower():
+                raise

@@ -1,0 +1,405 @@
+"""WARC source + sink (`spark.read.format("warc")`): the Web ARChive
+format (ISO 28500 / WARC 1.0 — the public spec; the format CommonCrawl
+and every large-scale web corpus ships as, and therefore the ingest
+boundary of a 100 TB training-data pipeline).
+
+Layout (from the public spec): a WARC file is a sequence of records —
+
+    WARC/1.0\r\n
+    <Name>: <value>\r\n ...          (folded continuations tolerated)
+    \r\n
+    <Content-Length payload bytes>
+    \r\n\r\n                         (record separator)
+
+``.warc.gz`` files concatenate one gzip member PER RECORD (the spec's
+recommendation), so readers can skip to member boundaries; Python's
+``gzip`` reads concatenated members transparently.
+
+Scale design: gzip members are not byte-addressable without an external
+CDX index, so the unit of parallelism is the FILE — exactly how every
+production WARC processor shards (CommonCrawl publishes ~1 GiB files in
+the tens of thousands per crawl; parallelism = file count).  The reader
+plans one partition per file, decompresses streamingly (constant
+memory per task), and emits Arrow record batches.  The sink writes one
+``part-{taskid}.warc.gz`` per Spark partition — ``df.repartition(n)``
+upstream chooses the shard count/size.
+
+Reference scope note: the reference engine reads only its SSTable
+format (SSTableDataLoader.scala); WARC is a beyond-reference source
+completing the LLM-pipeline ingest path (SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import fs
+
+CRLF = b"\r\n"
+
+WARC_SCHEMA = StructType([
+    StructField("record_id", StringType()),
+    StructField("warc_type", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("content_type", StringType()),
+    StructField("content_length", LongType()),
+    StructField("headers", MapType(StringType(), StringType())),
+    StructField("payload", BinaryType()),
+    StructField("http_status", IntegerType()),
+    StructField("http_body", BinaryType()),
+    StructField("path", StringType()),
+])
+
+_BATCH_ROWS = 256
+
+
+class WarcRecord:
+    __slots__ = ("headers", "payload")
+
+    def __init__(self, headers: dict[str, str], payload: bytes) -> None:
+        self.headers = headers
+        self.payload = payload
+
+
+def parse_warc(f: BinaryIO) -> Iterator[WarcRecord]:
+    """Iterate records from an UNCOMPRESSED WARC byte stream.  Header
+    names are case-preserved as written; lookup helpers below are
+    case-insensitive.  Tolerates LF-only line endings and folded
+    (indented) continuation lines; raises ValueError on a record
+    without Content-Length or a truncated payload."""
+    while True:
+        line = f.readline()
+        if not line:
+            return
+        version = line.rstrip(b"\r\n")
+        if not version:           # stray separator blank lines
+            continue
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"expected WARC/x.y version line, got {version[:40]!r}")
+        headers: dict[str, str] = {}
+        last: str | None = None
+        while True:
+            raw = f.readline()
+            if not raw:
+                raise ValueError("truncated WARC header block")
+            hline = raw.rstrip(b"\r\n")
+            if not hline:
+                break
+            if hline[:1] in (b" ", b"\t") and last is not None:
+                headers[last] += " " + hline.strip().decode(
+                    "utf-8", "replace")
+                continue
+            name, _, value = hline.partition(b":")
+            last = name.decode("utf-8", "replace").strip()
+            headers[last] = value.decode("utf-8", "replace").strip()
+        n = _header(headers, "Content-Length")
+        if n is None:
+            raise ValueError(
+                f"WARC record without Content-Length: {headers}")
+        payload = f.read(int(n))
+        if len(payload) != int(n):
+            raise ValueError(
+                f"truncated WARC payload: expected {n} bytes, "
+                f"got {len(payload)}")
+        yield WarcRecord(headers, payload)
+        # consume the record separator (two blank lines); tolerate EOF
+        for _ in range(2):
+            pos_line = f.readline()
+            if pos_line not in (b"\r\n", b"\n", b""):
+                raise ValueError(
+                    f"malformed WARC record separator: {pos_line[:40]!r}")
+
+
+def _header(headers: dict[str, str], name: str) -> str | None:
+    lname = name.lower()
+    for k, v in headers.items():
+        if k.lower() == lname:
+            return v
+    return None
+
+
+def open_warc(path: str) -> BinaryIO:
+    """Open a .warc / .warc.gz for streaming reads (multi-member gzip
+    decoded transparently)."""
+    raw = fs.open_input(path)
+    if path.endswith(".gz"):
+        return gzip.GzipFile(fileobj=raw, mode="rb")  # type: ignore
+    return raw
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
+    """A ``response`` record's payload is an HTTP message: status line,
+    headers, blank line, body (the spec's application/http content
+    type).  Returns (status_code, body); (None, payload) when no HTTP
+    envelope is present."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    sep = payload.find(b"\r\n\r\n")
+    seplen = 4
+    if sep < 0:
+        sep = payload.find(b"\n\n")
+        seplen = 2
+    if sep < 0:
+        return None, payload
+    status_line = payload[:payload.find(b"\n")].split()
+    try:
+        status = int(status_line[1])
+    except (IndexError, ValueError):
+        return None, payload
+    return status, payload[sep + seplen:]
+
+
+def write_warc_records(out: BinaryIO, records, compress: bool = True):
+    """Write records as one gzip member each (uncompressed when
+    ``compress=False``).  ``records`` yields dicts with target_uri,
+    payload, and optional warc_type / content_type / warc_date /
+    record_id; defaults are deterministic (record id = md5 urn of
+    (uri, date), fixed gzip mtime) so re-runs write identical bytes."""
+    for r in records:
+        uri = r.get("target_uri") or ""
+        date = r.get("warc_date") or "2013-01-01T00:00:00Z"
+        rid = r.get("record_id") or (
+            "<urn:md5:"
+            + hashlib.md5(f"{uri}\n{date}".encode()).hexdigest() + ">")
+        payload = bytes(r.get("payload") or b"")
+        headers = [
+            ("WARC-Type", r.get("warc_type") or "resource"),
+            ("WARC-Record-ID", rid),
+            ("WARC-Date", date),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", r.get("content_type") or "text/plain"),
+            ("Content-Length", str(len(payload))),
+        ]
+        buf = io.BytesIO()
+        buf.write(b"WARC/1.0" + CRLF)
+        for k, v in headers:
+            if v:
+                buf.write(f"{k}: {v}".encode() + CRLF)
+        buf.write(CRLF)
+        buf.write(payload)
+        buf.write(CRLF + CRLF)
+        member = buf.getvalue()
+        if compress:
+            z = io.BytesIO()
+            with gzip.GzipFile(fileobj=z, mode="wb", mtime=0) as gz:
+                gz.write(member)
+            out.write(z.getvalue())
+        else:
+            out.write(member)
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path")
+        project = options.get("columns")
+        self.project = (tuple(c.strip() for c in project.split(",")
+                              if c.strip()) if project else None)
+        known = {f.name for f in WARC_SCHEMA.fields}
+        if self.project and not set(self.project) <= known:
+            raise ValueError(
+                f"unknown warc columns: "
+                f"{sorted(set(self.project) - known)}")
+        self.ignore_corrupt = str(options.get("ignore_corrupt_files",
+                                              "false")).lower() == "true"
+
+    def partitions(self):
+        if fs.is_file(self.path):
+            files = [self.path]
+        else:
+            files = sorted(
+                f for suffix in (".warc", ".warc.gz")
+                for f in fs.list_files(self.path, suffix))
+        # one partition per file — the WARC unit of parallelism (see
+        # module doc); empty dir → one empty partition so the scan
+        # yields 0 rows instead of failing to plan
+        return ([_WarcFilePartition(f) for f in files]
+                or [_WarcFilePartition("")])
+
+    def read(self, partition: _WarcFilePartition):
+        import pyarrow as pa
+
+        if not partition.path:
+            return
+        cols = self.project or tuple(f.name for f in WARC_SCHEMA.fields)
+        want_http = "http_status" in cols or "http_body" in cols
+        rows: list[dict] = []
+
+        def flush():
+            arrays, names = [], []
+            spark_to_arrow = {
+                "record_id": pa.string(), "warc_type": pa.string(),
+                "target_uri": pa.string(), "warc_date": pa.string(),
+                "content_type": pa.string(),
+                "content_length": pa.int64(),
+                "headers": pa.map_(pa.string(), pa.string()),
+                "payload": pa.binary(), "http_status": pa.int32(),
+                "http_body": pa.binary(), "path": pa.string(),
+            }
+            for c in cols:
+                arrays.append(pa.array([r[c] for r in rows],
+                                       type=spark_to_arrow[c]))
+                names.append(c)
+            rows.clear()
+            return pa.RecordBatch.from_arrays(arrays, names)
+
+        try:
+            with open_warc(partition.path) as f:
+                for rec in parse_warc(f):
+                    h = rec.headers
+                    status, body = (split_http_payload(rec.payload)
+                                    if want_http else (None, None))
+                    n = _header(h, "Content-Length")
+                    rows.append({
+                        "record_id": _header(h, "WARC-Record-ID"),
+                        "warc_type": _header(h, "WARC-Type"),
+                        "target_uri": _header(h, "WARC-Target-URI"),
+                        "warc_date": _header(h, "WARC-Date"),
+                        "content_type": _header(h, "Content-Type"),
+                        "content_length":
+                            int(n) if n is not None else None,
+                        "headers": list(h.items()),
+                        "payload": rec.payload,
+                        "http_status": status,
+                        "http_body": body,
+                        "path": partition.path,
+                    })
+                    if len(rows) >= _BATCH_ROWS:
+                        yield flush()
+        except (OSError, ValueError, EOFError):
+            if not self.ignore_corrupt:
+                raise
+            rows.clear()
+            return
+        if rows:
+            yield flush()
+
+
+@dataclass
+class _WarcCommit(WriterCommitMessage):
+    files: list
+
+
+class WarcWriteTask(DataSourceWriter):
+    """One ``part-{taskid}.warc[.gz]`` per Spark partition; required
+    input columns (target_uri, payload), optional (warc_type,
+    content_type, warc_date, record_id)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires a path")
+        self.compress = str(options.get("compress",
+                                        "true")).lower() == "true"
+
+    def write(self, iterator) -> _WarcCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.gz" if self.compress else ".warc"
+        target = os.path.join(self.path, f"part-{pid:05d}{ext}")
+        it = iter(iterator)
+        try:
+            first = next(it)
+        except StopIteration:
+            return _WarcCommit(files=[])
+
+        def gen():
+            import itertools
+
+            for row in itertools.chain([first], it):
+                d = row.asDict()
+                if d.get("payload") is not None:
+                    d["payload"] = bytes(d["payload"])
+                yield d
+
+        fs.makedirs(self.path)
+        with fs.open_output(target) as out:
+            write_warc_records(out, gen(), compress=self.compress)
+        return _WarcCommit(files=[target])
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                for f in m.files:
+                    try:
+                        fs.remove(f)
+                    except OSError:
+                        pass
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` / ``df.write.format("warc")``.
+
+    Read options:
+      path                  directory (recursed, *.warc / *.warc.gz)
+                            or a single file
+      columns               comma list — prunes the scan (HTTP payload
+                            parsing skipped unless http_* requested)
+      ignore_corrupt_files  skip unparseable files (default false)
+    Write options:
+      path, compress (default true — one gzip member per record)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType:
+        project = self.options.get("columns")
+        if not project:
+            return WARC_SCHEMA
+        names = [c.strip() for c in project.split(",") if c.strip()]
+        fields = {f.name: f for f in WARC_SCHEMA.fields}
+        return StructType([fields[n] for n in names if n in fields])
+
+    def reader(self, schema: StructType) -> WarcReader:
+        return WarcReader(dict(self.options))
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> WarcWriteTask:
+        names = set(schema.fieldNames())
+        if not {"target_uri", "payload"} <= names:
+            raise ValueError(
+                "warc sink requires (target_uri, payload) — got "
+                f"{sorted(names)}")
+        if overwrite:
+            path = self.options.get("path", "")
+            for suffix in (".warc", ".warc.gz"):
+                for f in fs.list_files(path, suffix):
+                    if os.path.dirname(f.rstrip("/")) == path.rstrip("/"):
+                        fs.remove(f)
+        return WarcWriteTask(dict(self.options))

@@ -112,7 +112,7 @@ def test_driver_window_curated():
         "cassandra_format_scan", "dedup_minhash_incremental",
         "sstable_lww_merge", "flagship_lww_merge",
         "write_sink_roundtrip",
-        "corpus_mixture_sample", "events_sessionize",
+        "corpus_mixture_sample", "events_sessionize", "warc_ingest",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
     # oracles follow the same ordering

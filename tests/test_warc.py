@@ -1,0 +1,191 @@
+"""WARC source/sink: spec-shape parsing (ISO 28500 layout), gzip
+member handling, HTTP envelope splitting, Spark round-trip fidelity,
+and failure modes."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _parse_bytes(b: bytes):
+    from sstable_hadoop_spark.sources.warc import parse_warc
+
+    return list(parse_warc(io.BytesIO(b)))
+
+
+def _record(payload: bytes, extra: str = "", version: str = "WARC/1.0",
+            sep: bytes = b"\r\n\r\n") -> bytes:
+    return (f"{version}\r\nWARC-Type: resource\r\n{extra}"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + sep
+
+
+def test_parse_single_and_multi_record():
+    recs = _parse_bytes(_record(b"hello") + _record(b"world!"))
+    assert [r.payload for r in recs] == [b"hello", b"world!"]
+    assert recs[0].headers["WARC-Type"] == "resource"
+
+
+def test_parse_lf_only_and_folded_headers():
+    raw = (b"WARC/1.0\n"
+           b"WARC-Type: resource\n"
+           b"WARC-Target-URI: http://very.long/\n"
+           b"  continued-path\n"
+           b"Content-Length: 2\n"
+           b"\n"
+           b"ok\n\n")
+    (rec,) = _parse_bytes(raw)
+    assert rec.payload == b"ok"
+    assert rec.headers["WARC-Target-URI"] == \
+        "http://very.long/ continued-path"
+
+
+def test_parse_errors():
+    from sstable_hadoop_spark.sources.warc import parse_warc
+
+    with pytest.raises(ValueError, match="version"):
+        _parse_bytes(b"NOT-WARC\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        _parse_bytes(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        _parse_bytes(b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort")
+    with pytest.raises(ValueError, match="separator"):
+        list(parse_warc(io.BytesIO(
+            _record(b"a", sep=b"XX") + _record(b"b"))))
+
+
+def test_writer_deterministic_and_gzip_members():
+    from sstable_hadoop_spark.sources.warc import (
+        parse_warc,
+        write_warc_records,
+    )
+
+    recs = [{"target_uri": f"http://x/{i}", "payload": b"p" * i}
+            for i in range(1, 4)]
+    outs = []
+    for _ in range(2):
+        buf = io.BytesIO()
+        write_warc_records(buf, recs, compress=True)
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1]  # byte-deterministic re-runs
+    # one gzip member per record: member 1 alone decodes to record 1
+    gz = gzip.GzipFile(fileobj=io.BytesIO(outs[0]))
+    first_member = gz.read()  # reads ALL members concatenated
+    parsed = list(parse_warc(io.BytesIO(first_member)))
+    assert [r.payload for r in parsed] == [b"p", b"pp", b"ppp"]
+    # distinct record ids derived from (uri, date)
+    assert len({r.headers["WARC-Record-ID"] for r in parsed}) == 3
+
+
+def test_split_http_payload_edges():
+    from sstable_hadoop_spark.sources.warc import split_http_payload
+
+    assert split_http_payload(
+        b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody") == (404, b"body")
+    assert split_http_payload(
+        b"HTTP/1.0 200 OK\n\nlf-body") == (200, b"lf-body")
+    raw = b"just text, no envelope"
+    assert split_http_payload(raw) == (None, raw)
+    garbled = b"HTTP/1.1 nope\r\n\r\nx"
+    assert split_http_payload(garbled) == (None, garbled)
+
+
+def test_spark_roundtrip_fidelity(spark, tmp_path):
+    from sstable_hadoop_spark.queries import load
+
+    d = str(tmp_path / "warc")
+    docs = load(spark, SF, "documents")
+    recs = docs.select(
+        F.concat(F.lit("http://c/"), F.col("doc_id")).alias("target_uri"),
+        F.encode("text", "UTF-8").alias("payload"))
+    recs.repartition(3).write.format("warc").mode("append").save(d)
+    files = glob.glob(d + "/*.warc.gz")
+    assert len(files) == 3
+    back = spark.read.format("warc").load(d)
+    assert back.count() == docs.count()
+    j = (back.select(
+            F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+             .alias("doc_id"),
+            F.decode("payload", "UTF-8").alias("rt"))
+         .join(docs, "doc_id"))
+    assert j.filter(F.col("rt") != F.col("text")).count() == 0
+    assert j.count() == docs.count()
+    # content_length is the payload byte length
+    bad = back.filter(
+        F.col("content_length") != F.length("payload")).count()
+    assert bad == 0
+
+
+def test_spark_column_pruning_and_schema(spark, tmp_path):
+    d = str(tmp_path / "warc")
+    df = spark.createDataFrame([("http://a/1", b"x")],
+                               "target_uri string, payload binary")
+    df.write.format("warc").mode("append").save(d)
+    pruned = (spark.read.format("warc")
+              .option("columns", "target_uri,content_length").load(d))
+    assert pruned.columns == ["target_uri", "content_length"]
+    assert pruned.collect()[0]["content_length"] == 1
+    with pytest.raises(Exception, match="unknown warc columns"):
+        (spark.read.format("warc").option("columns", "nope")
+         .load(d).collect())
+
+
+def test_spark_http_parse_and_overwrite(spark, tmp_path):
+    d = str(tmp_path / "warc")
+    env = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<h1>t</h1>"
+    df = spark.createDataFrame(
+        [("http://a/1", env, "response",
+          "application/http; msgtype=response")],
+        "target_uri string, payload binary, warc_type string, "
+        "content_type string")
+    df.write.format("warc").mode("append").save(d)
+    row = spark.read.format("warc").load(d).collect()[0]
+    assert row["http_status"] == 200
+    assert bytes(row["http_body"]) == b"<h1>t</h1>"
+    assert row["warc_type"] == "response"
+    # overwrite replaces top-level files
+    df.write.format("warc").mode("overwrite").save(d)
+    assert spark.read.format("warc").load(d).count() == 1
+
+
+def test_spark_empty_dir_and_corrupt(spark, tmp_path):
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    assert spark.read.format("warc").load(d).count() == 0
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "torn.warc"), "wb") as f:
+        f.write(b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
+    with pytest.raises(Exception, match="truncated"):
+        spark.read.format("warc").load(bad).collect()
+    assert (spark.read.format("warc")
+            .option("ignore_corrupt_files", "true")
+            .load(bad).count() == 0)
+
+
+def test_spark_uncompressed_and_single_file(spark, tmp_path):
+    d = str(tmp_path / "plain")
+    df = spark.createDataFrame([("http://a/1", b"abc")],
+                               "target_uri string, payload binary")
+    df.write.format("warc").option("compress", "false") \
+        .mode("append").save(d)
+    (one,) = glob.glob(d + "/*.warc")
+    with open(one, "rb") as f:
+        assert f.read(8) == b"WARC/1.0"  # genuinely uncompressed
+    assert spark.read.format("warc").load(one).count() == 1
+
+
+def test_sink_requires_columns(spark, tmp_path):
+    df = spark.createDataFrame([("u",)], "target_uri string")
+    with pytest.raises(Exception, match="requires .target_uri, payload"):
+        df.write.format("warc").mode("append") \
+          .save(str(tmp_path / "x"))
