@@ -69,3 +69,53 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
           .sortWithinPartitions("_zkey")
           .drop("_zkey")
           .write.mode("overwrite").format(fmt).save(path))
+
+
+def write_bucketed(df: DataFrame, path: str, table: str,
+                   bucket_by: tuple[str, ...], n_buckets: int,
+                   sort_by: tuple[str, ...] = ()) -> None:
+    """Write ``df`` as a hash-BUCKETED external parquet table: every
+    file belongs to exactly one bucket of ``bucket_by`` (Spark encodes
+    the bucket id in the file name), optionally sorted inside each
+    bucket.
+
+    This is the storage-layout half of co-located execution: a table
+    that is merged / joined / re-aggregated on the same key every day
+    should pay the partitioning shuffle ONCE at write time — every
+    subsequent groupBy/join whose keys contain ``bucket_by`` then
+    reads a scan that already satisfies its clustering and Catalyst
+    plans ZERO exchanges (see ``bucketed_table``).  At 100 TB this
+    converts the recurring dominant shuffle of a pipeline into a
+    one-time layout cost, exactly like the z-order write above
+    converts recurring scan cost into a one-time range write.
+
+    The catalog entry is transient (bucket metadata lives in the
+    catalog, not the files): the writer registers a throwaway name to
+    reach Spark's bucketed-write path, then drops it, keeping the
+    files; ``bucketed_table`` re-declares the table over the same
+    files in any later session."""
+    spark = df.sparkSession
+    tmp = f"{table}_writer"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    w = df.write.bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.option("path", path).mode("overwrite").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files remain
+
+
+def bucketed_table(spark, table: str, path: str, schema_ddl: str,
+                   bucket_by: tuple[str, ...], n_buckets: int,
+                   sort_by: tuple[str, ...] = ()) -> DataFrame:
+    """(Re-)declare the external bucketed table written by
+    ``write_bucketed`` — CREATE TABLE IF NOT EXISTS with the matching
+    CLUSTERED BY spec over the existing files — and return it.  The
+    declared spec must match the writer's (bucket columns and count),
+    since Spark trusts the DDL when planning exchange elimination."""
+    cols = ", ".join(bucket_by)
+    sort = f"SORTED BY ({', '.join(sort_by)}) " if sort_by else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) "
+        f"USING PARQUET CLUSTERED BY ({cols}) {sort}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+    return spark.table(table)

@@ -3696,6 +3696,58 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gap_us=_SESSION_GAP_US)
 
 
+_CELLS_DDL = ("key BINARY, name BINARY, state STRING, data BINARY, "
+              "timestamp BIGINT, ttl BIGINT, expiration BIGINT, "
+              "generation INT")
+
+
+def _bucketed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells stored hash-BUCKETED by row key (files written once,
+    idempotent per sf_dir; the catalog declaration is re-issued per
+    session since bucket metadata lives in the catalog, not the
+    files)."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.layout import (
+        bucketed_table,
+        write_bucketed,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = f"bucketed_cells_{h}"
+
+    def build(out: str) -> None:
+        write_bucketed(derived_cells(spark, sf_dir), out, table,
+                       bucket_by=("key",), n_buckets=8,
+                       sort_by=("key", "name"))
+
+    path = _idempotent_tmpdir("bucketed_cells_" + h, build)
+    return bucketed_table(spark, table, path, _CELLS_DDL,
+                          bucket_by=("key",), n_buckets=8,
+                          sort_by=("key", "name"))
+
+
+# Same oracle as the flagship ON PURPOSE: the bucketed layout must
+# change the PLAN (zero exchanges — asserted in test_plan_hygiene),
+# never the result.
+@query("lww_bucketed_merge", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def lww_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout r6: the flagship per-cell LWW merge over cells stored
+    BUCKETED by row key (operators/layout.py write_bucketed).  The
+    scan's bucketing satisfies the merge's (key, name) clustering —
+    hash on a subset of the grouping keys co-locates every group — so
+    Catalyst plans the whole merge with ZERO exchanges: the recurring
+    shuffle of a daily 100 TB merge is paid once, at layout time."""
+    return _render_winners(lww_cell(_bucketed_cells(spark, sf_dir)))
+
+
 _HTTP_ENVELOPE = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
 
 
@@ -3809,11 +3861,12 @@ _DRIVER_WINDOW: list[str] = [
     "null_handling_gallery",
     "array_agg_sorted_events",
     "embedding_cosine_near_dup",
+    # (explode_posexplode_embeddings rides the r7 window; its slot
+    #  goes to the NEW lww_bucketed_merge)
     "dedup_clusters",
     # (array_function_gallery / cast_decimal_gallery /
     #  range_join_price_bands join the galleries riding the r7 window —
     #  their slots go to the three NEW mixture/session/warc queries)
-    "explode_posexplode_embeddings",
     "grouped_normalize_embeddings",
     # (string_function_gallery / date_arithmetic_gallery /
     #  map_function_gallery — 4 green rows each, untouched pure-SQL —
@@ -3826,6 +3879,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_mixture_sample",       # E4+ token-budget mixture recipe
     "events_sessionize",           # E4+ gap sessionization, 1 exchange
     "warc_ingest",                 # WARC source/sink round trip
+    "lww_bucketed_merge",          # bucketed layout, zero-exchange
     # -- code touched this round + permanent regression core ----------
     "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
     "cassandra_summary_splits",    # modified-UTF-8 decoder hardened

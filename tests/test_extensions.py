@@ -1521,3 +1521,36 @@ def test_sessionize_hand_checked(spark):
     assert roll == {(1, 1): (2, 10 * m, 3.0),
                     (1, 2): (3, 30 * m, 28.0),
                     (2, 1): (1, 0, 1.5)}
+
+
+def test_bucketed_layout_redeclare_roundtrip(spark, tmp_path):
+    """write_bucketed leaves plain parquet + bucket-suffixed names;
+    bucketed_table re-declares the catalog entry over the same files
+    (as a fresh session must) and the declared table both matches the
+    data and plans aggregation without an Exchange."""
+    from sstable_hadoop_spark.operators.layout import (
+        bucketed_table,
+        write_bucketed,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id % 37 AS k", "id AS v").repartition(5)
+    d = str(tmp_path / "bkt")
+    write_bucketed(df, d, "bkt_t", bucket_by=("k",), n_buckets=4,
+                   sort_by=("k",))
+    # writer's throwaway catalog entries are gone, files remain
+    assert not spark.catalog.tableExists("bkt_t_writer")
+    spark.sql("DROP TABLE IF EXISTS bkt_t")  # simulate a new session
+    t = bucketed_table(spark, "bkt_t", d, "k BIGINT, v BIGINT",
+                       bucket_by=("k",), n_buckets=4, sort_by=("k",))
+    assert t.count() == 1000
+    agg = t.groupBy("k").sum("v")
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    got = {(r["k"], r["sum(v)"]) for r in agg.collect()}
+    want = {(k, sum(range(k, 1000, 37))) for k in range(37)}
+    assert got == want
+    # IF NOT EXISTS: re-declaring in the same session is a no-op
+    bucketed_table(spark, "bkt_t", d, "k BIGINT, v BIGINT",
+                   bucket_by=("k",), n_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS bkt_t")

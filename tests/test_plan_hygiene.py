@@ -65,3 +65,15 @@ def test_sessionize_single_exchange(spark):
     df = all_queries()["events_sessionize"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_merge_zero_exchanges(spark):
+    """lww_bucketed_merge: the key-bucketed layout satisfies the
+    (key, name) merge clustering, so the whole plan runs without a
+    single Exchange — the layout.py co-location claim."""
+    from sstable_hadoop_spark.queries import all_queries
+
+    df = all_queries()["lww_bucketed_merge"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert "Bucketed: true" in plan, plan
