@@ -27,6 +27,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +105,96 @@ def write_bucketed(df: DataFrame, path: str, table: str,
         w = w.sortBy(*sort_by)
     w.option("path", path).mode("overwrite").saveAsTable(tmp)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files remain
+
+
+def bucket_id(n_buckets: int, *cols) -> "Column":
+    """The bucket-id EXPRESSION of Spark's bucketed writer, usable in
+    any plan: ``pmod(murmur3(cols), n_buckets)``.  ``F.hash`` is
+    Murmur3 with the same seed (42) Spark's ``HashPartitioning.
+    partitionIdExpression`` uses when assigning rows to bucket files,
+    so this computes — executor-side, in codegen — exactly the bucket
+    a row lives in (asserted against real file names in
+    tests/test_extensions.py)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.pmod(F.hash(*cs), F.lit(n_buckets))
+
+
+_BUCKET_FILE_RE = re.compile(r"^part-\d+-.+_(\d{5})(?:\.c\d+)?\..*parquet$")
+
+
+def bucket_files(path: str) -> dict[int, list[str]]:
+    """Map bucket id → data files under a ``write_bucketed`` dir, from
+    the ``part-*-<uuid>_NNNNN[.cK].parquet`` name convention (bucket id
+    is the ``_NNNNN`` infix).  A bucket may own several files (one per
+    writer task that held its rows); absent buckets are empty."""
+    out: dict[int, list[str]] = {}
+    for f in os.listdir(path):
+        m = _BUCKET_FILE_RE.search(f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(
+                os.path.join(path, f))
+    return out
+
+
+def bucketed_upsert(spark, path: str, delta: DataFrame,
+                    merge, bucket_by: tuple[str, ...],
+                    n_buckets: int,
+                    sort_by: tuple[str, ...] = ()) -> list[int]:
+    """Apply a delta batch to a ``write_bucketed`` table by rewriting
+    ONLY the buckets that contain a delta key — the merge-on-write
+    upsert a daily 100 TB pipeline needs: cost is O(affected buckets +
+    delta), not O(table).
+
+    ``merge(stored, delta) -> DataFrame`` defines the reconciliation
+    (e.g. ``lww.lww_refresh`` — any associative, idempotent merge makes
+    the whole upsert idempotent: re-applying a committed batch rewrites
+    the same bytes).
+
+    Plan shape: the affected-bucket set is ``pmod(hash(key), n)`` over
+    the delta — distinct ≤ n_buckets values, the one (bounded) driver
+    collect.  Stored rows of OTHER buckets are never read: the scan is
+    an explicit file list from the bucket-id file names.  The merged
+    result is staged with the same bucketed writer (only affected
+    buckets produce files, since every merged key hashes into one) and
+    swapped in file-atomically; untouched bucket files are not opened,
+    rewritten, or moved.  On an object store the swap step is the
+    metadata commit a table format (Delta/Iceberg) would journal; the
+    bucket math and IO topology are identical.
+
+    Returns the sorted affected bucket ids."""
+    import shutil
+    import tempfile
+
+    affected = sorted(
+        r[0] for r in
+        delta.select(bucket_id(n_buckets, *bucket_by).alias("b"))
+             .distinct().collect())
+    by_bucket = bucket_files(path)
+    old_files = [f for b in affected for f in by_bucket.get(b, [])]
+    schema = spark.read.parquet(path).schema  # footer-only
+    stored = (spark.read.schema(schema).parquet(*old_files)
+              if old_files else
+              spark.createDataFrame([], schema))
+    merged = merge(stored, delta)
+
+    stage = tempfile.mkdtemp(prefix="bucketed_upsert_")
+    try:
+        write_bucketed(merged, stage, "bucketed_upsert_stage",
+                       bucket_by=bucket_by, n_buckets=n_buckets,
+                       sort_by=sort_by)
+        staged = bucket_files(stage)
+        bad = set(staged) - set(affected)
+        if bad:  # merge() injected keys outside the delta's buckets
+            raise ValueError(
+                f"merge produced rows in unaffected buckets {sorted(bad)}")
+        for f in old_files:
+            os.remove(f)
+        for b in affected:
+            for f in staged.get(b, ()):
+                shutil.move(f, os.path.join(path, os.path.basename(f)))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return affected
 
 
 def bucketed_table(spark, table: str, path: str, schema_ddl: str,

@@ -3748,6 +3748,54 @@ def lww_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_winners(lww_cell(_bucketed_cells(spark, sf_dir)))
 
 
+# Same oracle as the flagship ON PURPOSE (third member of the family,
+# after lww_incremental_refresh and lww_bucketed_merge): a selective
+# bucket rewrite that dropped a file, double-applied a delta, or
+# mis-hashed a key into the wrong bucket would diverge from the full
+# re-merge and hash-mismatch here.
+@query("lww_bucketed_upsert", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def lww_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout r6: merge-on-write upsert into the bucketed winners
+    table (operators/layout.py bucketed_upsert).  Generations 1-3 are
+    merged once and stored key-bucketed; generation 4 is the day's
+    delta, folded in by rewriting ONLY the buckets holding delta keys
+    (lww_refresh inside each) — O(affected buckets + delta) IO, the
+    compaction topology a 100 TB table needs.  The read-back must be
+    indistinguishable from a full re-merge of all generations; the
+    upsert is idempotent (argmax merge), so the driver re-running this
+    query re-applies the same delta onto the same bytes."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.layout import (
+        bucketed_upsert,
+        write_bucketed,
+    )
+    from sstable_hadoop_spark.operators.lww import lww_refresh
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        write_bucketed(lww_cell(cells.filter(F.col("generation") <= 3)),
+                       out, f"upsert_base_{h}",
+                       bucket_by=("key",), n_buckets=8,
+                       sort_by=("key", "name"))
+
+    path = _idempotent_tmpdir("bucketed_upsert_base_" + h, build)
+    bucketed_upsert(spark, path,
+                    cells.filter(F.col("generation") == 4),
+                    lww_refresh, bucket_by=("key",), n_buckets=8,
+                    sort_by=("key", "name"))
+    return _render_winners(spark.read.parquet(path))
+
+
 _HTTP_ENVELOPE = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
 
 
@@ -3855,7 +3903,9 @@ _DRIVER_WINDOW: list[str] = [
     "sstable_keys_scan",
     "subquery_above_avg_orders",
     "subquery_correlated_max_item",
-    "window_gallery",
+    # (window_gallery — green r4, untouched pure SQL — rides the r7
+    #  window with the rest of its cohort; its slot goes to the NEW
+    #  lww_bucketed_upsert)
     "stats_aggregates",
     "pivot_status_by_priority",
     "null_handling_gallery",
@@ -3880,6 +3930,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_sessionize",           # E4+ gap sessionization, 1 exchange
     "warc_ingest",                 # WARC source/sink round trip
     "lww_bucketed_merge",          # bucketed layout, zero-exchange
+    "lww_bucketed_upsert",         # selective bucket rewrite upsert
     # -- code touched this round + permanent regression core ----------
     "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
     "cassandra_summary_splits",    # modified-UTF-8 decoder hardened

@@ -4,6 +4,8 @@ plumbing shape + determinism."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -1554,3 +1556,136 @@ def test_bucketed_layout_redeclare_roundtrip(spark, tmp_path):
     bucketed_table(spark, "bkt_t", d, "k BIGINT, v BIGINT",
                    bucket_by=("k",), n_buckets=4)
     spark.sql("DROP TABLE IF EXISTS bkt_t")
+
+
+def test_bucket_id_matches_spark_writer(spark, tmp_path):
+    """layout.bucket_id must compute EXACTLY the bucket Spark's
+    bucketed writer assigned each row to (pmod(murmur3-seed-42, n) ==
+    the _NNNNN file-name infix) — the invariant every selective-rewrite
+    claim rests on.  Checked for a bigint key and a binary key."""
+    from sstable_hadoop_spark.operators.layout import (
+        bucket_files,
+        bucket_id,
+        write_bucketed,
+    )
+
+    for expr, dt in (("id", "bigint"), ("encode(cast(id AS string), "
+                                        "'UTF-8')", "binary")):
+        df = spark.range(500).selectExpr(f"{expr} AS k", "id AS v")
+        d = str(tmp_path / f"b_{dt}")
+        write_bucketed(df, d, f"bid_{dt}", bucket_by=("k",), n_buckets=7)
+        by_bucket = bucket_files(d)
+        got = spark.read.parquet(d).select(
+            "k", bucket_id(7, "k").alias("b"),
+            F.input_file_name().alias("f")).collect()
+        assert len(got) == 500
+        for r in got:
+            owner = [b for b, fs in by_bucket.items()
+                     if any(r["f"].endswith(os.path.basename(p))
+                            for p in fs)]
+            assert owner == [r["b"]], (dt, r["k"], owner, r["b"])
+
+
+def test_bucketed_upsert_selective_and_idempotent(spark, tmp_path):
+    """bucketed_upsert rewrites ONLY the buckets containing delta keys
+    (untouched bucket files stay byte-identical under the same names),
+    the read-back equals a full re-merge, and re-applying the same
+    delta is a no-op on content."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.layout import (
+        bucket_files,
+        bucket_id,
+        bucketed_upsert,
+        write_bucketed,
+    )
+    from sstable_hadoop_spark.operators.lww import lww_cell, lww_refresh
+
+    def cells(rows):
+        return spark.createDataFrame(
+            rows, "key binary, name binary, state string, data binary, "
+                  "timestamp long, ttl long, expiration long, "
+                  "generation int")
+
+    base_rows = [(f"k{i:03d}".encode(), b"c", "NORMAL",
+                  f"v{i}".encode(), 100 + i, None, None, 1)
+                 for i in range(200)]
+    delta_keys = [f"k{i:03d}".encode() for i in (3, 7)]
+    delta_rows = [(k, b"c", "NORMAL", b"new", 10_000, None, None, 2)
+                  for k in delta_keys] + [
+                 (b"brand_new", b"c", "DELETED", None, 10_001, None,
+                  None, 2)]
+
+    d = str(tmp_path / "ups")
+    write_bucketed(lww_cell(cells(base_rows)), d, "ups_t",
+                   bucket_by=("key",), n_buckets=8,
+                   sort_by=("key", "name"))
+
+    def digest():
+        return {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for fs in bucket_files(d).values() for f in fs}
+
+    before = digest()
+    delta = cells(delta_rows)
+    expect = sorted(r[0] for r in delta.select(
+        bucket_id(8, "key").alias("b")).distinct().collect())
+    affected = bucketed_upsert(spark, d, delta, lww_refresh,
+                               bucket_by=("key",), n_buckets=8,
+                               sort_by=("key", "name"))
+    assert affected == expect and 0 < len(affected) < 8
+    after = digest()
+    untouched_b = set(range(8)) - set(affected)
+    by_bucket = bucket_files(d)
+    for b in untouched_b:  # same files, same bytes
+        for f in by_bucket.get(b, ()):
+            assert after[f] == before[f], (b, f)
+    assert any(f not in before for f in after)  # affected replaced
+
+    got = {(bytes(r["key"]), r["timestamp"], bytes(r["data"] or b""))
+           for r in spark.read.parquet(d).collect()}
+    want = {(bytes(r["key"]), r["timestamp"], bytes(r["data"] or b""))
+            for r in lww_cell(
+                cells(base_rows).unionByName(delta)).collect()}
+    assert got == want
+    # tombstone winner for the new key is STORED (not suppressed)
+    assert (b"brand_new", 10_001, b"") in got
+
+    bucketed_upsert(spark, d, delta, lww_refresh, bucket_by=("key",),
+                    n_buckets=8, sort_by=("key", "name"))
+    got2 = {(bytes(r["key"]), r["timestamp"])
+            for r in spark.read.parquet(d).collect()}
+    assert got2 == {(k, t) for k, t, _ in got}
+
+
+def test_bucketed_upsert_rejects_out_of_bucket_merge(spark, tmp_path):
+    """A merge() that manufactures keys outside the delta's buckets
+    must fail loudly BEFORE any file is touched, not corrupt the
+    untouched buckets' invariant."""
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.operators.layout import (
+        bucket_files,
+        bucketed_upsert,
+        write_bucketed,
+    )
+
+    df = spark.range(100).selectExpr("id AS k", "id AS v")
+    d = str(tmp_path / "oob")
+    write_bucketed(df, d, "oob_t", bucket_by=("k",), n_buckets=8)
+    before = {f for fs in bucket_files(d).values() for f in fs}
+    delta = spark.range(1).selectExpr("3 AS k", "999 AS v")
+    from sstable_hadoop_spark.operators.layout import bucket_id
+    delta_b = delta.select(bucket_id(8, "k")).head()[0]
+    outside = next(  # first key hashing OUTSIDE the delta's bucket
+        r["k"] for r in spark.range(100).selectExpr("id AS k")
+        .withColumn("b", bucket_id(8, "k")).collect()
+        if r["b"] != delta_b)
+
+    def bad_merge(stored, dl):
+        return stored.unionByName(dl).unionByName(
+            spark.range(1).selectExpr(f"{outside}L AS k", "0L AS v"))
+
+    with _pytest.raises(ValueError, match="unaffected buckets"):
+        bucketed_upsert(spark, d, delta, bad_merge,
+                        bucket_by=("k",), n_buckets=8)
+    assert {f for fs in bucket_files(d).values() for f in fs} == before
