@@ -381,3 +381,59 @@ def mixture_sample(df: DataFrame, budgets: dict[str, int],
     return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
                 .filter(F.col("cum_tokens") <= shard_budget)
                 .select("id", "source", "shard", "n_tokens", "cum_tokens"))
+
+
+def quality_filter(df: DataFrame, top_fraction: float, *,
+                   by: tuple[str, ...] = ("lang",),
+                   method: str = "rank",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   accuracy: int = 10000) -> DataFrame:
+    """Keep the best ``top_fraction`` of documents per ``by`` group,
+    ranked by the ``text.text_stats`` quality score — the
+    quantile-threshold curation step of a pretraining recipe ("keep
+    the top 30% per language").
+
+    ``method``:
+
+    - ``"rank"`` — exact: per-group total order (quality DESC, id ASC)
+      keeps ``row_number ≤ ceil(fraction · group_size)`` — bit-exact
+      group sizes, engine-replicable (the oracle mode).  Cost: one
+      exchange on ``by`` and a per-group sort — fine up to the largest
+      group a task can sort, the usual window caveat.
+    - ``"threshold"`` — the 100 TB path: per-group approximate
+      quantile (Greenwald-Khanna, one agg pass), thresholds broadcast
+      back, then a scan-side ``quality ≥ t`` filter.  NO sort of the
+      corpus, shuffle carries one score per row into the agg only.
+      Selection is approximate at the quantile boundary (and keeps
+      ties), so its contract is "≈ fraction, same ordering ideal" —
+      pinned against rank mode in pytest, not hash-compared.
+
+    Returns ``(id_col, *by, quality)``."""
+    from pyspark.sql.window import Window
+
+    from .text import text_stats
+
+    if method not in ("rank", "threshold"):
+        raise ValueError(f"method must be rank|threshold, got {method!r}")
+    if not 0.0 < top_fraction <= 1.0:
+        raise ValueError(f"top_fraction must be in (0, 1], got "
+                         f"{top_fraction}")
+    scored = text_stats(df, text_col=text_col, id_col=id_col,
+                        keep=tuple(by)).select(
+        id_col, *by, "quality")
+    if method == "rank":
+        part = Window.partitionBy(*by)
+        w = part.orderBy(F.desc("quality"), F.asc(id_col))
+        return (scored
+                .withColumn("_rn", F.row_number().over(w))
+                .withColumn("_n", F.count(F.lit(1)).over(part))
+                .filter(F.col("_rn")
+                        <= F.ceil(F.lit(top_fraction) * F.col("_n")))
+                .drop("_rn", "_n"))
+    thresholds = (scored.groupBy(*by)
+                  .agg(F.approx_percentile(
+                      "quality", F.lit(1.0 - top_fraction),
+                      F.lit(accuracy)).alias("_thr")))
+    return (scored.join(F.broadcast(thresholds), list(by))
+                  .filter(F.col("quality") >= F.col("_thr"))
+                  .select(id_col, *by, "quality"))

@@ -3796,6 +3796,89 @@ def lww_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_winners(spark.read.parquet(path))
 
 
+def _profile_branch(col: str, dt: str, render: str) -> str:
+    """One UNION ALL branch of the profile oracle: the same stats
+    operators/profile.py computes, column-at-a-time in SQL."""
+    r = render.format(c=col)
+    return f"""
+SELECT '{col}' AS col_name, '{dt}' AS data_type,
+       count(*) AS n_rows,
+       cast(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS bigint)
+           AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       {render.format(c=f'min({col})')} AS min_val,
+       {render.format(c=f'max({col})')} AS max_val,
+       cast(coalesce(sum(length({r})), 0) AS bigint) AS total_len
+FROM orders"""
+
+
+_NUM_RENDER = "cast(cast({c} AS DECIMAL(28,6)) AS varchar)"
+
+_PROFILE_ORACLE = "\nUNION ALL".join([
+    _profile_branch("o_orderkey", "bigint", _NUM_RENDER),
+    _profile_branch("o_custkey", "bigint", _NUM_RENDER),
+    _profile_branch("o_orderstatus", "string", "{c}"),
+    _profile_branch("o_totalprice", "double", _NUM_RENDER),
+    _profile_branch("o_orderpriority", "string", "{c}"),
+])
+
+
+@query("profile_orders_table", oracle=_PROFILE_ORACLE)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling r6 (operators/profile.py): per-column ANALYZE
+    report — rows, nulls, exact cardinality, portable min/max
+    rendering, summed rendered width — as ONE wide aggregation over
+    ONE scan (each stat an independent agg expression, map-side
+    partials, 1-row shuffle) plus a trivial unpivot.  The oracle
+    recomputes every statistic column-at-a-time in SQL.  ``exact=True``
+    here because HLL estimates are engine-specific; the default
+    approx mode is the single-pass 100 TB path (pytest pins its
+    relative error against this exact profile)."""
+    from sstable_hadoop_spark.operators.profile import profile_table
+
+    return profile_table(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"], exact=True)
+
+
+@query("corpus_quality_filter", oracle=r"""
+WITH q AS (
+    SELECT doc_id, lang,
+           round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 5000
+                             THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                                / greatest(length(text), 1))
+                 + 0.3 * (len(list_filter(
+                              regexp_split_to_array(lower(text), '\s+'),
+                              t -> t IN ('the','a','of','and','to','in',
+                                         'is','it')))
+                          * 1.0
+                          / greatest(len(regexp_split_to_array(lower(text),
+                                                               '\s+')), 1)),
+                 6) AS quality
+    FROM documents
+)
+SELECT doc_id, lang, quality
+FROM (SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM q)
+WHERE rn <= ceil(0.3 * n)
+""")
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation r6 (operators/corpus.py quality_filter): keep the top
+    30% of documents per language by quality score — exact rank mode
+    (one exchange + per-group sort) here for the cross-engine oracle;
+    the ``threshold`` mode (approx-quantile broadcast, no corpus sort)
+    is the 100 TB path, pinned against this one in pytest."""
+    from sstable_hadoop_spark.operators.corpus import quality_filter
+
+    return quality_filter(load(spark, sf_dir, "documents"), 0.3,
+                          method="rank")
+
+
 _HTTP_ENVELOPE = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
 
 
@@ -3906,8 +3989,10 @@ _DRIVER_WINDOW: list[str] = [
     # (window_gallery — green r4, untouched pure SQL — rides the r7
     #  window with the rest of its cohort; its slot goes to the NEW
     #  lww_bucketed_upsert)
-    "stats_aggregates",
-    "pivot_status_by_priority",
+    # (stats_aggregates — green r4, untouched pure SQL — rides the r7
+    #  window; its slot goes to the NEW profile_orders_table)
+    # (pivot_status_by_priority — green r4, untouched pure SQL — rides
+    #  the r7 window; its slot goes to the NEW corpus_quality_filter)
     "null_handling_gallery",
     "array_agg_sorted_events",
     "embedding_cosine_near_dup",
@@ -3931,6 +4016,8 @@ _DRIVER_WINDOW: list[str] = [
     "warc_ingest",                 # WARC source/sink round trip
     "lww_bucketed_merge",          # bucketed layout, zero-exchange
     "lww_bucketed_upsert",         # selective bucket rewrite upsert
+    "profile_orders_table",        # one-scan ANALYZE profile
+    "corpus_quality_filter",       # per-lang quantile curation
     # -- code touched this round + permanent regression core ----------
     "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
     "cassandra_summary_splits",    # modified-UTF-8 decoder hardened

@@ -1689,3 +1689,132 @@ def test_bucketed_upsert_rejects_out_of_bucket_merge(spark, tmp_path):
         bucketed_upsert(spark, d, delta, bad_merge,
                         bucket_by=("k",), n_buckets=8)
     assert {f for fs in bucket_files(d).values() for f in fs} == before
+
+
+def test_profile_table_modes_and_edges(spark):
+    """profile_table: exact mode vs hand-computed stats on a table
+    with NULLs, an all-NULL column, and an unrenderable (binary)
+    column; approx mode matches exact within HLL tolerance and shares
+    every non-cardinality column."""
+    from sstable_hadoop_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", b"x", 1.5), (2, "bb", b"y", None),
+         (2, None, b"z", 9.25), (7, "bb", b"w", None)],
+        "k int, s string, b binary, v double")
+    df = df.withColumn("all_null", F.lit(None).cast("int"))
+
+    exact = {r["col_name"]: r for r in
+             profile_table(df, exact=True).collect()}
+    assert set(exact) == {"k", "s", "b", "v", "all_null"}
+    k = exact["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_val"], k["max_val"]) == ("1.000000", "7.000000")
+    assert k["total_len"] == 4 * len("1.000000")
+    s = exact["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_val"], s["max_val"]) == ("a", "bb")
+    assert s["total_len"] == 1 + 2 + 2
+    v = exact["v"]
+    assert (v["n_nulls"], v["n_distinct"]) == (2, 2)
+    assert (v["min_val"], v["max_val"]) == ("1.500000", "9.250000")
+    b = exact["b"]  # unrenderable: range NULL, length over NULL = 0
+    assert (b["n_distinct"], b["min_val"], b["max_val"],
+            b["total_len"]) == (4, None, None, 0)
+    an = exact["all_null"]
+    assert (an["n_nulls"], an["n_distinct"], an["min_val"],
+            an["total_len"]) == (4, 0, None, 0)
+
+    approx = {r["col_name"]: r for r in profile_table(df).collect()}
+    for c in exact:
+        for f in ("n_rows", "n_nulls", "min_val", "max_val",
+                  "total_len", "data_type"):
+            assert approx[c][f] == exact[c][f], (c, f)
+        # tiny cardinalities: HLL++ is exact at this scale
+        assert approx[c]["n_distinct"] == exact[c]["n_distinct"]
+
+
+def test_profile_plan_single_scan_no_join(spark):
+    """Both modes profile in ONE scan of the table — no join, no
+    cartesian, and the only exchange(s) are the global-aggregation
+    shuffle (plus Expand's, in exact mode)."""
+    from sstable_hadoop_spark.operators.profile import profile_table
+    from sstable_hadoop_spark.queries import load
+
+    for exact in (False, True):
+        df = profile_table(load(spark, "/root/testdata/sf0.001",
+                                "orders"),
+                           ["o_orderkey", "o_orderstatus"],
+                           exact=exact)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert plan.count("Scan parquet") + plan.count(
+            "BatchScan") == 1, plan
+
+
+def test_quality_filter_rank_vs_threshold(spark):
+    """quality_filter: rank mode keeps exactly ceil(frac·n) per group
+    (a hand-checkable subset ordered by quality), threshold mode
+    approximates the same selection WITHOUT sorting the corpus (no
+    per-group Sort under the filter; thresholds broadcast), and both
+    agree on clearly-above-threshold docs."""
+    from sstable_hadoop_spark.operators.corpus import quality_filter
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    frac = 0.3
+    rank = quality_filter(docs, frac, method="rank")
+    got = rank.collect()
+    sizes = {r["lang"]: r["cnt"] for r in
+             docs.groupBy("lang").agg(
+                 F.count("*").alias("cnt")).collect()}
+    kept = {}
+    for r in got:
+        kept.setdefault(r["lang"], []).append(r)
+    import math
+    for lang, n in sizes.items():
+        assert len(kept.get(lang, [])) == math.ceil(frac * n), lang
+    # rank selection = top quality values of the group
+    worst_kept = {lg: min(r["quality"] for r in rs)
+                  for lg, rs in kept.items()}
+    all_q = {}
+    from sstable_hadoop_spark.operators.text import text_stats
+    for r in text_stats(docs, keep=("lang",)).collect():
+        all_q.setdefault(r["lang"], []).append(r["quality"])
+    for lg, qs in all_q.items():
+        qs = sorted(qs, reverse=True)
+        assert worst_kept[lg] == qs[math.ceil(frac * len(qs)) - 1]
+
+    thr = quality_filter(docs, frac, method="threshold")
+    plan = thr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # no per-group sort of the corpus anywhere in the threshold plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+    tgot = {(r["doc_id"], r["lang"]) for r in thr.collect()}
+    rgot = {(r["doc_id"], r["lang"]) for r in got}
+    # approximate at the boundary, but within ±15% of the target size
+    # per group, and every kept doc scores >= its group threshold
+    tk = {}
+    for d, lg in tgot:
+        tk[lg] = tk.get(lg, 0) + 1
+    for lg, n in sizes.items():
+        assert abs(tk.get(lg, 0) - math.ceil(frac * n)) <= max(
+            2, 0.15 * n), (lg, tk.get(lg), n)
+    # docs strictly above every group's boundary are in BOTH
+    for lg, rs in kept.items():
+        for r in rs:
+            if r["quality"] > worst_kept[lg]:
+                assert (r["doc_id"], lg) in tgot
+
+
+def test_quality_filter_validations(spark):
+    from sstable_hadoop_spark.operators.corpus import quality_filter
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="method"):
+        quality_filter(docs, 0.5, method="nope")
+    with pytest.raises(ValueError, match="top_fraction"):
+        quality_filter(docs, 0.0)
+    with pytest.raises(ValueError, match="top_fraction"):
+        quality_filter(docs, 1.5)
