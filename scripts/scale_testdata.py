@@ -130,7 +130,12 @@ def scale(factor: int = 10, src: str = "/root/testdata/sf0.1",
             col = tbl.column(f.name).cast(f.type)
             cols.append(col)
         out_tbl = pa.table(cols, schema=pa.schema(list(src_schema)))
-        pq.write_table(out_tbl, f"{out}/{t}.parquet")
+        # Bounded row groups (any real distributed writer's behavior):
+        # pyarrow's default single giant row group makes every byte-
+        # range split but one EMPTY — the scan looks parallel while
+        # one task reads everything.
+        pq.write_table(out_tbl, f"{out}/{t}.parquet",
+                       row_group_size=65536)
         print(f"{t}: {out_tbl.num_rows} rows", file=sys.stderr)
     return out
 

@@ -437,3 +437,75 @@ def quality_filter(df: DataFrame, top_fraction: float, *,
     return (scored.join(F.broadcast(thresholds), list(by))
                   .filter(F.col("quality") >= F.col("_thr"))
                   .select(id_col, *by, "quality"))
+
+
+def build_vocab(df: DataFrame, *, top_n: int = 10000,
+                min_count: int = 1, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Frequency-cutoff vocabulary over whitespace tokens: the top
+    ``top_n`` terms with ``term_count ≥ min_count``, ranked by
+    (count DESC, term ASC) — the deterministic total order that makes
+    the vocabulary identical on any cluster size, row order, or
+    engine.
+
+    Returns ``(term, term_count, doc_count, rank)``.
+
+    Scale shape: explode → one hash-agg on term (map-side partials
+    collapse each partition's repeats before the shuffle — for natural
+    language, partials shrink the exchange by ~the per-partition
+    type/token ratio) → global top-N as TakeOrdered (heap per
+    partition + driver merge of N, never a full sort) → rank assigned
+    over the N survivors only."""
+    from ._util import ensure_parallelism
+
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df)
+    tok = (df.select(F.col(id_col).alias("_doc"),
+                     F.explode(F.split(F.lower(F.col(text_col)),
+                                       r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    counts = (tok.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("term_count"),
+                      F.count_distinct("_doc").alias("doc_count"))
+                 .filter(F.col("term_count") >= min_count))
+    top = counts.orderBy(F.desc("term_count"), F.asc("term")) \
+                .limit(top_n)
+    # rank over the <= top_n survivors: single tiny partition, cheap
+    w = Window.orderBy(F.desc("term_count"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def oov_rate(df: DataFrame, vocab: DataFrame, *,
+             by: tuple[str, ...] = ("lang",), text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Out-of-vocabulary accounting per ``by`` group: what fraction of
+    token OCCURRENCES a candidate vocabulary fails to cover — the
+    go/no-go metric for a tokenizer/vocab choice before a training
+    run.
+
+    ``vocab`` is any DataFrame with a ``term`` column (typically
+    ``build_vocab``'s output).  The vocab side is broadcast (a vocab
+    is ≤ millions of terms; the corpus is the 100 TB side), so the
+    token stream is scanned once with a map-side hash probe — no
+    corpus shuffle at all until the tiny per-group rollup.
+
+    Returns ``(*by, n_tokens, n_oov, oov_rate)`` with ``oov_rate``
+    rounded to 6 places."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    tok = (df.select(*[F.col(c) for c in by],
+                     F.explode(F.split(F.lower(F.col(text_col)),
+                                       r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    marked = tok.join(
+        F.broadcast(vocab.select("term")
+                    .withColumn("_in_v", F.lit(1))), "term", "left")
+    return (marked.groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("_in_v").isNull().cast("long"))
+                  .alias("n_oov"))
+            .select(*by, "n_tokens", "n_oov",
+                    F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                     .alias("oov_rate")))

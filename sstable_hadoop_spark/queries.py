@@ -3879,6 +3879,68 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                           method="rank")
 
 
+_VOCAB_SQL = r"""
+    SELECT t AS term, count(*) AS term_count,
+           count(DISTINCT doc_id) AS doc_count,
+           row_number() OVER (ORDER BY count(*) DESC, t) AS rank
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+          FROM documents)
+    WHERE t <> ''
+    GROUP BY t
+    HAVING count(*) >= 5
+    QUALIFY rank <= 100
+"""
+
+
+@query("corpus_vocab_top_terms", oracle=f"""
+WITH vocab AS ({_VOCAB_SQL})
+SELECT term, term_count, doc_count, rank FROM vocab
+""")
+def corpus_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction r6 (operators/corpus.py build_vocab):
+    top-100 whitespace terms with count ≥ 5, ranked by the
+    deterministic (count DESC, term ASC) total order.  One term-keyed
+    hash-agg with map-side partials, then TakeOrdered — no full
+    sort."""
+    from sstable_hadoop_spark.operators.corpus import build_vocab
+
+    return build_vocab(load(spark, sf_dir, "documents"), top_n=100,
+                       min_count=5)
+
+
+@query("corpus_oov_rate", oracle=rf"""
+WITH vocab AS ({_VOCAB_SQL}),
+tok AS (
+    SELECT lang,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+),
+t2 AS (SELECT lang, tok.term, vocab.term AS v
+       FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+       WHERE tok.term <> '')
+SELECT lang, count(*) AS n_tokens,
+       cast(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS bigint)
+           AS n_oov,
+       round(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate
+FROM t2 GROUP BY lang
+""")
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV accounting r6 (operators/corpus.py oov_rate): per-language
+    fraction of token occurrences the top-100 vocabulary misses.  The
+    vocab side is broadcast; the corpus-side token stream is probed
+    map-side with zero corpus shuffle before the per-language
+    rollup."""
+    from sstable_hadoop_spark.operators.corpus import (
+        build_vocab,
+        oov_rate,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return oov_rate(docs, build_vocab(docs, top_n=100, min_count=5))
+
+
 _HTTP_ENVELOPE = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
 
 
@@ -3993,8 +4055,9 @@ _DRIVER_WINDOW: list[str] = [
     #  window; its slot goes to the NEW profile_orders_table)
     # (pivot_status_by_priority — green r4, untouched pure SQL — rides
     #  the r7 window; its slot goes to the NEW corpus_quality_filter)
-    "null_handling_gallery",
-    "array_agg_sorted_events",
+    # (null_handling_gallery / array_agg_sorted_events — green r4,
+    #  untouched pure SQL — ride the r7 window; their slots go to the
+    #  NEW corpus_vocab_top_terms / corpus_oov_rate)
     "embedding_cosine_near_dup",
     # (explode_posexplode_embeddings rides the r7 window; its slot
     #  goes to the NEW lww_bucketed_merge)
@@ -4018,6 +4081,8 @@ _DRIVER_WINDOW: list[str] = [
     "lww_bucketed_upsert",         # selective bucket rewrite upsert
     "profile_orders_table",        # one-scan ANALYZE profile
     "corpus_quality_filter",       # per-lang quantile curation
+    "corpus_vocab_top_terms",      # frequency-cutoff vocabulary
+    "corpus_oov_rate",             # broadcast-probe OOV accounting
     # -- code touched this round + permanent regression core ----------
     "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
     "cassandra_summary_splits",    # modified-UTF-8 decoder hardened

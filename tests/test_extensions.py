@@ -1818,3 +1818,81 @@ def test_quality_filter_validations(spark):
         quality_filter(docs, 0.0)
     with pytest.raises(ValueError, match="top_fraction"):
         quality_filter(docs, 1.5)
+
+
+def test_build_vocab_and_oov_hand_checked(spark):
+    """build_vocab: deterministic (count DESC, term ASC) ranking,
+    min_count cutoff, per-term doc counts; oov_rate: exact occurrence
+    accounting against that vocab, broadcast probe in the plan."""
+    from sstable_hadoop_spark.operators.corpus import build_vocab, oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b a c"), (2, "en", "b a d"), (3, "de", "d e B")],
+        "doc_id long, lang string, text string")
+    v = build_vocab(docs, top_n=3, min_count=2)
+    got = [(r["term"], r["term_count"], r["doc_count"], r["rank"])
+           for r in v.orderBy("rank").collect()]
+    # a:3(2 docs) b:3(3 docs, lowercased B) d:2(2) — c,e cut by min_count
+    assert got == [("a", 3, 2, 1), ("b", 3, 3, 2), ("d", 2, 2, 3)]
+
+    rates = oov_rate(docs, v)
+    plan = rates._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    by_lang = {r["lang"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+               for r in rates.collect()}
+    # en: 7 tokens, 1 oov (c); de: 3 tokens, 1 oov (e)
+    assert by_lang == {"en": (7, 1, round(1 / 7, 6)),
+                       "de": (3, 1, round(1 / 3, 6))}
+
+
+def test_build_vocab_topn_no_global_sort(spark):
+    """The top-N cut plans as TakeOrderedAndProject (heap + driver
+    merge of N), never a full global Sort+Exchange of the term
+    counts."""
+    from sstable_hadoop_spark.operators.corpus import build_vocab
+    from sstable_hadoop_spark.queries import load
+
+    v = build_vocab(load(spark, "/root/testdata/sf0.001", "documents"),
+                    top_n=100, min_count=5)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ensure_parallelism_sees_through_row_groups(spark, tmp_path):
+    """A big parquet file written as ONE row group presents many
+    byte-range partitions that are all empty but one; the effective-
+    splits probe must catch it and repartition.  A multi-row-group
+    file of the same shape must be left alone (no added shuffle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sstable_hadoop_spark.operators._util import (
+        _parquet_effective_splits,
+        ensure_parallelism,
+    )
+
+    tbl = pa.table({"x": list(range(200_000)),
+                    "s": ["pad" * 20] * 200_000})
+    one = str(tmp_path / "one.parquet")
+    many = str(tmp_path / "many.parquet")
+    pq.write_table(tbl, one, row_group_size=1 << 21)
+    pq.write_table(tbl, many, row_group_size=4096)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+        df1 = spark.read.parquet(one)
+        assert df1.rdd.getNumPartitions() > 2  # LOOKS parallel
+        assert _parquet_effective_splits(df1) == 1  # is not
+        fixed = ensure_parallelism(df1)
+        assert fixed.rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+
+        dfm = spark.read.parquet(many)
+        assert _parquet_effective_splits(dfm) >= 16
+        assert ensure_parallelism(dfm) is dfm  # untouched: no shuffle
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # non-file plans: probe answers None, repartition logic unaffected
+    assert _parquet_effective_splits(
+        spark.range(10).groupBy().count()) is None
