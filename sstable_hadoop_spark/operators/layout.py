@@ -128,6 +128,8 @@ def bucket_files(path: str) -> dict[int, list[str]]:
     is the ``_NNNNN`` infix).  A bucket may own several files (one per
     writer task that held its rows); absent buckets are empty."""
     out: dict[int, list[str]] = {}
+    if not os.path.isdir(path):  # not-yet-bootstrapped table
+        return out
     for f in os.listdir(path):
         m = _BUCKET_FILE_RE.search(f)
         if m:

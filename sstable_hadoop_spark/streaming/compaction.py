@@ -48,3 +48,52 @@ def flush_stream_to_sstables(cell_stream: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
+                              checkpoint_dir: str, *,
+                              n_buckets: int = 16):
+    """Streaming ingest → continuously-maintained BUCKETED winners
+    table: the compaction-free alternative to the generation flush
+    above.  Each micro-batch is locally LWW-merged (memtable dedup),
+    then folded into the key-bucketed winners table by rewriting ONLY
+    the buckets its keys hash into (operators/layout.bucketed_upsert
+    with lww_refresh inside each) — so the on-disk table IS the
+    current merged state at every batch boundary, readable with zero
+    exchanges and no read-side merge.
+
+    Restart safety comes from algebra, not a transaction log: the
+    argmax merge is idempotent, so a replayed (uncommitted) batch
+    rewrites the same winners byte-for-byte — asserted across a
+    kill/restart in tests/test_streaming.py.
+
+    Per-batch IO is O(affected buckets + batch): the daily-ingest cost
+    of a 100 TB winners table tracks the delta, not the table."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.layout import (
+        bucket_files,
+        bucketed_upsert,
+        write_bucketed,
+    )
+    from sstable_hadoop_spark.operators.lww import lww_cell, lww_refresh
+
+    tag = hashlib.md5(table_dir.encode()).hexdigest()[:10]
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        winners = lww_cell(batch_df)
+        if not bucket_files(table_dir):  # first batch bootstraps
+            write_bucketed(winners, table_dir, f"upsink_{tag}",
+                           bucket_by=("key",), n_buckets=n_buckets,
+                           sort_by=("key", "name"))
+        else:
+            bucketed_upsert(batch_df.sparkSession, table_dir, winners,
+                            lww_refresh, bucket_by=("key",),
+                            n_buckets=n_buckets,
+                            sort_by=("key", "name"))
+
+    return (cell_stream.writeStream
+            .foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

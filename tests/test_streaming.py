@@ -722,3 +722,66 @@ def test_backpressured_stream_feeds_incremental_dedup_across_restart(
     assert {r["id"] for r in prof.collect()} \
         == set(texts) | set(new_texts)
     assert prof.filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_upsert_to_bucketed_winners(spark, tmp_path):
+    """Streaming ingest → per-batch bucketed upsert; after the stream
+    drains, the on-disk bucketed table equals batch lww_cell over all
+    cells WITHOUT any read-side merge, and a replayed batch (restart
+    with the last commit erased) leaves the table unchanged —
+    idempotence by merge algebra, no transaction log."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.operators import lww_cell
+    from sstable_hadoop_spark.queries import derived_cells
+    from sstable_hadoop_spark.streaming.compaction import (
+        upsert_stream_to_bucketed,
+    )
+
+    cells = derived_cells(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "cells_in")
+    for g in [1, 2, 3, 4]:
+        (cells.filter(F.col("generation") == g).coalesce(1)
+              .write.mode("append").parquet(src))
+
+    table = str(tmp_path / "winners")
+    ckpt = str(tmp_path / "ckpt")
+    q = upsert_stream_to_bucketed(
+        spark.readStream.schema(cells.schema)
+             .option("maxFilesPerTrigger", "1").parquet(src),
+        table, ckpt, n_buckets=8)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    def snapshot():
+        return {(bytes(r["key"]), bytes(r["name"]), r["state"],
+                 r["timestamp"], r["generation"])
+                for r in spark.read.parquet(table).collect()}
+
+    want = {(bytes(r["key"]), bytes(r["name"]), r["state"],
+             r["timestamp"], r["generation"])
+            for r in lww_cell(cells).collect()}
+    first = snapshot()
+    assert first == want
+
+    # restart with the newest commit erased → Spark replays that batch
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")),
+                     key=lambda p: os.path.basename(p))
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):  # stale checksum blocks the re-commit
+        os.remove(crc)
+    shutil.rmtree(os.path.join(ckpt, "__tmp_path_dir"),
+                  ignore_errors=True)
+    q2 = upsert_stream_to_bucketed(
+        spark.readStream.schema(cells.schema)
+             .option("maxFilesPerTrigger", "1").parquet(src),
+        table, ckpt, n_buckets=8)
+    q2.awaitTermination(180)
+    assert not q2.isActive
+    assert snapshot() == want  # replay was a content no-op
