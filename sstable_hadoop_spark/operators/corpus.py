@@ -424,17 +424,25 @@ def quality_filter(df: DataFrame, top_fraction: float, *,
     if method == "rank":
         part = Window.partitionBy(*by)
         w = part.orderBy(F.desc("quality"), F.asc(id_col))
+        # DECIMAL, not double, for the cut: 0.07 * 100 in doubles is
+        # 7.000000000000001 and ceils to 8 — decimal arithmetic keeps
+        # ceil(f·n) bit-exact and engine-portable
+        cut = F.ceil(F.lit(str(top_fraction)).cast("decimal(12,10)")
+                     * F.col("_n"))
         return (scored
                 .withColumn("_rn", F.row_number().over(w))
                 .withColumn("_n", F.count(F.lit(1)).over(part))
-                .filter(F.col("_rn")
-                        <= F.ceil(F.lit(top_fraction) * F.col("_n")))
+                .filter(F.col("_rn") <= cut)
                 .drop("_rn", "_n"))
     thresholds = (scored.groupBy(*by)
                   .agg(F.approx_percentile(
                       "quality", F.lit(1.0 - top_fraction),
-                      F.lit(accuracy)).alias("_thr")))
-    return (scored.join(F.broadcast(thresholds), list(by))
+                      F.lit(accuracy)).alias("_thr"))
+                  .withColumnsRenamed({c: f"_t_{c}" for c in by}))
+    # null-safe equality so a NULL group key filters like rank mode
+    # instead of silently vanishing in an inner join
+    cond = [scored[c].eqNullSafe(thresholds[f"_t_{c}"]) for c in by]
+    return (scored.join(F.broadcast(thresholds), cond)
                   .filter(F.col("quality") >= F.col("_thr"))
                   .select(id_col, *by, "quality"))
 
@@ -499,8 +507,9 @@ def oov_rate(df: DataFrame, vocab: DataFrame, *,
                      F.explode(F.split(F.lower(F.col(text_col)),
                                        r"\s+")).alias("term"))
              .filter(F.col("term") != ""))
+    # distinct: a vocab with repeated terms must not multiply matches
     marked = tok.join(
-        F.broadcast(vocab.select("term")
+        F.broadcast(vocab.select("term").distinct()
                     .withColumn("_in_v", F.lit(1))), "term", "left")
     return (marked.groupBy(*by)
             .agg(F.count(F.lit(1)).alias("n_tokens"),

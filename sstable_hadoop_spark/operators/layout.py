@@ -93,18 +93,23 @@ def write_bucketed(df: DataFrame, path: str, table: str,
     converts recurring scan cost into a one-time range write.
 
     The catalog entry is transient (bucket metadata lives in the
-    catalog, not the files): the writer registers a throwaway name to
-    reach Spark's bucketed-write path, then drops it, keeping the
-    files; ``bucketed_table`` re-declares the table over the same
-    files in any later session."""
+    catalog, not the files): the writer registers a throwaway
+    uniquely-suffixed name (safe under concurrent writers in one
+    session; never collides with a user table) to reach Spark's
+    bucketed-write path, then drops it, keeping the files;
+    ``bucketed_table`` re-declares the table over the same files in
+    any later session."""
+    import uuid
+
     spark = df.sparkSession
-    tmp = f"{table}_writer"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    tmp = f"{table}_writer_{uuid.uuid4().hex[:8]}"
     w = df.write.bucketBy(n_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
-    w.option("path", path).mode("overwrite").saveAsTable(tmp)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files remain
+    try:
+        w.option("path", path).mode("overwrite").saveAsTable(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files remain
 
 
 def bucket_id(n_buckets: int, *cols) -> "Column":
@@ -157,11 +162,17 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
     collect.  Stored rows of OTHER buckets are never read: the scan is
     an explicit file list from the bucket-id file names.  The merged
     result is staged with the same bucketed writer (only affected
-    buckets produce files, since every merged key hashes into one) and
-    swapped in file-atomically; untouched bucket files are not opened,
-    rewritten, or moved.  On an object store the swap step is the
-    metadata commit a table format (Delta/Iceberg) would journal; the
-    bucket math and IO topology are identical.
+    buckets produce files, since every merged key hashes into one),
+    then swapped in with a crash-safe ordering: staged files first
+    land INSIDE the table dir under dot-prefixed names (invisible to
+    Spark/Hadoop readers), then old files are removed, then the
+    dot-names are renamed in place (same-filesystem atomic).  No
+    crash point loses data — before the removes both copies exist; a
+    crash between remove and rename leaves the new bytes recoverable
+    under the dot-names.  Assumes ONE writer per table (the streaming
+    sink's micro-batches are serial; a multi-writer deployment puts a
+    table-format transaction log in front, as the docs note —
+    Delta/Iceberg journal exactly this swap as a metadata commit).
 
     Returns the sorted affected bucket ids."""
     import shutil
@@ -180,6 +191,7 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
     merged = merge(stored, delta)
 
     stage = tempfile.mkdtemp(prefix="bucketed_upsert_")
+    hidden: list[tuple[str, str]] = []  # (dot-path, final path)
     try:
         write_bucketed(merged, stage, "bucketed_upsert_stage",
                        bucket_by=bucket_by, n_buckets=n_buckets,
@@ -189,13 +201,25 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
         if bad:  # merge() injected keys outside the delta's buckets
             raise ValueError(
                 f"merge produced rows in unaffected buckets {sorted(bad)}")
-        for f in old_files:
-            os.remove(f)
-        for b in affected:
+        for b in affected:  # land hidden copies next to the old files
             for f in staged.get(b, ()):
-                shutil.move(f, os.path.join(path, os.path.basename(f)))
+                name = os.path.basename(f)
+                dot = os.path.join(path, "." + name)
+                shutil.move(f, dot)
+                hidden.append((dot, os.path.join(path, name)))
+    except BaseException:
+        for dot, _ in hidden:  # nothing removed yet: clean rollback
+            try:
+                os.remove(dot)
+            except OSError:
+                pass
+        raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    for f in old_files:
+        os.remove(f)
+    for dot, final in hidden:
+        os.rename(dot, final)  # same fs: atomic
     return affected
 
 

@@ -65,8 +65,12 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, *,
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         col, dt = F.col(c), types[c]
-        nd = (F.count_distinct(col) if exact
-              else F.approx_count_distinct(col))
+        if dt.startswith("map"):  # Spark forbids distinct/hash on maps
+            nd = F.lit(None).cast("bigint")
+        elif exact:
+            nd = F.count_distinct(col)
+        else:
+            nd = F.approx_count_distinct(col)
         aggs.append(F.struct(
             F.sum(col.isNull().cast("long")).alias("n_nulls"),
             nd.alias("n_distinct"),

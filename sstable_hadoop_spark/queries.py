@@ -3770,7 +3770,9 @@ def lww_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction topology a 100 TB table needs.  The read-back must be
     indistinguishable from a full re-merge of all generations; the
     upsert is idempotent (argmax merge), so the driver re-running this
-    query re-applies the same delta onto the same bytes."""
+    query re-applies the same delta onto the same bytes.  (Single
+    writer per table, like the sink it models — the driver and the
+    parity suite run queries serially.)"""
     import hashlib
 
     from sstable_hadoop_spark.operators.layout import (

@@ -1541,7 +1541,8 @@ def test_bucketed_layout_redeclare_roundtrip(spark, tmp_path):
     write_bucketed(df, d, "bkt_t", bucket_by=("k",), n_buckets=4,
                    sort_by=("k",))
     # writer's throwaway catalog entries are gone, files remain
-    assert not spark.catalog.tableExists("bkt_t_writer")
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("bkt_t_writer")]
     spark.sql("DROP TABLE IF EXISTS bkt_t")  # simulate a new session
     t = bucketed_table(spark, "bkt_t", d, "k BIGINT, v BIGINT",
                        bucket_by=("k",), n_buckets=4, sort_by=("k",))
@@ -1896,3 +1897,53 @@ def test_ensure_parallelism_sees_through_row_groups(spark, tmp_path):
     # non-file plans: probe answers None, repartition logic unaffected
     assert _parquet_effective_splits(
         spark.range(10).groupBy().count()) is None
+
+
+def test_review_fixes_round6(spark):
+    """Edge cases from the r6 self-review: decimal-exact rank cut
+    (0.07·100 must keep 7, not double-ceil's 8), NULL group keys kept
+    by BOTH quality_filter modes, duplicate vocab terms not inflating
+    OOV denominators, and map columns profiling without crashing."""
+    import math
+
+    from sstable_hadoop_spark.operators.corpus import (
+        build_vocab,
+        oov_rate,
+        quality_filter,
+    )
+    from sstable_hadoop_spark.operators.profile import profile_table
+
+    # decimal-exact ceil: 100 docs, fraction 0.07 → exactly 7
+    docs = spark.createDataFrame(
+        [(i, "en", ("word " * (i + 1)).strip()) for i in range(100)],
+        "doc_id long, lang string, text string")
+    # note math.ceil(0.07 * 100) is 8 in doubles — the exact bug
+    assert quality_filter(docs, 0.07, method="rank").count() == 7
+
+    # NULL lang: a real group in rank mode AND threshold mode
+    with_null = docs.union(spark.createDataFrame(
+        [(1000 + i, None, "null lang doc " + "x " * i)
+         for i in range(10)],
+        "doc_id long, lang string, text string"))
+    r = quality_filter(with_null, 0.5, method="rank")
+    t = quality_filter(with_null, 0.5, method="threshold")
+    assert r.filter(F.col("lang").isNull()).count() == 5
+    assert t.filter(F.col("lang").isNull()).count() >= 5  # ties kept
+
+    # duplicate vocab rows must not double-count matched tokens
+    v = build_vocab(docs, top_n=5, min_count=1)
+    dup_v = v.union(v)
+    base = {(r["lang"], r["n_tokens"], r["n_oov"])
+            for r in oov_rate(docs, v).collect()}
+    assert {(r["lang"], r["n_tokens"], r["n_oov"])
+            for r in oov_rate(docs, dup_v).collect()} == base
+
+    # map column: n_distinct degrades to NULL instead of raising
+    m = spark.range(5).selectExpr(
+        "id", "map('k', cast(id AS string)) AS props")
+    for exact in (False, True):
+        rows = {r["col_name"]: r for r in
+                profile_table(m, exact=exact).collect()}
+        assert rows["props"]["n_distinct"] is None
+        assert rows["props"]["n_rows"] == 5
+        assert rows["id"]["n_distinct"] == 5
