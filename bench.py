@@ -46,6 +46,25 @@ BENCH_QUERIES = {
 }
 
 
+def _anchor_sec(spark) -> float:
+    """Host-calibration anchor (VERDICT r6 #6): a PINNED pure-Spark
+    workload — 64M xxhash64 aggregations over range(), zero IO, zero
+    engine code — timed in the same process as the suite.  Its
+    wall-clock moves only with the host (CPU contention, thermal,
+    noisy neighbors), never with this repo's changes, so
+    ``queries_normalized`` (query wall / anchor wall) is comparable
+    across rounds even when absolute seconds drift: r6's uniform
+    1.36× 'regression' was pure host drift (PERF.md A/B)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(0, 64_000_000, 1, 32)
+              .selectExpr("sum(xxhash64(id) % 1000003) AS h")  # ANSI-safe
+              .write.format("noop").mode("overwrite").save())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,6 +82,7 @@ def main() -> None:
 
     # warm the session (JVM/codegen/Arrow init) outside the clock
     spark.range(1000).selectExpr("sum(id)").collect()
+    anchor = _anchor_sec(spark)
 
     # three iterations per query, report the min: steady-state throughput
     # (first execution of each plan pays one-time codegen/JIT costs that
@@ -83,6 +103,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        # host calibration: anchor_sec times a pinned pure-Spark
+        # workload (no engine code, no IO); queries_normalized =
+        # query wall / anchor wall is host-drift-proof across rounds
+        "anchor_sec": round(anchor, 3),
+        "queries_normalized": {k: round(v / anchor, 2)
+                               for k, v in timings.items()},
+        "value_normalized": round(sum(timings.values()) / anchor, 2),
     }
     print(json.dumps(result))
 

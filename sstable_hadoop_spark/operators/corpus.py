@@ -383,6 +383,46 @@ def mixture_sample(df: DataFrame, budgets: dict[str, int],
                 .select("id", "source", "shard", "n_tokens", "cum_tokens"))
 
 
+def mixture_summary(df: DataFrame, budgets: dict[str, int],
+                    source_col: str = "source", id_col: str = "doc_id",
+                    text_col: str = "text", n_shards: int = 8,
+                    seed: str = "mix") -> DataFrame:
+    """Per-source delivery report for :func:`mixture_sample` — the
+    recipe's feedback signal.  ``mixture_sample`` admits by greedy
+    prefix per shard, so a source whose corpus UNDERFILLS its budget
+    silently delivers fewer tokens than the recipe asked for; a
+    training run needs to detect that before it bakes the wrong
+    mixture.  Returns one row per budgeted source:
+    (source, budget, admitted_docs, admitted_tokens, underfilled)
+    with ``underfilled = admitted_tokens < budget``.  Greedy prefixes
+    always stop at-or-below budget, so small shortfalls are inherent
+    slack (< one document per shard); a LARGE shortfall means the
+    corpus ran dry — either way, "the recipe's number is not what you
+    got", and the consumer decides its tolerance.
+
+    Sources present in ``budgets`` but absent from the corpus still
+    get a row (admitted 0, underfilled true) via a literal
+    source-frame left join — absence is the loudest underfill."""
+    admitted = mixture_sample(df, budgets, source_col=source_col,
+                              id_col=id_col, text_col=text_col,
+                              n_shards=n_shards, seed=seed)
+    spark = df.sparkSession
+    recipe = spark.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        "source string, budget long")
+    got = (admitted.groupBy("source")
+           .agg(F.count("*").alias("admitted_docs"),
+                F.sum("n_tokens").alias("admitted_tokens")))
+    return (recipe.join(got, "source", "left")
+            .select("source", "budget",
+                    F.coalesce("admitted_docs", F.lit(0)).cast("long")
+                     .alias("admitted_docs"),
+                    F.coalesce("admitted_tokens", F.lit(0)).cast("long")
+                     .alias("admitted_tokens"))
+            .withColumn("underfilled",
+                        F.col("admitted_tokens") < F.col("budget")))
+
+
 def quality_filter(df: DataFrame, top_fraction: float, *,
                    by: tuple[str, ...] = ("lang",),
                    method: str = "rank",

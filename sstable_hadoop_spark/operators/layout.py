@@ -127,20 +127,80 @@ def bucket_id(n_buckets: int, *cols) -> "Column":
 _BUCKET_FILE_RE = re.compile(r"^part-\d+-.+_(\d{5})(?:\.c\d+)?\..*parquet$")
 
 
+#: In-table commit marker for the upsert swap below: its presence means
+#: "every staged file landed; finish the swap", its absence means any
+#: dot-prefixed part files are a torn stage to roll back.
+UPSERT_MARKER = ".upsert-commit.json"
+
+
 def bucket_files(path: str) -> dict[int, list[str]]:
     """Map bucket id → data files under a ``write_bucketed`` dir, from
     the ``part-*-<uuid>_NNNNN[.cK].parquet`` name convention (bucket id
     is the ``_NNNNN`` infix).  A bucket may own several files (one per
-    writer task that held its rows); absent buckets are empty."""
+    writer task that held its rows); absent buckets are empty.
+
+    Scheme'd URIs list through :mod:`sources.fs` (ADVICE r6: the
+    local-only ``os.listdir`` silently returned ``{}`` on remote
+    tables, which the streaming sink would read as "not bootstrapped"
+    and OVERWRITE).  An interrupted upsert is surfaced loudly: readers
+    must not silently serve a table whose swapped buckets are still
+    hidden under dot-names — run :func:`recover_upsert` (the writer
+    does this automatically on entry)."""
+    from sstable_hadoop_spark.sources import fs
+
     out: dict[int, list[str]] = {}
-    if not os.path.isdir(path):  # not-yet-bootstrapped table
-        return out
-    for f in os.listdir(path):
-        m = _BUCKET_FILE_RE.search(f)
+    entries = fs.list_dir(path)
+    names = {os.path.basename(p) for p in entries}
+    if UPSERT_MARKER in names or any(
+            _BUCKET_FILE_RE.search(n[1:]) for n in names
+            if n.startswith(".")):
+        raise RuntimeError(
+            f"interrupted bucketed upsert detected in {path} "
+            f"(commit marker or orphan dot-staged files present) — "
+            f"run operators.layout.recover_upsert(path) first")
+    for p in entries:
+        m = _BUCKET_FILE_RE.search(os.path.basename(p))
         if m:
-            out.setdefault(int(m.group(1)), []).append(
-                os.path.join(path, f))
+            out.setdefault(int(m.group(1)), []).append(p)
     return out
+
+
+def recover_upsert(path: str) -> str:
+    """Finish or undo an interrupted :func:`bucketed_upsert` swap.
+
+    The swap protocol stages every file under a dot-name, then writes
+    ``UPSERT_MARKER`` (the commit point), then removes old files and
+    renames dots into place, then drops the marker.  Recovery is
+    therefore unambiguous under the table's single-writer contract:
+
+    - marker present → every staged file landed; ROLL FORWARD by
+      re-executing the marker's removes + renames (both idempotent).
+    - marker absent but dot-staged part files exist → the stage was
+      torn mid-landing; ROLL BACK by deleting the dots (old files are
+      all still present — removes only ever happen after the marker).
+
+    Returns ``"rolled_forward"``, ``"rolled_back"``, or ``"clean"``."""
+    import json
+
+    from sstable_hadoop_spark.sources import fs
+
+    marker = os.path.join(path, UPSERT_MARKER)
+    if fs.exists(marker):
+        plan = json.loads(fs.read_bytes(marker))
+        for f in plan["removes"]:
+            if fs.exists(f):
+                fs.remove(f)
+        for dot, final in plan["renames"]:
+            if fs.exists(dot):
+                fs.rename(dot, final)
+        fs.remove(marker)
+        return "rolled_forward"
+    dots = [p for p in fs.list_dir(path)
+            if os.path.basename(p).startswith(".")
+            and _BUCKET_FILE_RE.search(os.path.basename(p)[1:])]
+    for p in dots:
+        fs.remove(p)
+    return "rolled_back" if dots else "clean"
 
 
 def bucketed_upsert(spark, path: str, delta: DataFrame,
@@ -163,21 +223,36 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
     an explicit file list from the bucket-id file names.  The merged
     result is staged with the same bucketed writer (only affected
     buckets produce files, since every merged key hashes into one),
-    then swapped in with a crash-safe ordering: staged files first
-    land INSIDE the table dir under dot-prefixed names (invisible to
-    Spark/Hadoop readers), then old files are removed, then the
-    dot-names are renamed in place (same-filesystem atomic).  No
-    crash point loses data — before the removes both copies exist; a
-    crash between remove and rename leaves the new bytes recoverable
-    under the dot-names.  Assumes ONE writer per table (the streaming
-    sink's micro-batches are serial; a multi-writer deployment puts a
-    table-format transaction log in front, as the docs note —
-    Delta/Iceberg journal exactly this swap as a metadata commit).
+    then swapped in with a marker-committed crash-safe ordering:
+    staged files first land INSIDE the table dir under dot-prefixed
+    names (invisible to Spark/Hadoop readers and to
+    :func:`bucket_files`), then the ``UPSERT_MARKER`` commit record is
+    written (the commit point), then old files are removed and the
+    dot-names renamed in place, then the marker is dropped.  A crash
+    before the marker rolls BACK (old files are untouched); a crash
+    after it rolls FORWARD (the marker lists every remove+rename, all
+    idempotent) — :func:`recover_upsert` runs automatically on entry,
+    and readers that hit a torn table get a loud error from
+    ``bucket_files`` instead of silently missing buckets (ADVICE r6).
+
+    All file manipulation routes through :mod:`sources.fs`, so the
+    table may live on any mounted store (``file://`` end-to-end
+    today; object-store URIs need Spark itself to read/write parquet
+    there, and renames on such stores are copy+delete — the marker
+    ordering is what keeps that weaker atomicity recoverable).
+    Assumes ONE writer per table (the streaming sink's micro-batches
+    are serial; a multi-writer deployment puts a table-format
+    transaction log in front, as the docs note — Delta/Iceberg
+    journal exactly this swap as a metadata commit).
 
     Returns the sorted affected bucket ids."""
+    import json
     import shutil
     import tempfile
 
+    from sstable_hadoop_spark.sources import fs
+
+    recover_upsert(path)  # finish/undo any interrupted prior swap
     affected = sorted(
         r[0] for r in
         delta.select(bucket_id(n_buckets, *bucket_by).alias("b"))
@@ -205,21 +280,27 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
             for f in staged.get(b, ()):
                 name = os.path.basename(f)
                 dot = os.path.join(path, "." + name)
-                shutil.move(f, dot)
+                fs.put_file(f, dot)
                 hidden.append((dot, os.path.join(path, name)))
+        # commit point: from here the swap completes even across a
+        # crash (recover_upsert replays this exact plan)
+        fs.write_bytes(os.path.join(path, UPSERT_MARKER),
+                       json.dumps({"removes": old_files,
+                                   "renames": hidden}).encode())
     except BaseException:
         for dot, _ in hidden:  # nothing removed yet: clean rollback
             try:
-                os.remove(dot)
+                fs.remove(dot)
             except OSError:
                 pass
         raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     for f in old_files:
-        os.remove(f)
+        fs.remove(f)
     for dot, final in hidden:
-        os.rename(dot, final)  # same fs: atomic
+        fs.rename(dot, final)
+    fs.remove(os.path.join(path, UPSERT_MARKER))
     return affected
 
 

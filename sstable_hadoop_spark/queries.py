@@ -2543,6 +2543,135 @@ def cassandra_summary_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.lit(False)).alias("is_sample")))
 
 
+def _doc_cassandra_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells for the Cassandra WRITE-sink driver row, derived from the
+    ``documents`` table (a second, independent derivation so the sink
+    gets its own ledger row instead of hiding inside
+    ``cassandra_format_scan``'s fixture build): three named columns
+    per document (chars/lang/source), with deterministic DELETED and
+    EXPIRING states so the serializer's flag/ttl/localDeletionTime
+    paths are all driver-checked.  ``expiration`` is always a whole
+    second (×1000 ms) because the 1.x layout persists
+    localDeletionTime in SECONDS (cassandra1x.py encode ``exp//1000``,
+    decode ``*1000``) — anything finer cannot round-trip."""
+    docs = load(spark, sf_dir, "documents")
+    trip = F.array(
+        F.struct(F.lit("chars").alias("name_str"),
+                 F.col("n_chars").cast("string").alias("val")),
+        F.struct(F.lit("lang").alias("name_str"),
+                 F.col("lang").alias("val")),
+        F.struct(F.lit("source").alias("name_str"),
+                 F.col("source").alias("val")))
+    e = (docs.select("doc_id", "n_chars", F.explode(trip).alias("c"))
+             .select("doc_id", "n_chars",
+                     F.col("c.name_str").alias("name_str"),
+                     F.col("c.val").alias("val")))
+    state = (F.when(((F.col("doc_id") % 7) == 0)
+                    & (F.col("name_str") == "lang"), F.lit("DELETED"))
+              .when((F.col("n_chars") % 5) == 0, F.lit("EXPIRING"))
+              .otherwise(F.lit("NORMAL")))
+    e = e.withColumn("state", state)
+    expiring = F.col("state") == "EXPIRING"
+    return e.select(
+        F.encode(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")),
+                 "UTF-8").alias("key"),
+        F.encode("name_str", "UTF-8").alias("name"),
+        "state",
+        F.when(F.col("state") == "DELETED", F.lit(None).cast("binary"))
+         .otherwise(F.encode("val", "UTF-8")).alias("data"),
+        (F.col("doc_id") * 1_000_000 + F.col("n_chars")).cast("long")
+         .alias("timestamp"),
+        F.when(expiring, F.lit(3600) + F.col("doc_id") % 100)
+         .cast("long").alias("ttl"),
+        F.when(expiring, F.lit(AS_OF_MS) + F.col("n_chars") * 1000)
+         .cast("long").alias("expiration"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("generation"))
+
+
+def _materialize_cassandra_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Document cells → the distributed ``format=cassandra`` WRITE sink
+    (gen 1 plain, gen 2 snappy-chunked) — idempotent per sf_dir."""
+    import hashlib
+
+    from sstable_hadoop_spark.sources.datasource import register
+
+    def build(out: str) -> None:
+        register(spark)
+        nested = collect_rows(_doc_cassandra_cells(spark, sf_dir),
+                              by_generation=True)
+        for gen, compressed in ((1, False), (2, True)):
+            (nested.filter(F.col("generation") == gen)
+                   .coalesce(1)
+                   .write.format("sstable").option("path", out)
+                   .option("format", "cassandra")
+                   .option("name", "Keyspace1-docs-hc")
+                   .option("task_suffix", "false")
+                   .option("compressed", str(compressed).lower())
+                   .option("chunk_length", str(16 * 1024))
+                   .option("summary_rate", str(_CASSANDRA_SUMMARY_RATE))
+                   .mode("append").save())
+
+    tag = "cassandra1x_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("cassandra_write_roundtrip", oracle="""
+WITH e AS (
+    SELECT doc_id, n_chars,
+           unnest(['chars', 'lang', 'source'])                 AS name_str,
+           unnest([CAST(n_chars AS VARCHAR), lang, source])    AS val
+    FROM documents
+), cells AS (
+    SELECT 'doc:' || CAST(doc_id AS VARCHAR)                   AS key_str,
+           name_str,
+           CASE WHEN doc_id % 7 = 0 AND name_str = 'lang' THEN 'DELETED'
+                WHEN n_chars % 5 = 0                       THEN 'EXPIRING'
+                ELSE 'NORMAL' END                              AS state,
+           doc_id, n_chars, val
+    FROM e
+)
+SELECT key_str, name_str, state,
+       CASE WHEN state = 'DELETED' THEN '' ELSE val END        AS data_str,
+       CAST(doc_id * 1000000 + n_chars AS BIGINT)              AS ts_us,
+       CASE WHEN state = 'EXPIRING'
+            THEN CAST(3600 + doc_id % 100 AS BIGINT) END       AS ttl,
+       CASE WHEN state = 'EXPIRING'
+            THEN CAST(1767225600000 + n_chars * 1000 AS BIGINT)
+            END                                                AS expiration,
+       CAST(doc_id % 2 + 1 AS INT)                             AS generation
+FROM cells
+""")
+def cassandra_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 #3b: the Cassandra 1.x WRITE sink as its own driver
+    row.  Documents-derived cells (independent of the events
+    derivation every other cassandra row uses) go out through the
+    distributed ``format=cassandra`` sink — NORMAL, DELETED (flag +
+    4-byte localDeletionTime value) and EXPIRING (ttl + whole-second
+    localDeletionTime) columns, one plain and one snappy-chunked
+    generation — and come back through the ``format=cassandra`` scan
+    with byte-range splits.  The oracle re-derives every checked
+    column, INCLUDING ttl and expiration, straight from ``documents``
+    in SQL: a flag mis-encoded, a ttl dropped, or a deletion time
+    rounded wrong hash-mismatches here (sources/cassandra1x.py
+    encode_cassandra_row / read_cassandra_rows; reference consumes
+    this exact artifact via scala-sstable-reader, pom.xml:73-77)."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_cassandra_docs(spark, sf_dir)
+    df = (spark.read.format("sstable").option("format", "cassandra")
+          .option("max_split_bytes", str(_fixture_split_bytes(path)))
+          .load(path))
+    cells = explode_cells(df)
+    return cells.select(
+        F.decode("key", "UTF-8").alias("key_str"),
+        F.decode("name", "UTF-8").alias("name_str"),
+        "state",
+        F.coalesce(F.decode("data", "UTF-8"), F.lit("")).alias("data_str"),
+        F.col("timestamp").alias("ts_us"),
+        "ttl", "expiration", "generation")
+
+
 def _materialize_sink(spark: SparkSession, sf_dir: str) -> str:
     """Write the derived cells through the DISTRIBUTED sstable sink
     (each Spark task writes its own key-sorted generation family,
@@ -3627,9 +3756,13 @@ WITH base AS (
     WHERE {{MIX_CASE}} IS NOT NULL
 ), cum AS (
     SELECT id, source, shard, n_tokens, budget,
-           SUM(n_tokens) OVER (PARTITION BY source, shard
-                               ORDER BY pri, id
-                               ROWS UNBOUNDED PRECEDING)     AS cum_tokens
+           -- DuckDB windowed SUM(BIGINT) yields HUGEINT (int128); the
+           -- driver hash canonicalizes that differently from Spark's
+           -- BIGINT, so cast (house pattern: events_sessionize).
+           CAST(SUM(n_tokens) OVER (PARTITION BY source, shard
+                                    ORDER BY pri, id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT)                                   AS cum_tokens
     FROM base
 )
 SELECT id, source, shard, n_tokens, cum_tokens
@@ -3796,6 +3929,60 @@ def lww_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lww_refresh, bucket_by=("key",), n_buckets=8,
                     sort_by=("key", "name"))
     return _render_winners(spark.read.parquet(path))
+
+
+# Fourth member of the flagship-oracle family: the STREAMING
+# bucketed-upsert sink.  Cells arrive one generation per micro-batch;
+# the winners table on disk after the last batch must equal the batch
+# full merge — a dropped bucket file, a bootstrap that clobbered prior
+# batches, or a replayed batch that double-applied would all diverge.
+@query("streaming_bucketed_upsert", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def streaming_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 #3a: the streaming bucketed-upsert sink
+    (streaming/compaction.py upsert_stream_to_bucketed) as its own
+    driver row.  Generations arrive one per micro-batch (staged
+    mtimes, ``maxFilesPerTrigger=1``, availableNow); batch 0
+    bootstraps the key-bucketed winners table, every later batch is
+    locally LWW-merged and folded in by rewriting ONLY the buckets its
+    keys hash into (operators/layout.bucketed_upsert + lww_refresh).
+    The table IS the merged state at every batch boundary — the read
+    back here does no merge at all, yet must equal the flagship full
+    merge of all four generations."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.streaming.compaction import (
+        upsert_stream_to_bucketed,
+    )
+
+    src = _stage_cell_stream(spark, sf_dir)
+    cells = derived_cells(spark, sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        table_dir = os.path.join(out, "winners")
+        stream = (spark.readStream.schema(cells.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = upsert_stream_to_bucketed(
+            stream, table_dir, os.path.join(out, "_checkpoint"),
+            n_buckets=8)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    tag = ("stream_upsert_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _idempotent_tmpdir(tag, build)
+    return _render_winners(
+        spark.read.parquet(os.path.join(out, "winners")))
 
 
 def _profile_branch(col: str, dt: str, render: str) -> str:
@@ -4013,86 +4200,73 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local parity suite (tests/test_oracle_parity.py) runs the
 # driver-identical compare over ALL queries every round.
 _DRIVER_WINDOW: list[str] = [
-    # -- r5's one red row, oracle rebuilt this round (highest priority)
-    "corpus_pack_sequences",
-    # -- last green round 3: 3 rounds stale, MUST cycle back (VERDICT
-    #    r5 next-round #3; the staleness guard in test_oracle_parity
-    #    now enforces this mechanically) -----------------------------
-    "window_running_revenue",
-    "topk_global_orders",
-    "scalar_date_string_math",
-    "json_events_extract",
-    "union_slices_distinct",
-    "distinct_exact_counts",
-    # -- last green round 4: would go >2 stale at r7 if skipped now;
-    #    with 92 queries and 50 slots the sustainable cadence is
-    #    alternating halves, so the whole r4 cohort rides this round
-    #    (the r5 cohort — 49 queries, all green last round — rotates
-    #    back in r7) --------------------------------------------------
-    "scan_project_filter",
-    "q1_pricing_summary",
-    "join_agg_revenue",
-    "five_way_join_region_revenue",
-    "dedup_exact",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf_stored",
-    "corpus_curation_pipeline",
-    "corpus_repetition_signals",
-    "corpus_token_chunks",
-    "corpus_tfidf_top_terms",
-    "corpus_redact_pii",
-    "corpus_training_export",
-    "sstable_scan_roundtrip",
-    "compaction_roundtrip",
-    "lww_skewed_auto",
-    "sstable_index_keys",
-    "sstable_scan_file_uri",
-    "sstable_keys_scan",
-    "subquery_above_avg_orders",
-    "subquery_correlated_max_item",
-    # (window_gallery — green r4, untouched pure SQL — rides the r7
-    #  window with the rest of its cohort; its slot goes to the NEW
-    #  lww_bucketed_upsert)
-    # (stats_aggregates — green r4, untouched pure SQL — rides the r7
-    #  window; its slot goes to the NEW profile_orders_table)
-    # (pivot_status_by_priority — green r4, untouched pure SQL — rides
-    #  the r7 window; its slot goes to the NEW corpus_quality_filter)
-    # (null_handling_gallery / array_agg_sorted_events — green r4,
-    #  untouched pure SQL — ride the r7 window; their slots go to the
-    #  NEW corpus_vocab_top_terms / corpus_oov_rate)
-    "embedding_cosine_near_dup",
-    # (explode_posexplode_embeddings rides the r7 window; its slot
-    #  goes to the NEW lww_bucketed_merge)
-    "dedup_clusters",
-    # (array_function_gallery / cast_decimal_gallery /
-    #  range_join_price_bands join the galleries riding the r7 window —
-    #  their slots go to the three NEW mixture/session/warc queries)
-    "grouped_normalize_embeddings",
-    # (string_function_gallery / date_arithmetic_gallery /
-    #  map_function_gallery — 4 green rows each, untouched pure-SQL —
-    #  yield their slots to the three NEW r6 queries below; they ride
-    #  again in the r7 window with the rest of the r4 cohort)
-    # -- new this round (never driver-checked → window-mandatory) -----
-    "similarity_topk_pq",          # E3 product quantization + ADC
-    "dedup_common_spans",          # E2 span-duplication profile
-    "lww_winner_diff",             # anti-entropy winner diff
-    "corpus_mixture_sample",       # E4+ token-budget mixture recipe
-    "events_sessionize",           # E4+ gap sessionization, 1 exchange
-    "warc_ingest",                 # WARC source/sink round trip
-    "lww_bucketed_merge",          # bucketed layout, zero-exchange
-    "lww_bucketed_upsert",         # selective bucket rewrite upsert
-    "profile_orders_table",        # one-scan ANALYZE profile
-    "corpus_quality_filter",       # per-lang quantile curation
-    "corpus_vocab_top_terms",      # frequency-cutoff vocabulary
-    "corpus_oov_rate",             # broadcast-probe OOV accounting
-    # -- code touched this round + permanent regression core ----------
-    "multimodal_video_frames",     # AVI strh now the spec's 56 bytes
-    "cassandra_summary_splits",    # modified-UTF-8 decoder hardened
-    "cassandra_format_scan",       # same read path, batch scan
-    "dedup_minhash_incremental",   # store-read catch narrowed
-    "sstable_lww_merge",           # core + codec cells path
-    "flagship_lww_merge",          # permanent flagship row
-    "write_sink_roundtrip",        # sink + fixture write path
+    # -- r6's one red row: oracle's windowed SUM now CAST AS BIGINT
+    #    (DuckDB HUGEINT broke the driver hash; values were already
+    #    bit-identical) — highest priority
+    "corpus_mixture_sample",
+    # -- last green round 4: at the 2-round staleness boundary, the
+    #    whole cohort MUST cycle back this round (VERDICT r6 #2; the
+    #    staleness pytest enforces this mechanically) ----------------
+    "window_gallery",
+    "stats_aggregates",
+    "pivot_status_by_priority",
+    "string_function_gallery",
+    "null_handling_gallery",
+    "array_agg_sorted_events",
+    "array_function_gallery",
+    "cast_decimal_gallery",
+    "date_arithmetic_gallery",
+    "range_join_price_bands",
+    "map_function_gallery",
+    "explode_posexplode_embeddings",
+    # -- new this round (never driver-checked → window-mandatory):
+    #    the two r6 pytest-only components get ledger rows (VERDICT
+    #    r6 #3) ------------------------------------------------------
+    "streaming_bucketed_upsert",   # streaming sink → bucketed winners
+    "cassandra_write_roundtrip",   # 1.x WRITE sink incl. ttl/deletes
+    # -- code touched this round (layout.py fs port, warc.py sink
+    #    commit protocol) + permanent flagship row --------------------
+    "lww_bucketed_upsert",
+    "warc_ingest",
+    "flagship_lww_merge",
+    # -- r5 cohort rotating back in (green r5, 2 rounds ago; the ten
+    #    untouched pure-SQL members rollup_lineitem / cube_orders /
+    #    grouping_sets_nation_segment / join_semi / join_anti /
+    #    join_outer_gallery / window_topk_orders / approx_distinct_users
+    #    / set_ops_customers / except_unordered_parts ride the r8
+    #    window, where they will be staleness-mandatory) -------------
+    "lww_incremental_refresh",
+    "lww_row_coarse",
+    "live_view_asof",
+    "doc_length_histogram",
+    "join_asof_latest_order",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "msgpack_sink_lines",
+    "text_sink_lines",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "token_stats_by_lang",
+    "corpus_hash_split",
+    "corpus_stratified_sample",
+    "similarity_topk_ivf_trained",
+    "corpus_decontaminate",
+    "corpus_shuffle_shards",
+    "zorder_key_gallery",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "window_session_events",
+    "sstable_cells_scan",
+    "streaming_lww_flush",
+    "streaming_flush_roundtrip",
+    "sstable_winner_index",
+    "sstable_split_manifest",
 ]
 
 

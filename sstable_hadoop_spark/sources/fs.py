@@ -33,8 +33,9 @@ from urllib.parse import urlsplit
 
 __all__ = [
     "has_scheme", "resolve", "open_input", "open_output", "exists",
-    "is_file", "file_size", "mtime_ns", "list_files", "makedirs",
-    "remove", "register_scheme",
+    "is_file", "file_size", "mtime_ns", "list_files", "list_dir",
+    "makedirs", "remove", "rename", "put_file", "read_bytes",
+    "write_bytes", "register_scheme",
 ]
 
 _BUFFER_SIZE = 256 * 1024
@@ -211,3 +212,64 @@ def remove(path: str) -> None:
         return
     filesystem, fspath, _ = resolve(path)
     filesystem.delete_file(fspath)
+
+
+def list_dir(path: str) -> list[str]:
+    """NON-recursive file listing of a directory, sorted; entries keep
+    the caller's scheme.  A missing directory lists as empty.  Unlike
+    :func:`list_files` this never descends — the merge-on-write layout
+    (operators/layout.py) keeps its staging artifacts in dot-prefixed
+    children and must not see inside them."""
+    if not has_scheme(path):
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if os.path.isfile(os.path.join(path, f)))
+    from pyarrow import fs as pafs
+
+    filesystem, fspath, prefix = resolve(path)
+    sel = pafs.FileSelector(fspath, recursive=False, allow_not_found=True)
+    return sorted(prefix + fi.path
+                  for fi in filesystem.get_file_info(sel)
+                  if fi.type == pafs.FileType.File)
+
+
+def rename(src: str, dst: str) -> None:
+    """Same-filesystem move.  Atomic on POSIX local paths
+    (``os.replace``); on object stores this is pyarrow's ``move`` —
+    typically copy+delete, NOT atomic, which is why the layout code
+    orders its swap so a torn rename is recoverable (see
+    operators/layout.py ``recover_upsert``)."""
+    if not has_scheme(src) and not has_scheme(dst):
+        os.replace(src, dst)
+        return
+    filesystem, s, _ = resolve(src)
+    _, d, _ = resolve(dst)
+    filesystem.move(s, d)
+
+
+def put_file(local_src: str, dst: str) -> None:
+    """Upload a LOCAL file to ``dst`` (any scheme).  Local→local takes
+    the rename fast path when possible, else a copy."""
+    if not has_scheme(dst):
+        try:
+            os.replace(local_src, dst)
+            return
+        except OSError:  # cross-device: fall through to copy
+            pass
+    with open(local_src, "rb") as src, open_output(dst) as out:
+        while True:
+            chunk = src.read(_BUFFER_SIZE)
+            if not chunk:
+                break
+            out.write(chunk)
+
+
+def read_bytes(path: str) -> bytes:
+    with open_input(path) as f:
+        return f.read()
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    with open_output(path) as f:
+        f.write(data)

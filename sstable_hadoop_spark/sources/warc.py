@@ -115,7 +115,17 @@ def parse_warc(f: BinaryIO) -> Iterator[WarcRecord]:
                 continue
             name, _, value = hline.partition(b":")
             last = name.decode("utf-8", "replace").strip()
-            headers[last] = value.decode("utf-8", "replace").strip()
+            val = value.decode("utf-8", "replace").strip()
+            # ISO 28500 allows some headers repeated (e.g.
+            # WARC-Concurrent-To): accumulate comma-joined under the
+            # first-seen casing instead of last-wins dropping values
+            for k in headers:
+                if k.lower() == last.lower():
+                    headers[k] += ", " + val
+                    last = k
+                    break
+            else:
+                headers[last] = val
         n = _header(headers, "Content-Length")
         if n is None:
             raise ValueError(
@@ -239,7 +249,10 @@ class WarcReader(DataSourceReader):
         else:
             files = sorted(
                 f for suffix in (".warc", ".warc.gz")
-                for f in fs.list_files(self.path, suffix))
+                for f in fs.list_files(self.path, suffix)
+                # skip in-flight/aborted sink temps and hidden files
+                # (the Hadoop convention the sink's commit relies on)
+                if not os.path.basename(f).startswith((".", "_")))
         # one partition per file — the WARC unit of parallelism (see
         # module doc); empty dir → one empty partition so the scan
         # yields 0 rows instead of failing to plan
@@ -311,23 +324,42 @@ class _WarcCommit(WriterCommitMessage):
 
 
 class WarcWriteTask(DataSourceWriter):
-    """One ``part-{taskid}.warc[.gz]`` per Spark partition; required
-    input columns (target_uri, payload), optional (warc_type,
-    content_type, warc_date, record_id)."""
+    """One ``part-{taskid}-{job}.warc[.gz]`` per Spark partition;
+    required input columns (target_uri, payload), optional (warc_type,
+    content_type, warc_date, record_id).
+
+    Commit protocol (ADVICE r6): each task writes a HIDDEN temp
+    (``.part-…-{attempt}-{job}….tmp`` — the reader skips dot/underscore
+    names), and only the driver-side ``commit()`` renames successful
+    tasks' temps to their final names, then sweeps this job's leftover
+    temps from failed/speculative attempts.  The job token — minted
+    once on the driver when the writer is constructed — keys the final
+    names too, so ``mode('append')`` into a directory holding a
+    previous job's output can never collide with (and silently
+    truncate) those files, and a crashed job leaves only ignorable
+    temps, never a torn final-named file."""
 
     def __init__(self, options: dict) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc sink requires a path")
         self.compress = str(options.get("compress",
                                         "true")).lower() == "true"
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _WarcCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.attemptNumber()
         ext = ".warc.gz" if self.compress else ".warc"
-        target = os.path.join(self.path, f"part-{pid:05d}{ext}")
+        final = os.path.join(self.path,
+                             f"part-{pid:05d}-{self.token}{ext}")
+        tmp = os.path.join(
+            self.path,
+            f".part-{pid:05d}-{attempt}-{self.token}{ext}.tmp")
         it = iter(iterator)
         try:
             first = next(it)
@@ -344,21 +376,39 @@ class WarcWriteTask(DataSourceWriter):
                 yield d
 
         fs.makedirs(self.path)
-        with fs.open_output(target) as out:
+        with fs.open_output(tmp) as out:
             write_warc_records(out, gen(), compress=self.compress)
-        return _WarcCommit(files=[target])
+        return _WarcCommit(files=[(tmp, final)])
 
     def commit(self, messages) -> None:
-        return None
+        for m in messages:
+            if m is not None:
+                for tmp, final in m.files:
+                    fs.rename(tmp, final)
+        self._sweep_temps()
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None:
-                for f in m.files:
+                for tmp, _ in m.files:
                     try:
-                        fs.remove(f)
+                        fs.remove(tmp)
                     except OSError:
                         pass
+        self._sweep_temps()
+
+    def _sweep_temps(self) -> None:
+        """Drop THIS job's orphan temps (failed/speculative attempts
+        that returned no commit message).  Other jobs' files — final
+        or in-flight — carry a different token and are untouched."""
+        for f in fs.list_dir(self.path):
+            name = os.path.basename(f)
+            if (name.startswith(".part-") and self.token in name
+                    and name.endswith(".tmp")):
+                try:
+                    fs.remove(f)
+                except OSError:
+                    pass
 
 
 class WarcDataSource(DataSource):
@@ -400,6 +450,8 @@ class WarcDataSource(DataSource):
             path = self.options.get("path", "")
             for suffix in (".warc", ".warc.gz"):
                 for f in fs.list_files(path, suffix):
-                    if os.path.dirname(f.rstrip("/")) == path.rstrip("/"):
+                    if (os.path.dirname(f.rstrip("/")) == path.rstrip("/")
+                            and not os.path.basename(f)
+                                       .startswith((".", "_"))):
                         fs.remove(f)
         return WarcWriteTask(dict(self.options))

@@ -74,6 +74,7 @@ def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
     from sstable_hadoop_spark.operators.layout import (
         bucket_files,
         bucketed_upsert,
+        recover_upsert,
         write_bucketed,
     )
     from sstable_hadoop_spark.operators.lww import lww_cell, lww_refresh
@@ -82,6 +83,10 @@ def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         winners = lww_cell(batch_df)
+        # a crash mid-swap in a prior batch leaves the table torn;
+        # finish/undo it before deciding bootstrap-vs-upsert (the
+        # replayed batch then re-applies idempotently)
+        recover_upsert(table_dir)
         if not bucket_files(table_dir):  # first batch bootstraps
             write_bucketed(winners, table_dir, f"upsink_{tag}",
                            bucket_by=("key",), n_buckets=n_buckets,

@@ -1481,6 +1481,39 @@ def test_mixture_sample_budget_and_greedy_prefix(spark):
         assert sorted(r["id"] for r in admitted) == sorted(expect)
 
 
+def test_mixture_summary_underfilled_source(spark):
+    """VERDICT r6 #8: a source whose corpus underfills its budget must
+    be visible in the delivery report — including a budgeted source
+    with NO corpus rows at all."""
+    from sstable_hadoop_spark.operators.corpus import (
+        mixture_sample,
+        mixture_summary,
+    )
+
+    docs = _docs(spark)
+    # src0 exists and its corpus far exceeds 10_000 tokens is unlikely
+    # at this fixture size → underfilled; "ghost" has zero corpus rows.
+    budgets = {"src0": 10_000_000, "src1": 120, "ghost": 500}
+    rep = {r["source"]: r for r in
+           mixture_summary(docs, budgets, n_shards=4).collect()}
+    assert set(rep) == set(budgets)  # absent sources still reported
+    g = rep["ghost"]
+    assert (g["admitted_docs"], g["admitted_tokens"]) == (0, 0)
+    assert g["underfilled"]
+    # src0's whole corpus fits under the huge budget → everything is
+    # admitted, yet tokens < budget → flagged underfilled
+    corpus_tokens = sum(len(str(r["text"]).lower().split())
+                        for r in docs.collect() if r["source"] == "src0")
+    s0 = rep["src0"]
+    assert s0["admitted_tokens"] == corpus_tokens
+    assert s0["underfilled"]
+    # a filled source agrees with mixture_sample's admitted rows
+    adm = mixture_sample(docs, budgets, n_shards=4).collect()
+    s1_tokens = sum(r["n_tokens"] for r in adm if r["source"] == "src1")
+    assert rep["src1"]["admitted_tokens"] == s1_tokens
+    assert rep["src1"]["budget"] == 120
+
+
 def test_mixture_sample_row_order_invariant(spark):
     from sstable_hadoop_spark.operators.corpus import mixture_sample
 
@@ -1690,6 +1723,112 @@ def test_bucketed_upsert_rejects_out_of_bucket_merge(spark, tmp_path):
         bucketed_upsert(spark, d, delta, bad_merge,
                         bucket_by=("k",), n_buckets=8)
     assert {f for fs in bucket_files(d).values() for f in fs} == before
+
+
+def test_bucketed_upsert_file_uri(spark, tmp_path):
+    """VERDICT r6 #4: the merge-on-write swap runs over a scheme'd
+    ``file://`` table — listing, staging upload, removes and renames
+    all route through sources/fs instead of os/shutil."""
+    from sstable_hadoop_spark.operators.layout import (
+        bucket_files,
+        bucketed_upsert,
+        write_bucketed,
+    )
+
+    d = str(tmp_path / "upsfs")
+    base = spark.range(100).selectExpr("id AS k", "id AS v")
+    write_bucketed(base, d, "upsfs_t", bucket_by=("k",), n_buckets=4)
+    uri = f"file://{d}"
+    assert bucket_files(uri), "scheme'd listing must see the table"
+    delta = spark.range(5).selectExpr("id AS k", "id + 1000 AS v")
+
+    def newest(stored, dl):
+        from pyspark.sql import functions as FF
+
+        return (stored.unionByName(dl).groupBy("k")
+                .agg(FF.max("v").alias("v")))
+
+    affected = bucketed_upsert(spark, uri, delta, newest,
+                               bucket_by=("k",), n_buckets=4)
+    assert affected
+    got = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
+    assert got == {k: (k + 1000 if k < 5 else k) for k in range(100)}
+
+
+def test_bucketed_upsert_crash_recovery(spark, tmp_path):
+    """The marker protocol: a table torn after the commit marker rolls
+    FORWARD (marker's removes+renames replayed), a torn stage without
+    a marker rolls BACK, and bucket_files refuses to serve a torn
+    table silently (ADVICE r6)."""
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.operators.layout import (
+        UPSERT_MARKER,
+        bucket_files,
+        recover_upsert,
+        write_bucketed,
+    )
+
+    d = str(tmp_path / "rec")
+    write_bucketed(spark.range(50).selectExpr("id AS k", "id AS v"),
+                   d, "rec_t", bucket_by=("k",), n_buckets=4)
+    clean = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
+    assert recover_upsert(d) == "clean"
+
+    # -- crash AFTER the commit marker: final file hidden under its
+    #    dot-name + marker present → roll forward restores it
+    victim = next(f for fs2 in bucket_files(d).values() for f in fs2)
+    dot = os.path.join(d, "." + os.path.basename(victim))
+    os.replace(victim, dot)
+    with open(os.path.join(d, UPSERT_MARKER), "w") as f:
+        json.dump({"removes": [], "renames": [[dot, victim]]}, f)
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        bucket_files(d)
+    assert recover_upsert(d) == "rolled_forward"
+    assert os.path.exists(victim) and not os.path.exists(dot)
+    assert {r["k"]: r["v"]
+            for r in spark.read.parquet(d).collect()} == clean
+
+    # -- crash MID-STAGE (no marker): orphan dot copy → rolled back
+    shutil.copyfile(victim, dot)
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        bucket_files(d)
+    assert recover_upsert(d) == "rolled_back"
+    assert not os.path.exists(dot)
+    assert {r["k"]: r["v"]
+            for r in spark.read.parquet(d).collect()} == clean
+
+
+def test_bucket_files_custom_scheme_not_silent_empty(spark, tmp_path):
+    """ADVICE r6: on a remote (mounted-scheme) table dir bucket_files
+    must see the files — the old os.listdir path returned {} and the
+    streaming sink would have re-bootstrapped mode('overwrite') over
+    every prior batch."""
+    from pyarrow import fs as pafs
+
+    from sstable_hadoop_spark.operators.layout import bucket_files
+    from sstable_hadoop_spark.operators.layout import (
+        write_bucketed,
+    )
+    from sstable_hadoop_spark.sources import fs
+
+    root = tmp_path / "memroot"
+    root.mkdir()
+    write_bucketed(spark.range(20).selectExpr("id AS k", "id AS v"),
+                   str(root / "tbl"), "memtbl_t",
+                   bucket_by=("k",), n_buckets=4)
+    fs.register_scheme("mem3", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    by_bucket = bucket_files("mem3://tbl")
+    assert by_bucket, "remote listing silently empty"
+    assert all(f.startswith("mem3://") for fs2 in by_bucket.values()
+               for f in fs2)
+    # absent table still lists empty (bootstrap case), not an error
+    assert bucket_files("mem3://nope") == {}
 
 
 def test_profile_table_modes_and_edges(spark):

@@ -101,18 +101,19 @@ def test_driver_window_curated():
     assert not missing, f"window names not registered: {missing}"
     window = set(names[:50])
     assert len(q._DRIVER_WINDOW) == 50  # the driver checks exactly 50
-    # round-6 curation: the rebuilt red row, the r3-stale six, this
-    # round's touched code, and the regression core
+    # round-7 curation: the r6 red row (oracle rebuilt), the r4-stale
+    # twelve, the two never-driver-checked r6 components, this round's
+    # touched code, and the flagship
     must_cover = {
-        "corpus_pack_sequences",
-        "window_running_revenue", "topk_global_orders",
-        "scalar_date_string_math", "json_events_extract",
-        "union_slices_distinct", "distinct_exact_counts",
-        "multimodal_video_frames", "cassandra_summary_splits",
-        "cassandra_format_scan", "dedup_minhash_incremental",
-        "sstable_lww_merge", "flagship_lww_merge",
-        "write_sink_roundtrip",
-        "corpus_mixture_sample", "events_sessionize", "warc_ingest",
+        "corpus_mixture_sample",
+        "window_gallery", "stats_aggregates", "pivot_status_by_priority",
+        "string_function_gallery", "null_handling_gallery",
+        "array_agg_sorted_events", "array_function_gallery",
+        "cast_decimal_gallery", "date_arithmetic_gallery",
+        "range_join_price_bands", "map_function_gallery",
+        "explode_posexplode_embeddings",
+        "streaming_bucketed_upsert", "cassandra_write_roundtrip",
+        "lww_bucketed_upsert", "warc_ingest", "flagship_lww_merge",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
     # oracles follow the same ordering
@@ -152,3 +153,30 @@ def test_driver_window_staleness_guard():
     assert not overdue, (
         f"queries stale beyond the 2-round policy and NOT scheduled in "
         f"the driver window: {overdue}")
+
+
+def test_oracle_output_types_driver_hashable():
+    """VERDICT r6 #1: DuckDB widens some aggregate outputs past what the
+    driver's value-hash canonicalizes identically to Spark — windowed
+    SUM(BIGINT) → HUGEINT (int128) is the trap that made
+    corpus_mixture_sample red in r6 despite bit-identical values.
+    Assert every oracle's *checked projection* binds only to types with
+    one canonical rendering on both engines.  Uses DuckDB's lazy
+    relation typing — no rows are fetched."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    allowed = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UTINYINT",
+               "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN"}
+    decimal = re.compile(r"^DECIMAL\(\d+,\d+\)$")
+    con = _duck()
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, (str(t) for t in rel.types)):
+            if typ not in allowed and not decimal.match(typ):
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracle output types the driver hash may canonicalize "
+        f"differently from Spark: {offenders}")

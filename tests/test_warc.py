@@ -189,3 +189,48 @@ def test_sink_requires_columns(spark, tmp_path):
     with pytest.raises(Exception, match="requires .target_uri, payload"):
         df.write.format("warc").mode("append") \
           .save(str(tmp_path / "x"))
+
+
+def test_parse_repeated_headers_accumulate():
+    """ISO 28500 allows repeated headers (WARC-Concurrent-To):
+    values accumulate comma-joined instead of last-wins dropping
+    (ADVICE r6)."""
+    raw = _record(b"x",
+                  extra=("WARC-Concurrent-To: <urn:uuid:a>\r\n"
+                         "warc-concurrent-to: <urn:uuid:b>\r\n"))
+    (rec,) = _parse_bytes(raw)
+    # merged under first-seen casing, both values preserved
+    assert rec.headers["WARC-Concurrent-To"] == \
+        "<urn:uuid:a>, <urn:uuid:b>"
+    assert "warc-concurrent-to" not in rec.headers
+
+
+def test_sink_append_jobs_never_collide(spark, tmp_path):
+    """ADVICE r6: two append jobs into the same directory keep BOTH
+    outputs (per-job token in the file name) — the old fixed
+    part-NNNNN names truncated the first job's files."""
+    d = str(tmp_path / "appends")
+    one = spark.createDataFrame([("http://a/1", b"first")],
+                                "target_uri string, payload binary")
+    two = spark.createDataFrame([("http://a/2", b"second")],
+                                "target_uri string, payload binary")
+    one.coalesce(1).write.format("warc").mode("append").save(d)
+    two.coalesce(1).write.format("warc").mode("append").save(d)
+    got = {(r["target_uri"], bytes(r["payload"]))
+           for r in spark.read.format("warc").load(d).collect()}
+    assert got == {("http://a/1", b"first"), ("http://a/2", b"second")}
+    assert len(glob.glob(d + "/part-*.warc.gz")) == 2
+    assert not glob.glob(d + "/.part-*")  # temps swept at commit
+
+
+def test_reader_ignores_torn_temp_files(spark, tmp_path):
+    """A crashed job's in-flight temp (hidden dot-name, possibly torn
+    bytes) must be invisible to reads."""
+    d = str(tmp_path / "torn")
+    df = spark.createDataFrame([("http://a/1", b"ok")],
+                               "target_uri string, payload binary")
+    df.write.format("warc").mode("append").save(d)
+    with open(os.path.join(
+            d, ".part-00000-0-deadbeef.warc.gz.tmp"), "wb") as f:
+        f.write(b"\x1f\x8b garbage not a full gzip member")
+    assert spark.read.format("warc").load(d).count() == 1
