@@ -3786,6 +3786,71 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=_MIXTURE_SHARDS)
 
 
+# Report budgets: the sample budgets plus one source whose corpus
+# underfills a huge budget and one source absent from the corpus —
+# the two silent-under-delivery cases the report exists to surface.
+_MIXTURE_REPORT_BUDGETS = {**_MIXTURE_BUDGETS,
+                           "src6": 1_000_000, "books": 500}
+
+
+def _mixture_report_case() -> str:
+    arms = " ".join(f"WHEN '{s}' THEN {b}"
+                    for s, b in _MIXTURE_REPORT_BUDGETS.items())
+    return f"CASE source {arms} END"
+
+
+@query("corpus_mixture_report", oracle=f"""
+WITH base AS (
+    SELECT doc_id AS id, source,
+           CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS UBIGINT)
+                % {_MIXTURE_SHARDS} AS INT)                  AS shard,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                AS BIGINT)                                   AS n_tokens,
+           substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS pri,
+           CAST({{MIX_CASE}} AS BIGINT)                      AS budget
+    FROM documents
+    WHERE {{MIX_CASE}} IS NOT NULL
+), cum AS (
+    SELECT id, source, shard, n_tokens, budget,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source, shard
+                                    ORDER BY pri, id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT)                                   AS cum_tokens
+    FROM base
+), admitted AS (
+    SELECT source, COUNT(*) AS docs, SUM(n_tokens) AS toks
+    FROM cum
+    WHERE cum_tokens <= budget // {_MIXTURE_SHARDS}
+                        + CASE WHEN shard < budget % {_MIXTURE_SHARDS}
+                               THEN 1 ELSE 0 END
+    GROUP BY source
+)
+SELECT r.source,
+       CAST(r.budget AS BIGINT)                              AS budget,
+       CAST(coalesce(a.docs, 0) AS BIGINT)                   AS admitted_docs,
+       CAST(coalesce(a.toks, 0) AS BIGINT)                   AS admitted_tokens,
+       coalesce(a.toks, 0) < r.budget                        AS underfilled
+FROM (VALUES {", ".join(f"('{s}', {b})"
+                        for s, b in _MIXTURE_REPORT_BUDGETS.items())})
+     AS r(source, budget)
+LEFT JOIN admitted a ON a.source = r.source
+""".replace("{MIX_CASE}", _mixture_report_case()))
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ mixture delivery report (r7, VERDICT r6 #8): per budgeted
+    source, what the greedy token-budget sampler actually delivered —
+    (budget, admitted_docs, admitted_tokens, underfilled) — including
+    a source whose corpus underfills its budget and a source with NO
+    corpus rows at all, the two cases where a training run would
+    otherwise bake a silently wrong mixture
+    (operators/corpus.py mixture_summary)."""
+    from sstable_hadoop_spark.operators.corpus import mixture_summary
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_summary(docs, _MIXTURE_REPORT_BUDGETS,
+                           n_shards=_MIXTURE_SHARDS)
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
@@ -4224,6 +4289,7 @@ _DRIVER_WINDOW: list[str] = [
     #    r6 #3) ------------------------------------------------------
     "streaming_bucketed_upsert",   # streaming sink → bucketed winners
     "cassandra_write_roundtrip",   # 1.x WRITE sink incl. ttl/deletes
+    "corpus_mixture_report",       # mixture delivery/underfill report
     # -- code touched this round (layout.py fs port, warc.py sink
     #    commit protocol) + permanent flagship row --------------------
     "lww_bucketed_upsert",
@@ -4266,7 +4332,8 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_lww_flush",
     "streaming_flush_roundtrip",
     "sstable_winner_index",
-    "sstable_split_manifest",
+    # (sstable_split_manifest — green r5, untouched — yields its slot
+    #  to the NEW corpus_mixture_report; staleness-mandatory in r8)
 ]
 
 

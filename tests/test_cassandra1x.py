@@ -745,3 +745,47 @@ def test_sink_task_suffix_collision_guard(spark, tmp_path):
            .write.format("sstable").option("path", d)
            .option("name", "x").option("task_suffix", "false")
            .mode("append").save())
+
+
+GOLDEN_REAL_DIR = os.path.join(os.path.dirname(__file__),
+                               "golden", "cassandra11_real")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_REAL_DIR),
+    reason="no vendored real-Cassandra-1.1 golden yet — produce it on "
+           "a networked machine with scripts/make_cassandra11_golden.py "
+           "(VERDICT r6 #5) and vendor tests/golden/cassandra11_real/")
+def test_real_cassandra11_writer_bytes_parse():
+    """Parity with bytes serialized by Apache Cassandra 1.1's OWN
+    SSTableWriter/ColumnSerializer (not this repo's encoder, not the
+    hand-assembled golden): every manifest cell — NORMAL, DELETED,
+    EXPIRING — must come back exactly."""
+    import glob as _glob
+    import json
+
+    from sstable_hadoop_spark.sources.cassandra1x import (
+        read_cassandra_rows,
+    )
+
+    (data_path,) = _glob.glob(
+        os.path.join(GOLDEN_REAL_DIR, "*-Data.db"))
+    with open(os.path.join(GOLDEN_REAL_DIR, "manifest.json")) as f:
+        manifest = json.load(f)
+    got = {}
+    for row in read_cassandra_rows(data_path):
+        for c in row.cells:
+            got[(row.key.decode(), c.name.decode())] = c
+    assert len(got) == len(manifest)
+    for m in manifest:
+        c = got[(m["key"], m["name"])]
+        assert c.state == m["state"]
+        assert c.timestamp == m["timestamp"]
+        if m["state"] == "NORMAL":
+            assert c.data == m["value"].encode()
+        elif m["state"] == "EXPIRING":
+            assert c.data == m["value"].encode()
+            assert c.ttl == m["ttl"]
+            assert c.expiration == m["local_deletion_time"] * 1000
+        else:  # DELETED carries no value
+            assert c.data is None
