@@ -173,8 +173,12 @@ def recover_upsert(path: str) -> str:
     renames dots into place, then drops the marker.  Recovery is
     therefore unambiguous under the table's single-writer contract:
 
-    - marker present → every staged file landed; ROLL FORWARD by
-      re-executing the marker's removes + renames (both idempotent).
+    - marker present and parseable → every staged file landed; ROLL
+      FORWARD by re-executing the marker's removes + renames (both
+      idempotent).
+    - marker present but torn (unparseable JSON) → the commit write
+      itself crashed, so removes cannot have started: drop the torn
+      marker and roll back like the no-marker case.
     - marker absent but dot-staged part files exist → the stage was
       torn mid-landing; ROLL BACK by deleting the dots (old files are
       all still present — removes only ever happen after the marker).
@@ -186,21 +190,37 @@ def recover_upsert(path: str) -> str:
 
     marker = os.path.join(path, UPSERT_MARKER)
     if fs.exists(marker):
-        plan = json.loads(fs.read_bytes(marker))
-        for f in plan["removes"]:
-            if fs.exists(f):
-                fs.remove(f)
-        for dot, final in plan["renames"]:
-            if fs.exists(dot):
-                fs.rename(dot, final)
-        fs.remove(marker)
-        return "rolled_forward"
+        try:
+            plan = json.loads(fs.read_bytes(marker))
+        except ValueError:
+            # torn mid-write: the marker IS the commit point, and an
+            # incomplete marker means it never committed — removes
+            # cannot have started, so this is a pre-commit crash:
+            # drop the torn marker and fall through to dot rollback
+            fs.remove(marker)
+            plan = None
+        if plan is not None:
+            return _roll_forward(path, plan)
     dots = [p for p in fs.list_dir(path)
             if os.path.basename(p).startswith(".")
             and _BUCKET_FILE_RE.search(os.path.basename(p)[1:])]
     for p in dots:
         fs.remove(p)
     return "rolled_back" if dots else "clean"
+
+
+def _roll_forward(path: str, plan: dict) -> str:
+    """Re-execute a committed swap's removes + renames (idempotent)."""
+    from sstable_hadoop_spark.sources import fs
+
+    for f in plan["removes"]:
+        if fs.exists(f):
+            fs.remove(f)
+    for dot, final in plan["renames"]:
+        if fs.exists(dot):
+            fs.rename(dot, final)
+    fs.remove(os.path.join(path, UPSERT_MARKER))
+    return "rolled_forward"
 
 
 def bucketed_upsert(spark, path: str, delta: DataFrame,
@@ -288,6 +308,14 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
                        json.dumps({"removes": old_files,
                                    "renames": hidden}).encode())
     except BaseException:
+        # marker FIRST: if write_bytes landed a complete marker before
+        # raising, leaving it while deleting the dots would make a
+        # later recover_upsert "roll forward" removes over a table
+        # whose staged copies are gone
+        try:
+            fs.remove(os.path.join(path, UPSERT_MARKER))
+        except OSError:
+            pass
         for dot, _ in hidden:  # nothing removed yet: clean rollback
             try:
                 fs.remove(dot)

@@ -1802,6 +1802,18 @@ def test_bucketed_upsert_crash_recovery(spark, tmp_path):
     assert {r["k"]: r["v"]
             for r in spark.read.parquet(d).collect()} == clean
 
+    # -- crash MID-MARKER-WRITE: torn JSON means the commit never
+    #    happened → marker dropped, dots rolled back, no roll-forward
+    shutil.copyfile(victim, dot)
+    with open(os.path.join(d, UPSERT_MARKER), "w") as f:
+        f.write('{"removes": ["' + victim)  # truncated mid-write
+    assert recover_upsert(d) == "rolled_back"
+    assert not os.path.exists(os.path.join(d, UPSERT_MARKER))
+    assert not os.path.exists(dot)
+    assert os.path.exists(victim)  # removes never executed
+    assert {r["k"]: r["v"]
+            for r in spark.read.parquet(d).collect()} == clean
+
 
 def test_bucket_files_custom_scheme_not_silent_empty(spark, tmp_path):
     """ADVICE r6: on a remote (mounted-scheme) table dir bucket_files
