@@ -65,13 +65,32 @@ MANIFEST = [
 
 WRITE_GOLDEN_JAVA = r"""
 import java.io.File;
+import java.io.IOException;
 import java.nio.ByteBuffer;
+import org.apache.cassandra.db.DeletedColumn;
 import org.apache.cassandra.db.marshal.BytesType;
 import org.apache.cassandra.dht.ByteOrderedPartitioner;
 import org.apache.cassandra.io.sstable.SSTableSimpleUnsortedWriter;
 
-/** Writes the golden family with Cassandra 1.1's own serializers. */
+/** Writes the golden family with Cassandra 1.1's own serializers.
+ *  1.1's AbstractSSTableSimpleWriter has no public tombstone call, so
+ *  a one-method subclass routes a DeletedColumn through the protected
+ *  addColumn(IColumn) — still Cassandra's own serializer path. */
 public class WriteGolden {
+    static class GoldenWriter extends SSTableSimpleUnsortedWriter {
+        GoldenWriter(File dir) throws IOException {
+            // ByteOrderedPartitioner keeps keys in lexical order,
+            // matching the engine's sorted-key Index/Summary checks.
+            super(dir, new ByteOrderedPartitioner(), "Keyspace1",
+                  "golden", BytesType.instance, null, 64);
+        }
+
+        void addDeleted(ByteBuffer name, long ts, int localDeletionTime)
+                throws IOException {
+            addColumn(new DeletedColumn(name, localDeletionTime, ts));
+        }
+    }
+
     static ByteBuffer b(String s) {
         return ByteBuffer.wrap(s.getBytes());
     }
@@ -79,18 +98,10 @@ public class WriteGolden {
     public static void main(String[] args) throws Exception {
         File dir = new File(args[0]);
         dir.mkdirs();
-        // ByteOrderedPartitioner keeps keys in lexical order, matching
-        // the engine's sorted-key contract for Index/Summary checks.
-        SSTableSimpleUnsortedWriter w = new SSTableSimpleUnsortedWriter(
-            dir, new ByteOrderedPartitioner(), "Keyspace1", "golden",
-            BytesType.instance, null, 64);
+        GoldenWriter w = new GoldenWriter(dir);
         w.newRow(b("row1"));
         w.addColumn(b("alpha"), b("v-alpha"), 1000L);
-        // tombstone (DeletedColumn: 4-byte localDeletionTime value);
-        // if this minor lacks deleteColumn, add a one-line subclass
-        // exposing the protected addColumn(IColumn) and pass
-        // new org.apache.cassandra.db.DeletedColumn(name, ldt, ts)
-        w.deleteColumn(b("dead"), 2000L, 1700000000);
+        w.addDeleted(b("dead"), 2000L, 1700000000);
         w.newRow(b("row2"));
         w.addExpiringColumn(b("exp"), b("v-exp"), 3000L, 3600,
                             1700003600000L);

@@ -309,18 +309,28 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
                                    "renames": hidden}).encode())
     except BaseException:
         # marker FIRST: if write_bytes landed a complete marker before
-        # raising, leaving it while deleting the dots would make a
+        # raising, deleting the dots while it survives would make a
         # later recover_upsert "roll forward" removes over a table
-        # whose staged copies are gone
+        # whose staged copies are gone.  Only roll the dots back once
+        # the marker is CONFIRMED absent; if its removal itself fails
+        # (transient store error), leave the dots in place — the table
+        # stays recoverable by roll-forward, which completes the swap.
+        marker = os.path.join(path, UPSERT_MARKER)
         try:
-            fs.remove(os.path.join(path, UPSERT_MARKER))
+            if fs.exists(marker):
+                fs.remove(marker)
         except OSError:
             pass
-        for dot, _ in hidden:  # nothing removed yet: clean rollback
-            try:
-                fs.remove(dot)
-            except OSError:
-                pass
+        try:
+            marker_gone = not fs.exists(marker)
+        except OSError:
+            marker_gone = False
+        if marker_gone:
+            for dot, _ in hidden:  # nothing removed yet: clean rollback
+                try:
+                    fs.remove(dot)
+                except OSError:
+                    pass
         raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)

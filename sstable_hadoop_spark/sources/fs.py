@@ -235,28 +235,32 @@ def list_dir(path: str) -> list[str]:
 
 
 def rename(src: str, dst: str) -> None:
-    """Same-filesystem move.  Atomic on POSIX local paths
-    (``os.replace``); on object stores this is pyarrow's ``move`` —
-    typically copy+delete, NOT atomic, which is why the layout code
-    orders its swap so a torn rename is recoverable (see
-    operators/layout.py ``recover_upsert``)."""
+    """SAME-filesystem move; raises ValueError on a cross-filesystem
+    pair (a cross-scheme "rename" would otherwise execute on src's
+    filesystem with dst's in-filesystem path and land somewhere
+    unintended — use :func:`put_file` to copy across stores).  Atomic
+    on POSIX local paths (``os.replace``); on object stores this is
+    pyarrow's ``move`` — typically copy+delete, NOT atomic, which is
+    why the layout code orders its swap so a torn rename is
+    recoverable (see operators/layout.py ``recover_upsert``)."""
     if not has_scheme(src) and not has_scheme(dst):
         os.replace(src, dst)
         return
-    filesystem, s, _ = resolve(src)
-    _, d, _ = resolve(dst)
+    if has_scheme(src) != has_scheme(dst):
+        raise ValueError(
+            f"rename() requires one filesystem, got {src!r} -> {dst!r}")
+    filesystem, s, sprefix = resolve(src)
+    _, d, dprefix = resolve(dst)
+    if sprefix != dprefix:
+        raise ValueError(
+            f"rename() requires one filesystem, got {src!r} -> {dst!r}")
     filesystem.move(s, d)
 
 
 def put_file(local_src: str, dst: str) -> None:
-    """Upload a LOCAL file to ``dst`` (any scheme).  Local→local takes
-    the rename fast path when possible, else a copy."""
-    if not has_scheme(dst):
-        try:
-            os.replace(local_src, dst)
-            return
-        except OSError:  # cross-device: fall through to copy
-            pass
+    """COPY a local file to ``dst`` (any scheme).  The source is left
+    in place — callers that want move semantics remove it themselves
+    (one contract regardless of destination scheme)."""
     with open(local_src, "rb") as src, open_output(dst) as out:
         while True:
             chunk = src.read(_BUFFER_SIZE)

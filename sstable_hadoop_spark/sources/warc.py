@@ -75,6 +75,9 @@ WARC_SCHEMA = StructType([
 
 _BATCH_ROWS = 256
 
+#: The one header ISO 28500 permits multiple times per record.
+_REPEATABLE_HEADERS = {"warc-concurrent-to"}
+
 
 class WarcRecord:
     __slots__ = ("headers", "payload")
@@ -116,14 +119,20 @@ def parse_warc(f: BinaryIO) -> Iterator[WarcRecord]:
             name, _, value = hline.partition(b":")
             last = name.decode("utf-8", "replace").strip()
             val = value.decode("utf-8", "replace").strip()
-            # ISO 28500 allows some headers repeated (e.g.
-            # WARC-Concurrent-To): accumulate comma-joined under the
-            # first-seen casing instead of last-wins dropping values
-            for k in headers:
-                if k.lower() == last.lower():
-                    headers[k] += ", " + val
-                    last = k
-                    break
+            # ISO 28500 names exactly one repeatable field
+            # (WARC-Concurrent-To): accumulate it comma-joined under
+            # the first-seen casing.  Everything else stays last-wins
+            # — accumulating e.g. a (spec-invalid, wild-occurring)
+            # duplicate Content-Length would turn a readable record
+            # into an int() parse failure.
+            if last.lower() in _REPEATABLE_HEADERS:
+                for k in headers:
+                    if k.lower() == last.lower():
+                        headers[k] += ", " + val
+                        last = k
+                        break
+                else:
+                    headers[last] = val
             else:
                 headers[last] = val
         n = _header(headers, "Content-Length")
@@ -454,4 +463,11 @@ class WarcDataSource(DataSource):
                             and not os.path.basename(f)
                                        .startswith((".", "_"))):
                         fs.remove(f)
+            # overwrite means "start fresh": also reap orphan temps
+            # left by driver-crashed jobs (their commit/abort never
+            # ran, and no later job's sweep matches a foreign token)
+            for f in fs.list_dir(path) if fs.exists(path) else []:
+                name = os.path.basename(f)
+                if name.startswith(".part-") and name.endswith(".tmp"):
+                    fs.remove(f)
         return WarcWriteTask(dict(self.options))

@@ -155,3 +155,28 @@ def test_mtime_ns_uri(tmp_path):
     assert fs.file_size(f"file://{f}") == 3
     assert fs.is_file(f"file://{f}")
     assert not fs.is_file(f"file://{tmp_path}")
+
+
+def test_rename_rejects_cross_filesystem_pairs(tmp_path):
+    """rename() is same-filesystem only: a cross-scheme pair must
+    raise instead of silently moving to a wrong (relative) path."""
+    import pytest as _pytest
+    from pyarrow import fs as pafs
+
+    from sstable_hadoop_spark.sources import fs
+
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"x")
+    root = tmp_path / "memroot4"
+    root.mkdir()
+    fs.register_scheme("mem4", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    with _pytest.raises(ValueError, match="one filesystem"):
+        fs.rename(str(src), "mem4://a.bin")
+    with _pytest.raises(ValueError, match="one filesystem"):
+        fs.rename("mem4://a.bin", str(src))
+    assert src.exists()  # nothing moved
+    # put_file is the cross-store path, and it COPIES (src preserved)
+    fs.put_file(str(src), "mem4://up.bin")
+    assert (root / "up.bin").read_bytes() == b"x"
+    assert src.exists()

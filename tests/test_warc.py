@@ -234,3 +234,32 @@ def test_reader_ignores_torn_temp_files(spark, tmp_path):
             d, ".part-00000-0-deadbeef.warc.gz.tmp"), "wb") as f:
         f.write(b"\x1f\x8b garbage not a full gzip member")
     assert spark.read.format("warc").load(d).count() == 1
+
+
+def test_parse_duplicate_singular_header_last_wins():
+    """Only WARC-Concurrent-To accumulates; a (spec-invalid, seen in
+    the wild) duplicated Content-Length must stay last-wins so the
+    record still parses instead of crashing int()."""
+    payload = b"xy"
+    raw = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+           b"Content-Length: 7\r\n"
+           + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+           + payload + b"\r\n\r\n")
+    (rec,) = _parse_bytes(raw)
+    assert rec.payload == payload
+    assert rec.headers["Content-Length"] == "2"
+
+
+def test_overwrite_reaps_orphan_temps(spark, tmp_path):
+    """mode('overwrite') clears crashed jobs' leftover .tmp staging
+    files along with the finals."""
+    d = str(tmp_path / "reap")
+    df = spark.createDataFrame([("http://a/1", b"ok")],
+                               "target_uri string, payload binary")
+    df.write.format("warc").mode("append").save(d)
+    orphan = os.path.join(d, ".part-00007-0-deadcafe.warc.gz.tmp")
+    with open(orphan, "wb") as f:
+        f.write(b"torn")
+    df.write.format("warc").mode("overwrite").save(d)
+    assert not os.path.exists(orphan)
+    assert spark.read.format("warc").load(d).count() == 1
