@@ -476,3 +476,79 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_dup_grams")
                             / F.greatest(F.col("n_grams"), F.lit(1)), 6)
                     .alias("dup_fraction")))
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 8,
+                           min_df: int = 2) -> DataFrame:
+    """Span-level dedup REMOVAL (r7) — the acting half of
+    :func:`duplicate_ngram_spans`: delete from every document the
+    word positions covered by any word ``n``-gram that occurs in
+    ≥ ``min_df`` documents (the boilerplate/template text an LM would
+    otherwise memorize; Lee et al. ACL 2022 remove exact suffix-array
+    spans — this is the distributed n-gram approximation acting on the
+    same signal).
+
+    Returns (id, text, n_words, n_removed): the rebuilt document
+    (whitespace-normalized, lower-cased — span dedup operates on the
+    normalized token stream, like the profiling twin), its original
+    token count, and how many tokens were removed.  Docs shorter than
+    ``n`` words pass through untouched; a fully-boilerplate doc comes
+    back as the empty string (the curation step after this drops on
+    ``n_removed / n_words``).
+
+    Topology: positional grams (id, start, gram-hash) explode per doc;
+    gram doc-frequency over the DISTINCT (id, gram) set exactly as the
+    profiler computes it; duplicated starts join back on the gram key
+    (co-partitioned with the df agg's exchange); the per-doc start
+    list comes home via one id-keyed collect_set, and the rebuild is a
+    codegen-only higher-order filter over the token array — text
+    itself never crosses a shuffle, only 60-bit gram hashes and start
+    offsets do.  Worst-case rebuild cost is O(words × dup_starts) per
+    doc inside codegen, bounded in practice by dup_fraction; the
+    pathological all-duplicate doc costs O(words·words/1) but also
+    produces an empty output — cap dup docs upstream with the
+    profiler if that matters."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+
+    starts_idx = F.when(
+        F.size("_toks") >= n,
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n))
+    gram_hash = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10) \
+                 .cast("long")
+    positional = (base.select("id", "_toks",
+                              F.explode(starts_idx).alias("_i"))
+                      .select("id", F.col("_i"),
+                              gram_hash.alias("g")))
+
+    dup_grams = (positional.select("id", "g").distinct()
+                 .groupBy("g").agg(F.count("*").alias("_df"))
+                 .filter(F.col("_df") >= min_df)
+                 .select("g"))
+    starts = (positional.join(dup_grams, "g")
+              .groupBy("id")
+              .agg(F.collect_set("_i").alias("_starts")))
+
+    joined = base.join(starts, "id", "left").select(
+        "id", "_toks",
+        F.coalesce("_starts", F.array().cast("array<int>"))
+         .alias("_starts"))
+    covered = lambda p: F.exists(  # noqa: E731 — HOF lambda, not a def
+        F.col("_starts"),
+        lambda s: (p >= s) & (p <= s + F.lit(n - 1)))
+    kept = F.filter(F.sequence(F.lit(1), F.size("_toks")),
+                    lambda p: ~covered(p))
+    return joined.select(
+        "id",
+        F.concat_ws(" ", F.transform(
+            kept, lambda p: F.element_at("_toks", p))).alias("text"),
+        F.size("_toks").cast("long").alias("n_words"),
+        (F.size("_toks") - F.size(kept)).cast("long")
+         .alias("n_removed"))

@@ -132,6 +132,66 @@ _BUCKET_FILE_RE = re.compile(r"^part-\d+-.+_(\d{5})(?:\.c\d+)?\..*parquet$")
 #: dot-prefixed part files are a torn stage to roll back.
 UPSERT_MARKER = ".upsert-commit.json"
 
+#: Writer-lease file enforcing the table's single-writer contract.
+UPSERT_LOCK = ".upsert-lock.json"
+
+
+class TableLockedError(RuntimeError):
+    """Another writer holds (or recently held) the table's upsert
+    lease — concurrent upserts would corrupt the swap protocol."""
+
+
+def _acquire_table_lock(path: str, ttl_sec: float):
+    """Best-effort single-writer lease.  Local tables get a genuinely
+    atomic acquire (``open(..., 'x')``); scheme'd stores get
+    check-then-write (object stores lack atomic create — a table
+    format's transaction log is the real multi-writer answer, as the
+    upsert docstring notes).  A lease older than ``ttl_sec`` is
+    presumed crashed and stolen; a fresh one raises
+    :class:`TableLockedError` naming the holder."""
+    import json
+    import socket
+    import time
+
+    from sstable_hadoop_spark.sources import fs
+
+    lock = os.path.join(path, UPSERT_LOCK)
+    payload = json.dumps({"pid": os.getpid(),
+                          "host": socket.gethostname(),
+                          "acquired_at": time.time()}).encode()
+    if fs.exists(lock):
+        try:
+            info = json.loads(fs.read_bytes(lock))
+        except ValueError:
+            info = {}
+        age = time.time() - float(info.get("acquired_at", 0))
+        if age < ttl_sec:
+            raise TableLockedError(
+                f"table {path} is locked by {info} ({age:.0f}s ago); "
+                f"a concurrent upsert would corrupt the swap — wait, "
+                f"or raise lock_ttl_sec only if that writer is dead")
+        fs.remove(lock)  # stale: presumed crashed, steal the lease
+    if not fs.has_scheme(lock):
+        try:
+            with open(lock, "xb") as f:  # atomic on POSIX
+                f.write(payload)
+        except FileExistsError:
+            raise TableLockedError(
+                f"table {path}: lost the lease race to a concurrent "
+                f"writer") from None
+    else:
+        fs.write_bytes(lock, payload)
+    return lock
+
+
+def _release_table_lock(lock: str) -> None:
+    from sstable_hadoop_spark.sources import fs
+
+    try:
+        fs.remove(lock)
+    except OSError:
+        pass
+
 
 def bucket_files(path: str) -> dict[int, list[str]]:
     """Map bucket id → data files under a ``write_bucketed`` dir, from
@@ -226,7 +286,8 @@ def _roll_forward(path: str, plan: dict) -> str:
 def bucketed_upsert(spark, path: str, delta: DataFrame,
                     merge, bucket_by: tuple[str, ...],
                     n_buckets: int,
-                    sort_by: tuple[str, ...] = ()) -> list[int]:
+                    sort_by: tuple[str, ...] = (),
+                    lock_ttl_sec: float = 600.0) -> list[int]:
     """Apply a delta batch to a ``write_bucketed`` table by rewriting
     ONLY the buckets that contain a delta key — the merge-on-write
     upsert a daily 100 TB pipeline needs: cost is O(affected buckets +
@@ -260,12 +321,32 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
     today; object-store URIs need Spark itself to read/write parquet
     there, and renames on such stores are copy+delete — the marker
     ordering is what keeps that weaker atomicity recoverable).
-    Assumes ONE writer per table (the streaming sink's micro-batches
-    are serial; a multi-writer deployment puts a table-format
-    transaction log in front, as the docs note — Delta/Iceberg
-    journal exactly this swap as a metadata commit).
+    ONE writer per table, now ENFORCED (r7): entry acquires the
+    ``UPSERT_LOCK`` lease (atomic ``open('x')`` locally; best-effort
+    check-then-write on object stores) and a live concurrent writer
+    raises :class:`TableLockedError` instead of corrupting the swap.
+    A crashed writer's lease goes stale after ``lock_ttl_sec`` and is
+    stolen.  A true multi-writer deployment still wants a table-format
+    transaction log in front — Delta/Iceberg journal exactly this
+    swap as a metadata commit.
 
     Returns the sorted affected bucket ids."""
+    import json
+    import shutil
+    import tempfile
+
+    from sstable_hadoop_spark.sources import fs
+
+    lock = _acquire_table_lock(path, lock_ttl_sec)
+    try:
+        return _locked_upsert(spark, path, delta, merge, bucket_by,
+                              n_buckets, sort_by)
+    finally:
+        _release_table_lock(lock)
+
+
+def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
+                   sort_by) -> list[int]:
     import json
     import shutil
     import tempfile

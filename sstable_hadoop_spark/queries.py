@@ -3676,6 +3676,59 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(docs, n=8, min_df=2)
 
 
+@query("dedup_remove_spans", oracle=r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+    FROM documents
+), pg AS (
+    SELECT doc_id,
+           unnest([i FOR i IN range(1, len(toks) - 6)])       AS i,
+           unnest([substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)
+                   FOR i IN range(1, len(toks) - 6)])         AS gh
+    FROM t WHERE len(toks) >= 8
+), dupg AS (
+    SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pg)
+    GROUP BY gh HAVING count(*) >= 2
+), covered AS (
+    SELECT DISTINCT pg.doc_id, pg.i + off.o AS p
+    FROM pg JOIN dupg USING (gh)
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS o) AS off
+), pos AS (
+    SELECT doc_id,
+           unnest([p FOR p IN range(1, len(toks) + 1)])       AS p,
+           unnest(toks)                                       AS word
+    FROM t
+), kept AS (
+    SELECT pos.doc_id, pos.p, pos.word
+    FROM pos LEFT JOIN covered
+      ON covered.doc_id = pos.doc_id AND covered.p = pos.p
+    WHERE covered.p IS NULL
+), agg AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text,
+           count(*) AS kept_n
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id                                               AS id,
+       coalesce(agg.text, '')                                 AS text,
+       CAST(len(t.toks) AS BIGINT)                            AS n_words,
+       CAST(len(t.toks) - coalesce(agg.kept_n, 0) AS BIGINT)  AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)
+""")
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 span-level dedup REMOVAL (r7): rebuild every document with
+    the word positions covered by corpus-duplicated 8-grams deleted —
+    the acting half of the r6 span profile, i.e. the boilerplate
+    scrubber of an LM curation pipeline (operators/dedup.py
+    remove_duplicate_spans; Lee et al. ACL 2022 semantics on the
+    distributed n-gram approximation).  Text never crosses a shuffle:
+    only 60-bit gram hashes and start offsets do, and the rebuild is
+    a codegen higher-order filter over the token array."""
+    from sstable_hadoop_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=8, min_df=2)
+
+
 @query("lww_winner_diff", oracle=f"""
 {_CELLS_CTE},
 wa AS (
@@ -4290,6 +4343,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_bucketed_upsert",   # streaming sink → bucketed winners
     "cassandra_write_roundtrip",   # 1.x WRITE sink incl. ttl/deletes
     "corpus_mixture_report",       # mixture delivery/underfill report
+    "dedup_remove_spans",          # span-dedup removal (acting half)
     # -- code touched this round (layout.py fs port, warc.py sink
     #    commit protocol) + permanent flagship row --------------------
     "lww_bucketed_upsert",
@@ -4331,9 +4385,9 @@ _DRIVER_WINDOW: list[str] = [
     "sstable_cells_scan",
     "streaming_lww_flush",
     "streaming_flush_roundtrip",
-    "sstable_winner_index",
-    # (sstable_split_manifest — green r5, untouched — yields its slot
-    #  to the NEW corpus_mixture_report; staleness-mandatory in r8)
+    # (sstable_winner_index / sstable_split_manifest — green r5,
+    #  untouched — yield their slots to the NEW corpus_mixture_report
+    #  and dedup_remove_spans; staleness-mandatory in r8)
 ]
 
 

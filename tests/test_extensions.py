@@ -1360,6 +1360,39 @@ def test_duplicate_ngram_spans_hand_checked(spark):
     assert out[3] == (5, 0, 0.0)
 
 
+def test_remove_duplicate_spans_hand_checked(spark):
+    """r7 acting half: covered positions are deleted, order preserved,
+    short and disjoint docs untouched, null text tolerated."""
+    from sstable_hadoop_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "X the quick brown fox jumps over the lazy dog Y"),
+         (3, "completely different words in this document here now"),
+         (4, "tiny"),
+         (5, None)],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           remove_duplicate_spans(docs, n=9, min_df=2).collect()}
+    # the whole 9-word run is one shared 9-gram: doc1 vanishes, doc2
+    # keeps only its unique frame words (lower-cased rebuild)
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 9
+    assert out[2]["text"] == "x y" and out[2]["n_removed"] == 9
+    assert out[2]["n_words"] == 11
+    assert out[3]["text"].startswith("completely different")
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text"] == "tiny" and out[4]["n_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["n_removed"] == 0
+
+    # row-order invariance (same set regardless of partitioning)
+    again = {r["id"]: r["text"] for r in remove_duplicate_spans(
+        docs.orderBy(F.desc("doc_id")).repartition(5),
+        n=9, min_df=2).collect()}
+    assert again == {i: out[i]["text"] for i in out}
+
+
 def test_winner_diff_hand_checked(spark):
     """Divergence classes: only_b (cell exists only in the later
     epoch), differs (later generation won), and equal winners dropped."""
@@ -1813,6 +1846,60 @@ def test_bucketed_upsert_crash_recovery(spark, tmp_path):
     assert os.path.exists(victim)  # removes never executed
     assert {r["k"]: r["v"]
             for r in spark.read.parquet(d).collect()} == clean
+
+
+def test_bucketed_upsert_single_writer_lease(spark, tmp_path):
+    """r7: the single-writer contract is enforced — a live lease makes
+    a second writer fail loudly (TableLockedError) before touching any
+    file; a stale lease (crashed writer) is stolen; success releases
+    the lease."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as FF
+
+    from sstable_hadoop_spark.operators.layout import (
+        UPSERT_LOCK,
+        TableLockedError,
+        bucket_files,
+        bucketed_upsert,
+        write_bucketed,
+    )
+
+    d = str(tmp_path / "lease")
+    write_bucketed(spark.range(40).selectExpr("id AS k", "id AS v"),
+                   d, "lease_t", bucket_by=("k",), n_buckets=4)
+    delta = spark.range(3).selectExpr("id AS k", "id + 100 AS v")
+
+    def newest(stored, dl):
+        return (stored.unionByName(dl).groupBy("k")
+                .agg(FF.max("v").alias("v")))
+
+    # live foreign lease → loud failure, table untouched
+    lock = os.path.join(d, UPSERT_LOCK)
+    with open(lock, "w") as f:
+        json.dump({"pid": 1, "host": "other",
+                   "acquired_at": time.time()}, f)
+    before = {f for fs2 in bucket_files(d).values() for f in fs2}
+    with _pytest.raises(TableLockedError, match="locked by"):
+        bucketed_upsert(spark, d, delta, newest,
+                        bucket_by=("k",), n_buckets=4)
+    assert {f for fs2 in bucket_files(d).values() for f in fs2} == before
+
+    # stale lease (older than ttl) → stolen, upsert proceeds, lease
+    # released afterwards
+    with open(lock, "w") as f:
+        json.dump({"pid": 1, "host": "other",
+                   "acquired_at": time.time() - 10_000}, f)
+    affected = bucketed_upsert(spark, d, delta, newest,
+                               bucket_by=("k",), n_buckets=4)
+    assert affected
+    assert not os.path.exists(lock)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
+    assert got == {k: (k + 100 if k < 3 else k) for k in range(40)}
 
 
 def test_bucket_files_custom_scheme_not_silent_empty(spark, tmp_path):

@@ -113,7 +113,7 @@ def test_driver_window_curated():
         "range_join_price_bands", "map_function_gallery",
         "explode_posexplode_embeddings",
         "streaming_bucketed_upsert", "cassandra_write_roundtrip",
-        "corpus_mixture_report",
+        "corpus_mixture_report", "dedup_remove_spans",
         "lww_bucketed_upsert", "warc_ingest", "flagship_lww_merge",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
