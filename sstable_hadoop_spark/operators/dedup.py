@@ -502,13 +502,18 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
     profiler computes it; duplicated starts join back on the gram key
     (co-partitioned with the df agg's exchange); the per-doc start
     list comes home via one id-keyed collect_set, and the rebuild is a
-    codegen-only higher-order filter over the token array — text
-    itself never crosses a shuffle, only 60-bit gram hashes and start
-    offsets do.  Worst-case rebuild cost is O(words × dup_starts) per
-    doc inside codegen, bounded in practice by dup_fraction; the
-    pathological all-duplicate doc costs O(words·words/1) but also
-    produces an empty output — cap dup docs upstream with the
-    profiler if that matters."""
+    codegen-only higher-order filter over the token array.  Every
+    stage up to the rebuild shuffles only 60-bit gram hashes and start
+    offsets; the final rebuild join broadcasts the start lists when
+    they fit (AQE decides — plan-verified at driver SF), and when a
+    100 TB corpus's start lists outgrow broadcast it degrades to ONE
+    id-keyed exchange of the token arrays — the same cost as one
+    corpus repartition, the floor for any rebuild that needs global
+    duplication knowledge.  Worst-case rebuild cost is
+    O(words × dup_starts) per doc inside codegen, bounded in practice
+    by dup_fraction; the pathological all-duplicate doc costs
+    O(words²) but also produces an empty output — cap dup docs
+    upstream with the profiler if that matters."""
     from ._util import ensure_parallelism
 
     df = ensure_parallelism(df)

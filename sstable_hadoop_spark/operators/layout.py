@@ -165,12 +165,22 @@ def _acquire_table_lock(path: str, ttl_sec: float):
         except ValueError:
             info = {}
         age = time.time() - float(info.get("acquired_at", 0))
-        if age < ttl_sec:
+        # same-host holder whose pid is gone is provably dead — steal
+        # immediately instead of blocking a crash-restart for ttl_sec
+        dead = False
+        if info.get("host") == socket.gethostname():
+            try:
+                os.kill(int(info.get("pid", -1)), 0)
+            except ProcessLookupError:
+                dead = True
+            except (OSError, ValueError, TypeError):
+                pass  # exists-but-unsignalable / garbage pid: not provably dead
+        if age < ttl_sec and not dead:
             raise TableLockedError(
                 f"table {path} is locked by {info} ({age:.0f}s ago); "
                 f"a concurrent upsert would corrupt the swap — wait, "
                 f"or raise lock_ttl_sec only if that writer is dead")
-        fs.remove(lock)  # stale: presumed crashed, steal the lease
+        fs.remove(lock)  # stale/dead: presumed crashed, steal the lease
     if not fs.has_scheme(lock):
         try:
             with open(lock, "xb") as f:  # atomic on POSIX

@@ -3720,9 +3720,11 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the acting half of the r6 span profile, i.e. the boilerplate
     scrubber of an LM curation pipeline (operators/dedup.py
     remove_duplicate_spans; Lee et al. ACL 2022 semantics on the
-    distributed n-gram approximation).  Text never crosses a shuffle:
-    only 60-bit gram hashes and start offsets do, and the rebuild is
-    a codegen higher-order filter over the token array."""
+    distributed n-gram approximation).  Gram/df stages shuffle only
+    60-bit hashes and offsets; the rebuild joins the per-doc start
+    lists back broadcast when they fit (plan-verified here), one
+    id-keyed exchange otherwise, and rebuilds via a codegen
+    higher-order filter over the token array."""
     from sstable_hadoop_spark.operators.dedup import remove_duplicate_spans
 
     docs = load(spark, sf_dir, "documents")

@@ -1889,6 +1889,21 @@ def test_bucketed_upsert_single_writer_lease(spark, tmp_path):
                         bucket_by=("k",), n_buckets=4)
     assert {f for fs2 in bucket_files(d).values() for f in fs2} == before
 
+    # same-host holder whose pid is provably dead → stolen even while
+    # fresh (a crash-restart must not block for the whole ttl)
+    import socket
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # reaped → the pid no longer exists
+    dead_pid = proc.pid
+    with open(lock, "w") as f:
+        json.dump({"pid": dead_pid, "host": socket.gethostname(),
+                   "acquired_at": time.time()}, f)
+    bucketed_upsert(spark, d, delta, newest,
+                    bucket_by=("k",), n_buckets=4)
+    assert not os.path.exists(lock)
+
     # stale lease (older than ttl) → stolen, upsert proceeds, lease
     # released afterwards
     with open(lock, "w") as f:
