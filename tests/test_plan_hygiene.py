@@ -77,3 +77,19 @@ def test_bucketed_merge_zero_exchanges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_remove_spans_rebuild_broadcasts_start_lists(spark):
+    """dedup_remove_spans: the rebuild join must take the per-doc
+    start lists as the BROADCAST side at driver/test SF, so the token
+    arrays never cross an exchange (the operators/dedup.py claim; a
+    silent flip to SortMergeJoin would shuffle every document's token
+    array)."""
+    from sstable_hadoop_spark.queries import all_queries
+
+    df = all_queries()["dedup_remove_spans"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the final (outermost) join is the rebuild: starts build side
+    head = plan.split("BroadcastHashJoin", 1)
+    assert len(head) == 2, plan  # rebuild is a broadcast hash join
+    assert "SortMergeJoin" not in plan, plan

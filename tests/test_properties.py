@@ -333,3 +333,46 @@ def test_hash_split_matches_python_model(spark, ids):
         b = hashlib.md5(f"split:{i}".encode()).hexdigest()[:8]
         want = "train" if b < t90 else ("val" if b < t95 else "test")
         assert got[i] == want, (i, b, got[i], want)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12)
+      .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=10),
+    n=st.integers(min_value=2, max_value=4),
+    min_df=st.integers(min_value=2, max_value=3))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_remove_duplicate_spans_matches_python_model(spark, docs, n,
+                                                     min_df):
+    """Arbitrary tiny corpora (heavy gram collisions by construction):
+    the distributed span removal equals a direct Python model — same
+    duplicated grams, same covered positions, same rebuilt text."""
+    from sstable_hadoop_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id bigint, text string")
+    got = {r["id"]: (r["text"], r["n_words"], r["n_removed"])
+           for r in remove_duplicate_spans(
+               df, n=n, min_df=min_df).collect()}
+
+    # NB: Spark's split("\s+") of "" yields [""], one "word"
+    toks = {i: ([""] if not t else t.lower().split())
+            for i, t in enumerate(docs)}
+    from collections import defaultdict
+
+    docs_per_gram = defaultdict(set)
+    for i, ws in toks.items():
+        for s in range(len(ws) - n + 1):
+            docs_per_gram[tuple(ws[s:s + n])].add(i)
+    dup = {g for g, ds in docs_per_gram.items() if len(ds) >= min_df}
+    for i, ws in toks.items():
+        covered = set()
+        for s in range(len(ws) - n + 1):
+            if tuple(ws[s:s + n]) in dup:
+                covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        assert got[i] == (" ".join(kept), len(ws), len(covered)), (
+            i, docs[i], got[i])
