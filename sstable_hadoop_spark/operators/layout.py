@@ -141,24 +141,59 @@ class TableLockedError(RuntimeError):
     lease — concurrent upserts would corrupt the swap protocol."""
 
 
-def _acquire_table_lock(path: str, ttl_sec: float):
-    """Best-effort single-writer lease.  Local tables get a genuinely
-    atomic acquire (``open(..., 'x')``); scheme'd stores get
-    check-then-write (object stores lack atomic create — a table
-    format's transaction log is the real multi-writer answer, as the
-    upsert docstring notes).  A lease older than ``ttl_sec`` is
-    presumed crashed and stolen; a fresh one raises
-    :class:`TableLockedError` naming the holder."""
+def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
+    """Best-effort single-writer lease; returns ``(lock_path, token)``.
+
+    Fresh-table acquire is genuinely atomic on local filesystems
+    (``open(..., 'x')``).  A lease older than ``ttl_sec`` — or held by
+    a provably-dead same-host pid — is STOLEN: the thief claims by
+    atomically replacing the lock file with its own uuid-tokened
+    payload, then reads it back after a short settle; if another
+    thief's token won the replace, this writer backs off with
+    :class:`TableLockedError`.  Read-back narrows (does not fully
+    close) the steal race — two healthy writers racing a STALE lease;
+    the fresh-lease path, which is the normal mutual exclusion, stays
+    atomic.  Object stores get the same write+read-back without local
+    atomicity; a table-format transaction log is the real multi-writer
+    answer, as the upsert docstring notes."""
     import json
     import socket
     import time
+    import uuid
 
     from sstable_hadoop_spark.sources import fs
 
+    fs.makedirs(path)  # the lease may precede the table's first write
     lock = os.path.join(path, UPSERT_LOCK)
-    payload = json.dumps({"pid": os.getpid(),
-                          "host": socket.gethostname(),
-                          "acquired_at": time.time()}).encode()
+    token = uuid.uuid4().hex
+
+    def payload() -> bytes:
+        return json.dumps({"pid": os.getpid(),
+                           "host": socket.gethostname(),
+                           "token": token,
+                           "acquired_at": time.time()}).encode()
+
+    def claim_by_replace() -> tuple[str, str]:
+        if not fs.has_scheme(lock):
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=path, prefix=".lock-claim-")
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload())
+            os.replace(tmp, lock)  # atomic: exactly one claim survives
+        else:
+            fs.write_bytes(lock, payload())
+        time.sleep(0.05)  # let racing claims land before verifying
+        try:
+            winner = json.loads(fs.read_bytes(lock)).get("token")
+        except (OSError, ValueError):
+            winner = None
+        if winner != token:
+            raise TableLockedError(
+                f"table {path}: lost the lease-steal race to a "
+                f"concurrent writer")
+        return lock, token
+
     if fs.exists(lock):
         try:
             info = json.loads(fs.read_bytes(lock))
@@ -180,26 +215,49 @@ def _acquire_table_lock(path: str, ttl_sec: float):
                 f"table {path} is locked by {info} ({age:.0f}s ago); "
                 f"a concurrent upsert would corrupt the swap — wait, "
                 f"or raise lock_ttl_sec only if that writer is dead")
-        fs.remove(lock)  # stale/dead: presumed crashed, steal the lease
+        return claim_by_replace()  # stale/dead: steal with verification
     if not fs.has_scheme(lock):
         try:
             with open(lock, "xb") as f:  # atomic on POSIX
-                f.write(payload)
+                f.write(payload())
+            return lock, token
         except FileExistsError:
             raise TableLockedError(
                 f"table {path}: lost the lease race to a concurrent "
                 f"writer") from None
-    else:
-        fs.write_bytes(lock, payload)
-    return lock
+    return claim_by_replace()
 
 
-def _release_table_lock(lock: str) -> None:
+def _assert_lease_held(lock: str, token: str, when: str) -> None:
+    """Re-assert ownership before a critical section: a writer that
+    outlived its TTL and was stolen from must fail LOUDLY before
+    mutating the table, not corrupt the thief's swap."""
+    import json
+
     from sstable_hadoop_spark.sources import fs
 
     try:
-        fs.remove(lock)
-    except OSError:
+        holder = json.loads(fs.read_bytes(lock)).get("token")
+    except (OSError, ValueError):
+        holder = None
+    if holder != token:
+        raise TableLockedError(
+            f"lease for {os.path.dirname(lock)} was lost before "
+            f"{when} (held now by token {holder!r}) — this upsert "
+            f"outlived lock_ttl_sec and another writer took over; "
+            f"no table files were modified by this writer's swap")
+
+
+def _release_table_lock(lock: str, token: str) -> None:
+    """Release only a lease we still own — never delete a thief's."""
+    import json
+
+    from sstable_hadoop_spark.sources import fs
+
+    try:
+        if json.loads(fs.read_bytes(lock)).get("token") == token:
+            fs.remove(lock)
+    except (OSError, ValueError):
         pass
 
 
@@ -297,7 +355,9 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
                     merge, bucket_by: tuple[str, ...],
                     n_buckets: int,
                     sort_by: tuple[str, ...] = (),
-                    lock_ttl_sec: float = 600.0) -> list[int]:
+                    lock_ttl_sec: float = 600.0,
+                    held_lease: tuple[str, str] | None = None
+                    ) -> list[int]:
     """Apply a delta batch to a ``write_bucketed`` table by rewriting
     ONLY the buckets that contain a delta key — the merge-on-write
     upsert a daily 100 TB pipeline needs: cost is O(affected buckets +
@@ -340,23 +400,25 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
     transaction log in front — Delta/Iceberg journal exactly this
     swap as a metadata commit.
 
+    ``held_lease``: a ``(lock_path, token)`` already acquired by the
+    caller (the streaming sink holds one lease across its whole
+    recover→bootstrap-or-upsert batch); the upsert then neither
+    re-acquires nor releases it.
+
     Returns the sorted affected bucket ids."""
-    import json
-    import shutil
-    import tempfile
-
-    from sstable_hadoop_spark.sources import fs
-
-    lock = _acquire_table_lock(path, lock_ttl_sec)
+    if held_lease is not None:
+        return _locked_upsert(spark, path, delta, merge, bucket_by,
+                              n_buckets, sort_by, held_lease)
+    lease = _acquire_table_lock(path, lock_ttl_sec)
     try:
         return _locked_upsert(spark, path, delta, merge, bucket_by,
-                              n_buckets, sort_by)
+                              n_buckets, sort_by, lease)
     finally:
-        _release_table_lock(lock)
+        _release_table_lock(*lease)
 
 
 def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
-                   sort_by) -> list[int]:
+                   sort_by, lease) -> list[int]:
     import json
     import shutil
     import tempfile
@@ -393,6 +455,10 @@ def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
                 dot = os.path.join(path, "." + name)
                 fs.put_file(f, dot)
                 hidden.append((dot, os.path.join(path, name)))
+        # outlived-TTL guard: if the lease was stolen while we merged
+        # and staged, abort BEFORE the commit point — nothing final
+        # has been touched yet, the rollback below cleans the dots
+        _assert_lease_held(*lease, when="the commit marker write")
         # commit point: from here the swap completes even across a
         # crash (recover_upsert replays this exact plan)
         fs.write_bytes(os.path.join(path, UPSERT_MARKER),

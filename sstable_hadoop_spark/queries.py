@@ -3678,7 +3678,9 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_remove_spans", oracle=r"""
 WITH t AS (
-    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+    -- coalesce mirrors the operator: NULL text → [''] (one "word")
+    SELECT doc_id,
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS toks
     FROM documents
 ), pg AS (
     SELECT doc_id,

@@ -82,20 +82,33 @@ def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
     tag = hashlib.md5(table_dir.encode()).hexdigest()[:10]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from sstable_hadoop_spark.operators.layout import (
+            _acquire_table_lock,
+            _release_table_lock,
+        )
+
         winners = lww_cell(batch_df)
-        # a crash mid-swap in a prior batch leaves the table torn;
-        # finish/undo it before deciding bootstrap-vs-upsert (the
-        # replayed batch then re-applies idempotently)
-        recover_upsert(table_dir)
-        if not bucket_files(table_dir):  # first batch bootstraps
-            write_bucketed(winners, table_dir, f"upsink_{tag}",
-                           bucket_by=("key",), n_buckets=n_buckets,
-                           sort_by=("key", "name"))
-        else:
-            bucketed_upsert(batch_df.sparkSession, table_dir, winners,
-                            lww_refresh, bucket_by=("key",),
-                            n_buckets=n_buckets,
-                            sort_by=("key", "name"))
+        # The WHOLE batch — recovery, bootstrap decision, fold — runs
+        # under one writer lease: recovering before holding it would
+        # let this sink roll back a live foreign writer's staged files
+        # (review r7).  A crash mid-swap in a prior batch leaves the
+        # table torn; finish/undo it first, then the replayed batch
+        # re-applies idempotently.
+        lease = _acquire_table_lock(table_dir, 600.0)
+        try:
+            recover_upsert(table_dir)
+            if not bucket_files(table_dir):  # first batch bootstraps
+                write_bucketed(winners, table_dir, f"upsink_{tag}",
+                               bucket_by=("key",), n_buckets=n_buckets,
+                               sort_by=("key", "name"))
+            else:
+                bucketed_upsert(batch_df.sparkSession, table_dir,
+                                winners, lww_refresh, bucket_by=("key",),
+                                n_buckets=n_buckets,
+                                sort_by=("key", "name"),
+                                held_lease=lease)
+        finally:
+            _release_table_lock(*lease)
 
     return (cell_stream.writeStream
             .foreachBatch(upsert)

@@ -1917,6 +1917,34 @@ def test_bucketed_upsert_single_writer_lease(spark, tmp_path):
     assert got == {k: (k + 100 if k < 3 else k) for k in range(40)}
 
 
+def test_lease_release_and_assert_are_ownership_checked(tmp_path):
+    """r7 review: release must never delete a thief's lease, and the
+    pre-commit assertion must fail loudly when the lease was lost."""
+    import json
+
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.operators.layout import (
+        UPSERT_LOCK,
+        TableLockedError,
+        _assert_lease_held,
+        _release_table_lock,
+    )
+
+    d = tmp_path / "own"
+    d.mkdir()
+    lock = str(d / UPSERT_LOCK)
+    with open(lock, "w") as f:
+        json.dump({"token": "thief"}, f)
+    _release_table_lock(lock, "mine")      # not ours → left in place
+    assert os.path.exists(lock)
+    with _pytest.raises(TableLockedError, match="lease .* was lost"):
+        _assert_lease_held(lock, "mine", "the commit marker write")
+    _assert_lease_held(lock, "thief", "x")  # holder passes
+    _release_table_lock(lock, "thief")      # ours → removed
+    assert not os.path.exists(lock)
+
+
 def test_bucket_files_custom_scheme_not_silent_empty(spark, tmp_path):
     """ADVICE r6: on a remote (mounted-scheme) table dir bucket_files
     must see the files — the old os.listdir path returned {} and the

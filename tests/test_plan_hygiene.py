@@ -89,7 +89,14 @@ def test_remove_spans_rebuild_broadcasts_start_lists(spark):
 
     df = all_queries()["dedup_remove_spans"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the final (outermost) join is the rebuild: starts build side
-    head = plan.split("BroadcastHashJoin", 1)
-    assert len(head) == 2, plan  # rebuild is a broadcast hash join
+    # the OUTERMOST join in the plan string is the rebuild (top of the
+    # operator tree): it must be the broadcast one — a later BHJ on
+    # the gram key must not mask a rebuild flipped to a shuffled join
+    joins = {j: plan.find(j) for j in
+             ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+             if plan.find(j) != -1}
+    assert joins, plan
+    assert min(joins, key=joins.get) == "BroadcastHashJoin", plan
+    # and no join anywhere shuffles the token arrays at this SF
     assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
