@@ -337,6 +337,54 @@ def recover_upsert(path: str) -> str:
     return "rolled_back" if dots else "clean"
 
 
+def table_health(spark, path: str, n_buckets: int) -> DataFrame:
+    """Read-only fsck for a bucketed table — the "is my 100 TB winners
+    table sound?" check an operator runs before trusting or repairing
+    it (pairs with :func:`recover_upsert`, which mutates; this never
+    does).  One row per bucket id in [0, n_buckets) plus one ``_table``
+    summary row:
+
+    - per bucket: file count, total bytes, ``empty`` flag (an empty
+      bucket is legal — no keys hash there — but a sudden empty bucket
+      after an upsert is the data-loss signature);
+    - ``_table`` row: files/bytes totals, and the ``note`` field names
+      any torn-swap artifacts (commit marker, orphan dot-staged files,
+      live lease) that make readers raise until recovery runs.
+
+    Driver-side listing only — cost is one directory listing,
+    independent of table size."""
+    from sstable_hadoop_spark.sources import fs
+
+    entries = fs.list_dir(path)
+    names = {os.path.basename(p): p for p in entries}
+    by_bucket: dict[int, list[str]] = {}
+    for name, p in names.items():
+        m = _BUCKET_FILE_RE.search(name)
+        if m:
+            by_bucket.setdefault(int(m.group(1)), []).append(p)
+    notes = []
+    if UPSERT_MARKER in names:
+        notes.append("commit-marker present (run recover_upsert)")
+    if any(n.startswith(".") and _BUCKET_FILE_RE.search(n[1:])
+           for n in names):
+        notes.append("orphan dot-staged files (run recover_upsert)")
+    if UPSERT_LOCK in names:
+        notes.append("writer lease present")
+    rows = []
+    total_files = total_bytes = 0
+    for b in range(n_buckets):
+        files = by_bucket.get(b, [])
+        nbytes = sum(fs.file_size(f) for f in files)
+        total_files += len(files)
+        total_bytes += nbytes
+        rows.append((str(b), len(files), nbytes, not files, ""))
+    rows.append(("_table", total_files, total_bytes, total_files == 0,
+                 "; ".join(notes)))
+    return spark.createDataFrame(
+        rows, "bucket string, n_files int, n_bytes long, "
+              "empty boolean, note string")
+
+
 def _roll_forward(path: str, plan: dict) -> str:
     """Re-execute a committed swap's removes + renames (idempotent)."""
     from sstable_hadoop_spark.sources import fs

@@ -1917,6 +1917,46 @@ def test_bucketed_upsert_single_writer_lease(spark, tmp_path):
     assert got == {k: (k + 100 if k < 3 else k) for k in range(40)}
 
 
+def test_table_health_reports_buckets_and_torn_state(spark, tmp_path):
+    """table_health: per-bucket files/bytes, empty flags, and torn-swap
+    notes — read-only (the torn table is NOT repaired by reporting)."""
+    import json
+    import shutil
+
+    from sstable_hadoop_spark.operators.layout import (
+        UPSERT_MARKER,
+        bucket_files,
+        recover_upsert,
+        table_health,
+        write_bucketed,
+    )
+
+    d = str(tmp_path / "health")
+    write_bucketed(spark.range(60).selectExpr("id AS k", "id AS v"),
+                   d, "health_t", bucket_by=("k",), n_buckets=4)
+    rep = {r["bucket"]: r for r in table_health(spark, d, 4).collect()}
+    assert set(rep) == {"0", "1", "2", "3", "_table"}
+    assert rep["_table"]["note"] == ""
+    assert rep["_table"]["n_files"] == sum(
+        rep[str(b)]["n_files"] for b in range(4))
+    assert rep["_table"]["n_bytes"] > 0 and not rep["_table"]["empty"]
+
+    # tear the table: hide one bucket file + leave a marker
+    victim = next(f for fs2 in bucket_files(d).values() for f in fs2)
+    dot = os.path.join(d, "." + os.path.basename(victim))
+    shutil.move(victim, dot)
+    with open(os.path.join(d, UPSERT_MARKER), "w") as f:
+        json.dump({"removes": [], "renames": [[dot, victim]]}, f)
+    notes = {r["bucket"]: r["note"]
+             for r in table_health(spark, d, 4).collect()}["_table"]
+    assert "commit-marker" in notes and "dot-staged" in notes
+    assert os.path.exists(dot)  # read-only: nothing repaired
+    assert recover_upsert(d) == "rolled_forward"
+    assert table_health(spark, d, 4).collect()  # clean again
+    assert {r["bucket"]: r["note"] for r in
+            table_health(spark, d, 4).collect()}["_table"] == ""
+
+
 def test_lease_release_and_assert_are_ownership_checked(tmp_path):
     """r7 review: release must never delete a thief's lease, and the
     pre-commit assertion must fail loudly when the lease was lost."""
