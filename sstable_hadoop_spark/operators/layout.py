@@ -132,8 +132,33 @@ _BUCKET_FILE_RE = re.compile(r"^part-\d+-.+_(\d{5})(?:\.c\d+)?\..*parquet$")
 #: dot-prefixed part files are a torn stage to roll back.
 UPSERT_MARKER = ".upsert-commit.json"
 
-#: Writer-lease file enforcing the table's single-writer contract.
+#: Writer-lease SUFFIX enforcing the table's single-writer contract.
+#: The lease lives NEXT TO the table dir (``<path>.upsert-lock.json``),
+#: not inside it — Spark's CTAS ``mode('overwrite')`` bootstrap clears
+#: the table dir's contents, and an in-table lease would be deleted
+#: mid-hold (review r7, empirically confirmed).
 UPSERT_LOCK = ".upsert-lock.json"
+
+
+def _lock_path(path: str) -> str:
+    return path.rstrip("/") + UPSERT_LOCK
+
+
+def _is_dot_staged(name: str) -> bool:
+    """A dot-prefixed STAGED part file (hidden mid-swap copy).  The
+    ``name[1:]`` re-anchor is load-bearing: Hadoop ``.part-*.crc``
+    checksum siblings must NOT be read as staged data files (the regex
+    requires the ``part-`` prefix and a ``.parquet`` suffix)."""
+    return name.startswith(".") and bool(_BUCKET_FILE_RE.search(name[1:]))
+
+
+def _torn_artifacts(names) -> tuple[bool, bool]:
+    """(commit-marker present, dot-staged files present) — THE torn-
+    table definition, shared by the reader guard (``bucket_files``),
+    the fsck (``table_health``) and recovery (``recover_upsert``)."""
+    names = set(names)
+    return (UPSERT_MARKER in names,
+            any(_is_dot_staged(n) for n in names))
 
 
 class TableLockedError(RuntimeError):
@@ -164,7 +189,7 @@ def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
     from sstable_hadoop_spark.sources import fs
 
     fs.makedirs(path)  # the lease may precede the table's first write
-    lock = os.path.join(path, UPSERT_LOCK)
+    lock = _lock_path(path)
     token = uuid.uuid4().hex
 
     def payload() -> bytes:
@@ -177,7 +202,8 @@ def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
         if not fs.has_scheme(lock):
             import tempfile
 
-            fd, tmp = tempfile.mkstemp(dir=path, prefix=".lock-claim-")
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(lock) or ".",
+                                       prefix=".lock-claim-")
             with os.fdopen(fd, "wb") as f:
                 f.write(payload())
             os.replace(tmp, lock)  # atomic: exactly one claim survives
@@ -197,7 +223,9 @@ def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
     if fs.exists(lock):
         try:
             info = json.loads(fs.read_bytes(lock))
-        except ValueError:
+        except (OSError, ValueError):
+            # released (or torn) between the exists() check and the
+            # read: treat as stale and claim with verification below
             info = {}
         age = time.time() - float(info.get("acquired_at", 0))
         # same-host holder whose pid is gone is provably dead — steal
@@ -279,13 +307,13 @@ def bucket_files(path: str) -> dict[int, list[str]]:
     out: dict[int, list[str]] = {}
     entries = fs.list_dir(path)
     names = {os.path.basename(p) for p in entries}
-    if UPSERT_MARKER in names or any(
-            _BUCKET_FILE_RE.search(n[1:]) for n in names
-            if n.startswith(".")):
+    if any(_torn_artifacts(names)):
         raise RuntimeError(
             f"interrupted bucketed upsert detected in {path} "
             f"(commit marker or orphan dot-staged files present) — "
-            f"run operators.layout.recover_upsert(path) first")
+            f"run operators.layout.recover_upsert(path) (it takes the "
+            f"writer lease, so it will refuse while a live writer is "
+            f"mid-swap) or wait for the writer to finish")
     for p in entries:
         m = _BUCKET_FILE_RE.search(os.path.basename(p))
         if m:
@@ -293,7 +321,8 @@ def bucket_files(path: str) -> dict[int, list[str]]:
     return out
 
 
-def recover_upsert(path: str) -> str:
+def recover_upsert(path: str, *, lock_ttl_sec: float = 600.0,
+                   held_lease: tuple[str, str] | None = None) -> str:
     """Finish or undo an interrupted :func:`bucketed_upsert` swap.
 
     The swap protocol stages every file under a dot-name, then writes
@@ -311,7 +340,23 @@ def recover_upsert(path: str) -> str:
       torn mid-landing; ROLL BACK by deleting the dots (old files are
       all still present — removes only ever happen after the marker).
 
+    Recovery MUTATES the table, so it runs under the writer lease:
+    against a live writer mid-swap it raises :class:`TableLockedError`
+    instead of deleting that writer's healthy staged files (review
+    r7).  Callers already holding the lease (the upsert itself, the
+    streaming sink) pass it via ``held_lease``.
+
     Returns ``"rolled_forward"``, ``"rolled_back"``, or ``"clean"``."""
+    if held_lease is not None:
+        return _locked_recover(path)
+    lease = _acquire_table_lock(path, lock_ttl_sec)
+    try:
+        return _locked_recover(path)
+    finally:
+        _release_table_lock(*lease)
+
+
+def _locked_recover(path: str) -> str:
     import json
 
     from sstable_hadoop_spark.sources import fs
@@ -330,8 +375,7 @@ def recover_upsert(path: str) -> str:
         if plan is not None:
             return _roll_forward(path, plan)
     dots = [p for p in fs.list_dir(path)
-            if os.path.basename(p).startswith(".")
-            and _BUCKET_FILE_RE.search(os.path.basename(p)[1:])]
+            if _is_dot_staged(os.path.basename(p))]
     for p in dots:
         fs.remove(p)
     return "rolled_back" if dots else "clean"
@@ -363,12 +407,12 @@ def table_health(spark, path: str, n_buckets: int) -> DataFrame:
         if m:
             by_bucket.setdefault(int(m.group(1)), []).append(p)
     notes = []
-    if UPSERT_MARKER in names:
+    has_marker, has_dots = _torn_artifacts(names)
+    if has_marker:
         notes.append("commit-marker present (run recover_upsert)")
-    if any(n.startswith(".") and _BUCKET_FILE_RE.search(n[1:])
-           for n in names):
+    if has_dots:
         notes.append("orphan dot-staged files (run recover_upsert)")
-    if UPSERT_LOCK in names:
+    if fs.exists(_lock_path(path)):
         notes.append("writer lease present")
     rows = []
     total_files = total_bytes = 0
@@ -473,7 +517,8 @@ def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
 
     from sstable_hadoop_spark.sources import fs
 
-    recover_upsert(path)  # finish/undo any interrupted prior swap
+    # finish/undo any interrupted prior swap (we already hold the lease)
+    recover_upsert(path, held_lease=lease)
     affected = sorted(
         r[0] for r in
         delta.select(bucket_id(n_buckets, *bucket_by).alias("b"))
@@ -508,29 +553,25 @@ def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
         # has been touched yet, the rollback below cleans the dots
         _assert_lease_held(*lease, when="the commit marker write")
         # commit point: from here the swap completes even across a
-        # crash (recover_upsert replays this exact plan)
+        # crash (recover_upsert replays this exact plan).  The marker
+        # carries OUR lease token so the failure paths below can tell
+        # our marker from a lease-thief's (never delete the thief's —
+        # it is their roll-forward record).
         fs.write_bytes(os.path.join(path, UPSERT_MARKER),
                        json.dumps({"removes": old_files,
-                                   "renames": hidden}).encode())
+                                   "renames": hidden,
+                                   "token": lease[1]}).encode())
     except BaseException:
-        # marker FIRST: if write_bytes landed a complete marker before
-        # raising, deleting the dots while it survives would make a
+        # marker FIRST: if OUR complete marker landed before the
+        # raise, deleting the dots while it survives would make a
         # later recover_upsert "roll forward" removes over a table
-        # whose staged copies are gone.  Only roll the dots back once
-        # the marker is CONFIRMED absent; if its removal itself fails
-        # (transient store error), leave the dots in place — the table
-        # stays recoverable by roll-forward, which completes the swap.
-        marker = os.path.join(path, UPSERT_MARKER)
-        try:
-            if fs.exists(marker):
-                fs.remove(marker)
-        except OSError:
-            pass
-        try:
-            marker_gone = not fs.exists(marker)
-        except OSError:
-            marker_gone = False
-        if marker_gone:
+        # whose staged copies are gone.  A marker with a DIFFERENT
+        # token belongs to the writer that stole our lease — leave it
+        # untouched.  Only roll our dots back once no marker of ours
+        # remains; our dot names are unique to this stage, so removing
+        # them can never touch a thief's staged files.
+        mine_gone = _remove_marker_if_token(path, lease[1])
+        if mine_gone:
             for dot, _ in hidden:  # nothing removed yet: clean rollback
                 try:
                     fs.remove(dot)
@@ -539,12 +580,41 @@ def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
         raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    # Exists-guarded like _roll_forward: if the lease outlived its TTL
+    # here, a thief's recovery may already have completed this exact
+    # plan — re-executing it must be a no-op, not a crash that strands
+    # the marker.
     for f in old_files:
-        fs.remove(f)
+        if fs.exists(f):
+            fs.remove(f)
     for dot, final in hidden:
-        fs.rename(dot, final)
-    fs.remove(os.path.join(path, UPSERT_MARKER))
+        if fs.exists(dot):
+            fs.rename(dot, final)
+    _remove_marker_if_token(path, lease[1])
     return affected
+
+
+def _remove_marker_if_token(path: str, token: str) -> bool:
+    """Remove the commit marker iff it carries ``token`` (or is
+    already gone).  Returns True when no marker OF OURS remains —
+    i.e. it is safe to treat our own staged dots as uncommitted."""
+    import json
+
+    from sstable_hadoop_spark.sources import fs
+
+    marker = os.path.join(path, UPSERT_MARKER)
+    try:
+        if not fs.exists(marker):
+            return True
+        owner = json.loads(fs.read_bytes(marker)).get("token")
+        if owner == token:
+            fs.remove(marker)
+            return not fs.exists(marker)
+        return True  # a thief's marker: not ours, leave it alone
+    except ValueError:
+        return False  # torn marker: could be mid-write ours — leave dots
+    except OSError:
+        return False
 
 
 def bucketed_table(spark, table: str, path: str, schema_ddl: str,

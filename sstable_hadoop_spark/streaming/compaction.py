@@ -96,7 +96,7 @@ def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
         # re-applies idempotently.
         lease = _acquire_table_lock(table_dir, 600.0)
         try:
-            recover_upsert(table_dir)
+            recover_upsert(table_dir, held_lease=lease)
             if not bucket_files(table_dir):  # first batch bootstraps
                 write_bucketed(winners, table_dir, f"upsink_{tag}",
                                bucket_by=("key",), n_buckets=n_buckets,

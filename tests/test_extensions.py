@@ -1878,8 +1878,12 @@ def test_bucketed_upsert_single_writer_lease(spark, tmp_path):
         return (stored.unionByName(dl).groupBy("k")
                 .agg(FF.max("v").alias("v")))
 
-    # live foreign lease → loud failure, table untouched
-    lock = os.path.join(d, UPSERT_LOCK)
+    # live foreign lease → loud failure, table untouched.  The lease
+    # is a SIBLING of the table dir (in-table would be wiped by the
+    # bootstrap CTAS overwrite — review r7)
+    from sstable_hadoop_spark.operators.layout import _lock_path
+
+    lock = _lock_path(d)
     with open(lock, "w") as f:
         json.dump({"pid": 1, "host": "other",
                    "acquired_at": time.time()}, f)
