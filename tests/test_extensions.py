@@ -2272,3 +2272,100 @@ def test_review_fixes_round6(spark):
         assert rows["props"]["n_distinct"] is None
         assert rows["props"]["n_rows"] == 5
         assert rows["id"]["n_distinct"] == 5
+
+
+def test_upsert_swap_atomic_under_every_crash_point(spark, tmp_path):
+    """Exhaustive crash-point sweep of the swap protocol: kill the
+    writer at EVERY table-mutating fs operation (upload, marker write,
+    remove, rename) in turn, run recovery, and assert the table reads
+    as exactly the pre-delta or post-delta state — never a torn mix.
+    Crashes strictly before the commit marker must recover BEFORE;
+    crashes at-or-after it must recover AFTER."""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from sstable_hadoop_spark.operators import layout
+    from sstable_hadoop_spark.operators.layout import (
+        _lock_path,
+        bucketed_upsert,
+        recover_upsert,
+        write_bucketed,
+    )
+    from sstable_hadoop_spark.sources import fs as fsmod
+
+    class Crash(BaseException):
+        """Hard-kill simulation: not OSError, so no cleanup path
+        swallows it — every later fs op in this 'process' fails too."""
+
+    base = spark.range(80).selectExpr("id AS k", "id AS v")
+    delta = spark.range(6).selectExpr("id AS k", "id + 500 AS v")
+
+    def newest(stored, dl):
+        return (stored.unionByName(dl).groupBy("k")
+                .agg(FF.max("v").alias("v")))
+
+    proto = str(tmp_path / "proto")
+    write_bucketed(base, proto, "proto_t", bucket_by=("k",), n_buckets=4)
+    before = {k: k for k in range(80)}
+    after = {k: (k + 500 if k < 6 else k) for k in range(80)}
+
+    mutators = ("put_file", "write_bytes", "remove", "rename")
+    real = {m: getattr(fsmod, m) for m in mutators}
+
+    def run_with_crash_at(d, crash_at):
+        """Returns (crashed, marker_was_written)."""
+        count = [0]
+        marker_written = [False]
+
+        def wrap(name):
+            def op(*a, **kw):
+                # only table-dir mutations count (stage-dir traffic and
+                # the lease live elsewhere / are recovery-neutral)
+                target = a[-1] if name == "rename" else a[-1] \
+                    if name == "put_file" else a[0]
+                counted = (isinstance(target, str) and d in target
+                           and not target.endswith(".upsert-lock.json"))
+                if counted:
+                    if count[0] >= crash_at:
+                        raise Crash(f"{name} #{count[0]}")
+                    count[0] += 1
+                out = real[name](*a, **kw)
+                if (counted and name == "write_bytes"
+                        and layout.UPSERT_MARKER in target):
+                    marker_written[0] = True
+                return out
+            return op
+
+        for m in mutators:
+            setattr(fsmod, m, wrap(m))
+        try:
+            bucketed_upsert(spark, d, delta, newest,
+                            bucket_by=("k",), n_buckets=4)
+            return False, marker_written[0]
+        except Crash:
+            return True, marker_written[0]
+        finally:
+            for m in mutators:
+                setattr(fsmod, m, real[m])
+
+    crash_at = 0
+    while True:
+        d = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(proto, d)
+        crashed, committed = run_with_crash_at(d, crash_at)
+        # the crashed writer's lease survives; expire it like a real
+        # dead process before recovery takes over
+        if os.path.exists(_lock_path(d)):
+            os.remove(_lock_path(d))
+        recover_upsert(d)
+        got = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
+        if not crashed:
+            assert got == after, f"clean run at K={crash_at}"
+            break  # K exceeded the op count: protocol fully swept
+        want = after if committed else before
+        assert got == want, (
+            f"crash point {crash_at} (committed={committed}) "
+            f"recovered to a torn state")
+        crash_at += 1
+        assert crash_at < 120, "runaway op count"
