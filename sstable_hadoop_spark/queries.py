@@ -3982,6 +3982,37 @@ def _bucketed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                           sort_by=("key", "name"))
 
 
+@query("bucketed_table_health", oracle="""
+SELECT false AS torn, true AS has_files, CAST(8 AS INT) AS n_bucket_rows
+""")
+def bucketed_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout r7: the read-only bucketed-table fsck
+    (operators/layout.py table_health) as a driver row.  The checked
+    projection is the report's SF-independent invariants over the
+    freshly-built bucketed cells fixture — no torn-swap artifacts, data
+    files present, one report row per declared bucket (pinned-literal
+    oracle, the house pattern for filesystem-state queries; the
+    per-bucket numbers and torn-detection behavior are pinned in
+    tests/test_extensions.py, and the swap crash-point sweep exercises
+    the states the fsck reports)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sstable_hadoop_spark.operators.layout import table_health
+
+    _bucketed_cells(spark, sf_dir)  # build/ensure the bucketed fixture
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), "bucketed_cells_" + h)
+    rep = table_health(spark, path, 8)
+    t = F.col("bucket") == "_table"
+    return rep.agg(
+        F.max(F.when(t, F.length("note") > 0)).alias("torn"),
+        F.max(F.when(t, F.col("n_files") > 0)).alias("has_files"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("int")
+         .alias("n_bucket_rows"))
+
+
 # Same oracle as the flagship ON PURPOSE: the bucketed layout must
 # change the PLAN (zero exchanges — asserted in test_plan_hygiene),
 # never the result.
@@ -4348,6 +4379,7 @@ _DRIVER_WINDOW: list[str] = [
     "cassandra_write_roundtrip",   # 1.x WRITE sink incl. ttl/deletes
     "corpus_mixture_report",       # mixture delivery/underfill report
     "dedup_remove_spans",          # span-dedup removal (acting half)
+    "bucketed_table_health",       # bucketed-table fsck driver row
     # -- code touched this round (layout.py fs port, warc.py sink
     #    commit protocol) + permanent flagship row --------------------
     "lww_bucketed_upsert",
@@ -4380,7 +4412,8 @@ _DRIVER_WINDOW: list[str] = [
     "similarity_topk_ivf_trained",
     "corpus_decontaminate",
     "corpus_shuffle_shards",
-    "zorder_key_gallery",
+    # (zorder_key_gallery — green r5, untouched — yields its slot to
+    #  the NEW bucketed_table_health; staleness-mandatory in r8)
     "multimodal_features",
     "multimodal_real_decode",
     "window_tumbling_events",

@@ -114,6 +114,7 @@ def test_driver_window_curated():
         "explode_posexplode_embeddings",
         "streaming_bucketed_upsert", "cassandra_write_roundtrip",
         "corpus_mixture_report", "dedup_remove_spans",
+        "bucketed_table_health",
         "lww_bucketed_upsert", "warc_ingest", "flagship_lww_merge",
     }
     assert must_cover <= window, f"missing from window: {must_cover - window}"
