@@ -175,8 +175,13 @@ def _parse_columns(options: dict) -> tuple[str, ...] | None:
 
 def _list_files(path: str, suffix: str) -> list[str]:
     """Directory-listing suffix filter, the reference's P1 operator
-    (SSTableDataInputFormat.scala:13-18)."""
-    return fs.list_files(path, suffix)
+    (SSTableDataInputFormat.scala:13-18).  Hidden files (dot/underscore
+    basenames — the Hadoop convention) are skipped: the write sink
+    stages in-flight families under dot-names, and a scan racing a
+    write must never read a half-written Data.db (r7; same protocol as
+    the WARC sink)."""
+    return [f for f in fs.list_files(path, suffix)
+            if not os.path.basename(f).startswith((".", "_"))]
 
 
 def _plan_file(data_path: str, max_split: int,
@@ -923,9 +928,21 @@ class SSTableWriteTask(DataSourceWriter):
     two tasks (e.g. ``df.repartition(n, "generation")``); a collision
     is detected (the target family already exists) and fails the task
     rather than silently interleaving two writers' rows.
+
+    Commit protocol (r7; same as the WARC sink): tasks write every
+    family under a hidden dot-prefixed name (readers skip hidden
+    files), and only the driver-side ``commit()`` renames them final —
+    companions first, ``Data.db`` LAST, so a half-published family is
+    invisible to scans (which key off Data.db).  With
+    ``task_suffix=true`` (the default) the final names also carry a
+    per-job token, so two append jobs can never silently truncate each
+    other's files; ``task_suffix=false`` keeps the classic names its
+    mode exists for, guarded by the existing collision check.
     """
 
     def __init__(self, options: dict) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sstable sink requires a path")
@@ -942,6 +959,7 @@ class SSTableWriteTask(DataSourceWriter):
                                             codec.DEFAULT_CHUNK_LENGTH))
         self.summary_rate = int(options.get("summary_rate",
                                             codec.DEFAULT_SUMMARY_RATE))
+        self.token = uuid.uuid4().hex[:10]  # minted once, driver-side
 
     def write(self, iterator) -> _WriteCommit:
         from pyspark import TaskContext
@@ -957,8 +975,15 @@ class SSTableWriteTask(DataSourceWriter):
                      for c in (row["columns"] or [])]
             by_gen.setdefault(int(row["generation"]), []).append(
                 codec.Row(key=bytes(row["key"]), cells=cells))
-        files = []
-        stem = f"{self.name}p{pid}" if self.task_suffix else self.name
+        files = []  # (tmp hidden path, final path) pairs
+        stem = (f"{self.name}p{pid}t{self.token}"
+                if self.task_suffix else self.name)
+        # hidden (dot → _list_files skips it) and task+attempt-unique,
+        # so neither a speculative retry nor (in classic-name mode) a
+        # sibling task ever writes into another's temps
+        attempt = TaskContext.get().attemptNumber()
+        prefix = f".{pid}a{attempt}x"
+        tmp_stem = prefix + stem
         for gen, rows in sorted(by_gen.items()):
             rows.sort(key=lambda r: r.key)
             if not self.task_suffix:
@@ -973,32 +998,75 @@ class SSTableWriteTask(DataSourceWriter):
             if self.format == "cassandra":
                 from . import cassandra1x
 
-                files.extend(cassandra1x.write_cassandra_family(
-                    self.path, stem, gen, rows,
+                written = cassandra1x.write_cassandra_family(
+                    self.path, tmp_stem, gen, rows,
                     compressed=self.compressed,
                     chunk_length=self.chunk_length,
-                    summary_rate=self.summary_rate))
-                continue
-            writer = codec.SSTableWriter(
-                self.path, stem, generation=gen,
-                compressed=self.compressed, chunk_length=self.chunk_length,
-                summary_rate=self.summary_rate)
-            for r in rows:
-                writer.write_row(r)
-            files.extend(writer.close().values())
+                    summary_rate=self.summary_rate)
+            else:
+                writer = codec.SSTableWriter(
+                    self.path, tmp_stem, generation=gen,
+                    compressed=self.compressed,
+                    chunk_length=self.chunk_length,
+                    summary_rate=self.summary_rate)
+                for r in rows:
+                    writer.write_row(r)
+                written = list(writer.close().values())
+            # publish order inside commit(): companions first, Data.db
+            # last — a family without Data.db is invisible to scans
+            written.sort(key=lambda f: f.endswith("-Data.db"))
+            for tmp in written:
+                d, base = os.path.split(tmp)
+                files.append((tmp, os.path.join(d, base[len(prefix):])))
         return _WriteCommit(files=files)
 
     def commit(self, messages) -> None:
-        return None
+        pairs = [p for m in messages if m is not None for p in m.files]
+        # classic-name mode: the per-task existence check cannot see a
+        # SIBLING task's in-flight family (both are hidden temps), so
+        # re-verify here, before anything is published — duplicates
+        # across tasks or a final that appeared since mean a collision
+        finals = [final for _, final in pairs]
+        dupes = sorted({f for f in finals if finals.count(f) > 1})
+        clashes = dupes or sorted(
+            {f for f in finals if fs.exists(f)})
+        if clashes:
+            self.abort(messages)  # nothing published yet: clean
+            raise IOError(
+                f"sstable sink collision on {clashes[:3]} — a "
+                f"generation spans multiple tasks (repartition by "
+                f"generation for task_suffix=false) or the family "
+                f"already exists at the target")
+        for tmp, final in pairs:
+            fs.rename(tmp, final)
+        self._sweep_temps()
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None:
-                for f in m.files:
+                for tmp, _ in m.files:
                     try:
-                        fs.remove(f)
+                        fs.remove(tmp)
                     except OSError:
                         pass
+        self._sweep_temps()
+
+    def _sweep_temps(self) -> None:
+        """Reap THIS job's orphan hidden families (failed/speculative
+        attempts that returned no commit message).  Only possible when
+        the stem carries the job token; classic-name mode has no token
+        to tell jobs apart, so abort-path removal is its only sweep."""
+        if not self.task_suffix:
+            return
+        marker = f"t{self.token}-"
+        for f in fs.list_dir(self.path) if fs.exists(self.path) else []:
+            name = os.path.basename(f)
+            if name.startswith(".") and marker in name \
+                    and name.endswith(".db"):
+                try:
+                    fs.remove(f)
+                except OSError:
+                    pass
 
 
 class SSTableDataSource(DataSource):
