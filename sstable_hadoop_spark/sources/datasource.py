@@ -1039,6 +1039,13 @@ class SSTableWriteTask(DataSourceWriter):
                 f"already exists at the target")
         for tmp, final in pairs:
             fs.rename(tmp, final)
+            if not fs.has_scheme(final):
+                # rename preserves the WRITE-time mtime; the streaming
+                # source admits by mtime vs watermark, so stamp the
+                # PUBLISH time or a slow task's family could land
+                # beyond the grace window and be skipped (object
+                # stores already stamp the move itself)
+                os.utime(final, None)
         self._sweep_temps()
 
     def abort(self, messages) -> None:
