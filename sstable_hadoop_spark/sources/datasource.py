@@ -175,13 +175,24 @@ def _parse_columns(options: dict) -> tuple[str, ...] | None:
 
 def _list_files(path: str, suffix: str) -> list[str]:
     """Directory-listing suffix filter, the reference's P1 operator
-    (SSTableDataInputFormat.scala:13-18).  Hidden files (dot/underscore
-    basenames — the Hadoop convention) are skipped: the write sink
-    stages in-flight families under dot-names, and a scan racing a
-    write must never read a half-written Data.db (r7; same protocol as
-    the WARC sink)."""
-    return [f for f in fs.list_files(path, suffix)
-            if not os.path.basename(f).startswith((".", "_"))]
+    (SSTableDataInputFormat.scala:13-18).  Hidden entries — any
+    dot/underscore path COMPONENT below the listing root, the full
+    Hadoop convention — are skipped: the write sink stages in-flight
+    families under dot-names (and layout code stages in dot-dirs), and
+    a scan racing a write must never read a half-written Data.db (r7;
+    same protocol as the WARC sink).  A path that IS an explicitly
+    named file is returned as-is: naming a file directly overrides the
+    hidden convention (debugging a staged temp is legitimate)."""
+    if fs.is_file(path):
+        return [path]
+    root = path.rstrip("/")
+
+    def hidden(f: str) -> bool:
+        rel = f[len(root):] if f.startswith(root) else os.path.basename(f)
+        return any(part.startswith((".", "_"))
+                   for part in rel.split("/") if part)
+
+    return [f for f in fs.list_files(path, suffix) if not hidden(f)]
 
 
 def _plan_file(data_path: str, max_split: int,
@@ -978,11 +989,12 @@ class SSTableWriteTask(DataSourceWriter):
         files = []  # (tmp hidden path, final path) pairs
         stem = (f"{self.name}p{pid}t{self.token}"
                 if self.task_suffix else self.name)
-        # hidden (dot → _list_files skips it) and task+attempt-unique,
-        # so neither a speculative retry nor (in classic-name mode) a
-        # sibling task ever writes into another's temps
-        attempt = TaskContext.get().attemptNumber()
-        prefix = f".{pid}a{attempt}x"
+        # hidden (dot → _list_files skips it) and globally unique: the
+        # job token separates concurrent JOBS (classic-name stems carry
+        # no token of their own), and taskAttemptId — unique across
+        # stage REATTEMPTS, unlike attemptNumber — separates a zombie
+        # prior attempt from its replacement
+        prefix = f".{self.token}x{TaskContext.get().taskAttemptId()}x"
         tmp_stem = prefix + stem
         for gen, rows in sorted(by_gen.items()):
             rows.sort(key=lambda r: r.key)
@@ -1022,30 +1034,32 @@ class SSTableWriteTask(DataSourceWriter):
 
     def commit(self, messages) -> None:
         pairs = [p for m in messages if m is not None for p in m.files]
-        # classic-name mode: the per-task existence check cannot see a
-        # SIBLING task's in-flight family (both are hidden temps), so
-        # re-verify here, before anything is published — duplicates
-        # across tasks or a final that appeared since mean a collision
-        finals = [final for _, final in pairs]
-        dupes = sorted({f for f in finals if finals.count(f) > 1})
-        clashes = dupes or sorted(
-            {f for f in finals if fs.exists(f)})
-        if clashes:
-            self.abort(messages)  # nothing published yet: clean
-            raise IOError(
-                f"sstable sink collision on {clashes[:3]} — a "
-                f"generation spans multiple tasks (repartition by "
-                f"generation for task_suffix=false) or the family "
-                f"already exists at the target")
+        if not self.task_suffix:
+            # classic-name mode only (token-mode finals are job-unique
+            # by construction): the per-task existence check cannot
+            # see a SIBLING task's in-flight family (both are hidden
+            # temps), so re-verify here, before anything is published
+            from collections import Counter
+
+            counts = Counter(final for _, final in pairs)
+            dupes = sorted(f for f, n in counts.items() if n > 1)
+            clashes = dupes or sorted(
+                f for f in counts if fs.exists(f))
+            if clashes:
+                self.abort(messages)  # nothing published yet: clean
+                raise IOError(
+                    f"sstable sink collision on {clashes[:3]} — a "
+                    f"generation spans multiple tasks (repartition by "
+                    f"generation for task_suffix=false) or the family "
+                    f"already exists at the target")
         for tmp, final in pairs:
             fs.rename(tmp, final)
-            if not fs.has_scheme(final):
-                # rename preserves the WRITE-time mtime; the streaming
-                # source admits by mtime vs watermark, so stamp the
-                # PUBLISH time or a slow task's family could land
-                # beyond the grace window and be skipped (object
-                # stores already stamp the move itself)
-                os.utime(final, None)
+            # rename preserves the WRITE-time mtime; the streaming
+            # source admits by mtime vs watermark, so stamp the
+            # PUBLISH time or a slow task's family could land beyond
+            # the grace window and be skipped (fs.touch: real utime on
+            # bare/file:// paths; object stores stamp the move itself)
+            fs.touch(final)
         self._sweep_temps()
 
     def abort(self, messages) -> None:
@@ -1060,16 +1074,27 @@ class SSTableWriteTask(DataSourceWriter):
 
     def _sweep_temps(self) -> None:
         """Reap THIS job's orphan hidden families (failed/speculative
-        attempts that returned no commit message).  Only possible when
-        the stem carries the job token; classic-name mode has no token
-        to tell jobs apart, so abort-path removal is its only sweep."""
-        if not self.task_suffix:
-            return
-        marker = f"t{self.token}-"
+        attempts that returned no commit message) — temps in every
+        mode start with ``.{token}x``.  Also reap OTHER jobs' temps
+        older than an hour: a driver that crashed mid-job never ran
+        its own sweep, and nothing else would ever clean its leaks
+        (a live concurrent job's temps are necessarily younger)."""
+        import re
+        import time
+
+        stale_re = re.compile(r"^\.[0-9a-f]{10}x\d+x.*\.db$")
+        cutoff_ns = (time.time() - 3600) * 1e9
         for f in fs.list_dir(self.path) if fs.exists(self.path) else []:
             name = os.path.basename(f)
-            if name.startswith(".") and marker in name \
-                    and name.endswith(".db"):
+            mine = name.startswith(f".{self.token}x") \
+                and name.endswith(".db")
+            stale = False
+            if not mine and stale_re.match(name):
+                try:
+                    stale = fs.mtime_ns(f) < cutoff_ns
+                except OSError:
+                    pass
+            if mine or stale:
                 try:
                     fs.remove(f)
                 except OSError:

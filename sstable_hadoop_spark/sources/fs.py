@@ -34,7 +34,7 @@ from urllib.parse import urlsplit
 __all__ = [
     "has_scheme", "resolve", "open_input", "open_output", "exists",
     "is_file", "file_size", "mtime_ns", "list_files", "list_dir",
-    "makedirs", "remove", "rename", "put_file", "read_bytes",
+    "makedirs", "remove", "rename", "put_file", "touch", "read_bytes",
     "write_bytes", "register_scheme",
 ]
 
@@ -267,6 +267,19 @@ def put_file(local_src: str, dst: str) -> None:
             if not chunk:
                 break
             out.write(chunk)
+
+
+def touch(path: str) -> None:
+    """Best-effort: set ``path``'s mtime to now.  Real filesystems
+    (bare paths and ``file://``) get a true ``os.utime``; object
+    stores are a no-op because a move/copy there already stamps the
+    destination with the operation time."""
+    if not has_scheme(path):
+        os.utime(path, None)
+        return
+    sp = urlsplit(path)
+    if sp.scheme == "file":
+        os.utime(sp.path, None)
 
 
 def read_bytes(path: str) -> bytes:
