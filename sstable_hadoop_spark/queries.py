@@ -4345,91 +4345,94 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of
-# ``all_queries()``.  Registration order above is topical, so we curate
-# the window explicitly each round: queries that have never had a
-# driver row (or whose last row is stale) come first, followed by the
-# permanent regression core (flagship + one per operator family + this
-# round's new/risky code).  Everything else stays registered — the
-# local parity suite (tests/test_oracle_parity.py) runs the
-# driver-identical compare over ALL queries every round.
-_DRIVER_WINDOW: list[str] = [
-    # -- r6's one red row: oracle's windowed SUM now CAST AS BIGINT
-    #    (DuckDB HUGEINT broke the driver hash; values were already
-    #    bit-identical) — highest priority
-    "corpus_mixture_sample",
-    # -- last green round 4: at the 2-round staleness boundary, the
-    #    whole cohort MUST cycle back this round (VERDICT r6 #2; the
-    #    staleness pytest enforces this mechanically) ----------------
-    "window_gallery",
-    "stats_aggregates",
-    "pivot_status_by_priority",
-    "string_function_gallery",
-    "null_handling_gallery",
-    "array_agg_sorted_events",
-    "array_function_gallery",
-    "cast_decimal_gallery",
-    "date_arithmetic_gallery",
-    "range_join_price_bands",
-    "map_function_gallery",
-    "explode_posexplode_embeddings",
-    # -- new this round (never driver-checked → window-mandatory):
-    #    the two r6 pytest-only components get ledger rows (VERDICT
-    #    r6 #3) ------------------------------------------------------
-    "streaming_bucketed_upsert",   # streaming sink → bucketed winners
-    "cassandra_write_roundtrip",   # 1.x WRITE sink incl. ttl/deletes
-    "corpus_mixture_report",       # mixture delivery/underfill report
-    "dedup_remove_spans",          # span-dedup removal (acting half)
-    "bucketed_table_health",       # bucketed-table fsck driver row
-    # -- code touched this round (layout.py fs port, warc.py sink
-    #    commit protocol) + permanent flagship row --------------------
+# ``all_queries()``.  Registration order above is topical, so the
+# window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list
+# let 46/109 rows rest on 2-round-old hashes): parse the cumulative
+# CORRECTNESS_r*.json ledger the driver leaves at the repo root and
+# schedule, in order,
+#   1. queries with no green ledger row yet (new registrations and any
+#      red row — always window-mandatory), in registration order;
+#   2. a small per-round priority set naming code TOUCHED this round
+#      (regression risk beats staleness), declared in _ROUND_PRIORITY;
+#   3. everything else least-recently-green first (ties: registration
+#      order) — pure rotation, so no query's latest green can age past
+#      ceil(n_registered / free_slots) rounds by construction.
+# Everything stays registered — the local parity suite
+# (tests/test_oracle_parity.py) runs the driver-identical compare over
+# ALL queries every round; the window only decides which 50 get a
+# driver-ledger row THIS round.
+
+#: Queries whose implementation (not just evidence) changed this
+#: round; they ride the window ahead of the staleness rotation.  Keep
+#: SMALL (<=10) or the rotation loses its staleness bound.
+_ROUND_PRIORITY: tuple[str, ...] = (
+    "flagship_lww_merge",        # permanent regression anchor
+    # r8: layout.py swap protocol hardened (validated roll-forward,
+    # atomic marker, post-marker lease re-asserts — ADVICE r7)
     "lww_bucketed_upsert",
-    "warc_ingest",
-    "flagship_lww_merge",
-    # -- r5 cohort rotating back in (green r5, 2 rounds ago; the ten
-    #    untouched pure-SQL members rollup_lineitem / cube_orders /
-    #    grouping_sets_nation_segment / join_semi / join_anti /
-    #    join_outer_gallery / window_topk_orders / approx_distinct_users
-    #    / set_ops_customers / except_unordered_parts ride the r8
-    #    window, where they will be staleness-mandatory) -------------
-    "lww_incremental_refresh",
-    "lww_row_coarse",
-    "live_view_asof",
-    "doc_length_histogram",
-    "join_asof_latest_order",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "msgpack_sink_lines",
-    "text_sink_lines",
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "token_stats_by_lang",
-    "corpus_hash_split",
-    "corpus_stratified_sample",
-    "similarity_topk_ivf_trained",
-    "corpus_decontaminate",
-    "corpus_shuffle_shards",
-    # (zorder_key_gallery — green r5, untouched — yields its slot to
-    #  the NEW bucketed_table_health; staleness-mandatory in r8)
-    "multimodal_features",
-    "multimodal_real_decode",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_session_events",
-    "sstable_cells_scan",
-    "streaming_lww_flush",
-    "streaming_flush_roundtrip",
-    # (sstable_winner_index / sstable_split_manifest — green r5,
-    #  untouched — yield their slots to the NEW corpus_mixture_report
-    #  and dedup_remove_spans; staleness-mandatory in r8)
-]
+    "bucketed_table_health",
+    "streaming_bucketed_upsert",
+    # r8: datasource sink sweep cutoff + index/summary orphan guard
+    "write_sink_roundtrip",
+    "sstable_scan_roundtrip",
+    "sstable_index_keys",
+)
+
+
+def _ledger_last_green() -> tuple[dict[str, int], int]:
+    """Parse the driver's cumulative CORRECTNESS_r*.json ledger into
+    ``({query: latest green round}, newest round seen)``.  Green =
+    rows+schema+hash all matched (hash/schema absent — the oracle-less
+    rows-only check — counts, matching the driver's own gate)."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(root,
+                                              "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        try:
+            with open(path) as f:
+                entries = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, v in entries.items():
+            ok = (bool(v.get("rows_match"))
+                  and v.get("schema_match") is not False
+                  and v.get("hash_match") is not False
+                  and not v.get("err"))
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last, newest
+
+
+def driver_window(size: int = 50) -> list[str]:
+    """The computed driver window: never-green first, then this
+    round's touched code, then least-recently-green rotation."""
+    reg = list(_QUERIES)
+    last, newest = _ledger_last_green()
+    if not newest:  # fresh clone without ledger files
+        return reg[:size]
+    order = {n: i for i, n in enumerate(reg)}
+    never = [n for n in reg if n not in last]
+    priority = [n for n in _ROUND_PRIORITY
+                if n in _QUERIES and n not in never]
+    rest = sorted((n for n in reg
+                   if n in last and n not in priority),
+                  key=lambda n: (last[n], order[n]))
+    return (never + priority + rest)[:size]
 
 
 def _window_order(d: dict) -> dict:
-    ordered = {k: d[k] for k in _DRIVER_WINDOW if k in d}
+    ordered = {k: d[k] for k in driver_window() if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 

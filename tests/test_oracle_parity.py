@@ -87,37 +87,37 @@ def test_entry_smoke(spark):
     assert df.schema is not None
 
 
-def test_driver_window_curated():
+def test_driver_window_computed_rotation():
     """The driver's correctness gate checks the first 50 registrations.
-    Pin the curated window: every name in _DRIVER_WINDOW must exist
-    (no typos silently shrinking the window), nothing is lost by the
-    reordering, and previously never-driver-checked queries sit inside
-    the first 50."""
+    VERDICT r7 #1: the window is now COMPUTED from the CORRECTNESS
+    ledger (never-green first, then this round's touched code, then
+    least-recently-green) so no query's driver evidence can silently
+    age.  Pin the policy's invariants rather than a hand-list."""
     from sstable_hadoop_spark import queries as q
 
     names = list(q.all_queries())
     assert len(names) == len(q._QUERIES)  # reorder loses nothing
-    missing = [n for n in q._DRIVER_WINDOW if n not in q._QUERIES]
-    assert not missing, f"window names not registered: {missing}"
-    window = set(names[:50])
-    assert len(q._DRIVER_WINDOW) == 50  # the driver checks exactly 50
-    # round-7 curation: the r6 red row (oracle rebuilt), the r4-stale
-    # twelve, the two never-driver-checked r6 components, this round's
-    # touched code, and the flagship
-    must_cover = {
-        "corpus_mixture_sample",
-        "window_gallery", "stats_aggregates", "pivot_status_by_priority",
-        "string_function_gallery", "null_handling_gallery",
-        "array_agg_sorted_events", "array_function_gallery",
-        "cast_decimal_gallery", "date_arithmetic_gallery",
-        "range_join_price_bands", "map_function_gallery",
-        "explode_posexplode_embeddings",
-        "streaming_bucketed_upsert", "cassandra_write_roundtrip",
-        "corpus_mixture_report", "dedup_remove_spans",
-        "bucketed_table_health",
-        "lww_bucketed_upsert", "warc_ingest", "flagship_lww_merge",
-    }
-    assert must_cover <= window, f"missing from window: {must_cover - window}"
+    window = names[:50]
+    assert len(set(window)) == 50  # the driver checks exactly 50
+    last, newest = q._ledger_last_green()
+    if not newest:
+        pytest.skip("no CORRECTNESS ledger present")
+    # 1. anything never green (new registrations, red rows) scheduled
+    never = [n for n in q._QUERIES if n not in last]
+    assert set(never) <= set(window), \
+        f"never-green queries not scheduled: {set(never) - set(window)}"
+    # 2. the declared touched-this-round set rides the window and is
+    #    small enough to preserve the rotation's staleness bound
+    assert len(q._ROUND_PRIORITY) <= 10
+    prio = [n for n in q._ROUND_PRIORITY if n in q._QUERIES]
+    assert set(prio) <= set(window)
+    # 3. the remaining slots are filled least-recently-green first:
+    #    every scheduled non-priority query is at least as stale as
+    #    every unscheduled one
+    sched = [n for n in window if n in last and n not in prio]
+    unsched = [n for n in names[50:] if n in last]
+    if sched and unsched:
+        assert max(last[n] for n in sched) <= min(last[n] for n in unsched)
     # oracles follow the same ordering
     assert [n for n in names if n in q._ORACLES][:10] == \
         [n for n in q.all_oracles()][:10]
