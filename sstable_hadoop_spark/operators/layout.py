@@ -171,16 +171,18 @@ def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
 
     Fresh-table acquire is genuinely atomic on local filesystems
     (``open(..., 'x')``).  A lease older than ``ttl_sec`` — or held by
-    a provably-dead same-host pid — is STOLEN: the thief claims by
-    atomically replacing the lock file with its own uuid-tokened
-    payload, then reads it back after a short settle; if another
-    thief's token won the replace, this writer backs off with
-    :class:`TableLockedError`.  Read-back narrows (does not fully
-    close) the steal race — two healthy writers racing a STALE lease;
-    the fresh-lease path, which is the normal mutual exclusion, stays
-    atomic.  Object stores get the same write+read-back without local
-    atomicity; a table-format transaction log is the real multi-writer
-    answer, as the upsert docstring notes."""
+    a provably-dead same-host pid — is STOLEN.  Local-path steals are
+    SERIALIZED under an OS advisory lock (``flock``) on a sibling
+    arbitration file, and staleness is re-validated inside that
+    critical section, so two thieves racing the same stale lease can
+    never both claim it (review r8: the previous replace+settle+
+    read-back left a window where a slow thief's replace landed after
+    a fast thief's verification, and both proceeded).  Cross-host
+    ``flock`` over NFS and object-store leases stay best-effort
+    (write + settle + read-back); the pre-commit
+    :func:`_assert_lease_held` check is the backstop there, and a
+    table-format transaction log is the real multi-writer answer, as
+    the upsert docstring notes."""
     import json
     import socket
     import time
@@ -198,17 +200,62 @@ def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
                            "token": token,
                            "acquired_at": time.time()}).encode()
 
-    def claim_by_replace() -> tuple[str, str]:
-        if not fs.has_scheme(lock):
-            import tempfile
+    def provably_dead(info: dict) -> bool:
+        # same-host holder whose pid is gone is provably dead — steal
+        # immediately instead of blocking a crash-restart for ttl_sec
+        if info.get("host") != socket.gethostname():
+            return False
+        try:
+            os.kill(int(info.get("pid", -1)), 0)
+        except ProcessLookupError:
+            return True
+        except (OSError, ValueError, TypeError):
+            pass  # exists-but-unsignalable / garbage pid: not provably dead
+        return False
 
+    def fresh_create() -> tuple[str, str]:
+        try:
+            with open(lock, "xb") as f:  # atomic on POSIX
+                f.write(payload())
+            return lock, token
+        except FileExistsError:
+            raise TableLockedError(
+                f"table {path}: lost the lease race to a concurrent "
+                f"writer") from None
+
+    def steal_local() -> tuple[str, str]:
+        import fcntl
+        import tempfile
+
+        with open(lock + ".arb", "ab") as arb:
+            fcntl.flock(arb, fcntl.LOCK_EX)  # one thief at a time
+            # re-validate INSIDE the critical section: a faster thief
+            # may have claimed (fresh payload → back off), or the
+            # holder may have healthily released (absent → race the
+            # atomic fresh-create instead of replacing blind)
+            try:
+                info = json.loads(fs.read_bytes(lock))
+            except OSError:
+                return fresh_create()
+            except ValueError:
+                info = {}  # torn payload: stale by definition
+            age = time.time() - float(info.get("acquired_at", 0))
+            if info and age < ttl_sec and not provably_dead(info):
+                raise TableLockedError(
+                    f"table {path}: lost the lease-steal race to a "
+                    f"concurrent writer ({info})")
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(lock) or ".",
                                        prefix=".lock-claim-")
             with os.fdopen(fd, "wb") as f:
                 f.write(payload())
-            os.replace(tmp, lock)  # atomic: exactly one claim survives
-        else:
-            fs.write_bytes(lock, payload())
+            os.replace(tmp, lock)
+        return lock, token
+
+    def steal_remote() -> tuple[str, str]:
+        # object store: no flock — write + settle + read-back narrows
+        # but cannot close the race (documented best-effort; the
+        # pre-commit _assert_lease_held is the backstop)
+        fs.write_bytes(lock, payload())
         time.sleep(0.05)  # let racing claims land before verifying
         try:
             winner = json.loads(fs.read_bytes(lock)).get("token")
@@ -228,32 +275,16 @@ def _acquire_table_lock(path: str, ttl_sec: float) -> tuple[str, str]:
             # read: treat as stale and claim with verification below
             info = {}
         age = time.time() - float(info.get("acquired_at", 0))
-        # same-host holder whose pid is gone is provably dead — steal
-        # immediately instead of blocking a crash-restart for ttl_sec
-        dead = False
-        if info.get("host") == socket.gethostname():
-            try:
-                os.kill(int(info.get("pid", -1)), 0)
-            except ProcessLookupError:
-                dead = True
-            except (OSError, ValueError, TypeError):
-                pass  # exists-but-unsignalable / garbage pid: not provably dead
-        if age < ttl_sec and not dead:
+        if age < ttl_sec and not provably_dead(info):
             raise TableLockedError(
                 f"table {path} is locked by {info} ({age:.0f}s ago); "
                 f"a concurrent upsert would corrupt the swap — wait, "
                 f"or raise lock_ttl_sec only if that writer is dead")
-        return claim_by_replace()  # stale/dead: steal with verification
+        return (steal_local() if not fs.has_scheme(lock)
+                else steal_remote())
     if not fs.has_scheme(lock):
-        try:
-            with open(lock, "xb") as f:  # atomic on POSIX
-                f.write(payload())
-            return lock, token
-        except FileExistsError:
-            raise TableLockedError(
-                f"table {path}: lost the lease race to a concurrent "
-                f"writer") from None
-    return claim_by_replace()
+        return fresh_create()
+    return steal_remote()
 
 
 def _assert_lease_held(lock: str, token: str, when: str) -> None:
@@ -362,22 +393,43 @@ def _locked_recover(path: str) -> str:
     from sstable_hadoop_spark.sources import fs
 
     marker = os.path.join(path, UPSERT_MARKER)
+    torn_marker = False
     if fs.exists(marker):
         try:
             plan = json.loads(fs.read_bytes(marker))
         except ValueError:
-            # torn mid-write: the marker IS the commit point, and an
-            # incomplete marker means it never committed — removes
-            # cannot have started, so this is a pre-commit crash:
-            # drop the torn marker and fall through to dot rollback
+            # Torn marker.  Since r8 the marker is published with an
+            # fsync'd atomic temp+rename, so OUR writer can no longer
+            # produce one (a crash mid-publish just strands a hidden
+            # temp, reaped below) — a torn marker means a pre-r8
+            # writer's power loss, where the removes MAY have already
+            # persisted and the dots may be the data's ONLY copies
+            # (review r8).  Roll-forward is impossible (the plan is
+            # unreadable), so roll back — but QUARANTINE the dots
+            # instead of deleting them, preserving a copy either way.
             fs.remove(marker)
             plan = None
+            torn_marker = True
         if plan is not None:
             return _roll_forward(path, plan)
-    dots = [p for p in fs.list_dir(path)
-            if _is_dot_staged(os.path.basename(p))]
-    for p in dots:
+    dots, temps = [], []
+    for p in fs.list_dir(path):
+        name = os.path.basename(p)
+        if _is_dot_staged(name):
+            dots.append(p)
+        elif name.startswith("." + UPSERT_MARKER + ".tmp-"):
+            temps.append(p)  # stranded atomic-publish temp (pre-rename)
+    for p in temps:
         fs.remove(p)
+    for p in dots:
+        if torn_marker:
+            # hidden (leading dot) but no longer dot-STAGED (the
+            # .parquet suffix anchor fails), so readers, bucket_files
+            # and table_health's torn check all ignore it; table_health
+            # surfaces a note for the operator to inspect/remove
+            fs.rename(p, p + ".quarantined")
+        else:
+            fs.remove(p)
     return "rolled_back" if dots else "clean"
 
 
@@ -393,10 +445,15 @@ def table_health(spark, path: str, n_buckets: int) -> DataFrame:
       after an upsert is the data-loss signature);
     - ``_table`` row: files/bytes totals, and the ``note`` field names
       any torn-swap artifacts (commit marker, orphan dot-staged files,
-      live lease) that make readers raise until recovery runs.
+      live lease, quarantined copies from an ambiguous torn-marker
+      recovery) that make readers raise until recovery runs.
 
-    Driver-side listing only — cost is one directory listing,
-    independent of table size."""
+    Driver-side listing only — no data bytes are read, but the cost IS
+    proportional to the table's FILE COUNT (one listing + one stat per
+    file).  Healthy tables hold ≤ a few files per bucket so this is
+    cheap even at 100 TB of data; a pathological 100k+-file directory
+    makes this fsck slow but still safe — compact the table (rewrite
+    via ``write_bucketed``) rather than parallelizing the fsck."""
     from sstable_hadoop_spark.sources import fs
 
     entries = fs.list_dir(path)
@@ -414,6 +471,11 @@ def table_health(spark, path: str, n_buckets: int) -> DataFrame:
         notes.append("orphan dot-staged files (run recover_upsert)")
     if fs.exists(_lock_path(path)):
         notes.append("writer lease present")
+    n_quarantined = sum(1 for n in names if n.endswith(".quarantined"))
+    if n_quarantined:
+        notes.append(
+            f"{n_quarantined} quarantined file(s) from an ambiguous "
+            f"torn-marker recovery (inspect, then remove manually)")
     rows = []
     total_files = total_bytes = 0
     for b in range(n_buckets):
@@ -483,14 +545,22 @@ def bucketed_upsert(spark, path: str, delta: DataFrame,
     today; object-store URIs need Spark itself to read/write parquet
     there, and renames on such stores are copy+delete — the marker
     ordering is what keeps that weaker atomicity recoverable).
-    ONE writer per table, now ENFORCED (r7): entry acquires the
-    ``UPSERT_LOCK`` lease (atomic ``open('x')`` locally; best-effort
-    check-then-write on object stores) and a live concurrent writer
-    raises :class:`TableLockedError` instead of corrupting the swap.
-    A crashed writer's lease goes stale after ``lock_ttl_sec`` and is
-    stolen.  A true multi-writer deployment still wants a table-format
-    transaction log in front — Delta/Iceberg journal exactly this
-    swap as a metadata commit.
+    ONE writer per table: entry acquires the ``UPSERT_LOCK`` lease —
+    enforced on local filesystems (atomic ``open('x')`` fresh-acquire;
+    ``flock``-serialized stale-lease steal, r8), best-effort on object
+    stores (write + read-back) — and a live concurrent writer raises
+    :class:`TableLockedError` instead of corrupting the swap.  A
+    crashed writer's lease goes stale after ``lock_ttl_sec`` and is
+    stolen.  A writer that outlives its own TTL and is stolen from is
+    still safe: before the commit marker it re-asserts the lease and
+    aborts with nothing final touched; after the marker its remaining
+    removes/renames are exists-guarded and its file names are unique,
+    so they are no-ops once the thief's entry recovery has rolled the
+    committed plan forward — the thief's own marker carries a
+    different token and is never deleted by this writer.  A true
+    multi-writer deployment still wants a table-format transaction
+    log in front — Delta/Iceberg journal exactly this swap as a
+    metadata commit.
 
     ``held_lease``: a ``(lock_path, token)`` already acquired by the
     caller (the streaming sink holds one lease across its whole
@@ -556,11 +626,16 @@ def _locked_upsert(spark, path, delta, merge, bucket_by, n_buckets,
         # crash (recover_upsert replays this exact plan).  The marker
         # carries OUR lease token so the failure paths below can tell
         # our marker from a lease-thief's (never delete the thief's —
-        # it is their roll-forward record).
-        fs.write_bytes(os.path.join(path, UPSERT_MARKER),
-                       json.dumps({"removes": old_files,
-                                   "renames": hidden,
-                                   "token": lease[1]}).encode())
+        # it is their roll-forward record).  Published ATOMICALLY with
+        # an fsync'd temp+rename (review r8): a plain write gave no
+        # durability ordering between the marker and the removes below,
+        # so a power loss could persist the removes while tearing the
+        # marker — recovery would then roll back a committed swap,
+        # deleting the staged dots that were the data's only copies.
+        fs.write_bytes_atomic(os.path.join(path, UPSERT_MARKER),
+                              json.dumps({"removes": old_files,
+                                          "renames": hidden,
+                                          "token": lease[1]}).encode())
     except BaseException:
         # marker FIRST: if OUR complete marker landed before the
         # raise, deleting the dots while it survives would make a

@@ -2590,7 +2590,14 @@ def _doc_cassandra_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _materialize_cassandra_docs(spark: SparkSession, sf_dir: str) -> str:
     """Document cells → the distributed ``format=cassandra`` WRITE sink
-    (gen 1 plain, gen 2 snappy-chunked) — idempotent per sf_dir."""
+    (gen 1 plain, gen 2 snappy-chunked) — idempotent per sf_dir.
+
+    FIXTURE BUILDER ONLY: the ``coalesce(1)`` below exists because
+    ``task_suffix=false`` classic names require one task per
+    generation (a deterministic family name the oracle can cite), and
+    it serializes the whole write onto one task — fine at driver-
+    fixture scale, wrong for production data.  Write real tables with
+    ``task_suffix=true`` (the default) and natural parallelism."""
     import hashlib
 
     from sstable_hadoop_spark.sources.datasource import register
@@ -2759,7 +2766,12 @@ def _stage_cell_stream(spark: SparkSession, sf_dir: str) -> str:
     """Stage the derived cells as one parquet file per generation with
     strictly increasing mtimes, so a file stream (oldest-first default)
     replays generations in order — arrival order then equals generation
-    order, which the flush round-trip's tie-break relies on."""
+    order, which the flush round-trip's tie-break relies on.
+
+    FIXTURE BUILDER ONLY: the ``coalesce(1)`` exists to get exactly
+    one file per generation for the mtime choreography above; it
+    serializes each generation's write onto one task, which is fine at
+    driver-fixture scale and wrong for production data volumes."""
     import hashlib
     import os
 

@@ -195,6 +195,31 @@ def _list_files(path: str, suffix: str) -> list[str]:
     return [f for f in fs.list_files(path, suffix) if not hidden(f)]
 
 
+#: every non-Data member a generation family can carry — used by the
+#: orphan guard below and the sink's stale-orphan sweep
+_COMPANION_SUFFIXES = ("-Index.db", "-Summary.db", "-Filter.db",
+                       "-CompressionInfo.db")
+
+
+def _orphan_companion(path: str) -> bool:
+    """True when a companion file's sibling ``Data.db`` is absent.
+
+    A driver that crashes mid-``commit()`` publishes a PREFIX of its
+    rename plan: a family whose companions were renamed final but
+    whose ``Data.db`` was not would otherwise be served by
+    ``kind='index'/'summary'`` scans (which list companions
+    independently) while being invisible to data scans — an
+    inconsistent metadata view (review r8).  Data scans key off
+    ``Data.db``, so guarding the companion kinds restores the
+    invariant "a family is visible to ALL kinds or to NONE"; the
+    sink's sweep reaps the orphaned bytes later."""
+    name = os.path.basename(path)
+    for suf in _COMPANION_SUFFIXES:
+        if name.endswith(suf):
+            return not fs.exists(path[:-len(suf)] + "-Data.db")
+    return False
+
+
 def _plan_file(data_path: str, max_split: int,
                ci_reader=None) -> list[RangePartition]:
     """Split one Data.db at row boundaries taken from Index.db.
@@ -425,7 +450,10 @@ class SSTableReader(DataSourceReader):
         if self.kind == "index":
             parts = []
             for f in _list_files(self.path, "-Index.db"):
-                if not self._gen_admits(f):
+                # explicitly naming the file overrides the orphan
+                # guard, same convention as _list_files's hidden skip
+                if not self._gen_admits(f) or \
+                        (f != self.path and _orphan_companion(f)):
                     continue
                 parts.extend(self._plan_index_file(f))
             return parts or [RangePartition("", 0, 0, 0)]
@@ -433,7 +461,8 @@ class SSTableReader(DataSourceReader):
             return [RangePartition(f, 0, fs.file_size(f),
                                    codec.generation_of(
                                        f.replace("-Summary.db", "-Data.db")))
-                    for f in _list_files(self.path, "-Summary.db")] \
+                    for f in _list_files(self.path, "-Summary.db")
+                    if f == self.path or not _orphan_companion(f)] \
                 or [RangePartition("", 0, 0, 0)]
         if self.kind == "manifest":
             # planned-split view; one partition listing all files is fine
@@ -1075,26 +1104,43 @@ class SSTableWriteTask(DataSourceWriter):
     def _sweep_temps(self) -> None:
         """Reap THIS job's orphan hidden families (failed/speculative
         attempts that returned no commit message) — temps in every
-        mode start with ``.{token}x``.  Also reap OTHER jobs' temps
-        older than an hour: a driver that crashed mid-job never ran
-        its own sweep, and nothing else would ever clean its leaks
-        (a live concurrent job's temps are necessarily younger)."""
+        mode start with ``.{token}x``.  Also reap, when older than
+        24 HOURS, (a) OTHER jobs' hidden temps (a driver that crashed
+        mid-job never ran its own sweep, and nothing else would ever
+        clean its leaks) and (b) final-named COMPANIONS whose sibling
+        ``Data.db`` is absent — the litter a driver crash mid-commit()
+        leaves when it published a family's companions but not its
+        Data.db (readers already skip them via ``_orphan_companion``).
+
+        The cutoff is deliberately generous (review r8: the previous
+        1h cutoff could reap a LIVE many-wave job's temps — a task
+        can finish its family hours before its driver's commit; and a
+        live commit publishes companions moments before Data.db).
+        Mis-sweeping a live temp fails that job's commit loudly (the
+        rename source is gone), never corrupts data — but loud
+        failures on 100 TB jobs are expensive, so err long."""
         import re
         import time
 
         stale_re = re.compile(r"^\.[0-9a-f]{10}x\d+x.*\.db$")
-        cutoff_ns = (time.time() - 3600) * 1e9
+        cutoff_ns = (time.time() - 24 * 3600) * 1e9
+
+        def older_than_cutoff(f: str) -> bool:
+            try:
+                return fs.mtime_ns(f) < cutoff_ns
+            except OSError:
+                return False
+
         for f in fs.list_dir(self.path) if fs.exists(self.path) else []:
             name = os.path.basename(f)
             mine = name.startswith(f".{self.token}x") \
                 and name.endswith(".db")
-            stale = False
-            if not mine and stale_re.match(name):
-                try:
-                    stale = fs.mtime_ns(f) < cutoff_ns
-                except OSError:
-                    pass
-            if mine or stale:
+            stale = (not mine and stale_re.match(name)
+                     and older_than_cutoff(f))
+            orphan = (not name.startswith(".")
+                      and _orphan_companion(f)
+                      and older_than_cutoff(f))
+            if mine or stale or orphan:
                 try:
                     fs.remove(f)
                 except OSError:

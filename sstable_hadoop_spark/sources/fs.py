@@ -290,3 +290,57 @@ def read_bytes(path: str) -> bytes:
 def write_bytes(path: str, data: bytes) -> None:
     with open_output(path) as f:
         f.write(data)
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    """Durably PUBLISH ``data`` at ``path``: write a hidden temp
+    sibling, fsync it, then rename into place and fsync the directory
+    — so a reader never observes a torn file and a power loss leaves
+    either the old content or the new, never a prefix (plain
+    ``write_bytes`` gives no such ordering; review r7 flagged the
+    upsert commit marker for exactly this).  The RENAME is the commit
+    point.  Object stores get the same write-temp + move with no-op
+    fsyncs: their object PUT is already all-or-nothing, the temp+move
+    only keeps the final name from naming a partial multipart upload.
+
+    Composed from the module-level ``write_bytes``/``rename`` (not
+    inlined syscalls) so fault-injection harnesses that wrap those
+    functions see the same operation sequence a real crash cuts."""
+    import uuid
+
+    d, base = os.path.split(path.rstrip("/"))
+    tmp = os.path.join(d, f".{base}.tmp-{uuid.uuid4().hex[:8]}")
+    write_bytes(tmp, data)
+    _fsync_file(tmp)
+    rename(tmp, path)
+    _fsync_dir(d)
+
+
+def _fsync_file(path: str) -> None:
+    """fsync a just-written LOCAL file (no-op for object stores —
+    their write is durable at PUT completion)."""
+    if has_scheme(path):
+        return
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass  # best-effort: some filesystems refuse
+
+
+def _fsync_dir(d: str) -> None:
+    """fsync a LOCAL directory so a completed rename inside it is
+    durable, not just cached (no-op for object stores)."""
+    if has_scheme(d):
+        return
+    try:
+        dfd = os.open(d or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # best-effort: some filesystems refuse directory fsync

@@ -1835,15 +1835,38 @@ def test_bucketed_upsert_crash_recovery(spark, tmp_path):
     assert {r["k"]: r["v"]
             for r in spark.read.parquet(d).collect()} == clean
 
-    # -- crash MID-MARKER-WRITE: torn JSON means the commit never
-    #    happened → marker dropped, dots rolled back, no roll-forward
+    # -- TORN marker (unreadable JSON at the marker name): since r8's
+    #    atomic publish our writer cannot produce one, so it signals a
+    #    pre-r8 power loss where the removes may have persisted and
+    #    the dots may be the only copies — rolled back, but the dots
+    #    are QUARANTINED (renamed aside, hidden) instead of deleted
     shutil.copyfile(victim, dot)
     with open(os.path.join(d, UPSERT_MARKER), "w") as f:
         f.write('{"removes": ["' + victim)  # truncated mid-write
     assert recover_upsert(d) == "rolled_back"
     assert not os.path.exists(os.path.join(d, UPSERT_MARKER))
     assert not os.path.exists(dot)
-    assert os.path.exists(victim)  # removes never executed
+    assert os.path.exists(dot + ".quarantined")  # copy preserved
+    assert os.path.exists(victim)
+    assert {r["k"]: r["v"]
+            for r in spark.read.parquet(d).collect()} == clean
+    # quarantined files are invisible to the torn-table check (the
+    # table reads normally) but table_health surfaces them
+    from sstable_hadoop_spark.operators.layout import table_health
+
+    bucket_files(d)  # no raise
+    note = [r["note"] for r in table_health(spark, d, 4).collect()
+            if r["bucket"] == "_table"][0]
+    assert "quarantined" in note
+    os.remove(dot + ".quarantined")
+
+    # -- stranded atomic-publish temp (crash between the marker temp's
+    #    write and its rename): reaped by recovery, nothing else moves
+    tmp = os.path.join(d, "." + UPSERT_MARKER + ".tmp-deadbeef")
+    with open(tmp, "w") as f:
+        f.write('{"removes": []')
+    assert recover_upsert(d) == "clean"
+    assert not os.path.exists(tmp)
     assert {r["k"]: r["v"]
             for r in spark.read.parquet(d).collect()} == clean
 
@@ -1919,6 +1942,70 @@ def test_bucketed_upsert_single_writer_lease(spark, tmp_path):
     assert not os.path.exists(lock)
     got = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
     assert got == {k: (k + 100 if k < 3 else k) for k in range(40)}
+
+
+def test_lease_steal_arbitration_single_winner(tmp_path):
+    """r8: stale-lease steals are flock-serialized — N thieves racing
+    the SAME stale lease produce exactly one winner; the losers see
+    the winner's fresh payload inside the critical section and back
+    off with TableLockedError (the r7 replace+settle+read-back let two
+    healthy thieves both pass verification)."""
+    import json
+    import os
+    import threading
+    import time
+
+    from sstable_hadoop_spark.operators.layout import (
+        TableLockedError,
+        _acquire_table_lock,
+        _lock_path,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    lock = _lock_path(d)
+    with open(lock, "w") as f:
+        json.dump({"pid": 1, "host": "other",
+                   "acquired_at": time.time() - 10_000}, f)
+
+    results: list[tuple[str, object]] = []
+    barrier = threading.Barrier(6)
+
+    def thief():
+        barrier.wait()
+        try:
+            results.append(("won", _acquire_table_lock(d, 600.0)[1]))
+        except TableLockedError:
+            results.append(("lost", None))
+
+    threads = [threading.Thread(target=thief) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [tok for kind, tok in results if kind == "won"]
+    assert len(winners) == 1, f"expected one winner, got {results}"
+    # the lock on disk carries the winner's token
+    with open(lock) as f:
+        assert json.load(f)["token"] == winners[0]
+
+
+def test_write_bytes_atomic_publish(tmp_path):
+    """write_bytes_atomic: content lands whole, overwrites atomically,
+    and leaves no temp siblings behind."""
+    import os
+
+    from sstable_hadoop_spark.sources import fs as fsmod
+
+    target = str(tmp_path / "dir" / "state.json")
+    os.makedirs(os.path.dirname(target))
+    fsmod.write_bytes_atomic(target, b"v1")
+    assert fsmod.read_bytes(target) == b"v1"
+    fsmod.write_bytes_atomic(target, b"v2-longer")
+    assert fsmod.read_bytes(target) == b"v2-longer"
+    leftovers = [n for n in os.listdir(os.path.dirname(target))
+                 if n != "state.json"]
+    assert leftovers == []
 
 
 def test_table_health_reports_buckets_and_torn_state(spark, tmp_path):
@@ -2331,8 +2418,11 @@ def test_upsert_swap_atomic_under_every_crash_point(spark, tmp_path):
                         raise Crash(f"{name} #{count[0]}")
                     count[0] += 1
                 out = real[name](*a, **kw)
-                if (counted and name == "write_bytes"
-                        and layout.UPSERT_MARKER in target):
+                # r8: the marker is published atomically (fsync'd temp
+                # + rename) — the RENAME to the marker name is the
+                # commit point, not the temp's write_bytes
+                if (counted and name == "rename"
+                        and target.endswith(layout.UPSERT_MARKER)):
                     marker_written[0] = True
                 return out
             return op

@@ -229,3 +229,58 @@ def test_generation_pushdown_prunes_files(spark, tmp_path):
     idx = (spark.read.format("sstable").option("kind", "index").load(d)
            .filter(F.col("generation") > 3))
     assert idx.count() == 5
+
+
+def test_orphan_companions_skipped_and_swept(spark, tmp_path):
+    """r8: a family whose companions were published but whose Data.db
+    was not (driver crash mid-commit) must be invisible to EVERY scan
+    kind — kind='index'/'summary' previously listed companions
+    independently of Data.db, serving an inconsistent metadata view —
+    and the orphaned bytes are reaped by the next job's sweep once
+    older than 24h."""
+    import os
+    import time
+
+    from sstable_hadoop_spark.sources.codec import Cell, Row, SSTableWriter
+
+    d = str(tmp_path / "orphans")
+    for gen in (1, 2):
+        w = SSTableWriter(d, "ks-cf", generation=gen, summary_rate=4)
+        for i in range(8):
+            w.write_row(Row(key=f"k{i}".encode(),
+                            cells=[Cell(name=b"c", data=b"v",
+                                        timestamp=gen)]))
+        w.close()
+
+    def counts():
+        idx = spark.read.format("sstable").option("kind", "index").load(d)
+        summ = spark.read.format("sstable").option("kind", "summary").load(d)
+        return idx.count(), summ.count()
+
+    full_idx, full_summ = counts()
+    assert full_idx > 0 and full_summ > 0
+
+    # orphan generation 2: its Data.db vanishes (prefix-published family)
+    data2 = os.path.join(d, "ks-cf-2-Data.db")
+    os.remove(data2)
+    idx_n, summ_n = counts()
+    assert idx_n == full_idx // 2 and summ_n == full_summ // 2
+    # explicitly naming the orphan file overrides the guard (debugging)
+    one = (spark.read.format("sstable").option("kind", "index")
+           .load(os.path.join(d, "ks-cf-2-Index.db")))
+    assert one.count() == full_idx // 2
+
+    # the sink's sweep reaps the orphans once old, leaves them while young
+    from sstable_hadoop_spark.sources.datasource import SSTableWriteTask
+
+    sink = SSTableWriteTask({"path": d})
+    sink._sweep_temps()
+    assert os.path.exists(os.path.join(d, "ks-cf-2-Index.db"))  # young
+    old = time.time() - 25 * 3600
+    for name in os.listdir(d):
+        if "-2-" in name:
+            os.utime(os.path.join(d, name), (old, old))
+    sink._sweep_temps()
+    assert not any("-2-" in n for n in os.listdir(d))  # orphans reaped
+    assert sorted(n for n in os.listdir(d) if "-1-" in n)  # gen 1 intact
+    assert counts() == (full_idx // 2, full_summ // 2)
