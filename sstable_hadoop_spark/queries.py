@@ -3654,6 +3654,99 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("adc", 4).alias("adc")))
 
 
+def _recall_report_oracle() -> str:
+    """Recall report oracle: each method's EXISTING oracle replica is
+    reused verbatim as a subquery (DuckDB allows WITH inside derived
+    tables), so the report certifies the same approximations the
+    per-method rows certify — the only new logic is the set
+    intersection with brute force and the ratio."""
+    methods = {
+        "bruteforce": _ORACLES["similarity_topk_bruteforce"],
+        "lsh": _topk_lsh_oracle(),
+        "ivf": _topk_ivf_oracle(),
+        "ivf_trained": _topk_ivf_trained_oracle(),
+        "pq": _topk_pq_oracle(),
+    }
+    tall = "\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS method, query_id, vec_id FROM ({sql}) AS t_{name}"
+        for name, sql in methods.items())
+    return f"""
+WITH tall AS (
+    {tall}
+),
+exact AS (SELECT query_id, vec_id FROM tall WHERE method = 'bruteforce'),
+n AS (SELECT count(*) AS n_exact FROM exact)
+SELECT t.method,
+       5 AS k,
+       n.n_exact,
+       CAST(count(*) AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 10000 // n.n_exact AS BIGINT) AS recall_bp
+FROM tall t
+LEFT JOIN exact e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+CROSS JOIN n
+WHERE t.method != 'bruteforce'
+GROUP BY t.method, n.n_exact
+ORDER BY t.method
+"""
+
+
+@query("similarity_recall_report", oracle=_recall_report_oracle())
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 recall-vs-cost certification (r8): every ANN method (LSH /
+    fixed-codebook IVF / trained IVF / PQ-ADC) scored as recall@5
+    against the exact brute-force top-5 over the SAME fixed query set
+    (vec_id < 8) — the number a user actually tunes when trading probe
+    count / table count / code size against quality.  One row per
+    method: candidates returned, hits, and recall in basis points
+    (integer — immune to float-rounding drift between engines).  The
+    per-method floors are pinned in tests/test_extensions.py."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_ivf_trained,
+        cosine_topk_lsh,
+        cosine_topk_pq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    methods = {
+        "lsh": cosine_topk_lsh(emb, q, k=5),
+        "ivf": cosine_topk_ivf(emb, q, k=5),
+        "ivf_trained": cosine_topk_ivf_trained(emb, q, k=5),
+        "pq": cosine_topk_pq(emb, q, k=5, m=4, k_codes=16),
+    }
+    tall = None
+    for name, df in methods.items():
+        part = df.select(F.lit(name).alias("method"), "query_id", "vec_id")
+        tall = part if tall is None else tall.unionByName(part)
+    # the exact top-5 set is 8 queries x 5 = tiny: broadcast both the
+    # membership probe and the denominator — no shuffle over candidates
+    exact = (cosine_topk(emb, q, k=5)
+             .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    return (tall
+            .join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+            .groupBy("method")
+            .agg(F.count("*").alias("n_returned"),
+                 F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+            .crossJoin(F.broadcast(n_exact))
+            .select("method",
+                    F.lit(5).alias("k"),
+                    "n_exact",
+                    F.col("n_returned").cast("long").alias("n_returned"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.floor(F.col("n_hits") * 10000 / F.col("n_exact"))
+                     .cast("long").alias("recall_bp"))
+            .orderBy("method"))
+
+
 @query("dedup_common_spans", oracle=r"""
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks

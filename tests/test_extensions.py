@@ -2459,3 +2459,29 @@ def test_upsert_swap_atomic_under_every_crash_point(spark, tmp_path):
             f"recovered to a torn state")
         crash_at += 1
         assert crash_at < 120, "runaway op count"
+
+
+def test_similarity_recall_report_floors(spark):
+    """r8: the recall-vs-cost report (driver row
+    `similarity_recall_report`) must certify, per ANN method, recall@5
+    against brute force at or above a pinned floor — the number a user
+    tunes — and the trained-codebook IVF must beat the fixed md5
+    codebook (the point of training).  PQ's floor is deliberately low:
+    the testdata embeddings are near-random, where 4x16 product codes
+    legitimately lose most ranking signal (the clustered-data test
+    above pins its real behavior)."""
+    from sstable_hadoop_spark.queries import similarity_recall_report
+
+    rep = {r["method"]: r for r in
+           similarity_recall_report(spark, "/root/testdata/sf0.001")
+           .collect()}
+    assert set(rep) == {"lsh", "ivf", "ivf_trained", "pq"}
+    floors_bp = {"lsh": 6000, "ivf": 2000, "ivf_trained": 3500, "pq": 500}
+    for method, floor in floors_bp.items():
+        row = rep[method]
+        assert row["n_exact"] == 40 and row["n_returned"] == 40
+        assert row["recall_bp"] >= floor, (
+            f"{method}: recall {row['recall_bp']}bp below pinned "
+            f"floor {floor}bp")
+    assert rep["ivf_trained"]["recall_bp"] >= rep["ivf"]["recall_bp"], (
+        "trained codebook must not lose to the md5 pseudo-codebook")
