@@ -25,6 +25,11 @@ ALLOWED_BNLJ = {
                                     # scan over compressed codes IS the
                                     # intended full pass; ~100× smaller
                                     # than scanning vectors)
+    "similarity_recall_report",     # composes the two baselines above
+                                    # (brute-force exact + PQ) plus a
+                                    # 1-row broadcast denominator cross
+                                    # join — certification query, never
+                                    # the scale path
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer
