@@ -46,23 +46,95 @@ BENCH_QUERIES = {
 }
 
 
-def _anchor_sec(spark) -> float:
-    """Host-calibration anchor (VERDICT r6 #6): a PINNED pure-Spark
-    workload — 64M xxhash64 aggregations over range(), zero IO, zero
-    engine code — timed in the same process as the suite.  Its
-    wall-clock moves only with the host (CPU contention, thermal,
+def _anchor_once(spark) -> float:
+    """One run of the host-calibration anchor (VERDICT r6 #6): a PINNED
+    pure-Spark workload — 64M xxhash64 aggregations over range(), zero
+    IO, zero engine code — timed in the same process as the suite.
+    Its wall-clock moves only with the host (CPU contention, thermal,
     noisy neighbors), never with this repo's changes, so
     ``queries_normalized`` (query wall / anchor wall) is comparable
-    across rounds even when absolute seconds drift: r6's uniform
-    1.36× 'regression' was pure host drift (PERF.md A/B)."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (spark.range(0, 64_000_000, 1, 32)
-              .selectExpr("sum(xxhash64(id) % 1000003) AS h")  # ANSI-safe
-              .write.format("noop").mode("overwrite").save())
-        best = min(best, time.perf_counter() - t0)
-    return best
+    across rounds even when absolute seconds drift."""
+    t0 = time.perf_counter()
+    (spark.range(0, 64_000_000, 1, 32)
+          .selectExpr("sum(xxhash64(id) % 1000003) AS h")  # ANSI-safe
+          .write.format("noop").mode("overwrite").save())
+    return time.perf_counter() - t0
+
+
+def _sink_throughput(spark, sf_dir: str) -> dict:
+    """Sink write-path throughput guard (VERDICT r7 #4): rows/s through
+    each write path — native SSTable family, Cassandra 1.x family,
+    WARC, bucketed parquet — so a regression in the staged-commit
+    protocols (hidden temps, driver-side rename pass, marker writes)
+    is visible round over round.  The input DataFrame is cached and
+    counted BEFORE the clock starts, so the timing covers the sink
+    (task writes + staging + commit), not the upstream derivation;
+    each write is verified by reading the output back and comparing
+    row counts."""
+    import shutil
+    import tempfile
+
+    from sstable_hadoop_spark.operators.layout import write_bucketed
+    from sstable_hadoop_spark.operators.lww import collect_rows
+    from sstable_hadoop_spark.queries import derived_cells, load
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict] = {}
+
+    def run(name: str, df, write_fn, count_fn) -> None:
+        # AQE coalesces these small grouped inputs to 1-2 partitions,
+        # which would serialize the task-parallel sinks onto one task
+        # and measure codec speed, not the write path a real job runs;
+        # spread the cached input across the session's cores first
+        df = df.repartition(spark.sparkContext.defaultParallelism).cache()
+        n = df.count()  # materialize outside the clock
+        best = float("inf")
+        try:
+            for attempt in range(2):  # min-of-2: first write pays
+                d = tempfile.mkdtemp(  # codegen + cold page cache
+                    prefix=f"sinkbench_{name}_")
+                try:
+                    t0 = time.perf_counter()
+                    write_fn(df, d)
+                    best = min(best, time.perf_counter() - t0)
+                    got = count_fn(d)
+                    if got != n:
+                        raise AssertionError(
+                            f"sink {name}: wrote {n} rows, "
+                            f"read back {got}")
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+            out[name] = {"rows": n, "sec": round(best, 3),
+                         "rows_per_sec": int(n / best)}
+        finally:
+            df.unpersist()
+
+    nested = collect_rows(derived_cells(spark, sf_dir),
+                          by_generation=True)
+    run("sstable_native", nested,
+        lambda df, d: (df.write.format("sstable").option("path", d)
+                       .mode("append").save()),
+        lambda d: spark.read.format("sstable").load(d).count())
+    run("sstable_cassandra", nested,
+        lambda df, d: (df.write.format("sstable").option("path", d)
+                       .option("format", "cassandra")
+                       .option("compressed", "true")
+                       .mode("append").save()),
+        lambda d: (spark.read.format("sstable")
+                   .option("format", "cassandra").load(d).count()))
+    docs = load(spark, sf_dir, "documents")
+    run("warc", docs.select(
+            F.concat(F.lit("http://corpus/"),
+                     F.col("doc_id").cast("string")).alias("target_uri"),
+            F.encode("text", "UTF-8").alias("payload")),
+        lambda df, d: (df.write.format("warc").mode("append").save(d)),
+        lambda d: spark.read.format("warc").load(d).count())
+    run("bucketed_parquet", docs.selectExpr("doc_id AS k", "n_chars AS v"),
+        lambda df, d: write_bucketed(df, d, "sinkbench",
+                                     bucket_by=("k",), n_buckets=16),
+        lambda d: spark.read.parquet(d).count())
+    return out
 
 
 def main() -> None:
@@ -80,15 +152,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # warm the session (JVM/codegen/Arrow init) outside the clock
+    # warm the session (JVM/codegen/Arrow init) outside the clock,
+    # including one unrecorded anchor run (its own codegen)
     spark.range(1000).selectExpr("sum(id)").collect()
-    anchor = _anchor_sec(spark)
+    _anchor_once(spark)
 
     # three iterations per query, report the min: steady-state throughput
     # (first execution of each plan pays one-time codegen/JIT costs that
-    # a long-running cluster job amortizes away)
+    # a long-running cluster job amortizes away).  The anchor is timed
+    # in three slices INTERLEAVED with the suite (start / middle / end)
+    # and normalized by the MIN slice — a single pre-suite sample
+    # over-corrected when host load shifted mid-run (PERF.md r7).
+    names = list(BENCH_QUERIES.items())
+    anchor_slices = [round(_anchor_once(spark), 3)]
     timings: dict[str, float] = {}
-    for bench_name, query_name in BENCH_QUERIES.items():
+    for i, (bench_name, query_name) in enumerate(names):
         fn = registry[query_name]
         best = float("inf")
         for _ in range(3):
@@ -96,6 +174,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[bench_name] = round(best, 3)
+        if i == len(names) // 2 - 1:
+            anchor_slices.append(round(_anchor_once(spark), 3))
+    anchor_slices.append(round(_anchor_once(spark), 3))
+    anchor = min(anchor_slices)
+
+    sinks = _sink_throughput(spark, sf_dir)
 
     result = {
         "metric": "bench_total_sec",
@@ -105,11 +189,18 @@ def main() -> None:
         "sf": sf_num,
         # host calibration: anchor_sec times a pinned pure-Spark
         # workload (no engine code, no IO); queries_normalized =
-        # query wall / anchor wall is host-drift-proof across rounds
+        # query wall / anchor wall is host-drift-proof across rounds.
+        # anchor_sec = min of the interleaved slices (best-case host,
+        # matching the per-query min-of-3); the slices themselves are
+        # reported so a loaded run is visible as slice spread.
         "anchor_sec": round(anchor, 3),
+        "anchor_sec_slices": anchor_slices,
         "queries_normalized": {k: round(v / anchor, 2)
                                for k, v in timings.items()},
         "value_normalized": round(sum(timings.values()) / anchor, 2),
+        # sink write-path rows/s (input cached before the clock,
+        # read-back verified) — guards the staged-commit protocols
+        "sinks": sinks,
     }
     print(json.dumps(result))
 
