@@ -785,3 +785,126 @@ def test_stream_upsert_to_bucketed_winners(spark, tmp_path):
     q2.awaitTermination(180)
     assert not q2.isActive
     assert snapshot() == want  # replay was a content no-op
+
+
+def test_stream_upsert_crash_lease_steal_recovery(spark, tmp_path):
+    """r8 composed production story (VERDICT r7 #6): kill the streaming
+    bucketed-upsert sink mid-batch at several swap crash points (the r7
+    sweep's fs-op injection), leave the dead writer's lease behind (as
+    a real process kill would), then restart: the new run must STEAL
+    the provably-dead lease, run recover_upsert, replay the uncommitted
+    batch idempotently, and end with (a) exactly the batch LWW winners
+    and (b) a clean table_health report — no marker, no dots, no lease,
+    no quarantine."""
+    import glob
+    import json
+    import os
+    import shutil
+    import socket
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.operators import lww_cell
+    from sstable_hadoop_spark.operators import layout
+    from sstable_hadoop_spark.operators.layout import _lock_path, table_health
+    from sstable_hadoop_spark.queries import derived_cells
+    from sstable_hadoop_spark.sources import fs as fsmod
+    from sstable_hadoop_spark.streaming.compaction import (
+        upsert_stream_to_bucketed,
+    )
+
+    class Crash(Exception):
+        """Simulated process death.  Unlike the pure crash-point sweep
+        (test_extensions), this must be an Exception: foreachBatch
+        callbacks cross the py4j bridge, which only propagates
+        Exception cleanly — a BaseException can wedge the callback
+        server and hang the query."""
+
+    cells = derived_cells(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "cells_in")
+    for g in [1, 2, 3, 4]:
+        (cells.filter(F.col("generation") == g).coalesce(1)
+              .write.mode("append").parquet(src))
+    want = {(bytes(r["key"]), bytes(r["name"]), r["state"],
+             r["timestamp"], r["generation"])
+            for r in lww_cell(cells).collect()}
+
+    mutators = ("put_file", "write_bytes", "remove", "rename")
+    real = {m: getattr(fsmod, m) for m in mutators}
+    real_release = layout._release_table_lock
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid  # reaped: provably dead on this host
+
+    def run_stream(table, ckpt):
+        q = upsert_stream_to_bucketed(
+            spark.readStream.schema(cells.schema)
+                 .option("maxFilesPerTrigger", "1").parquet(src),
+            table, ckpt, n_buckets=8)
+        try:
+            q.awaitTermination(240)
+        except Exception:
+            pass  # the injected Crash surfaces as a query exception
+        finally:
+            q.stop()
+
+    for crash_at in (0, 3, 7):
+        table = str(tmp_path / f"winners{crash_at}")
+        ckpt = str(tmp_path / f"ckpt{crash_at}")
+        count = [0]
+        crashed = [False]
+
+        def wrap(name):
+            def op(*a, **kw):
+                target = a[-1] if name in ("rename", "put_file") else a[0]
+                # arm only for post-bootstrap batches (batch 0's commit
+                # exists) and only for table-dir mutations
+                armed = (isinstance(target, str) and table in target
+                         and not target.endswith(".upsert-lock.json")
+                         and glob.glob(os.path.join(ckpt, "commits", "*")))
+                if armed and not crashed[0]:
+                    if count[0] >= crash_at:
+                        crashed[0] = True
+                        raise Crash(f"{name} #{count[0]}")
+                    count[0] += 1
+                return real[name](*a, **kw)
+            return op
+
+        def release_unless_dead(lock, token):
+            if not crashed[0]:  # a killed process never releases
+                real_release(lock, token)
+
+        for m in mutators:
+            setattr(fsmod, m, wrap(m))
+        layout._release_table_lock = release_unless_dead
+        try:
+            run_stream(table, ckpt)
+        finally:
+            for m in mutators:
+                setattr(fsmod, m, real[m])
+            layout._release_table_lock = real_release
+        assert crashed[0], f"crash point {crash_at} never armed"
+
+        # the dead writer's lease survives; make it look like the dead
+        # process it is (same host, reaped pid) instead of ourselves
+        lock = _lock_path(table)
+        assert os.path.exists(lock), "crashed writer must leave its lease"
+        info = json.loads(open(lock).read())
+        info.update(pid=dead_pid, host=socket.gethostname())
+        with open(lock, "w") as f:
+            json.dump(info, f)
+
+        # restart: steal the dead lease, recover, replay idempotently
+        run_stream(table, ckpt)
+        got = {(bytes(r["key"]), bytes(r["name"]), r["state"],
+                r["timestamp"], r["generation"])
+               for r in spark.read.parquet(table).collect()}
+        assert got == want, f"crash point {crash_at}: content diverged"
+        health = {r["bucket"]: r for r in
+                  table_health(spark, table, 8).collect()}
+        assert health["_table"]["note"] == "", (
+            f"crash point {crash_at}: table not clean after recovery: "
+            f"{health['_table']['note']}")
+        shutil.rmtree(table)
+        shutil.rmtree(ckpt)
