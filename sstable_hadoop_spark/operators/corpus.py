@@ -331,7 +331,8 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
 def mixture_sample(df: DataFrame, budgets: dict[str, int],
                    source_col: str = "source", id_col: str = "doc_id",
                    text_col: str = "text", n_shards: int = 8,
-                   seed: str = "mix") -> DataFrame:
+                   seed: str = "mix",
+                   include_holdout: bool = False) -> DataFrame:
     """Token-budgeted data-mixture construction: sample each source's
     documents, in a deterministic md5 priority order, until that
     source's token budget is reached — the "data mixture" step every
@@ -352,7 +353,19 @@ def mixture_sample(df: DataFrame, budgets: dict[str, int],
 
     Returns admitted docs only: (id, source, shard, n_tokens,
     cum_tokens ≤ shard budget).  Sources absent from ``budgets`` are
-    dropped."""
+    dropped.
+
+    ``include_holdout=True`` (r8, VERDICT r7 #8) keeps the over-budget
+    remainder too, adding an ``admitted`` boolean instead of
+    filtering: once a source's budget fills, the rest of its corpus
+    was previously dropped silently (``mixture_summary`` reports the
+    shortfall side, not the surplus), so a follow-up recipe — an
+    epoch-2 mixture, an eval holdout, a budget top-up — had to re-scan
+    the whole corpus.  With the flag, ``filter(~admitted)`` IS the
+    holdout table, computed in the same single exchange; admission of
+    every row is identical to the default mode (same priority order,
+    same cum_tokens), so ``filter(admitted)`` equals the default
+    output exactly."""
     from pyspark.sql.window import Window
 
     from ._util import ensure_parallelism
@@ -378,9 +391,13 @@ def mixture_sample(df: DataFrame, budgets: dict[str, int],
     w = (Window.partitionBy("source", "shard")
                .orderBy(F.asc("_pri"), F.asc("id"))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-                .filter(F.col("cum_tokens") <= shard_budget)
-                .select("id", "source", "shard", "n_tokens", "cum_tokens"))
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    if include_holdout:
+        return cum.select(
+            "id", "source", "shard", "n_tokens", "cum_tokens",
+            (F.col("cum_tokens") <= shard_budget).alias("admitted"))
+    return (cum.filter(F.col("cum_tokens") <= shard_budget)
+               .select("id", "source", "shard", "n_tokens", "cum_tokens"))
 
 
 def mixture_summary(df: DataFrame, budgets: dict[str, int],

@@ -3948,6 +3948,49 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=_MIXTURE_SHARDS)
 
 
+@query("corpus_mixture_holdout", oracle=f"""
+WITH base AS (
+    SELECT doc_id AS id, source,
+           CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS UBIGINT)
+                % {_MIXTURE_SHARDS} AS INT)                  AS shard,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                AS BIGINT)                                   AS n_tokens,
+           substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS pri,
+           CAST({{MIX_CASE}} AS BIGINT)                      AS budget
+    FROM documents
+    WHERE {{MIX_CASE}} IS NOT NULL
+), cum AS (
+    SELECT id, source, shard, n_tokens, budget,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source, shard
+                                    ORDER BY pri, id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT)                                   AS cum_tokens
+    FROM base
+)
+SELECT id, source, shard, n_tokens, cum_tokens
+FROM cum
+WHERE NOT (cum_tokens <= budget // {_MIXTURE_SHARDS}
+                         + CASE WHEN shard < budget % {_MIXTURE_SHARDS}
+                                THEN 1 ELSE 0 END)
+""".replace("{MIX_CASE}", _mixture_case()))
+def corpus_mixture_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ mixture HOLDOUT (r8, VERDICT r7 #8): the over-budget
+    remainder the greedy sampler previously dropped silently, emitted
+    in the same single exchange via ``include_holdout=True`` —
+    ``filter(~admitted)`` is the reusable surplus table (epoch-2
+    recipes, eval holdouts, budget top-ups) instead of a full corpus
+    re-scan (operators/corpus.py mixture_sample)."""
+    from sstable_hadoop_spark.operators.corpus import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (mixture_sample(docs, _MIXTURE_BUDGETS,
+                           n_shards=_MIXTURE_SHARDS,
+                           include_holdout=True)
+            .filter(~F.col("admitted"))
+            .drop("admitted"))
+
+
 # Report budgets: the sample budgets plus one source whose corpus
 # underfills a huge budget and one source absent from the corpus —
 # the two silent-under-delivery cases the report exists to surface.

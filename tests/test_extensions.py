@@ -2485,3 +2485,27 @@ def test_similarity_recall_report_floors(spark):
             f"floor {floor}bp")
     assert rep["ivf_trained"]["recall_bp"] >= rep["ivf"]["recall_bp"], (
         "trained codebook must not lose to the md5 pseudo-codebook")
+
+
+def test_mixture_holdout_partitions_corpus(spark):
+    """include_holdout: admitted + holdout exactly partition the
+    budgeted-source corpus, and filter(admitted) equals the default
+    mode's output row-for-row."""
+    from sstable_hadoop_spark.operators.corpus import mixture_sample
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    budgets = {"src0": 300, "src1": 150}
+    both = mixture_sample(docs, budgets, n_shards=4,
+                          include_holdout=True).cache()
+    default = mixture_sample(docs, budgets, n_shards=4)
+    key = lambda r: (r["id"], r["source"], r["shard"],
+                     r["n_tokens"], r["cum_tokens"])
+    admitted = {key(r) for r in both.filter("admitted").collect()}
+    holdout = {key(r) for r in both.filter("NOT admitted").collect()}
+    assert admitted == {key(r) for r in default.collect()}
+    assert admitted.isdisjoint(holdout)
+    n_budgeted = docs.filter(docs.source.isin(*budgets)).count()
+    assert len(admitted) + len(holdout) == n_budgeted
+    assert holdout, "budgets must bite for the holdout to be non-empty"
+    both.unpersist()
