@@ -303,17 +303,30 @@ GROUP BY c.c_mktsegment
 def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 equi joins + aggregation: lineitem ⋈ orders ⋈ customer.
     customer is broadcast (small dim); lineitem⋈orders shuffles on the
-    shared orderkey."""
+    shared orderkey.
+
+    Plan shape (r8): lineitem revenue is PRE-AGGREGATED per orderkey
+    BEFORE the join — an aggregate-below-join rewrite Catalyst does
+    not perform.  It (a) shrinks the join's probe side ~4× (one row
+    per order instead of per lineitem, with map-side partials doing
+    the reduction inside the same one exchange the join needed
+    anyway), and (b) turns the COUNT DISTINCT over the joined fan-out
+    — an Expand + second shuffle — into a plain count, since the
+    pre-agg emits each orderkey exactly once.  Same result set
+    (sum-per-order then sum-per-segment is associative; count of
+    joined orders equals distinct orders under the orders-PK join);
+    measured 1.34 s → 0.81 s at sf0.1."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))).alias("rev")))
+    return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
               .groupBy("c_mktsegment").agg(
-                  F.countDistinct("o_orderkey").alias("n_orders"),
-                  F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 2)
-                   .alias("revenue")))
+                  F.count("o_orderkey").alias("n_orders"),
+                  F.round(F.sum("rev"), 2).alias("revenue")))
 
 
 @query("join_semi", oracle="""
@@ -677,21 +690,25 @@ GROUP BY r.r_name, n.n_name
 def five_way_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: one shuffle join on the fact keys, broadcast for
     every dimension (customer/nation/region are tiny at any SF relative
-    to lineitem)."""
+    to lineitem).  r8: lineitem revenue pre-aggregated per orderkey
+    below the join (same rewrite as join_agg_revenue — associative sum,
+    ~4× smaller probe side through every broadcast stage; measured
+    1.05 s → 0.86 s at sf0.1)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))).alias("rev")))
+    return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
               .groupBy(F.col("r_name").alias("region"),
                        F.col("n_name").alias("nation"))
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2)
-                    .alias("revenue")))
+              .agg(F.round(F.sum("rev"), 2).alias("revenue")))
 
 
 # ---------------------------------------------------------------------------
