@@ -15,14 +15,20 @@ Layout (from the public spec): a WARC file is a sequence of records —
 recommendation), so readers can skip to member boundaries; Python's
 ``gzip`` reads concatenated members transparently.
 
-Scale design: gzip members are not byte-addressable without an external
-CDX index, so the unit of parallelism is the FILE — exactly how every
-production WARC processor shards (CommonCrawl publishes ~1 GiB files in
-the tens of thousands per crawl; parallelism = file count).  The reader
-plans one partition per file, decompresses streamingly (constant
-memory per task), and emits Arrow record batches.  The sink writes one
-``part-{taskid}.warc.gz`` per Spark partition — ``df.repartition(n)``
-upstream chooses the shard count/size.
+Scale design: gzip members are not byte-addressable without an
+external index, so a bare file's unit of parallelism is the FILE —
+exactly how every production WARC processor shards (CommonCrawl
+publishes ~1 GiB files in the tens of thousands per crawl;
+parallelism = file count).  The reader plans one partition per file,
+decompresses streamingly (constant memory per task), and emits Arrow
+record batches.  The sink writes one ``part-{taskid}.warc.gz`` per
+Spark partition — ``df.repartition(n)`` upstream chooses the shard
+count/size — AND a ``.cdx`` member-index sidecar (r8: the minimal
+(offset, length)-per-member subset of what a CDX index provides);
+files over ``max_split_bytes`` that carry a valid index are split at
+member boundaries across tasks, so one huge archive no longer
+serializes through one task.  Indexless foreign archives keep the
+file-per-task behavior unchanged.
 
 Reference scope note: the reference engine reads only its SSTable
 format (SSTableDataLoader.scala); WARC is a beyond-reference source
@@ -192,12 +198,19 @@ def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
     return status, payload[sep + seplen:]
 
 
-def write_warc_records(out: BinaryIO, records, compress: bool = True):
+def write_warc_records(out: BinaryIO, records, compress: bool = True,
+                       index: list[tuple[int, int]] | None = None):
     """Write records as one gzip member each (uncompressed when
     ``compress=False``).  ``records`` yields dicts with target_uri,
     payload, and optional warc_type / content_type / warc_date /
     record_id; defaults are deterministic (record id = md5 urn of
-    (uri, date), fixed gzip mtime) so re-runs write identical bytes."""
+    (uri, date), fixed gzip mtime) so re-runs write identical bytes.
+
+    ``index``: a list to receive one ``(byte_offset, byte_length)``
+    per member/record written — the member index the sink persists as
+    a ``.cdx`` sidecar so readers can split the file (the role a CDX
+    index plays for CommonCrawl WARCs; see ``write_member_index``)."""
+    pos = 0
     for r in records:
         uri = r.get("target_uri") or ""
         date = r.get("warc_date") or "2013-01-01T00:00:00Z"
@@ -226,14 +239,112 @@ def write_warc_records(out: BinaryIO, records, compress: bool = True):
             z = io.BytesIO()
             with gzip.GzipFile(fileobj=z, mode="wb", mtime=0) as gz:
                 gz.write(member)
-            out.write(z.getvalue())
-        else:
-            out.write(member)
+            member = z.getvalue()
+        out.write(member)
+        if index is not None:
+            index.append((pos, len(member)))
+        pos += len(member)
+
+
+#: Sidecar suffix for the member index.  Real CDX(J) carries
+#: urlkey/timestamp/digest fields for replay lookup; this engine only
+#: needs the byte-addressability half — (offset, length) per gzip
+#: member — so the sidecar is that minimal subset, versioned by a
+#: magic header so it is never confused for spec CDX.
+INDEX_SUFFIX = ".cdx"
+_INDEX_MAGIC = "warc-member-index v1"
+
+
+def write_member_index(path: str, index: list[tuple[int, int]],
+                       total_bytes: int) -> None:
+    """Persist the member index for one WARC file: header line
+    ``warc-member-index v1 <n_members> <total_bytes>``, then one
+    ``<offset> <length>`` line per member.  ``total_bytes`` binds the
+    sidecar to the exact file contents — a reader whose file size
+    disagrees treats the index as stale and falls back to whole-file
+    scanning (never a wrong split)."""
+    lines = [f"{_INDEX_MAGIC} {len(index)} {total_bytes}"]
+    lines += [f"{off} {ln}" for off, ln in index]
+    fs.write_bytes(path, ("\n".join(lines) + "\n").encode())
+
+
+def load_member_index(warc_path: str) -> list[tuple[int, int]] | None:
+    """Member index for ``warc_path`` if a VALID sidecar exists, else
+    None.  Valid = magic header, counts parse, members contiguous from
+    offset 0, and total equal to the file's actual size — so a stale
+    sidecar (file rewritten without its index) can never mis-split."""
+    sidecar = warc_path + INDEX_SUFFIX
+    if not fs.is_file(sidecar):
+        return None
+    try:
+        lines = fs.read_bytes(sidecar).decode().splitlines()
+        head = lines[0].rsplit(" ", 2)
+        if head[0] != _INDEX_MAGIC:
+            return None
+        n, total = int(head[1]), int(head[2])
+        index = [(int(o), int(ln))
+                 for o, ln in (line.split() for line in lines[1:n + 1])]
+        if len(index) != n or total != fs.file_size(warc_path):
+            return None
+        pos = 0
+        for off, ln in index:
+            if off != pos or ln <= 0:
+                return None
+            pos += ln
+        if pos != total:
+            return None
+        return index
+    except (OSError, ValueError, IndexError, UnicodeDecodeError):
+        return None
+
+
+class _RangeRaw(io.RawIOBase):
+    """Bounded reader over an already-positioned seekable stream —
+    hands gzip/parse exactly one split's bytes and EOFs there."""
+
+    def __init__(self, f, length: int) -> None:
+        self._f = f
+        self._left = length
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if self._left <= 0:
+            return 0
+        data = self._f.read(min(len(b), self._left))
+        n = len(data)
+        b[:n] = data
+        self._left -= n
+        return n
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        finally:
+            super().close()
+
+
+def open_warc_range(path: str, start: int, length: int) -> BinaryIO:
+    """Open one member-aligned byte range of a .warc / .warc.gz for
+    streaming reads.  Gzip members are self-contained, so a range that
+    starts on a member boundary (as the member index guarantees)
+    decodes independently of the rest of the file — this is what makes
+    a single 100 GiB archive splittable across tasks."""
+    raw = fs.open_input(path)
+    raw.seek(start)
+    bounded = io.BufferedReader(_RangeRaw(raw, length))
+    if path.endswith(".gz"):
+        return gzip.GzipFile(fileobj=bounded, mode="rb")  # type: ignore
+    return bounded
 
 
 class _WarcFilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, start: int = 0,
+                 length: int = -1) -> None:
         self.path = path
+        self.start = start
+        self.length = length  # -1 = whole file
 
 
 class WarcReader(DataSourceReader):
@@ -251,6 +362,8 @@ class WarcReader(DataSourceReader):
                 f"{sorted(set(self.project) - known)}")
         self.ignore_corrupt = str(options.get("ignore_corrupt_files",
                                               "false")).lower() == "true"
+        self.max_split = int(options.get("max_split_bytes",
+                                         128 * 1024 * 1024))
 
     def partitions(self):
         if fs.is_file(self.path):
@@ -262,11 +375,37 @@ class WarcReader(DataSourceReader):
                 # skip in-flight/aborted sink temps and hidden files
                 # (the Hadoop convention the sink's commit relies on)
                 if not os.path.basename(f).startswith((".", "_")))
-        # one partition per file — the WARC unit of parallelism (see
-        # module doc); empty dir → one empty partition so the scan
-        # yields 0 rows instead of failing to plan
-        return ([_WarcFilePartition(f) for f in files]
-                or [_WarcFilePartition("")])
+        # One partition per file — the WARC unit of parallelism (see
+        # module doc) — EXCEPT files over max_split_bytes that carry a
+        # valid member index (this sink writes one; a CommonCrawl-style
+        # CDX converts): those split at member boundaries, so one huge
+        # archive no longer serializes through one task.  Empty dir →
+        # one empty partition so the scan yields 0 rows instead of
+        # failing to plan.
+        parts = []
+        for f in files:
+            parts.extend(self._plan_file(f))
+        return parts or [_WarcFilePartition("")]
+
+    def _plan_file(self, f: str) -> list[_WarcFilePartition]:
+        try:
+            size = fs.file_size(f)
+        except OSError:
+            return [_WarcFilePartition(f)]
+        if size <= self.max_split:
+            return [_WarcFilePartition(f)]
+        index = load_member_index(f)
+        if not index:
+            return [_WarcFilePartition(f)]  # not splittable: one task
+        parts, start, length = [], 0, 0
+        for off, ln in index:
+            if length and length + ln > self.max_split:
+                parts.append(_WarcFilePartition(f, start, length))
+                start, length = off, 0
+            length += ln
+        if length:
+            parts.append(_WarcFilePartition(f, start, length))
+        return parts
 
     def read(self, partition: _WarcFilePartition):
         import pyarrow as pa
@@ -296,7 +435,9 @@ class WarcReader(DataSourceReader):
             return pa.RecordBatch.from_arrays(arrays, names)
 
         try:
-            with open_warc(partition.path) as f:
+            with (open_warc(partition.path) if partition.length < 0 else
+                  open_warc_range(partition.path, partition.start,
+                                  partition.length)) as f:
                 for rec in parse_warc(f):
                     h = rec.headers
                     status, body = (split_http_payload(rec.payload)
@@ -356,6 +497,7 @@ class WarcWriteTask(DataSourceWriter):
             raise ValueError("warc sink requires a path")
         self.compress = str(options.get("compress",
                                         "true")).lower() == "true"
+        self.index = str(options.get("index", "true")).lower() == "true"
         self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _WarcCommit:
@@ -385,9 +527,21 @@ class WarcWriteTask(DataSourceWriter):
                 yield d
 
         fs.makedirs(self.path)
+        index: list[tuple[int, int]] | None = [] if self.index else None
         with fs.open_output(tmp) as out:
-            write_warc_records(out, gen(), compress=self.compress)
-        return _WarcCommit(files=[(tmp, final)])
+            write_warc_records(out, gen(), compress=self.compress,
+                               index=index)
+        pairs = [(tmp, final)]
+        if index is not None:
+            # the member-index sidecar rides the same hidden-temp +
+            # driver-rename protocol as its data file (temp keeps the
+            # .tmp suffix so the token sweep reaps orphans of both);
+            # total_bytes binds it to these exact bytes, so a reader
+            # can never split a file against a stale index
+            side_tmp = tmp[:-len(".tmp")] + INDEX_SUFFIX + ".tmp"
+            write_member_index(side_tmp, index, fs.file_size(tmp))
+            pairs.append((side_tmp, final + INDEX_SUFFIX))
+        return _WarcCommit(files=pairs)
 
     def commit(self, messages) -> None:
         for m in messages:
@@ -429,8 +583,12 @@ class WarcDataSource(DataSource):
       columns               comma list — prunes the scan (HTTP payload
                             parsing skipped unless http_* requested)
       ignore_corrupt_files  skip unparseable files (default false)
+      max_split_bytes       target split size (default 128 MiB); files
+                            over it with a valid .cdx member index are
+                            split at member boundaries
     Write options:
-      path, compress (default true — one gzip member per record)
+      path, compress (default true — one gzip member per record),
+      index (default true — write the .cdx member-index sidecar)
     """
 
     @classmethod
@@ -457,7 +615,9 @@ class WarcDataSource(DataSource):
                 f"{sorted(names)}")
         if overwrite:
             path = self.options.get("path", "")
-            for suffix in (".warc", ".warc.gz"):
+            for suffix in (".warc", ".warc.gz",
+                           ".warc" + INDEX_SUFFIX,
+                           ".warc.gz" + INDEX_SUFFIX):
                 for f in fs.list_files(path, suffix):
                     if (os.path.dirname(f.rstrip("/")) == path.rstrip("/")
                             and not os.path.basename(f)

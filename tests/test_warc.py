@@ -263,3 +263,104 @@ def test_overwrite_reaps_orphan_temps(spark, tmp_path):
     df.write.format("warc").mode("overwrite").save(d)
     assert not os.path.exists(orphan)
     assert spark.read.format("warc").load(d).count() == 1
+
+
+def test_member_index_splits_large_file(spark, tmp_path):
+    """r8: the sink writes a .cdx member index; a file over
+    max_split_bytes with a valid index is split at member boundaries
+    across partitions, and the split scan returns exactly the
+    whole-file scan's rows.  Indexless or stale-indexed files keep
+    the one-partition-per-file behavior (never a wrong split)."""
+    import os
+
+    from sstable_hadoop_spark.queries import load
+    from sstable_hadoop_spark.sources.warc import (
+        INDEX_SUFFIX,
+        WarcReader,
+        load_member_index,
+    )
+
+    d = str(tmp_path / "idx")
+    docs = load(spark, SF, "documents")
+    recs = docs.select(
+        F.concat(F.lit("http://c/"), F.col("doc_id")).alias("target_uri"),
+        F.encode("text", "UTF-8").alias("payload"))
+    recs.coalesce(1).write.format("warc").mode("append").save(d)
+
+    warcs = [f for f in os.listdir(d) if f.endswith(".warc.gz")]
+    assert len(warcs) == 1
+    wpath = os.path.join(d, warcs[0])
+    index = load_member_index(wpath)
+    assert index is not None and len(index) == docs.count()
+    assert sum(ln for _, ln in index) == os.path.getsize(wpath)
+    # no hidden temps survive the commit
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+    whole = spark.read.format("warc").load(d)
+    n_total = whole.count()
+    body = {(r["target_uri"], bytes(r["payload"]))
+            for r in whole.collect()}
+
+    # tiny split target → many member-aligned partitions, same rows
+    parts = WarcReader({"path": d, "max_split_bytes": "2048"}).partitions()
+    assert len(parts) > 4
+    assert sum(p.length for p in parts) == os.path.getsize(wpath)
+    split = (spark.read.format("warc")
+             .option("max_split_bytes", "2048").load(d))
+    assert split.count() == n_total
+    assert {(r["target_uri"], bytes(r["payload"]))
+            for r in split.collect()} == body
+
+    # stale sidecar (file changed size) → fallback to one partition
+    with open(wpath, "ab") as f:
+        f.write(b"\x1f\x8b")  # size no longer matches the index total
+    assert load_member_index(wpath) is None
+    parts = WarcReader({"path": d, "max_split_bytes": "2048"}).partitions()
+    assert len(parts) == 1 and parts[0].length == -1
+
+    # corrupt sidecar contents → same fallback
+    with open(wpath + INDEX_SUFFIX, "w") as f:
+        f.write("not an index\n")
+    assert load_member_index(wpath) is None
+
+    # index=false write emits no sidecar
+    d2 = str(tmp_path / "noidx")
+    recs.coalesce(1).write.format("warc").option("index", "false") \
+        .mode("append").save(d2)
+    assert not [f for f in os.listdir(d2) if f.endswith(INDEX_SUFFIX)]
+
+
+def test_member_index_uncompressed_and_overwrite(spark, tmp_path):
+    """Member index over an UNCOMPRESSED .warc splits the same way
+    (ranges are record-aligned raw bytes), and mode=overwrite reaps
+    prior sidecars along with prior data files."""
+    import os
+
+    from sstable_hadoop_spark.queries import load
+    from sstable_hadoop_spark.sources.warc import INDEX_SUFFIX, WarcReader
+
+    d = str(tmp_path / "plain")
+    docs = load(spark, SF, "documents")
+    recs = docs.select(
+        F.concat(F.lit("http://c/"), F.col("doc_id")).alias("target_uri"),
+        F.encode("text", "UTF-8").alias("payload"))
+    recs.coalesce(1).write.format("warc").option("compress", "false") \
+        .mode("append").save(d)
+    n = docs.count()
+    whole = spark.read.format("warc").load(d)
+    assert whole.count() == n
+    parts = WarcReader({"path": d, "max_split_bytes": "4096"}).partitions()
+    assert len(parts) > 2
+    split = (spark.read.format("warc")
+             .option("max_split_bytes", "4096").load(d))
+    assert split.count() == n
+
+    # overwrite drops old data AND old sidecars
+    before = {f for f in os.listdir(d)}
+    recs.limit(3).coalesce(1).write.format("warc") \
+        .option("compress", "false").mode("overwrite").save(d)
+    after = [f for f in os.listdir(d) if not f.startswith(".")]
+    assert not (set(after) & before)
+    assert len([f for f in after if f.endswith(".warc")]) == 1
+    assert len([f for f in after if f.endswith(INDEX_SUFFIX)]) == 1
+    assert spark.read.format("warc").load(d).count() == 3
