@@ -986,23 +986,45 @@ def read_summary_entries(summary_path: str) -> Iterator[tuple[bytes, int]]:
 
 # ---------------------------------------------------------------------------
 # Bloom filter (-Filter.db) — Cassandra's per-SSTable key membership
-# component.  Layout: u32 m_bits, u8 k_hashes, ceil(m/8) filter bytes.
-# Hashing: k independent md5-derived positions (engine-portable, no
-# murmur dependency).
+# component.
+#
+# v1 layout: u32 m_bits, u8 k_hashes, ceil(m/8) filter bytes; k
+# INDEPENDENT md5(i || key) positions per key.
+# v2 layout (r8): u32 0xFFFFFFFF sentinel (impossible as a real v1
+# m_bits — the builder sizes by key count), u8 version=2, then the v1
+# header+bits; positions by Kirsch–Mitzenmaier DOUBLE HASHING — one
+# md5 per key split into (h1, h2|1), position_i = (h1 + i·h2) mod m —
+# which profiling showed cuts the k md5 calls per key to one (the
+# bloom build was 48% of the native sink's write time) at an
+# asymptotically equivalent false-positive rate.
+#
+# The reader dispatches on the sentinel, so Filter.db files written by
+# earlier rounds keep pruning CORRECTLY (a silent scheme change would
+# produce false negatives — pruning files that contain the key).
 # ---------------------------------------------------------------------------
 
 import hashlib as _hashlib
 import math as _math
 
+_BLOOM_V2_SENTINEL = 0xFFFFFFFF
 
-def _bloom_positions(key: bytes, k: int, m_bits: int) -> list[int]:
+
+def _bloom_positions_v1(key: bytes, k: int, m_bits: int) -> list[int]:
     return [int.from_bytes(
         _hashlib.md5(bytes([i]) + key).digest()[:8], "big") % m_bits
         for i in range(k)]
 
 
+def _bloom_positions(key: bytes, k: int, m_bits: int) -> list[int]:
+    d = _hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd → full-cycle stride
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
 def build_bloom(keys: list[bytes], fp_rate: float = 0.01) -> tuple[bytes, int, int]:
-    """Return (filter_bytes, m_bits, k) sized for ``fp_rate``."""
+    """Return (filter_bytes, m_bits, k) sized for ``fp_rate``
+    (v2 double-hashing positions)."""
     n = max(len(keys), 1)
     m_bits = max(8, int(-n * _math.log(fp_rate) / (_math.log(2) ** 2)))
     k = max(1, round(m_bits / n * _math.log(2)))
@@ -1016,6 +1038,7 @@ def build_bloom(keys: list[bytes], fp_rate: float = 0.01) -> tuple[bytes, int, i
 def write_bloom(path: str, keys: list[bytes], fp_rate: float = 0.01) -> None:
     bits, m_bits, k = build_bloom(keys, fp_rate)
     with fs.open_output(path) as f:
+        f.write(struct.pack(">IB", _BLOOM_V2_SENTINEL, 2))
         f.write(struct.pack(">IB", m_bits, k))
         f.write(bits)
 
@@ -1023,11 +1046,22 @@ def write_bloom(path: str, keys: list[bytes], fp_rate: float = 0.01) -> None:
 class BloomFilter:
     def __init__(self, path: str) -> None:
         with fs.open_input(path) as f:
-            self.m_bits, self.k = struct.unpack(">IB", f.read(5))
+            first, ver = struct.unpack(">IB", f.read(5))
+            if first == _BLOOM_V2_SENTINEL:
+                if ver != 2:
+                    raise ValueError(
+                        f"unknown Filter.db version {ver} in {path}")
+                self.version = 2
+                self.m_bits, self.k = struct.unpack(">IB", f.read(5))
+            else:  # legacy v1: those 5 bytes WERE the header
+                self.version = 1
+                self.m_bits, self.k = first, ver
             self.bits = f.read()
 
     def might_contain(self, key: bytes) -> bool:
-        for pos in _bloom_positions(key, self.k, self.m_bits):
+        positions = (_bloom_positions if self.version == 2
+                     else _bloom_positions_v1)
+        for pos in positions(key, self.k, self.m_bits):
             if not (self.bits[pos // 8] >> (pos % 8)) & 1:
                 return False
         return True

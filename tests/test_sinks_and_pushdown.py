@@ -284,3 +284,55 @@ def test_orphan_companions_skipped_and_swept(spark, tmp_path):
     assert not any("-2-" in n for n in os.listdir(d))  # orphans reaped
     assert sorted(n for n in os.listdir(d) if "-1-" in n)  # gen 1 intact
     assert counts() == (full_idx // 2, full_summ // 2)
+
+
+def test_bloom_v1_files_still_prune_correctly(tmp_path):
+    """r8 bloom format bump: v2 (double hashing, one md5/key) is the
+    write default, but Filter.db files written by earlier rounds (v1:
+    k independent md5s, headerless) MUST keep reading with the v1
+    scheme — a silent scheme switch would produce false negatives,
+    i.e. prune files that contain the key."""
+    import os
+    import struct
+
+    from sstable_hadoop_spark.sources.codec import (
+        _BLOOM_V2_SENTINEL,
+        BloomFilter,
+        _bloom_positions_v1,
+        write_bloom,
+    )
+
+    keys = [f"key-{i}".encode() for i in range(500)]
+
+    # hand-write a LEGACY v1 filter (the pre-r8 layout + hashing)
+    import math
+    n = len(keys)
+    m_bits = max(8, int(-n * math.log(0.01) / (math.log(2) ** 2)))
+    k = max(1, round(m_bits / n * math.log(2)))
+    bits = bytearray((m_bits + 7) // 8)
+    for key in keys:
+        for pos in _bloom_positions_v1(key, k, m_bits):
+            bits[pos // 8] |= 1 << (pos % 8)
+    v1 = str(tmp_path / "legacy-Filter.db")
+    with open(v1, "wb") as f:
+        f.write(struct.pack(">IB", m_bits, k) + bytes(bits))
+
+    bf = BloomFilter(v1)
+    assert bf.version == 1
+    assert all(bf.might_contain(key) for key in keys)  # zero false negs
+    absent = sum(bf.might_contain(f"nope-{i}".encode())
+                 for i in range(2000))
+    assert absent < 2000 * 0.05  # fp rate in range → v1 scheme used
+
+    # v2 written file round-trips and self-identifies
+    v2 = str(tmp_path / "new-Filter.db")
+    write_bloom(v2, keys)
+    with open(v2, "rb") as f:
+        sentinel, ver = struct.unpack(">IB", f.read(5))
+    assert sentinel == _BLOOM_V2_SENTINEL and ver == 2
+    bf2 = BloomFilter(v2)
+    assert bf2.version == 2
+    assert all(bf2.might_contain(key) for key in keys)
+    absent2 = sum(bf2.might_contain(f"nope-{i}".encode())
+                  for i in range(2000))
+    assert absent2 < 2000 * 0.05
