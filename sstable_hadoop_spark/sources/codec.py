@@ -127,27 +127,24 @@ class Row:
 # ---------------------------------------------------------------------------
 
 def _encode_cell(cell: Cell) -> bytes:
-    out = bytearray()
-    out += struct.pack(">H", len(cell.name))
-    out += cell.name
-    out += struct.pack(">Bq", _STATE_TO_CODE[cell.state], cell.timestamp)
-    if cell.state == STATE_EXPIRING:
-        out += struct.pack(">qq", cell.ttl or 0, cell.expiration or 0)
-    if cell.state != STATE_DELETED:
+    name = cell.name
+    if cell.state == STATE_NORMAL:  # hot path: one struct call
         data = cell.data or b""
-        out += struct.pack(">I", len(data))
-        out += data
-    return bytes(out)
+        return struct.pack(f">H{len(name)}sBqI", len(name), name, 0,
+                           cell.timestamp, len(data)) + data
+    if cell.state == STATE_EXPIRING:
+        data = cell.data or b""
+        return struct.pack(
+            f">H{len(name)}sBqqqI", len(name), name, 2, cell.timestamp,
+            cell.ttl or 0, cell.expiration or 0, len(data)) + data
+    return struct.pack(f">H{len(name)}sBq", len(name), name, 1,
+                       cell.timestamp)  # DELETED: no value
 
 
 def _encode_row(row: Row) -> bytes:
-    out = bytearray()
-    out += struct.pack(">H", len(row.key))
-    out += row.key
-    out += struct.pack(">I", len(row.cells))
-    for cell in row.cells:
-        out += _encode_cell(cell)
-    return bytes(out)
+    key = row.key
+    return (struct.pack(f">H{len(key)}sI", len(key), key, len(row.cells))
+            + b"".join(map(_encode_cell, row.cells)))
 
 
 class SSTableWriter:
