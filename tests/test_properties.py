@@ -376,3 +376,60 @@ def test_remove_duplicate_spans_matches_python_model(spark, docs, n,
         kept = [w for p, w in enumerate(ws) if p not in covered]
         assert got[i] == (" ".join(kept), len(ws), len(covered)), (
             i, docs[i], got[i])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=400), min_size=1,
+                      max_size=30),
+    max_split=st.integers(min_value=64, max_value=8192),
+    compress=st.booleans(),
+)
+def test_warc_member_splits_tile_any_file(tmp_path_factory, payloads,
+                                          max_split, compress):
+    """r8 member-index planner property: for ANY record set and ANY
+    split target, the planned ranges are member-aligned, contiguous,
+    and exactly tile the file; parsing every range in order yields
+    exactly the whole-file record sequence."""
+    import os
+
+    from sstable_hadoop_spark.sources.warc import (
+        WarcReader,
+        load_member_index,
+        open_warc_range,
+        parse_warc,
+        write_member_index,
+        write_warc_records,
+    )
+
+    d = str(tmp_path_factory.mktemp("warcprop"))
+    ext = ".warc.gz" if compress else ".warc"
+    path = os.path.join(d, "part-00000-tok" + ext)
+    records = [{"target_uri": f"http://x/{i}", "payload": p}
+               for i, p in enumerate(payloads)]
+    index: list = []
+    with open(path, "wb") as out:
+        write_warc_records(out, iter(records), compress=compress,
+                           index=index)
+    write_member_index(path + ".cdx", index, os.path.getsize(path))
+    assert load_member_index(path) == index
+
+    parts = WarcReader({"path": d,
+                        "max_split_bytes": str(max_split)}).partitions()
+    size = os.path.getsize(path)
+    if size <= max_split:
+        assert len(parts) == 1 and parts[0].length == -1
+        return
+    # member-aligned exact tiling
+    starts = {off for off, _ in index}
+    pos = 0
+    for p in parts:
+        assert p.start == pos and p.start in starts and p.length > 0
+        pos += p.length
+    assert pos == size
+    # each range parses independently; concatenation == whole file
+    got = []
+    for p in parts:
+        with open_warc_range(path, p.start, p.length) as f:
+            got.extend(rec.payload for rec in parse_warc(f))
+    assert got == [bytes(p) for p in payloads]
