@@ -1000,21 +1000,63 @@ class SSTableWriteTask(DataSourceWriter):
         self.summary_rate = int(options.get("summary_rate",
                                             codec.DEFAULT_SUMMARY_RATE))
         self.token = uuid.uuid4().hex[:10]  # minted once, driver-side
+        # field POSITIONS, filled by the DataSource's writer() from the
+        # negotiated schema: pyspark Row name-lookup does a linear
+        # __fields__.index() per access, which dominated the task once
+        # the codec itself got fast (PERF.md r8) — positional access
+        # keeps the conversion loop O(1) per field
+        self.row_idx: tuple[int, int, int] | None = None
+        self.cell_idx: tuple[int, ...] | None = None
+
+    def set_layout(self, schema) -> None:
+        """Record (key, columns, generation) positions and the cell
+        struct's (name, state, data, timestamp, ttl, expiration)
+        positions from the df's actual schema — order-robust.  An
+        unexpected shape (e.g. columns not array<struct>) just leaves
+        the positions unset; write() then uses the name-lookup path,
+        which reports missing fields the same way it always has."""
+        try:
+            names = schema.fieldNames()
+            row_idx = (names.index("key"), names.index("columns"),
+                       names.index("generation"))
+            cell_fields = schema[names[row_idx[1]]] \
+                .dataType.elementType.fieldNames()
+            self.cell_idx = tuple(
+                cell_fields.index(f) for f in
+                ("name", "state", "data", "timestamp", "ttl",
+                 "expiration"))
+            self.row_idx = row_idx
+        except (ValueError, AttributeError, KeyError):
+            self.row_idx = self.cell_idx = None
 
     def write(self, iterator) -> _WriteCommit:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         by_gen: dict[int, list[codec.Row]] = {}
-        for row in iterator:
-            cells = [codec.Cell(name=bytes(c["name"]), state=c["state"],
-                                data=(bytes(c["data"])
-                                      if c["data"] is not None else None),
-                                timestamp=c["timestamp"], ttl=c["ttl"],
-                                expiration=c["expiration"])
-                     for c in (row["columns"] or [])]
-            by_gen.setdefault(int(row["generation"]), []).append(
-                codec.Row(key=bytes(row["key"]), cells=cells))
+        Cell, CRow = codec.Cell, codec.Row
+        if self.row_idx is not None:
+            ki, ci, gi = self.row_idx
+            ni, si, di, ti, tli, ei = self.cell_idx
+            for row in iterator:
+                cells = [Cell(name=bytes(c[ni]), state=c[si],
+                              data=(bytes(c[di])
+                                    if c[di] is not None else None),
+                              timestamp=c[ti], ttl=c[tli],
+                              expiration=c[ei])
+                         for c in (row[ci] or [])]
+                by_gen.setdefault(int(row[gi]), []).append(
+                    CRow(key=bytes(row[ki]), cells=cells))
+        else:  # layout unknown (direct construction in tests): by name
+            for row in iterator:
+                cells = [Cell(name=bytes(c["name"]), state=c["state"],
+                              data=(bytes(c["data"])
+                                    if c["data"] is not None else None),
+                              timestamp=c["timestamp"], ttl=c["ttl"],
+                              expiration=c["expiration"])
+                         for c in (row["columns"] or [])]
+                by_gen.setdefault(int(row["generation"]), []).append(
+                    CRow(key=bytes(row["key"]), cells=cells))
         files = []  # (tmp hidden path, final path) pairs
         stem = (f"{self.name}p{pid}t{self.token}"
                 if self.task_suffix else self.name)
@@ -1208,7 +1250,9 @@ class SSTableDataSource(DataSource):
                         r"-(Data|Index|Summary|CompressionInfo|Filter)\.db$",
                         f):
                     fs.remove(f)
-        return SSTableWriteTask(dict(self.options))
+        task = SSTableWriteTask(dict(self.options))
+        task.set_layout(schema)
+        return task
 
 
 def ship_package(spark) -> None:
