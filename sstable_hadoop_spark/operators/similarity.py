@@ -671,3 +671,243 @@ def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                  .filter(F.col("rk") <= k)
                  .select(query_id_col, F.col("id").alias(id_col),
                          "rk", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ combined (r8): the realistic 100 TB ANN deployment — coarse
+# IVF cells prune WHICH partitions a query reads (n_probe/n_centroids
+# of the corpus), PQ codes shrink WHAT each partition stores (~100×),
+# so probe I/O drops multiplicatively: a 100 TB raw-vector corpus
+# becomes ~1 TB of codes of which a 3/16 probe reads ~190 GB.
+# Non-residual encoding (codes quantize the raw vector, not x−centroid)
+# is the standard choice for inner-product/cosine metrics — the ADC
+# score needs no per-cell term, so one codebook serves every cell and
+# the existing bit-deterministic PQ codebooks are reused unchanged.
+# (Jégou et al. TPAMI 2011 §IV "IVFADC"; inner-product non-residual
+# variant as in public FAISS IndexIVFPQ by_residual=False.)
+# ---------------------------------------------------------------------------
+
+def encode_ivfpq(embeddings: DataFrame,
+                 codebooks: list[list[list[float]]],
+                 cents: list[list[float]],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, _cell, codes): each vector's coarse IVF cell (argmax-dot
+    against ``cents``) plus its ``m`` PQ subspace codes — the entire
+    stored representation of the corpus.  Pure codegen projection:
+    one scan, no shuffle, no Python."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[
+        _pq_code_of_sub(F.slice(vec, j * d_sub + 1, d_sub), codebooks[j])
+        for j in range(m)])
+    return embeddings.select(F.col(id_col).alias("id"),
+                             ivf_cell_of(vec_col, cents).alias("_cell"),
+                             codes.alias("codes"))
+
+
+def write_ivfpq_index(embeddings: DataFrame, path: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_centroids: int = 16, m: int = 4,
+                      k_codes: int = 16, seed: str = "ivf",
+                      pq_seed: str = "pq",
+                      codebooks: list[list[list[float]]] | None = None,
+                      sample_fraction: float | None = None)\
+        -> list[list[list[float]]]:
+    """Materialize the combined index: PQ codes partitioned by IVF
+    cell (hive-style ``_cell=N`` dirs, like ``write_ivf_clustered``)
+    plus an ``_ivfpq_meta.json`` sidecar pinning the codebooks and
+    parameters, so any session can probe without retraining.  Returns
+    the codebooks (trained here if not supplied).
+
+    Scale: encode is one scan (no shuffle beyond the cell
+    ``repartition``), the written bytes are ~dim·8/m of the raw corpus,
+    and the sidecar is O(m·k_codes·dim) — metadata-sized."""
+    import json
+
+    from ..sources import fs
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
+    dim = _resolve_dim(None, embeddings, vec_col)
+    cents = _hyperplanes(dim, n_centroids, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, vec_col, id_col, m, k_codes, seed=pq_seed,
+            sample_fraction=sample_fraction)
+    (encode_ivfpq(embeddings, codebooks, cents, id_col, vec_col)
+     .repartition("_cell")
+     .write.partitionBy("_cell").mode("overwrite").parquet(path))
+    meta = {"n_centroids": n_centroids, "m": m,
+            "k_codes": len(codebooks[0]), "dim": dim, "seed": seed,
+            "codebooks": codebooks}
+    fs.write_bytes_atomic(path.rstrip("/") + "/_ivfpq_meta.json",
+                          json.dumps(meta).encode())
+    return codebooks
+
+
+def _ivfpq_score(coded: DataFrame, embeddings: DataFrame | None,
+                 queries: DataFrame, codebooks: list[list[list[float]]],
+                 cents: list[list[float]], k: int, id_col: str,
+                 vec_col: str, query_id_col: str, n_probe: int,
+                 rerank_factor: int | None, where: str) -> DataFrame:
+    """Shared IVFPQ probe: queries explode to their ``n_probe`` best
+    cells (each corpus code row lives in exactly ONE cell, so a
+    (query, doc) pair joins at most once — no dedup needed), the
+    broadcast query side carries the normalized vector, and the ADC
+    sum is the same fixed-order fold as ``cosine_topk_pq`` so inline
+    and stored probes are bit-identical.  ``rerank_factor`` fetches
+    only the shortlisted ids' original vectors (requires
+    ``embeddings``) for an exact-cosine second stage."""
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    dim = len(cents[0])
+
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    def top_cells(vec, n):
+        scored = F.transform(
+            dots(vec),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    qn = F.col(vec_col).cast("array<double>")
+    qunit = F.transform(
+        qn, lambda x: x / F.sqrt(F.aggregate(
+            qn, F.lit(0.0), lambda a, v: a + v * v)))
+    vec_ok = _checked_vec(F.col(vec_col), dim, where)
+    q = queries.select(
+        F.col(query_id_col), qunit.alias("_q"),
+        F.explode(F.transform(top_cells(vec_ok, n_probe),
+                              lambda s: s["cell"])).alias("_cell"))
+
+    def partial(j):
+        book = F.array(*[F.array(*[F.lit(x) for x in c])
+                         for c in codebooks[j]])
+        cent = F.element_at(book, F.element_at("codes", j + 1) + 1)
+        return F.aggregate(
+            F.zip_with(F.slice("_q", j * d_sub + 1, d_sub), cent,
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda a, v: a + v)
+
+    score = partial(0)
+    for j in range(1, m):
+        score = score + partial(j)
+    scored = (coded.join(F.broadcast(q), "_cell")
+                   .filter(F.col("id") != F.col(query_id_col))
+                   .select(query_id_col, "id", score.alias("adc")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.asc("id"))
+    if rerank_factor is None:
+        return (scored.withColumn("rk", F.row_number().over(w))
+                      .filter(F.col("rk") <= k)
+                      .select(query_id_col, F.col("id").alias(id_col),
+                              "rk", "adc"))
+    if embeddings is None:
+        raise ValueError(f"{where}: rerank_factor needs the original "
+                         "vectors — pass embeddings=")
+    short = (scored.withColumn("_srk", F.row_number().over(w))
+                   .filter(F.col("_srk") <= k * rerank_factor)
+                   .select(query_id_col, "id"))
+    vecs = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("_evec"))
+    qv = queries.select(F.col(query_id_col),
+                        F.col(vec_col).cast("array<double>")
+                        .alias("_qvec"))
+    exact = (short.join(vecs, "id").join(F.broadcast(qv), query_id_col)
+                  .select(query_id_col, "id",
+                          cosine(F.col("_qvec"), F.col("_evec"))
+                          .alias("cos")))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos"),
+                                                  F.asc("id"))
+    return (exact.withColumn("rk", F.row_number().over(w2))
+                 .filter(F.col("rk") <= k)
+                 .select(query_id_col, F.col("id").alias(id_col),
+                         "rk", "cos"))
+
+
+def cosine_topk_ivfpq(embeddings: DataFrame, queries: DataFrame,
+                      k: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "query_id",
+                      n_centroids: int = 16, n_probe: int = 3,
+                      m: int = 4, k_codes: int = 16, seed: str = "ivf",
+                      pq_seed: str = "pq",
+                      codebooks: list[list[list[float]]] | None = None,
+                      coded: DataFrame | None = None,
+                      rerank_factor: int | None = None,
+                      sample_fraction: float | None = None,
+                      dim: int | None = None) -> DataFrame:
+    """Inline IVFPQ top-k: encode (or accept ``coded``), probe
+    ``n_probe`` cells per query, ADC-score only in-cell codes.
+    Bit-identical to the stored probe with the same codebooks."""
+    from ._util import ensure_parallelism
+
+    dim = _resolve_dim(dim, embeddings, vec_col)
+    cents = _hyperplanes(dim, n_centroids, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, vec_col, id_col, m, k_codes, seed=pq_seed,
+            sample_fraction=sample_fraction)
+    if coded is None:
+        coded = encode_ivfpq(embeddings, codebooks, cents, id_col,
+                             vec_col)
+    coded = ensure_parallelism(coded)
+    return _ivfpq_score(coded, embeddings, queries, codebooks, cents, k,
+                        id_col, vec_col, query_id_col, n_probe,
+                        rerank_factor, "cosine_topk_ivfpq")
+
+
+def cosine_topk_ivfpq_stored(spark, path: str, queries: DataFrame,
+                             k: int = 5, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             query_id_col: str = "query_id",
+                             n_probe: int = 3,
+                             rerank_factor: int | None = None,
+                             embeddings: DataFrame | None = None)\
+        -> DataFrame:
+    """Probe a ``write_ivfpq_index`` store: parameters and codebooks
+    come from the sidecar, the query set's probed cells become an
+    IN-list literal so Catalyst prunes unprobed ``_cell=N`` partition
+    directories at PLAN time, and only those cells' CODE rows (~m ints
+    each) are ever read — I/O = (n_probe/n_centroids) × the compressed
+    index, the multiplicative 100 TB win."""
+    import json
+
+    from ..sources import fs
+
+    meta = json.loads(fs.read_bytes(
+        path.rstrip("/") + "/_ivfpq_meta.json"))
+    codebooks = meta["codebooks"]
+    cents = _hyperplanes(meta["dim"], meta["n_centroids"],
+                         seed=meta["seed"])
+
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    def top_cells(vec, n):
+        scored = F.transform(
+            dots(vec),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    vec_ok = _checked_vec(F.col(vec_col), meta["dim"],
+                          "cosine_topk_ivfpq_stored")
+    # probed-cell set is ≤ |queries|·n_probe ≤ n_centroids — computed
+    # driver-side (metadata-sized) so the scan filter is an IN-list
+    # literal Catalyst can prune partition directories with
+    probed = sorted({r["_cell"] for r in queries.select(
+        F.explode(F.transform(top_cells(vec_ok, n_probe),
+                              lambda s: s["cell"])).alias("_cell"))
+        .distinct().collect()})
+    coded = (spark.read.parquet(path)
+             .filter(F.col("_cell").isin(probed)))
+    return _ivfpq_score(coded, embeddings, queries, codebooks, cents, k,
+                        id_col, vec_col, query_id_col, n_probe,
+                        rerank_factor, "cosine_topk_ivfpq_stored")

@@ -3671,6 +3671,166 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("adc", 4).alias("adc")))
 
 
+def _topk_ivfpq_oracle() -> str:
+    """Hybrid oracle for the COMBINED IVF+PQ index: the coarse-cell
+    CTEs are the IVF oracle's (inlined md5 centroids, argmax-dot cell,
+    top-3 probe, ties → larger cell), the code/ADC CTEs are the PQ
+    oracle's (pinned codebooks per corpus signature, argmin-L2 encode,
+    fixed-order partial-dot sum), and the only NEW logic is the
+    candidate restriction: a (query, doc) pair is scored iff the doc's
+    one cell is among the query's probed cells — exactly the stored
+    probe's partition pruning, re-derived declaratively."""
+    import json
+    import os
+
+    from sstable_hadoop_spark.operators.similarity import _hyperplanes
+
+    n_centroids, n_probe, dim, k = 16, 3, 64, 5
+    m, d_sub = 4, 16
+    cents = _hyperplanes(dim, n_centroids, seed="ivf")
+    dot_cols = ",\n           ".join(
+        "(" + " + ".join(f"e[{d + 1}]*{cent[d]!r}" for d in range(dim))
+        + f") AS d_{c}"
+        for c, cent in enumerate(cents))
+    cells = ", ".join("{'d': d_%d, 'cell': %d}" % (c, c)
+                      for c in range(n_centroids))
+
+    with open(os.path.join(os.path.dirname(__file__), "operators",
+                           "_pq_codebooks.json")) as f:
+        pinned = json.load(f)
+    rows = []
+    for sig, books in pinned.items():
+        for j, book in enumerate(books):
+            for c, cent in enumerate(book):
+                arr = ", ".join(repr(float(x)) for x in cent)
+                rows.append(f"('{sig}', {j}, {c}, [{arr}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    l2 = " + ".join(
+        f"(e.e[cb.j*{d_sub} + {i}] - cb.v[{i}])"
+        f"*(e.e[cb.j*{d_sub} + {i}] - cb.v[{i}])"
+        for i in range(1, d_sub + 1))
+    qnorm = " + ".join(f"e[{i}]*e[{i}]" for i in range(1, dim + 1))
+    pdot = " + ".join(f"q.q[cb.j*{d_sub} + {i}] * cb.v[{i}]"
+                      for i in range(1, d_sub + 1))
+    adc_sum = " + ".join(
+        f"max(CASE WHEN j = {j} THEN p END)" for j in range(m))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dots AS (
+    SELECT vec_id,
+           {dot_cols}
+    FROM emb
+),
+cellranked AS (
+    SELECT vec_id, u.cell, u.d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY u.d DESC, u.cell DESC) AS cell_rk
+    FROM dots, unnest([{cells}]) AS t(u)
+),
+e_cell AS (SELECT vec_id, cell FROM cellranked WHERE cell_rk = 1),
+q_cell AS (
+    SELECT vec_id AS query_id, cell FROM cellranked
+    WHERE cell_rk <= {n_probe} AND vec_id < 8
+),
+sig AS (
+    SELECT CAST(count(*) AS VARCHAR) || ':'
+           || CAST(round(sum(embedding[1]), 3) AS VARCHAR) AS s
+    FROM embeddings
+),
+cb AS (
+    SELECT t.j, t.c, t.v
+    FROM (VALUES
+    {values}
+    ) AS t(s, j, c, v) JOIN sig ON t.s = sig.s
+),
+dists AS (
+    SELECT e.vec_id, cb.j, cb.c, ({l2}) AS d
+    FROM emb e CROSS JOIN cb
+),
+codes AS (
+    SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d, c) AS rk
+        FROM dists) WHERE rk = 1
+),
+qn AS (
+    SELECT vec_id AS query_id,
+           list_transform(e, x -> x / sqrt({qnorm})) AS q
+    FROM emb WHERE vec_id < 8
+),
+parts AS (
+    SELECT q.query_id, codes.vec_id, codes.j, ({pdot}) AS p
+    FROM codes
+    JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+    CROSS JOIN qn q
+),
+adc AS (
+    SELECT query_id, vec_id, {adc_sum} AS adc
+    FROM parts GROUP BY query_id, vec_id
+),
+candidates AS (
+    SELECT a.query_id, a.vec_id, a.adc
+    FROM adc a
+    JOIN e_cell ec ON ec.vec_id = a.vec_id
+    JOIN q_cell qc ON qc.query_id = a.query_id AND qc.cell = ec.cell
+    WHERE a.vec_id != a.query_id
+)
+SELECT query_id, vec_id, rk, round(adc, 4) AS adc FROM (
+    SELECT query_id, vec_id, adc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, vec_id) AS rk
+    FROM candidates)
+WHERE rk <= {k}
+"""
+
+
+def _materialize_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write the combined IVF+PQ index (codes partitioned by coarse
+    cell + codebook sidecar) — idempotent per sf_dir."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.similarity import (
+        write_ivfpq_index,
+    )
+
+    def build(out: str) -> None:
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform(
+                "embedding", lambda x: x.cast("double")).alias("embedding"))
+        write_ivfpq_index(emb, out, m=4, k_codes=16)
+
+    tag = "ivfpq_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("similarity_topk_ivfpq", oracle=_topk_ivfpq_oracle())
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 combined IVF+PQ stored index (r8): the realistic 100 TB ANN
+    deployment — PQ codes (~100× smaller than raw vectors) partitioned
+    by coarse IVF cell, probed with Catalyst partition pruning so a
+    query reads n_probe/n_centroids of the COMPRESSED index
+    (multiplicative I/O win; operators/similarity.py
+    write_ivfpq_index / cosine_topk_ivfpq_stored).  Non-residual
+    encoding (the standard inner-product choice) reuses the
+    bit-deterministic PQ codebooks, so the oracle composes the two
+    existing replicas and only adds the probed-cell candidate
+    restriction."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivfpq_stored,
+    )
+
+    path = _materialize_ivfpq_store(spark, sf_dir)
+    emb_d = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries_df = emb_d.filter(F.col("vec_id") < 8) \
+                      .withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_ivfpq_stored(spark, path, queries_df, k=5)
+            .select("query_id", "vec_id", "rk",
+                    F.round("adc", 4).alias("adc")))
+
+
 def _recall_report_oracle() -> str:
     """Recall report oracle: each method's EXISTING oracle replica is
     reused verbatim as a subquery (DuckDB allows WITH inside derived
@@ -3683,6 +3843,7 @@ def _recall_report_oracle() -> str:
         "ivf": _topk_ivf_oracle(),
         "ivf_trained": _topk_ivf_trained_oracle(),
         "pq": _topk_pq_oracle(),
+        "ivfpq": _topk_ivfpq_oracle(),
     }
     tall = "\n    UNION ALL\n    ".join(
         f"SELECT '{name}' AS method, query_id, vec_id FROM ({sql}) AS t_{name}"
@@ -3713,7 +3874,8 @@ ORDER BY t.method
 @query("similarity_recall_report", oracle=_recall_report_oracle())
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 recall-vs-cost certification (r8): every ANN method (LSH /
-    fixed-codebook IVF / trained IVF / PQ-ADC) scored as recall@5
+    fixed-codebook IVF / trained IVF / PQ-ADC / combined IVF+PQ) scored
+    as recall@5
     against the exact brute-force top-5 over the SAME fixed query set
     (vec_id < 8) — the number a user actually tunes when trading probe
     count / table count / code size against quality.  One row per
@@ -3724,8 +3886,10 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk,
         cosine_topk_ivf,
         cosine_topk_ivf_trained,
+        cosine_topk_ivfpq,
         cosine_topk_lsh,
         cosine_topk_pq,
+        train_pq_codebooks,
     )
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -3733,11 +3897,17 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lambda x: x.cast("double")).alias("embedding"))
     q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
         "vec_id", "query_id")
+    # one deterministic training serves both the pure-PQ and the
+    # combined IVF+PQ rows (identical to what each would train itself)
+    books = train_pq_codebooks(emb, m=4, k_codes=16)
     methods = {
         "lsh": cosine_topk_lsh(emb, q, k=5),
         "ivf": cosine_topk_ivf(emb, q, k=5),
         "ivf_trained": cosine_topk_ivf_trained(emb, q, k=5),
-        "pq": cosine_topk_pq(emb, q, k=5, m=4, k_codes=16),
+        "pq": cosine_topk_pq(emb, q, k=5, m=4, k_codes=16,
+                             codebooks=books),
+        "ivfpq": cosine_topk_ivfpq(emb, q, k=5, m=4, k_codes=16,
+                                   codebooks=books),
     }
     tall = None
     for name, df in methods.items():

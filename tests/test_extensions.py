@@ -1035,6 +1035,71 @@ def test_ivf_stored_partition_pruning(spark, tmp_path):
     assert got == want
 
 
+def test_ivfpq_stored_probe_and_rerank(spark, tmp_path):
+    """r8 combined IVF+PQ index: the store holds ONLY (id, codes)
+    partitioned by coarse cell plus a codebook sidecar; the stored
+    probe prunes unprobed cells at PLAN time and is bit-identical to
+    the inline probe with the same codebooks; the exact-cosine rerank
+    stage recovers recall the 4x16 quantization loses (deterministic
+    corpus, so the inequality is a fixed fact, not a statistical
+    hope)."""
+    import json
+    import os
+
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+        cosine_topk_ivfpq_stored,
+        train_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    books = train_pq_codebooks(emb, m=4, k_codes=16)
+    path = str(tmp_path / "ivfpqstore")
+    out_books = write_ivfpq_index(emb, path, codebooks=books)
+    assert out_books == books
+    cells = [d for d in os.listdir(path) if d.startswith("_cell=")]
+    assert len(cells) > 1
+    meta = json.loads(open(os.path.join(path, "_ivfpq_meta.json"),
+                           "rb").read())
+    assert meta["codebooks"] == books and meta["n_centroids"] == 16
+    # the store is codes-only: no raw vector column survives
+    stored_schema = spark.read.parquet(path).schema.fieldNames()
+    assert set(stored_schema) == {"id", "codes", "_cell"}
+
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    stored = cosine_topk_ivfpq_stored(spark, path, q, k=5)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+
+    srows = [tuple(r) for r in stored.orderBy("query_id", "rk").collect()]
+    irows = [tuple(r) for r in
+             cosine_topk_ivfpq(emb, q, k=5, codebooks=books)
+             .orderBy("query_id", "rk").collect()]
+    assert srows == irows  # bit-identical incl. ADC scores
+
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    adc_hits = sum(1 for r in srows if (r[0], r[1]) in exact)
+    rr = cosine_topk_ivfpq_stored(spark, path, q, k=5, rerank_factor=4,
+                                  embeddings=emb).collect()
+    assert rr and "cos" in rr[0].asDict()
+    rr_hits = sum(1 for r in rr
+                  if (r["query_id"], r["vec_id"]) in exact)
+    assert rr_hits >= adc_hits  # rerank never loses on this corpus
+
+    # rerank without vectors must fail loudly, not silently degrade
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rerank_factor"):
+        cosine_topk_ivfpq_stored(spark, path, q, k=5,
+                                 rerank_factor=4).collect()
+
+
 def test_hash_split_fraction_one_keeps_ffffffff_bucket(spark):
     """ADVICE r4: fraction ≥ 1.0 must be a trivially-true predicate,
     not a clamped 'ffffffff' threshold under strict '<' — every row
@@ -2475,8 +2540,9 @@ def test_similarity_recall_report_floors(spark):
     rep = {r["method"]: r for r in
            similarity_recall_report(spark, "/root/testdata/sf0.001")
            .collect()}
-    assert set(rep) == {"lsh", "ivf", "ivf_trained", "pq"}
-    floors_bp = {"lsh": 6000, "ivf": 2000, "ivf_trained": 3500, "pq": 500}
+    assert set(rep) == {"lsh", "ivf", "ivf_trained", "pq", "ivfpq"}
+    floors_bp = {"lsh": 6000, "ivf": 2000, "ivf_trained": 3500, "pq": 500,
+                 "ivfpq": 500}
     for method, floor in floors_bp.items():
         row = rep[method]
         assert row["n_exact"] == 40 and row["n_returned"] == 40
