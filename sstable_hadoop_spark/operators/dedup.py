@@ -557,3 +557,72 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
         F.size("_toks").cast("long").alias("n_words"),
         (F.size("_toks") - F.size(kept)).cast("long")
          .alias("n_removed"))
+
+
+def semantic_dedup(embeddings: DataFrame, tau: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cents: list[list[float]] | None = None,
+                   n_centroids: int = 16, seed: str = "ivf",
+                   flag_only: bool = False) -> DataFrame:
+    """E2+ semantic (embedding-space) deduplication, SemDeDup-style
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus into IVF
+    cells, then drop every vector that has a LOWER-id neighbor in the
+    same cell with cosine >= ``tau`` — one representative (the lowest
+    id) survives each near-duplicate neighborhood.
+
+    The keep rule is declarative, not the paper's sequential greedy
+    sweep: a row dies if ANY lower-id same-cell row is within ``tau``,
+    even when that lower row itself died.  For transitive chains this
+    is slightly more aggressive than greedy (a-b, b-c dups with a-c
+    distant keep only a, not a+c), which is the standard trade for an
+    engine-parallel formulation — the greedy sweep is inherently
+    order-sequential and would serialize per cluster.
+
+    Topology / 100 TB notes:
+    - ``cents`` defaults to the md5 pseudo-codebook (``_hyperplanes``),
+      reproducible everywhere; pass a ``train_spherical_kmeans``
+      codebook for data-adapted cells (same assignment expression);
+    - cell assignment is per-row codegen (argmax dot against literal
+      centroids), no shuffle;
+    - the candidate pair generation is a self equi-join ON THE CELL
+      KEY: both sides shuffle once on ``_cell``, and within-cell cost
+      is sum(|cell|^2) — the SemDeDup trade.  At 100 TB scale
+      ``n_centroids`` with the corpus (the paper uses ~100k clusters
+      for 1e9+ docs) so cells stay ~constant-sized; with 16 literal
+      centroids this driver-scale default would NOT hold at 100x data;
+    - no driver-side state; the drop set is shuffle-bounded by the
+      pair fan-out.
+
+    Returns the surviving rows (all original columns + ``cell``), or
+    with ``flag_only=True`` every row + ``cell`` + ``kept`` (1/0) —
+    the audit view.
+    """
+    from ._util import ensure_parallelism
+    from .similarity import _hyperplanes, _resolve_dim, cosine, ivf_cell_of
+
+    embeddings = ensure_parallelism(embeddings)
+    dim = _resolve_dim(None, embeddings, vec_col)
+    if cents is None:
+        cents = _hyperplanes(dim, n_centroids, seed=seed)
+
+    vd = F.col(vec_col).cast("array<double>")
+    assigned = embeddings.withColumn("_vd", vd) \
+                         .withColumn("cell", ivf_cell_of("_vd", cents))
+    a = assigned.select(F.col(id_col).alias("_ida"), "cell",
+                        F.col("_vd").alias("_va"))
+    b = assigned.select(F.col(id_col).alias("_idb"), "cell",
+                        F.col("_vd").alias("_vb"))
+    dropped = (a.join(b, "cell")
+                .filter(F.col("_ida") < F.col("_idb"))
+                .filter(cosine(F.col("_va"), F.col("_vb")) >= tau)
+                .select(F.col("_idb").alias("_dead"))
+                .distinct())
+    flagged = assigned.drop("_vd").join(
+        dropped, assigned[id_col] == dropped["_dead"], "left")
+    if flag_only:
+        return flagged.select(
+            *[F.col(c) for c in embeddings.columns], "cell",
+            F.when(F.col("_dead").isNull(), F.lit(1)).otherwise(F.lit(0))
+             .alias("kept"))
+    return (flagged.filter(F.col("_dead").isNull())
+                   .select(*[F.col(c) for c in embeddings.columns], "cell"))

@@ -4709,6 +4709,95 @@ def warc_ingest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_ingest_df(spark, sf_dir, max_split_bytes="4096")
 
 
+_SEMDEDUP_TAU = 0.9
+
+
+def _dedup_semantic_oracle() -> str:
+    """SemDeDup replica: the 16 md5 pseudo-centroids are inlined
+    (pure seed function — no pinned file needed), the seeded fixture
+    (base corpus + exact copies of every 10th vector + one-component
+    perturbations of every 17th) is rebuilt in SQL with the same
+    double arithmetic, cell = argmax dot (ties to the larger cell),
+    and the drop rule (any lower-id same-cell neighbor with cosine >=
+    tau) is a within-cell pair join.  The tau margin is structural:
+    seeded dup pairs score ~1.0 / ~0.999 and the densest organic pair
+    in the testdata scores ~0.55 (measured at every SF), so an
+    engine ulp can never flip an admission."""
+    from sstable_hadoop_spark.operators.similarity import _hyperplanes
+
+    n_centroids, dim = 16, 64
+    cents = _hyperplanes(dim, n_centroids, seed="ivf")
+    dot_cols = ",\n           ".join(
+        "(" + " + ".join(f"e[{d + 1}]*{cent[d]!r}" for d in range(dim))
+        + f") AS d_{c}"
+        for c, cent in enumerate(cents))
+    cells = ", ".join("{'d': d_%d, 'cell': %d}" % (c, c)
+                      for c in range(n_centroids))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeded AS (
+    SELECT vec_id, e FROM base
+    UNION ALL
+    SELECT vec_id + 100000, e FROM base WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id + 200000, list_concat([e[1] + 0.05], e[2:{dim}])
+    FROM base WHERE vec_id % 17 = 0
+),
+dots AS (
+    SELECT vec_id,
+           {dot_cols}
+    FROM seeded
+),
+ranked AS (
+    SELECT vec_id, u.cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY u.d DESC, u.cell DESC) AS cell_rk
+    FROM dots, unnest([{cells}]) AS t(u)
+),
+cellof AS (SELECT vec_id, cell FROM ranked WHERE cell_rk = 1),
+drops AS (
+    SELECT DISTINCT cb.vec_id AS dead
+    FROM cellof ca
+    JOIN cellof cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+    JOIN seeded a ON a.vec_id = ca.vec_id
+    JOIN seeded b ON b.vec_id = cb.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {_SEMDEDUP_TAU}
+)
+SELECT s.vec_id, CAST(c.cell AS INTEGER) AS cell,
+       CAST(CASE WHEN d.dead IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS kept
+FROM seeded s
+JOIN cellof c USING (vec_id)
+LEFT JOIN drops d ON d.dead = s.vec_id
+"""
+
+
+@query("dedup_semantic", oracle=_dedup_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ SemDeDup (operators/dedup.py semantic_dedup): embedding-
+    space near-dup removal — IVF-cell clustering, then within-cell
+    cosine >= tau drops everything but the lowest-id representative.
+    The corpus has no organic near-dups (max pair cosine ~0.55), so
+    the fixture seeds exact copies (cos ~1.0) of every 10th vector and
+    one-component perturbations (cos ~0.999) of every 17th; the audit
+    view (flag_only) certifies keeps AND drops in one row set."""
+    from sstable_hadoop_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    near = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+                 F.slice("embedding", 2, 63)).alias("embedding"))
+    seeded = emb.unionByName(dup).unionByName(near)
+    return (semantic_dedup(seeded, tau=_SEMDEDUP_TAU, flag_only=True)
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    F.col("kept").cast("int").alias("kept")))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list

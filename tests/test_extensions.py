@@ -2575,3 +2575,54 @@ def test_mixture_holdout_partitions_corpus(spark):
     assert len(admitted) + len(holdout) == n_budgeted
     assert holdout, "budgets must bite for the holdout to be non-empty"
     both.unpersist()
+
+
+def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
+    import math
+
+    from sstable_hadoop_spark.operators.dedup import semantic_dedup
+
+    th = math.acos(0.95)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [math.cos(th), math.sin(th), 0.0, 0.0]),      # cos(1,2)=0.95
+        (3, [math.cos(2 * th), math.sin(2 * th), 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),                        # distant
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    one_cell = [[1.0, 0.0, 0.0, 0.0]]  # single centroid: all rows pair
+    kept = sorted(r["vec_id"]
+                  for r in semantic_dedup(df, tau=0.9,
+                                          cents=one_cell).collect())
+    # Declarative rule: 2 dies to 1, 3 dies to 2 (even though 2 died —
+    # cos(1,3)=cos(2*acos .95)=.805 < tau, but cos(2,3)=.95 >= tau).
+    assert kept == [1, 4]
+
+
+def test_semantic_dedup_flag_view_matches_filtered(spark):
+    from sstable_hadoop_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>")
+    flagged = semantic_dedup(df, tau=0.99, flag_only=True).collect()
+    kept_ids = sorted(r["vec_id"] for r in flagged if r["kept"] == 1)
+    filt_ids = sorted(r["vec_id"]
+                      for r in semantic_dedup(df, tau=0.99).collect())
+    assert kept_ids == filt_ids
+    assert sorted(r["vec_id"] for r in flagged) == [10, 11, 12]
+    dead = [r["vec_id"] for r in flagged if r["kept"] == 0]
+    # 11 is an exact copy of 10 -> same cell by construction, dropped.
+    assert dead == [11]
+
+
+def test_semantic_dedup_below_tau_pairs_survive(spark):
+    from sstable_hadoop_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6])],  # cos = 0.8
+        "vec_id bigint, embedding array<double>")
+    kept = sorted(r["vec_id"]
+                  for r in semantic_dedup(df, tau=0.9,
+                                          cents=[[1.0, 0.0]]).collect())
+    assert kept == [1, 2]
