@@ -176,3 +176,108 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     ).otherwise(F.array(F.md5(F.lower(F.col(text_col)))))
     return df.select(F.col(id_col).alias("id"),
                      F.array_min(sh).alias("fingerprint"))
+
+
+def ngram_lm_scores(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 2,
+                    lm_df: DataFrame | None = None,
+                    keep: tuple[str, ...] = ()) -> DataFrame:
+    """E4+ statistical-LM quality scoring (the CCNet-perplexity shape,
+    Wenzek et al. 2020, arXiv:1911.00359): score every document by the
+    total add-one-smoothed log-probability its word ``n``-grams get
+    under a count LM trained on ``lm_df`` (default: the corpus itself
+    — self-scoring flags outlier docs; pass a clean reference corpus
+    for CCNet-style filtering).
+
+    p(w | ctx) = (c(ctx, w) + 1) / (c(ctx) + V), V = reference
+    vocabulary size.  Unseen (ctx, w) pairs back off to the same
+    formula with c = 0 (and c(ctx) = 0 for unseen contexts), so every
+    document is scorable.
+
+    Determinism / oracle contract: each distinct (ctx, w) log-prob is
+    quantized ONCE to integer micro-nats (floor(ln(p) * 1e6)) in the
+    count table, and per-document totals are INTEGER sums — exact under
+    any partitioning or merge order, so Spark and a SQL replica agree
+    bit-for-bit (a double sum would be association-order-dependent).
+    Perplexity = exp(-lm_micro_nats / 1e6 / n_grams).
+
+    Topology / 100 TB notes: one fan-out exchange to aggregate the
+    count table (keyed by the n-gram), one tiny context rollup ON the
+    count table, one hash join of the document fan-out against the
+    counts (AQE broadcasts it when the reference vocabulary is small),
+    and one id-keyed exchange for the per-doc total.  The vocabulary
+    scalar is the only ``collect``.  No Python in any path.
+
+    Returns (id, n_grams, lm_micro_nats [, keep...]); docs shorter
+    than ``n`` tokens score (0, 0).
+    """
+    if n < 2:
+        raise ValueError("ngram_lm_scores needs n >= 2 (context + word)")
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def grams(col: Column) -> Column:
+        toks = F.filter(_tokens(col), lambda t: t != "")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("ctx"),
+                    F.element_at(toks, i + (n - 1)).alias("w")))
+        ).otherwise(F.array().cast(
+            "array<struct<ctx:string,w:string>>"))
+
+    ref = lm_df if lm_df is not None else df
+    ref_toks = ref.select(F.explode(
+        F.filter(_tokens(F.col(text_col)), lambda t: t != "")).alias("tok"))
+    vocab_n = ref_toks.select(
+        F.countDistinct("tok").alias("v")).collect()[0]["v"] or 1
+
+    ref_grams = ref.select(F.explode(grams(F.col(text_col))).alias("g")) \
+                   .select("g.ctx", "g.w")
+    counts = ref_grams.groupBy("ctx", "w").agg(F.count("*").alias("_c"))
+    ctx_tot = counts.groupBy("ctx").agg(F.sum("_c").alias("_ct"))
+    # Quantized ONCE per distinct (ctx, w) — the integer the doc sums.
+    lp = (counts.join(ctx_tot, "ctx")
+                .select("ctx", "w",
+                        F.floor(F.log((F.col("_c") + F.lit(1)) /
+                                      (F.col("_ct") + F.lit(vocab_n)))
+                                * F.lit(1000000.0)).alias("_lp")))
+    # Unseen-pair fallback per context: floor(ln(1 / (c(ctx)+V))·1e6);
+    # fully-unseen contexts use c(ctx) = 0.
+    ctx_fallback = ctx_tot.select(
+        "ctx",
+        F.floor(F.log(F.lit(1.0) / (F.col("_ct") + F.lit(vocab_n)))
+                * F.lit(1000000.0)).alias("_lp0"))
+
+    doc_grams = df.select(F.col(id_col).alias("_id"),
+                          F.explode(grams(F.col(text_col))).alias("g")) \
+                  .select("_id", "g.ctx", "g.w")
+    scored = (doc_grams
+              .join(lp.select("ctx", "w", "_lp"), ["ctx", "w"], "left")
+              .join(ctx_fallback, "ctx", "left")
+              .select("_id", F.coalesce(
+                  "_lp", "_lp0",
+                  F.lit(_floor_ln_micro(1.0 / vocab_n))).alias("_lp")))
+    totals = scored.groupBy("_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("_lp").alias("lm_micro_nats"))
+    out = (df.select(F.col(id_col), *[F.col(c) for c in keep])
+             .join(totals, df[id_col] == totals["_id"], "left")
+             .select(F.col(id_col),
+                     F.coalesce("n_grams", F.lit(0)).cast("long")
+                      .alias("n_grams"),
+                     F.coalesce("lm_micro_nats", F.lit(0)).cast("long")
+                      .alias("lm_micro_nats"),
+                     *[F.col(c) for c in keep]))
+    return out
+
+
+def _floor_ln_micro(p: float) -> int:
+    """floor(ln(p)·1e6) computed driver-side — used only for the
+    fully-unseen-context constant, where c(ctx)=0 so p = 1/V."""
+    import math
+
+    return math.floor(math.log(p) * 1000000.0)

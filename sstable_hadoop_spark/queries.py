@@ -4798,6 +4798,76 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("kept").cast("int").alias("kept")))
 
 
+@query("text_lm_scores", oracle=r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+dg AS (
+    SELECT doc_id, g.ctx AS ctx, g.w AS w
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                      THEN [{'ctx': toks[i], 'w': toks[i + 1]}
+                            FOR i IN range(1, len(toks))]
+                      ELSE CAST([] AS STRUCT(ctx VARCHAR, w VARCHAR)[])
+                      END) AS g
+        FROM t)
+),
+v AS (
+    SELECT count(DISTINCT tok) AS vn
+    FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 0)
+),
+counts AS (
+    SELECT ctx, w, count(*) AS c FROM dg
+    WHERE doc_id % 2 = 0 GROUP BY ctx, w
+),
+ctxtot AS (SELECT ctx, sum(c) AS ct FROM counts GROUP BY ctx),
+lp AS (
+    SELECT counts.ctx, counts.w,
+           CAST(floor(ln((c + 1.0) / (ct + vn)) * 1000000.0) AS BIGINT)
+               AS lp
+    FROM counts JOIN ctxtot USING (ctx) CROSS JOIN v
+),
+lp0 AS (
+    SELECT ctx,
+           CAST(floor(ln(1.0 / (ct + vn)) * 1000000.0) AS BIGINT) AS lp0
+    FROM ctxtot CROSS JOIN v
+),
+scored AS (
+    SELECT dg.doc_id,
+           coalesce(lp.lp, lp0.lp0,
+                    (SELECT CAST(floor(ln(1.0 / vn) * 1000000.0)
+                                 AS BIGINT) FROM v)) AS lp
+    FROM dg
+    LEFT JOIN lp ON lp.ctx = dg.ctx AND lp.w = dg.w
+    LEFT JOIN lp0 ON lp0.ctx = dg.ctx
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.tot, 0) AS BIGINT) AS lm_micro_nats
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n, sum(lp) AS tot
+           FROM scored GROUP BY doc_id) s USING (doc_id)
+""")
+def text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ statistical-LM quality scoring (operators/text.py
+    ngram_lm_scores): every doc scored by its bigrams' add-one-smoothed
+    log-prob under a count LM trained on the even-doc_id half of the
+    corpus — reference-corpus mode, so the oracle certifies all three
+    probability paths (seen pair, unseen pair with seen context,
+    fully-unseen context).  Totals are integer micro-nats (each
+    distinct pair's log-prob quantized once), so the cross-engine
+    compare is exact-integer, not float."""
+    from sstable_hadoop_spark.operators.text import ngram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return ngram_lm_scores(docs, lm_df=ref)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list

@@ -2626,3 +2626,69 @@ def test_semantic_dedup_below_tau_pairs_survive(spark):
                   for r in semantic_dedup(df, tau=0.9,
                                           cents=[[1.0, 0.0]]).collect())
     assert kept == [1, 2]
+
+
+def test_ngram_lm_scores_hand_model(spark):
+    import math
+
+    from sstable_hadoop_spark.operators.text import ngram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["lm_micro_nats"])
+           for r in ngram_lm_scores(df).collect()}
+
+    # Self-trained: c(a,b)=3 (x2 from doc1 + doc2), c(b,a)=1, c(b,c)=1;
+    # ctx totals a:3, b:2; V=4 ({a,b,c,x}).
+    def lp(c, ct, V=4):
+        return math.floor(math.log((c + 1) / (ct + V)) * 1e6)
+
+    assert out[1] == (3, lp(3, 3) + lp(1, 2) + lp(3, 3))
+    assert out[2] == (2, lp(3, 3) + lp(1, 2))
+    assert out[3] == (0, 0)  # shorter than n: unscorable, not an error
+
+
+def test_ngram_lm_scores_reference_mode_fallbacks(spark):
+    import math
+
+    from sstable_hadoop_spark.operators.text import ngram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (9, "z z")],
+        "doc_id bigint, text string")
+    ref = df.filter("doc_id = 2")  # pairs (a,b),(b,c); V=3
+    out = {r["doc_id"]: (r["n_grams"], r["lm_micro_nats"])
+           for r in ngram_lm_scores(df, lm_df=ref).collect()}
+
+    def lp(c, ct, V=3):
+        return math.floor(math.log((c + 1) / (ct + V)) * 1e6)
+
+    # doc1: seen (a,b) twice + unseen pair with SEEN ctx b (c=0, ct=1)
+    assert out[1] == (3, 2 * lp(1, 1) + lp(0, 1))
+    # doc9: fully-unseen ctx z -> p = 1/V
+    assert out[9] == (1, math.floor(math.log(1 / 3) * 1e6))
+
+
+def test_ngram_lm_scores_trigram_and_keep(spark):
+    from sstable_hadoop_spark.operators.text import ngram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "a b", "de")],
+        "doc_id bigint, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           ngram_lm_scores(df, n=3, keep=("lang",)).collect()}
+    assert out[1]["n_grams"] == 2          # (a b -> c), (b c -> d)
+    assert out[2]["n_grams"] == 0          # 2 tokens < n=3
+    assert out[1]["lang"] == "en" and out[2]["lang"] == "de"
+    assert out[1]["lm_micro_nats"] < 0
+
+
+def test_ngram_lm_scores_rejects_unigram(spark):
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.operators.text import ngram_lm_scores
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="n >= 2"):
+        ngram_lm_scores(df, n=1)
