@@ -177,6 +177,20 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                      *[F.col(c) for c in keep])
 
 
+def _word_gram_hashes(col, n: int):
+    """md5-hex word ``n``-grams of a text column, whole-text fallback
+    for docs shorter than ``n`` tokens — the shared gram basis of the
+    exact and bloom decontamination paths (identical hex, so a bloom
+    built by one is probeable by the other)."""
+    toks = F.split(F.lower(col), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ",
+                                                F.slice(toks, i, n))))
+    ).otherwise(F.array(F.md5(F.lower(col))))
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str = "text", n: int = 8,
@@ -190,15 +204,12 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     with a broadcast LEFT SEMI-style join and survives iff its overlap
     count ≤ ``max_hits``.  Cost is one pass over the corpus fan-out
     with zero corpus shuffles; the benchmark side is metadata-sized.
-    Returns the clean subset of ``df`` (all original columns)."""
+    Returns the clean subset of ``df`` (all original columns).
+
+    See ``decontaminate_bloom`` for the constant-size-filter variant
+    when the benchmark gram set itself is too big to broadcast."""
     def grams(col):
-        toks = F.split(F.lower(col), r"\s+")
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                        lambda i: F.md5(F.concat_ws(" ",
-                                                    F.slice(toks, i, n))))
-        ).otherwise(F.array(F.md5(F.lower(col))))
+        return _word_gram_hashes(col, n)
 
     from ._util import ensure_parallelism
 
@@ -575,3 +586,110 @@ def oov_rate(df: DataFrame, vocab: DataFrame, *,
             .select(*by, "n_tokens", "n_oov",
                     F.round(F.col("n_oov") / F.col("n_tokens"), 6)
                      .alias("oov_rate")))
+
+
+def _bloom_positions(gram_hex, m_bits: int, k: int):
+    """The ``k`` bloom bit positions of an md5-hex gram: classic
+    Kirsch–Mitzenmaier double hashing, pos_i = (h1 + i·h2) mod m with
+    h1/h2 the two 60-bit halves of the md5 — the same scheme as the
+    native sink's Filter.db v2, and pure BIGINT arithmetic so a SQL
+    oracle reproduces every position exactly (no float, no overflow:
+    h2 < m ≤ 2^20 and i < k keep i·h2 well under 2^63)."""
+    h1 = F.conv(F.substring(gram_hex, 1, 15), 16, 10).cast("long") % m_bits
+    h2 = F.conv(F.substring(gram_hex, 17, 15), 16, 10).cast("long") % m_bits
+    return F.transform(F.sequence(F.lit(0), F.lit(k - 1)),
+                       lambda i: (h1 + i.cast("long") * h2) % m_bits)
+
+
+#: Literal-bitmap bound: beyond this the words array stops being a
+#: sane plan literal (16 Ki longs ≈ 1 MiB of expression tree).
+_BLOOM_LITERAL_MAX_BITS = 1 << 20
+
+
+def build_ngram_bloom(benchmark: DataFrame, bench_text_col: str = "text",
+                      n: int = 8, m_bits: int = 1 << 17,
+                      k: int = 5) -> list[int]:
+    """Build the benchmark-side bloom bitmap: every benchmark word
+    ``n``-gram sets its ``k`` positions in an ``m_bits`` bitmap,
+    returned as signed 64-bit words (len = m_bits/64) ready for
+    ``decontaminate_bloom(bloom_words=...)``.
+
+    The position computation is distributed (one pass over the
+    benchmark fan-out); only the DISTINCT set positions come to the
+    driver — at most m_bits of them, i.e. the bitmap itself, which is
+    metadata-sized by construction (m_bits/8 bytes ≤ 128 KiB at the
+    literal-mode cap).  FP rate ≈ (set_bits/m)^k; size at the standard
+    ~10 bits/gram is ~25x smaller than broadcasting the md5-hex gram
+    set the exact path ships."""
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if m_bits > _BLOOM_LITERAL_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the literal-bitmap bound "
+            f"{_BLOOM_LITERAL_MAX_BITS}; shard the benchmark into "
+            "several blooms or fall back to the exact broadcast path "
+            "(decontaminate)")
+    grams = (benchmark.select(
+        F.explode(_word_gram_hashes(F.col(bench_text_col), n))
+         .alias("gram")).distinct())
+    pos = (grams.select(F.explode(
+        _bloom_positions(F.col("gram"), m_bits, k)).alias("p"))
+        .distinct().collect())
+    words = [0] * (m_bits // 64)
+    for r in pos:
+        p = r["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement: Spark longs are signed
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def decontaminate_bloom(df: DataFrame, benchmark: DataFrame | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text", n: int = 8,
+                        max_hits: int = 0, m_bits: int = 1 << 17,
+                        k: int = 5,
+                        bloom_words: list[int] | None = None) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB variant of
+    ``decontaminate``: the benchmark gram set is compressed into an
+    ``m_bits`` bloom bitmap and the membership test becomes a
+    SCAN-LOCAL codegen predicate over a literal array — the corpus
+    side has ZERO joins and ZERO shuffles (the exact path's broadcast
+    semi-join + per-doc count agg disappear entirely; ``.explain``
+    shows one Filter over the scan).
+
+    One-sided error in the SAFE direction: blooms have no false
+    negatives, so no contaminated document ever survives; a false
+    positive (≈ (set_bits/m)^k) drops a clean document — the cheap
+    trade for a fixed-size filter when benchmark suites reach billions
+    of grams.  The bitmap is deterministic (md5 double hashing), so
+    results are engine-reproducible, FPs included.
+
+    Pass ``bloom_words`` (from ``build_ngram_bloom``, possibly built
+    once and reused across corpus shards/jobs) or a ``benchmark``
+    DataFrame to build it here.  Returns the surviving rows (all
+    original columns), like ``decontaminate``."""
+    from ._util import ensure_parallelism
+
+    if bloom_words is None:
+        if benchmark is None:
+            raise ValueError(
+                "decontaminate_bloom needs a benchmark DataFrame or "
+                "prebuilt bloom_words")
+        bloom_words = build_ngram_bloom(benchmark, bench_text_col, n,
+                                        m_bits, k)
+    if len(bloom_words) * 64 != m_bits:
+        raise ValueError(
+            f"bloom_words has {len(bloom_words)} words "
+            f"({len(bloom_words) * 64} bits) but m_bits={m_bits}")
+    df = ensure_parallelism(df)
+    words_lit = F.array(*[F.lit(w).cast("long") for w in bloom_words])
+
+    def member(gram_hex):
+        return F.forall(
+            _bloom_positions(gram_hex, m_bits, k),
+            lambda p: F.getbit(
+                F.element_at(words_lit, (p / 64).cast("int") + 1),
+                p % 64) == 1)
+
+    hits = F.size(F.filter(_word_gram_hashes(F.col(text_col), n), member))
+    return df.filter(hits <= F.lit(max_hits))

@@ -2692,3 +2692,64 @@ def test_ngram_lm_scores_rejects_unigram(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="n >= 2"):
         ngram_lm_scores(df, n=1)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from sstable_hadoop_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    # even a saturated tiny bloom may only ever drop MORE, never less
+    for m_bits in (1 << 17, 256):
+        got = {r["doc_id"]
+               for r in decontaminate_bloom(docs, bench,
+                                            m_bits=m_bits).collect()}
+        assert got <= exact, f"m_bits={m_bits} admitted a dirty doc"
+    # at the real size there is headroom: bloom == exact on this corpus
+    full = {r["doc_id"] for r in decontaminate_bloom(docs, bench).collect()}
+    assert full == exact
+
+
+def test_bloom_decontaminate_scan_local_plan(spark):
+    from sstable_hadoop_spark.operators.corpus import decontaminate_bloom
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = decontaminate_bloom(docs, bench)._jdf.queryExecution() \
+                                              .executedPlan().toString()
+    assert "Join" not in plan, "bloom probe must be a scan-local filter"
+
+
+def test_bloom_prebuilt_words_roundtrip(spark):
+    from sstable_hadoop_spark.operators.corpus import (
+        build_ngram_bloom,
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    words = build_ngram_bloom(bench)
+    assert len(words) == (1 << 17) // 64
+    a = sorted(r["doc_id"] for r in
+               decontaminate_bloom(docs, bench).collect())
+    b = sorted(r["doc_id"] for r in
+               decontaminate_bloom(docs, bloom_words=words).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="m_bits"):
+        decontaminate_bloom(docs, bloom_words=words, m_bits=256)
+    with pytest.raises(ValueError, match="benchmark"):
+        decontaminate_bloom(docs)
+
+
+def test_bloom_build_guards(spark):
+    from sstable_hadoop_spark.operators.corpus import build_ngram_bloom
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_ngram_bloom(docs, m_bits=100)
+    with pytest.raises(ValueError, match="literal-bitmap bound"):
+        build_ngram_bloom(docs, m_bits=1 << 21)
