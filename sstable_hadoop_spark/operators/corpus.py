@@ -231,6 +231,61 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     return df.join(dirty, df[id_col] == dirty["_did"], "left_anti")
 
 
+def contamination_scores(df: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         bench_text_col: str = "text",
+                         n: int = 8) -> DataFrame:
+    """Per-document contamination overlap REPORT — the graded
+    companion to ``decontaminate``'s binary any-hit drop: for each
+    training doc, how many of its DISTINCT word ``n``-grams appear in
+    the benchmark gram set, and the overlap as exact-integer basis
+    points.  GPT-3-style contamination analyses threshold on this
+    fraction (drop iff overlap above X%) rather than any-hit, because
+    a single boilerplate gram shared with an eval set should not
+    evict a long document; this op gives the corpus owner that knob
+    plus an auditable per-doc ledger.
+
+    Output: one row per input doc — ``(id_col, n_grams, hits,
+    overlap_bp)`` with ``overlap_bp = (hits * 10000) DIV n_grams``
+    (integer arithmetic, so cross-engine value hashes match
+    bit-for-bit).  Join back to the corpus by id if you need payload
+    columns; returning metrics-only keeps this op's cost at one
+    corpus pass + one id-keyed exchange regardless of row width.
+
+    Topology (same as ``decontaminate``): benchmark grams are a
+    DISTINCT, metadata-sized set → broadcast; per-doc grams are
+    deduped with ``array_distinct`` BEFORE the explode (no
+    (doc, gram) shuffle), and the only exchange is the final id-keyed
+    aggregation.  Reference parity: the reference engine has no
+    corpus tooling — this extends its scan surface the way
+    decontaminate/quality_filter do (SURVEY.md §2 extensions)."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    bench = (benchmark.select(
+        F.explode(_word_gram_hashes(F.col(bench_text_col), n))
+         .alias("gram")).distinct()
+        .withColumn("_hit", F.lit(1)))
+    per_doc = df.select(
+        F.col(id_col),
+        F.array_distinct(_word_gram_hashes(F.col(text_col), n))
+         .alias("_g"))
+    # _word_gram_hashes never returns an empty array (whole-text
+    # fallback), so n_grams >= 1 and the DIV below cannot hit zero.
+    exploded = per_doc.select(
+        F.col(id_col), F.size("_g").alias("_n"),
+        F.explode("_g").alias("gram"))
+    marked = exploded.join(F.broadcast(bench), "gram", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.first("_n").alias("_n"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("_h"))
+            .select(F.col(id_col),
+                    F.col("_n").cast("int").alias("n_grams"),
+                    F.col("_h").cast("int").alias("hits"),
+                    F.expr("CAST((_h * 10000) DIV _n AS INT)")
+                     .alias("overlap_bp")))
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", budget: int = 256,
                    n_groups: int = 64) -> DataFrame:

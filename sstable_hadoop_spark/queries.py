@@ -4931,6 +4931,54 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars")
 
 
+@query("corpus_contamination_scores", oracle=f"""
+WITH t AS (
+    SELECT doc_id, lower(text) AS lt,
+           regexp_split_to_array(lower(text), '\\s+') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= {_DECON_N}
+           THEN [md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' '))
+                 FOR i IN range(1, len(toks) - {_DECON_N - 2})]
+           ELSE [md5(lt)] END) AS grams
+    FROM t
+),
+bg AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+),
+e AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g
+)
+SELECT doc_id,
+       CAST(any_value(n_grams) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg)
+                THEN 1 ELSE 0 END) AS INTEGER) AS hits,
+       CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg)
+                THEN 1 ELSE 0 END) * 10000
+            // any_value(n_grams) AS INTEGER) AS overlap_bp
+FROM e GROUP BY doc_id
+""")
+def corpus_contamination_scores(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """E4+ graded contamination report (operators/corpus.py
+    contamination_scores) — same eval set as `corpus_decontaminate`
+    (doc_id % 97) but instead of a binary any-hit drop it returns the
+    per-doc overlap ledger: distinct 8-gram count, benchmark hits,
+    and overlap in integer basis points — the GPT-3-style threshold
+    knob.  Per-doc grams dedup with array_distinct BEFORE the explode
+    (no (doc,gram) shuffle); benchmark grams broadcast; the only
+    exchange is the final id-keyed agg.  overlap_bp is pure integer
+    arithmetic ((hits*10000) DIV n_grams) so both engines hash
+    identically."""
+    from sstable_hadoop_spark.operators.corpus import contamination_scores
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_scores(docs, bench, n=_DECON_N)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list

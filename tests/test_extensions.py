@@ -970,6 +970,46 @@ def test_decontaminate_drops_overlaps_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_contamination_scores_hand_computed(spark):
+    """Planted overlap: a doc embedding exactly half of a 16-token
+    benchmark doc's distinct 8-grams scores the hand-computed hit
+    count and integer basis points; clean and short docs score 0.
+    Repeated grams within a doc count ONCE (distinct-gram basis)."""
+    from sstable_hadoop_spark.operators.corpus import contamination_scores
+
+    bench_text = " ".join(f"q{i}" for i in range(1, 17))  # 16 toks → 9 grams
+    half = " ".join(f"q{i}" for i in range(1, 13))        # 12 toks → 5 grams
+    docs = spark.createDataFrame(
+        [(1, bench_text),
+         (2, half),                         # 5/5 grams hit → 10000 bp
+         (3, ("clean words " * 8).strip()),  # repeated grams, 0 hits
+         (4, "tiny")],                      # whole-text fallback gram
+        "doc_id bigint, text string")
+    bench = docs.filter(F.col("doc_id") == 1)
+    rows = {r["doc_id"]: r for r in
+            contamination_scores(docs, bench, n=8).collect()}
+    assert rows[1]["n_grams"] == 9 and rows[1]["hits"] == 9
+    assert rows[1]["overlap_bp"] == 10000
+    assert rows[2]["n_grams"] == 5 and rows[2]["hits"] == 5
+    assert rows[2]["overlap_bp"] == 10000
+    # "clean words" × 8 → 16 tokens, all 8-grams are one of two
+    # rotations of the repeating pair → array_distinct collapses them
+    assert rows[3]["n_grams"] == 2 and rows[3]["hits"] == 0
+    assert rows[3]["overlap_bp"] == 0
+    assert rows[4]["n_grams"] == 1 and rows[4]["hits"] == 0
+    # partial overlap: embed 3 benchmark grams among foreign tokens
+    partial = spark.createDataFrame(
+        [(9, " ".join(f"q{i}" for i in range(1, 11)) + " zzz yyy xxx")],
+        "doc_id bigint, text string")
+    r9 = contamination_scores(partial, bench, n=8).collect()[0]
+    # 13 toks → 6 distinct grams, grams q1..q8, q2..q9, q3..q10 hit
+    assert r9["n_grams"] == 6 and r9["hits"] == 3
+    assert r9["overlap_bp"] == 3 * 10000 // 6
+    plan = contamination_scores(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_similarity_ivf_trained_recall(spark):
     """The trained-codebook IVF must reach at least the recall of the
     fixed md5 codebook on the testdata corpus (data-adaptive cells)
