@@ -1010,6 +1010,124 @@ def test_contamination_scores_hand_computed(spark):
     assert "CartesianProduct" not in plan
 
 
+def _bpe_reference_train(texts, n_merges, min_freq):
+    """Independent pure-Python classic BPE (greedy left-to-right
+    non-overlapping merge per iteration) — the semantics
+    operators/tokenizer.py must reproduce via string replace."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wf[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in wf.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        cand = [(c, l, r) for (l, r), c in pc.items() if c >= min_freq]
+        if not cand:
+            break
+        cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+        c, l, r = cand[0]
+        merges.append((rank, l, r, l + r, c))
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer reproduces classic BPE exactly on a
+    corpus with the adversarial cases: repeated-char runs (where a
+    shared-delimiter string replace would under-merge — the
+    per-symbol wrapping regression this pins), rank ties, and a
+    below-min_freq tail."""
+    from sstable_hadoop_spark.operators.tokenizer import train_bpe
+
+    texts = ["low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest",
+             "the cat sat on the mat the cat",
+             "aaaa aaaa aa aaaaaa baab",
+             "singleton"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    exp = _bpe_reference_train(texts, 14, 2)
+    got = [tuple(r) for r in train_bpe(df, n_merges=14,
+                                       min_freq=2).collect()]
+    assert got == exp
+    # the (a,a) merge over runs is present and counted overlapping
+    assert (1, "a", "a", "aa", 13) in got
+    # early stop: a huge budget ends when no pair reaches min_freq
+    full = train_bpe(df, n_merges=500, min_freq=3).collect()
+    assert 0 < len(full) < 500
+
+
+def test_bpe_tokenize_paths_agree(spark):
+    """Declarative replace-chain tokenizer == Arrow-batched fast path
+    == per-word reference replay, on adversarial and empty docs."""
+    from sstable_hadoop_spark.operators.tokenizer import (
+        bpe_tokenize,
+        bpe_tokenize_fast,
+        train_bpe,
+    )
+
+    texts = ["low low low lower newest aaaa aaaa baab",
+             "the cat sat on the mat",
+             "",
+             "   "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    merges = train_bpe(df, n_merges=10, min_freq=2)
+    ranked = [(r["lhs"], r["rhs"])
+              for r in merges.orderBy("rank").collect()]
+
+    def ref_doc(t):
+        toks = []
+        for w in t.lower().split():
+            syms = list(w) + ["</w>"]
+            for lhs, rhs in ranked:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lhs \
+                            and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    slow = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_tokenize(df, merges).collect()}
+    fast = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_tokenize_fast(df, merges).collect()}
+    exp = {i: ref_doc(t) for i, t in enumerate(texts)}
+    assert slow == exp
+    assert fast == exp
+    # n_tokens is non-increasing as the merge budget grows
+    n5 = {r["doc_id"]: r["n_tokens"] for r in
+          bpe_tokenize(df, train_bpe(df, n_merges=5,
+                                     min_freq=2)).collect()}
+    n10 = {r["doc_id"]: r["n_tokens"] for r in
+           bpe_tokenize(df, merges).collect()}
+    assert all(n10[d] <= n5[d] for d in n5)
+
+
 def test_similarity_ivf_trained_recall(spark):
     """The trained-codebook IVF must reach at least the recall of the
     fixed md5 codebook on the testdata corpus (data-adaptive cells)
