@@ -1128,6 +1128,40 @@ def test_bpe_tokenize_paths_agree(spark):
     assert all(n10[d] <= n5[d] for d in n5)
 
 
+def test_bpe_randomized_tiny_alphabet(spark):
+    """Seeded random corpus over {a,b,c} — maximal repeated-run and
+    rank-tie density.  Trainer must equal the fold reference through
+    30 merges, and both tokenize paths must agree on every doc."""
+    import random
+
+    from sstable_hadoop_spark.operators.tokenizer import (
+        bpe_tokenize,
+        bpe_tokenize_fast,
+        train_bpe,
+    )
+
+    rng = random.Random(80801)
+    texts = [" ".join("".join(rng.choice("abc")
+                              for _ in range(rng.randint(1, 9)))
+                      for _ in range(rng.randint(3, 25)))
+             for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    exp = _bpe_reference_train(texts, 30, 2)
+    m = train_bpe(df, n_merges=30, min_freq=2)
+    got = [tuple(r) for r in m.collect()]
+    assert got == exp
+    slow = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_tokenize(df, m).collect()}
+    fast = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_tokenize_fast(df, m).collect()}
+    assert slow == fast
+    # round-trip: stripping </w> and re-joining reproduces the text
+    for i, t in enumerate(texts):
+        detok = "".join(slow[i]).replace("</w>", " ").strip()
+        assert detok == t
+
+
 def test_similarity_ivf_trained_recall(spark):
     """The trained-codebook IVF must reach at least the recall of the
     fixed md5 codebook on the testdata corpus (data-adaptive cells)
