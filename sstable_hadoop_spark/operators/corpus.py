@@ -191,6 +191,48 @@ def _word_gram_hashes(col, n: int):
     ).otherwise(F.array(F.md5(F.lower(col))))
 
 
+#: Java regex ``\s`` is the ASCII class [ \t\n\x0B\f\r]; Python's is
+#: Unicode-aware, so the Arrow replica must spell the class out to
+#: tokenize exactly like ``F.split(..., r"\s+")``.
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _py_gram_digests(text: str, n: int):
+    """Pure-Python replica of :func:`_word_gram_hashes`, yielding the
+    16-byte md5 DIGESTS (== ``unhex`` of the SQL path's hex): same
+    ASCII-``\\s`` tokenization with empty tokens kept, same whole-text
+    fallback for docs shorter than ``n`` tokens.  Pinned equal to the
+    SQL path on the testdata corpus in tests; the one documented gap
+    is exotic Unicode case folding, where Python ``str.lower`` and
+    UTF8String.toLowerCase may disagree (both paths are deterministic
+    on their own engine either way)."""
+    import hashlib
+    import re
+
+    low = text.lower()
+    toks = re.split(_JAVA_WS, low)
+    if len(toks) >= n:
+        join = " ".join
+        md5 = hashlib.md5
+        for i in range(len(toks) - n + 1):
+            yield md5(join(toks[i:i + n]).encode("utf-8")).digest()
+    else:
+        yield hashlib.md5(low.encode("utf-8")).digest()
+
+
+def _collect_bench_digests(benchmark: DataFrame, bench_text_col: str,
+                           n: int) -> frozenset:
+    """The DISTINCT benchmark gram set as md5 digests, computed
+    distributed (one benchmark fan-out) — only the distinct digests
+    reach the driver, i.e. exactly the payload the SQL path's
+    broadcast ships to every executor."""
+    rows = (benchmark.select(
+        F.explode(_word_gram_hashes(F.col(bench_text_col), n))
+         .alias("g"))
+        .select(F.unhex("g").alias("g")).distinct().collect())
+    return frozenset(bytes(r["g"]) for r in rows)
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str = "text", n: int = 8,
