@@ -138,12 +138,22 @@ def _merge_list(merges) -> list[tuple[str, str]]:
         return [(r["lhs"], r["rhs"]) for r in rows]
     out = []
     for m in merges:
-        if hasattr(m, "__getitem__") and not isinstance(m, (list, tuple)):
+        # pyspark Row subclasses tuple — check for named fields FIRST
+        # or a (rank, lhs, rhs) Row would fall through to positional
+        # guessing and silently yield (rank, lhs) pairs.
+        if hasattr(m, "__fields__") or isinstance(m, dict):
             out.append((m["lhs"], m["rhs"]))
         else:
             seq = tuple(m)
-            out.append((seq[-4], seq[-3]) if len(seq) >= 4
-                       else (seq[0], seq[1]))
+            if len(seq) == 2:          # bare (lhs, rhs)
+                out.append((seq[0], seq[1]))
+            elif len(seq) == 5:        # full (rank,lhs,rhs,merged,cnt)
+                out.append((seq[1], seq[2]))
+            else:
+                raise ValueError(
+                    f"ambiguous merge tuple of length {len(seq)}: "
+                    f"{seq!r} — pass (lhs, rhs), the 5-column "
+                    "train_bpe row, or rows with named fields")
     return out
 
 
@@ -165,8 +175,10 @@ def bpe_tokenize(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
     for production-sized tables (30k merges) use
     ``bpe_tokenize_fast`` — identical output, pytest-pinned.
 
-    Adds ``tokens array<string>`` and ``n_tokens int`` to ``df``."""
-    col = _doc_syms(F.col(text_col))
+    Adds ``tokens array<string>`` and ``n_tokens int`` to ``df``.
+    NULL text tokenizes like empty text (``[]``/0), matching
+    ``bpe_tokenize_fast``."""
+    col = _doc_syms(F.coalesce(F.col(text_col), F.lit("")))
     for lhs, rhs in _merge_list(merges):
         col = F.replace(col, F.lit(f" {lhs}  {rhs} "),
                         F.lit(f" {lhs}{rhs} "))
@@ -195,7 +207,17 @@ def bpe_tokenize_fast(df: DataFrame, merges,
 
     @F.pandas_udf("array<string>")
     def _tok(texts):
+        import re
+
         import pandas as pd
+
+        # Match _words() exactly: Java \s is the ASCII class
+        # [ \t\n\x0b\f\r] — Python str.split() would also split on
+        # Unicode whitespace (U+00A0, U+2028, …) and diverge (same
+        # pitfall corpus._JAVA_WS documents).  Remaining documented
+        # gap: Python str.lower vs UTF8String.toLowerCase may differ
+        # on exotic case folding; both are deterministic per engine.
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         memo: dict[str, list[str]] = {}
 
@@ -220,8 +242,9 @@ def bpe_tokenize_fast(df: DataFrame, merges,
 
         def doc(t) -> list[str]:
             toks: list[str] = []
-            for w in (t or "").lower().split():
-                toks.extend(word_tokens(w))
+            for w in java_ws.split((t or "").lower()):
+                if w:
+                    toks.extend(word_tokens(w))
             return toks
 
         return pd.Series([doc(t) for t in texts])

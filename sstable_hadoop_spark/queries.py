@@ -36,12 +36,26 @@ AS_OF_MS = 1767225600000
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
+#: DuckDB's RE2 ``\s`` is ``[ \t\n\f\r]`` (NO vertical tab) while the
+#: Spark side tokenizes with Java's ``\s`` = ``[ \t\n\x0B\f\r]`` — a
+#: doc containing U+000B would silently diverge (ADVICE r8).  Every
+#: oracle regex is normalized at registration to the explicit Java
+#: class so both engines share one whitespace definition.
+_JAVA_WS_CHARS = " \\t\\n\\x0b\\f\\r"
+
+
+def _normalize_oracle_ws(sql: str) -> str:
+    # inside a character class first (`[^...\s]` — nesting `[...]`
+    # there would make `[` a literal and break the regex)
+    sql = sql.replace("\\s]", _JAVA_WS_CHARS + "]")
+    return sql.replace("\\s", "[" + _JAVA_WS_CHARS + "]")
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            _ORACLES[name] = _normalize_oracle_ws(oracle)
         return fn
     return deco
 
@@ -4628,6 +4642,9 @@ def _materialize_warc(spark: SparkSession, sf_dir: str) -> str:
     member per record."""
 
     def build(out: str) -> None:
+        from sstable_hadoop_spark.sources.datasource import register
+
+        register(spark)
         docs = load(spark, sf_dir, "documents")
         payload = F.encode(
             F.concat(F.lit(_HTTP_ENVELOPE), F.col("text")), "UTF-8")
@@ -4672,6 +4689,13 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _warc_ingest_df(spark: SparkSession, sf_dir: str,
                     **reader_opts: str) -> DataFrame:
+    # MUST self-register: when the /tmp fixture cache is warm the build
+    # (and any earlier registering query) is skipped, and a bare driver
+    # session has no "warc" source — the r8 driver ran this query 4th
+    # and analysis failed with DATA_SOURCE_NOT_FOUND (CORRECTNESS_r08).
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
     warc_dir = _materialize_warc(spark, sf_dir)
     r = (spark.read.format("warc")
          .option("columns",

@@ -1317,3 +1317,24 @@ def register(spark) -> None:
         except Exception as exc:  # already registered
             if "already" not in str(exc).lower():
                 raise
+            # Spark quirk (observed on 4.1): after session A registers,
+            # a sibling newSession() B gets DATA_SOURCE_ALREADY_EXISTS
+            # from registerPython — yet B's own sessionState manager
+            # has no entry, so reads still fail NOT_FOUND.  Register
+            # straight into THIS session's DataSourceManager.
+            try:
+                mgr = (spark._jsparkSession.sessionState()
+                       .dataSourceManager())
+                name = source.name()
+                if not mgr.dataSourceExists(name):
+                    from pyspark.sql.udf import _wrap_function
+
+                    sc = spark.sparkContext
+                    ds = getattr(
+                        sc._jvm,
+                        "org.apache.spark.sql.execution.datasources"
+                        ".v2.python.UserDefinedPythonDataSource",
+                    )(_wrap_function(sc, source))
+                    mgr.registerDataSource(name, ds)
+            except Exception:
+                pass  # best effort; the common path registered fine

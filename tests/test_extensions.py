@@ -1087,7 +1087,10 @@ def test_bpe_tokenize_paths_agree(spark):
     texts = ["low low low lower newest aaaa aaaa baab",
              "the cat sat on the mat",
              "",
-             "   "]
+             "   ",
+             None,                       # NULL text → [] on BOTH paths
+             "low\u00a0lower",          # NBSP: Java \s does NOT split
+             "low\x0blower"]             # VT: Java \s DOES split
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
     merges = train_bpe(df, n_merges=10, min_freq=2)
@@ -1095,8 +1098,14 @@ def test_bpe_tokenize_paths_agree(spark):
               for r in merges.orderBy("rank").collect()]
 
     def ref_doc(t):
+        import re
+
         toks = []
-        for w in t.lower().split():
+        # the engines split on JAVA \s (ASCII) — Python str.split()
+        # would also split NBSP/U+2028 and mask the r8 ADVICE bug
+        for w in re.split(r"[ \t\n\x0b\f\r]+", (t or "").lower()):
+            if not w:
+                continue
             syms = list(w) + ["</w>"]
             for lhs, rhs in ranked:
                 out, i = [], 0
@@ -2945,3 +2954,63 @@ def test_bloom_build_guards(spark):
         build_ngram_bloom(docs, m_bits=100)
     with pytest.raises(ValueError, match="literal-bitmap bound"):
         build_ngram_bloom(docs, m_bits=1 << 21)
+
+
+def test_merge_list_shapes(spark):
+    """_merge_list accepts DataFrames, named Rows (including narrow
+    projections — Rows subclass tuple, so named access must win over
+    positional), dicts, bare pairs, and full 5-tuples; ambiguous
+    widths raise instead of guessing (ADVICE r8)."""
+    from pyspark.sql import Row
+
+    from sstable_hadoop_spark.operators.tokenizer import _merge_list
+
+    full = [(1, "a", "b", "ab", 7), (2, "ab", "c", "abc", 3)]
+    exp = [("a", "b"), ("ab", "c")]
+    assert _merge_list(full) == exp
+    assert _merge_list([("a", "b"), ("ab", "c")]) == exp
+    assert _merge_list(
+        [Row(rank=1, lhs="a", rhs="b"),
+         Row(rank=2, lhs="ab", rhs="c")]) == exp      # 3-wide Row
+    assert _merge_list(
+        [{"lhs": "a", "rhs": "b"}, {"lhs": "ab", "rhs": "c"}]) == exp
+    df = spark.createDataFrame(
+        full, "rank int, lhs string, rhs string, merged string, "
+              "pair_count bigint")
+    assert _merge_list(df) == exp
+    with pytest.raises(ValueError, match="ambiguous"):
+        _merge_list([(1, "a", "b")])                  # bare 3-tuple
+
+
+def test_py_gram_digests_match_sql_path(spark):
+    """The pure-Python gram-digest replica == the SQL/codegen path
+    (`_word_gram_hashes`) on real corpus text + adversarial rows —
+    the parity the bloom/decontamination basis depends on."""
+    from sstable_hadoop_spark.operators.corpus import (
+        _collect_bench_digests,
+        _py_gram_digests,
+        _word_gram_hashes,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    extra = spark.createDataFrame(
+        [(9001, "short"), (9002, "a\x0bb c\td  e\r\nf g h i j"),
+         (9003, "one two three four five six seven eight nine")],
+        "doc_id long, text string")
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    for n in (3, 8):
+        sql_side = {
+            r["doc_id"]: [bytes.fromhex(h) for h in r["g"]]
+            for r in docs.select(
+                "doc_id",
+                _word_gram_hashes(F.col("text"), n).alias("g")).collect()}
+        py_side = {r["doc_id"]: list(_py_gram_digests(r["text"], n))
+                   for r in docs.collect()}
+        assert sql_side == py_side
+    # the driver-collected distinct digest set == the union of per-doc
+    # digests (what the broadcast path ships)
+    got = _collect_bench_digests(extra, "text", 3)
+    exp = frozenset(d for r in extra.collect()
+                    for d in _py_gram_digests(r["text"], 3))
+    assert got == exp

@@ -364,3 +364,25 @@ def test_member_index_uncompressed_and_overwrite(spark, tmp_path):
     assert len([f for f in after if f.endswith(".warc")]) == 1
     assert len([f for f in after if f.endswith(INDEX_SUFFIX)]) == 1
     assert spark.read.format("warc").load(d).count() == 3
+
+
+def test_warc_queries_self_register_on_bare_session(spark):
+    """Regression (CORRECTNESS_r08): the driver runs queries on a BARE
+    session in arbitrary order.  With the /tmp fixture cache warm, the
+    warc queries skip the fixture build, so if nothing earlier in the
+    window registered the source, analysis failed with
+    DATA_SOURCE_NOT_FOUND.  A fresh ``newSession()`` has isolated
+    Python-data-source registration — run both warc queries there
+    FIRST and they must self-register."""
+    from sstable_hadoop_spark.queries import _QUERIES, _materialize_warc
+
+    _materialize_warc(spark, SF)  # warm the cache like the driver host
+    bare = spark.newSession()
+    with pytest.raises(Exception, match="DATA_SOURCE"):
+        bare.read.format("warc").load("/tmp/definitely-missing").schema
+    from sstable_hadoop_spark.queries import load
+
+    n_docs = load(spark, SF, "documents").count()
+    for name in ("warc_ingest_split", "warc_ingest"):
+        fresh = spark.newSession()
+        assert _QUERIES[name](fresh, SF).count() == n_docs
