@@ -4487,6 +4487,64 @@ def streaming_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(out, "winners")))
 
 
+# Fifth member of the flagship-oracle family: the MULTI-WRITER
+# transaction-log table.  Same winners semantics, but the table is
+# built through optimistic log commits (create gens 1-2, upsert gen 3,
+# upsert gen 4) — a commit that lost files, replayed a stage, or read
+# a torn snapshot would diverge from the full merge and hash-mismatch.
+@query("txlog_upsert_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def txlog_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: merge-on-write upserts through the TRANSACTION LOG
+    (operators/txlog.py) — the multi-writer answer to the single-
+    writer lease the r7 verdict listed as the one honest gap.  The
+    winners table is created from generations 1-2, then generations 3
+    and 4 land as two separate optimistic commits (version 2 and 3 of
+    the log); the head snapshot read must equal the flagship full
+    merge of all four generations.  Re-running the query re-applies
+    gen 3/4 as NEW versions with identical content (idempotent
+    argmax merge), so the row is driver-stable while the log keeps an
+    audit trail of every run.  The data plane is the same O(affected
+    buckets + delta) bucket rewrite as lww_bucketed_upsert; commits
+    are metadata-sized json."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.lww import lww_refresh
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read,
+        txlog_upsert,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        import os
+
+        txlog_create(
+            spark, os.path.join(out, "t"),
+            lww_cell(cells.filter(F.col("generation") <= 2)),
+            bucket_by=("key",), n_buckets=8, sort_by=("key", "name"))
+
+    import os
+
+    base = _idempotent_tmpdir("txlog_upsert_base_" + h, build)
+    path = os.path.join(base, "t")
+    for gen in (3, 4):
+        txlog_upsert(spark, path,
+                     cells.filter(F.col("generation") == gen),
+                     lww_refresh, bucket_by=("key",), n_buckets=8,
+                     sort_by=("key", "name"))
+    return _render_winners(txlog_read(spark, path))
+
+
 def _profile_branch(col: str, dt: str, render: str) -> str:
     """One UNION ALL branch of the profile oracle: the same stats
     operators/profile.py computes, column-at-a-time in SQL."""
@@ -5160,19 +5218,18 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SMALL (<=10) or the rotation loses its staleness bound.
 _ROUND_PRIORITY: tuple[str, ...] = (
     "flagship_lww_merge",        # permanent regression anchor
-    # r8: layout.py swap protocol hardened (validated roll-forward,
-    # atomic marker, post-marker lease re-asserts — ADVICE r7)
-    "lww_bucketed_upsert",
-    "bucketed_table_health",
-    "streaming_bucketed_upsert",
-    # r8: datasource sink sweep cutoff + index/summary orphan guard
-    "write_sink_roundtrip",
-    "sstable_scan_roundtrip",
-    "sstable_index_keys",
-    # r8: aggregate-below-join rewrite + WARC member-index source
-    "join_agg_revenue",
-    "five_way_join_region_revenue",
+    # r9: warc source self-registration (fix for the r8 red row —
+    # warc_ingest_split itself re-enters via the never-green rule)
     "warc_ingest",
+    # r9: tokenizer whitespace/NULL alignment (ADVICE r8 medium)
+    "bpe_train_merges",
+    "bpe_tokenize_docs",
+    # r9: every oracle regex now \s-normalized at registration; these
+    # lean hardest on oracle-side tokenization
+    "corpus_contamination_scores",
+    "corpus_decontaminate",
+    "text_quality_stats",
+    "text_lm_scores",
 )
 
 

@@ -316,6 +316,46 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     _fsync_dir(d)
 
 
+def write_bytes_exclusive(path: str, data: bytes) -> bool:
+    """CREATE ``path`` with ``data`` iff it does not already exist;
+    returns True on the win, False when someone else's file is there.
+
+    This is the compare-and-swap the transaction log's commit protocol
+    rides on (operators/txlog.py): on LOCAL paths (bare and
+    ``file://``) it is genuinely atomic — ``open(O_CREAT|O_EXCL)``
+    decided by the kernel, then fsync'd file + directory so the win is
+    durable before the caller acts on it.  On object stores there is
+    no portable conditional PUT through pyarrow, so this degrades to
+    exists-check + write + read-back verify — best-effort, the same
+    honesty tier as the layout lease; deployments there should point
+    the log at a store with real preconditions (S3 If-None-Match, GCS
+    generation 0) via :func:`register_scheme`."""
+    if not has_scheme(path) or urlsplit(path).scheme == "file":
+        local = path if not has_scheme(path) else urlsplit(path).path
+        try:
+            fd = os.open(local, os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+                         0o644)
+        except FileExistsError:
+            return False
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            try:
+                os.remove(local)
+            except OSError:
+                pass
+            raise
+        _fsync_dir(os.path.dirname(local))
+        return True
+    if exists(path):
+        return False
+    write_bytes(path, data)
+    return read_bytes(path) == data
+
+
 def _fsync_file(path: str) -> None:
     """fsync a just-written LOCAL file (no-op for object stores —
     their write is durable at PUT completion)."""
