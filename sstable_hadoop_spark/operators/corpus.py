@@ -790,3 +790,47 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame | None = None,
 
     hits = F.size(F.filter(_word_gram_hashes(F.col(text_col), n), member))
     return df.filter(hits <= F.lit(max_hits))
+
+
+def url_host(col) -> "F.Column":
+    """The host of a URL column — one codegen ``regexp_extract``
+    (scheme-relative and schemeless inputs fall through to '')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://"
+                                       r"([^/:?#]+)", 1))
+
+
+def url_registrable_domain(col) -> "F.Column":
+    """Last-two-labels registrable-domain heuristic (``www.news.
+    site7.com`` → ``site7.com``).  A real public-suffix-list lookup
+    is a broadcast join against the PSL table; this label heuristic
+    is the zero-dependency scan-local tier (wrong only for two-label
+    public suffixes like ``.co.uk`` — documented, not hidden)."""
+    return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
+
+
+def cap_per_domain(df: DataFrame, url_col: str, cap: int,
+                   order_by, keep_rank: bool = True) -> DataFrame:
+    """Per-domain document cap — the standard CommonCrawl curation
+    guard against a single site dominating the corpus (C4 keeps ≤
+    some-N pages per domain; Gopher/RefinedWeb likewise).  Keeps the
+    first ``cap`` rows of each registrable domain under ``order_by``
+    (pass a deterministic total order — e.g. a quality score with a
+    doc-id tiebreak — or the cap is nondeterministic under retries).
+
+    ONE exchange on the domain hash, then a window inside each
+    partition; with AQE skew handling a mega-domain (the exact thing
+    being capped) still splits across tasks for the sort.  Adds
+    ``domain`` (+``rank`` when ``keep_rank``)."""
+    from ._util import ensure_parallelism
+
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    order = order_by if isinstance(order_by, (list, tuple)) \
+        else [order_by]
+    w = Window.partitionBy("domain").orderBy(*order)
+    out = (df.withColumn("domain", url_registrable_domain(url_col))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= cap))
+    return out if keep_rank else out.drop("rank")

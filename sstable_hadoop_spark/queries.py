@@ -4791,6 +4791,114 @@ def warc_ingest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_ingest_df(spark, sf_dir, max_split_bytes="4096")
 
 
+def _html_extract_oracle() -> str:
+    """Oracle for html_extract_text: reconstruct the same synthetic
+    HTML page from ``documents.text`` in SQL, then run the IDENTICAL
+    strip chain (operators/html.py oracle_strip_html_sql) — RE2 vs
+    Java regex over the same patterns, certifying the extraction
+    semantics cross-engine."""
+    from sstable_hadoop_spark.operators.html import oracle_strip_html_sql
+
+    esc = ("replace(replace(replace(text, '&', '&amp;'), "
+           "'<', '&lt;'), '>', '&gt;')")
+    html = (
+        "'<html><head><title>Doc ' || doc_id || ' &amp; co</title>"
+        "<style>p {margin: 0}</style>"
+        "<script>if (1 < 2) alert(\"x&y\")</script></head>"
+        "<body><nav><a href=\"/\">home</a> "
+        "<a href=\"/about\">about</a></nav>"
+        "<h1>Doc ' || doc_id || '</h1><p>' || " + esc +
+        " || '</p><footer>&copy; corpus</footer></body></html>'")
+    chain = oracle_strip_html_sql("html")
+    return f"""
+WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+t AS (SELECT doc_id, {chain} AS txt FROM h)
+SELECT doc_id,
+       'Doc ' || doc_id || ' & co' AS title,
+       2 AS n_links,
+       CAST(len(list_filter(regexp_split_to_array(txt,
+            '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS INTEGER)
+           AS n_words,
+       md5(txt) AS text_md5
+FROM t
+"""
+
+
+@query("html_extract_text", oracle=_html_extract_oracle())
+def html_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 E4+: HTML → text extraction (operators/html.py) — the
+    curation step between WARC ingest and the text-quality/dedup
+    operators.  Each document is wrapped into a synthetic page with
+    the full boilerplate zoo (head/title with entities, style, script
+    with a bare ``<``, nav links, footer), then the regex-tier
+    extractor strips it back; title, link count, word count and the
+    md5 of the extracted text must match the DuckDB oracle running
+    the IDENTICAL pattern chain.  All chained codegen built-ins —
+    zero Python, zero shuffles, scan-parallel at 100 TB."""
+    from sstable_hadoop_spark.operators.html import (
+        escape_html_text,
+        extract_html_text,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"),
+        F.lit(" &amp; co</title><style>p {margin: 0}</style>"
+              "<script>if (1 < 2) alert(\"x&y\")</script></head>"
+              "<body><nav><a href=\"/\">home</a> "
+              "<a href=\"/about\">about</a></nav><h1>Doc "),
+        F.col("doc_id"),
+        F.lit("</h1><p>"), escape_html_text(F.col("text")),
+        F.lit("</p><footer>&copy; corpus</footer></body></html>"))
+    out = extract_html_text(docs.select("doc_id", page.alias("html")),
+                            "html")
+    return out.select(
+        "doc_id", "title",
+        F.col("n_links").cast("int").alias("n_links"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.md5("text").alias("text_md5"))
+
+
+@query("corpus_domain_caps", oracle=r"""
+WITH u AS (
+    SELECT doc_id,
+           'https://www.site' || (doc_id % 37) || '.com/page/'
+               || doc_id AS url
+    FROM documents),
+d AS (
+    SELECT doc_id,
+           regexp_extract(
+               lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+               '([^.]+\.[^.]+)$', 1) AS domain
+    FROM u)
+SELECT doc_id, domain, CAST(rk AS INTEGER) AS rank
+FROM (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY doc_id) AS rk
+      FROM d)
+WHERE rk <= 5
+""")
+def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 E4+: per-domain document caps (operators/corpus.py
+    cap_per_domain) — the CommonCrawl-standard guard against one site
+    dominating a corpus (C4/RefinedWeb keep bounded pages per
+    domain).  URLs are synthesized deterministically over 37 domains;
+    host → registrable-domain extraction is scan-local codegen, the
+    cap is one domain-hash exchange + an in-partition window.  Kept =
+    first 5 docs per domain by doc_id."""
+    from sstable_hadoop_spark.operators.corpus import cap_per_domain
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"),
+                 F.pmod(F.col("doc_id"), F.lit(37)),
+                 F.lit(".com/page/"), F.col("doc_id")).alias("url"))
+    out = cap_per_domain(docs, "url", cap=5, order_by=F.col("doc_id"))
+    return out.select("doc_id", "domain",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 _SEMDEDUP_TAU = 0.9
 
 

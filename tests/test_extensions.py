@@ -3014,3 +3014,92 @@ def test_py_gram_digests_match_sql_path(spark):
     exp = frozenset(d for r in extra.collect()
                     for d in _py_gram_digests(r["text"], 3))
     assert got == exp
+
+
+def test_html_extraction_pinned(spark):
+    """strip_html/extract_html_text against hand-computed expected
+    text (not just cross-engine parity): boilerplate containers drop,
+    block closers break lines, entities decode in the safe order,
+    whitespace collapses; plus the documented regex-tier limits."""
+    from sstable_hadoop_spark.operators.html import (
+        escape_html_text,
+        extract_html_text,
+        strip_html,
+    )
+
+    cases = [
+        # (html, expected_text, expected_title, n_links)
+        ("<html><head><title>T &amp; t</title><style>b{}</style>"
+         "</head><body><p>hello</p></body></html>",
+         "hello", "T & t", 0),
+        ("<ul><li>a</li><li>b</li></ul>", "a\nb", "", 0),
+        ("x<br>y<br/>z", "x\ny\nz", "", 0),
+        ("<script>if(1<2)alert('&')</script>after", "after", "", 0),
+        ("<NAV><a href=q>l1</a></NAV>body <A NAME=x>l2</A>",
+         "body l2", "", 2),                  # case-insensitive
+        ("&amp;lt; stays", "&lt; stays", "", 0),  # && order safe
+        ("a   b\t\tc", "a b c", "", 0),
+        ("<p>one</p><!--<p>two</p>--><p>three</p>", "one\nthree", "", 0),
+        ("<header>hdr</header><h1>t</h1>", "t", "", 0),
+        ("", "", "", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_ ) in enumerate(cases)],
+        "doc_id int, html string")
+    got = {r["doc_id"]: r for r in
+           extract_html_text(df, "html").collect()}
+    for i, (h, text, title, n_links) in enumerate(cases):
+        r = got[i]
+        assert r["text"] == text, (i, h, r["text"])
+        assert r["title"] == title, (i, r["title"])
+        assert r["n_links"] == n_links, (i, r["n_links"])
+    # escape → embed → extract round-trips single-line text exactly
+    tricky = "5 < 6 && x > y &amp; <not-a-tag>"
+    rt = spark.createDataFrame([(1, tricky)], "doc_id int, t string") \
+        .select(strip_html(F.concat(F.lit("<p>"),
+                                    escape_html_text(F.col("t")),
+                                    F.lit("</p>"))).alias("x")) \
+        .collect()[0]["x"]
+    assert rt == tricky
+
+
+def test_url_domain_and_caps(spark):
+    from sstable_hadoop_spark.operators.corpus import (
+        cap_per_domain,
+        url_host,
+        url_registrable_domain,
+    )
+
+    rows = [
+        (1, "https://www.news.site7.com/a/b?q=1", "www.news.site7.com",
+         "site7.com"),
+        (2, "http://SITE7.com:8080/x", "site7.com", "site7.com"),
+        (3, "ftp://files.example.org/f", "files.example.org",
+         "example.org"),
+        (4, "no-scheme.com/path", "", ""),        # documented: no host
+        (5, "https://bbc.co.uk/news", "bbc.co.uk", "co.uk"),  # PSL gap
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, *_ in rows],
+                               "doc_id int, url string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", url_host("url").alias("h"),
+        url_registrable_domain("url").alias("d")).collect()}
+    for i, _, h, d in rows:
+        assert got[i]["h"] == h and got[i]["d"] == d, (i, dict(got[i]))
+
+    many = spark.createDataFrame(
+        [(i, f"https://www.dom{i % 3}.com/{i}") for i in range(30)],
+        "doc_id int, url string")
+    kept = cap_per_domain(many, "url", cap=4,
+                          order_by=F.col("doc_id")).collect()
+    assert len(kept) == 12
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert set(by_dom) == {"dom0.com", "dom1.com", "dom2.com"}
+    for dom, ids in by_dom.items():
+        k = int(dom[3])
+        assert sorted(ids) == [k, k + 3, k + 6, k + 9]
+    norank = cap_per_domain(many, "url", 4, F.col("doc_id"),
+                            keep_rank=False)
+    assert "rank" not in norank.columns
