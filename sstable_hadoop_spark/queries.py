@@ -3685,6 +3685,77 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("adc", 4).alias("adc")))
 
 
+def _topk_sq8_oracle() -> str:
+    """Fully-derived oracle for int8 scalar quantization: the per-
+    dimension min/max train, the half-up-floor encode, the asymmetric
+    decoded dot, and the per-query rank are ALL re-computed in SQL
+    from the same parquet — no pinning needed, min/max of stored
+    doubles is exact on both engines.  Every float chain is written in
+    the Spark plan's association order, so scores compare bit-for-bit
+    before the round(4)."""
+    dim, k = 64, 5
+    stats = ", ".join(
+        f"min(e[{d}]) AS mn{d}, max(e[{d}]) AS mx{d}"
+        for d in range(1, dim + 1))
+    params = ", ".join(
+        f"mn{d}, CASE WHEN mx{d} - mn{d} = 0 THEN 1.0 "
+        f"ELSE mx{d} - mn{d} END AS sc{d}"
+        for d in range(1, dim + 1))
+    enc = ", ".join(
+        f"CAST(greatest(0, least(255, floor((e[{d}] - p.mn{d}) "
+        f"/ p.sc{d} * 255.0 + 0.5))) AS INTEGER)"
+        for d in range(1, dim + 1))
+    qnorm = " + ".join(f"e[{i}]*e[{i}]" for i in range(1, dim + 1))
+    score = " + ".join(
+        f"q.q[{d}] * (p.mn{d} + c.codes[{d}] / 255.0 * p.sc{d})"
+        for d in range(1, dim + 1))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT {stats} FROM emb),
+p AS (SELECT {params} FROM s),
+codes AS (
+    SELECT vec_id, [{enc}] AS codes
+    FROM emb, p),
+qn AS (
+    SELECT vec_id AS query_id,
+           list_transform(e, x -> x / sqrt({qnorm})) AS q
+    FROM emb WHERE vec_id < 8),
+sc AS (
+    SELECT q.query_id, c.vec_id, ({score}) AS sq
+    FROM codes c CROSS JOIN qn q CROSS JOIN p
+    WHERE c.vec_id != q.query_id)
+SELECT query_id, vec_id, rk, round(sq, 4) AS sq FROM (
+    SELECT query_id, vec_id, sq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sq DESC, vec_id) AS rk
+    FROM sc)
+WHERE rk <= {k}
+"""
+
+
+@query("similarity_topk_sq8", oracle=_topk_sq8_oracle())
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scalar quantization (r9): per-dimension int8 compression
+    (operators/similarity.py train_sq8 / sq8_encode /
+    cosine_topk_sq8) — the FAISS-QT_8bit/Lucene-int8 storage tier, 4×
+    smaller than float32 with much finer order fidelity than PQ's
+    shared subspace centroids.  Train is one fused min/max agg (2×dim
+    doubles of metadata), encode a scan-local codegen projection,
+    search an asymmetric decoded dot against broadcast queries.  The
+    oracle re-derives the ENTIRE pipeline — train included — from the
+    parquet in SQL."""
+    from sstable_hadoop_spark.operators.similarity import cosine_topk_sq8
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    return (cosine_topk_sq8(emb, q, k=5)
+            .select("query_id", "vec_id", "rk",
+                    F.round("sq", 4).alias("sq")))
+
+
 def _topk_ivfpq_oracle() -> str:
     """Hybrid oracle for the COMBINED IVF+PQ index: the coarse-cell
     CTEs are the IVF oracle's (inlined md5 centroids, argmax-dot cell,
@@ -3858,6 +3929,7 @@ def _recall_report_oracle() -> str:
         "ivf_trained": _topk_ivf_trained_oracle(),
         "pq": _topk_pq_oracle(),
         "ivfpq": _topk_ivfpq_oracle(),
+        "sq8": _topk_sq8_oracle(),
     }
     tall = "\n    UNION ALL\n    ".join(
         f"SELECT '{name}' AS method, query_id, vec_id FROM ({sql}) AS t_{name}"
@@ -3903,6 +3975,7 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_ivfpq,
         cosine_topk_lsh,
         cosine_topk_pq,
+        cosine_topk_sq8,
         train_pq_codebooks,
     )
 
@@ -3922,6 +3995,7 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              codebooks=books),
         "ivfpq": cosine_topk_ivfpq(emb, q, k=5, m=4, k_codes=16,
                                    codebooks=books),
+        "sq8": cosine_topk_sq8(emb, q, k=5),
     }
     tall = None
     for name, df in methods.items():

@@ -2741,9 +2741,13 @@ def test_similarity_recall_report_floors(spark):
     rep = {r["method"]: r for r in
            similarity_recall_report(spark, "/root/testdata/sf0.001")
            .collect()}
-    assert set(rep) == {"lsh", "ivf", "ivf_trained", "pq", "ivfpq"}
+    assert set(rep) == {"lsh", "ivf", "ivf_trained", "pq", "ivfpq",
+                        "sq8"}
     floors_bp = {"lsh": 6000, "ivf": 2000, "ivf_trained": 3500, "pq": 500,
-                 "ivfpq": 500}
+                 "ivfpq": 500,
+                 # 256 levels/dim keeps fine order almost exactly —
+                 # int8 is the "cheap compression, full recall" tier
+                 "sq8": 9500}
     for method, floor in floors_bp.items():
         row = rep[method]
         assert row["n_exact"] == 40 and row["n_returned"] == 40
@@ -3103,3 +3107,45 @@ def test_url_domain_and_caps(spark):
     norank = cap_per_domain(many, "url", 4, F.col("doc_id"),
                             keep_rank=False)
     assert "rank" not in norank.columns
+
+
+def test_sq8_encode_and_search(spark):
+    """Scalar quantization: codes live in [0,255] hitting both ends,
+    params/codes reuse skips retraining, constant dimensions don't
+    divide by zero, and exact rerank restores true cosine order."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_sq8,
+        sq8_encode,
+        train_sq8,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+    mins, scales = train_sq8(emb)
+    assert len(mins) == len(scales) == 64
+    codes = sq8_encode(emb, mins, scales)
+    stats = codes.select(F.explode("codes").alias("c")).agg(
+        F.min("c"), F.max("c")).collect()[0]
+    assert stats[0] == 0 and stats[1] == 255  # min/max rows hit ends
+    q = emb.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "query_id")
+    a = cosine_topk_sq8(emb, q, k=5).collect()
+    b = cosine_topk_sq8(emb, q, k=5, params=(mins, scales),
+                        codes=codes).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # constant dimension: scale falls back to 1.0, no NaN/err
+    const = emb.select("vec_id", F.transform(
+        "embedding", lambda x: F.lit(0.5)).alias("embedding"))
+    cm, cs = train_sq8(const)
+    assert all(s == 1.0 for s in cs)
+    assert cosine_topk_sq8(const, q.limit(1), k=2).count() == 2
+    # rerank against exact cosine: top-5 sets coincide on this corpus
+    rr = {(r["query_id"], r["vec_id"], r["rk"])
+          for r in cosine_topk_sq8(emb, q, k=5,
+                                   rerank_factor=4).collect()}
+    ex = {(r["query_id"], r["vec_id"], r["rk"])
+          for r in cosine_topk(emb, q, k=5).collect()}
+    assert rr == ex
