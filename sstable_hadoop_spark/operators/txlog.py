@@ -367,3 +367,54 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
         except OSError:
             pass
     return sorted(removed)
+
+
+def txlog_compact(spark, path: str, target_buckets=None,
+                  min_files: int = 2) -> tuple[int | None, list[int]]:
+    """OPTIMIZE for the logged table: rewrite each fragmented bucket
+    (≥ ``min_files`` files after accumulated upserts) into one file,
+    as a normal conflict-checked commit that changes NO data — the
+    small-files problem is the tax of merge-on-write, and compaction
+    is just another writer under the same protocol (a concurrent
+    upsert to an overlapping bucket wins or retries exactly as
+    against any writer; the re-merge path re-reads the bucket, so
+    compaction never loses anyone's rows).
+
+    Content idempotence holds like every commit: compacting twice is
+    a no-op the second time (no bucket has ≥ min_files).  Returns
+    ``(committed version | None when nothing to do, bucket ids)``."""
+    from pyspark.sql.types import StructType
+
+    snap = txlog_snapshot(path)
+    meta = _read_commit(path, 1)
+    bucket_by = tuple(meta["bucket_by"])
+    n_buckets, sort_by = meta["n_buckets"], tuple(meta["sort_by"])
+    per_bucket: dict[int, list[str]] = {}
+    for n, b in snap["files"].items():
+        per_bucket.setdefault(b, []).append(n)
+    frag = sorted(b for b, fl in per_bucket.items()
+                  if len(fl) >= min_files
+                  and (target_buckets is None or b in target_buckets))
+    if not frag:
+        return None, []
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    old = sorted(n for b in frag for n in per_bucket[b])
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, n) for n in old])
+    # one file per bucket: repartition BY the bucket id expression so
+    # the bucketed writer gets one task per bucket (a bucket's rows
+    # all carry one id, so each task writes exactly one final file)
+    df = df.repartition(len(frag), bucket_id(n_buckets, *bucket_by))
+    adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
+                               sort_by, allowed=set(frag))
+    record = {"op": "compact", "writer": uuid.uuid4().hex,
+              "buckets": frag, "adds": adds, "removes": old}
+    won = _try_commit(path, snap, record)
+    if won == "conflict":
+        for n, _ in adds:
+            try:
+                fs.remove(os.path.join(path, n))
+            except OSError:
+                pass
+        return txlog_compact(spark, path, target_buckets, min_files)
+    return won, frag

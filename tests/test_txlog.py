@@ -225,3 +225,34 @@ def test_threaded_writers_race(spark, tpath):
     assert _content(spark, tpath) == [(k, 8) for k in range(64)]
     ops = [h["op"] for h in tx.txlog_history(tpath)]
     assert ops == ["create"] + ["upsert"] * 8
+
+
+def test_compact_preserves_content(spark, tpath):
+    """OPTIMIZE: after several upserts fragment the buckets, compact
+    rewrites each to one file as a data-identical commit; a second
+    compact is a no-op; vacuum then leaves one file per bucket."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    # many write tasks × few buckets → multiple files per bucket (the
+    # create is the fragmenting writer; upserts REWRITE their buckets,
+    # so they come out compact by construction)
+    tx.txlog_create(spark, tpath,
+                    _mk(spark, 0, 80, 1).repartition(6), ("k",), 4)
+    before = _content(spark, tpath)
+    snap = tx.txlog_snapshot(tpath)
+    per = {}
+    for _, b in snap["files"].items():
+        per[b] = per.get(b, 0) + 1
+    frag = sorted(b for b, c in per.items() if c >= 2)
+    assert frag  # genuinely fragmented
+    ver, buckets = tx.txlog_compact(spark, tpath)
+    assert ver == 2 and buckets == frag
+    assert _content(spark, tpath) == before
+    after = tx.txlog_snapshot(tpath)
+    per2 = {}
+    for _, b in after["files"].items():
+        per2[b] = per2.get(b, 0) + 1
+    assert all(c == 1 for c in per2.values())
+    assert tx.txlog_compact(spark, tpath) == (None, [])  # idempotent
+    tx.txlog_vacuum(tpath, min_age_sec=0)
+    assert _content(spark, tpath) == before
