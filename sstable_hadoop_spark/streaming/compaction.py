@@ -115,3 +115,43 @@ def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def upsert_stream_to_txlog(cell_stream: DataFrame, table_dir: str,
+                           checkpoint_dir: str, *,
+                           n_buckets: int = 16):
+    """Streaming ingest → the TRANSACTION-LOG winners table
+    (operators/txlog.py): same per-batch topology as
+    ``upsert_stream_to_bucketed`` (local LWW memtable dedup, then an
+    O(affected buckets + batch) fold), but committed as optimistic log
+    versions instead of a leased in-place swap — so the stream can
+    share the table with CONCURRENT batch writers/compactors, readers
+    get snapshot isolation while batches land, and a crash needs no
+    recovery pass at all: an unfinished batch left only unreferenced
+    staged files, and its replay commits the same content as a new
+    version (argmax idempotence — exactly-once at the CONTENT level,
+    with the log as the audit trail of the replay)."""
+    from sstable_hadoop_spark.operators.lww import lww_cell, lww_refresh
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_exists,
+        txlog_upsert,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        winners = lww_cell(batch_df)
+        if not txlog_exists(table_dir):
+            txlog_create(batch_df.sparkSession, table_dir, winners,
+                         bucket_by=("key",), n_buckets=n_buckets,
+                         sort_by=("key", "name"))
+        else:
+            txlog_upsert(batch_df.sparkSession, table_dir, winners,
+                         lww_refresh, bucket_by=("key",),
+                         n_buckets=n_buckets,
+                         sort_by=("key", "name"))
+
+    return (cell_stream.writeStream
+            .foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -908,3 +908,78 @@ def test_stream_upsert_crash_lease_steal_recovery(spark, tmp_path):
             f"{health['_table']['note']}")
         shutil.rmtree(table)
         shutil.rmtree(ckpt)
+
+
+def test_stream_upsert_to_txlog_winners(spark, tmp_path):
+    """r9: streaming ingest through the TRANSACTION-LOG winners table
+    (streaming/compaction.upsert_stream_to_txlog).  After the drain,
+    the head snapshot equals batch lww_cell with no read-side merge;
+    replaying the last micro-batch (restart with the newest stream
+    commit erased) appends a NEW log version whose content is
+    IDENTICAL — exactly-once at the content level, with the log as
+    the audit trail; time travel to the pre-replay head shows the
+    same content too."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sstable_hadoop_spark.operators import lww_cell
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_history,
+        txlog_read,
+        txlog_snapshot,
+    )
+    from sstable_hadoop_spark.queries import derived_cells
+    from sstable_hadoop_spark.streaming.compaction import (
+        upsert_stream_to_txlog,
+    )
+
+    cells = derived_cells(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "cells_in")
+    for g in [1, 2, 3, 4]:
+        (cells.filter(F.col("generation") == g).coalesce(1)
+              .write.mode("append").parquet(src))
+
+    table = str(tmp_path / "winners")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = upsert_stream_to_txlog(
+            spark.readStream.schema(cells.schema)
+                 .option("maxFilesPerTrigger", "1").parquet(src),
+            table, ckpt, n_buckets=8)
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run()
+
+    def snapshot(version=None):
+        return {(bytes(r["key"]), bytes(r["name"]), r["state"],
+                 r["timestamp"], r["generation"])
+                for r in txlog_read(spark, table, version).collect()}
+
+    want = {(bytes(r["key"]), bytes(r["name"]), r["state"],
+             r["timestamp"], r["generation"])
+            for r in lww_cell(cells).collect()}
+    assert snapshot() == want
+    v_drained = txlog_snapshot(table)["version"]
+    ops = [h["op"] for h in txlog_history(table)]
+    assert ops == ["create"] + ["upsert"] * (v_drained - 1)
+
+    # restart with the newest stream commit erased → batch replays
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")),
+                     key=lambda p: os.path.basename(p))
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(os.path.join(ckpt, "__tmp_path_dir"),
+                  ignore_errors=True)
+    run()
+    v_after = txlog_snapshot(table)["version"]
+    assert v_after == v_drained + 1       # the replay IS in the log
+    assert snapshot() == want             # ...with identical content
+    assert snapshot(version=v_drained) == want
