@@ -69,6 +69,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sstable_hadoop_spark.sources import fs
 
@@ -418,3 +419,46 @@ def txlog_compact(spark, path: str, target_buckets=None,
                 pass
         return txlog_compact(spark, path, target_buckets, min_files)
     return won, frag
+
+
+def txlog_diff(spark, path: str, v_from: int,
+               v_to: int | None = None) -> DataFrame:
+    """Change feed between two versions: the table rows ADDED and
+    REMOVED going ``v_from`` → ``v_to`` (default head), each tagged
+    ``_change ∈ {insert, delete}`` (an update appears as its delete +
+    insert pair, Delta-CDF style without a tracking column).
+
+    Cost is O(buckets touched by the commits in between), NOT
+    O(table): untouched buckets are byte-identical in both snapshots,
+    so only the touched buckets' files enter the two ``exceptAll``
+    legs — the 100 TB "what changed since yesterday" query reads
+    yesterday's and today's versions of the day's delta buckets
+    only."""
+    from pyspark.sql.types import StructType
+
+    head = txlog_snapshot(path)
+    v_to = head["version"] if v_to is None else v_to
+    if not (0 < v_from <= v_to <= head["version"]):
+        raise ValueError(
+            f"bad version window ({v_from}, {v_to}] on a log at "
+            f"version {head['version']}")
+    touched: set[int] = set()
+    for v in range(v_from + 1, v_to + 1):
+        touched.update(_read_commit(path, v).get("buckets", ()))
+    old = txlog_snapshot(path, v_from)
+    new = txlog_snapshot(path, v_to)
+    schema = StructType.fromJson(json.loads(new["schema"]))
+
+    def bucket_df(snap):
+        names = sorted(n for n, b in snap["files"].items()
+                       if b in touched)
+        if not names:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, n) for n in names])
+
+    a, b = bucket_df(old), bucket_df(new)
+    return (b.exceptAll(a).withColumn("_change", F.lit("insert"))
+             .unionByName(
+                 a.exceptAll(b).withColumn("_change",
+                                           F.lit("delete"))))

@@ -256,3 +256,35 @@ def test_compact_preserves_content(spark, tpath):
     assert tx.txlog_compact(spark, tpath) == (None, [])  # idempotent
     tx.txlog_vacuum(tpath, min_age_sec=0)
     assert _content(spark, tpath) == before
+
+
+def test_diff_change_feed(spark, tpath):
+    """txlog_diff: inserts, updates (delete+insert pair) and the
+    O(touched-buckets) property — a version window touching one
+    bucket never reads the other buckets' files."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import bucket_id
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4)
+    in2 = bucket_id(4, "k") == 2
+    tx.txlog_upsert(spark, tpath,
+                    _mk(spark, 0, 60, 2).filter(in2), _merge,
+                    ("k",), 4)  # v2: updates + inserts in bucket 2
+    d = tx.txlog_diff(spark, tpath, 1).collect()
+    ins = {(r["k"], r["v"]) for r in d if r["_change"] == "insert"}
+    dels = {(r["k"], r["v"]) for r in d if r["_change"] == "delete"}
+    b2 = {r["k"] for r in _mk(spark, 0, 60, 0).filter(in2)
+          .select("k").collect()}
+    assert ins == {(k, 2) for k in b2}
+    assert dels == {(k, 1) for k in b2 if k < 40}  # updates' old rows
+    # degenerate window: no commits → empty diff
+    assert tx.txlog_diff(spark, tpath, 2, 2).count() == 0
+    with pytest.raises(ValueError, match="window"):
+        tx.txlog_diff(spark, tpath, 0)
+    # scale property: only bucket-2 files enter the plan
+    plan = tx.txlog_diff(spark, tpath, 1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    snap = tx.txlog_snapshot(tpath)
+    for n, b in snap["files"].items():
+        if b != 2:
+            assert n not in plan
