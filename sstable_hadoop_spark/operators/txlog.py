@@ -139,36 +139,79 @@ def txlog_snapshot(path: str, version: int | None = None) -> dict:
         raise ValueError(
             f"version {target} not in log (have 1..{head})")
     files: dict[str, int] = {}
-    schema = None
+    stats: dict[str, list] = {}
+    schema = stats_col = None
     start = 1
     usable = [v for v in checkpoints if v <= target]
     if usable:
         cp = json.loads(fs.read_bytes(_checkpoint_path(path, usable[-1])))
         files = {n: b for n, b in cp["files"]}
+        stats = dict(cp.get("stats", {}))
         schema = cp.get("schema")
+        stats_col = cp.get("stats_col")
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
         if c.get("schema"):
             schema = c["schema"]
+        if c.get("stats_col"):
+            stats_col = c["stats_col"]
         for n in c.get("removes", ()):
             files.pop(n, None)
+            stats.pop(n, None)
         for n, b in c.get("adds", ()):
             files[n] = b
-    return {"version": target, "schema": schema, "files": files}
+        stats.update(c.get("stats", {}))
+    stats = {n: s for n, s in stats.items() if n in files}
+    return {"version": target, "schema": schema, "files": files,
+            "stats": stats, "stats_col": stats_col}
+
+
+def _footer_stats(local_file: str, col: str) -> list | None:
+    """[min, max, type-tag] of ``col`` across the file's row groups,
+    from the parquet FOOTER only (no data read) — json-encodable
+    (bytes → hex with tag "bin").  None when stats are absent."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(local_file).metadata
+        idx = md.schema.names.index(col)
+    except (ValueError, OSError):
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    if isinstance(lo, bytes):
+        return [lo.hex(), hi.hex(), "bin"]
+    if isinstance(lo, bool) or not isinstance(lo, (int, float, str)):
+        return None
+    return [lo, hi, "num" if isinstance(lo, (int, float)) else "str"]
 
 
 def _stage_bucket_files(merged: DataFrame, path: str,
                         bucket_by: tuple[str, ...], n_buckets: int,
                         sort_by: tuple[str, ...],
-                        allowed: set[int]) -> list[tuple[str, int]]:
+                        allowed: set[int],
+                        stats_out: dict | None = None
+                        ) -> list[tuple[str, int]]:
     """Write ``merged`` with the bucketed writer into a temp dir, then
     copy the bucket files into the table dir under their (unique)
     names — present but unreferenced, hence invisible until a commit
-    lists them.  Returns ``[(name, bucket)]``."""
+    lists them.  Returns ``[(name, bucket)]``; when ``stats_out`` is
+    given, fills it with per-file [min, max, tag] of the stats column
+    (first sort key, else first bucket key) read from the parquet
+    footers — the data-skipping index the commit records."""
     import shutil
     import tempfile
 
+    stats_col = (sort_by or bucket_by)[0] if stats_out is not None \
+        else None
     stage = tempfile.mkdtemp(prefix="txlog_stage_")
     try:
         write_bucketed(merged, stage, "txlog_stage",
@@ -184,6 +227,10 @@ def _stage_bucket_files(merged: DataFrame, path: str,
             if b not in allowed:
                 raise ValueError(
                     f"merge produced rows in unaffected bucket {b}")
+            if stats_col is not None:
+                st = _footer_stats(f, stats_col)
+                if st is not None:
+                    stats_out[name] = st
             fs.put_file(f, os.path.join(path, name))
             out.append((name, b))
         return out
@@ -222,7 +269,9 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     fs.write_bytes_atomic(
         _checkpoint_path(path, version),
         json.dumps({"version": version, "schema": snap["schema"],
-                    "files": sorted(snap["files"].items())},
+                    "files": sorted(snap["files"].items()),
+                    "stats": snap["stats"],
+                    "stats_col": snap["stats_col"]},
                    sort_keys=True).encode())
 
 
@@ -234,14 +283,17 @@ def txlog_create(spark, path: str, df: DataFrame,
     if txlog_exists(path):
         raise FileExistsError(f"transaction log already exists: {path}")
     fs.makedirs(_log_dir(path))
+    stats: dict[str, list] = {}
     adds = _stage_bucket_files(df, path, bucket_by, n_buckets, sort_by,
-                               allowed=set(range(n_buckets)))
+                               allowed=set(range(n_buckets)),
+                               stats_out=stats)
     record = {
         "op": "create", "writer": uuid.uuid4().hex,
         "schema": df.schema.json(), "bucket_by": list(bucket_by),
         "n_buckets": n_buckets, "sort_by": list(sort_by),
         "buckets": sorted({b for _, b in adds}),
         "adds": adds, "removes": [],
+        "stats": stats, "stats_col": (sort_by or bucket_by)[0],
     }
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:
@@ -295,11 +347,14 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                       *[os.path.join(path, n) for n in old])
                   if old else spark.createDataFrame([], schema))
         merged = merge(stored, delta)
+        stats: dict[str, list] = {}
         adds = _stage_bucket_files(merged, path, bucket_by, n_buckets,
-                                   sort_by, allowed=set(affected))
+                                   sort_by, allowed=set(affected),
+                                   stats_out=stats)
         record = {
             "op": "upsert", "writer": uuid.uuid4().hex,
             "buckets": affected, "adds": adds, "removes": old,
+            "stats": stats,
         }
         won = _try_commit(path, snap, record)
         if won != "conflict":
@@ -406,10 +461,13 @@ def txlog_compact(spark, path: str, target_buckets=None,
     # the bucketed writer gets one task per bucket (a bucket's rows
     # all carry one id, so each task writes exactly one final file)
     df = df.repartition(len(frag), bucket_id(n_buckets, *bucket_by))
+    stats: dict[str, list] = {}
     adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
-                               sort_by, allowed=set(frag))
+                               sort_by, allowed=set(frag),
+                               stats_out=stats)
     record = {"op": "compact", "writer": uuid.uuid4().hex,
-              "buckets": frag, "adds": adds, "removes": old}
+              "buckets": frag, "adds": adds, "removes": old,
+              "stats": stats}
     won = _try_commit(path, snap, record)
     if won == "conflict":
         for n, _ in adds:
@@ -462,3 +520,38 @@ def txlog_diff(spark, path: str, v_from: int,
              .unionByName(
                  a.exceptAll(b).withColumn("_change",
                                            F.lit("delete"))))
+
+
+def txlog_read_range(spark, path: str, lo, hi,
+                     version: int | None = None) -> DataFrame:
+    """Data-skipping read: rows of the stats column (the table's
+    first sort key) in ``[lo, hi]``, reading ONLY the files whose
+    footer min/max — journaled in each commit as a metadata
+    data-skipping index — overlaps the range.  Files without stats
+    are read defensively; the range filter is always applied, so
+    pruning is an optimization, never a semantics change.  The
+    100 TB point-lookup/slice path: a sorted-by-key table answers a
+    key-range probe with O(matching files) IO and zero shuffles."""
+    from pyspark.sql.types import StructType
+
+    snap = txlog_snapshot(path, version)
+    col = snap["stats_col"]
+    if col is None:
+        raise ValueError(f"table at {path} journals no file stats")
+
+    def enc(v):
+        return v.hex() if isinstance(v, (bytes, bytearray)) else v
+
+    qlo, qhi = enc(lo), enc(hi)
+    keep = []
+    for n in sorted(snap["files"]):
+        st = snap["stats"].get(n)
+        if st is None or not (st[1] < qlo or st[0] > qhi):
+            keep.append(n)
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    if not keep:
+        return spark.createDataFrame([], schema).filter(
+            F.col(col).between(F.lit(lo), F.lit(hi)))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, n) for n in keep])
+    return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))

@@ -25,6 +25,11 @@ ALLOWED_BNLJ = {
                                     # scan over compressed codes IS the
                                     # intended full pass; ~100× smaller
                                     # than scanning vectors)
+    "similarity_topk_sq8",          # same shape over int8 codes (4×
+                                    # smaller than float32) — the
+                                    # decoded-dot scan is the intended
+                                    # full pass; cell-pruned variants
+                                    # (ivf/ivfpq) are the probe path
     "similarity_recall_report",     # composes the two baselines above
                                     # (brute-force exact + PQ) plus a
                                     # 1-row broadcast denominator cross

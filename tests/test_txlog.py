@@ -288,3 +288,43 @@ def test_diff_change_feed(spark, tpath):
     for n, b in snap["files"].items():
         if b != 2:
             assert n not in plan
+
+
+def test_range_read_prunes_files(spark, tpath):
+    """Data skipping: the commit-journaled footer min/max lets a
+    range probe read only overlapping files — correctness equals the
+    full-scan filter, and the plan excludes non-overlapping files."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    # sort_by=k → each bucket file covers a k-range; 1000 keys over
+    # 4 buckets, multiple files per bucket via repartition
+    tx.txlog_create(spark, tpath,
+                    _mk(spark, 0, 1000, 1).repartition(8),
+                    ("k",), 4, sort_by=("k",))
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["stats_col"] == "k"
+    assert snap["stats"] and set(snap["stats"]) <= set(snap["files"])
+    for st in snap["stats"].values():
+        assert st[2] == "num" and st[0] <= st[1]
+
+    got = sorted(r["k"] for r in
+                 tx.txlog_read_range(spark, tpath, 100, 120).collect())
+    assert got == list(range(100, 121))
+    # pruning: files whose [min,max] misses the range never enter
+    plan = tx.txlog_read_range(spark, tpath, 100, 120) \
+        ._jdf.queryExecution().executedPlan().toString()
+    n_out = 0
+    for n, st in snap["stats"].items():
+        if st[1] < 100 or st[0] > 120:
+            assert n not in plan
+            n_out += 1
+    assert n_out > 0  # the fixture really exercises pruning
+    # an upsert refreshes stats for the rewritten buckets
+    tx.txlog_upsert(spark, tpath, _mk(spark, 2000, 2050, 2), _merge,
+                    ("k",), 4, sort_by=("k",))
+    got2 = sorted(r["k"] for r in
+                  tx.txlog_read_range(spark, tpath, 2000, 2100)
+                  .collect())
+    assert got2 == list(range(2000, 2050))
+    # empty-overlap range: zero files read, empty result, no error
+    assert tx.txlog_read_range(spark, tpath, 90000, 90001).count() == 0
