@@ -1,0 +1,74 @@
+"""Time-series resampling: bucket aggregation + dense gap fill +
+forward fill, the telemetry-downsampling operator (TimescaleDB's
+``time_bucket_gapfill``/``locf``, InfluxDB's ``GROUP BY time() fill
+(previous)``) as one declarative Spark plan.
+
+The reference engine has no time-series surface (SURVEY.md §2
+extensions); a 100 TB event store needs exactly this to turn raw
+events into fixed-step series for dashboards and model features.
+
+Exactness design: all value math is INTEGER — observations quantize
+to centi-units once (half-up floor, engine-stable), per-bucket state
+is (sum_cents, n), and the forward-filled average is integer-divided
+milli-units — so results are bit-identical under any partitioning and
+any engine (the same trick as text.ngram_lm_scores' micro-nats).
+
+Topology: one (key, bucket) aggregation exchange with map-side
+partials over the raw events (the only corpus-sized stage), then
+everything else — per-key range, dense grid explode, grid⋈agg join,
+forward-fill window — works on the bucket-grid, whose size is
+O(keys × buckets): at 100 TB of events with daily buckets over a
+year, the grid is ~365 rows per key regardless of event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
+                     value_col: str, step_us: int) -> DataFrame:
+    """Fixed-step series per key: ``(key, bucket_us, n_obs,
+    avg_milli, filled)``.
+
+    * ``bucket_us`` — ``ts − ts mod step`` (exact long arithmetic),
+      densified per key from its first to its last observed bucket.
+    * ``n_obs`` — observations in the bucket (0 for gap rows).
+    * ``avg_milli`` — bucket average in integer milli-units; gap rows
+      carry the LAST observed bucket's average forward (locf).
+    * ``filled`` — true on gap rows.
+
+    ``ts_us_col`` may be a column name or an expression (pass
+    ``queries.ts_us(df, "ts")`` for the heterogeneous testdata)."""
+    ts = F.col(ts_us_col) if isinstance(ts_us_col, str) else ts_us_col
+    key, step = F.col(key_col), F.lit(int(step_us))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    bucket = (ts - F.pmod(ts, step)).cast("long")
+
+    agg = (df.select(key.alias("_k"), bucket.alias("_b"),
+                     cents.alias("_c"))
+             .groupBy("_k", "_b")
+             .agg(F.count("*").alias("_n"), F.sum("_c").alias("_sc")))
+    rng = agg.groupBy("_k").agg(F.min("_b").alias("_lo"),
+                                F.max("_b").alias("_hi"))
+    grid = rng.select(
+        "_k", F.explode(F.sequence("_lo", "_hi", step)).alias("_b"))
+    j = (grid.join(agg, ["_k", "_b"], "left")
+             .select("_k", "_b",
+                     F.coalesce("_n", F.lit(0)).cast("int")
+                      .alias("n_obs"),
+                     "_sc", "_n"))
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("_k").orderBy("_b")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    fsc = F.last("_sc", ignorenulls=True).over(w)
+    fn = F.last("_n", ignorenulls=True).over(w)
+    return (j.withColumn("_fsc", fsc).withColumn("_fn", fn)
+             .select(F.col("_k").alias(key_col),
+                     F.col("_b").alias("bucket_us"),
+                     "n_obs",
+                     F.expr("_fsc * 10 DIV _fn").cast("long")
+                      .alias("avg_milli"),
+                     (F.col("n_obs") == 0).alias("filled")))

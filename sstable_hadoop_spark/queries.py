@@ -4331,6 +4331,52 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_shards=_MIXTURE_SHARDS)
 
 
+_RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
+
+
+@query("events_resample_gapfill", oracle=f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events),
+a AS (
+    SELECT user_id, us - us % {_RESAMPLE_STEP_US} AS b,
+           count(*) AS n, sum(c) AS sc
+    FROM e GROUP BY 1, 2),
+r AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+g AS (
+    SELECT user_id, unnest(range(lo, hi + 1, {_RESAMPLE_STEP_US})) AS b
+    FROM r),
+j AS (
+    SELECT g.user_id, g.b, coalesce(a.n, 0) AS n_obs, a.sc, a.n
+    FROM g LEFT JOIN a ON a.user_id = g.user_id AND a.b = g.b),
+f AS (
+    SELECT user_id, b, n_obs,
+           last_value(sc IGNORE NULLS) OVER w AS fsc,
+           last_value(n  IGNORE NULLS) OVER w AS fn
+    FROM j WINDOW w AS (PARTITION BY user_id ORDER BY b))
+SELECT user_id, b AS bucket_us, CAST(n_obs AS INTEGER) AS n_obs,
+       CAST(fsc * 10 // fn AS BIGINT) AS avg_milli,
+       n_obs = 0 AS filled
+FROM f
+""")
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ time-series resampling (r9, operators/timeseries.py
+    resample_gapfill): per-user 6-hour buckets of the events stream,
+    densified from each user's first to last bucket with gap rows
+    carrying the last observed average forward (TimescaleDB
+    time_bucket_gapfill + locf).  All value math is integer (centi-
+    unit quantization, milli-unit forward-filled averages) so results
+    are bit-identical under any partitioning — no float ever crosses
+    an aggregation boundary.  One corpus-sized (key, bucket)
+    exchange; the grid stages are O(users × buckets)."""
+    from sstable_hadoop_spark.operators.timeseries import resample_gapfill
+
+    ev = load(spark, sf_dir, "events")
+    return resample_gapfill(ev, ts_us(ev, "ts"), "user_id", "value",
+                            _RESAMPLE_STEP_US)
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 

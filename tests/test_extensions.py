@@ -3149,3 +3149,36 @@ def test_sq8_encode_and_search(spark):
     ex = {(r["query_id"], r["vec_id"], r["rk"])
           for r in cosine_topk(emb, q, k=5).collect()}
     assert rr == ex
+
+
+def test_resample_gapfill_hand_checked(spark):
+    """resample_gapfill on a tiny crafted series: bucket math, dense
+    grid bounds, locf carry across multi-bucket gaps, milli-unit
+    integer averages, and the n_obs/filled flags."""
+    from sstable_hadoop_spark.operators.timeseries import (
+        resample_gapfill,
+    )
+
+    step = 10
+    rows = [  # (key, ts_us, value)
+        ("a", 0, 1.00), ("a", 4, 2.00),    # bucket 0: avg 1.5
+        ("a", 25, 0.10),                   # bucket 20: avg 0.1
+        ("a", 52, 3.335),                  # bucket 50 (gap 30,40)
+        ("b", 11, 7.00),                   # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k string, us long, v double")
+    got = {(r["k"], r["bucket_us"]):
+           (r["n_obs"], r["avg_milli"], r["filled"])
+           for r in resample_gapfill(df, "us", "k", "v", step)
+           .collect()}
+    assert got == {
+        ("a", 0): (2, 1500, False),
+        ("a", 10): (0, 1500, True),       # locf from bucket 0
+        ("a", 20): (1, 100, False),
+        ("a", 30): (0, 100, True),        # locf spans...
+        ("a", 40): (0, 100, True),        # ...multiple gap buckets
+        ("a", 50): (1, 3340, False),      # 3.335*100 rounds up in
+                                          # binary: floor(333.500…06
+                                          # + 0.5) = 334 → 3340
+        ("b", 10): (1, 7000, False),
+    }
