@@ -320,7 +320,8 @@ def txlog_read(spark, path: str, version: int | None = None) -> DataFrame:
 def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                  bucket_by: tuple[str, ...], n_buckets: int,
                  sort_by: tuple[str, ...] = (),
-                 max_retries: int = 20) -> tuple[int, list[int]]:
+                 max_retries: int = 20,
+                 merge_schema: bool = False) -> tuple[int, list[int]]:
     """Merge-on-write upsert safe under CONCURRENT writers.
 
     Same data plane as ``layout.bucketed_upsert`` — only the buckets
@@ -330,6 +331,14 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
     writers redo the merge against the winner's snapshot and retry.
     Idempotent for idempotent ``merge`` at the CONTENT level (re-
     applying a delta rewrites equal bytes into a new version).
+
+    ``merge_schema``: when the merge's output WIDENS the table schema
+    (new columns — the Delta schema-evolution case), journal the new
+    schema in this commit; untouched buckets' older files read under
+    it with the new columns as NULL (parquet missing-column fill).
+    The new schema must be a superset — every existing column keeps
+    its name and type — and widening is refused (loudly) without the
+    flag, since a silently-dropped new column is the corruption mode.
 
     Returns ``(committed version, affected bucket ids)``."""
     from pyspark.sql.types import StructType
@@ -347,6 +356,21 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                       *[os.path.join(path, n) for n in old])
                   if old else spark.createDataFrame([], schema))
         merged = merge(stored, delta)
+        new_schema = None
+        if merged.schema != schema:
+            if not merge_schema:
+                raise ValueError(
+                    "merge changed the table schema "
+                    f"({[f.name for f in schema.fields]} -> "
+                    f"{[f.name for f in merged.schema.fields]}); pass "
+                    "merge_schema=True to journal the evolution")
+            have = {f.name: f.dataType for f in merged.schema.fields}
+            for f in schema.fields:
+                if have.get(f.name) != f.dataType:
+                    raise ValueError(
+                        f"schema evolution must preserve column "
+                        f"{f.name}: {f.dataType.simpleString()}")
+            new_schema = merged.schema.json()
         stats: dict[str, list] = {}
         adds = _stage_bucket_files(merged, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(affected),
@@ -356,6 +380,8 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
             "buckets": affected, "adds": adds, "removes": old,
             "stats": stats,
         }
+        if new_schema is not None:
+            record["schema"] = new_schema
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, affected

@@ -328,3 +328,49 @@ def test_range_read_prunes_files(spark, tpath):
     assert got2 == list(range(2000, 2050))
     # empty-overlap range: zero files read, empty result, no error
     assert tx.txlog_read_range(spark, tpath, 90000, 90001).count() == 0
+
+
+def test_schema_evolution(spark, tpath):
+    """merge_schema: a widening merge journals the new schema; old
+    untouched buckets read under it with NULL fill; widening without
+    the flag and column-dropping/retyping merges are refused."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import bucket_id
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4)
+
+    def widen(stored, delta):
+        return (stored.unionByName(delta, allowMissingColumns=True)
+                .groupBy("k").agg(F.max("v").alias("v"),
+                                  F.max("w").alias("w")))
+
+    delta = _mk(spark, 0, 40, 2).filter(bucket_id(4, "k") == 1) \
+        .withColumn("w", F.col("k") * 10)
+    with pytest.raises(ValueError, match="merge_schema"):
+        tx.txlog_upsert(spark, tpath, delta, widen, ("k",), 4)
+    ver, buckets = tx.txlog_upsert(spark, tpath, delta, widen,
+                                   ("k",), 4, merge_schema=True)
+    assert buckets == [1]
+    head = {r["k"]: (r["v"], r["w"]) for r in
+            tx.txlog_read(spark, tpath).collect()}
+    assert len(head) == 40
+    b1 = {r["k"] for r in _mk(spark, 0, 40, 0)
+          .filter(bucket_id(4, "k") == 1).collect()}
+    for k, (v, w) in head.items():
+        if k in b1:
+            assert (v, w) == (2, k * 10)
+        else:
+            assert (v, w) == (1, None)   # old buckets: NULL fill
+    # time travel BEFORE the evolution keeps the old schema
+    assert tx.txlog_read(spark, tpath, version=1).columns == ["k", "v"]
+
+    def retype(stored, delta):
+        return stored.unionByName(
+            delta.select("k", F.col("v").cast("string").alias("v"),
+                         "w"),
+            allowMissingColumns=True).groupBy("k").agg(
+            F.max("v").cast("string").alias("v"), F.max("w").alias("w"))
+
+    with pytest.raises(ValueError, match="preserve column"):
+        tx.txlog_upsert(spark, tpath, delta, retype, ("k",), 4,
+                        merge_schema=True)
