@@ -357,7 +357,12 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                   if old else spark.createDataFrame([], schema))
         merged = merge(stored, delta)
         new_schema = None
-        if merged.schema != schema:
+        # compare by (name, type) only — aggregation output flips
+        # nullability flags, which is not an evolution
+        def _shape(s):
+            return [(f.name, f.dataType) for f in s.fields]
+
+        if _shape(merged.schema) != _shape(schema):
             if not merge_schema:
                 raise ValueError(
                     "merge changed the table schema "
