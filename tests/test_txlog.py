@@ -374,3 +374,26 @@ def test_schema_evolution(spark, tpath):
     with pytest.raises(ValueError, match="preserve column"):
         tx.txlog_upsert(spark, tpath, delta, retype, ("k",), 4,
                         merge_schema=True)
+
+
+def test_txlog_on_file_uri(spark, tmp_path):
+    """The whole txlog lifecycle through a scheme'd file:// URI — the
+    fs-portability claim: log listing, exclusive commit creation,
+    staging copies, snapshot reads, vacuum all route through
+    sources/fs.py."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    path = "file://" + str(tmp_path / "t")
+    tx.txlog_create(spark, path, _mk(spark, 0, 40, 1), ("k",), 4)
+    ver, _ = tx.txlog_upsert(spark, path, _mk(spark, 20, 60, 2),
+                             _merge, ("k",), 4)
+    assert ver == 2
+    exp = sorted([(k, 1) for k in range(20)]
+                 + [(k, 2) for k in range(20, 60)])
+    assert _content(spark, path) == exp
+    assert tx.txlog_snapshot(path)["version"] == 2
+    d = tx.txlog_diff(spark, path, 1)
+    assert d.filter("_change = 'insert'").count() == 40
+    # vacuum last — it reclaims v1's files, ending v1 readability
+    gone = tx.txlog_vacuum(path, min_age_sec=0)
+    assert gone and _content(spark, path) == exp
