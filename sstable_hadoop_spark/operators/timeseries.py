@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 
 def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
-                     value_col: str, step_us: int) -> DataFrame:
+                     value_col: str, step_us: int,
+                     fill: str = "locf") -> DataFrame:
     """Fixed-step series per key: ``(key, bucket_us, n_obs,
     avg_milli, filled)``.
 
@@ -36,11 +37,19 @@ def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
       densified per key from its first to its last observed bucket.
     * ``n_obs`` — observations in the bucket (0 for gap rows).
     * ``avg_milli`` — bucket average in integer milli-units; gap rows
-      carry the LAST observed bucket's average forward (locf).
+      are filled per ``fill``:
+        - ``"locf"``: carry the LAST observed bucket's average
+          forward;
+        - ``"linear"``: integer lerp between the surrounding observed
+          buckets, ``prev + (next−prev)·(b−b_prev) DIV (b_next −
+          b_prev)`` (truncating DIV, identical in Spark and DuckDB);
+          trailing gaps (no next) fall back to locf.
     * ``filled`` — true on gap rows.
 
     ``ts_us_col`` may be a column name or an expression (pass
     ``queries.ts_us(df, "ts")`` for the heterogeneous testdata)."""
+    if fill not in ("locf", "linear"):
+        raise ValueError(f"unknown fill mode {fill!r}")
     ts = F.col(ts_us_col) if isinstance(ts_us_col, str) else ts_us_col
     key, step = F.col(key_col), F.lit(int(step_us))
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
@@ -58,17 +67,39 @@ def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
              .select("_k", "_b",
                      F.coalesce("_n", F.lit(0)).cast("int")
                       .alias("n_obs"),
-                     "_sc", "_n"))
+                     # observed-bucket average in milli-units (NULL on
+                     # gap rows) — the single state the fills carry
+                     F.expr("_sc * 10 DIV _n").cast("long")
+                      .alias("_oa")))
     from pyspark.sql.window import Window
 
-    w = (Window.partitionBy("_k").orderBy("_b")
-               .rowsBetween(Window.unboundedPreceding, 0))
-    fsc = F.last("_sc", ignorenulls=True).over(w)
-    fn = F.last("_n", ignorenulls=True).over(w)
-    return (j.withColumn("_fsc", fsc).withColumn("_fn", fn)
+    back = (Window.partitionBy("_k").orderBy("_b")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    pa = F.last("_oa", ignorenulls=True).over(back)
+    if fill == "locf":
+        filled_avg = pa
+    else:
+        fwd = (Window.partitionBy("_k").orderBy("_b")
+                     .rowsBetween(0, Window.unboundedFollowing))
+        obs_b = F.when(F.col("n_obs") > 0, F.col("_b"))
+        pb = F.last(obs_b, ignorenulls=True).over(back)
+        na = F.first("_oa", ignorenulls=True).over(fwd)
+        nb = F.first(obs_b, ignorenulls=True).over(fwd)
+        j = (j.withColumn("_pa", pa).withColumn("_pb", pb)
+              .withColumn("_na", na).withColumn("_nb", nb))
+        filled_avg = F.when(F.col("_na").isNull(), F.col("_pa")) \
+            .otherwise(F.expr(
+                "_pa + (_na - _pa) * (_b - _pb) DIV (_nb - _pb)"))
+        return (j.select(F.col("_k").alias(key_col),
+                         F.col("_b").alias("bucket_us"),
+                         "n_obs",
+                         F.when(F.col("n_obs") > 0, F.col("_oa"))
+                          .otherwise(filled_avg).cast("long")
+                          .alias("avg_milli"),
+                         (F.col("n_obs") == 0).alias("filled")))
+    return (j.withColumn("_fa", filled_avg)
              .select(F.col("_k").alias(key_col),
                      F.col("_b").alias("bucket_us"),
                      "n_obs",
-                     F.expr("_fsc * 10 DIV _fn").cast("long")
-                      .alias("avg_milli"),
+                     F.col("_fa").cast("long").alias("avg_milli"),
                      (F.col("n_obs") == 0).alias("filled")))

@@ -4377,6 +4377,57 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                             _RESAMPLE_STEP_US)
 
 
+@query("events_resample_linear", oracle=f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events),
+a AS (
+    SELECT user_id, us - us % {_RESAMPLE_STEP_US} AS b,
+           count(*) AS n, sum(c) AS sc
+    FROM e GROUP BY 1, 2),
+r AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+g AS (
+    SELECT user_id, unnest(range(lo, hi + 1, {_RESAMPLE_STEP_US})) AS b
+    FROM r),
+j AS (
+    SELECT g.user_id, g.b, coalesce(a.n, 0) AS n_obs,
+           CAST(a.sc * 10 // a.n AS BIGINT) AS oa
+    FROM g LEFT JOIN a ON a.user_id = g.user_id AND a.b = g.b),
+f AS (
+    SELECT user_id, b, n_obs, oa,
+           last_value(oa IGNORE NULLS) OVER wb AS pa,
+           last_value(CASE WHEN n_obs > 0 THEN b END IGNORE NULLS)
+               OVER wb AS pb,
+           first_value(oa IGNORE NULLS) OVER wf AS na,
+           first_value(CASE WHEN n_obs > 0 THEN b END IGNORE NULLS)
+               OVER wf AS nb
+    FROM j
+    WINDOW wb AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, b AS bucket_us, CAST(n_obs AS INTEGER) AS n_obs,
+       CAST(CASE WHEN n_obs > 0 THEN oa
+                 WHEN na IS NULL THEN pa
+                 ELSE pa + (na - pa) * (b - pb) // (nb - pb)
+            END AS BIGINT) AS avg_milli,
+       n_obs = 0 AS filled
+FROM f
+""")
+def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the LINEAR-interpolation fill of the resampler — gap
+    buckets lerp between the surrounding observed averages in exact
+    integer milli-units (truncating DIV, identical in both engines),
+    trailing gaps fall back to locf.  Same one-corpus-exchange
+    topology as events_resample_gapfill."""
+    from sstable_hadoop_spark.operators.timeseries import resample_gapfill
+
+    ev = load(spark, sf_dir, "events")
+    return resample_gapfill(ev, ts_us(ev, "ts"), "user_id", "value",
+                            _RESAMPLE_STEP_US, fill="linear")
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 

@@ -3182,3 +3182,32 @@ def test_resample_gapfill_hand_checked(spark):
                                           # + 0.5) = 334 → 3340
         ("b", 10): (1, 7000, False),
     }
+
+
+def test_resample_linear_interpolation(spark):
+    """fill='linear': gap rows lerp between surrounding observed
+    averages with truncating integer DIV; trailing gaps locf."""
+    from sstable_hadoop_spark.operators.timeseries import (
+        resample_gapfill,
+    )
+
+    step = 10
+    rows = [("a", 0, 1.00),          # bucket 0:  1000 milli
+            ("a", 31, 4.00),         # bucket 30: 4000 milli
+            ("a", 45, 1.00),         # bucket 40: 1000
+            ("a", 61, 2.00)]         # bucket 60: 2000
+    df = spark.createDataFrame(rows, "k string, us long, v double")
+    got = {r["bucket_us"]: (r["avg_milli"], r["filled"]) for r in
+           resample_gapfill(df, "us", "k", "v", step,
+                            fill="linear").collect()}
+    assert got == {
+        0: (1000, False),
+        10: (2000, True),    # 1000 + 3000*10 DIV 30
+        20: (3000, True),
+        30: (4000, False),
+        40: (1000, False),
+        50: (1500, True),    # 1000 + 1000*10 DIV 20
+        60: (2000, False),
+    }
+    with pytest.raises(ValueError, match="fill mode"):
+        resample_gapfill(df, "us", "k", "v", step, fill="spline")
