@@ -586,3 +586,29 @@ def txlog_read_range(spark, path: str, lo, hi,
     df = spark.read.schema(schema).parquet(
         *[os.path.join(path, n) for n in keep])
     return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def txlog_delete(spark, path: str, keys: DataFrame,
+                 bucket_by: tuple[str, ...], n_buckets: int,
+                 sort_by: tuple[str, ...] = (),
+                 max_retries: int = 20) -> tuple[int, list[int]]:
+    """Hard-delete every table row matching ``keys`` (anti-join on
+    ALL of ``keys``' columns, which must include ``bucket_by``) — the
+    right-to-be-forgotten operation: rewrite only the buckets the
+    keys hash into, commit optimistically like any writer, then
+    ``txlog_vacuum`` past the retention window makes the bytes
+    unreachable AND gone (time travel to pre-delete versions ends
+    when their files are reclaimed — that is the point).  Idempotent:
+    re-deleting absent keys rewrites identical content."""
+    cols = list(keys.columns)
+    missing = [c for c in bucket_by if c not in cols]
+    if missing:
+        raise ValueError(
+            f"keys must carry the bucket columns; missing {missing}")
+    dk = keys.distinct()
+
+    def merge(stored, delta):
+        return stored.join(delta, on=cols, how="left_anti")
+
+    return txlog_upsert(spark, path, dk, merge, bucket_by, n_buckets,
+                        sort_by, max_retries)

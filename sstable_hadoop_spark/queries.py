@@ -4785,6 +4785,56 @@ def txlog_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_winners(txlog_read(spark, path))
 
 
+# Sixth member of the flagship-oracle family: HARD DELETE through the
+# transaction log (right-to-be-forgotten).  Winners for keys ≡ 0 mod 3
+# are deleted; the survivors must equal the full merge minus exactly
+# those keys — a delete that leaked a row, dropped a neighbor, or
+# missed a bucket diverges and hash-mismatches.
+@query("txlog_delete_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT * FROM (
+    SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+           ts_us, generation
+    FROM cells
+    QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                               ORDER BY {_ORDER}) = 1)
+WHERE CAST(key_str AS BIGINT) % 3 <> 0
+""")
+def txlog_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: key deletion through the transaction log
+    (operators/txlog.py txlog_delete) — the GDPR path: rewrite only
+    the buckets the doomed keys hash into, as an optimistic commit;
+    vacuum later makes the bytes unreachable AND gone.  Idempotent
+    (re-deleting absent keys rewrites identical content), so the row
+    is driver-stable across reruns while the log keeps the audit
+    trail."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_delete,
+        txlog_read,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        txlog_create(spark, os.path.join(out, "t"), lww_cell(cells),
+                     bucket_by=("key",), n_buckets=8,
+                     sort_by=("key", "name"))
+
+    base = _idempotent_tmpdir("txlog_delete_base_" + h, build)
+    path = os.path.join(base, "t")
+    doomed = (txlog_read(spark, path).select("key").distinct()
+              .filter(F.decode(F.col("key"), "UTF-8").cast("long")
+                      % 3 == 0))
+    txlog_delete(spark, path, doomed, bucket_by=("key",), n_buckets=8,
+                 sort_by=("key", "name"))
+    return _render_winners(txlog_read(spark, path))
+
+
 def _profile_branch(col: str, dt: str, render: str) -> str:
     """One UNION ALL branch of the profile oracle: the same stats
     operators/profile.py computes, column-at-a-time in SQL."""

@@ -397,3 +397,27 @@ def test_txlog_on_file_uri(spark, tmp_path):
     # vacuum last — it reclaims v1's files, ending v1 readability
     gone = tx.txlog_vacuum(path, min_age_sec=0)
     assert gone and _content(spark, path) == exp
+
+
+def test_delete_keys(spark, tpath):
+    """txlog_delete: doomed keys gone, neighbors intact, affected
+    buckets only, idempotent; missing bucket columns refused."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import bucket_id
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 60, 1), ("k",), 4)
+    doomed = spark.range(0, 60, 5).select(F.col("id").alias("k"))
+    ver, buckets = tx.txlog_delete(spark, tpath, doomed, ("k",), 4)
+    exp = sorted((k, 1) for k in range(60) if k % 5)
+    assert _content(spark, tpath) == exp
+    # only buckets containing doomed keys were rewritten
+    want_buckets = sorted(r[0] for r in doomed.select(
+        bucket_id(4, "k").alias("b")).distinct().collect())
+    assert buckets == want_buckets
+    # idempotent re-delete
+    v2, _ = tx.txlog_delete(spark, tpath, doomed, ("k",), 4)
+    assert v2 == ver + 1 and _content(spark, tpath) == exp
+    with pytest.raises(ValueError, match="bucket columns"):
+        tx.txlog_delete(spark, tpath,
+                        doomed.withColumnRenamed("k", "kk"),
+                        ("k",), 4)
