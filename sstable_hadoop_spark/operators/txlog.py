@@ -612,3 +612,46 @@ def txlog_delete(spark, path: str, keys: DataFrame,
 
     return txlog_upsert(spark, path, dk, merge, bucket_by, n_buckets,
                         sort_by, max_retries)
+
+
+def txlog_restore(spark, path: str, version: int,
+                  max_retries: int = 20) -> int:
+    """Roll the table back to ``version`` as a NEW commit (Delta
+    RESTORE): the head becomes content-identical to the old version
+    while history stays append-only — nothing is rewritten, the
+    restore commit just re-references the old version's (still
+    un-vacuumed) files and removes the current head's.  Fails loudly
+    if vacuum already reclaimed any needed file.  Conflict-checked
+    like any writer (touches every bucket that differs)."""
+    target = txlog_snapshot(path, version)
+    for n in target["files"]:
+        if not fs.exists(os.path.join(path, n)):
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: file {n} was "
+                "vacuumed — restore is only possible inside the "
+                "vacuum retention window")
+    for _ in range(max_retries):
+        head = txlog_snapshot(path)
+        if head["files"] == target["files"]:
+            return head["version"]  # already there
+        adds = sorted((n, b) for n, b in target["files"].items()
+                      if n not in head["files"])
+        removes = sorted(n for n in head["files"]
+                         if n not in target["files"])
+        touched = sorted(
+            {b for n, b in target["files"].items()
+             if n not in head["files"]}
+            | {head["files"][n] for n in removes})
+        record = {"op": "restore", "writer": uuid.uuid4().hex,
+                  "restored_version": version, "buckets": touched,
+                  "adds": adds, "removes": removes,
+                  "stats": {n: target["stats"][n] for n, _ in adds
+                            if n in target["stats"]}}
+        if target["schema"] != head["schema"]:
+            record["schema"] = target["schema"]
+        won = _try_commit(path, head, record)
+        if won != "conflict":
+            return won
+    raise TxConflictError(
+        f"gave up restoring {path} to {version} after "
+        f"{max_retries} conflicts")

@@ -421,3 +421,29 @@ def test_delete_keys(spark, tpath):
         tx.txlog_delete(spark, tpath,
                         doomed.withColumnRenamed("k", "kk"),
                         ("k",), 4)
+
+
+def test_restore_to_version(spark, tpath):
+    """RESTORE: head becomes content-identical to the old version via
+    an append-only commit; restoring past a vacuum fails loudly; a
+    restore of the current content is a no-op."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4)
+    v1 = _content(spark, tpath)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 40, 2), _merge,
+                    ("k",), 4)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 10, 20, 3), _merge,
+                    ("k",), 4)
+    assert _content(spark, tpath) != v1
+    won = tx.txlog_restore(spark, tpath, 1)
+    assert won == 4
+    assert _content(spark, tpath) == v1
+    assert tx.txlog_history(tpath)[-1]["op"] == "restore"
+    # restoring to the identical content is a version no-op
+    assert tx.txlog_restore(spark, tpath, 4) == 4
+    # after vacuum reclaims v2/v3 files, restore THERE fails loudly
+    tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx.txlog_restore(spark, tpath, 3)
+    assert _content(spark, tpath) == v1  # untouched by the failure
