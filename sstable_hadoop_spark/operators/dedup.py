@@ -626,3 +626,63 @@ def semantic_dedup(embeddings: DataFrame, tau: float = 0.9,
              .alias("kept"))
     return (flagged.filter(F.col("_dead").isNull())
                    .select(*[F.col(c) for c in embeddings.columns], "cell"))
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_df: int = 2,
+                     sep: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup (r9) — the RefinedWeb/C4 curation
+    pass that strips boilerplate PARAGRAPHS (cookie banners,
+    newsletter footers, nav crumbs) repeated across ≥ ``min_df``
+    documents, where the 8-gram span remover targets sub-sentence
+    templates: split on ``sep``, drop every paragraph whose distinct-
+    document frequency reaches ``min_df``, rebuild the document from
+    the survivors in order.
+
+    Returns (id, text, n_paragraphs, n_removed).
+
+    Topology (mirrors remove_duplicate_spans one level coarser): only
+    (id, position, 60-bit md5 hash) rows ever shuffle — paragraph df
+    over the DISTINCT (id, hash) set, duplicated positions join back
+    on the hash key co-partitioned with the df agg, the per-doc dead-
+    position list comes home via one id-keyed collect_set (broadcast
+    when it fits, AQE decides), and the rebuild is a codegen indexed
+    filter + array_join.  Paragraph TEXT never crosses an exchange."""
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    paras = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    _regex_escape(sep)),
+            lambda p: F.trim(p)),
+        lambda p: p != "")
+    base = df.select(F.col(id_col).alias("id"), paras.alias("_ps"))
+
+    pos = (base.select(
+        "id", F.posexplode("_ps").alias("_i", "_p"))
+        .select("id", "_i",
+                F.conv(F.substring(F.md5(F.col("_p")), 1, 15), 16, 10)
+                 .cast("long").alias("_h")))
+    dup_h = (pos.select("id", "_h").distinct()
+                .groupBy("_h").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") >= min_df).select("_h"))
+    dead = (pos.join(dup_h, "_h")
+               .groupBy("id").agg(F.collect_set("_i").alias("_dead")))
+    out = base.join(dead, "id", "left").withColumn(
+        "_dead", F.coalesce("_dead", F.array().cast("array<int>")))
+    survivors = F.filter(
+        F.col("_ps"),
+        lambda p, i: ~F.array_contains(F.col("_dead"), i))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.array_join(survivors, sep).alias(text_col),
+        F.size("_ps").cast("int").alias("n_paragraphs"),
+        F.size("_dead").cast("int").alias("n_removed"))
+
+
+def _regex_escape(s: str) -> str:
+    """Literal → Java-regex-safe pattern (split takes a regex)."""
+    import re as _re
+
+    return _re.escape(s)

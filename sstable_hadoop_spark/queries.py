@@ -5189,6 +5189,64 @@ def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+_PARA_HEADER = "subscribe to our newsletter for updates"
+_PARA_FOOTER = "copyright corpus example all rights reserved"
+
+
+@query("corpus_dedup_paragraphs", oracle=f"""
+WITH comp AS (
+    SELECT doc_id,
+           '{_PARA_HEADER}' || chr(10) || chr(10) || text
+           || chr(10) || chr(10) || '{_PARA_FOOTER}' AS t
+    FROM documents),
+ps AS (
+    SELECT doc_id, string_split(t, chr(10) || chr(10)) AS l
+    FROM comp),
+px AS (
+    SELECT doc_id,
+           unnest([{{'p': trim(l[i]), 'i': i}}
+                   FOR i IN range(1, len(l) + 1)]) AS u
+    FROM ps),
+p AS (SELECT doc_id, u.p AS p, u.i AS i FROM px WHERE u.p <> ''),
+dupes AS (
+    SELECT md5(p) AS h
+    FROM (SELECT DISTINCT doc_id, md5(p) AS h, p FROM p)
+    GROUP BY md5(p) HAVING count(*) >= 2),
+f AS (SELECT doc_id, p, i,
+             md5(p) IN (SELECT h FROM dupes) AS dead
+      FROM p)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_paragraphs,
+       CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN NOT dead THEN p END,
+                               chr(10) || chr(10) ORDER BY i), ''))
+           AS clean_md5
+FROM f GROUP BY doc_id
+""")
+def corpus_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ paragraph-level dedup (r9, operators/dedup.py
+    dedup_paragraphs): the RefinedWeb/C4 boilerplate-paragraph pass —
+    every document is composed with a shared newsletter header and
+    copyright footer, and the operator must strip exactly the
+    paragraphs whose distinct-document frequency ≥ 2 (the injected
+    boilerplate everywhere, plus the corpus's seeded duplicate
+    bodies), leaving unique bodies intact.  Only (id, position,
+    60-bit hash) rows shuffle; paragraph text never crosses an
+    exchange."""
+    from sstable_hadoop_spark.operators.dedup import dedup_paragraphs
+
+    docs = load(spark, sf_dir, "documents")
+    composed = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", F.lit(_PARA_HEADER), F.col("text"),
+                    F.lit(_PARA_FOOTER)).alias("text"))
+    out = dedup_paragraphs(composed, min_df=2)
+    return out.select(
+        "doc_id", "n_paragraphs", "n_removed",
+        F.md5("text").alias("clean_md5"))
+
+
 _SEMDEDUP_TAU = 0.9
 
 

@@ -3211,3 +3211,34 @@ def test_resample_linear_interpolation(spark):
     }
     with pytest.raises(ValueError, match="fill mode"):
         resample_gapfill(df, "us", "k", "v", step, fill="spline")
+
+
+def test_dedup_paragraphs_hand_checked(spark):
+    from sstable_hadoop_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "subscribe now"
+    rows = [
+        (1, f"{boiler}\n\nunique one\n\nfooter x"),
+        (2, f"{boiler}\n\nunique two\n\nfooter x"),
+        (3, "all alone here"),
+        (4, f"{boiler}\n\n{boiler}\n\nunique four"),  # dup WITHIN doc
+        (5, ""),                                      # empty
+        (6, None),                                    # NULL
+        (7, f"  {boiler}  \n\n\n\nunique seven"),     # trim + empties
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+           for r in dedup_paragraphs(df, min_df=2).collect()}
+    assert got[1] == ("unique one", 3, 2)
+    assert got[2] == ("unique two", 3, 2)
+    assert got[3] == ("all alone here", 1, 0)
+    # within-doc repetition counts ONE distinct doc — df for boiler is
+    # docs {1,2,4,7} ≥ 2, so both copies in doc 4 are removed
+    assert got[4] == ("unique four", 3, 2)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 0, 0)
+    assert got[7] == ("unique seven", 2, 1)
+    # min_df high enough keeps everything
+    keep = {r["doc_id"]: r["n_removed"]
+            for r in dedup_paragraphs(df, min_df=99).collect()}
+    assert set(keep.values()) == {0}
