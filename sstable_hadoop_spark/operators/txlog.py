@@ -655,3 +655,52 @@ def txlog_restore(spark, path: str, version: int,
     raise TxConflictError(
         f"gave up restoring {path} to {version} after "
         f"{max_retries} conflicts")
+
+
+def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
+                n_buckets: int,
+                sort_by: tuple[str, ...] = ()) -> int:
+    """Adopt an EXISTING ``write_bucketed`` table into a transaction
+    log without copying a byte: journal its current bucket files as
+    commit 1.  The zero-downtime migration path off the single-writer
+    lease — after adoption the same files serve txlog readers, and
+    writers move to ``txlog_upsert``.  The declared ``bucket_by``/
+    ``n_buckets`` must match the original writer's (the file names'
+    bucket ids are validated against ``n_buckets``)."""
+    from .layout import bucket_files
+
+    if txlog_exists(path):
+        raise FileExistsError(f"transaction log already exists: {path}")
+    by_bucket = bucket_files(path)
+    if not by_bucket:
+        raise FileNotFoundError(f"no bucketed data files at {path}")
+    bad = sorted(b for b in by_bucket if b >= n_buckets)
+    if bad:
+        raise ValueError(
+            f"file names carry bucket ids {bad} >= n_buckets="
+            f"{n_buckets} — declared bucketing does not match the "
+            "writer's")
+    adds, stats = [], {}
+    col = (sort_by or bucket_by)[0]
+    for b, files in sorted(by_bucket.items()):
+        for f in files:
+            name = os.path.basename(f)
+            adds.append((name, b))
+            if not fs.has_scheme(f):
+                st = _footer_stats(f, col)
+                if st is not None:
+                    stats[name] = st
+    schema = spark.read.parquet(path).schema.json()  # footer-only
+    fs.makedirs(_log_dir(path))
+    record = {
+        "op": "adopt", "writer": uuid.uuid4().hex, "schema": schema,
+        "bucket_by": list(bucket_by), "n_buckets": n_buckets,
+        "sort_by": list(sort_by),
+        "buckets": sorted(by_bucket), "adds": adds, "removes": [],
+        "stats": stats, "stats_col": col,
+    }
+    won = _try_commit(path, {"version": 0}, record)
+    if won != 1:
+        raise FileExistsError(
+            f"lost the adoption race on {path} (got {won})")
+    return 1

@@ -447,3 +447,36 @@ def test_restore_to_version(spark, tpath):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         tx.txlog_restore(spark, tpath, 3)
     assert _content(spark, tpath) == v1  # untouched by the failure
+
+
+def test_adopt_existing_bucketed_table(spark, tpath):
+    """Zero-copy adoption: an existing write_bucketed table becomes
+    commit 1 with its files IN PLACE (no copies), upserts work on it
+    afterwards, and a bucketing mismatch is refused."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import write_bucketed
+
+    write_bucketed(_mk(spark, 0, 80, 1), tpath, "adopt_t",
+                   bucket_by=("k",), n_buckets=4, sort_by=("k",))
+    import glob
+
+    files_before = sorted(glob.glob(os.path.join(tpath, "*.parquet")))
+    with pytest.raises(ValueError, match="n_buckets"):
+        tx.txlog_adopt(spark, tpath, ("k",), 2)
+    assert tx.txlog_adopt(spark, tpath, ("k",), 4,
+                          sort_by=("k",)) == 1
+    assert sorted(glob.glob(os.path.join(tpath, "*.parquet"))) \
+        == files_before  # nothing copied
+    assert _content(spark, tpath) == [(k, 1) for k in range(80)]
+    with pytest.raises(FileExistsError):
+        tx.txlog_adopt(spark, tpath, ("k",), 4)
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["stats_col"] == "k" and snap["stats"]
+    # life continues under the log: upsert + range read
+    tx.txlog_upsert(spark, tpath, _mk(spark, 70, 90, 2), _merge,
+                    ("k",), 4, sort_by=("k",))
+    assert dict(_content(spark, tpath))[75] == 2
+    assert sorted(
+        r["k"] for r in
+        tx.txlog_read_range(spark, tpath, 10, 12).collect()) \
+        == [10, 11, 12]
