@@ -480,3 +480,73 @@ def test_adopt_existing_bucketed_table(spark, tpath):
         r["k"] for r in
         tx.txlog_read_range(spark, tpath, 10, 12).collect()) \
         == [10, 11, 12]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("upsert"), st.integers(0, 19),
+              st.integers(0, 19), st.integers(1, 9)),
+    st.tuples(st.just("delete"), st.integers(0, 19),
+              st.integers(0, 19)),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("restore")),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_txlog_model_based(spark, tmp_path, ops):
+    """Model-based property: a random sequence of upserts (max-merge),
+    deletes, compactions and restores against the txlog must track a
+    plain dict model exactly — content after every commit, and time
+    travel to any recorded version reproduces the model's history."""
+    import uuid as _uuid
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    path = str(tmp_path / f"m{_uuid.uuid4().hex[:8]}")
+    tx.txlog_create(spark, path, _mk(spark, 0, 10, 0), ("k",), 2)
+    model = {k: 0 for k in range(10)}
+    history = {1: dict(model)}
+
+    def content():
+        return dict((r["k"], r["v"]) for r in
+                    tx.txlog_read(spark, path).collect())
+
+    for op in ops:
+        if op[0] == "upsert":
+            lo, span, v = op[1], op[2], op[3]
+            hi = lo + span + 1
+            ver, _ = tx.txlog_upsert(
+                spark, path, _mk(spark, lo, hi, v), _merge, ("k",), 2)
+            for k in range(lo, hi):
+                model[k] = max(model.get(k, -1), v)
+        elif op[0] == "delete":
+            lo, span = op[1], op[2]
+            hi = lo + span + 1
+            doomed = spark.range(lo, hi).select(F.col("id").alias("k"))
+            ver, _ = tx.txlog_delete(spark, path, doomed, ("k",), 2)
+            for k in range(lo, hi):
+                model.pop(k, None)
+        elif op[0] == "compact":
+            won, _ = tx.txlog_compact(spark, path)
+            if won is None:
+                continue
+            ver = won
+        else:  # restore to the oldest recorded version
+            target = min(history)
+            ver = tx.txlog_restore(spark, path, target)
+            model = dict(history[target])
+            if ver in history:   # content-identical no-op restore
+                assert content() == model
+                continue
+        history[ver] = dict(model)
+        assert content() == model, (op, ver)
+    # time travel reproduces every recorded version
+    for v, snap_model in history.items():
+        got = dict((r["k"], r["v"]) for r in
+                   tx.txlog_read(spark, path, version=v).collect())
+        assert got == snap_model, v
