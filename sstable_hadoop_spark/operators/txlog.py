@@ -704,3 +704,35 @@ def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
         raise FileExistsError(
             f"lost the adoption race on {path} (got {won})")
     return 1
+
+
+def txlog_health(spark, path: str, n_buckets: int) -> DataFrame:
+    """Read-only fsck for the logged table (the txlog counterpart of
+    ``layout.table_health``): one row per declared bucket with its
+    head-version file count, plus a ``_table`` row whose note carries
+    version, commit/checkpoint counts, checkpoint lag, files
+    unreferenced at head (old-version retention + crash orphans —
+    vacuum's work list), and missing-at-head files (data loss: a
+    referenced file someone deleted out-of-band).  Metadata-only: one
+    log fold + one directory listing, no data read."""
+    snap = txlog_snapshot(path)
+    commits, checkpoints = _list_log(path)
+    per_bucket: dict[int, int] = {b: 0 for b in range(n_buckets)}
+    for _, b in snap["files"].items():
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    on_disk = {os.path.basename(f)
+               for f in fs.list_files(path.rstrip("/"),
+                                      suffix=".parquet")
+               if _BUCKET_FILE_RE.match(os.path.basename(f))}
+    unref = sorted(on_disk - set(snap["files"]))
+    missing = sorted(set(snap["files"]) - on_disk)
+    lag = snap["version"] - (checkpoints[-1] if checkpoints else 0)
+    note = (f"version={snap['version']} commits={len(commits)} "
+            f"checkpoints={len(checkpoints)} checkpoint_lag={lag} "
+            f"unreferenced={len(unref)} missing={len(missing)}")
+    if missing:
+        note += " DATA-LOSS:" + ",".join(missing[:5])
+    rows = [(str(b), per_bucket[b], "") for b in range(n_buckets)]
+    rows.append(("_table", len(snap["files"]), note))
+    return spark.createDataFrame(
+        rows, "bucket string, n_files int, note string")

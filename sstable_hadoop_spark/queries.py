@@ -4835,6 +4835,45 @@ def txlog_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_winners(txlog_read(spark, path))
 
 
+@query("txlog_table_health", oracle="""
+SELECT * FROM (VALUES
+    (TRUE, TRUE, TRUE, 8, CAST(0 AS INTEGER))
+) AS t(logged, no_missing, every_bucket_filled, n_bucket_rows,
+       n_lost_files)
+""")
+def txlog_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: fsck over the txlog winners fixture (operators/txlog.py
+    txlog_health) reduced to its SF- and run-count-independent
+    invariants (the bucketed_table_health pattern): a log is present,
+    no referenced file is missing from disk, all 8 declared buckets
+    hold files, and zero data-loss entries — version numbers and
+    unreferenced-file counts grow with driver reruns by design, so
+    they stay out of the checked projection."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sstable_hadoop_spark.operators.txlog import txlog_health
+
+    txlog_delete_roundtrip(spark, sf_dir)  # ensure/refresh the fixture
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        "txlog_delete_base_" + h, "t")
+    rep = txlog_health(spark, path, 8)
+    t = F.col("bucket") == "_table"
+    return rep.agg(
+        F.max(F.when(t, F.col("note").contains("version=")))
+         .alias("logged"),
+        F.max(F.when(t, ~F.col("note").contains("DATA-LOSS")))
+         .alias("no_missing"),
+        F.min(F.when(~t, F.col("n_files") > 0))
+         .alias("every_bucket_filled"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("int")
+         .alias("n_bucket_rows"),
+        F.sum(F.when(t & F.col("note").contains("DATA-LOSS"), 1)
+               .otherwise(0)).cast("int").alias("n_lost_files"))
+
+
 def _profile_branch(col: str, dt: str, render: str) -> str:
     """One UNION ALL branch of the profile oracle: the same stats
     operators/profile.py computes, column-at-a-time in SQL."""

@@ -550,3 +550,25 @@ def test_txlog_model_based(spark, tmp_path, ops):
         got = dict((r["k"], r["v"]) for r in
                    tx.txlog_read(spark, path, version=v).collect())
         assert got == snap_model, v
+
+
+def test_txlog_health_report(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 40, 2), _merge,
+                    ("k",), 4)
+    rep = {r["bucket"]: r for r in
+           tx.txlog_health(spark, tpath, 4).collect()}
+    t = rep["_table"]
+    assert "version=2" in t["note"] and "missing=0" in t["note"]
+    # replaced create files are retained → unreferenced at head
+    assert "unreferenced=0" not in t["note"]
+    assert all(rep[str(b)]["n_files"] > 0 for b in range(4))
+    assert t["n_files"] == sum(rep[str(b)]["n_files"] for b in range(4))
+    # delete a referenced file out-of-band → DATA-LOSS flagged
+    victim = next(iter(tx.txlog_snapshot(tpath)["files"]))
+    os.remove(os.path.join(tpath, victim))
+    note = {r["bucket"]: r["note"] for r in
+            tx.txlog_health(spark, tpath, 4).collect()}["_table"]
+    assert "DATA-LOSS" in note and victim in note
