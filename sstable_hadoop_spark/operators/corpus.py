@@ -821,7 +821,12 @@ def cap_per_domain(df: DataFrame, url_col: str, cap: int,
     ONE exchange on the domain hash, then a window inside each
     partition; with AQE skew handling a mega-domain (the exact thing
     being capped) still splits across tasks for the sort.  Adds
-    ``domain`` (+``rank`` when ``keep_rank``)."""
+    ``domain`` (+``rank`` when ``keep_rank``).
+
+    Rows whose URL yields no host (schemeless/garbage) share the
+    empty-string domain and are capped TOGETHER under it — pre-filter
+    ``url_host(col) != ''`` if unknown-domain docs should bypass the
+    cap instead."""
     from ._util import ensure_parallelism
 
     from pyspark.sql import Window

@@ -36,7 +36,7 @@ _DROP_CONTENT = ("head", "script", "style", "noscript", "nav",
 #: Block-level closers that become line breaks so words from adjacent
 #: blocks don't fuse ("...end.Next title" → "...end.\nNext title").
 _BLOCK_BREAK = r"(?i)</(?:p|div|h[1-6]|li|tr|td|th|table|ul|ol|" \
-               r"blockquote|section|article)>|<br[^>]*>"
+               r"blockquote|section|article)>|<br\b[^>]*>"
 
 #: Core named entities, decoded in this order (&amp; LAST, so
 #: "&amp;lt;" decodes to the literal text "&lt;", not to "<").

@@ -265,14 +265,20 @@ def _try_commit(path: str, base: dict, record: dict) -> int | str:
 def _maybe_checkpoint(path: str, version: int) -> None:
     if version % CHECKPOINT_EVERY:
         return
-    snap = txlog_snapshot(path, version)
-    fs.write_bytes_atomic(
-        _checkpoint_path(path, version),
-        json.dumps({"version": version, "schema": snap["schema"],
-                    "files": sorted(snap["files"].items()),
-                    "stats": snap["stats"],
-                    "stats_col": snap["stats_col"]},
-                   sort_keys=True).encode())
+    # best-effort: the COMMIT already landed — a failed checkpoint
+    # only means longer replay until the next multiple, and the next
+    # committer at this version-multiple recomputes identical content
+    try:
+        snap = txlog_snapshot(path, version)
+        fs.write_bytes_atomic(
+            _checkpoint_path(path, version),
+            json.dumps({"version": version, "schema": snap["schema"],
+                        "files": sorted(snap["files"].items()),
+                        "stats": snap["stats"],
+                        "stats_col": snap["stats_col"]},
+                       sort_keys=True).encode())
+    except OSError:
+        pass
 
 
 def txlog_create(spark, path: str, df: DataFrame,
