@@ -134,6 +134,16 @@ def _sink_throughput(spark, sf_dir: str) -> dict:
         lambda df, d: write_bucketed(df, d, "sinkbench",
                                      bucket_by=("k",), n_buckets=16),
         lambda d: spark.read.parquet(d).count())
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read,
+    )
+
+    run("txlog_create", docs.selectExpr("doc_id AS k", "n_chars AS v"),
+        lambda df, d: txlog_create(spark, d + "/t", df,
+                                   bucket_by=("k",), n_buckets=16),
+        lambda d: txlog_read(spark, d + "/t").count())
     return out
 
 
