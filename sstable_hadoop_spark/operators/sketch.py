@@ -1,0 +1,285 @@
+"""Mergeable sketches over corpus data (beyond-reference surface;
+SURVEY.md §2.9 training-pipeline extensions).
+
+The reference engine has no sketch machinery — its aggregation surface
+is exact (SSTableDataRecordReader feeds Pig GROUP BYs).  At 100 TB,
+"what are the frequent tokens / domains" and "how many distinct X"
+cannot afford a full-cardinality exact answer per ad-hoc probe, so
+this module adds the two standard bounded-memory answers:
+
+  * a count-min sketch (Cormode & Muthukrishnan 2005) — ``depth x
+    width`` counters NO MATTER the corpus size, built in ONE corpus
+    exchange whose map-side partial aggregation caps every task's
+    shuffle state at ``depth x width`` cells;
+  * a portable HyperLogLog (Flajolet et al. 2007) whose ``2^p``
+    registers are a first-class TABLE — persistable, shippable across
+    sessions/engines, cell-wise mergeable — unlike the opaque
+    internal sketch behind ``approx_count_distinct``.
+
+Determinism / oracle contract: positions/buckets come from the same
+md5-BIGINT arithmetic the bloom decontaminator and Filter.db v2 use
+(count-min: Kirsch-Mitzenmacher ``(h1 + i*h2) % width`` over two
+60-bit md5 halves; HLL: low ``p`` bits bucket + ``bin()``-length
+leading-zero rank), identical in Spark and DuckDB, so SQL oracles
+rebuild both sketches cell-for-cell and certify the ESTIMATES —
+including every collision — exactly.  Counter updates are integer
+sums / maxes and the HLL estimator is evaluated in pure
+integer/decimal arithmetic (alpha quantized once to micro-units):
+partition-order independent end-to-end.
+
+Properties (certified in tests and driver rows, not assumed):
+  * count-min never underestimates: est(w) >= true(w) always;
+  * shard sketches merge into the union's sketch (sum / max
+    cell-wise) — the 1000-executor / multi-day-ingest shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import _tokens
+
+
+def _clean_tokens(text: Column) -> Column:
+    return F.filter(_tokens(text), lambda t: t != "")
+
+
+def cms_positions(word: Column, depth: int, width: int) -> Column:
+    """``depth`` probe positions for one token: ``(h1 + i*h2) % width``
+    with h1/h2 the two 60-bit md5 halves pre-reduced mod ``width``
+    (so the multiply can't overflow a signed 64-bit long: width is
+    capped well under 2^31 and depth under 2^8)."""
+    hexd = F.md5(word)
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long") % width
+    h2 = F.conv(F.substring(hexd, 17, 15), 16, 10).cast("long") % width
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % width)
+
+
+def _check_params(depth: int, width: int) -> None:
+    if not (1 <= depth <= 64):
+        raise ValueError(f"depth must be in [1, 64], got {depth}")
+    if not (1 <= width <= (1 << 26)):
+        raise ValueError(
+            f"width must be in [1, 2^26], got {width} "
+            "(the sketch is supposed to be metadata-sized)")
+
+
+def cms_build(df: DataFrame, text_col: str = "text", *,
+              token_col: str | None = None,
+              depth: int = 4, width: int = 1 << 12) -> DataFrame:
+    """Build the sketch table ``(row int, pos long, c long)`` —
+    at most ``depth x width`` rows regardless of corpus size.
+
+    ONE corpus-sized exchange keyed ``(row, pos)``; map-side partial
+    aggregation collapses each task's contribution to <= depth x width
+    cells before anything shuffles, so exchange volume is
+    O(tasks x depth x width) — independent of corpus bytes.  Zero-count
+    cells are omitted (they read back as 0 via the left join in
+    :func:`cms_estimate`).
+
+    Pass ``token_col`` to sketch an already-tokenized column (e.g. a
+    domain or key column) instead of splitting ``text_col``.
+    """
+    _check_params(depth, width)
+    if token_col is not None:
+        toks = df.select(F.col(token_col).cast("string").alias("tok")) \
+                 .where(F.col("tok").isNotNull())
+    else:
+        toks = df.select(
+            F.explode(_clean_tokens(F.col(text_col))).alias("tok"))
+    probes = toks.select(
+        F.posexplode(cms_positions(F.col("tok"), depth, width))
+         .alias("row", "pos"))
+    return probes.groupBy("row", "pos").agg(F.count("*").alias("c"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of shard sketches == the union corpus's sketch
+    (counters are plain sums).  Input sketches must share (depth,
+    width); cost is O(n_shards x depth x width) — metadata-sized."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "pos").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, words: DataFrame,
+                 word_col: str = "word", *,
+                 depth: int = 4, width: int = 1 << 12) -> DataFrame:
+    """Point estimates for a candidate-word table: est = min over the
+    ``depth`` probed cells (absent cell = 0).  Returns
+    ``(word, est_c)``.  The probe table is |candidates| x depth rows
+    joined against the <= depth x width sketch — metadata-sized on
+    both sides; Spark broadcasts whichever is smaller under AQE."""
+    _check_params(depth, width)
+    cand = words.select(F.col(word_col).cast("string").alias("word"))
+    probes = cand.select(
+        "word",
+        F.posexplode(cms_positions(F.col("word"), depth, width))
+         .alias("row", "pos"))
+    return (probes
+            .join(sketch, ["row", "pos"], "left")
+            .groupBy("word")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                  .cast("long").alias("est_c")))
+
+
+_TWO64 = 1 << 64
+
+
+def hll_alpha_micro(m: int) -> int:
+    """The HLL bias constant alpha_m quantized once to integer
+    micro-units (Flajolet et al. 2007 §4 for m >= 128; the small-m
+    constants below per the paper).  Both the Spark estimator and the
+    SQL oracle consume this exact integer, so the estimate is pure
+    integer arithmetic end-to-end."""
+    if m == 16:
+        a = 0.673
+    elif m == 32:
+        a = 0.697
+    elif m == 64:
+        a = 0.709
+    else:
+        a = 0.7213 / (1.0 + 1.079 / m)
+    import math
+
+    return math.floor(a * 1000000.0)
+
+
+def _check_hll_p(p: int) -> None:
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+
+def hll_build(df: DataFrame, col: str, *, p: int = 8) -> DataFrame:
+    """Portable HyperLogLog register table ``(bucket int, rho int)``
+    — at most ``2^p`` rows regardless of input size; zero-registers
+    are omitted (the estimator reconstructs them from the count).
+
+    Contrast with Spark's built-in ``approx_count_distinct``: the
+    registers here are a first-class TABLE you can persist, ship
+    across sessions/engines, and merge cell-wise (:func:`hll_merge`)
+    — the sketch-per-shard / union-later shape a 100 TB ingest needs.
+
+    Determinism: bucket = low ``p`` bits and rho = leading-zeros+1 of
+    the remaining ``60-p`` bits of the 60-bit md5 half, all BIGINT +
+    ``bin()``-length arithmetic identical in Spark and DuckDB.  One
+    corpus exchange keyed by bucket; map-side partial max caps every
+    task's shuffle contribution at ``2^p`` rows.
+    """
+    _check_hll_p(p)
+    m = 1 << p
+    rmax = 61 - p  # rho when the remaining 60-p bits are all zero
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    probes = (df.where(F.col(col).isNotNull())
+                .select(h.alias("_h"))
+                .select((F.col("_h") % m).cast("int").alias("bucket"),
+                        F.expr(f"_h div {m}").alias("_rem")))
+    rho = F.when(F.col("_rem") == 0, F.lit(rmax)) \
+           .otherwise(F.lit(rmax) - F.length(F.bin(F.col("_rem"))))
+    return (probes.select("bucket", rho.alias("_rho"))
+                  .groupBy("bucket")
+                  .agg(F.max("_rho").cast("int").alias("rho")))
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Cell-wise max of shard register tables == the union's register
+    table; cost O(n_shards x 2^p) — metadata-sized."""
+    if not registers:
+        raise ValueError("hll_merge needs at least one register table")
+    merged = registers[0]
+    for r in registers[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("bucket").agg(
+        F.max("rho").cast("int").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
+    """Raw HLL estimate from a register table, as ONE row
+    ``(est_distinct long)`` of pure integer arithmetic:
+
+        est = alpha_m * m^2 / sum_j 2^(-rho_j)
+
+    evaluated as ``A div (S * 1e6)`` with ``A = alpha_micro * m^2 *
+    2^64`` (a Python-int literal) and ``S = sum 2^(64-rho_j)`` summed
+    in DECIMAL(38,0) — every step exact and engine-portable, so a SQL
+    oracle reproduces the estimate bit-for-bit.  Raw-regime estimator
+    only (n >~ 2.5m); the register table itself is the durable
+    artifact — callers needing small-range linear counting can apply
+    it downstream from the same registers.
+    """
+    _check_hll_p(p)
+    m = 1 << p
+    a_num = hll_alpha_micro(m) * m * m * _TWO64
+    return (registers
+            .agg(F.sum(F.expr(
+                    # div yields BIGINT and a rho=1 term is 2^63 —
+                    # sum in DECIMAL or two such terms overflow long
+                    f"CAST(CAST('{_TWO64}' AS DECIMAL(38,0)) "
+                    "div shiftleft(CAST(1 AS BIGINT), rho) "
+                    "AS DECIMAL(38,0))"))
+                  .alias("_sp"),
+                 F.count("*").alias("_cnt"))
+            .select(F.expr(
+                f"CAST('{a_num}' AS DECIMAL(38,0)) div "
+                f"((coalesce(_sp, 0) + ({m} - _cnt) * "
+                f"CAST('{_TWO64}' AS DECIMAL(38,0))) * 1000000)")
+                .cast("long").alias("est_distinct")))
+
+
+def hll_report(df: DataFrame, col: str, *, p: int = 8) -> DataFrame:
+    """Certification report, one row: exact distinct count vs the HLL
+    estimate and the signed error in basis points
+    (``(est - exact) * 10000 div exact`` — Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero, so the signed value is
+    engine-portable).  The exact side is the certification harness;
+    production callers persist :func:`hll_build` registers and never
+    pay it."""
+    exact = df.where(F.col(col).isNotNull()).agg(
+        F.countDistinct(col).cast("long").alias("exact_distinct"))
+    est = hll_estimate(hll_build(df, col, p=p), p=p)
+    return (exact.crossJoin(est)
+            .select("exact_distinct", "est_distinct",
+                    F.expr("(est_distinct - exact_distinct) * 10000 "
+                           "div exact_distinct")
+                     .cast("long").alias("err_bp")))
+
+
+def cms_topk_report(df: DataFrame, text_col: str = "text", *,
+                    k: int = 20, depth: int = 4,
+                    width: int = 1 << 12) -> DataFrame:
+    """Certification report: the corpus's exact top-``k`` tokens
+    (count desc, token asc — deterministic tie-break) side-by-side
+    with their count-min estimates.
+
+    Columns: ``word, exact_c, est_c, over_bp`` where ``over_bp`` is
+    the overestimate in integer basis points
+    (``(est_c - exact_c) * 10000 // exact_c``); ``est_c >= exact_c``
+    by the sketch's one-sided error.
+
+    This is the TEST harness for the sketch: the exact side is a
+    full-vocabulary aggregate, affordable because the vocabulary (not
+    the corpus) bounds it, with a distributed TakeOrdered top-k — no
+    single-partition window.  Production callers at 100 TB use
+    :func:`cms_build` + :func:`cms_estimate` alone and never pay the
+    exact pass per probe.
+    """
+    toks = df.select(
+        F.explode(_clean_tokens(F.col(text_col))).alias("word"))
+    exact = toks.groupBy("word").agg(F.count("*").alias("exact_c"))
+    topk = exact.orderBy(F.col("exact_c").desc(), F.col("word")) \
+                .limit(k)
+    est = cms_estimate(cms_build(df, text_col, depth=depth, width=width),
+                       topk, depth=depth, width=width)
+    return (topk.join(est, "word")
+            .select("word",
+                    F.col("exact_c").cast("long").alias("exact_c"),
+                    "est_c",
+                    F.expr("(est_c - exact_c) * 10000 div exact_c")
+                     .cast("long").alias("over_bp")))

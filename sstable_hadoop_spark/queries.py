@@ -5690,6 +5690,140 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", " ").alias("tokens_str"))
 
 
+# Count-min sketch certification: deliberately TINY width (16 cells a
+# row over a 31-word vocabulary) so every row of the sketch carries
+# collisions and the report's one-sided error (est >= exact, over_bp
+# quantifying the collision inflation) is exercised, not vacuous.
+_CMS_K, _CMS_D, _CMS_W = 20, 4, 16
+
+
+@query("text_cms_heavy_hitters", oracle=f"""
+WITH t AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+tok AS (SELECT unnest(toks) AS w FROM t),
+exact AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+hh AS (
+    SELECT w, c,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_CMS_W}
+               AS h1,
+           CAST(('0x' || substr(md5(w), 17, 15)) AS BIGINT) % {_CMS_W}
+               AS h2
+    FROM exact
+),
+probes AS (
+    SELECT w, c, p.r AS r, p.pos AS pos
+    FROM (SELECT w, c,
+                 unnest([{{'r': i, 'pos': (h1 + i * h2) % {_CMS_W}}}
+                         FOR i IN range({_CMS_D})]) AS p
+          FROM hh)
+),
+sketch AS (SELECT r, pos, sum(c) AS sc FROM probes GROUP BY r, pos),
+topk AS (SELECT w, c FROM exact ORDER BY c DESC, w LIMIT {_CMS_K}),
+est AS (
+    SELECT p.w AS w, min(coalesce(s.sc, 0)) AS est_c
+    FROM probes p JOIN topk ON topk.w = p.w
+    LEFT JOIN sketch s ON s.r = p.r AND s.pos = p.pos
+    GROUP BY p.w
+)
+SELECT topk.w AS word, CAST(topk.c AS BIGINT) AS exact_c,
+       CAST(est.est_c AS BIGINT) AS est_c,
+       CAST((est.est_c - topk.c) * 10000 // topk.c AS BIGINT)
+           AS over_bp
+FROM topk JOIN est ON est.w = topk.w
+""")
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch certification (operators/sketch.py
+    cms_topk_report): the corpus's exact top-20 tokens side-by-side
+    with their estimates from a 4x16 double-hashed count-min sketch —
+    small enough that every sketch row carries collisions, so the
+    report certifies the one-sided error (est_c >= exact_c) and its
+    magnitude (over_bp) on real collisions.  Positions are the same
+    BIGINT md5 double-hash arithmetic as the bloom decontaminator, so
+    the oracle rebuilds the sketch cell-for-cell; counters and the
+    basis-point math are integers — exact under any partitioning.
+    Production callers use cms_build/cms_estimate alone (depth x width
+    counters regardless of corpus size, cell-wise mergeable across
+    shards/days); the exact side here is the certification harness."""
+    from sstable_hadoop_spark.operators.sketch import cms_topk_report
+
+    docs = load(spark, sf_dir, "documents")
+    return cms_topk_report(docs, k=_CMS_K, depth=_CMS_D, width=_CMS_W)
+
+
+# HLL certification params: p=8 (256 registers) over event_id —
+# ~10k distinct at the driver SF, comfortably in the raw-estimator
+# regime (n >> 2.5m).  The alpha constant is quantized once in
+# Python (sketch.hll_alpha_micro) and injected into BOTH engines.
+_HLL_P = 8
+
+
+def _hll_oracle(p: int) -> str:
+    from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
+
+    m = 1 << p
+    rmax = 61 - p
+    a_num = hll_alpha_micro(m) * m * m * (1 << 64)
+    two64 = str(1 << 64)
+    return f"""
+WITH h AS (
+    SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events WHERE event_id IS NOT NULL
+),
+pr AS (SELECT h % {m} AS bucket, h // {m} AS rem FROM h),
+rg AS (
+    SELECT bucket,
+           max(CASE WHEN rem = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(rem)) END) AS rho
+    FROM pr GROUP BY bucket
+),
+s AS (
+    SELECT sum(CAST('{two64}' AS HUGEINT)
+               // (CAST(1 AS HUGEINT) << rho)) AS sp,
+           count(*) AS cnt
+    FROM rg
+),
+e AS (
+    SELECT CAST(CAST('{a_num}' AS HUGEINT)
+                // ((coalesce(sp, 0)
+                     + ({m} - cnt) * CAST('{two64}' AS HUGEINT))
+                    * 1000000) AS BIGINT) AS est_distinct
+    FROM s
+),
+x AS (
+    SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+    FROM events WHERE event_id IS NOT NULL
+)
+SELECT x.exact_distinct, e.est_distinct,
+       CAST((e.est_distinct - x.exact_distinct) * 10000
+            // x.exact_distinct AS BIGINT) AS err_bp
+FROM x, e
+"""
+
+
+@query("sketch_hll_distinct_events", oracle=_hll_oracle(_HLL_P))
+def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HyperLogLog certification (operators/sketch.py
+    hll_build/hll_estimate/hll_report): exact distinct event_ids
+    side-by-side with the estimate from a 256-register HLL whose
+    registers are a first-class, persistable, cell-wise-mergeable
+    TABLE (unlike approx_count_distinct's opaque internal sketch) —
+    the sketch-per-shard / merge-later shape a 100 TB multi-day
+    ingest needs.  bucket/rho come from BIGINT md5 arithmetic and the
+    estimate is evaluated entirely in integer/decimal ops (alpha
+    quantized once to micro-units), so the oracle reproduces the
+    ESTIMATE bit-for-bit, not just the exact side; err_bp is the
+    signed error in basis points (both engines truncate toward
+    zero)."""
+    from sstable_hadoop_spark.operators.sketch import hll_report
+
+    events = load(spark, sf_dir, "events")
+    return hll_report(events, "event_id", p=_HLL_P)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list

@@ -35,6 +35,10 @@ ALLOWED_BNLJ = {
                                     # 1-row broadcast denominator cross
                                     # join — certification query, never
                                     # the scale path
+    "sketch_hll_distinct_events",   # 1-row exact-distinct agg × 1-row
+                                    # HLL-estimate agg (both scalar):
+                                    # the certification join is
+                                    # constant-sized by construction
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer
