@@ -5690,6 +5690,62 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", " ").alias("tokens_str"))
 
 
+# Inverted-index probe terms: one rare ("dup", ~26 occurrences at the
+# driver SF) and one common ("join", ~950) so the AND result is
+# selective and both partition-pruned buckets are exercised.
+_INV_TERMS = ("dup", "join")
+_INV_BUCKETS = 16
+
+
+def _materialize_inverted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the postings index (hive-partitioned by term-hash bucket
+    + n_buckets sidecar) — idempotent per sf_dir."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.inverted import (
+        write_inverted_index,
+    )
+
+    def build(out: str) -> None:
+        write_inverted_index(load(spark, sf_dir, "documents"), out,
+                             n_buckets=_INV_BUCKETS)
+
+    tag = "inverted_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("corpus_inverted_search", oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           len(list_filter(toks, x -> x = '{_INV_TERMS[0]}')) AS c1,
+           len(list_filter(toks, x -> x = '{_INV_TERMS[1]}')) AS c2
+    FROM t
+)
+SELECT doc_id, CAST(2 AS BIGINT) AS n_terms_hit,
+       CAST(c1 + c2 AS BIGINT) AS total_tf
+FROM c WHERE c1 > 0 AND c2 > 0
+""")
+def corpus_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-term retrieval over a stored inverted index
+    (operators/inverted.py): AND-search for {_INV_TERMS} against the
+    postings table built from documents — the probe reads ONLY the
+    query terms' _b=N partition directories (plan-time partition
+    pruning, pytest-asserted), so per-query I/O is n_terms/n_buckets
+    of the index at any corpus size.  Oracle re-derives the hit set +
+    summed term frequency from the raw corpus in SQL, certifying the
+    index round-trip end-to-end."""
+    from sstable_hadoop_spark.operators.inverted import search_terms
+
+    path = _materialize_inverted_index(spark, sf_dir)
+    return search_terms(spark, path, list(_INV_TERMS), mode="and")
+
+
 # Count-min sketch certification: deliberately TINY width (16 cells a
 # row over a 31-word vocabulary) so every row of the sketch carries
 # collisions and the report's one-sided error (est >= exact, over_bp
