@@ -57,27 +57,45 @@ def write_inverted_index(df: DataFrame, path: str,
                          text_col: str = "text",
                          id_col: str = "doc_id", *,
                          n_buckets: int = 64) -> None:
-    """Build the postings table ``(term, doc_id, tf)`` partitioned by
-    ``_b`` and record ``n_buckets`` in an atomic sidecar so probes
-    never guess the layout.  ONE corpus-sized exchange (the
-    ``(term, doc_id)`` tf aggregation, map-side partials); the
-    ``repartition("_b")`` rides the same AQE-planned shuffle count and
-    keeps one writer task per bucket."""
+    """Build the postings table ``(term, doc_id, tf, dl)`` partitioned
+    by ``_b`` and record ``{n_buckets, n_docs, total_tokens}`` in an
+    atomic sidecar so probes never guess the layout.
+
+    ``dl`` (the document's token count) is DENORMALIZED into every
+    posting — one extra integer per row at build time buys join-free
+    BM25 at probe time (:func:`bm25_search` needs no doc-length side
+    table, the Lucene-norms trade made Spark-shaped).  Build cost: the
+    corpus-sized ``(term, doc_id)`` tf aggregation (map-side partials)
+    — the per-doc length rides the same fan-out as a window-free
+    grouped sum re-joined bucket-locally by AQE."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from ..sources import fs
 
-    toks = df.select(F.col(id_col).cast("long").alias("doc_id"),
-                     F.explode(_clean_tokens(F.col(text_col)))
-                      .alias("term"))
+    # NULL text coalesces to an empty token array so size() is 0 (not
+    # -1) and the doc still counts toward n_docs
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.coalesce(_clean_tokens(F.col(text_col)),
+                                F.array().cast("array<string>"))
+                      .alias("_toks"))
+    toks = base.select("doc_id", F.size("_toks").alias("dl"),
+                       F.explode("_toks").alias("term"))
     postings = (toks.groupBy("term", "doc_id")
-                    .agg(F.count("*").cast("long").alias("tf"))
+                    .agg(F.count("*").cast("long").alias("tf"),
+                         F.first("dl").cast("long").alias("dl"))
                     .withColumn("_b", index_bucket(F.col("term"),
                                                    n_buckets)))
+    totals = base.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("t")
+    ).collect()[0]
     (postings.repartition("_b")
              .write.partitionBy("_b").mode("overwrite").parquet(path))
-    fs.write_bytes_atomic(path.rstrip("/") + "/" + _META,
-                          json.dumps({"n_buckets": n_buckets}).encode())
+    fs.write_bytes_atomic(
+        path.rstrip("/") + "/" + _META,
+        json.dumps({"n_buckets": n_buckets,
+                    "n_docs": int(totals["n"]),
+                    "total_tokens": int(totals["t"])}).encode())
 
 
 def search_terms(spark: SparkSession, path: str, terms: list[str], *,
@@ -96,24 +114,108 @@ def search_terms(spark: SparkSession, path: str, terms: list[str], *,
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     if not terms:
         raise ValueError("search_terms needs at least one term")
-    from ..sources import fs
-
-    meta = json.loads(fs.read_bytes(path.rstrip("/") + "/" + _META))
-    n_buckets = int(meta["n_buckets"])
-    # buckets computed driver-side with the same md5 arithmetic the
-    # writer used (hashlib mirrors Spark's md5 for ascii/utf-8 bytes)
-    import hashlib
-
     want = sorted({t for t in terms})
-    buckets = sorted({int(hashlib.md5(t.encode("utf-8"))
-                          .hexdigest()[:15], 16) % n_buckets
-                      for t in want})
-    idx = (spark.read.parquet(path)
-                .filter(F.col("_b").isin(buckets))
-                .filter(F.col("term").isin(want)))
+    idx = _probe_postings(spark, path, want, _read_meta(path))
     hits = idx.groupBy("doc_id").agg(
         F.countDistinct("term").cast("long").alias("n_terms_hit"),
         F.sum("tf").cast("long").alias("total_tf"))
     if mode == "and":
         hits = hits.filter(F.col("n_terms_hit") == len(want))
     return hits
+
+
+_POSTINGS_SCHEMA = "term string, doc_id long, tf long, dl long, _b int"
+
+
+def _read_meta(path: str) -> dict:
+    from ..sources import fs
+
+    return json.loads(fs.read_bytes(path.rstrip("/") + "/" + _META))
+
+
+def _probe_postings(spark: SparkSession, path: str, terms: list[str],
+                    meta: dict) -> DataFrame:
+    """The partition-pruned postings scan for the (deduplicated)
+    query terms.  Buckets are computed driver-side with the same md5
+    arithmetic the writer used (hashlib mirrors Spark's md5 over
+    utf-8 bytes).  An index built from a token-free corpus has no
+    parquet part files at all — that reads as an empty postings
+    table, not a schema-inference error."""
+    n_buckets = int(meta["n_buckets"])
+    import hashlib
+
+    want = sorted({t for t in terms})
+    buckets = sorted({int(hashlib.md5(t.encode("utf-8"))
+                          .hexdigest()[:15], 16) % n_buckets
+                      for t in want})
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(path)
+    except AnalysisException:  # zero part files -> no inferable schema
+        return spark.createDataFrame([], _POSTINGS_SCHEMA)
+    return (idx.filter(F.col("_b").isin(buckets))
+               .filter(F.col("term").isin(want)))
+
+
+def bm25_search(spark: SparkSession, path: str, terms: list[str], *,
+                k1_milli: int = 1200, b_milli: int = 750,
+                limit: int = 10) -> DataFrame:
+    """BM25-ranked retrieval over the stored index, in EXACT integer
+    arithmetic: returns the top ``limit`` documents as
+    ``(doc_id, n_terms_hit, score_micro)`` ordered by
+    (score desc, doc_id asc — deterministic tie-break).
+
+    Scoring (Robertson/Sparck-Jones BM25, k1/b in milli-units):
+
+        idf_micro(t) = floor(ln((2N - 2df + 1) / (2df + 1)) * 1e6)
+        inner_milli  = (1000 - b) + (b * dl * N) div total_tokens
+        denom_milli  = tf * 1000 + (k1 * inner_milli) div 1000
+        contrib      = (idf_micro * tf * (k1 + 1000)) div denom_milli
+        score_micro  = sum(contrib over matched terms)
+
+    Every step is integer multiply/``div`` (truncate toward zero in
+    BOTH Spark and DuckDB) except the single ``floor(ln(ratio))``
+    quantization, the same trusted pattern as ngram_lm_scores — so a
+    SQL oracle reproduces scores bit-for-bit.  Negative idf for terms
+    in more than half the corpus is kept as classic BM25 defines it
+    (deterministic either way).
+
+    Cost: the partition-pruned postings scan (df and tf both come
+    from the probed rows — ``dl`` is denormalized in them, so there
+    is NO doc-length join), one result-sized doc rollup, and a
+    distributed TakeOrdered top-k.
+    """
+    if not terms:
+        raise ValueError("bm25_search needs at least one term")
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    meta = _read_meta(path)
+    n_docs = int(meta["n_docs"])
+    total_tokens = int(meta["total_tokens"])
+    if total_tokens <= 0:
+        raise ValueError(
+            f"index at {path} has no tokens; BM25 is undefined")
+    idx = _probe_postings(spark, path, terms, meta)
+    dfed = idx.groupBy("term").agg(F.count("*").alias("_df"))
+    idf = dfed.select(
+        "term",
+        F.floor(F.log(
+            (F.lit(2 * n_docs) - 2 * F.col("_df") + F.lit(1))
+            .cast("double")
+            / (2 * F.col("_df") + F.lit(1)).cast("double"))
+            * F.lit(1000000.0)).alias("_idf"))
+    scored = (idx.join(F.broadcast(idf), "term")
+                 .select("doc_id", "term", F.expr(
+                     f"(_idf * tf * ({k1_milli} + 1000)) div "
+                     f"(tf * 1000 + ({k1_milli} * "
+                     f"((1000 - {b_milli}) + "
+                     f"({b_milli} * dl * {n_docs}) div {total_tokens}"
+                     f")) div 1000)").alias("_contrib")))
+    return (scored.groupBy("doc_id")
+                  .agg(F.countDistinct("term").cast("long")
+                        .alias("n_terms_hit"),
+                       F.sum("_contrib").cast("long")
+                        .alias("score_micro"))
+                  .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+                  .limit(limit))

@@ -5710,7 +5710,9 @@ def _materialize_inverted_index(spark: SparkSession, sf_dir: str) -> str:
         write_inverted_index(load(spark, sf_dir, "documents"), out,
                              n_buckets=_INV_BUCKETS)
 
-    tag = "inverted_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # tag v2: sidecar gained n_docs/total_tokens (BM25) — bump on any
+    # further layout change or stale caches serve the old schema
+    tag = "inverted_idx2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return _idempotent_tmpdir(tag, build)
 
 
@@ -5744,6 +5746,69 @@ def corpus_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _materialize_inverted_index(spark, sf_dir)
     return search_terms(spark, path, list(_INV_TERMS), mode="and")
+
+
+_BM25_TERMS = ("dup", "join", "scan")  # rare (+idf) and near-universal
+_BM25_K1, _BM25_B, _BM25_LIMIT = 1200, 750, 10
+
+
+def _bm25_oracle() -> str:
+    legs = "\n   UNION ALL\n".join(
+        f"   SELECT doc_id, dl, '{t}' AS term,"
+        f" len(list_filter(toks, x -> x = '{t}')) AS tf FROM d"
+        for t in _BM25_TERMS)
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+tot AS (SELECT count(*) AS n, sum(dl) AS tt FROM d),
+m AS (SELECT * FROM (
+{legs}) WHERE tf > 0),
+dfs AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+idf AS (
+    SELECT term,
+           CAST(floor(ln((2*n - 2*df + 1.0) / (2*df + 1.0))
+                      * 1000000.0) AS BIGINT) AS idf
+    FROM dfs CROSS JOIN tot
+),
+sc AS (
+    SELECT m.doc_id, m.term,
+           (idf * tf * ({_BM25_K1} + 1000))
+           // (tf * 1000 + ({_BM25_K1} * ((1000 - {_BM25_B})
+               + ({_BM25_B} * dl * n) // tt)) // 1000) AS contrib
+    FROM m JOIN idf USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms_hit,
+       CAST(sum(contrib) AS BIGINT) AS score_micro
+FROM sc GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id LIMIT {_BM25_LIMIT}
+"""
+
+
+@query("corpus_bm25_topk", oracle=_bm25_oracle())
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval (operators/inverted.py bm25_search) over
+    the stored inverted index: top-10 documents for a 3-term query
+    mixing a rare term (positive idf) with near-universal ones
+    (negative idf, classic BM25 kept as defined).  Scores are EXACT
+    integer micro-units — idf quantized once via the trusted
+    floor(ln)*1e6 pattern, every other step integer multiply/div
+    (truncation identical in Spark and DuckDB) — so the oracle
+    re-derives the full ranking from the raw corpus bit-for-bit.
+    Probe cost: the partition-pruned postings scan only (df/tf/dl all
+    come from probed rows; dl is denormalized so there is no
+    doc-length join), one result-sized rollup, TakeOrdered top-k."""
+    from sstable_hadoop_spark.operators.inverted import bm25_search
+
+    path = _materialize_inverted_index(spark, sf_dir)
+    return bm25_search(spark, path, list(_BM25_TERMS),
+                       k1_milli=_BM25_K1, b_milli=_BM25_B,
+                       limit=_BM25_LIMIT)
 
 
 # Count-min sketch certification: deliberately TINY width (16 cells a

@@ -103,3 +103,105 @@ def test_guards(spark, tmp_path):
         search_terms(spark, path, [])
     with pytest.raises(ValueError, match="n_buckets"):
         write_inverted_index(_docs(spark), path, n_buckets=0)
+
+
+def _tdiv(a: int, b: int) -> int:
+    # Spark `div` / DuckDB `//` truncate toward zero; Python floors —
+    # emulate the engines for the reference implementation
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _bm25_reference(rows, terms, k1=1200, b=750):
+    """Independent per-doc BM25 in plain Python, same integer ops."""
+    import math
+    import re
+
+    toks = {i: [t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                    (x or "").lower()) if t]
+            for i, x in rows}
+    n = len(toks)
+    tt = sum(len(v) for v in toks.values())
+    scores = {}
+    hit_terms = {}
+    for t in set(terms):
+        df = sum(1 for v in toks.values() if t in v)
+        if df == 0:
+            continue
+        idf = math.floor(
+            math.log((2 * n - 2 * df + 1.0) / (2 * df + 1.0)) * 1e6)
+        for i, v in toks.items():
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            inner = (1000 - b) + _tdiv(b * len(v) * n, tt)
+            denom = tf * 1000 + _tdiv(k1 * inner, 1000)
+            contrib = _tdiv(idf * tf * (k1 + 1000), denom)
+            scores[i] = scores.get(i, 0) + contrib
+            hit_terms[i] = hit_terms.get(i, 0) + 1
+    return {i: (hit_terms[i], s) for i, s in scores.items()}
+
+
+def test_bm25_matches_independent_reference(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import bm25_search
+
+    rows = [
+        (1, "alpha beta gamma alpha rare"),
+        (2, "beta delta beta beta"),
+        (3, "alpha delta epsilon delta rare rare"),
+        (4, "alpha alpha alpha beta beta gamma gamma delta"),
+        (5, None),
+        (6, "beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "inv")
+    write_inverted_index(df, path, n_buckets=8)
+    terms = ["rare", "beta", "ghost"]  # +idf, -idf, absent
+    got = {r["doc_id"]: (r["n_terms_hit"], r["score_micro"])
+           for r in bm25_search(spark, path, terms, limit=10).collect()}
+    want = _bm25_reference(rows, terms)
+    assert got == want
+    # the rare term actually scored positive somewhere and the
+    # near-universal term negative somewhere (both idf signs live)
+    assert any(s > 0 for _, s in want.values())
+    assert any(s < 0 for _, s in want.values())
+
+
+def test_bm25_order_and_limit(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import bm25_search
+
+    # needle in 3 of 10 docs -> df < N/2, POSITIVE idf
+    rows = [(i, "needle " * i + "hay") for i in range(1, 4)] + \
+           [(i, "hay hay hay") for i in range(4, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "inv")
+    write_inverted_index(df, path, n_buckets=4)
+    out = bm25_search(spark, path, ["needle"], limit=2).collect()
+    assert len(out) == 2  # limit < matching docs
+    scores = [r["score_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # with positive idf, more needle occurrences never scores lower
+    full = {r["doc_id"]: r["score_micro"]
+            for r in bm25_search(spark, path, ["needle"],
+                                 limit=10).collect()}
+    assert full[1] <= full[2] <= full[3]
+
+
+def test_bm25_guards(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import bm25_search
+
+    path = str(tmp_path / "inv")
+    write_inverted_index(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        path, n_buckets=2)
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_search(spark, path, [])
+    with pytest.raises(ValueError, match="limit"):
+        bm25_search(spark, path, ["x"], limit=0)
+    empty = str(tmp_path / "empty")
+    write_inverted_index(
+        spark.createDataFrame([(1, None)], "doc_id long, text string"),
+        empty, n_buckets=2)
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_search(spark, empty, ["x"])
