@@ -84,6 +84,9 @@ def cms_build(df: DataFrame, text_col: str = "text", *,
     domain or key column) instead of splitting ``text_col``.
     """
     _check_params(depth, width)
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if token_col is not None:
         toks = df.select(F.col(token_col).cast("string").alias("tok")) \
                  .where(F.col("tok").isNotNull())
@@ -172,6 +175,10 @@ def hll_build(df: DataFrame, col: str, *, p: int = 8) -> DataFrame:
     corpus exchange keyed by bucket; map-side partial max caps every
     task's shuffle contribution at ``2^p`` rows.
     """
+    # No ensure_parallelism: the per-row work is ONE md5 (cheap) and
+    # the bucket groupBy's map-side partial max already caps shuffle
+    # volume at 2^p rows per task — a repartition ahead would add a
+    # full-corpus exchange for no parallelism the agg needs
     _check_hll_p(p)
     m = 1 << p
     rmax = 61 - p  # rho when the remaining 60-p bits are all zero
@@ -270,7 +277,9 @@ def cms_topk_report(df: DataFrame, text_col: str = "text", *,
     :func:`cms_build` + :func:`cms_estimate` alone and never pay the
     exact pass per probe.
     """
-    toks = df.select(
+    from ._util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
         F.explode(_clean_tokens(F.col(text_col))).alias("word"))
     exact = toks.groupBy("word").agg(F.count("*").alias("exact_c"))
     topk = exact.orderBy(F.col("exact_c").desc(), F.col("word")) \
