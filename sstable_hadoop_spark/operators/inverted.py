@@ -56,7 +56,8 @@ def index_bucket(term: Column, n_buckets: int) -> Column:
 def write_inverted_index(df: DataFrame, path: str,
                          text_col: str = "text",
                          id_col: str = "doc_id", *,
-                         n_buckets: int = 64) -> None:
+                         n_buckets: int = 64,
+                         positions: bool = False) -> None:
     """Build the postings table ``(term, doc_id, tf, dl)`` partitioned
     by ``_b`` and record ``{n_buckets, n_docs, total_tokens}`` in an
     atomic sidecar so probes never guess the layout.
@@ -67,7 +68,13 @@ def write_inverted_index(df: DataFrame, path: str,
     table, the Lucene-norms trade made Spark-shaped).  Build cost: the
     corpus-sized ``(term, doc_id)`` tf aggregation (map-side partials)
     — the per-doc length rides the same fan-out as a window-free
-    grouped sum re-joined bucket-locally by AQE."""
+    grouped sum re-joined bucket-locally by AQE.
+
+    ``positions=True`` additionally stores each posting's sorted
+    0-based token positions (``pos array<int>``) — required by
+    :func:`phrase_search`, ~doubles index bytes (Lucene's
+    freqs-vs-positions trade); the flag is recorded in the sidecar so
+    probes fail loudly instead of mis-reading."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from ..sources import fs
@@ -79,10 +86,12 @@ def write_inverted_index(df: DataFrame, path: str,
                                 F.array().cast("array<string>"))
                       .alias("_toks"))
     toks = base.select("doc_id", F.size("_toks").alias("dl"),
-                       F.explode("_toks").alias("term"))
-    postings = (toks.groupBy("term", "doc_id")
-                    .agg(F.count("*").cast("long").alias("tf"),
-                         F.first("dl").cast("long").alias("dl"))
+                       F.posexplode("_toks").alias("p", "term"))
+    aggs = [F.count("*").cast("long").alias("tf"),
+            F.first("dl").cast("long").alias("dl")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("p")).alias("pos"))
+    postings = (toks.groupBy("term", "doc_id").agg(*aggs)
                     .withColumn("_b", index_bucket(F.col("term"),
                                                    n_buckets)))
     totals = base.agg(
@@ -95,7 +104,8 @@ def write_inverted_index(df: DataFrame, path: str,
         path.rstrip("/") + "/" + _META,
         json.dumps({"n_buckets": n_buckets,
                     "n_docs": int(totals["n"]),
-                    "total_tokens": int(totals["t"])}).encode())
+                    "total_tokens": int(totals["t"]),
+                    "positions": bool(positions)}).encode())
 
 
 def search_terms(spark: SparkSession, path: str, terms: list[str], *,
@@ -125,6 +135,8 @@ def search_terms(spark: SparkSession, path: str, terms: list[str], *,
 
 
 _POSTINGS_SCHEMA = "term string, doc_id long, tf long, dl long, _b int"
+_POSTINGS_SCHEMA_POS = ("term string, doc_id long, tf long, dl long, "
+                        "pos array<int>, _b int")
 
 
 def _read_meta(path: str) -> dict:
@@ -153,7 +165,9 @@ def _probe_postings(spark: SparkSession, path: str, terms: list[str],
     try:
         idx = spark.read.parquet(path)
     except AnalysisException:  # zero part files -> no inferable schema
-        return spark.createDataFrame([], _POSTINGS_SCHEMA)
+        schema = (_POSTINGS_SCHEMA_POS if meta.get("positions")
+                  else _POSTINGS_SCHEMA)
+        return spark.createDataFrame([], schema)
     return (idx.filter(F.col("_b").isin(buckets))
                .filter(F.col("term").isin(want)))
 
@@ -219,3 +233,50 @@ def bm25_search(spark: SparkSession, path: str, terms: list[str], *,
                         .alias("score_micro"))
                   .orderBy(F.desc("score_micro"), F.asc("doc_id"))
                   .limit(limit))
+
+
+def phrase_search(spark: SparkSession, path: str,
+                  terms: list[str]) -> DataFrame:
+    """Exact-phrase search against a positions-enabled index: returns
+    ``(doc_id, n_occurrences)`` for documents containing ``terms`` as
+    CONSECUTIVE tokens, with the number of occurrences — the verbatim
+    -quote / contamination primitive the per-term operators can't
+    express (AND-search finds co-occurrence, not adjacency).
+
+    Plan: the partition-pruned postings probe for the phrase's
+    distinct terms, ONE result-sized per-doc rollup collecting each
+    term's position array into a map, then a pure-codegen fold —
+    ``starts = filter(pos[t0], s -> pos[t1] contains s+1 AND ...)`` —
+    so adjacency is checked entirely inside whole-stage codegen with
+    no further shuffle.  Repeated terms in the phrase reuse the same
+    map entry at different offsets ("the the" works).
+    """
+    if not terms:
+        raise ValueError("phrase_search needs at least one term")
+    meta = _read_meta(path)
+    if not meta.get("positions"):
+        raise ValueError(
+            f"index at {path} was written without positions=True; "
+            "phrase_search needs positional postings")
+    idx = _probe_postings(spark, path, terms, meta)
+    distinct = sorted({t for t in terms})
+    by_doc = (idx.groupBy("doc_id")
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("term", "pos")))
+                      .alias("_m"),
+                      F.countDistinct("term").alias("_nt"))
+                 .filter(F.col("_nt") == len(distinct)))
+
+    def _match_from(s: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(terms[1:], start=1):
+            cond = cond & F.array_contains(
+                F.element_at(F.col("_m"), F.lit(t)), s + i)
+        return cond
+
+    starts = F.filter(
+        F.element_at(F.col("_m"), F.lit(terms[0])), _match_from)
+    return (by_doc.select("doc_id",
+                          F.size(starts).cast("long")
+                           .alias("n_occurrences"))
+                  .filter(F.col("n_occurrences") > 0))

@@ -5708,11 +5708,11 @@ def _materialize_inverted_index(spark: SparkSession, sf_dir: str) -> str:
 
     def build(out: str) -> None:
         write_inverted_index(load(spark, sf_dir, "documents"), out,
-                             n_buckets=_INV_BUCKETS)
+                             n_buckets=_INV_BUCKETS, positions=True)
 
-    # tag v2: sidecar gained n_docs/total_tokens (BM25) — bump on any
+    # tag v3: postings gained positions (phrase search) — bump on any
     # further layout change or stale caches serve the old schema
-    tag = "inverted_idx2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = "inverted_idx3_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return _idempotent_tmpdir(tag, build)
 
 
@@ -5809,6 +5809,45 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(spark, path, list(_BM25_TERMS),
                        k1_milli=_BM25_K1, b_milli=_BM25_B,
                        limit=_BM25_LIMIT)
+
+
+_PHRASE = ("data", "row", "column")  # a consecutive trigram present
+# at EVERY testdata SF (0.001/0.01/0.1) — selective but never empty
+
+
+@query("corpus_phrase_search", oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           len([i FOR i IN range(1, len(toks) - {len(_PHRASE) - 2})
+                IF {" AND ".join(
+                    f"toks[i + {j}] = '{t}'"
+                    for j, t in enumerate(_PHRASE))}]) AS n
+    FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+FROM s WHERE n > 0
+""")
+def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search (operators/inverted.py phrase_search) over
+    the positional inverted index: documents containing the
+    consecutive trigram ("data", "row", "column") with counts — the
+    verbatim-quote / contamination primitive (AND-search finds
+    co-occurrence; this certifies ADJACENCY).  The probe reads only
+    the phrase terms' partition-pruned buckets and checks adjacency
+    in a pure-codegen position-array fold; the oracle re-derives
+    occurrences from the raw corpus with a positional list
+    comprehension, so the index round-trip incl. overlapping matches
+    is certified end-to-end."""
+    from sstable_hadoop_spark.operators.inverted import phrase_search
+
+    path = _materialize_inverted_index(spark, sf_dir)
+    return phrase_search(spark, path, list(_PHRASE))
 
 
 # Count-min sketch certification: deliberately TINY width (16 cells a

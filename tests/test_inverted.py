@@ -205,3 +205,74 @@ def test_bm25_guards(spark, tmp_path):
         empty, n_buckets=2)
     with pytest.raises(ValueError, match="no tokens"):
         bm25_search(spark, empty, ["x"])
+
+
+def test_phrase_search_adjacency_and_overlaps(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import phrase_search
+
+    rows = [
+        (1, "a b c a b"),   # "a b" x2, "a b c" x1
+        (2, "b a"),          # reversed - no phrase
+        (3, "a a a"),        # overlapping "a a" x2
+        (4, "c b a b c"),    # "a b" x1, "a b c" x1
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "inv")
+    write_inverted_index(df, path, n_buckets=4, positions=True)
+    got = lambda ts: sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(spark, path, ts).collect())
+    assert got(["a", "b"]) == [(1, 2), (4, 1)]
+    assert got(["a", "a"]) == [(3, 2)]          # repeated term + overlap
+    assert got(["a", "b", "c"]) == [(1, 1), (4, 1)]
+    assert got(["c", "a"]) == [(1, 1)]           # "...c a..." in doc 1
+    assert got(["b", "b"]) == []                 # co-occur, not adjacent
+    assert got(["ghost", "a"]) == []
+
+
+def test_phrase_search_single_term_equals_tf(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y")], "doc_id long, text string")
+    path = str(tmp_path / "inv")
+    write_inverted_index(df, path, n_buckets=2, positions=True)
+    got = sorted((r["doc_id"], r["n_occurrences"])
+                 for r in phrase_search(spark, path, ["x"]).collect())
+    assert got == [(1, 2)]
+
+
+def test_phrase_search_requires_positions(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import phrase_search
+
+    path = str(tmp_path / "inv")
+    write_inverted_index(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+        path, n_buckets=2)  # positions=False
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(spark, path, ["a", "b"])
+    with pytest.raises(ValueError, match="at least one"):
+        phrase_search(spark, path, [])
+
+
+def test_positions_dont_change_search_or_bm25(spark, tmp_path):
+    from sstable_hadoop_spark.operators.inverted import bm25_search
+
+    df = _docs(spark)
+    plain = str(tmp_path / "plain")
+    posd = str(tmp_path / "posd")
+    write_inverted_index(df, plain, n_buckets=4)
+    write_inverted_index(df, posd, n_buckets=4, positions=True)
+    a = sorted(tuple(r) for r in
+               search_terms(spark, plain, ["alpha", "beta"],
+                            mode="or").collect())
+    b = sorted(tuple(r) for r in
+               search_terms(spark, posd, ["alpha", "beta"],
+                            mode="or").collect())
+    assert a == b
+    sa = [tuple(r) for r in
+          bm25_search(spark, plain, ["alpha", "delta"]).collect()]
+    sb = [tuple(r) for r in
+          bm25_search(spark, posd, ["alpha", "delta"]).collect()]
+    assert sa == sb
