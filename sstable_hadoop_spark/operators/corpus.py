@@ -809,6 +809,56 @@ def url_registrable_domain(col) -> "F.Column":
     return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
 
 
+#: Query params dropped by canonicalize_url: click/campaign trackers
+#: that vary per visit without changing the resource.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonicalize_url(col) -> "F.Column":
+    """Canonical form of a URL column for dedup keys — the C4/
+    CommonCrawl "same page, different link" normalizer, as ONE chained
+    codegen expression (zero Python, zero shuffle):
+
+      * fragment dropped (``#...`` never reaches the server);
+      * scheme and host lowercased (case-insensitive per RFC 3986);
+      * default ports stripped (``http://h:80`` == ``http://h``,
+        ``https://h:443`` == ``https://h``);
+      * empty path becomes ``/``;
+      * tracking params (:data:`TRACKING_PARAM_RE`) dropped, the
+        remainder SORTED so param order can't split a dedup group;
+        an emptied query string loses its ``?``.
+
+    Inputs without a ``scheme://`` pass through unchanged (same
+    fall-through contract as :func:`url_host`).  Percent-encoding and
+    path dot-segments are NOT normalized (that tier needs a character
+    table; documented, not hidden).  Every step is shared Java-regex/
+    RE2 syntax, so the DuckDB oracle runs the identical chain.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(c, r"#.*", "")
+    scheme = F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    scheme_l = F.lower(scheme)
+    default_port = ((scheme_l == "http") & (port == "80")) |                    ((scheme_l == "https") & (port == "443"))
+    port_norm = F.when((port == "") | default_port, F.lit(""))                  .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path_norm = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, r"&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    q_norm = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme_l, F.lit("://"), host, port_norm, path_norm,
+        F.when(q_norm == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), q_norm)))
+    return F.when(scheme == "", c).otherwise(canon)
+
+
 def cap_per_domain(df: DataFrame, url_col: str, cap: int,
                    order_by, keep_rank: bool = True) -> DataFrame:
     """Per-domain document cap — the standard CommonCrawl curation

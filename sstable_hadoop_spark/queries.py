@@ -5811,6 +5811,79 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        limit=_BM25_LIMIT)
 
 
+#: Messy synthetic URLs for the canonicalizer row: case salad,
+#: default + explicit ports, tracking params, unsorted params,
+#: fragments, missing paths, and a schemeless fall-through.
+_MESSY_URL_SQL = """CASE doc_id % 5
+  WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 37)
+       || '.COM:80/Page/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+  WHEN 1 THEN 'https://Site' || (doc_id % 37)
+       || '.com:443/?gclid=' || doc_id
+  WHEN 2 THEN 'https://site' || (doc_id % 37)
+       || '.com:8443/p/' || doc_id || '?z=1&y=2&utm_c=3'
+  WHEN 3 THEN 'http://site' || (doc_id % 37) || '.com'
+  ELSE 'relative/path?a=' || doc_id
+END"""
+
+
+@query("corpus_url_canonicalize", oracle=f"""
+WITH u AS (
+    SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+),
+c1 AS (SELECT doc_id, url,
+              regexp_replace(url, '#.*', '') AS nofrag FROM u),
+c2 AS (SELECT *,
+              regexp_extract(nofrag,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme_raw,
+              lower(regexp_extract(nofrag,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme_l,
+              regexp_replace(nofrag,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       FROM c1),
+c3 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+              regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM c2),
+c4 AS (SELECT *,
+              lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+              regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+              regexp_extract(pathq, '^([^?]*)', 1) AS path,
+              regexp_extract(pathq, '\\?(.*)$', 1) AS query FROM c3),
+c5 AS (SELECT *,
+              CASE WHEN port = '' OR (scheme_l = 'http' AND port = '80')
+                        OR (scheme_l = 'https' AND port = '443')
+                   THEN '' ELSE ':' || port END AS port_norm,
+              CASE WHEN path = '' THEN '/' ELSE path END AS path_norm,
+              coalesce(array_to_string(list_sort(list_filter(
+                  regexp_split_to_array(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))),
+                  '&'), '') AS q_norm
+       FROM c4)
+SELECT doc_id, url,
+       CASE WHEN scheme_raw = '' THEN url
+            ELSE scheme_l || '://' || host || port_norm || path_norm
+                 || CASE WHEN q_norm = '' THEN ''
+                    ELSE '?' || q_norm END
+       END AS canonical_url
+FROM c5
+""")
+def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/corpus.py canonicalize_url) —
+    the C4/CommonCrawl "same page, different link" dedup key: drop
+    fragments and tracking params, lowercase scheme/host, strip
+    default ports, normalize empty paths, SORT surviving query params;
+    schemeless inputs fall through unchanged.  One chained codegen
+    expression in the Java-regex/RE2 common subset — the oracle runs
+    the IDENTICAL chain in DuckDB over the same synthesized messy
+    URLs (five shapes covering every rule)."""
+    from sstable_hadoop_spark.operators.corpus import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(_MESSY_URL_SQL).alias("url")
+    ).select("doc_id", "url",
+             canonicalize_url("url").alias("canonical_url"))
+
+
 _PHRASE = ("data", "row", "column")  # a consecutive trigram present
 # at EVERY testdata SF (0.001/0.01/0.1) — selective but never empty
 

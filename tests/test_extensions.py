@@ -3242,3 +3242,35 @@ def test_dedup_paragraphs_hand_checked(spark):
     keep = {r["doc_id"]: r["n_removed"]
             for r in dedup_paragraphs(df, min_df=99).collect()}
     assert set(keep.values()) == {0}
+
+
+def test_canonicalize_url_rules(spark):
+    from sstable_hadoop_spark.operators.corpus import canonicalize_url
+
+    cases = {
+        # case folding + default port + tracking drop + sort + fragment
+        "HTTP://WWW.Ex.COM:80/Page/1?utm_source=x&b=2&a=1#frag":
+            "http://www.ex.com/Page/1?a=1&b=2",
+        # https default port, query emptied -> '?' dropped
+        "https://Ex.com:443/?gclid=zz": "https://ex.com/",
+        # non-default port kept; params sorted
+        "https://ex.com:8443/p?z=1&y=2": "https://ex.com:8443/p?y=2&z=1",
+        # empty path -> '/'
+        "http://ex.com": "http://ex.com/",
+        # schemeless falls through untouched
+        "relative/path?a=1": "relative/path?a=1",
+        # all params tracking -> no query at all
+        "https://h/p?utm_a=1&fbclid=2&msclkid=3&ref=4": "https://h/p",
+        # path case PRESERVED (paths are case-sensitive)
+        "https://Ex.com/CaseSensitive": "https://ex.com/CaseSensitive",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert got == cases
+    # canonical form is idempotent
+    df2 = spark.createDataFrame([(v,) for v in cases.values()],
+                                "url string")
+    got2 = {r["url"]: r["c"] for r in df2.select(
+        "url", canonicalize_url("url").alias("c")).collect()}
+    assert got2 == {v: v for v in cases.values()}
