@@ -829,16 +829,22 @@ def canonicalize_url(col) -> "F.Column":
         an emptied query string loses its ``?``.
 
     Inputs without a ``scheme://`` pass through unchanged (same
-    fall-through contract as :func:`url_host`).  Percent-encoding and
-    path dot-segments are NOT normalized (that tier needs a character
-    table; documented, not hidden).  Every step is shared Java-regex/
+    fall-through contract as :func:`url_host`).  Userinfo
+    (``user:pass@host``) is DROPPED — credentials never belong in a
+    dedup key, and keeping them would let ``alice@a.com`` and
+    ``bob@a.com`` split one page into two keys.  Out of scope
+    (documented, not hidden): percent-encoding and path dot-segments
+    (need a character table) and IPv6 bracket literals (the
+    regex-tier host/port split does not parse ``[::1]:8080``; web
+    corpora address hosts by name).  Every step is shared Java-regex/
     RE2 syntax, so the DuckDB oracle runs the identical chain.
     """
     c = F.col(col) if isinstance(col, str) else col
     nofrag = F.regexp_replace(c, r"#.*", "")
     scheme = F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.regexp_replace(authority, r"^[^/?#@]*@", "")
     pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)

@@ -37,13 +37,9 @@ import json
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import _tokens
+from .text import clean_tokens as _clean_tokens
 
 _META = "_inverted_meta.json"
-
-
-def _clean_tokens(text: Column) -> Column:
-    return F.filter(_tokens(text), lambda t: t != "")
 
 
 def index_bucket(term: Column, n_buckets: int) -> Column:
@@ -79,8 +75,8 @@ def write_inverted_index(df: DataFrame, path: str,
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from ..sources import fs
 
-    # NULL text coalesces to an empty token array so size() is 0 (not
-    # -1) and the doc still counts toward n_docs
+    # NULL text coalesces to an empty token array so size() (the dl
+    # column) is 0, not Spark's size(NULL) = -1
     base = df.select(F.col(id_col).cast("long").alias("doc_id"),
                      F.coalesce(_clean_tokens(F.col(text_col)),
                                 F.array().cast("array<string>"))
@@ -94,17 +90,25 @@ def write_inverted_index(df: DataFrame, path: str,
     postings = (toks.groupBy("term", "doc_id").agg(*aggs)
                     .withColumn("_b", index_bucket(F.col("term"),
                                                    n_buckets)))
-    totals = base.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("t")
-    ).collect()[0]
     (postings.repartition("_b")
              .write.partitionBy("_b").mode("overwrite").parquet(path))
+    # Totals WITHOUT re-tokenizing the corpus (the regex split is the
+    # dominant build cost): n_docs is a plain row count of the input,
+    # and total_tokens = sum(tf) over the postings just written.
+    n_docs = df.count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        total_tokens = (df.sparkSession.read.parquet(path)
+                        .agg(F.coalesce(F.sum("tf"), F.lit(0)))
+                        .collect()[0][0])
+    except AnalysisException:  # token-free corpus: zero part files
+        total_tokens = 0
     fs.write_bytes_atomic(
         path.rstrip("/") + "/" + _META,
         json.dumps({"n_buckets": n_buckets,
-                    "n_docs": int(totals["n"]),
-                    "total_tokens": int(totals["t"]),
+                    "n_docs": int(n_docs),
+                    "total_tokens": int(total_tokens),
                     "positions": bool(positions)}).encode())
 
 
@@ -219,12 +223,17 @@ def bm25_search(spark: SparkSession, path: str, terms: list[str], *,
             .cast("double")
             / (2 * F.col("_df") + F.lit(1)).cast("double"))
             * F.lit(1000000.0)).alias("_idf"))
+    # b*dl*N is widened to DECIMAL before the divide: at the corpus
+    # scale this module targets (n_docs ~1e11, dl ~1e5) the LONG
+    # product would wrap negative and silently sign-flip the score;
+    # the quotient itself (≈ b * dl/avgdl) is small again
     scored = (idx.join(F.broadcast(idf), "term")
                  .select("doc_id", "term", F.expr(
                      f"(_idf * tf * ({k1_milli} + 1000)) div "
                      f"(tf * 1000 + ({k1_milli} * "
                      f"((1000 - {b_milli}) + "
-                     f"({b_milli} * dl * {n_docs}) div {total_tokens}"
+                     f"CAST(({b_milli} * CAST(dl AS DECIMAL(38,0)) "
+                     f"* {n_docs}) div {total_tokens} AS BIGINT)"
                      f")) div 1000)").alias("_contrib")))
     return (scored.groupBy("doc_id")
                   .agg(F.countDistinct("term").cast("long")

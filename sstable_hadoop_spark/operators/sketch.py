@@ -38,11 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import _tokens
-
-
-def _clean_tokens(text: Column) -> Column:
-    return F.filter(_tokens(text), lambda t: t != "")
+from .text import clean_tokens as _clean_tokens
 
 
 def cms_positions(word: Column, depth: int, width: int) -> Column:
@@ -132,7 +128,7 @@ def cms_estimate(sketch: DataFrame, words: DataFrame,
                   .cast("long").alias("est_c")))
 
 
-_TWO64 = 1 << 64
+_TWO62 = 1 << 62
 
 
 def hll_alpha_micro(m: int) -> int:
@@ -214,29 +210,37 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
         est = alpha_m * m^2 / sum_j 2^(-rho_j)
 
     evaluated as ``A div (S * 1e6)`` with ``A = alpha_micro * m^2 *
-    2^64`` (a Python-int literal) and ``S = sum 2^(64-rho_j)`` summed
-    in DECIMAL(38,0) — every step exact and engine-portable, so a SQL
-    oracle reproduces the estimate bit-for-bit.  Raw-regime estimator
-    only (n >~ 2.5m); the register table itself is the durable
-    artifact — callers needing small-range linear counting can apply
-    it downstream from the same registers.
+    2^62`` (a Python-int literal) and ``S = sum 2^(62-rho_j)`` summed
+    in DECIMAL(38,0).  The 2^62 scale keeps every per-register term a
+    plain ``shiftleft`` LONG — rho ranges 1..(61-p), so exponents stay
+    in [p+1, 61] and the rho=1 term is 2^61, NOT the 2^63 long-wrap a
+    2^64 scale would hit — while 2^rho still divides the scale
+    exactly, so nothing is lost to truncation and a SQL oracle
+    reproduces the estimate bit-for-bit.
+
+    Raw-regime estimator only (n >~ 2.5m); an EMPTY register table
+    (e.g. a shard that saw no rows) estimates 0, not alpha*m.  The
+    register table itself is the durable artifact — callers needing
+    small-range linear counting can apply it downstream from the same
+    registers.
     """
     _check_hll_p(p)
     m = 1 << p
-    a_num = hll_alpha_micro(m) * m * m * _TWO64
+    a_num = hll_alpha_micro(m) * m * m * _TWO62
     return (registers
             .agg(F.sum(F.expr(
-                    # div yields BIGINT and a rho=1 term is 2^63 —
-                    # sum in DECIMAL or two such terms overflow long
-                    f"CAST(CAST('{_TWO64}' AS DECIMAL(38,0)) "
-                    "div shiftleft(CAST(1 AS BIGINT), rho) "
+                    # term = 2^(62-rho): exponent <= 61 so each term
+                    # fits LONG; the SUM still needs DECIMAL
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 62 - rho) "
                     "AS DECIMAL(38,0))"))
                   .alias("_sp"),
                  F.count("*").alias("_cnt"))
             .select(F.expr(
-                f"CAST('{a_num}' AS DECIMAL(38,0)) div "
+                f"CASE WHEN _cnt = 0 THEN CAST(0 AS BIGINT) ELSE "
+                f"CAST(CAST('{a_num}' AS DECIMAL(38,0)) div "
                 f"((coalesce(_sp, 0) + ({m} - _cnt) * "
-                f"CAST('{_TWO64}' AS DECIMAL(38,0))) * 1000000)")
+                f"CAST('{_TWO62}' AS DECIMAL(38,0))) * 1000000) "
+                f"AS BIGINT) END")
                 .cast("long").alias("est_distinct")))
 
 
@@ -253,8 +257,10 @@ def hll_report(df: DataFrame, col: str, *, p: int = 8) -> DataFrame:
     est = hll_estimate(hll_build(df, col, p=p), p=p)
     return (exact.crossJoin(est)
             .select("exact_distinct", "est_distinct",
-                    F.expr("(est_distinct - exact_distinct) * 10000 "
-                           "div exact_distinct")
+                    F.expr("CASE WHEN exact_distinct = 0 "
+                           "THEN CAST(0 AS BIGINT) ELSE "
+                           "(est_distinct - exact_distinct) * 10000 "
+                           "div exact_distinct END")
                      .cast("long").alias("err_bp")))
 
 

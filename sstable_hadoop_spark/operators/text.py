@@ -36,6 +36,15 @@ def _tokens(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+def clean_tokens(text: Column) -> Column:
+    r"""Lowercased Java-``\s``-split tokens with empties dropped — THE
+    tokenization every oracle's ``regexp_split_to_array(lower(text),
+    '\s+')`` chain mirrors.  One definition on purpose: a tweak here
+    (e.g. the whitespace class) must move every consumer at once or
+    bit-exact cross-engine parity silently breaks."""
+    return F.filter(_tokens(text), lambda t: t != "")
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                keep: tuple[str, ...] = ()) -> DataFrame:
@@ -218,7 +227,7 @@ def ngram_lm_scores(df: DataFrame, text_col: str = "text",
     df = ensure_parallelism(df)
 
     def grams(col: Column) -> Column:
-        toks = F.filter(_tokens(col), lambda t: t != "")
+        toks = clean_tokens(col)
         return F.when(
             F.size(toks) >= n,
             F.transform(
@@ -231,7 +240,7 @@ def ngram_lm_scores(df: DataFrame, text_col: str = "text",
 
     ref = lm_df if lm_df is not None else df
     ref_toks = ref.select(F.explode(
-        F.filter(_tokens(F.col(text_col)), lambda t: t != "")).alias("tok"))
+        clean_tokens(F.col(text_col))).alias("tok"))
     vocab_n = ref_toks.select(
         F.countDistinct("tok").alias("v")).collect()[0]["v"] or 1
 

@@ -5780,7 +5780,8 @@ sc AS (
     SELECT m.doc_id, m.term,
            (idf * tf * ({_BM25_K1} + 1000))
            // (tf * 1000 + ({_BM25_K1} * ((1000 - {_BM25_B})
-               + ({_BM25_B} * dl * n) // tt)) // 1000) AS contrib
+               + CAST(({_BM25_B} * CAST(dl AS HUGEINT) * n) // tt
+                      AS BIGINT))) // 1000) AS contrib
     FROM m JOIN idf USING (term) CROSS JOIN tot
 )
 SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms_hit,
@@ -5814,7 +5815,7 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Messy synthetic URLs for the canonicalizer row: case salad,
 #: default + explicit ports, tracking params, unsorted params,
 #: fragments, missing paths, and a schemeless fall-through.
-_MESSY_URL_SQL = """CASE doc_id % 5
+_MESSY_URL_SQL = """CASE doc_id % 6
   WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 37)
        || '.COM:80/Page/' || doc_id || '?utm_source=x&b=2&a=1#frag'
   WHEN 1 THEN 'https://Site' || (doc_id % 37)
@@ -5822,6 +5823,8 @@ _MESSY_URL_SQL = """CASE doc_id % 5
   WHEN 2 THEN 'https://site' || (doc_id % 37)
        || '.com:8443/p/' || doc_id || '?z=1&y=2&utm_c=3'
   WHEN 3 THEN 'http://site' || (doc_id % 37) || '.com'
+  WHEN 4 THEN 'http://user' || doc_id || ':pw@Site' || (doc_id % 37)
+       || '.com/acct'
   ELSE 'relative/path?a=' || doc_id
 END"""
 
@@ -5840,7 +5843,9 @@ c2 AS (SELECT *,
               regexp_replace(nofrag,
                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
        FROM c1),
-c3 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+c3 AS (SELECT *,
+              regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                             '^[^/?#@]*@', '') AS hostport,
               regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM c2),
 c4 AS (SELECT *,
               lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
@@ -5874,7 +5879,8 @@ def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     schemeless inputs fall through unchanged.  One chained codegen
     expression in the Java-regex/RE2 common subset — the oracle runs
     the IDENTICAL chain in DuckDB over the same synthesized messy
-    URLs (five shapes covering every rule)."""
+    URLs (six shapes covering every rule, incl. a userinfo
+    credential drop)."""
     from sstable_hadoop_spark.operators.corpus import canonicalize_url
 
     docs = load(spark, sf_dir, "documents")
@@ -5998,8 +6004,8 @@ def _hll_oracle(p: int) -> str:
 
     m = 1 << p
     rmax = 61 - p
-    a_num = hll_alpha_micro(m) * m * m * (1 << 64)
-    two64 = str(1 << 64)
+    a_num = hll_alpha_micro(m) * m * m * (1 << 62)
+    two62 = str(1 << 62)
     return f"""
 WITH h AS (
     SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
@@ -6014,16 +6020,16 @@ rg AS (
     FROM pr GROUP BY bucket
 ),
 s AS (
-    SELECT sum(CAST('{two64}' AS HUGEINT)
-               // (CAST(1 AS HUGEINT) << rho)) AS sp,
+    SELECT sum(CAST(1 AS HUGEINT) << (62 - rho)) AS sp,
            count(*) AS cnt
     FROM rg
 ),
 e AS (
-    SELECT CAST(CAST('{a_num}' AS HUGEINT)
+    SELECT CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(CAST('{a_num}' AS HUGEINT)
                 // ((coalesce(sp, 0)
-                     + ({m} - cnt) * CAST('{two64}' AS HUGEINT))
-                    * 1000000) AS BIGINT) AS est_distinct
+                     + ({m} - cnt) * CAST('{two62}' AS HUGEINT))
+                    * 1000000) AS BIGINT) END AS est_distinct
     FROM s
 ),
 x AS (
@@ -6031,8 +6037,9 @@ x AS (
     FROM events WHERE event_id IS NOT NULL
 )
 SELECT x.exact_distinct, e.est_distinct,
-       CAST((e.est_distinct - x.exact_distinct) * 10000
-            // x.exact_distinct AS BIGINT) AS err_bp
+       CASE WHEN x.exact_distinct = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST((e.est_distinct - x.exact_distinct) * 10000
+                 // x.exact_distinct AS BIGINT) END AS err_bp
 FROM x, e
 """
 

@@ -276,3 +276,29 @@ def test_positions_dont_change_search_or_bm25(spark, tmp_path):
     sb = [tuple(r) for r in
           bm25_search(spark, posd, ["alpha", "delta"]).collect()]
     assert sa == sb
+
+
+def test_bm25_inner_term_survives_planet_scale_totals(spark, tmp_path):
+    # b*dl*n_docs at the corpus scale the module targets exceeds
+    # LONG (e.g. 750 * 5 * 1e16 ≈ 3.8e19 > 2^63): the inner term is
+    # widened to DECIMAL, so scores keep their sign.  Forge the
+    # sidecar totals to planet scale and require a positive score
+    # (a wrap flips denom negative -> negative score).
+    import json as _json
+
+    from sstable_hadoop_spark.operators.inverted import (
+        _META,
+        bm25_search,
+    )
+
+    path = str(tmp_path / "inv")
+    write_inverted_index(
+        spark.createDataFrame([(1, "needle hay hay hay hay")],
+                              "doc_id long, text string"),
+        path, n_buckets=2)
+    meta = _json.loads(open(f"{path}/{_META}").read())
+    meta["n_docs"] = 10 ** 16
+    meta["total_tokens"] = 5 * 10 ** 16
+    open(f"{path}/{_META}", "w").write(_json.dumps(meta))
+    out = bm25_search(spark, path, ["needle"], limit=1).collect()
+    assert len(out) == 1 and out[0]["score_micro"] > 0, out

@@ -183,3 +183,25 @@ def test_hll_param_guards(spark):
         hll_estimate(hll_build(df, "v", p=8), p=17)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+def test_hll_low_occupancy_no_long_wrap(spark):
+    # n = 2.5m exactly (the raw-regime floor): many registers hold
+    # rho=1, whose scaled term is the largest — under the old 2^64
+    # scale that term wrapped LONG and inflated the estimate ~7x
+    # (est 4633 for 640 truth).  Pin the repaired arithmetic.
+    df = spark.range(640).select(F.col("id").alias("v"))
+    r = hll_report(df, "v", p=8).collect()[0]
+    assert r["exact_distinct"] == 640
+    assert 400 < r["est_distinct"] < 900, r  # sane raw-regime band
+    regs = hll_build(df, "v", p=8)
+    assert regs.filter("rho = 1").count() > 0  # the case is exercised
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    r = hll_report(empty, "v", p=8).collect()[0]
+    assert tuple(r) == (0, 0, 0)
+    # estimate straight from an empty register table too
+    est = hll_estimate(hll_build(empty, "v", p=8), p=8).collect()
+    assert est[0]["est_distinct"] == 0
