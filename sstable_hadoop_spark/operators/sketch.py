@@ -244,6 +244,64 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
                 .cast("long").alias("est_distinct")))
 
 
+def hll_build_grouped(df: DataFrame, col: str,
+                      group_cols: list[str], *,
+                      p: int = 8) -> DataFrame:
+    """Per-group register tables ``(group..., bucket, rho)`` — the
+    production HLL shape ("distinct users per segment/day"): at most
+    ``2^p`` rows PER GROUP, one exchange keyed (group, bucket) with
+    map-side partial max.  Register tables for the same group from
+    different shards/days merge with a plain
+    ``groupBy(group, bucket).max(rho)`` — the rollup that turns daily
+    sketches into weekly/monthly distincts without touching raw data.
+    """
+    _check_hll_p(p)
+    if not group_cols:
+        raise ValueError("hll_build_grouped needs group_cols; use "
+                         "hll_build for the ungrouped sketch")
+    m = 1 << p
+    rmax = 61 - p
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    probes = (df.where(F.col(col).isNotNull())
+                .select(*[F.col(g) for g in group_cols],
+                        h.alias("_h"))
+                .select(*group_cols,
+                        (F.col("_h") % m).cast("int").alias("bucket"),
+                        F.expr(f"_h div {m}").alias("_rem")))
+    rho = F.when(F.col("_rem") == 0, F.lit(rmax))            .otherwise(F.lit(rmax) - F.length(F.bin(F.col("_rem"))))
+    return (probes.select(*group_cols, "bucket", rho.alias("_rho"))
+                  .groupBy(*group_cols, "bucket")
+                  .agg(F.max("_rho").cast("int").alias("rho")))
+
+
+def hll_estimate_grouped(registers: DataFrame,
+                         group_cols: list[str], *,
+                         p: int = 8) -> DataFrame:
+    """Per-group estimates ``(group..., est_distinct)`` from grouped
+    registers — the same exact integer/decimal arithmetic as
+    :func:`hll_estimate`, one metadata-sized agg keyed by group."""
+    _check_hll_p(p)
+    if not group_cols:
+        raise ValueError("hll_estimate_grouped needs group_cols")
+    m = 1 << p
+    a_num = hll_alpha_micro(m) * m * m * _TWO62
+    return (registers
+            .groupBy(*group_cols)
+            .agg(F.sum(F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 62 - rho) "
+                    "AS DECIMAL(38,0))"))
+                  .alias("_sp"),
+                 F.count("*").alias("_cnt"))
+            .select(*group_cols, F.expr(
+                f"CASE WHEN _cnt = 0 THEN CAST(0 AS BIGINT) ELSE "
+                f"CAST(CAST('{a_num}' AS DECIMAL(38,0)) div "
+                f"((coalesce(_sp, 0) + ({m} - _cnt) * "
+                f"CAST('{_TWO62}' AS DECIMAL(38,0))) * 1000000) "
+                f"AS BIGINT) END")
+                .cast("long").alias("est_distinct")))
+
+
 def hll_report(df: DataFrame, col: str, *, p: int = 8) -> DataFrame:
     """Certification report, one row: exact distinct count vs the HLL
     estimate and the signed error in basis points

@@ -6044,6 +6044,84 @@ FROM x, e
 """
 
 
+def _hll_grouped_oracle(p: int) -> str:
+    from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
+
+    m = 1 << p
+    rmax = 61 - p
+    a_num = hll_alpha_micro(m) * m * m * (1 << 62)
+    two62 = str(1 << 62)
+    return f"""
+WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events WHERE event_id IS NOT NULL
+),
+pr AS (SELECT event_type, h % {m} AS bucket, h // {m} AS rem FROM h),
+rg AS (
+    SELECT event_type, bucket,
+           max(CASE WHEN rem = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(rem)) END) AS rho
+    FROM pr GROUP BY event_type, bucket
+),
+s AS (
+    SELECT event_type,
+           sum(CAST(1 AS HUGEINT) << (62 - rho)) AS sp,
+           count(*) AS cnt
+    FROM rg GROUP BY event_type
+),
+e AS (
+    SELECT event_type,
+           CAST(CAST('{a_num}' AS HUGEINT)
+                // ((coalesce(sp, 0)
+                     + ({m} - cnt) * CAST('{two62}' AS HUGEINT))
+                    * 1000000) AS BIGINT) AS est_distinct
+    FROM s
+),
+x AS (
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+    FROM events WHERE event_id IS NOT NULL GROUP BY event_type
+)
+SELECT x.event_type, x.exact_distinct, e.est_distinct,
+       CAST((e.est_distinct - x.exact_distinct) * 10000
+            // x.exact_distinct AS BIGINT) AS err_bp
+FROM x JOIN e USING (event_type)
+"""
+
+
+@query("sketch_hll_grouped_by_type", oracle=_hll_grouped_oracle(_HLL_P))
+def sketch_hll_grouped_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped portable HLL (operators/sketch.py hll_build_grouped /
+    hll_estimate_grouped) — the production sketch shape: distinct
+    event_ids PER event_type from per-group register tables (<= 2^p
+    rows per group, one (group, bucket) exchange with map-side
+    partial max; same-group shards merge by max(rho) — the rollup
+    that turns daily sketches into monthly distincts without raw
+    data).  Same exact-integer estimator as the ungrouped row, so the
+    per-group ESTIMATES are oracle-reproduced bit-for-bit alongside
+    exact counts and signed err_bp."""
+    from sstable_hadoop_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    events = load(spark, sf_dir, "events") \
+        .where(F.col("event_id").isNotNull())
+    regs = hll_build_grouped(events, "event_id", ["event_type"],
+                             p=_HLL_P)
+    est = hll_estimate_grouped(regs, ["event_type"], p=_HLL_P)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("long")
+         .alias("exact_distinct"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_distinct", "est_distinct",
+                    F.expr("(est_distinct - exact_distinct) * 10000 "
+                           "div exact_distinct")
+                     .cast("long").alias("err_bp")))
+
+
 @query("sketch_hll_distinct_events", oracle=_hll_oracle(_HLL_P))
 def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-HyperLogLog certification (operators/sketch.py

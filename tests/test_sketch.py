@@ -205,3 +205,58 @@ def test_hll_empty_input_estimates_zero(spark):
     # estimate straight from an empty register table too
     est = hll_estimate(hll_build(empty, "v", p=8), p=8).collect()
     assert est[0]["est_distinct"] == 0
+
+
+def test_hll_grouped_matches_per_slice_build(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    df = spark.range(9000).select((F.col("id") % 3).alias("g"),
+                                  F.col("id").alias("v"))
+    regs = hll_build_grouped(df, "v", ["g"], p=7)
+    est = {r["g"]: r["est_distinct"]
+           for r in hll_estimate_grouped(regs, ["g"], p=7).collect()}
+    assert set(est) == {0, 1, 2}
+    for g in (0, 1, 2):
+        slice_est = hll_estimate(
+            hll_build(df.filter(f"g = {g}"), "v", p=7),
+            p=7).collect()[0]["est_distinct"]
+        assert est[g] == slice_est, g
+    # per-group register count bounded
+    from collections import Counter
+
+    c = Counter(r["g"] for r in regs.collect())
+    assert all(v <= 1 << 7 for v in c.values())
+
+
+def test_hll_grouped_shard_rollup(spark):
+    # same-group registers from two shards roll up with max(rho) into
+    # the whole-corpus grouped sketch — the daily->monthly story
+    from sstable_hadoop_spark.operators.sketch import hll_build_grouped
+
+    df = spark.range(6000).select((F.col("id") % 2).alias("g"),
+                                  F.col("id").alias("v"))
+    a = hll_build_grouped(df.filter("v < 4000"), "v", ["g"], p=6)
+    b = hll_build_grouped(df.filter("v >= 2000"), "v", ["g"], p=6)
+    merged = {(r["g"], r["bucket"]): r["rho"]
+              for r in a.unionByName(b).groupBy("g", "bucket")
+                        .agg(F.max("rho").alias("rho")).collect()}
+    whole = {(r["g"], r["bucket"]): r["rho"]
+             for r in hll_build_grouped(df, "v", ["g"], p=6).collect()}
+    assert merged == whole
+
+
+def test_hll_grouped_guards(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    df = spark.range(10).select(F.lit("a").alias("g"),
+                                F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="group_cols"):
+        hll_build_grouped(df, "v", [])
+    with pytest.raises(ValueError, match="group_cols"):
+        hll_estimate_grouped(hll_build_grouped(df, "v", ["g"]), [])
