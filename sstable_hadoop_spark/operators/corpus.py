@@ -548,6 +548,49 @@ def mixture_summary(df: DataFrame, budgets: dict[str, int],
                         F.col("admitted_tokens") < F.col("budget")))
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    seed: str = "wsample") -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006), deterministic and single-pass: each row gets the
+    key ``ln(u)/w`` (u uniform from ``md5(seed:id)``, w its weight)
+    and the top-``k`` keys win — inclusion probability proportional
+    to weight, the importance-sampling knob a curation recipe uses to
+    prefer high-quality docs without hard thresholds.
+
+    Determinism / oracle contract: ``u`` comes from the id hash (same
+    md5-BIGINT idiom as :func:`hash_split` — stable across runs,
+    cluster sizes, and row orders); ``ln(u)`` is quantized once to
+    integer micro-nats (the trusted ``floor(ln)*1e6`` pattern), and
+    the division by the weight plus the final milli-quantization are
+    single IEEE double ops (exactly rounded, engine-identical), so a
+    SQL oracle reproduces keys AND the selected set bit-for-bit.
+    Plan: pure projection + distributed TakeOrdered top-k — no
+    shuffle beyond the top-k exchange.
+
+    Rows with NULL or non-positive weight are excluded (the ES key is
+    undefined there).  Returns (id, weight, key_milli) ordered by
+    (key desc, id asc); ties are broken by id so the sample is unique.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    ln_micro = F.floor(F.log(u) * F.lit(1000000.0))
+    key_milli = F.floor((ln_micro / F.col(weight_col))
+                        * F.lit(1000.0)).cast("long")
+    return (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+              .select(F.col(id_col),
+                      F.col(weight_col),
+                      key_milli.alias("key_milli"))
+              .orderBy(F.desc("key_milli"), F.asc(id_col))
+              .limit(k))
+
+
 def quality_filter(df: DataFrame, top_fraction: float, *,
                    by: tuple[str, ...] = ("lang",),
                    method: str = "rank",

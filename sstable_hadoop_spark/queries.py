@@ -6044,6 +6044,43 @@ FROM x, e
 """
 
 
+_WS_K, _WS_SEED = 50, "wsample"
+
+
+@query("corpus_weighted_sample", oracle=f"""
+WITH w AS (
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5('{_WS_SEED}:' || doc_id), 1, 15))
+                AS BIGINT) AS h
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+k AS (
+    SELECT doc_id, n_chars,
+           CAST(floor((floor(ln((h + 1) / 1152921504606846976.0)
+                             * 1000000.0) / n_chars) * 1000.0)
+                AS BIGINT) AS key_milli
+    FROM w
+)
+SELECT doc_id, n_chars, key_milli
+FROM k ORDER BY key_milli DESC, doc_id LIMIT {_WS_K}
+""")
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/corpus.py weighted_sample, Efraimidis-Spirakis): the
+    top-50 documents by the ln(u)/w key with w = n_chars — longer
+    docs proportionally likelier, the importance-sampling knob for
+    quality-weighted curation.  u derives from md5(seed:doc_id)
+    (run/order/cluster-stable), ln quantized once to micro-nats, the
+    weight division and milli-quantization are single IEEE double
+    ops — so the oracle reproduces the key table and the SELECTED SET
+    bit-for-bit."""
+    from sstable_hadoop_spark.operators.corpus import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(docs, _WS_K, "n_chars", seed=_WS_SEED)
+
+
 def _hll_grouped_oracle(p: int) -> str:
     from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
 

@@ -3274,3 +3274,47 @@ def test_canonicalize_url_rules(spark):
     got2 = {r["url"]: r["c"] for r in df2.select(
         "url", canonicalize_url("url").alias("c")).collect()}
     assert got2 == {v: v for v in cases.values()}
+
+
+def test_weighted_sample_properties(spark):
+    import math
+
+    from sstable_hadoop_spark.operators.corpus import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 100).otherwise(1).alias("w"))
+    out = weighted_sample(df, 100, "w").collect()
+    assert len(out) == 100
+    # keys are ordered desc with id tie-break, sample is unique
+    keys = [(r["key_milli"], -r["doc_id"]) for r in out]
+    assert keys == sorted(keys, reverse=True)
+    assert len({r["doc_id"] for r in out}) == 100
+    # 100x-weighted ids dominate the sample (deterministic input)
+    heavy = sum(1 for r in out if r["doc_id"] < 100)
+    assert heavy > 60, heavy
+    # deterministic across invocations
+    again = weighted_sample(df, 100, "w").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    # key matches the documented formula on one hand-computed row
+    import hashlib
+
+    r0 = out[0]
+    h = int(hashlib.md5(f"wsample:{r0['doc_id']}".encode())
+            .hexdigest()[:15], 16)
+    lnm = math.floor(math.log((h + 1) / float(1 << 60)) * 1e6)
+    assert r0["key_milli"] == math.floor(lnm / r0["w"] * 1000.0)
+
+
+def test_weighted_sample_excludes_nonpositive_and_guards(spark):
+    from sstable_hadoop_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None)],
+        "doc_id long, w int")
+    out = weighted_sample(df, 10, "w").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0, "w")
