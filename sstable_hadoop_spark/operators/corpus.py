@@ -508,6 +508,75 @@ def mixture_sample(df: DataFrame, budgets: dict[str, int],
                .select("id", "source", "shard", "n_tokens", "cum_tokens"))
 
 
+def mixture_epochs(df: DataFrame, budgets: dict[str, int],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text", n_shards: int = 8,
+                   seed: str = "mix") -> DataFrame:
+    """Mixture construction WITH upsampling: when a source's token
+    budget exceeds its corpus, the source is repeated in whole epochs
+    plus a deterministic partial epoch — the standard answer for
+    under-represented high-quality sources (books/code repeated 2-3x
+    while web caps at 1; cf. the Pile / LLaMA recipes) that
+    :func:`mixture_sample` (sampling-down only) cannot express.
+
+    Per (source, md5-shard): ``full = shard_budget div shard_tokens``
+    whole epochs, then the shard's md5-priority prefix with
+    ``cum_tokens <= shard_budget mod shard_tokens`` rides epoch
+    ``full``.  Everything reuses mixture_sample's machinery — same
+    shard split, same priority order, same token definition — so
+    epoch 0 of this op equals the admitted set of ``mixture_sample``
+    whenever budgets fit inside the corpus.
+
+    Topology: the one (source, shard) exchange + a metadata-sized
+    per-shard totals agg joined back (AQE-broadcast); the epoch
+    fan-out is a codegen ``explode(sequence(...))`` AFTER admission
+    logic, so text columns never multiply through a shuffle.  Output:
+    (id, source, shard, n_tokens, epoch) with epoch 0-based.
+    """
+    from pyspark.sql.window import Window
+
+    from ._util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    pairs: list[Column] = []
+    for src, b in budgets.items():
+        pairs += [F.lit(src), F.lit(int(b))]
+    budget = F.element_at(F.create_map(*pairs), F.col(source_col))
+    key = _bucket(seed, F.col(id_col))
+    shard = (F.conv(key, 16, 10).cast("long") % n_shards).cast("int")
+    toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+")).cast("long")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(source_col).alias("source"),
+                      shard.alias("shard"),
+                      toks.alias("n_tokens"),
+                      key.alias("_pri"),
+                      budget.alias("_budget"))
+              .filter(F.col("_budget").isNotNull()))
+    shard_budget = (F.floor(F.col("_budget") / n_shards)
+                    + F.when(F.col("shard") < F.col("_budget") % n_shards,
+                             1).otherwise(0)).cast("long")
+    w = (Window.partitionBy("source", "shard")
+               .orderBy(F.asc("_pri"), F.asc("id"))
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))               .withColumn("_sb", shard_budget)
+    totals = cum.groupBy("source", "shard").agg(
+        F.sum("n_tokens").alias("_st"))
+    joined = (cum.join(totals, ["source", "shard"])
+                 .filter(F.col("_st") > 0)
+                 .withColumn("_full", F.expr("_sb div _st"))
+                 .withColumn("_rem", F.col("_sb") % F.col("_st")))
+    return (joined
+            .select("id", "source", "shard", "n_tokens", "_full",
+                    "_rem", "cum_tokens",
+                    F.explode(F.sequence(F.lit(0), F.col("_full")))
+                     .alias("epoch"))
+            .filter((F.col("epoch") < F.col("_full"))
+                    | (F.col("cum_tokens") <= F.col("_rem")))
+            .select("id", "source", "shard", "n_tokens",
+                    F.col("epoch").cast("int").alias("epoch")))
+
+
 def mixture_summary(df: DataFrame, budgets: dict[str, int],
                     source_col: str = "source", id_col: str = "doc_id",
                     text_col: str = "text", n_shards: int = 8,

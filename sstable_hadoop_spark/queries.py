@@ -6044,6 +6044,67 @@ FROM x, e
 """
 
 
+#: Upsampling recipe: src1's budget is ~2.8x its corpus tokens (two
+#: full epochs + a partial), src2's is ~0.65x (partial only) — both
+#: regimes of mixture_epochs exercised in one row.
+_EPOCH_BUDGETS = {"src1": 4000, "src2": 900}
+_EPOCH_SHARDS = 4
+
+
+@query("corpus_mixture_epochs", oracle=f"""
+WITH base AS (
+    SELECT doc_id AS id, source,
+           CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS UBIGINT)
+                % {_EPOCH_SHARDS} AS INT)                    AS shard,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                AS BIGINT)                                   AS n_tokens,
+           substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS pri,
+           CAST(CASE source WHEN 'src1' THEN {_EPOCH_BUDGETS["src1"]}
+                WHEN 'src2' THEN {_EPOCH_BUDGETS["src2"]}
+                ELSE NULL END AS BIGINT)                     AS budget
+    FROM documents
+    WHERE source IN ('src1', 'src2')
+), cum AS (
+    SELECT id, source, shard, n_tokens, pri,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source, shard
+                                    ORDER BY pri, id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT)                                   AS cum_tokens,
+           budget // {_EPOCH_SHARDS}
+               + CASE WHEN shard < budget % {_EPOCH_SHARDS}
+                      THEN 1 ELSE 0 END                      AS sb
+    FROM base
+), tot AS (
+    SELECT source, shard, CAST(sum(n_tokens) AS BIGINT) AS st
+    FROM base GROUP BY source, shard
+), j AS (
+    SELECT cum.*, tot.st, cum.sb // tot.st AS fullep,
+           cum.sb % tot.st AS rem
+    FROM cum JOIN tot USING (source, shard)
+    WHERE tot.st > 0
+)
+SELECT id, source, shard, n_tokens, CAST(e AS INT) AS epoch
+FROM (SELECT *, unnest(range(fullep + 1)) AS e FROM j)
+WHERE e < fullep OR cum_tokens <= rem
+""")
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ mixture construction WITH upsampling (operators/corpus.py
+    mixture_epochs): src1's budget is ~2.8x its corpus (two whole
+    epochs + a deterministic md5-priority partial), src2's ~0.65x
+    (partial only — the mixture_sample regime), so one row certifies
+    whole-epoch repetition, the partial prefix, and the downsampling
+    degenerate case together.  Same shard split / priority order /
+    token definition as the mixture family; the epoch fan-out is a
+    codegen explode AFTER admission, so text never multiplies through
+    a shuffle."""
+    from sstable_hadoop_spark.operators.corpus import mixture_epochs
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_epochs(docs, dict(_EPOCH_BUDGETS),
+                          n_shards=_EPOCH_SHARDS)
+
+
 _WS_K, _WS_SEED = 50, "wsample"
 
 

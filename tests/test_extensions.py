@@ -3318,3 +3318,45 @@ def test_weighted_sample_excludes_nonpositive_and_guards(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, 0, "w")
+
+
+def test_mixture_epochs_regimes(spark):
+    from sstable_hadoop_spark.operators.corpus import (
+        mixture_epochs,
+        mixture_sample,
+    )
+
+    rows = [(i, "s1" if i < 10 else "s2", "tok " * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # each doc is 11 tokens ("tok "*10 splits to 10 toks + trailing '')
+    # s1 corpus = 110 tokens; budget 250 -> ~2 epochs + partial
+    # s2 corpus = 110 tokens; budget 50  -> partial only
+    out = mixture_epochs(df, {"s1": 250, "s2": 50}, n_shards=2)
+    rows_out = out.collect()
+    by_src = {}
+    for r in rows_out:
+        by_src.setdefault(r["source"], []).append(r)
+    # s1: some docs appear in multiple epochs
+    s1_epochs = {r["epoch"] for r in by_src["s1"]}
+    assert max(s1_epochs) >= 2
+    # every (id, epoch) pair unique
+    pairs = [(r["id"], r["epoch"]) for r in rows_out]
+    assert len(pairs) == len(set(pairs))
+    # s2: partial only -> all epoch 0, token mass <= budget
+    assert {r["epoch"] for r in by_src["s2"]} == {0}
+    assert sum(r["n_tokens"] for r in by_src["s2"]) <= 50
+    # downsampling degenerate case == mixture_sample's admitted set
+    ms = {(r["id"],) for r in
+          mixture_sample(df, {"s2": 50}, n_shards=2).collect()}
+    me = {(r["id"],) for r in
+          mixture_epochs(df, {"s2": 50}, n_shards=2).collect()}
+    assert ms == me
+    # per-shard token delivery never exceeds the shard budget
+    import collections
+
+    shard_tokens = collections.Counter()
+    for r in by_src["s1"]:
+        shard_tokens[r["shard"]] += r["n_tokens"]
+    for sh, tk in shard_tokens.items():
+        sb = 250 // 2 + (1 if sh < 250 % 2 else 0)
+        assert tk <= sb, (sh, tk, sb)
