@@ -6142,6 +6142,77 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, _WS_K, "n_chars", seed=_WS_SEED)
 
 
+def _stage_event_stream(spark: SparkSession, sf_dir: str) -> str:
+    """events split into 4 parquet files (by event_id % 4) so a
+    maxFilesPerTrigger=1 stream delivers 4 micro-batches — idempotent
+    per sf_dir."""
+    import hashlib
+    import os
+
+    def build(out: str) -> None:
+        events = load(spark, sf_dir, "events")
+        for i in range(4):
+            (events.filter(F.col("event_id") % 4 == i)
+                   .coalesce(1)  # fixture-scale: one file per batch
+                   .write.mode("overwrite")
+                   .parquet(os.path.join(out, f"chunk{i}")))
+
+    tag = "event_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("streaming_hll_registers", oracle=_hll_oracle(_HLL_P))
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register store (streaming/sketch_stream.py):
+    events arrive in 4 micro-batches (file stream, one file per
+    trigger); each batch's registers fold into the persistent store
+    by max(rho) — IDEMPOTENT, so replay after a crash between publish
+    and checkpoint cannot inflate the count (exactly-once by
+    algebra).  The stream-maintained store must estimate exactly what
+    the batch sketch over all events estimates, so this row reuses
+    the batch row's oracle verbatim: exact distinct, store estimate,
+    signed err_bp."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sstable_hadoop_spark.streaming.sketch_stream import (
+        hll_stream_to_registers,
+        read_stored_registers,
+    )
+    from sstable_hadoop_spark.operators.sketch import hll_estimate
+
+    src = _stage_event_stream(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"hllstream_{uuid.uuid4().hex[:6]}_")
+    store, ckpt = os.path.join(work, "store"), os.path.join(work, "ckpt")
+    os.makedirs(store)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "chunk*")))
+    q = hll_stream_to_registers(stream, "event_id", store, ckpt,
+                                p=_HLL_P)
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    regs = read_stored_registers(spark, store, p=_HLL_P)
+    est = hll_estimate(regs, p=_HLL_P)
+    exact = events.where(F.col("event_id").isNotNull()).agg(
+        F.countDistinct("event_id").cast("long")
+         .alias("exact_distinct"))
+    out = (exact.crossJoin(est)
+           .select("exact_distinct", "est_distinct",
+                   F.expr("(est_distinct - exact_distinct) * 10000 "
+                          "div exact_distinct")
+                    .cast("long").alias("err_bp"))).localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _hll_grouped_oracle(p: int) -> str:
     from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
 
