@@ -322,6 +322,187 @@ def hll_report(df: DataFrame, col: str, *, p: int = 8) -> DataFrame:
                      .cast("long").alias("err_bp")))
 
 
+def _check_hdr_sub_bits(sub_bits: int) -> None:
+    if not (1 <= sub_bits <= 14):
+        raise ValueError(
+            f"sub_bits must be in [1, 14], got {sub_bits} "
+            "(the sketch is supposed to be metadata-sized)")
+
+
+def hdr_index(v: Column, sub_bits: int) -> Column:
+    """HDR-histogram bucket index for a non-negative BIGINT value:
+    values below ``m = 2^sub_bits`` are their own singleton bucket
+    (``idx = v``, exact); above, the value keeps its top ``sub_bits``
+    mantissa bits — ``idx = (e - s) * m + (v >> (e - s))`` with
+    ``e = bitlen(v) - 1`` — so every bucket's width is ``2^(e-s)``
+    and the RELATIVE error is bounded by ``2^-sub_bits`` regardless
+    of magnitude.  bitlen comes from ``length(bin(v))``, the same
+    BIGINT trick the HLL rank uses: pure integer ops, identical in
+    Spark and DuckDB, no ln() in sight."""
+    m = 1 << sub_bits
+    e = (F.length(F.bin(v)) - 1).cast("long")
+    shift = (e - sub_bits).cast("int")
+    top = F.call_function("shiftrightunsigned", v, shift)
+    return F.when(v < m, v).otherwise((e - sub_bits) * m + top)
+
+
+def hdr_bounds(idx: Column, sub_bits: int):
+    """Inclusive (lo, hi) value bounds of bucket ``idx`` — the inverse
+    of :func:`hdr_index`.  For ``idx < m`` the bucket is the singleton
+    ``[idx, idx]``; otherwise ``k = idx div m`` recovers the shift
+    ``k - 1`` and ``lo = (idx - (k-1)*m) << (k-1)``.  ``idx / m`` is
+    exact in doubles (idx is metadata-small and m a power of two), so
+    the long cast is true floor division."""
+    m = 1 << sub_bits
+    k = (idx / m).cast("long")
+    shift = (k - 1).cast("int")
+    width = F.call_function("shiftleft", F.lit(1).cast("long"), shift)
+    lo = F.call_function("shiftleft",
+                         (idx - (k - 1) * m).cast("long"), shift)
+    singleton = idx < m
+    lo_c = F.when(singleton, idx).otherwise(lo)
+    hi_c = F.when(singleton, idx).otherwise(lo + width - 1)
+    return lo_c, hi_c
+
+
+def hdr_build(df: DataFrame, col: str, *,
+              sub_bits: int = 7) -> DataFrame:
+    """Mergeable quantile sketch (HDR-histogram style): the histogram
+    table ``(idx long, c long)`` over non-negative BIGINT values —
+    at most ``(63 - sub_bits + 2) * 2^sub_bits`` rows (~7.4k at the
+    default sub_bits=7) NO MATTER the corpus size, with relative
+    error <= ``2^-sub_bits`` per value (<= 2^-(sub_bits+1) at the
+    reported bucket midpoint).
+
+    Completes the mergeable-sketch trio: counts (count-min), distincts
+    (HLL), and now quantiles — the "p99 latency / doc-length
+    distribution at 100 TB" answer, where an exact percentile is a
+    full sort-based aggregate but this is ONE exchange keyed by bucket
+    whose map-side partial sum caps every task's shuffle contribution
+    at the bucket count.
+
+    Unlike DDSketch's ``ceil(log_gamma(x))`` this index uses NO
+    transcendentals — bitlen + shift only — so the sketch is
+    bit-reproducible across engines and the DuckDB oracle rebuilds it
+    cell-for-cell.  NULLs and negative values are excluded (quantize
+    signed/fractional data to non-negative integer units first, e.g.
+    cents)."""
+    _check_hdr_sub_bits(sub_bits)
+    v = F.col(col).cast("long")
+    vals = df.where(v.isNotNull() & (v >= 0)).select(v.alias("_v"))
+    return (vals.select(hdr_index(F.col("_v"), sub_bits).alias("idx"))
+                .groupBy("idx").agg(F.count("*").alias("c")))
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of shard histograms == the union corpus's
+    histogram (counters are plain sums, same algebra as count-min).
+    Inputs must share ``sub_bits``; cost O(n_shards x n_buckets) —
+    metadata-sized."""
+    if not sketches:
+        raise ValueError("hdr_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("idx").agg(F.sum("c").alias("c"))
+
+
+def hdr_quantiles(sketch: DataFrame, qs_permille: list[int], *,
+                  sub_bits: int = 7) -> DataFrame:
+    """Quantile estimates from the histogram, ``(q_pm int, est_value
+    long)`` — one row per requested permille.  percentile_disc
+    semantics in pure integers: rank ``ceil(q * n)`` computed as
+    ``(n * q_pm + 999) div 1000`` (exact — n*q_pm is an integer),
+    answered by the first bucket whose cumulative count reaches it;
+    the estimate is the bucket midpoint ``lo + (hi - lo) div 2``.
+
+    The cumulative walk is a window over the HISTOGRAM (metadata-
+    sized by construction — <= ~7.4k rows at sub_bits=7), not the
+    corpus, so the single-partition window is free; the corpus never
+    pays a sort."""
+    _check_hdr_sub_bits(sub_bits)
+    if not qs_permille:
+        raise ValueError("hdr_quantiles needs at least one permille")
+    for q in qs_permille:
+        if not (0 <= q <= 1000):
+            raise ValueError(f"permille out of [0, 1000]: {q}")
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    walk = sketch.select(
+        "idx",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("idx").rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("n"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(qs_permille))], "q_pm int")
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(n * q_pm + 999) div 1000"))
+    hits = (qdf.join(F.broadcast(walk.where(F.col("n") > 0)),
+                     F.col("cum") >= rank, "inner")
+               .groupBy("q_pm").agg(F.min("idx").alias("idx")))
+    lo, hi = hdr_bounds(F.col("idx"), sub_bits)
+    # midpoint via >> 1 — stays integer (a double (hi-lo)/2 would
+    # round above 2^53)
+    est = lo + F.call_function("shiftright", hi - lo,
+                               F.lit(1).cast("int"))
+    return hits.select("q_pm", est.cast("long").alias("est_value"))
+
+
+def hdr_report(df: DataFrame, col: str,
+               qs_permille: list[int], *,
+               sub_bits: int = 7) -> DataFrame:
+    """Certification report, one row per permille: exact
+    percentile_disc vs the sketch estimate and the signed relative
+    error in basis points (``(est - exact) * 10000 div exact``; 0
+    when exact is 0).  ``|err_bp| <= 10000 / 2^sub_bits`` by the
+    bucket-width bound — the driver row pins that inequality, not a
+    lucky value.  The exact side is the certification harness;
+    production callers persist :func:`hdr_build` histograms and merge
+    them instead."""
+    _check_hdr_sub_bits(sub_bits)
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("long")
+    clean = df.where(v.isNotNull() & (v >= 0)).select(v.alias("_v"))
+    spark = df.sparkSession
+    # Exact side: percentile_disc's definition evaluated in pure
+    # integers — value at rank ceil(q*n) = (n*q_pm + 999) div 1000.
+    # Spark's percentile_disc(0.9) computes the rank from the DOUBLE
+    # 0.9 (> 9/10), which rounds the ceil UP one row whenever 10 | n;
+    # the integer rank can't.  row_number is dense, so the lookup is
+    # an equi broadcast join, and the global sort is the price of the
+    # certification harness, not of the sketch.
+    ranked = clean.select(
+        "_v", F.row_number().over(Window.orderBy("_v")).alias("_rn"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(qs_permille))], "q_pm int")
+    ranks = (clean.agg(F.count("*").alias("n")).crossJoin(qdf)
+             .select("q_pm",
+                     F.greatest(F.lit(1).cast("long"),
+                                F.expr("(n * q_pm + 999) div 1000"))
+                      .alias("_rn")))
+    exact_rows = (ranked.join(F.broadcast(ranks), "_rn")
+                  .select("q_pm", F.col("_v").alias("exact_value")))
+    est = hdr_quantiles(hdr_build(df, col, sub_bits=sub_bits),
+                        qs_permille, sub_bits=sub_bits)
+    return (exact_rows.join(est, "q_pm")
+            .select(F.col("q_pm").cast("int").alias("q_pm"),
+                    F.col("exact_value").cast("long")
+                     .alias("exact_value"),
+                    F.col("est_value").cast("long").alias("est_value"),
+                    F.expr("CASE WHEN exact_value = 0 "
+                           "THEN CAST(0 AS BIGINT) ELSE "
+                           "(est_value - exact_value) * 10000 "
+                           "div exact_value END")
+                     .cast("long").alias("err_bp"))
+            .orderBy("q_pm"))
+
+
 def cms_topk_report(df: DataFrame, text_col: str = "text", *,
                     k: int = 20, depth: int = 4,
                     width: int = 1 << 12) -> DataFrame:

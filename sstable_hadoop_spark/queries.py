@@ -6311,6 +6311,92 @@ def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_report(events, "event_id", p=_HLL_P)
 
 
+_HDR_S = 7
+_HDR_QS = [500, 900, 990, 999]
+
+
+def _hdr_oracle(s: int, qs: list[int]) -> str:
+    m = 1 << s
+    q_list = ", ".join(str(q) for q in sorted(set(qs)))
+    return f"""
+WITH vals AS (
+    SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND CAST(floor(l_extendedprice * 100) AS BIGINT) >= 0
+),
+cells AS (
+    SELECT CASE WHEN v < {m} THEN v
+           ELSE (length(bin(v)) - 1 - {s}) * {m}
+                + (v >> (length(bin(v)) - 1 - {s})) END AS idx,
+           count(*) AS c
+    FROM vals GROUP BY 1
+),
+walk AS (
+    SELECT idx,
+           SUM(c) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum,
+           (SELECT SUM(c) FROM cells) AS n
+    FROM cells
+),
+qs AS (SELECT unnest([{q_list}]) AS q_pm),
+picks AS (
+    SELECT q_pm, min(idx) AS idx
+    FROM qs, walk
+    WHERE cum >= greatest(1, (n * q_pm + 999) // 1000)
+    GROUP BY q_pm
+),
+est AS (
+    SELECT q_pm,
+           CASE WHEN idx < {m} THEN idx
+                ELSE ((idx - (idx // {m} - 1) * {m}) << (idx // {m} - 1))
+                     + (((CAST(1 AS BIGINT) << (idx // {m} - 1)) - 1) >> 1)
+           END AS est_value
+    FROM picks
+),
+ranked AS (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+),
+nn AS (SELECT count(*) AS n FROM vals),
+exact AS (
+    SELECT q_pm, v AS exact_value
+    FROM qs, nn, ranked
+    WHERE rn = greatest(1, (n * q_pm + 999) // 1000)
+)
+SELECT CAST(exact.q_pm AS INT)        AS q_pm,
+       CAST(exact_value AS BIGINT)    AS exact_value,
+       CAST(est_value AS BIGINT)      AS est_value,
+       CASE WHEN exact_value = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((est_value - exact_value) * 10000 // exact_value
+                      AS BIGINT) END  AS err_bp
+FROM exact JOIN est USING (q_pm)
+ORDER BY exact.q_pm
+"""
+
+
+@query("sketch_hdr_quantiles", oracle=_hdr_oracle(_HDR_S, _HDR_QS))
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.py hdr_build /
+    hdr_quantiles / hdr_report) — completes the sketch trio (counts =
+    count-min, distincts = HLL, quantiles = this): p50/p90/p99/p99.9
+    of lineitem prices in integer cents from an HDR-style histogram
+    whose index is pure bitlen+shift arithmetic (NO transcendentals —
+    unlike DDSketch's log-gamma), so the DuckDB oracle rebuilds the
+    histogram cell-for-cell and reproduces the ESTIMATES bit-for-bit.
+    <= ~7.4k buckets at sub_bits=7 no matter the corpus size, ONE
+    bucket-keyed exchange with map-side partial sums, shard histograms
+    merge by cell-wise addition; relative error <= 2^-sub_bits (78 bp)
+    certified per quantile by the signed err_bp column.  The exact
+    side uses the integer rank ceil(q*n) = (n*q_pm + 999) div 1000 —
+    percentile_disc's definition without its DOUBLE-q rank hazard."""
+    from sstable_hadoop_spark.operators.sketch import hdr_report
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("cents"))
+    return hdr_report(cents, "cents", _HDR_QS, sub_bits=_HDR_S)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list

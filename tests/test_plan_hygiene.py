@@ -39,6 +39,12 @@ ALLOWED_BNLJ = {
                                     # HLL-estimate agg (both scalar):
                                     # the certification join is
                                     # constant-sized by construction
+    "sketch_hdr_quantiles",         # quantile probes (4 rows) × the
+                                    # broadcast histogram walk (<=7.4k
+                                    # rows by construction) + a 1-row
+                                    # count × probes cross join — both
+                                    # sides metadata-sized; the corpus
+                                    # itself never enters a BNLJ
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer

@@ -260,3 +260,138 @@ def test_hll_grouped_guards(spark):
         hll_build_grouped(df, "v", [])
     with pytest.raises(ValueError, match="group_cols"):
         hll_estimate_grouped(hll_build_grouped(df, "v", ["g"]), [])
+
+
+# --- HDR quantile sketch -------------------------------------------------
+
+
+def _hdr_idx_py(v: int, s: int) -> int:
+    m = 1 << s
+    if v < m:
+        return v
+    e = v.bit_length() - 1
+    return (e - s) * m + (v >> (e - s))
+
+
+def test_hdr_index_bounds_roundtrip(spark):
+    # lo <= v <= hi for values across the full magnitude range, and
+    # the bucket width honours the 2^-sub_bits relative-error bound
+    from sstable_hadoop_spark.operators.sketch import hdr_bounds, hdr_index
+
+    s = 5
+    vals = [0, 1, 2, 31, 32, 33, 63, 64, 65, 1000, 12345,
+            (1 << 40) + 7, (1 << 62) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    lo, hi = hdr_bounds(F.col("idx"), s)
+    rows = (df.select("v", hdr_index(F.col("v"), s).alias("idx"))
+              .select("v", "idx", lo.alias("lo"), hi.alias("hi"))
+              .collect())
+    for r in rows:
+        assert r["idx"] == _hdr_idx_py(r["v"], s), r
+        assert r["lo"] <= r["v"] <= r["hi"], r
+        width = r["hi"] - r["lo"] + 1
+        if r["lo"] >= (1 << s):
+            assert width * (1 << s) <= 2 * r["lo"], r  # rel err bound
+
+
+def test_hdr_small_values_are_exact(spark):
+    # every value below 2^sub_bits is its own singleton bucket, so
+    # quantiles over a small-valued corpus are EXACT (err_bp == 0)
+    from sstable_hadoop_spark.operators.sketch import hdr_report
+
+    df = spark.range(100).select((F.col("id") % 50).alias("v"))
+    rows = hdr_report(df, "v", [0, 250, 500, 900, 1000],
+                      sub_bits=7).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est_value"] == r["exact_value"], r
+        assert r["err_bp"] == 0, r
+
+
+def test_hdr_merge_equals_whole(spark):
+    from sstable_hadoop_spark.operators.sketch import hdr_build, hdr_merge
+
+    df = spark.range(5000).select(
+        (F.col("id") * F.col("id") % 999983).alias("v"))
+    a, b = df.filter("v % 2 = 0"), df.filter("v % 2 = 1")
+    merged = {r["idx"]: r["c"]
+              for r in hdr_merge(hdr_build(a, "v", sub_bits=6),
+                                 hdr_build(b, "v", sub_bits=6)).collect()}
+    whole = {r["idx"]: r["c"]
+             for r in hdr_build(df, "v", sub_bits=6).collect()}
+    assert merged == whole
+
+
+def test_hdr_error_bound_wide_range(spark):
+    # magnitudes spanning 2^0 .. 2^45: the signed relative error at
+    # every probed quantile stays within 10000 / 2^sub_bits bp
+    from sstable_hadoop_spark.operators.sketch import hdr_report
+
+    s = 7
+    df = spark.range(4000).select(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(id % 46 AS INT)) "
+               "+ id AS BIGINT)").alias("v"))
+    rows = hdr_report(df, "v", [100, 500, 900, 990, 999],
+                      sub_bits=s).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["err_bp"]) <= 10000 // (1 << s), r
+
+
+def test_hdr_rank_matches_percentile_disc_definition(spark):
+    # exact side == value at rank ceil(q*n) — pinned by hand on a
+    # corpus where n is divisible by 10 (the regime where a DOUBLE-q
+    # percentile_disc would round the rank up one row)
+    from sstable_hadoop_spark.operators.sketch import hdr_report
+
+    vals = list(range(1, 21))  # n = 20
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["q_pm"]: r["exact_value"]
+           for r in hdr_report(df, "v", [500, 900, 950], sub_bits=7)
+           .collect()}
+    # ceil(0.5*20)=10 -> 10; ceil(0.9*20)=18 -> 18; ceil(0.95*20)=19
+    assert got == {500: 10, 900: 18, 950: 19}
+
+
+def test_hdr_excludes_null_and_negative(spark):
+    from sstable_hadoop_spark.operators.sketch import hdr_build
+
+    df = spark.createDataFrame(
+        [(None,), (-5,), (3,), (3,), (200,)], "v long")
+    cells = {r["idx"]: r["c"]
+             for r in hdr_build(df, "v", sub_bits=7).collect()}
+    assert cells == {3: 2, _hdr_idx_py(200, 7): 1}
+
+
+def test_hdr_empty_input(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hdr_build,
+        hdr_quantiles,
+        hdr_report,
+    )
+
+    df = spark.createDataFrame([], "v long")
+    assert hdr_build(df, "v").count() == 0
+    assert hdr_quantiles(hdr_build(df, "v"), [500]).count() == 0
+    assert hdr_report(df, "v", [500]).count() == 0
+
+
+def test_hdr_guards(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hdr_build,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="sub_bits"):
+        hdr_build(df, "v", sub_bits=0)
+    with pytest.raises(ValueError, match="sub_bits"):
+        hdr_build(df, "v", sub_bits=15)
+    with pytest.raises(ValueError, match="at least one"):
+        hdr_merge()
+    sk = hdr_build(df, "v")
+    with pytest.raises(ValueError, match="at least one"):
+        hdr_quantiles(sk, [])
+    with pytest.raises(ValueError, match="permille"):
+        hdr_quantiles(sk, [1001])
