@@ -453,6 +453,75 @@ def hdr_quantiles(sketch: DataFrame, qs_permille: list[int], *,
     return hits.select("q_pm", est.cast("long").alias("est_value"))
 
 
+def hdr_build_grouped(df: DataFrame, col: str,
+                      group_cols: list[str], *,
+                      sub_bits: int = 7) -> DataFrame:
+    """Per-group quantile histograms ``(group..., idx, c)`` — the
+    production shape ("p99 latency per endpoint/day"): at most
+    ``~(65 - sub_bits) * 2^sub_bits`` rows PER GROUP, one exchange
+    keyed (group, idx) with map-side partial sums.  Same-group
+    histograms from different shards/days merge with a plain
+    ``groupBy(group, idx).sum(c)`` — daily sketches roll up into
+    monthly percentiles without touching raw data."""
+    _check_hdr_sub_bits(sub_bits)
+    if not group_cols:
+        raise ValueError("hdr_build_grouped needs group_cols; use "
+                         "hdr_build for the ungrouped sketch")
+    v = F.col(col).cast("long")
+    vals = (df.where(v.isNotNull() & (v >= 0))
+              .select(*[F.col(g) for g in group_cols], v.alias("_v")))
+    return (vals.select(*group_cols,
+                        hdr_index(F.col("_v"), sub_bits).alias("idx"))
+                .groupBy(*group_cols, "idx")
+                .agg(F.count("*").alias("c")))
+
+
+def hdr_quantiles_grouped(sketch: DataFrame, group_cols: list[str],
+                          qs_permille: list[int], *,
+                          sub_bits: int = 7) -> DataFrame:
+    """Per-group quantile estimates ``(group..., q_pm, est_value)``
+    from grouped histograms — the same integer rank and midpoint as
+    :func:`hdr_quantiles`, with the cumulative walk partitioned by
+    group (each partition is one group's metadata-sized histogram, so
+    the window parallelizes across groups instead of serializing on
+    one)."""
+    _check_hdr_sub_bits(sub_bits)
+    if not group_cols:
+        raise ValueError("hdr_quantiles_grouped needs group_cols")
+    if not qs_permille:
+        raise ValueError("hdr_quantiles_grouped needs at least one "
+                         "permille")
+    for q in qs_permille:
+        if not (0 <= q <= 1000):
+            raise ValueError(f"permille out of [0, 1000]: {q}")
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    w = (Window.partitionBy(*group_cols).orderBy("idx")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    wn = (Window.partitionBy(*group_cols)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))
+    walk = sketch.select(
+        *group_cols, "idx",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(qs_permille))], "q_pm int")
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(n * q_pm + 999) div 1000"))
+    hits = (walk.where(F.col("n") > 0)
+                .join(F.broadcast(qdf), F.col("cum") >= rank, "inner")
+                .groupBy(*group_cols, "q_pm")
+                .agg(F.min("idx").alias("idx")))
+    lo, hi = hdr_bounds(F.col("idx"), sub_bits)
+    est = lo + F.call_function("shiftright", hi - lo,
+                               F.lit(1).cast("int"))
+    return hits.select(*group_cols, "q_pm",
+                       est.cast("long").alias("est_value"))
+
+
 def hdr_report(df: DataFrame, col: str,
                qs_permille: list[int], *,
                sub_bits: int = 7) -> DataFrame:

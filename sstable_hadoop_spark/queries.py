@@ -6373,6 +6373,129 @@ ORDER BY exact.q_pm
 """
 
 
+def _hdr_grouped_oracle(s: int, qs: list[int]) -> str:
+    m = 1 << s
+    q_list = ", ".join(str(q) for q in sorted(set(qs)))
+    return f"""
+WITH vals AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND CAST(floor(l_extendedprice * 100) AS BIGINT) >= 0
+),
+cells AS (
+    SELECT flag,
+           CASE WHEN v < {m} THEN v
+           ELSE (length(bin(v)) - 1 - {s}) * {m}
+                + (v >> (length(bin(v)) - 1 - {s})) END AS idx,
+           count(*) AS c
+    FROM vals GROUP BY 1, 2
+),
+walk AS (
+    SELECT flag, idx,
+           SUM(c) OVER (PARTITION BY flag ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY flag) AS n
+    FROM cells
+),
+qs AS (SELECT unnest([{q_list}]) AS q_pm),
+picks AS (
+    SELECT flag, q_pm, min(idx) AS idx
+    FROM qs, walk
+    WHERE cum >= greatest(1, (n * q_pm + 999) // 1000)
+    GROUP BY flag, q_pm
+),
+est AS (
+    SELECT flag, q_pm,
+           CASE WHEN idx < {m} THEN idx
+                ELSE ((idx - (idx // {m} - 1) * {m}) << (idx // {m} - 1))
+                     + (((CAST(1 AS BIGINT) << (idx // {m} - 1)) - 1) >> 1)
+           END AS est_value
+    FROM picks
+),
+ranked AS (
+    SELECT flag, v,
+           row_number() OVER (PARTITION BY flag ORDER BY v) AS rn
+    FROM vals
+),
+nn AS (SELECT flag, count(*) AS n FROM vals GROUP BY flag),
+exact AS (
+    SELECT ranked.flag, q_pm, v AS exact_value
+    FROM qs, nn, ranked
+    WHERE ranked.flag = nn.flag
+      AND rn = greatest(1, (n * q_pm + 999) // 1000)
+)
+SELECT exact.flag                     AS l_returnflag,
+       CAST(exact.q_pm AS INT)        AS q_pm,
+       CAST(exact_value AS BIGINT)    AS exact_value,
+       CAST(est_value AS BIGINT)      AS est_value,
+       CASE WHEN exact_value = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((est_value - exact_value) * 10000 // exact_value
+                      AS BIGINT) END  AS err_bp
+FROM exact JOIN est ON exact.flag = est.flag AND exact.q_pm = est.q_pm
+ORDER BY l_returnflag, exact.q_pm
+"""
+
+
+@query("sketch_hdr_grouped_by_flag",
+       oracle=_hdr_grouped_oracle(_HDR_S, [500, 990]))
+def sketch_hdr_grouped_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HDR quantile sketch (operators/sketch.py
+    hdr_build_grouped / hdr_quantiles_grouped) — the production
+    percentile shape ("p99 per endpoint/segment/day"): p50/p99 of
+    lineitem prices in cents PER l_returnflag from per-group
+    histograms (<= ~7.4k buckets per group, one (group, idx) exchange
+    with map-side partial sums; same-group shard histograms roll up
+    by groupBy sum — daily sketches into monthly percentiles without
+    raw data).  The cumulative walk windows are PARTITIONED by group,
+    so they parallelize across groups instead of serializing on one.
+    Exact side = per-group integer rank as an equi join on the dense
+    per-group row_number; the oracle rebuilds histogram, walk,
+    midpoint, and exact rank per group, bit-identical."""
+    from sstable_hadoop_spark.operators.sketch import (
+        hdr_build_grouped,
+        hdr_quantiles_grouped,
+    )
+    from pyspark.sql import Window
+
+    qs = [500, 990]
+    li = load(spark, sf_dir, "lineitem")
+    clean = (li.select(
+                F.col("l_returnflag").alias("flag"),
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+                 .alias("_v"))
+               .where(F.col("_v").isNotNull() & (F.col("_v") >= 0)))
+    est = hdr_quantiles_grouped(
+        hdr_build_grouped(clean, "_v", ["flag"], sub_bits=_HDR_S),
+        ["flag"], qs, sub_bits=_HDR_S)
+    ranked = clean.select(
+        "flag", "_v",
+        F.row_number().over(Window.partitionBy("flag").orderBy("_v"))
+         .alias("_rn"))
+    qdf = spark.createDataFrame([(q,) for q in sorted(qs)], "q_pm int")
+    ranks = (clean.groupBy("flag").agg(F.count("*").alias("n"))
+             .crossJoin(F.broadcast(qdf))
+             .select("flag", "q_pm",
+                     F.greatest(F.lit(1).cast("long"),
+                                F.expr("(n * q_pm + 999) div 1000"))
+                      .alias("_rn")))
+    exact = (ranked.join(F.broadcast(ranks), ["flag", "_rn"])
+             .select("flag", "q_pm",
+                     F.col("_v").alias("exact_value")))
+    return (exact.join(est, ["flag", "q_pm"])
+            .select(F.col("flag").alias("l_returnflag"),
+                    F.col("q_pm").cast("int").alias("q_pm"),
+                    F.col("exact_value").cast("long")
+                     .alias("exact_value"),
+                    F.col("est_value").cast("long").alias("est_value"),
+                    F.expr("CASE WHEN exact_value = 0 "
+                           "THEN CAST(0 AS BIGINT) ELSE "
+                           "(est_value - exact_value) * 10000 "
+                           "div exact_value END")
+                     .cast("long").alias("err_bp")))
+
+
 @query("sketch_hdr_quantiles", oracle=_hdr_oracle(_HDR_S, _HDR_QS))
 def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (operators/sketch.py hdr_build /

@@ -45,6 +45,10 @@ ALLOWED_BNLJ = {
                                     # count × probes cross join — both
                                     # sides metadata-sized; the corpus
                                     # itself never enters a BNLJ
+    "sketch_hdr_grouped_by_flag",   # same shape per group: broadcast
+                                    # probes (2 rows) × per-group
+                                    # histogram walks + per-group
+                                    # count × probes — metadata-sized
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer

@@ -395,3 +395,81 @@ def test_hdr_guards(spark):
         hdr_quantiles(sk, [])
     with pytest.raises(ValueError, match="permille"):
         hdr_quantiles(sk, [1001])
+
+
+def test_hdr_grouped_slice_equals_ungrouped(spark):
+    # each group's rows of the grouped histogram == hdr_build over
+    # just that group's values
+    from sstable_hadoop_spark.operators.sketch import (
+        hdr_build,
+        hdr_build_grouped,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 17 % 99991).alias("v"))
+    grouped = hdr_build_grouped(df, "v", ["g"], sub_bits=6)
+    for g in range(3):
+        got = {r["idx"]: r["c"]
+               for r in grouped.filter(F.col("g") == g).collect()}
+        want = {r["idx"]: r["c"]
+                for r in hdr_build(df.filter(F.col("g") == g), "v",
+                                   sub_bits=6).collect()}
+        assert got == want, g
+
+
+def test_hdr_grouped_shard_rollup(spark):
+    from sstable_hadoop_spark.operators.sketch import hdr_build_grouped
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") * 31 % 49999).alias("v"))
+    a = hdr_build_grouped(df.filter("id < 2500"), "v", ["g"])
+    b = hdr_build_grouped(df.filter("id >= 2500"), "v", ["g"])
+    merged = {(r["g"], r["idx"]): r["c"]
+              for r in a.unionByName(b).groupBy("g", "idx")
+                        .agg(F.sum("c").alias("c")).collect()}
+    whole = {(r["g"], r["idx"]): r["c"]
+             for r in hdr_build_grouped(df, "v", ["g"]).collect()}
+    assert merged == whole
+
+
+def test_hdr_grouped_quantiles_match_per_group_ungrouped(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hdr_build,
+        hdr_build_grouped,
+        hdr_quantiles,
+        hdr_quantiles_grouped,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") * F.col("id") % 77777).alias("v"))
+    sk = hdr_build_grouped(df, "v", ["g"])
+    got = {(r["g"], r["q_pm"]): r["est_value"]
+           for r in hdr_quantiles_grouped(sk, ["g"], [500, 990])
+           .collect()}
+    for g in range(2):
+        want = {r["q_pm"]: r["est_value"]
+                for r in hdr_quantiles(
+                    hdr_build(df.filter(F.col("g") == g), "v"),
+                    [500, 990]).collect()}
+        for q, v in want.items():
+            assert got[(g, q)] == v, (g, q)
+
+
+def test_hdr_grouped_guards(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hdr_build_grouped,
+        hdr_quantiles_grouped,
+    )
+
+    df = spark.range(5).select(F.lit("a").alias("g"),
+                               F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="group_cols"):
+        hdr_build_grouped(df, "v", [])
+    sk = hdr_build_grouped(df, "v", ["g"])
+    with pytest.raises(ValueError, match="group_cols"):
+        hdr_quantiles_grouped(sk, [], [500])
+    with pytest.raises(ValueError, match="permille"):
+        hdr_quantiles_grouped(sk, ["g"], [])
