@@ -6213,6 +6213,101 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Streaming count-min store params: width 64 over ~8 event types —
+# ample, but the cells are rebuilt (not assumed) by the oracle, so
+# collisions would be certified too if they occurred.
+_SCMS_D, _SCMS_W = 4, 64
+
+
+@query("streaming_cms_counts", oracle=f"""
+WITH tok AS (
+    SELECT event_type AS w FROM events WHERE event_type IS NOT NULL
+),
+exact AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+hh AS (
+    SELECT w, c,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_SCMS_W}
+               AS h1,
+           CAST(('0x' || substr(md5(w), 17, 15)) AS BIGINT) % {_SCMS_W}
+               AS h2
+    FROM exact
+),
+probes AS (
+    SELECT w, c, p.r AS r, p.pos AS pos
+    FROM (SELECT w, c,
+                 unnest([{{'r': i, 'pos': (h1 + i * h2) % {_SCMS_W}}}
+                         FOR i IN range({_SCMS_D})]) AS p
+          FROM hh)
+),
+sketch AS (SELECT r, pos, sum(c) AS sc FROM probes GROUP BY r, pos),
+est AS (
+    SELECT p.w AS w, min(coalesce(s.sc, 0)) AS est_c
+    FROM probes p
+    LEFT JOIN sketch s ON s.r = p.r AND s.pos = p.pos
+    GROUP BY p.w
+)
+SELECT exact.w AS event_type, CAST(exact.c AS BIGINT) AS exact_c,
+       CAST(est.est_c AS BIGINT) AS est_c,
+       CAST((est.est_c - exact.c) * 10000 // exact.c AS BIGINT)
+           AS over_bp
+FROM exact JOIN est ON est.w = exact.w
+""")
+def streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min store (streaming/sketch_stream.py
+    cms_stream_to_store): events arrive in 4 micro-batches; each
+    batch's sketch cells SUM into the persistent store.  The sum fold
+    is NOT idempotent — unlike the HLL row's max(rho) — so
+    exactly-once comes from the transactional watermark instead: the
+    store blob carries last_batch_id, published in the SAME atomic
+    rename as the cells, and the fold skips replayed batch ids
+    (pytest: a full fresh-checkpoint replay leaves the blob
+    byte-identical).  Batch-additivity means the stream-maintained
+    store must equal the batch sketch over all events, so the oracle
+    rebuilds that sketch cell-for-cell and certifies per-event_type
+    estimates against exact counts (one-sided error, over_bp)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sstable_hadoop_spark.operators.sketch import cms_estimate
+    from sstable_hadoop_spark.streaming.sketch_stream import (
+        cms_stream_to_store,
+        read_stored_cms,
+    )
+
+    src = _stage_event_stream(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"cmsstream_{uuid.uuid4().hex[:6]}_")
+    store, ckpt = os.path.join(work, "store"), os.path.join(work, "ckpt")
+    os.makedirs(store)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "chunk*")))
+    q = cms_stream_to_store(stream, store, ckpt,
+                            token_col="event_type",
+                            depth=_SCMS_D, width=_SCMS_W)
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    cells, _last = read_stored_cms(spark, store,
+                                   depth=_SCMS_D, width=_SCMS_W)
+    types = (events.where(F.col("event_type").isNotNull())
+             .groupBy(F.col("event_type"))
+             .agg(F.count("*").cast("long").alias("exact_c")))
+    est = cms_estimate(cells, types.select("event_type"),
+                       "event_type", depth=_SCMS_D, width=_SCMS_W)
+    out = (types.join(est.withColumnRenamed("word", "event_type"),
+                      "event_type")
+           .select("event_type", "exact_c", "est_c",
+                   F.expr("(est_c - exact_c) * 10000 div exact_c")
+                    .cast("long").alias("over_bp"))).localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _hll_grouped_oracle(p: int) -> str:
     from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
 

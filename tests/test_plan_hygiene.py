@@ -61,6 +61,8 @@ SKIP_EAGER = {
     "streaming_hll_registers",  # runs a stream; final DF is a
                                 # localCheckpoint scan of a 1-row
                                 # certification join
+    "streaming_cms_counts",     # same: stream run + localCheckpoint
+                                # scan of a per-event_type cert join
 }
 
 
