@@ -5812,6 +5812,149 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        limit=_BM25_LIMIT)
 
 
+#: Hybrid-retrieval fusion params: each ranker contributes its top
+#: _RRF_POOL, fused with the RRF paper's k=60, final top _RRF_LIMIT.
+_RRF_POOL, _RRF_K, _RRF_LIMIT = 20, 60, 10
+
+
+def _rrf_oracle() -> str:
+    legs = "\n   UNION ALL\n".join(
+        f"   SELECT doc_id, dl, '{t}' AS term,"
+        f" len(list_filter(toks, x -> x = '{t}')) AS tf FROM d"
+        for t in _BM25_TERMS)
+    qlist = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    nq = len(set(_BM25_TERMS))
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+tot AS (SELECT count(*) AS n, sum(dl) AS tt FROM d),
+m AS (SELECT * FROM (
+{legs}) WHERE tf > 0),
+dfs AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+idf AS (
+    SELECT term,
+           CAST(floor(ln((2*n - 2*df + 1.0) / (2*df + 1.0))
+                      * 1000000.0) AS BIGINT) AS idf
+    FROM dfs CROSS JOIN tot
+),
+sc AS (
+    SELECT m.doc_id, m.term,
+           (idf * tf * ({_BM25_K1} + 1000))
+           // (tf * 1000 + ({_BM25_K1} * ((1000 - {_BM25_B})
+               + CAST(({_BM25_B} * CAST(dl AS HUGEINT) * n) // tt
+                      AS BIGINT))) // 1000) AS contrib
+    FROM m JOIN idf USING (term) CROSS JOIN tot
+),
+bm AS (
+    SELECT doc_id, sum(contrib) AS score FROM sc GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
+),
+ra AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM bm),
+jd AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+js AS (
+    SELECT doc_id,
+           len(list_filter(dt,
+               x -> list_contains([{qlist}], x))) AS inter,
+           len(dt) AS nd
+    FROM jd
+),
+jv AS (
+    SELECT doc_id,
+           CAST(inter * 1000000 // (nd + {nq} - inter) AS BIGINT)
+               AS sim
+    FROM js WHERE inter > 0
+),
+jb AS (SELECT doc_id, sim FROM jv
+       ORDER BY sim DESC, doc_id LIMIT {_RRF_POOL}),
+rb AS (SELECT doc_id,
+              row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+       FROM jb),
+u AS (SELECT doc_id, r FROM ra UNION ALL SELECT doc_id, r FROM rb),
+f AS (
+    SELECT doc_id,
+           CAST(sum(1000000 // ({_RRF_K} + r)) AS BIGINT) AS rrf_micro
+    FROM u GROUP BY doc_id
+),
+top AS (
+    SELECT doc_id, rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS INT) AS fused_rank
+    FROM f ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_LIMIT}
+)
+SELECT top.doc_id, top.rrf_micro, top.fused_rank,
+       CAST(coalesce(ra.r, 0) AS INT) AS rank_bm25,
+       CAST(coalesce(rb.r, 0) AS INT) AS rank_jaccard
+FROM top LEFT JOIN ra ON ra.doc_id = top.doc_id
+         LEFT JOIN rb ON rb.doc_id = top.doc_id
+"""
+
+
+@query("corpus_rrf_hybrid_search", oracle=_rrf_oracle())
+def corpus_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (operators/
+    retrieval.py rrf_fuse / rank_from_scores): the BM25 top-20 from
+    the partition-pruned inverted index fused with a token-set-Jaccard
+    fuzzy ranking of the same 3-term query — two rankers with
+    incompatible score scales combined rank-only, k=60 per the RRF
+    paper.  Every step is exact integers (BM25 micro-scores,
+    Jaccard = inter * 1e6 div union, contribution = 1e6 div (k+rank)),
+    so the oracle re-derives both rankings from the raw corpus and
+    reproduces fused scores, order, and the per-system rank columns
+    (0 = absent from that ranker's pool) bit-for-bit.  Scale: the
+    rankers do the corpus-sized work (pruned postings probe; one
+    tokenize scan); the fusion itself touches <= 2 * 20 rows."""
+    from sstable_hadoop_spark.operators.inverted import bm25_search
+    from sstable_hadoop_spark.operators.retrieval import (
+        rank_from_scores,
+        rrf_fuse,
+    )
+    from sstable_hadoop_spark.operators.text import clean_tokens
+
+    path = _materialize_inverted_index(spark, sf_dir)
+    bm = bm25_search(spark, path, list(_BM25_TERMS),
+                     k1_milli=_BM25_K1, b_milli=_BM25_B,
+                     limit=_RRF_POOL)
+    rank_a = rank_from_scores(bm, score_col="score_micro",
+                              limit=_RRF_POOL)
+    docs = load(spark, sf_dir, "documents")
+    qt = F.array(*[F.lit(t) for t in sorted(set(_BM25_TERMS))])
+    nq = len(set(_BM25_TERMS))
+    jac = (docs.select(
+               "doc_id",
+               F.array_distinct(
+                   clean_tokens(F.coalesce(F.col("text"), F.lit(""))))
+                .alias("dt"))
+           .select("doc_id",
+                   F.size(F.array_intersect(F.col("dt"), qt))
+                    .cast("long").alias("inter"),
+                   F.size("dt").cast("long").alias("nd"))
+           .where(F.col("inter") > 0)
+           .select("doc_id",
+                   F.expr(f"CAST(inter * 1000000 div (nd + {nq} - inter) "
+                          "AS BIGINT)").alias("sim_micro")))
+    rank_b = rank_from_scores(jac, score_col="sim_micro",
+                              limit=_RRF_POOL)
+    fused = rrf_fuse([rank_a, rank_b], k=_RRF_K, limit=_RRF_LIMIT)
+    return (fused
+            .join(rank_a.withColumnRenamed("rank", "rank_bm25"),
+                  "doc_id", "left")
+            .join(rank_b.withColumnRenamed("rank", "rank_jaccard"),
+                  "doc_id", "left")
+            .select("doc_id", "rrf_micro", "fused_rank",
+                    F.coalesce("rank_bm25", F.lit(0)).cast("int")
+                     .alias("rank_bm25"),
+                    F.coalesce("rank_jaccard", F.lit(0)).cast("int")
+                     .alias("rank_jaccard")))
+
+
 #: Messy synthetic URLs for the canonicalizer row: case salad,
 #: default + explicit ports, tracking params, unsorted params,
 #: fragments, missing paths, and a schemeless fall-through.
