@@ -4540,6 +4540,95 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gap_us=_SESSION_GAP_US)
 
 
+#: Funnel: view -> click -> purchase with the whole chain inside 6h.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000
+
+
+@query("events_funnel_report", oracle=f"""
+WITH e AS (
+    SELECT user_id AS u, epoch_us(ts) AS tu, event_type AS t,
+           event_id AS eid
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
+),
+s1 AS (
+    SELECT u, tu, t, eid,
+           CASE WHEN t = '{_FUNNEL_STEPS[0]}' THEN tu END AS c1
+    FROM e
+),
+m1 AS (
+    SELECT *, max(c1) OVER (PARTITION BY u ORDER BY tu, eid
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS p1
+    FROM s1
+),
+s2 AS (
+    SELECT *, CASE WHEN t = '{_FUNNEL_STEPS[1]}' AND p1 IS NOT NULL
+                    AND p1 >= tu - {_FUNNEL_WITHIN_US}
+              THEN p1 END AS c2
+    FROM m1
+),
+m2 AS (
+    SELECT *, max(c2) OVER (PARTITION BY u ORDER BY tu, eid
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS p2
+    FROM s2
+),
+s3 AS (
+    SELECT *, CASE WHEN t = '{_FUNNEL_STEPS[2]}' AND p2 IS NOT NULL
+                    AND p2 >= tu - {_FUNNEL_WITHIN_US}
+              THEN p2 END AS c3
+    FROM m2
+),
+r AS (
+    SELECT u, max(CASE WHEN c3 IS NOT NULL THEN 3
+                       WHEN c2 IS NOT NULL THEN 2
+                       WHEN c1 IS NOT NULL THEN 1
+                       ELSE 0 END) AS reached
+    FROM s3 GROUP BY u
+),
+rr AS (SELECT unnest(range(1, reached + 1)) AS step
+       FROM r WHERE reached >= 1),
+counts AS (SELECT step, count(*) AS n FROM rr GROUP BY step),
+steps AS (SELECT * FROM (VALUES (1, '{_FUNNEL_STEPS[0]}'),
+                                (2, '{_FUNNEL_STEPS[1]}'),
+                                (3, '{_FUNNEL_STEPS[2]}'))
+          s(step, step_name)),
+fl AS (
+    SELECT steps.step, step_name,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_users
+    FROM steps LEFT JOIN counts ON counts.step = steps.step
+),
+n1 AS (SELECT n_users AS b FROM fl WHERE step = 1)
+SELECT CAST(step AS INT) AS step, step_name, n_users,
+       CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_users * 10000 // b AS BIGINT) END AS conv_bp
+FROM fl, n1
+""")
+def events_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ windowed funnel (operators/funnel.py funnel_reach /
+    funnel_report): users completing view -> click -> purchase with
+    the whole chain inside 6 hours — ClickHouse windowFunnel
+    semantics expressed as CASCADED RUNNING-MAX WINDOWS sharing one
+    per-user partitioning and one (ts, event_id) sort: chain starts
+    propagate depth-by-depth through strictly-before frames (one
+    event can never advance two steps), the window bound is checked
+    against the chain's FIRST event, and keeping the max start per
+    depth is greedily optimal.  ONE corpus exchange regardless of
+    funnel depth, zero UDFs; the report rollup (reach explode +
+    conversion in integer basis points) is user-count-sized.  The
+    oracle replays the identical window cascade in SQL."""
+    from sstable_hadoop_spark.operators.funnel import funnel_report
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_report(ev, ts_us(ev, "ts"), "user_id", "event_type",
+                         list(_FUNNEL_STEPS),
+                         within_us=_FUNNEL_WITHIN_US,
+                         tie_cols=["event_id"])
+
+
 _CELLS_DDL = ("key BINARY, name BINARY, state STRING, data BINARY, "
               "timestamp BIGINT, ttl BIGINT, expiration BIGINT, "
               "generation INT")
