@@ -4540,6 +4540,51 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gap_us=_SESSION_GAP_US)
 
 
+#: Cohorts: weekly periods (integer µs buckets, no calendar).
+_COHORT_STEP_US = 7 * 86400 * 1_000_000
+
+
+@query("events_cohort_retention", oracle=f"""
+WITH acts AS (
+    SELECT DISTINCT user_id AS u,
+           epoch_us(ts) - epoch_us(ts) % {_COHORT_STEP_US} AS p
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+first AS (SELECT u, min(p) AS cohort FROM acts GROUP BY u),
+j AS (
+    SELECT acts.u, cohort,
+           (p - cohort) // {_COHORT_STEP_US} AS k
+    FROM acts JOIN first ON first.u = acts.u
+),
+counts AS (
+    SELECT cohort, k, count(DISTINCT u) AS n_users
+    FROM j GROUP BY cohort, k
+),
+sz AS (SELECT cohort, n_users AS s FROM counts WHERE k = 0)
+SELECT counts.cohort AS cohort_us,
+       CAST(k AS INT) AS offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users * 10000 // s AS BIGINT) AS retained_bp
+FROM counts JOIN sz ON sz.cohort = counts.cohort
+""")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ cohort retention (operators/cohort.py cohort_retention):
+    users bucketed by first-activity week, each later week counting
+    how many returned — the growth-dashboard retention matrix, in
+    integer basis points of the cohort.  Two user-keyed exchanges
+    (per-user first period; distinct user-period activity, which
+    downsamples the corpus to <= users x periods rows with map-side
+    partials) and nothing corpus-sized after; periods and offsets are
+    pure integer µs arithmetic, so the oracle reproduces the matrix
+    exactly."""
+    from sstable_hadoop_spark.operators.cohort import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev, ts_us(ev, "ts"), "user_id",
+                            step_us=_COHORT_STEP_US)
+
+
 #: Funnel: view -> click -> purchase with the whole chain inside 6h.
 _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000
