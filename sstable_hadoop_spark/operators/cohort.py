@@ -56,10 +56,17 @@ def cohort_retention(df: DataFrame, ts_us: Column, user_col: str, *,
     counts = (joined.groupBy("_cohort", "_k")
               .agg(F.countDistinct("_u").cast("long")
                     .alias("n_users")))
-    size = (counts.where(F.col("_k") == 0)
-            .select(F.col("_cohort"),
-                    F.col("n_users").alias("_sz")))
-    return (counts.join(size, "_cohort")
+    # cohort size via a window over the matrix (cohorts x offsets
+    # rows) — a self-join on the k=0 slice would re-run the whole
+    # distinct/join pipeline twice.  Offset 0 always exists (the
+    # cohort's own first-activity period), so the max is never NULL.
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("_cohort")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    sz = F.max(F.when(F.col("_k") == 0, F.col("n_users"))).over(w)
+    return (counts.withColumn("_sz", sz)
             .select(F.col("_cohort").alias("cohort_us"),
                     F.col("_k").cast("int").alias("offset"),
                     "n_users",

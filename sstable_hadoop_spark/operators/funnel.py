@@ -108,10 +108,16 @@ def funnel_report(df: DataFrame, ts_us: Column, user_col: str,
                .select("step", "step_name",
                        F.coalesce("n_users", F.lit(0)).cast("long")
                         .alias("n_users")))
-    base = (full.where(F.col("step") == 1)
-                .select(F.col("n_users").alias("_n1")))
-    return (full.crossJoin(F.broadcast(base))
+    # denominator via a window over the len(steps)-row summary — a
+    # self-join here would re-run the whole reach pipeline twice
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    n1 = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w)
+    return (full.withColumn("_n1", n1)
             .select("step", "step_name", "n_users",
-                    F.expr("CASE WHEN _n1 = 0 THEN CAST(0 AS BIGINT) "
+                    F.expr("CASE WHEN _n1 IS NULL OR _n1 = 0 "
+                           "THEN CAST(0 AS BIGINT) "
                            "ELSE n_users * 10000 div _n1 END")
                      .cast("long").alias("conv_bp")))

@@ -49,9 +49,6 @@ ALLOWED_BNLJ = {
                                     # probes (2 rows) × per-group
                                     # histogram walks + per-group
                                     # count × probes — metadata-sized
-    "events_funnel_report",         # 1-row broadcast step-1 count ×
-                                    # the len(steps)-row summary (the
-                                    # conversion denominator)
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer
