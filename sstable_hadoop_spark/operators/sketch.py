@@ -453,6 +453,50 @@ def hdr_quantiles(sketch: DataFrame, qs_permille: list[int], *,
     return hits.select("q_pm", est.cast("long").alias("est_value"))
 
 
+def hll_set_report(df: DataFrame, col: str, cond_a: Column,
+                   cond_b: Column, *, p: int = 8) -> DataFrame:
+    """HLL set algebra certification, one row: the union estimate
+    comes from merging the two register TABLES (max(rho) — the
+    operation an opaque approx_count_distinct can't offer across
+    stored sketches), and the intersection estimate is
+    inclusion-exclusion ``est_a + est_b - est_union`` — signed, NOT
+    clamped: its error is relative to the UNION size, so small true
+    intersections can legitimately estimate negative, and hiding that
+    would misstate the sketch's contract.
+
+    Columns: ``exact_intersect, est_a, est_b, est_union,
+    est_intersect, err_bp`` (signed bp of est_intersect vs the exact
+    intersection; 0 when exact is 0).  The exact side — and the two
+    extra scans it takes — is the certification harness; production
+    callers persist per-set registers and do the algebra on
+    metadata."""
+    _check_hll_p(p)
+    a = hll_build(df.where(cond_a), col, p=p)
+    b = hll_build(df.where(cond_b), col, p=p)
+    ea = hll_estimate(a, p=p).select(
+        F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(b, p=p).select(
+        F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b), p=p).select(
+        F.col("est_distinct").alias("est_union"))
+    ids = df.where(F.col(col).isNotNull())
+    exact = (ids.where(cond_a).select(col).distinct()
+             .intersect(ids.where(cond_b).select(col).distinct())
+             .agg(F.count("*").cast("long").alias("exact_intersect")))
+    return (exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
+            .select("exact_intersect", "est_a", "est_b", "est_union",
+                    (F.col("est_a") + F.col("est_b")
+                     - F.col("est_union")).cast("long")
+                     .alias("est_intersect"))
+            .select("exact_intersect", "est_a", "est_b", "est_union",
+                    "est_intersect",
+                    F.expr("CASE WHEN exact_intersect = 0 "
+                           "THEN CAST(0 AS BIGINT) ELSE "
+                           "(est_intersect - exact_intersect) * 10000 "
+                           "div exact_intersect END")
+                     .cast("long").alias("err_bp")))
+
+
 def hdr_build_grouped(df: DataFrame, col: str,
                       group_cols: list[str], *,
                       sub_bits: int = 7) -> DataFrame:

@@ -6585,6 +6585,86 @@ def streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Set-algebra predicates over event_id: even ids vs ids of users
+#: divisible by 3 — ~1/6 of the id space in the intersection.
+_HLL_SET_A = "event_id % 2 = 0"
+_HLL_SET_B = "user_id % 3 = 0"
+
+
+def _hll_set_oracle(p: int) -> str:
+    from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
+
+    m = 1 << p
+    rmax = 61 - p
+    a_num = hll_alpha_micro(m) * m * m * (1 << 62)
+    two62 = str(1 << 62)
+
+    def est(tag: str, where: str) -> str:
+        return f"""
+h_{tag} AS (
+    SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events WHERE event_id IS NOT NULL AND ({where})
+),
+rg_{tag} AS (
+    SELECT h % {m} AS bucket,
+           max(CASE WHEN h // {m} = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(h // {m})) END) AS rho
+    FROM h_{tag} GROUP BY 1
+),
+e_{tag} AS (
+    SELECT CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(CAST('{a_num}' AS HUGEINT)
+                // ((coalesce(sum(CAST(1 AS HUGEINT) << (62 - rho)), 0)
+                     + ({m} - count(*)) * CAST('{two62}' AS HUGEINT))
+                    * 1000000) AS BIGINT) END AS est
+    FROM rg_{tag}
+)"""
+
+    return f"""
+WITH {est('a', _HLL_SET_A)},
+{est('b', _HLL_SET_B)},
+{est('u', f'({_HLL_SET_A}) OR ({_HLL_SET_B})')},
+x AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+        SELECT DISTINCT event_id FROM events
+        WHERE event_id IS NOT NULL AND ({_HLL_SET_A})
+        INTERSECT
+        SELECT DISTINCT event_id FROM events
+        WHERE event_id IS NOT NULL AND ({_HLL_SET_B})
+    )
+)
+SELECT x.exact_intersect,
+       e_a.est AS est_a, e_b.est AS est_b, e_u.est AS est_union,
+       CAST(e_a.est + e_b.est - e_u.est AS BIGINT) AS est_intersect,
+       CASE WHEN x.exact_intersect = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((e_a.est + e_b.est - e_u.est - x.exact_intersect)
+                      * 10000 // x.exact_intersect AS BIGINT)
+       END AS err_bp
+FROM x, e_a, e_b, e_u
+"""
+
+
+@query("sketch_hll_set_algebra", oracle=_hll_set_oracle(_HLL_P))
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators/sketch.py hll_set_report): union
+    distincts from MERGED register tables (the cross-shard operation
+    an opaque approx_count_distinct cannot do on stored sketches) and
+    intersection distincts by inclusion-exclusion — signed, not
+    clamped, because its error scales with the UNION size and honesty
+    about that is the operator's contract.  All three estimates are
+    the exact-integer HLL arithmetic, so the oracle rebuilds every
+    register table and reproduces est_a/est_b/est_union/
+    est_intersect/err_bp bit-for-bit alongside the exact
+    intersection."""
+    from sstable_hadoop_spark.operators.sketch import hll_set_report
+
+    events = load(spark, sf_dir, "events")
+    return hll_set_report(events, "event_id",
+                          F.expr(_HLL_SET_A), F.expr(_HLL_SET_B),
+                          p=_HLL_P)
+
+
 def _hll_grouped_oracle(p: int) -> str:
     from sstable_hadoop_spark.operators.sketch import hll_alpha_micro
 

@@ -39,6 +39,9 @@ ALLOWED_BNLJ = {
                                     # HLL-estimate agg (both scalar):
                                     # the certification join is
                                     # constant-sized by construction
+    "sketch_hll_set_algebra",       # four 1-row scalar aggs (exact
+                                    # intersect + three estimates)
+                                    # cross-joined — constant-sized
     "sketch_hdr_quantiles",         # quantile probes (4 rows) × the
                                     # broadcast histogram walk (<=7.4k
                                     # rows by construction) + a 1-row

@@ -473,3 +473,37 @@ def test_hdr_grouped_guards(spark):
         hdr_quantiles_grouped(sk, [], [500])
     with pytest.raises(ValueError, match="permille"):
         hdr_quantiles_grouped(sk, ["g"], [])
+
+
+def test_hll_set_report_union_merge_and_inclusion_exclusion(spark):
+    from sstable_hadoop_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+        hll_set_report,
+    )
+
+    df = spark.range(4000).select(F.col("id").alias("v"))
+    ca, cb = F.col("v") < 3000, F.col("v") >= 1000  # overlap 1000..2999
+    row = hll_set_report(df, "v", ca, cb, p=6).collect()[0]
+    assert row["exact_intersect"] == 2000
+    # internal consistency: est_intersect is exactly the algebra
+    assert row["est_intersect"] == (row["est_a"] + row["est_b"]
+                                    - row["est_union"])
+    # union estimate == estimate of the merged registers (by def)
+    eu = hll_estimate(hll_merge(hll_build(df.where(ca), "v", p=6),
+                                hll_build(df.where(cb), "v", p=6)),
+                      p=6).collect()[0]["est_distinct"]
+    assert row["est_union"] == eu
+    # p=6 raw estimator: loose sanity bound, not luck-pinned
+    assert abs(row["err_bp"]) < 5000
+
+
+def test_hll_set_report_disjoint_can_go_negative_but_zero_exact(spark):
+    from sstable_hadoop_spark.operators.sketch import hll_set_report
+
+    df = spark.range(3000).select(F.col("id").alias("v"))
+    row = hll_set_report(df, "v", F.col("v") < 1500,
+                         F.col("v") >= 1500, p=6).collect()[0]
+    assert row["exact_intersect"] == 0
+    assert row["err_bp"] == 0  # defined 0 when exact is 0
