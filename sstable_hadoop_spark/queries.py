@@ -4540,6 +4540,60 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gap_us=_SESSION_GAP_US)
 
 
+#: Rolling outliers: 24-reading history, 3 sigma, 8-obs warmup.
+_OUT_LOOKBACK, _OUT_K_MILLI, _OUT_MIN_OBS = 24, 3000, 8
+
+
+@query("events_rolling_outliers", oracle=f"""
+WITH e AS (
+    SELECT user_id AS k, epoch_us(ts) AS tu, event_id AS eid,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL
+),
+w AS (
+    SELECT k, tu, c,
+           count(c) OVER h AS n,
+           sum(c) OVER h AS s,
+           sum(CAST(c AS HUGEINT) * c) OVER h AS ss
+    FROM e
+    WINDOW h AS (PARTITION BY k ORDER BY tu, eid
+                 ROWS BETWEEN {_OUT_LOOKBACK} PRECEDING
+                 AND 1 PRECEDING)
+)
+SELECT k AS user_id, tu AS ts_us, c AS value_c,
+       CAST(n AS INT) AS n_prev,
+       CAST(CASE WHEN n >= {_OUT_MIN_OBS}
+                  AND CAST(n - 1 AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * c - s)
+                      * (CAST(n AS HUGEINT) * c - s) * 1000000
+                      > CAST({_OUT_K_MILLI * _OUT_K_MILLI} AS HUGEINT)
+                        * n * (CAST(n AS HUGEINT) * ss
+                               - CAST(s AS HUGEINT) * s)
+            THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM w
+""")
+def events_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ rolling outlier flags (operators/outliers.py
+    rolling_outliers): per-user 3-sigma test of each reading against
+    its PREVIOUS 24 observations (self-excluded, so a spike cannot
+    dilute its own baseline; 8-reading warmup).  The z-test is
+    evaluated by comparing SQUARES in exact decimal integers — no
+    sqrt, no float stddev, no summation-order dependence:
+    (n-1)(nc-S)^2 1e6 > k^2 n (n SS - S^2) — so the oracle reproduces
+    every flag bit-for-bit.  ONE corpus exchange (user-partitioned
+    window), all codegen."""
+    from sstable_hadoop_spark.operators.outliers import rolling_outliers
+
+    ev = load(spark, sf_dir, "events")
+    return rolling_outliers(ev, ts_us(ev, "ts"), "user_id", "value",
+                            lookback=_OUT_LOOKBACK,
+                            k_milli=_OUT_K_MILLI,
+                            min_obs=_OUT_MIN_OBS,
+                            tie_cols=["event_id"])
+
+
 #: Cohorts: weekly periods (integer µs buckets, no calendar).
 _COHORT_STEP_US = 7 * 86400 * 1_000_000
 
