@@ -4540,6 +4540,44 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gap_us=_SESSION_GAP_US)
 
 
+@query("join_bloom_prefiltered", oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size = 1
+GROUP BY p.p_brand
+""")
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈dim join (operators/bloomjoin.py):
+    revenue per brand over size-1 parts, with the LINEITEM side
+    pre-filtered by a 2^17-bit bloom of the selected part keys BEFORE
+    any exchange — the explicit, cross-job-durable form of AQE's
+    runtime bloom filter.  The result is row-identical to the plain
+    join by construction (no false negatives; the exact join removes
+    false positives), which is exactly what the oracle asserts: it is
+    the PLAIN join — the bitmap may only change how much of the fact
+    side survives to the shuffle (pytest pins that it prunes and that
+    the prefilter plan has zero exchanges).  Revenue follows the
+    join_agg_revenue house pattern (round(sum, 2) over the identical
+    surviving row multiset)."""
+    from sstable_hadoop_spark.operators.bloomjoin import (
+        bloom_filtered_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    parts = (load(spark, sf_dir, "part")
+             .where(F.col("p_size") == 1)
+             .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    joined = bloom_filtered_join(li, parts, "l_partkey")
+    return (joined.groupBy("p_brand")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
 #: Rolling outliers: 24-reading history, 3 sigma, 8-obs warmup.
 _OUT_LOOKBACK, _OUT_K_MILLI, _OUT_MIN_OBS = 24, 3000, 8
 
