@@ -891,7 +891,11 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame | None = None,
             f"bloom_words has {len(bloom_words)} words "
             f"({len(bloom_words) * 64} bits) but m_bits={m_bits}")
     df = ensure_parallelism(df)
-    words_lit = F.array(*[F.lit(w).cast("long") for w in bloom_words])
+    # ONE ArrayType Literal, not F.array(*lits): CreateArray with
+    # m_bits/64 children re-builds the bitmap PER ROW (~0.5s per
+    # million rows at 2048 words — the whole point of the bloom tier
+    # is scan-local cheapness)
+    words_lit = F.lit(list(bloom_words)).cast("array<bigint>")
 
     def member(gram_hex):
         return F.forall(
