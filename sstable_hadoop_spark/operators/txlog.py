@@ -19,8 +19,11 @@ and minimal:
 * **Commit = one atomic file creation.**  A writer stages its new
   bucket files under unique names (unreferenced ⇒ invisible), then
   claims version ``V+1`` with an exclusive create of the commit file
-  (``fs.write_bytes_exclusive`` — kernel-arbitrated ``O_EXCL`` on
-  local/file:// paths).  Losing the race costs a re-check, never
+  (``fs.write_bytes_exclusive`` — on local/file:// paths a hidden
+  fsync'd temp hard-LINKED into place, so the kernel arbitrates the
+  name AND the content appears with it: no reader can ever observe a
+  torn or empty head commit, and a writer killed mid-commit leaves
+  only an invisible temp).  Losing the race costs a re-check, never
   corruption.
 * **Optimistic concurrency, bucket-granular.**  On losing a race the
   writer re-reads the commits it missed: if they touch DISJOINT
@@ -51,9 +54,12 @@ same O(affected buckets + delta) bucket rewrite as the single-writer
 path (the merge reads an explicit file list, the bucketed writer
 shuffles only delta ∪ affected rows).  The driver never holds data
 rows — only file names and bucket ids.  On object stores the
-exclusive create degrades to check-then-write (see
-``fs.write_bytes_exclusive``); point ``register_scheme`` at a store
-with real conditional PUTs for hard guarantees there.
+exclusive create routes through the scheme's registered commit
+arbiter (``fs.register_exclusive_writer`` — a thin wrapper over the
+store's native conditional PUT: S3 If-None-Match, GCS generation 0),
+giving the same exactly-one-winner guarantee; a scheme with no
+arbiter REFUSES to commit (``fs.ExclusiveWriteUnsupported``) instead
+of silently risking lost updates.
 
 Reference scope note: the reference engine (SSTableDataRecordReader
 .scala and friends) reads immutable SSTable snapshots and has no
@@ -238,16 +244,26 @@ def _stage_bucket_files(merged: DataFrame, path: str,
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def _try_commit(path: str, base: dict, record: dict) -> int | str:
+def _try_commit(path: str, base: dict, record: dict,
+                strict_base: bool = False) -> int | str:
     """Claim the next version after ``base`` with an exclusive create.
     Returns the won version, or ``"conflict"`` when a commit since
     ``base`` touches an overlapping bucket (stage invalid — redo the
-    merge), after rebasing past disjoint commits."""
+    merge), after rebasing past disjoint commits.
+
+    ``strict_base``: ANY commit newer than ``base`` is a conflict,
+    even on disjoint buckets.  Restore needs this — its adds/removes
+    are a diff against the whole base snapshot, so rebasing over a
+    concurrent upsert to a bucket that happened to match the restore
+    target would leave that upsert's rows in the "restored" head,
+    silently breaking the content-identical postcondition."""
     ours = set(record["buckets"])
     base_v = base["version"]
     while True:
         commits, _ = _list_log(path)
         head = commits[-1] if commits else 0
+        if strict_base and head > base_v:
+            return "conflict"
         for v in range(base_v + 1, head + 1):
             if set(_read_commit(path, v).get("buckets", ())) & ours:
                 return "conflict"
@@ -463,7 +479,8 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
 
 
 def txlog_compact(spark, path: str, target_buckets=None,
-                  min_files: int = 2) -> tuple[int | None, list[int]]:
+                  min_files: int = 2,
+                  max_retries: int = 20) -> tuple[int | None, list[int]]:
     """OPTIMIZE for the logged table: rewrite each fragmented bucket
     (≥ ``min_files`` files after accumulated upserts) into one file,
     as a normal conflict-checked commit that changes NO data — the
@@ -474,46 +491,52 @@ def txlog_compact(spark, path: str, target_buckets=None,
     compaction never loses anyone's rows).
 
     Content idempotence holds like every commit: compacting twice is
-    a no-op the second time (no bucket has ≥ min_files).  Returns
+    a no-op the second time (no bucket has ≥ min_files).  Conflict
+    retries are bounded like every other writer's (``max_retries``,
+    then ``TxConflictError``).  Returns
     ``(committed version | None when nothing to do, bucket ids)``."""
     from pyspark.sql.types import StructType
 
-    snap = txlog_snapshot(path)
-    meta = _read_commit(path, 1)
-    bucket_by = tuple(meta["bucket_by"])
-    n_buckets, sort_by = meta["n_buckets"], tuple(meta["sort_by"])
-    per_bucket: dict[int, list[str]] = {}
-    for n, b in snap["files"].items():
-        per_bucket.setdefault(b, []).append(n)
-    frag = sorted(b for b, fl in per_bucket.items()
-                  if len(fl) >= min_files
-                  and (target_buckets is None or b in target_buckets))
-    if not frag:
-        return None, []
-    schema = StructType.fromJson(json.loads(snap["schema"]))
-    old = sorted(n for b in frag for n in per_bucket[b])
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, n) for n in old])
-    # one file per bucket: repartition BY the bucket id expression so
-    # the bucketed writer gets one task per bucket (a bucket's rows
-    # all carry one id, so each task writes exactly one final file)
-    df = df.repartition(len(frag), bucket_id(n_buckets, *bucket_by))
-    stats: dict[str, list] = {}
-    adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
-                               sort_by, allowed=set(frag),
-                               stats_out=stats)
-    record = {"op": "compact", "writer": uuid.uuid4().hex,
-              "buckets": frag, "adds": adds, "removes": old,
-              "stats": stats}
-    won = _try_commit(path, snap, record)
-    if won == "conflict":
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        meta = _read_commit(path, 1)
+        bucket_by = tuple(meta["bucket_by"])
+        n_buckets, sort_by = meta["n_buckets"], tuple(meta["sort_by"])
+        per_bucket: dict[int, list[str]] = {}
+        for n, b in snap["files"].items():
+            per_bucket.setdefault(b, []).append(n)
+        frag = sorted(b for b, fl in per_bucket.items()
+                      if len(fl) >= min_files
+                      and (target_buckets is None or b in target_buckets))
+        if not frag:
+            return None, []
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        old = sorted(n for b in frag for n in per_bucket[b])
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(path, n) for n in old])
+        # one file per bucket: repartition BY the bucket id expression
+        # so the bucketed writer gets one task per bucket (a bucket's
+        # rows all carry one id, so each task writes exactly one final
+        # file)
+        df = df.repartition(len(frag), bucket_id(n_buckets, *bucket_by))
+        stats: dict[str, list] = {}
+        adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
+                                   sort_by, allowed=set(frag),
+                                   stats_out=stats)
+        record = {"op": "compact", "writer": uuid.uuid4().hex,
+                  "buckets": frag, "adds": adds, "removes": old,
+                  "stats": stats}
+        won = _try_commit(path, snap, record)
+        if won != "conflict":
+            return won, frag
         for n, _ in adds:
             try:
                 fs.remove(os.path.join(path, n))
             except OSError:
                 pass
-        return txlog_compact(spark, path, target_buckets, min_files)
-    return won, frag
+    raise TxConflictError(
+        f"gave up compacting {path} after {max_retries} "
+        "overlapping-bucket conflicts")
 
 
 def txlog_diff(spark, path: str, v_from: int,
@@ -655,7 +678,7 @@ def txlog_restore(spark, path: str, version: int,
                             if n in target["stats"]}}
         if target["schema"] != head["schema"]:
             record["schema"] = target["schema"]
-        won = _try_commit(path, head, record)
+        won = _try_commit(path, head, record, strict_base=True)
         if won != "conflict":
             return won
     raise TxConflictError(
@@ -742,3 +765,52 @@ def txlog_health(spark, path: str, n_buckets: int) -> DataFrame:
     rows.append(("_table", len(snap["files"]), note))
     return spark.createDataFrame(
         rows, "bucket string, n_files int, note string")
+
+
+def txlog_rollup(spark, path: str, group_by: list[str],
+                 sum_cols: list[str],
+                 version: int | None = None) -> DataFrame:
+    """Full rollup of the logged table at ``version``: one row per
+    ``group_by`` key with ``n_rows`` and ``sum_<c>`` for each of
+    ``sum_cols`` — the materialized-view shape
+    :func:`txlog_incremental_rollup` maintains."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    aggs += [F.sum(F.col(c)).cast("long").alias(f"sum_{c}")
+             for c in sum_cols]
+    return txlog_read(spark, path, version).groupBy(*group_by).agg(*aggs)
+
+
+def txlog_incremental_rollup(spark, path: str, stored: DataFrame,
+                             group_by: list[str],
+                             sum_cols: list[str], v_from: int,
+                             v_to: int | None = None) -> DataFrame:
+    """Maintain a count/sum rollup of a logged table INCREMENTALLY
+    from its change feed — the CDC materialized-view pattern: apply
+    :func:`txlog_diff`'s insert/delete rows (version ``v_from`` →
+    ``v_to``, default head) to ``stored`` (the rollup at ``v_from``,
+    shape of :func:`txlog_rollup`), adding inserts and subtracting
+    deletes per group; groups whose count reaches zero drop.
+
+    Equals the full recompute at ``v_to`` EXACTLY for count and
+    integer/decimal sums (count and SUM are self-inverting; float
+    sums would drift and are refused by the long cast).  Cost is
+    O(buckets touched by the commits in between + |stored|) — the
+    100 TB "refresh yesterday's dashboard" query reads the day's
+    delta buckets, never the table."""
+    diff = txlog_diff(spark, path, v_from, v_to)
+    sign = F.when(F.col("_change") == "insert", F.lit(1)) \
+            .otherwise(F.lit(-1))
+    aggs = [F.sum(sign).cast("long").alias("_dn")]
+    aggs += [F.sum(sign * F.col(c)).cast("long").alias(f"_ds_{c}")
+             for c in sum_cols]
+    delta = diff.groupBy(*group_by).agg(*aggs)
+    zero = F.lit(0).cast("long")
+    merged = stored.join(delta, list(group_by), "full")
+    n = (F.coalesce(F.col("n_rows"), zero)
+         + F.coalesce(F.col("_dn"), zero))
+    cols = [F.coalesce(F.col(f"sum_{c}"), zero)
+            + F.coalesce(F.col(f"_ds_{c}"), zero) for c in sum_cols]
+    return (merged.select(*group_by, n.alias("n_rows"),
+                          *[e.alias(f"sum_{c}")
+                            for c, e in zip(sum_cols, cols)])
+                  .filter(F.col("n_rows") > 0))

@@ -1336,5 +1336,17 @@ def register(spark) -> None:
                         ".v2.python.UserDefinedPythonDataSource",
                     )(_wrap_function(sc, source))
                     mgr.registerDataSource(name, ds)
-            except Exception:
-                pass  # best effort; the common path registered fine
+            except Exception as inner:
+                # The fallback drives Spark-private APIs observed on
+                # 4.1; if an upgrade moves them this must not be a
+                # silent no-op — surface it so the eventual NOT_FOUND
+                # read failure has a diagnosis attached.
+                import warnings
+
+                warnings.warn(
+                    f"sibling-session registration fallback for "
+                    f"{source.name()!r} failed on Spark "
+                    f"{spark.version} ({type(inner).__name__}: "
+                    f"{inner}); reads in this session may fail with "
+                    f"DATA_SOURCE_NOT_FOUND",
+                    RuntimeWarning, stacklevel=2)

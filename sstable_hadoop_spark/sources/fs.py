@@ -35,7 +35,8 @@ __all__ = [
     "has_scheme", "resolve", "open_input", "open_output", "exists",
     "is_file", "file_size", "mtime_ns", "list_files", "list_dir",
     "makedirs", "remove", "rename", "put_file", "touch", "read_bytes",
-    "write_bytes", "register_scheme",
+    "write_bytes", "register_scheme", "register_exclusive_writer",
+    "ExclusiveWriteUnsupported",
 ]
 
 _BUFFER_SIZE = 256 * 1024
@@ -44,6 +45,33 @@ _BUFFER_SIZE = 256 * 1024
 # register_scheme(); consulted before FileSystem.from_uri so tests /
 # deployments can mount stores pyarrow cannot construct from a URI.
 _SCHEMES: dict[str, tuple] = {}
+
+# scheme → callable(path, data) -> bool injected by
+# register_exclusive_writer(); the conditional-PUT primitive
+# write_bytes_exclusive() requires for non-local schemes.
+_EXCLUSIVE: dict[str, object] = {}
+
+
+class ExclusiveWriteUnsupported(RuntimeError):
+    """``write_bytes_exclusive`` was asked to commit on a scheme with
+    no registered conditional-create primitive.  Raised instead of
+    degrading to check-then-write, because a lost-update there is
+    silent data corruption — the one failure mode a commit protocol
+    exists to prevent."""
+
+
+def register_exclusive_writer(scheme: str, writer) -> None:
+    """Mount the commit arbiter for ``scheme://`` paths:
+    ``writer(path: str, data: bytes) -> bool`` must be a TRUE
+    conditional create — among any set of racers for one ``path``,
+    exactly one returns True, and the full ``data`` is visible to
+    readers no later than that return (all-or-nothing PUT).  Real
+    stores have this natively: S3 ``If-None-Match: *`` (supported
+    since 2024), GCS ``x-goog-if-generation-match: 0``, ABFS
+    conditional create — a deployment registers a thin wrapper over
+    its store's client here and the transaction log's multi-writer
+    guarantee carries over unchanged."""
+    _EXCLUSIVE[scheme] = writer
 
 
 def register_scheme(scheme: str, filesystem, strip_netloc: bool = True):
@@ -319,41 +347,68 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
 def write_bytes_exclusive(path: str, data: bytes) -> bool:
     """CREATE ``path`` with ``data`` iff it does not already exist;
     returns True on the win, False when someone else's file is there.
+    Name and content appear ATOMICALLY: a reader that sees the path
+    sees the full bytes — never a zero-length or partial file.
 
     This is the compare-and-swap the transaction log's commit protocol
-    rides on (operators/txlog.py): on LOCAL paths (bare and
-    ``file://``) it is genuinely atomic — ``open(O_CREAT|O_EXCL)``
-    decided by the kernel, then fsync'd file + directory so the win is
-    durable before the caller acts on it.  On object stores there is
-    no portable conditional PUT through pyarrow, so this degrades to
-    exists-check + write + read-back verify — best-effort, the same
-    honesty tier as the layout lease; deployments there should point
-    the log at a store with real preconditions (S3 If-None-Match, GCS
-    generation 0) via :func:`register_scheme`."""
+    rides on (operators/txlog.py).  On LOCAL paths (bare and
+    ``file://``) the bytes are written and fsync'd into a hidden temp
+    sibling first, then ``os.link(tmp, path)`` publishes them — the
+    kernel arbitrates the link (EEXIST = lost the race) and the name
+    cannot exist without its content, so a writer killed mid-commit
+    leaves only an invisible temp, never a torn head commit.  On
+    schemes, the arbiter registered via
+    :func:`register_exclusive_writer` (the store's native conditional
+    PUT) decides; a scheme without one raises
+    :class:`ExclusiveWriteUnsupported` rather than degrading to a
+    racy exists-check + write."""
     if not has_scheme(path) or urlsplit(path).scheme == "file":
+        import uuid
+
         local = path if not has_scheme(path) else urlsplit(path).path
+        d, base = os.path.split(local)
+        tmp = os.path.join(d, f".{base}.excl-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(local, os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-                         0o644)
+            os.link(tmp, local)
         except FileExistsError:
             return False
-        try:
+        except OSError:
+            # filesystem without hard links (some FUSE/network mounts):
+            # fall back to O_EXCL create + copy — the pre-link protocol,
+            # which reintroduces a sub-ms name-before-content window but
+            # only on stores that cannot do better
+            try:
+                fd = os.open(local,
+                             os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            except FileExistsError:
+                return False
             with os.fdopen(fd, "wb") as f:
                 f.write(data)
                 f.flush()
                 os.fsync(f.fileno())
-        except BaseException:
+            _fsync_dir(d)
+            return True
+        finally:
             try:
-                os.remove(local)
+                os.remove(tmp)
             except OSError:
                 pass
-            raise
-        _fsync_dir(os.path.dirname(local))
+        _fsync_dir(d)
         return True
-    if exists(path):
-        return False
-    write_bytes(path, data)
-    return read_bytes(path) == data
+    scheme = urlsplit(path).scheme
+    writer = _EXCLUSIVE.get(scheme)
+    if writer is None:
+        raise ExclusiveWriteUnsupported(
+            f"no conditional-create primitive registered for "
+            f"{scheme}:// — commits there would be vulnerable to lost "
+            f"updates; wrap the store's conditional PUT (S3 "
+            f"If-None-Match, GCS generation 0) and mount it with "
+            f"fs.register_exclusive_writer({scheme!r}, writer)")
+    return bool(writer(path, data))
 
 
 def _fsync_file(path: str) -> None:

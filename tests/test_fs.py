@@ -8,6 +8,8 @@ Spark executors; a registered custom scheme proves arbitrary stores
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from sstable_hadoop_spark.sources import fs
@@ -180,3 +182,121 @@ def test_rename_rejects_cross_filesystem_pairs(tmp_path):
     fs.put_file(str(src), "mem4://up.bin")
     assert (root / "up.bin").read_bytes() == b"x"
     assert src.exists()
+
+
+def test_write_bytes_exclusive_local_race_one_winner(tmp_path):
+    """The local commit primitive: N threads racing the same path —
+    exactly one wins, and the winner's FULL bytes are what readers
+    see (the hard-link publish makes name+content atomic)."""
+    import threading
+
+    from sstable_hadoop_spark.sources import fs
+
+    target = str(tmp_path / "commit.json")
+    payload = {i: (b"%03d" % i) * 5000 for i in range(8)}
+    wins = []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        if fs.write_bytes_exclusive(target, payload[i]):
+            wins.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert fs.read_bytes(target) == payload[wins[0]]
+    # losers' and winner's temps are all cleaned up
+    leftovers = [p for p in os.listdir(tmp_path) if ".excl-" in p]
+    assert leftovers == []
+
+
+def test_write_bytes_exclusive_never_publishes_torn_content(tmp_path):
+    """A writer that dies before the link publishes NOTHING at the
+    final name (the r9-ADVICE torn-head-commit window): simulate the
+    crash by failing the link step and assert the target never came
+    into existence, then confirm a later writer still wins cleanly."""
+    from unittest import mock
+
+    from sstable_hadoop_spark.sources import fs
+
+    target = str(tmp_path / "commit.json")
+    real_link = os.link
+
+    with mock.patch("os.link",
+                    side_effect=KeyboardInterrupt("died pre-publish")):
+        try:
+            fs.write_bytes_exclusive(target, b"half-written")
+        except KeyboardInterrupt:
+            pass
+    assert not os.path.exists(target)  # no torn head commit
+    os.link = real_link
+    assert fs.write_bytes_exclusive(target, b"whole") is True
+    assert fs.read_bytes(target) == b"whole"
+
+
+def test_write_bytes_exclusive_scheme_requires_arbiter(tmp_path):
+    """A scheme'd path with no registered conditional-create arbiter
+    must REFUSE (loud ExclusiveWriteUnsupported), never degrade to
+    racy check-then-write."""
+    import pytest as _pytest
+    from pyarrow import fs as pafs
+
+    from sstable_hadoop_spark.sources import fs
+
+    root = tmp_path / "memroot5"
+    root.mkdir()
+    fs.register_scheme("mem5", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    with _pytest.raises(fs.ExclusiveWriteUnsupported,
+                        match="register_exclusive_writer"):
+        fs.write_bytes_exclusive("mem5://c.json", b"x")
+    assert not (root / "c.json").exists()
+
+
+def test_register_exclusive_writer_arbitrates_scheme(tmp_path):
+    """A registered arbiter (modeling a store's native conditional
+    PUT: server-side atomic if-absent create) carries the exactly-
+    one-winner guarantee to a scheme whose plain writes are NOT
+    exclusive."""
+    import threading
+
+    from pyarrow import fs as pafs
+
+    from sstable_hadoop_spark.sources import fs
+
+    root = tmp_path / "memroot6"
+    root.mkdir()
+    fs.register_scheme("mem6", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    server_lock = threading.Lock()  # the store's internal atomicity
+
+    def cond_put(path, data):
+        with server_lock:
+            if fs.exists(path):
+                return False
+            fs.write_bytes(path, data)
+            return True
+
+    fs.register_exclusive_writer("mem6", cond_put)
+    wins = []
+    barrier = threading.Barrier(6)
+
+    def racer(i):
+        barrier.wait()
+        if fs.write_bytes_exclusive("mem6://v1.json",
+                                    b"writer-%d" % i):
+            wins.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert fs.read_bytes("mem6://v1.json") == b"writer-%d" % wins[0]

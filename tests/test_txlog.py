@@ -572,3 +572,194 @@ def test_txlog_health_report(spark, tpath):
     note = {r["bucket"]: r["note"] for r in
             tx.txlog_health(spark, tpath, 4).collect()}["_table"]
     assert "DATA-LOSS" in note and victim in note
+
+
+def test_commit_race_on_non_oexcl_store(tmp_path):
+    """The object-store commit path: a scheme whose plain writes are
+    NOT exclusive, with a registered conditional-PUT arbiter (the
+    store's server-side if-absent create).  Six racing committers on
+    disjoint buckets must each win a DISTINCT contiguous version —
+    exactly one winner per version, no lost updates — proving the
+    multi-writer guarantee does not rest on kernel O_EXCL."""
+    import threading
+
+    from pyarrow import fs as pafs
+
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.sources import fs
+
+    root = tmp_path / "objstore"
+    root.mkdir()
+    fs.register_scheme("mem7", pafs.SubTreeFileSystem(
+        str(root), pafs.LocalFileSystem()))
+    server_lock = threading.Lock()
+
+    def cond_put(path, data):
+        with server_lock:  # a conditional PUT is atomic server-side
+            if fs.exists(path):
+                return False
+            fs.write_bytes(path, data)
+            return True
+
+    fs.register_exclusive_writer("mem7", cond_put)
+    table = "mem7://t"
+    fs.makedirs(tx._log_dir(table))
+    assert tx._try_commit(table, {"version": 0},
+                          {"op": "create", "writer": "w0",
+                           "buckets": [], "adds": [],
+                           "removes": []}) == 1
+    wins: dict[int, int] = {}
+    barrier = threading.Barrier(6)
+
+    def committer(i):
+        barrier.wait()
+        won = tx._try_commit(
+            table, {"version": 1},
+            {"op": "upsert", "writer": f"w{i}", "buckets": [i],
+             "adds": [[f"f{i}.parquet", i]], "removes": []})
+        wins[i] = won
+
+    threads = [threading.Thread(target=committer, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # disjoint buckets: everyone eventually wins, versions contiguous
+    assert sorted(wins.values()) == list(range(2, 8))
+    for i, v in wins.items():
+        assert tx._read_commit(table, v)["writer"] == f"w{i}"
+
+
+def test_restore_conflicts_on_any_concurrent_commit(spark, tpath,
+                                                    monkeypatch):
+    """ADVICE r9: a commit landing between restore's diff computation
+    and its commit must be a CONFLICT even on disjoint buckets —
+    otherwise the interleaved rows survive the restore and the head
+    is not content-identical to the target.  Inject such a commit and
+    assert the retried restore erases it."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import bucket_id
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4)
+    v1 = _content(spark, tpath)
+    # v2 touches exactly one bucket (single key)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 1, 2), _merge,
+                    ("k",), 4)
+    # pick a key hashing into a DIFFERENT bucket than k=0
+    buckets = {r["k"]: r["b"] for r in
+               _mk(spark, 0, 40, 0).select(
+                   "k", bucket_id(4, "k").alias("b")).collect()}
+    other = next(k for k in sorted(buckets) if buckets[k] != buckets[0])
+
+    real = tx._try_commit
+    state = {"injected": False}
+
+    def inject(path, base, record, strict_base=False):
+        if record.get("op") == "restore" and not state["injected"]:
+            state["injected"] = True
+            tx.txlog_upsert(spark, path,
+                            _mk(spark, other, other + 1, 9), _merge,
+                            ("k",), 4)
+        return real(path, base, record, strict_base=strict_base)
+
+    monkeypatch.setattr(tx, "_try_commit", inject)
+    tx.txlog_restore(spark, tpath, 1)
+    assert state["injected"]
+    # head must be content-identical to v1: the injected (other, 9)
+    # row must NOT survive (pre-fix, the disjoint rebase kept it)
+    assert _content(spark, tpath) == v1
+
+
+def test_compact_conflict_retries_are_bounded(spark, tpath,
+                                              monkeypatch):
+    """ADVICE r9: a compaction that keeps losing must raise
+    TxConflictError after max_retries (bounded loop), not recurse
+    without limit."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    # many write tasks × few buckets → multiple files per bucket, so
+    # compaction has work to do on every retry
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 80, 1).repartition(6),
+                    ("k",), 4)
+    calls = {"n": 0}
+    real = tx._try_commit
+
+    def always_lose(path, base, record, strict_base=False):
+        if record.get("op") == "compact":
+            calls["n"] += 1
+            return "conflict"
+        return real(path, base, record, strict_base=strict_base)
+
+    monkeypatch.setattr(tx, "_try_commit", always_lose)
+    with pytest.raises(tx.TxConflictError, match="compacting"):
+        tx.txlog_compact(spark, tpath, max_retries=3)
+    assert calls["n"] == 3
+    # stale stages were tidied: head content still reads clean
+    monkeypatch.setattr(tx, "_try_commit", real)
+    assert _content(spark, tpath) == [(k, 1) for k in range(80)]
+
+
+def test_crashed_writer_temp_is_invisible(spark, tpath):
+    """A writer killed between temp-write and link leaves only a
+    dot-prefixed ``.excl-`` temp in _txlog; snapshots and new commits
+    must ignore it (no wedge, no JSONDecodeError)."""
+    import os as _os
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4)
+    torn = _os.path.join(
+        tx._log_dir(tpath),
+        f".{2:020d}.json.excl-deadbeefcafe")
+    with open(torn, "w") as f:
+        f.write('{"version": 2, "adds": [["x", 0')  # torn, invisible
+    assert tx.txlog_snapshot(tpath)["version"] == 1
+    v, _ = tx.txlog_upsert(spark, tpath, _mk(spark, 0, 40, 2),
+                           _merge, ("k",), 4)
+    assert v == 2  # the temp never claimed the version
+    assert _content(spark, tpath) == [(k, 2) for k in range(40)]
+
+
+def test_incremental_rollup_matches_full(spark, tpath):
+    """r10 CDC materialized view: txlog_incremental_rollup applies the
+    change feed to a stored rollup and must equal the full recompute
+    at head — across an update commit, a delete commit that empties
+    groups, and a stale-by-two-versions base."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    def mk(lo, hi, mult):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+            (F.col("id") * mult).alias("x"))
+
+    def replace(stored, delta):
+        return stored.join(delta, "k", "left_anti").unionByName(delta)
+
+    tx.txlog_create(spark, tpath, mk(0, 60, 1), ("k",), 4)
+    r1 = tx.txlog_rollup(spark, tpath, ["g"], ["x"], version=1)
+    tx.txlog_upsert(spark, tpath, mk(20, 40, 10), replace, ("k",), 4)
+    r2 = tx.txlog_rollup(spark, tpath, ["g"], ["x"], version=2)
+    # delete every k ≡ 0 mod 5 → group g=0 vanishes entirely
+    tx.txlog_delete(spark, tpath,
+                    mk(0, 60, 1).filter(F.col("k") % 5 == 0)
+                                .select("k"),
+                    ("k",), 4)
+    full = sorted(tuple(r) for r in
+                  tx.txlog_rollup(spark, tpath, ["g"], ["x"]).collect())
+    for base_version, stored in ((1, r1), (2, r2)):
+        inc = sorted(tuple(r) for r in
+                     tx.txlog_incremental_rollup(
+                         spark, tpath, stored, ["g"], ["x"],
+                         v_from=base_version).collect())
+        assert inc == full, base_version
+    # the emptied group really is gone, not zero-row
+    assert all(g != 0 for g, _, _ in full)
+    # no-op window: incremental from head to head == stored head
+    head_v = tx.txlog_snapshot(tpath)["version"]
+    same = sorted(tuple(r) for r in
+                  tx.txlog_incremental_rollup(
+                      spark, tpath,
+                      tx.txlog_rollup(spark, tpath, ["g"], ["x"]),
+                      ["g"], ["x"], v_from=head_v).collect())
+    assert same == full
