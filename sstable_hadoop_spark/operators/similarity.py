@@ -1043,3 +1043,219 @@ def cosine_topk_sq8(embeddings: DataFrame, queries: DataFrame,
                  .filter(F.col("rk") <= k)
                  .select(query_id_col, F.col("id").alias(id_col),
                          "rk", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# IVF + SQ8 (r10): int8 codes partitioned by coarse IVF cell — the
+# FAISS "IVF,SQ8" tier, composing the two orthogonal wins exactly the
+# way write_ivfpq_index composes IVF with PQ: plan-time partition
+# pruning (read n_probe/n_centroids of the index) × 4-8× scalar
+# compression, at SQ8's near-exact fine order (no shared subspace
+# centroids).  VERDICT r9 #5.
+# ---------------------------------------------------------------------------
+
+def encode_ivfsq8(embeddings: DataFrame, mins: list[float],
+                  scales: list[float], cents: list[list[float]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, _cell, codes): coarse IVF cell (argmax-dot against
+    ``cents``) + per-dimension int8 levels — the stored corpus
+    representation.  Pure codegen projection: one scan, no shuffle,
+    no Python."""
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[_sq8_code(vec, d, mins[d], scales[d])
+                      for d in range(len(mins))])
+    return embeddings.select(F.col(id_col).alias("id"),
+                             ivf_cell_of(vec_col, cents).alias("_cell"),
+                             codes.alias("codes"))
+
+
+def write_ivfsq8_index(embeddings: DataFrame, path: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_centroids: int = 16, seed: str = "ivf",
+                       params: tuple[list[float], list[float]] | None
+                       = None) -> tuple[list[float], list[float]]:
+    """Materialize the combined index: int8 codes partitioned by IVF
+    cell (hive-style ``_cell=N`` dirs) plus an ``_ivfsq8_meta.json``
+    sidecar pinning mins/scales and the centroid parameters, so any
+    session probes without retraining.  Returns ``(mins, scales)``.
+
+    Scale: train is one fused min/max agg, encode one scan (the only
+    exchange is the cell ``repartition``), written bytes ≈ dim ints
+    per vector, sidecar O(dim) doubles — metadata-sized."""
+    import json
+
+    from ..sources import fs
+    from ._util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
+    dim = _resolve_dim(None, embeddings, vec_col)
+    cents = _hyperplanes(dim, n_centroids, seed=seed)
+    if params is None:
+        params = train_sq8(embeddings, vec_col, dim=dim)
+    mins, scales = params
+    (encode_ivfsq8(embeddings, mins, scales, cents, id_col, vec_col)
+     .repartition("_cell")
+     .write.partitionBy("_cell").mode("overwrite").parquet(path))
+    meta = {"n_centroids": n_centroids, "dim": dim, "seed": seed,
+            "mins": mins, "scales": scales}
+    fs.write_bytes_atomic(path.rstrip("/") + "/_ivfsq8_meta.json",
+                          json.dumps(meta).encode())
+    return params
+
+
+def _ivfsq8_score(coded: DataFrame, embeddings: DataFrame | None,
+                  queries: DataFrame, mins: list[float],
+                  scales: list[float], cents: list[list[float]],
+                  k: int, id_col: str, vec_col: str,
+                  query_id_col: str, n_probe: int,
+                  rerank_factor: int | None, where: str) -> DataFrame:
+    """Shared IVF+SQ8 probe: queries explode to their ``n_probe``
+    best cells (each code row lives in exactly ONE cell, so a
+    (query, doc) pair joins at most once), the broadcast query side
+    carries the normalized vector, and the decoded dot is the same
+    fixed-order chain as ``cosine_topk_sq8`` so full-scan and probed
+    scores agree bit-for-bit on shared candidates."""
+    from pyspark.sql.window import Window
+
+    dim = len(mins)
+
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    def top_cells(vec, n):
+        scored = F.transform(
+            dots(vec),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    qn = F.col(vec_col).cast("array<double>")
+    qunit = F.transform(
+        qn, lambda x: x / F.sqrt(F.aggregate(
+            qn, F.lit(0.0), lambda a, v: a + v * v)))
+    vec_ok = _checked_vec(F.col(vec_col), dim, where)
+    q = queries.select(
+        F.col(query_id_col), qunit.alias("_q"),
+        F.explode(F.transform(top_cells(vec_ok, n_probe),
+                              lambda s: s["cell"])).alias("_cell"))
+
+    score = None
+    for d in range(dim):
+        dec = (F.lit(mins[d])
+               + F.element_at("codes", d + 1) / F.lit(255.0)
+               * F.lit(scales[d]))
+        term = F.element_at("_q", d + 1) * dec
+        score = term if score is None else score + term
+    scored = (coded.join(F.broadcast(q), "_cell")
+                   .filter(F.col("id") != F.col(query_id_col))
+                   .select(query_id_col, "id", score.alias("sq")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sq"),
+                                                 F.asc("id"))
+    if rerank_factor is None:
+        return (scored.withColumn("rk", F.row_number().over(w))
+                      .filter(F.col("rk") <= k)
+                      .select(query_id_col, F.col("id").alias(id_col),
+                              "rk", "sq"))
+    if embeddings is None:
+        raise ValueError(f"{where}: rerank_factor needs the original "
+                         "vectors — pass embeddings=")
+    short = (scored.withColumn("_srk", F.row_number().over(w))
+                   .filter(F.col("_srk") <= k * rerank_factor)
+                   .select(query_id_col, "id"))
+    vecs = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("_evec"))
+    qv = queries.select(F.col(query_id_col),
+                        F.col(vec_col).cast("array<double>")
+                        .alias("_qvec"))
+    exact = (short.join(vecs, "id").join(F.broadcast(qv), query_id_col)
+                  .select(query_id_col, "id",
+                          cosine(F.col("_qvec"), F.col("_evec"))
+                          .alias("cos")))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos"),
+                                                  F.asc("id"))
+    return (exact.withColumn("rk", F.row_number().over(w2))
+                 .filter(F.col("rk") <= k)
+                 .select(query_id_col, F.col("id").alias(id_col),
+                         "rk", "cos"))
+
+
+def cosine_topk_ivfsq8(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       query_id_col: str = "query_id",
+                       n_centroids: int = 16, n_probe: int = 3,
+                       seed: str = "ivf",
+                       params: tuple[list[float], list[float]] | None
+                       = None,
+                       coded: DataFrame | None = None,
+                       rerank_factor: int | None = None,
+                       dim: int | None = None) -> DataFrame:
+    """Inline IVF+SQ8 top-k: encode (or accept ``coded``), probe
+    ``n_probe`` cells per query, decoded-dot-score only in-cell
+    codes.  Bit-identical to the stored probe with the same
+    params."""
+    from ._util import ensure_parallelism
+
+    dim = _resolve_dim(dim, embeddings, vec_col)
+    cents = _hyperplanes(dim, n_centroids, seed=seed)
+    if params is None:
+        params = train_sq8(embeddings, vec_col, dim=dim)
+    mins, scales = params
+    if coded is None:
+        coded = encode_ivfsq8(embeddings, mins, scales, cents,
+                              id_col, vec_col)
+    coded = ensure_parallelism(coded)
+    return _ivfsq8_score(coded, embeddings, queries, mins, scales,
+                         cents, k, id_col, vec_col, query_id_col,
+                         n_probe, rerank_factor, "cosine_topk_ivfsq8")
+
+
+def cosine_topk_ivfsq8_stored(spark, path: str, queries: DataFrame,
+                              k: int = 5, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              query_id_col: str = "query_id",
+                              n_probe: int = 3,
+                              rerank_factor: int | None = None,
+                              embeddings: DataFrame | None = None)\
+        -> DataFrame:
+    """Probe a ``write_ivfsq8_index`` store: params come from the
+    sidecar, the query set's probed cells become an IN-list literal
+    so Catalyst prunes unprobed ``_cell=N`` partition directories at
+    PLAN time — I/O = (n_probe/n_centroids) × the int8 index, the
+    same multiplicative win as the IVFPQ store at SQ8's finer
+    order."""
+    import json
+
+    from ..sources import fs
+
+    meta = json.loads(fs.read_bytes(
+        path.rstrip("/") + "/_ivfsq8_meta.json"))
+    mins, scales = meta["mins"], meta["scales"]
+    cents = _hyperplanes(meta["dim"], meta["n_centroids"],
+                         seed=meta["seed"])
+
+    def dots(vec):
+        return F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                         for cent in cents])
+
+    def top_cells(vec, n):
+        scored = F.transform(
+            dots(vec),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    vec_ok = _checked_vec(F.col(vec_col), meta["dim"],
+                          "cosine_topk_ivfsq8_stored")
+    probed = sorted({r["_cell"] for r in queries.select(
+        F.explode(F.transform(top_cells(vec_ok, n_probe),
+                              lambda s: s["cell"])).alias("_cell"))
+        .distinct().collect()})
+    coded = (spark.read.parquet(path)
+             .filter(F.col("_cell").isin(probed)))
+    return _ivfsq8_score(coded, embeddings, queries, mins, scales,
+                         cents, k, id_col, vec_col, query_id_col,
+                         n_probe, rerank_factor,
+                         "cosine_topk_ivfsq8_stored")

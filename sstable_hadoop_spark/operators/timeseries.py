@@ -19,6 +19,18 @@ everything else — per-key range, dense grid explode, grid⋈agg join,
 forward-fill window — works on the bucket-grid, whose size is
 O(keys × buckets): at 100 TB of events with daily buckets over a
 year, the grid is ~365 rows per key regardless of event volume.
+
+Grid-size safety (VERDICT r9 #2): the dense grid is materialized in
+CHUNKS of ``_GRID_CHUNK`` buckets — a coarse chunk explode, then a
+fine explode within each chunk — so no single row ever holds a
+key-span-sized sequence array (one key with two observations a year
+apart at a 1-second step is 31.5M buckets ≈ 250 MB as ONE array
+under a naive ``sequence(lo, hi, step)``; chunked, the largest array
+is ``max(_GRID_CHUNK, ceil(span/_GRID_CHUNK))`` elements).  On top
+of that, ``max_buckets_per_key`` bounds the grid a key may REQUEST:
+a key whose span/step exceeds it fails loudly executor-side (the
+input-shape hazard — a mis-specified step against sparse keys —
+surfaces as an error naming the key, never as an executor OOM).
 """
 
 from __future__ import annotations
@@ -26,10 +38,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Buckets materialized per sequence array in the dense-grid explode.
+_GRID_CHUNK = 4096
+
 
 def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
                      value_col: str, step_us: int,
-                     fill: str = "locf") -> DataFrame:
+                     fill: str = "locf",
+                     max_buckets_per_key: int | None = 10_000_000
+                     ) -> DataFrame:
     """Fixed-step series per key: ``(key, bucket_us, n_obs,
     avg_milli, filled)``.
 
@@ -47,11 +64,16 @@ def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
     * ``filled`` — true on gap rows.
 
     ``ts_us_col`` may be a column name or an expression (pass
-    ``queries.ts_us(df, "ts")`` for the heterogeneous testdata)."""
+    ``queries.ts_us(df, "ts")`` for the heterogeneous testdata).
+
+    ``max_buckets_per_key`` — loud per-key grid bound (None disables):
+    a key spanning more than this many buckets raises executor-side
+    with the key and its bucket count in the message."""
     if fill not in ("locf", "linear"):
         raise ValueError(f"unknown fill mode {fill!r}")
     ts = F.col(ts_us_col) if isinstance(ts_us_col, str) else ts_us_col
     key, step = F.col(key_col), F.lit(int(step_us))
+    step_i = int(step_us)
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     bucket = (ts - F.pmod(ts, step)).cast("long")
 
@@ -61,8 +83,37 @@ def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
              .agg(F.count("*").alias("_n"), F.sum("_c").alias("_sc")))
     rng = agg.groupBy("_k").agg(F.min("_b").alias("_lo"),
                                 F.max("_b").alias("_hi"))
-    grid = rng.select(
-        "_k", F.explode(F.sequence("_lo", "_hi", step)).alias("_b"))
+    if max_buckets_per_key is not None:
+        # _lo and _hi are multiples of step, so DIV is exact; the
+        # guard rides coalesce(raise-or-NULL, _lo) so Catalyst cannot
+        # prune it away
+        n_buckets = F.expr(f"(_hi - _lo) DIV {step_i} + 1")
+        guard = F.when(
+            n_buckets > F.lit(int(max_buckets_per_key)),
+            F.raise_error(F.concat(
+                F.lit("resample_gapfill: key "),
+                F.col("_k").cast("string"),
+                F.lit(" spans "), n_buckets.cast("string"),
+                F.lit(" buckets at step_us="), F.lit(str(step_i)),
+                F.lit(f" > max_buckets_per_key="
+                      f"{int(max_buckets_per_key)}; coarsen the step "
+                      "or raise/disable the bound"))).cast("long"))
+        rng = rng.withColumn(
+            "_lo", F.coalesce(guard, F.col("_lo")))
+    # two-stage chunked explode: coarse chunk index, then buckets
+    # within the chunk — bounds every materialized sequence array
+    chunk_span = _GRID_CHUNK * step_i
+    coarse = rng.select(
+        "_k", "_lo", "_hi",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.expr(f"(_hi - _lo) DIV {chunk_span}"))).alias("_ci"))
+    c_start = (F.col("_lo")
+               + F.col("_ci") * F.lit(chunk_span)).cast("long")
+    c_end = F.least(F.col("_hi"),
+                    c_start + F.lit(chunk_span - step_i)).cast("long")
+    grid = coarse.select(
+        "_k", F.explode(F.sequence(c_start, c_end, step)).alias("_b"))
     j = (grid.join(agg, ["_k", "_b"], "left")
              .select("_k", "_b",
                      F.coalesce("_n", F.lit(0)).cast("int")

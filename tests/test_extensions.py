@@ -1075,6 +1075,68 @@ def test_bpe_train_matches_reference(spark):
     assert 0 < len(full) < 500
 
 
+def test_bpe_local_trainer_matches_spark_trainer(spark):
+    """train_bpe_local (driver-local merge loop, the production path
+    — VERDICT r9 #4) must be ROW-IDENTICAL to train_bpe (the
+    per-merge-Spark-job oracle harness) on the same adversarial
+    corpus, including tie-breaks, overlapping-run counts, and the
+    early stop."""
+    from sstable_hadoop_spark.operators.tokenizer import (
+        train_bpe,
+        train_bpe_local,
+    )
+
+    texts = ["low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest",
+             "the cat sat on the mat the cat",
+             "aaaa aaaa aa aaaaaa baab",
+             "singleton"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    for n, mf in ((16, 2), (500, 3)):
+        exp = [tuple(r) for r in
+               train_bpe(df, n_merges=n, min_freq=mf).collect()]
+        got = [tuple(r) for r in
+               train_bpe_local(df, n_merges=n, min_freq=mf).collect()]
+        assert got == exp, (n, mf)
+    # max_words guard is loud
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe_local(df, n_merges=2, max_words=3)
+
+
+def test_bpe_local_trainer_scales_to_production_merges(spark):
+    """1k+ merges must train in seconds driver-side (the whole point
+    of the local path: no per-merge Spark job), and the result must
+    replay cleanly through the fast tokenizer."""
+    import time
+
+    from sstable_hadoop_spark.operators.tokenizer import (
+        bpe_tokenize_fast,
+        train_bpe_local,
+    )
+
+    # a corpus rich enough to sustain >1000 merges at min_freq=2:
+    # number words spelled as digit sequences give deep merge chains
+    texts = [" ".join(f"w{i:04d}" for i in range(600)) * 3,
+             " ".join(f"x{i * 7 % 997:03d}" for i in range(900)) * 2]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    t0 = time.monotonic()
+    merges = train_bpe_local(df, n_merges=1200, min_freq=2)
+    got = merges.collect()
+    elapsed = time.monotonic() - t0
+    assert len(got) >= 1000
+    # ranks are contiguous from 1 and counts respect min_freq
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(r["pair_count"] >= 2 for r in got)
+    # generous bound: includes the one Spark word-count job; the
+    # driver loop itself is sub-second — a per-merge-job path would
+    # take minutes here
+    assert elapsed < 60, f"local trainer took {elapsed:.1f}s"
+    toks = bpe_tokenize_fast(df, merges).select("n_tokens").collect()
+    assert all(r["n_tokens"] > 0 for r in toks)
+
+
 def test_bpe_tokenize_paths_agree(spark):
     """Declarative replace-chain tokenizer == Arrow-batched fast path
     == per-word reference replay, on adversarial and empty docs."""
@@ -1299,6 +1361,73 @@ def test_ivfpq_stored_probe_and_rerank(spark, tmp_path):
     with _pytest.raises(ValueError, match="rerank_factor"):
         cosine_topk_ivfpq_stored(spark, path, q, k=5,
                                  rerank_factor=4).collect()
+
+
+def test_ivfsq8_stored_probe_and_rerank(spark, tmp_path):
+    """r10 combined IVF+SQ8 index (VERDICT r9 #5): the store holds
+    ONLY (id, int8 codes) partitioned by coarse cell plus a params
+    sidecar; the stored probe prunes unprobed cells at PLAN time and
+    is bit-identical to the inline probe with the same params; within
+    probed cells the decoded-dot order matches the full-scan SQ8
+    order (the tier's fine-order fidelity); rerank recovers exact
+    cosine."""
+    import json
+    import os
+
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivfsq8,
+        cosine_topk_ivfsq8_stored,
+        cosine_topk_sq8,
+        train_sq8,
+        write_ivfsq8_index,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"))
+    params = train_sq8(emb)
+    path = str(tmp_path / "ivfsq8store")
+    out = write_ivfsq8_index(emb, path, params=params)
+    assert out == params
+    cells = [d for d in os.listdir(path) if d.startswith("_cell=")]
+    assert len(cells) > 1
+    meta = json.loads(open(os.path.join(path, "_ivfsq8_meta.json"),
+                           "rb").read())
+    assert meta["mins"] == params[0] and meta["n_centroids"] == 16
+    # the store is codes-only: no raw vector column survives
+    stored_schema = spark.read.parquet(path).schema.fieldNames()
+    assert set(stored_schema) == {"id", "codes", "_cell"}
+
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    stored = cosine_topk_ivfsq8_stored(spark, path, q, k=5)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+
+    srows = [tuple(r) for r in stored.orderBy("query_id", "rk").collect()]
+    irows = [tuple(r) for r in
+             cosine_topk_ivfsq8(emb, q, k=5, params=params)
+             .orderBy("query_id", "rk").collect()]
+    assert srows == irows  # bit-identical incl. decoded-dot scores
+
+    # probed scores equal the full-scan SQ8 scores on shared pairs —
+    # the same fixed-order chain, only the candidate set differs
+    full = {(r["query_id"], r["vec_id"]): r["sq"]
+            for r in cosine_topk_sq8(emb, q, k=50,
+                                     params=params).collect()}
+    shared = [(r[0], r[1], r[3]) for r in srows if (r[0], r[1]) in full]
+    assert shared
+    assert all(full[(qid, vid)] == sq for qid, vid, sq in shared)
+
+    rr = cosine_topk_ivfsq8_stored(spark, path, q, k=5,
+                                   rerank_factor=4,
+                                   embeddings=emb).collect()
+    assert rr and "cos" in rr[0].asDict()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rerank_factor"):
+        cosine_topk_ivfsq8_stored(spark, path, q, k=5,
+                                  rerank_factor=4).collect()
 
 
 def test_hash_split_fraction_one_keeps_ffffffff_bucket(spark):
@@ -2742,12 +2871,15 @@ def test_similarity_recall_report_floors(spark):
            similarity_recall_report(spark, "/root/testdata/sf0.001")
            .collect()}
     assert set(rep) == {"lsh", "ivf", "ivf_trained", "pq", "ivfpq",
-                        "sq8"}
+                        "sq8", "ivfsq8"}
     floors_bp = {"lsh": 6000, "ivf": 2000, "ivf_trained": 3500, "pq": 500,
                  "ivfpq": 500,
                  # 256 levels/dim keeps fine order almost exactly —
                  # int8 is the "cheap compression, full recall" tier
-                 "sq8": 9500}
+                 "sq8": 9500,
+                 # bounded by the coarse probe (same cells as ivf),
+                 # near-exact within them — so the ivf floor applies
+                 "ivfsq8": 2000}
     for method, floor in floors_bp.items():
         row = rep[method]
         assert row["n_exact"] == 40 and row["n_returned"] == 40
@@ -3213,6 +3345,62 @@ def test_resample_linear_interpolation(spark):
         resample_gapfill(df, "us", "k", "v", step, fill="spline")
 
 
+def test_resample_chunked_grid_spans_chunk_boundaries(spark):
+    """The two-stage chunked grid explode (VERDICT r9 #2) must emit
+    the identical dense grid as a single sequence: a key spanning
+    several _GRID_CHUNK windows gets every bucket exactly once, with
+    correct locf fill across the chunk seams."""
+    from sstable_hadoop_spark.operators.timeseries import (
+        _GRID_CHUNK,
+        resample_gapfill,
+    )
+
+    step = 10
+    n = 3 * _GRID_CHUNK + 17  # 3 full chunks + a partial tail
+    hi = (n - 1) * step
+    df = spark.createDataFrame(
+        [("k", 0, 5.0), ("k", hi, 9.0)], "k string, us long, v double")
+    rows = resample_gapfill(df, "us", "k", "v", step).collect()
+    assert len(rows) == n
+    got = {r["bucket_us"]: (r["avg_milli"], r["n_obs"]) for r in rows}
+    assert sorted(got) == [i * step for i in range(n)]
+    assert got[0] == (5000, 1)
+    assert got[hi] == (9000, 1)
+    # every interior bucket is a gap row carrying the first value
+    assert all(got[i * step] == (5000, 0) for i in range(1, n - 1))
+
+
+def test_resample_grid_guard_raises_not_ooms(spark):
+    """A key spanning ~10⁹ buckets must fail LOUDLY at the declared
+    max_buckets_per_key bound (never materialize the grid), and the
+    same span must pass when the caller raises the bound enough to
+    admit a plan (proving the guard, not the explode, is what
+    fired)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from sstable_hadoop_spark.operators.timeseries import (
+        resample_gapfill,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 10_000_000_000, 2.0)],
+        "k string, us long, v double")
+    with pytest.raises(SparkRuntimeException,
+                       match="max_buckets_per_key"):
+        resample_gapfill(df, "us", "k", "v", 10).collect()
+    # a modest span under a small bound still raises; over it, passes
+    small = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 1000, 2.0)],
+        "k string, us long, v double")
+    with pytest.raises(SparkRuntimeException,
+                       match="max_buckets_per_key"):
+        resample_gapfill(small, "us", "k", "v", 10,
+                         max_buckets_per_key=50).collect()
+    ok = resample_gapfill(small, "us", "k", "v", 10,
+                          max_buckets_per_key=101).collect()
+    assert len(ok) == 101
+
+
 def test_dedup_paragraphs_hand_checked(spark):
     from sstable_hadoop_spark.operators.dedup import dedup_paragraphs
 
@@ -3274,6 +3462,84 @@ def test_canonicalize_url_rules(spark):
     got2 = {r["url"]: r["c"] for r in df2.select(
         "url", canonicalize_url("url").alias("c")).collect()}
     assert got2 == {v: v for v in cases.values()}
+
+
+def test_canonicalize_url_percent_and_dot_segments(spark):
+    """r10 (VERDICT r9 #9): percent-encoding normalization (uppercase
+    hex, decode unreserved) and RFC 3986 dot-segment resolution —
+    including the %2E%2E escape that only BECOMES a dot segment after
+    decoding — plus idempotence over the new shapes."""
+    from sstable_hadoop_spark.operators.corpus import canonicalize_url
+
+    cases = {
+        # unreserved escapes decode; hex of kept escapes uppercases
+        "https://ex.com/%7euser/f%2Dile%2e?n=%41%42&m=%c3%a9":
+            "https://ex.com/~user/f-ile.?m=%C3%A9&n=AB",
+        # dot segments: ./ and ../ resolve; %2E%2E becomes ../ first
+        "https://ex.com/a/b/../c/./d/%2E%2E/e":
+            "https://ex.com/a/c/e",
+        # .. at root cannot climb above /
+        "https://ex.com/../a": "https://ex.com/a",
+        # stacked ..
+        "https://ex.com/a/b/c/../../d": "https://ex.com/a/d",
+        # trailing /. and /segment/..
+        "https://ex.com/a/.": "https://ex.com/a/",
+        "https://ex.com/a/b/..": "https://ex.com/a/",
+        # all-dot segment (not . or ..) is an ordinary segment and is
+        # NOT collapsed into its neighbor (documented RE2-tier limit)
+        "https://ex.com/.../x/../y": "https://ex.com/.../y",
+        # %25 (the escape for %) is reserved: never decoded, so no
+        # double-decode cascade
+        "https://ex.com/100%25?x=%2541": "https://ex.com/100%25?x=%2541",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert got == cases
+    df2 = spark.createDataFrame([(v,) for v in cases.values()],
+                                "url string")
+    got2 = {r["url"]: r["c"] for r in df2.select(
+        "url", canonicalize_url("url").alias("c")).collect()}
+    assert got2 == {v: v for v in cases.values()}
+
+
+def test_url_registrable_domain_psl(spark):
+    """r10 (VERDICT r9 #6): PSL-backed registrable domains — longest
+    match against the vendored snapshot; the heuristic stays the
+    default and the two must agree on single-label suffixes."""
+    from sstable_hadoop_spark.operators.corpus import (
+        url_registrable_domain,
+    )
+
+    cases = {
+        "https://shop.example.co.uk/p": ("co.uk", "example.co.uk"),
+        "https://www.site.com.au/x": ("com.au", "site.com.au"),
+        "https://a.school.nsw.edu.au/y":
+            ("edu.au", "school.nsw.edu.au"),
+        # plain gTLD: psl == heuristic
+        "https://www.news.site7.com/z": ("site7.com", "site7.com"),
+        # host IS a public suffix: returns itself (pragmatic key)
+        "https://co.uk/": ("co.uk", "co.uk"),
+        # bare two-label host on a psl suffix
+        "https://example.co.uk": ("co.uk", "example.co.uk"),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: (r["h"], r["p"]) for r in df.select(
+        "url",
+        url_registrable_domain("url").alias("h"),
+        url_registrable_domain("url", psl=True).alias("p")).collect()}
+    assert got == cases
+    # caller-supplied suffix tables override the snapshot: declaring
+    # site7.com itself a public suffix pushes the registrable domain
+    # one label left
+    custom = df.select(
+        "url", url_registrable_domain(
+            "url", psl=True,
+            suffixes=(("site7.com",), ())).alias("d")).collect()
+    by_url = {r["url"]: r["d"] for r in custom}
+    assert by_url["https://www.news.site7.com/z"] == "news.site7.com"
+    # and the snapshot's co.uk rule is gone under the custom table
+    assert by_url["https://shop.example.co.uk/p"] == "co.uk"
 
 
 def test_weighted_sample_properties(spark):
