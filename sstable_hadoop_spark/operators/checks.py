@@ -24,6 +24,15 @@ Supported rules (``rules`` is a list of dicts):
   violations = non-NULL values outside the set.
 * ``{"rule": "row_count", "min": lo, "max": hi}`` — metric = total
   rows; passes iff within bounds (either optional).
+* ``{"rule": "sql", "predicate": expr, "name": label}`` — violations
+  = rows where the boolean SQL expression is not TRUE (FALSE *or*
+  NULL — a predicate that cannot evaluate is a violation, not a
+  pass); the escape hatch for cross-column invariants
+  (``"l_shipdate <= l_receiptdate"``).
+* ``{"rule": "freshness", "column": ts, "now": t, "max_age": d}`` —
+  metric = ``max(ts)``; passes iff ``max(ts) >= now − max_age``.
+  ``now`` is EXPLICIT (same units as the column) so results are
+  reproducible — never wall-clock.
 
 Report schema: ``(rule, target, metric bigint, violations bigint,
 passed boolean)`` where ``metric`` is the rule's denominator (rows
@@ -105,6 +114,26 @@ def _compile(rule: dict, idx: int):
             return ok
 
         return ("*", F.count(F.lit(1)), F.lit(0), passed)
+    if kind == "sql":
+        pred = rule.get("predicate")
+        if not pred:
+            raise ValueError(f"sql rule #{idx} needs a predicate")
+        return (rule.get("name", pred),
+                F.count(F.lit(1)),
+                F.count_if(~F.coalesce(F.expr(pred), F.lit(False))),
+                None)
+    if kind == "freshness":
+        c = rule["column"]
+        if "now" not in rule or "max_age" not in rule:
+            raise ValueError(
+                f"freshness rule #{idx} needs explicit now= and "
+                "max_age= (wall-clock would be irreproducible)")
+        floor_ts = rule["now"] - rule["max_age"]
+
+        def fresh(metric, violations):
+            return metric >= F.lit(floor_ts)
+
+        return (c, F.max(F.col(c)), F.lit(0), fresh)
     raise ValueError(f"unknown rule kind {kind!r} (rule #{idx})")
 
 

@@ -980,10 +980,20 @@ PSL_SNAPSHOT_3LABEL: tuple[str, ...] = (
     "sa.edu.au", "wa.edu.au", "tas.edu.au", "nt.edu.au",
 )
 
+#: Wildcard PSL rules (``*.ck`` — EVERY second-level label under the
+#: TLD is itself a public suffix, so the registrable domain is the
+#: last THREE labels).  The PSL's exception entries (``!www.ck``) are
+#: not in the snapshot — the affected hosts are a handful of
+#: registry sites, not corpus domains.
+PSL_SNAPSHOT_WILDCARD_TLD: tuple[str, ...] = (
+    "bd", "ck", "er", "fj", "fk", "kh", "mm", "np", "pg", "ye",
+)
+
 
 def url_registrable_domain(col, psl: bool = False,
                            suffixes: tuple[tuple[str, ...],
-                                           tuple[str, ...]] | None = None
+                                           tuple[str, ...]] | None = None,
+                           wildcard_tlds: tuple[str, ...] | None = None
                            ) -> "F.Column":
     """Registrable domain of a URL column.
 
@@ -1001,22 +1011,29 @@ def url_registrable_domain(col, psl: bool = False,
     longest-match-wins semantics).  A host that IS exactly a public
     suffix returns itself (the pragmatic dedup-key choice; the strict
     PSL says "no registrable domain", which is useless as a grouping
-    key).  Wildcard PSL rules (``*.ck``) are not in the snapshot —
-    documented, not hidden."""
+    key).  Wildcard TLD rules (``*.ck`` — every second-level label is
+    a suffix) come from :data:`PSL_SNAPSHOT_WILDCARD_TLD`; the PSL's
+    rare ``!exception`` entries are not modeled (documented)."""
     host = url_host(col)
     if not psl:
         return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     two, three = suffixes if suffixes is not None else (
         PSL_SNAPSHOT_2LABEL, PSL_SNAPSHOT_3LABEL)
+    wild = (PSL_SNAPSHOT_WILDCARD_TLD if wildcard_tlds is None
+            else wildcard_tlds)
+    last1 = F.regexp_extract(host, r"([^.]+)$", 1)
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     last4 = F.regexp_extract(host,
                              r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
     two_lit = F.lit(sorted(two)).cast("array<string>")
     three_lit = F.lit(sorted(three)).cast("array<string>")
+    wild_lit = F.lit(sorted(wild)).cast("array<string>")
     return (F.when(F.array_contains(three_lit, last3) & (last4 != ""),
                    last4)
              .when(F.array_contains(two_lit, last2) & (last3 != ""),
+                   last3)
+             .when(F.array_contains(wild_lit, last1) & (last3 != ""),
                    last3)
              .otherwise(last2))
 

@@ -80,6 +80,38 @@ def test_check_constraints_one_pass_plan(spark):
     assert plan.count("Scan ") <= 1 or plan.count("Scan\n") <= 1
 
 
+def test_check_constraints_sql_and_freshness(spark):
+    """r10 extras: arbitrary SQL predicates (NULL evaluations are
+    violations, not passes) and explicit-clock freshness."""
+    from sstable_hadoop_spark.operators.checks import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 5, 100), (2, 1, 200), (3, None, 300)],
+        "a int, b int, ts long")
+    rules = [
+        {"rule": "sql", "predicate": "a <= b", "name": "a_le_b"},
+        {"rule": "sql", "predicate": "a > 0"},
+        {"rule": "freshness", "column": "ts", "now": 350,
+         "max_age": 100},
+        {"rule": "freshness", "column": "ts", "now": 1000,
+         "max_age": 100},
+    ]
+    rep = {r["rule_id"]: r for r in
+           check_constraints(df, rules).collect()}
+    # a<=b: row1 passes, row2 fails, row3 NULL -> violation
+    assert (rep[0]["violations"], rep[0]["passed"]) == (2, False)
+    assert rep[0]["target"] == "a_le_b"
+    assert rep[1]["passed"] is True and rep[1]["target"] == "a > 0"
+    # max(ts)=300 >= 350-100 -> fresh; >= 1000-100 -> stale
+    assert rep[2]["metric"] == 300 and rep[2]["passed"] is True
+    assert rep[3]["passed"] is False
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="predicate"):
+        check_constraints(df, [{"rule": "sql"}])
+    with _pytest.raises(ValueError, match="explicit now"):
+        check_constraints(df, [{"rule": "freshness", "column": "ts"}])
+
+
 def test_check_constraints_guards(spark):
     from sstable_hadoop_spark.operators.checks import check_constraints
 

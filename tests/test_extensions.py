@@ -3522,6 +3522,9 @@ def test_url_registrable_domain_psl(spark):
         "https://co.uk/": ("co.uk", "co.uk"),
         # bare two-label host on a psl suffix
         "https://example.co.uk": ("co.uk", "example.co.uk"),
+        # wildcard TLD (*.ck): any second-level label is a suffix
+        "https://www.shop.site.ck/p": ("site.ck", "shop.site.ck"),
+        "https://site.ck/": ("site.ck", "site.ck"),
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: (r["h"], r["p"]) for r in df.select(
