@@ -5582,13 +5582,15 @@ def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Hosts exercising the PSL snapshot: two-label suffixes (co.uk,
-#: com.au), a three-label suffix (nsw.edu.au), and a plain .com that
-#: must behave exactly like the heuristic.
-_PSL_URL_SQL = """CASE doc_id % 4
+#: com.au), a three-label suffix (nsw.edu.au), a wildcard TLD
+#: (*.ck), and a plain .com that must behave exactly like the
+#: heuristic.
+_PSL_URL_SQL = """CASE doc_id % 5
   WHEN 0 THEN 'https://shop.example' || (doc_id % 11)
        || '.co.uk/p/' || doc_id
   WHEN 1 THEN 'https://www.site' || (doc_id % 13) || '.com.au/x'
   WHEN 2 THEN 'https://site' || (doc_id % 37) || '.com/page'
+  WHEN 3 THEN 'https://www.shop.isle' || (doc_id % 9) || '.ck/w'
   ELSE 'https://a.school' || (doc_id % 7) || '.nsw.edu.au/y'
 END"""
 
@@ -5599,10 +5601,13 @@ def _psl_domains_oracle() -> str:
     from sstable_hadoop_spark.operators.corpus import (
         PSL_SNAPSHOT_2LABEL,
         PSL_SNAPSHOT_3LABEL,
+        PSL_SNAPSHOT_WILDCARD_TLD,
     )
 
     two = ", ".join(f"'{s}'" for s in sorted(PSL_SNAPSHOT_2LABEL))
     three = ", ".join(f"'{s}'" for s in sorted(PSL_SNAPSHOT_3LABEL))
+    wild = ", ".join(f"'{s}'"
+                     for s in sorted(PSL_SNAPSHOT_WILDCARD_TLD))
     return f"""
 WITH u AS (
     SELECT doc_id, {_PSL_URL_SQL} AS url FROM documents
@@ -5614,6 +5619,7 @@ h AS (
     FROM u),
 lab AS (
     SELECT doc_id, host,
+           regexp_extract(host, '([^.]+)$', 1) AS l1,
            regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS l2,
            regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS l3,
            regexp_extract(host,
@@ -5623,6 +5629,7 @@ d AS (
     SELECT doc_id,
            CASE WHEN l3 IN ({three}) AND l4 <> '' THEN l4
                 WHEN l2 IN ({two}) AND l3 <> '' THEN l3
+                WHEN l1 IN ({wild}) AND l3 <> '' THEN l3
                 ELSE l2 END AS domain
     FROM lab)
 SELECT doc_id, domain, CAST(rk AS INTEGER) AS rank
@@ -5645,7 +5652,7 @@ def corpus_domain_caps_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     group).  The suffix table is metadata-sized, so the lookup is a
     scan-local literal-array membership — the broadcast join's
     semantics at zero exchanges.  URLs synthesize co.uk / com.au /
-    nsw.edu.au / plain-.com shapes; the oracle re-derives the
+    nsw.edu.au / wildcard *.ck / plain-.com shapes; the oracle re-derives the
     longest-match from the same snapshot tuples."""
     from sstable_hadoop_spark.operators.corpus import cap_per_domain
 
