@@ -50,7 +50,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     ``right.ts == left.ts`` DOES match (inclusive); among right rows
     with identical (key, ts) the winner is fixed by an xxhash64
     payload tie-break — deterministic across runs and partitionings,
-    but arbitrary: pass pre-deduped rights when the choice matters."""
+    but arbitrary: pass pre-deduped rights when the choice matters.
+
+    NULL semantics (window-partitioning rules, stated rather than
+    hidden): NULL keys group together — a NULL-keyed left row matches
+    NULL-keyed rights (pandas merge_asof instead rejects NaN keys;
+    filter NULL keys out first for that behavior).  A NULL left ts
+    sorts before every right row and therefore never matches."""
     from pyspark.sql.window import Window
 
     keys = [on] if isinstance(on, str) else list(on)

@@ -63,6 +63,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     Column handling: output carries every ``points`` column plus every
     ``intervals`` column; shared names must be disjoint apart from
     ``on`` (raises otherwise — silent ambiguity is the bug class).
+    NULL semantics: a NULL point value (or NULL interval bound) never
+    matches — such points drop under ``inner`` and survive with NULL
+    interval columns under ``left``, exactly like the BETWEEN
+    predicate they replace.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join supports inner/left, got {how!r}")

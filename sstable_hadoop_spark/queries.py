@@ -7431,6 +7431,75 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts_asof"), F.col("value_asof"))
 
 
+@query("streaming_quality_gate", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+WHERE generation <> 3
+""")
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 streaming data-quality circuit breaker
+    (streaming/quality_gate.py quality_gate_stream): generations
+    arrive one per micro-batch; each batch runs the full constraint
+    suite in ONE fused aggregation, writes its per-rule report to the
+    journal, and lands in accepted/ or quarantine/ by the verdict —
+    here a sql-rule bans generation 3, so the accepted table must
+    equal the raw cells MINUS that generation exactly (batch-id-keyed
+    overwrite dirs make crash/replay idempotent — re-running the
+    driver row replays to identical content).  The oracle is the
+    cells CTE with the same generation filter."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.streaming.quality_gate import (
+        quality_gate_stream,
+        read_quality_journal,
+    )
+
+    src = _stage_cell_stream(spark, sf_dir)
+    cells = derived_cells(spark, sf_dir)
+    rules = [
+        {"rule": "not_null", "column": "key"},
+        {"rule": "row_count", "min": 1},
+        {"rule": "sql", "predicate": "generation <> 3",
+         "name": "no_gen3"},
+    ]
+
+    def build(out: str) -> None:
+        stream = (spark.readStream.schema(cells.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = quality_gate_stream(
+            stream, rules,
+            os.path.join(out, "accepted"),
+            os.path.join(out, "_checkpoint"),
+            os.path.join(out, "journal"),
+            on_fail="quarantine",
+            quarantine_dir=os.path.join(out, "quarantine"))
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        verdicts = [e["passed"] for e in
+                    read_quality_journal(os.path.join(out, "journal"))]
+        if verdicts != [True, True, False, True]:
+            raise AssertionError(
+                f"gate verdicts {verdicts} != [T, T, F, T]")
+
+    tag = ("quality_gate_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _idempotent_tmpdir(tag, build)
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    return acc.select(
+        F.decode(F.col("key"), "UTF-8").alias("key_str"),
+        F.decode(F.col("name"), "UTF-8").alias("name_str"),
+        F.col("state"),
+        F.coalesce(F.decode(F.col("data"), "UTF-8"), F.lit(""))
+         .alias("data_str"),
+        F.col("timestamp").alias("ts_us"),
+        F.col("generation"))
+
+
 @query("quality_check_report", oracle=r"""
 WITH t AS (SELECT * FROM orders)
 SELECT * FROM (

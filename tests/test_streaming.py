@@ -983,3 +983,117 @@ def test_stream_upsert_to_txlog_winners(spark, tmp_path):
     assert v_after == v_drained + 1       # the replay IS in the log
     assert snapshot() == want             # ...with identical content
     assert snapshot(version=v_drained) == want
+
+
+def test_quality_gate_stream_quarantine_and_journal(spark, tmp_path):
+    """r10 streaming quality gate (streaming/quality_gate.py): good
+    batches land in accepted/, failing batches in quarantine/, every
+    batch gets a journaled per-rule report, and a fresh-checkpoint
+    replay is idempotent (per-batch overwrite dirs — no duplicate
+    rows)."""
+    from sstable_hadoop_spark.streaming.quality_gate import (
+        quality_gate_stream,
+        read_quality_journal,
+    )
+
+    src = str(tmp_path / "src")
+    # batch files staged with increasing mtimes: file 0 is clean,
+    # file 1 carries NULL ids (fails not_null), file 2 is clean
+    rows = {
+        0: [(1, 10.0), (2, 20.0)],
+        1: [(None, 30.0), (4, 40.0)],
+        2: [(5, 50.0)],
+    }
+    schema = "id int, score double"
+    for i, data in rows.items():
+        d = f"{src}/g{i}"
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(d)
+        t = time.time() - 300 + i * 30
+        import os as _os
+
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (t, t))
+    rules = [{"rule": "not_null", "column": "id"},
+             {"rule": "range", "column": "score", "min": 0.0},
+             {"rule": "row_count", "min": 1}]
+    acc = str(tmp_path / "accepted")
+    quar = str(tmp_path / "quarantine")
+    jr = str(tmp_path / "journal")
+
+    def run(cp):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        _await(quality_gate_stream(
+            stream, rules, acc, cp, jr,
+            on_fail="quarantine", quarantine_dir=quar))
+
+    run(str(tmp_path / "cp1"))
+    accepted = {(r["id"], r["score"])
+                for r in spark.read.parquet(acc).collect()}
+    assert accepted == {(1, 10.0), (2, 20.0), (5, 50.0)}
+    quarantined = {(r["id"], r["score"])
+                   for r in spark.read.parquet(quar).collect()}
+    assert quarantined == {(None, 30.0), (4, 40.0)}
+    journal = read_quality_journal(jr)
+    assert [e["passed"] for e in journal] == [True, False, True]
+    bad = journal[1]
+    assert bad["n_rows"] == 2
+    failed_rules = [r for r in bad["rules"] if not r["passed"]]
+    assert [r["rule"] for r in failed_rules] == ["not_null"]
+    assert failed_rules[0]["violations"] == 1
+    # fresh-checkpoint replay rewrites identical content — no dups
+    run(str(tmp_path / "cp2"))
+    assert {(r["id"], r["score"])
+            for r in spark.read.parquet(acc).collect()} == accepted
+    assert len(read_quality_journal(jr)) == 3
+
+
+def test_quality_gate_stream_abort_and_admit(spark, tmp_path):
+    """abort mode: the failing batch stops the query with
+    QualityGateError AFTER journaling it; admit mode: everything
+    lands in accepted/ with the failure on record."""
+    from pyspark.errors import StreamingQueryException
+
+    from sstable_hadoop_spark.streaming.quality_gate import (
+        QualityGateError,
+        quality_gate_stream,
+        read_quality_journal,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(None, 1.0)], "id int, score double") \
+         .write.parquet(src)
+    rules = [{"rule": "not_null", "column": "id"}]
+
+    q = quality_gate_stream(
+        (spark.readStream.schema("id int, score double").parquet(src)),
+        rules, str(tmp_path / "acc1"), str(tmp_path / "cp1"),
+        str(tmp_path / "jr1"), on_fail="abort")
+    with pytest.raises(StreamingQueryException,
+                       match="failed constraint"):
+        q.awaitTermination(120)
+        raise AssertionError("abort gate did not stop the query")
+    assert [e["passed"] for e in
+            read_quality_journal(str(tmp_path / "jr1"))] == [False]
+    assert QualityGateError.__name__ in str(
+        q.exception() or "QualityGateError")
+
+    q2 = quality_gate_stream(
+        (spark.readStream.schema("id int, score double").parquet(src)),
+        rules, str(tmp_path / "acc2"), str(tmp_path / "cp2"),
+        str(tmp_path / "jr2"), on_fail="admit")
+    _await(q2)
+    got = spark.read.parquet(str(tmp_path / "acc2")).collect()
+    assert len(got) == 1 and got[0]["id"] is None
+    assert [e["passed"] for e in
+            read_quality_journal(str(tmp_path / "jr2"))] == [False]
+
+    with pytest.raises(ValueError, match="quarantine_dir"):
+        quality_gate_stream(
+            spark.readStream.schema("id int").parquet(src), rules,
+            "a", "b", "c", on_fail="quarantine")
+    with pytest.raises(ValueError, match="quarantine/abort/admit"):
+        quality_gate_stream(
+            spark.readStream.schema("id int").parquet(src), rules,
+            "a", "b", "c", on_fail="drop")
