@@ -6,15 +6,22 @@ public baseline-sequential subset so ``extract_features(fake=False)`` and
 ``resize_images`` handle ``image/jpeg`` without any media library.
 
 Scope (all from the public T.81 spec + JFIF):
-- decode: baseline sequential (SOF0), 8-bit samples, Huffman entropy
-  coding, 1-4 components with sampling factors 1-2 (covers 4:4:4,
-  4:2:2, 4:2:0 and grayscale), restart intervals (DRI/RSTn), multi-table
-  DQT/DHT segments, APPn/COM skipping.  Progressive (SOF2), arithmetic
-  coding, 12-bit and hierarchical modes raise ``NotImplementedError``
-  naming the mode — they are rare in training corpora and PIL-territory.
-- encode: 4:4:4 baseline with the Annex K quantization + Huffman tables,
-  quality scaling per the well-known IJG curve.  Used for fixtures and
-  for the re-encode half of ``resize_images``.
+- decode: baseline sequential (SOF0) AND progressive (SOF2, r10 —
+  spectral selection + successive approximation per Annex G: DC
+  first/refinement scans interleaved or single-component, AC scans
+  with EOBn runs and refinement correction bits), 8-bit samples,
+  Huffman entropy coding, 1-4 components with sampling factors 1-2
+  (covers 4:4:4, 4:2:2, 4:2:0 and grayscale), restart intervals
+  (DRI/RSTn), multi-table DQT/DHT segments, APPn/COM skipping.
+  Arithmetic coding, 12-bit and hierarchical modes raise
+  ``NotImplementedError`` naming the mode.
+- encode: baseline (``encode_jpeg``) and progressive
+  (``encode_jpeg_progressive``, the libjpeg-shaped scan script) with
+  the Annex K quantization + Huffman tables, quality scaling per the
+  well-known IJG curve.  Both encoders quantize identically, so the
+  two encodings of one image decode to byte-identical pixels — the
+  progressive path's roundtrip anchor.  Used for fixtures and for
+  the re-encode half of ``resize_images``.
 
 The DCT is the exact 8x8 DCT-II/III as matrix products (numpy einsum over
 whole block batches) — no per-pixel Python in the hot loop; entropy
@@ -258,16 +265,11 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 85,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K Huffman
-    tables, IJG quality scaling).
-
-    ``subsampling``: "444" (no chroma downsample) or "420" (2x2 box
-    average, interleaved 2x2-Y MCUs).  ``restart_interval``: emit
-    RSTn markers every N MCUs (0 = none).
-    """
+def _encode_prep(rgb: np.ndarray, quality: int, subsampling: str):
+    """Shared front half of the baseline and progressive encoders:
+    color transform, padding, optional chroma downsample, quantized
+    zigzag block grids.  Returns (true_h, true_w, qy, qc, factors,
+    grids, yf)."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     yf = 2 if subsampling == "420" else 1     # luma h=v sampling factor
@@ -285,14 +287,29 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
         if yf == 2:                            # 2x2 box-average downsample
             c = c.reshape(c.shape[0] // 2, 2, c.shape[1] // 2, 2).mean((1, 3))
         planes.append(c)
+    factors = [(yf, yf), (1, 1), (1, 1)]
+    grids = [_quantized_blocks(planes[ci], qy if ci == 0 else qc)
+             for ci in range(3)]
+    return true_h, true_w, qy, qc, factors, grids, yf
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K Huffman
+    tables, IJG quality scaling).
+
+    ``subsampling``: "444" (no chroma downsample) or "420" (2x2 box
+    average, interleaved 2x2-Y MCUs).  ``restart_interval``: emit
+    RSTn markers every N MCUs (0 = none).
+    """
+    true_h, true_w, qy, qc, factors, grids, yf = _encode_prep(
+        rgb, quality, subsampling)
 
     dc_y = _build_codes(*K3_DC_LUMA)
     ac_y = _build_codes(*K5_AC_LUMA)
     dc_c = _build_codes(*K4_DC_CHROMA)
     ac_c = _build_codes(*K6_AC_CHROMA)
-    factors = [(yf, yf), (1, 1), (1, 1)]
-    grids = [_quantized_blocks(planes[ci], qy if ci == 0 else qc)
-             for ci in range(3)]
 
     bw = _BitWriter()
     preds = [0, 0, 0]
@@ -411,6 +428,19 @@ class _BitReader:
               and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
             self.pos += 2
 
+    def marker_start(self) -> int:
+        """Byte offset of the next real marker at or after the
+        current position — where the outer segment parser resumes
+        after a progressive scan's entropy data ends."""
+        if self.marker is not None:
+            return self.pos
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                return p
+            p += 1
+        return len(self.data)
+
 
 _DEFAULT_HUFF_CACHE: dict[tuple[int, int], dict] = {}
 
@@ -448,10 +478,16 @@ def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+    """JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
 
-    Supports SOF0 Huffman with sampling factors 1-2 and restart
-    intervals; progressive/arithmetic/12-bit raise NotImplementedError.
+    Supports baseline sequential (SOF0/1) with a single interleaved
+    scan, AND progressive (SOF2, r10): spectral selection +
+    successive approximation, interleaved or single-component DC
+    scans, single-component AC scans with EOBn runs and refinement
+    correction bits — coefficients accumulate across scans and are
+    dequantized/IDCT'd once at EOI.  Sampling factors 1-2, restart
+    intervals (baseline).  Arithmetic coding, hierarchical mode and
+    12-bit precision raise NotImplementedError.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -461,6 +497,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     restart = 0
     h = w = 0
+    progressive = False
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -497,7 +535,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[p + 17:p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, syms)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 base, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -505,15 +544,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) not supported — baseline sequential only")
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical/"
+                "lossless) not supported — sequential or progressive "
+                "Huffman only")
         elif marker == 0xDD:                     # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                     # SOS → entropy data
             ns = body[0]
+            if progressive:
+                pos = _decode_progressive_scan(
+                    payload, pos, body, comps, htables, h, w, restart)
+                saw_scan = True
+                continue
             if comps and ns < len(comps):
                 # spec-valid but out of scope: decoding only the first
                 # scan would silently return luma-as-grayscale for a
@@ -536,6 +581,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     1, tt & 0x0F)
                 scan.append(c)
             return _decode_scan(payload, pos, scan, qtables, h, w, restart)
+    if progressive and saw_scan:
+        return _assemble(comps, qtables, h, w)
     raise ValueError("JPEG missing SOS segment")
 
 
@@ -588,6 +635,15 @@ def _decode_scan(data: bytes, pos: int, comps: list[dict],
                         c["coef"][row * c["bw"] + col] = zz
             nmcu += 1
 
+    return _assemble(comps, qtables, h, w)
+
+
+def _assemble(comps: list[dict], qtables: dict[int, np.ndarray],
+              h: int, w: int) -> np.ndarray:
+    """Accumulated coefficient arrays → RGB pixels: dequantize, IDCT,
+    reassemble planes, upsample subsampled components, crop."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qtables[c["tq"]]
@@ -606,3 +662,374 @@ def _decode_scan(data: bytes, pos: int, comps: list[dict],
         return np.stack([g, g, g], axis=-1)
     ycc = np.stack(planes[:3], axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# --- progressive mode (r10) -------------------------------------------------
+# T.81 Annex G, Huffman procedures: spectral selection + successive
+# approximation.  Coefficients accumulate across scans in the same
+# MCU-padded per-component arrays the baseline decoder uses; the
+# entropy procedures mirror the spec's G.1.2 (encode) / G.2 (decode)
+# flowcharts — the same algorithms libjpeg implements in
+# jcphuff.c/jdphuff.c, re-derived here from the public standard.
+
+
+def _prog_block_grid(c: dict, h: int, w: int, hmax: int,
+                     vmax: int) -> tuple[int, int]:
+    """Non-interleaved data-unit grid for one component (T.81 A.2.2:
+    based on the component's OWN sample dimensions, not MCU padding)."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(data: bytes, pos: int, body: bytes,
+                             comps: list[dict],
+                             htables: dict[tuple[int, int], dict],
+                             h: int, w: int, restart: int) -> int:
+    """Decode one progressive SOS; returns the byte offset of the next
+    marker.  Updates the components' coefficient arrays in place."""
+    ns = body[0]
+    by_id = {c["id"]: c for c in comps}
+    scan = []
+    tts = []
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        scan.append(by_id[cs])
+        tts.append(tt)
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    a = body[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if "coef" not in c:
+            c["bw"] = mcux * c["h"]
+            c["bh"] = mcuy * c["v"]
+            c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+            c["eobrun"] = 0
+
+    r = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for c, tt in zip(scan, tts):
+            c["dc_t"] = htables.get((0, tt >> 4)) or _default_huff(
+                0, tt >> 4)
+            c["pred"] = 0
+
+        def dc_unit(c: dict, bi: int) -> None:
+            if ah == 0:                       # first scan: diffs << Al
+                cat = _decode_huff(r, c["dc_t"])
+                c["pred"] += _receive_extend(r, cat)
+                c["coef"][bi, 0] = c["pred"] << al
+            else:                             # refinement: one raw bit
+                if r.bit():
+                    c["coef"][bi, 0] |= 1 << al
+
+        if ns > 1:                            # interleaved MCU order
+            nmcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and nmcu and nmcu % restart == 0:
+                        r.align_restart()
+                        for c in scan:
+                            c["pred"] = 0
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                bi = ((my * c["v"] + by) * c["bw"]
+                                      + mx * c["h"] + bx)
+                                dc_unit(c, bi)
+                    nmcu += 1
+        else:                                 # single-component order
+            c = scan[0]
+            bh_s, bw_s = _prog_block_grid(c, h, w, hmax, vmax)
+            ndu = 0
+            for row in range(bh_s):
+                for col in range(bw_s):
+                    if restart and ndu and ndu % restart == 0:
+                        r.align_restart()
+                        c["pred"] = 0
+                    dc_unit(c, row * c["bw"] + col)
+                    ndu += 1
+        return r.marker_start()
+
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"bad spectral band [{ss}, {se}]")
+    c = scan[0]
+    c["ac_t"] = htables.get((1, tts[0] & 0x0F)) or _default_huff(
+        1, tts[0] & 0x0F)
+    bh_s, bw_s = _prog_block_grid(c, h, w, hmax, vmax)
+    coef = c["coef"]
+    p1, m1 = 1 << al, -1 << al
+    ndu = 0
+    for row in range(bh_s):
+        for col in range(bw_s):
+            if restart and ndu and ndu % restart == 0:
+                r.align_restart()
+                c["eobrun"] = 0
+            ndu += 1
+            bi = row * c["bw"] + col
+            zz = coef[bi]
+            if ah == 0:                       # first scan for this band
+                if c["eobrun"] > 0:
+                    c["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(r, c["ac_t"])
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr == 15:          # ZRL
+                            k += 16
+                            continue
+                        eob = 1 << rr
+                        if rr:
+                            eob += r.bits(rr)
+                        c["eobrun"] = eob - 1  # current block counted
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _receive_extend(r, s) << al
+                    k += 1
+            else:                             # refinement (G.2, jdphuff)
+                def correct(kk: int) -> None:
+                    v = int(zz[kk])
+                    if r.bit() and (v & p1) == 0:
+                        zz[kk] = v + (p1 if v >= 0 else m1)
+
+                k = ss
+                if c["eobrun"] == 0:
+                    while k <= se:
+                        rs = _decode_huff(r, c["ac_t"])
+                        rr, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if rr != 15:      # EOBn: band tail below
+                                eob = 1 << rr
+                                if rr:
+                                    eob += r.bits(rr)
+                                c["eobrun"] = eob
+                                break
+                            # ZRL: 16 zero-history skips, no insert
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement magnitude must be 1")
+                            val = p1 if r.bit() else m1
+                        while k <= se:
+                            if zz[k] != 0:
+                                correct(k)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if c["eobrun"] > 0:
+                    while k <= se:            # band tail: corrections
+                        if zz[k] != 0:
+                            correct(k)
+                        k += 1
+                    c["eobrun"] -= 1
+    return r.marker_start()
+
+
+def _enc_ac_first_block(bw: _BitWriter, zz: np.ndarray, ss: int,
+                        se: int, al: int, codes: dict) -> None:
+    """One block of an AC first scan (Ah=0): sequential-style run/size
+    coding of the point-transformed band, EOB as a length-1 EOB run
+    (the Annex K tables carry no longer EOBn symbols)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        vals.append(-((-v) >> al) if v < 0 else v >> al)
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = codes[0xF0]
+            bw.put(c, ln)
+            r -= 16
+        cat, bits = _magnitude(v)
+        c, ln = codes[(r << 4) | cat]
+        bw.put(c, ln)
+        bw.put(bits, cat)
+        r = 0
+    if last_nz < len(vals) - 1:
+        c, ln = codes[0x00]
+        bw.put(c, ln)
+
+
+def _enc_ac_refine_block(bw: _BitWriter, zz: np.ndarray, ss: int,
+                         se: int, al: int, codes: dict) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients as (run, 1) symbols with a sign bit, correction bits
+    for already-significant ones buffered and emitted with the next
+    symbol (T.81 G.1.2.3 / libjpeg's BR-buffer discipline — in
+    particular ZRLs flush BEFORE a history coefficient buffers its
+    bit, or the decoder's advance loop desynchronizes)."""
+    t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    last_new = -1
+    for i, v in enumerate(t):
+        if v == 1:
+            last_new = i
+    br: list[int] = []
+    r = 0
+    for i in range(last_new + 1):
+        v = t[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = codes[0xF0]
+            bw.put(c, ln)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            r -= 16
+        if v > 1:
+            br.append(v & 1)
+            continue
+        c, ln = codes[(r << 4) | 1]
+        bw.put(c, ln)
+        bw.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br:
+            bw.put(b, 1)
+        br = []
+        r = 0
+    tail = [t[i] & 1 for i in range(last_new + 1, len(t)) if t[i] > 1]
+    if last_new + 1 < len(t):
+        c, ln = codes[0x00]          # EOB run of 1 covers the tail
+        bw.put(c, ln)
+        for b in br:
+            bw.put(b, 1)
+        for b in tail:
+            bw.put(b, 1)
+
+
+def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB → PROGRESSIVE JFIF bytes (SOF2) with the
+    standard spectral-selection + successive-approximation scan
+    script (the libjpeg default shape): DC first at Al=1 then a DC
+    refinement; luma AC split into a 1-5 band and a 6-63 band at Al=2
+    with two refinement passes; chroma AC full-band at Al=1 with one
+    refinement.  The quantized coefficients are IDENTICAL to
+    ``encode_jpeg`` at the same quality, so both encodings decode to
+    byte-identical pixels — the roundtrip test's anchor.  Restart
+    intervals are not emitted in progressive mode (decode supports
+    them)."""
+    true_h, true_w, qy, qc, factors, grids, yf = _encode_prep(
+        rgb, quality, subsampling)
+    dc_codes = [_build_codes(*K3_DC_LUMA), _build_codes(*K4_DC_CHROMA),
+                _build_codes(*K4_DC_CHROMA)]
+    ac_codes = [_build_codes(*K5_AC_LUMA), _build_codes(*K6_AC_CHROMA),
+                _build_codes(*K6_AC_CHROMA)]
+    mcuy = grids[0].shape[0] // yf
+    mcux = grids[0].shape[1] // yf
+    hmax = vmax = yf
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    ch, cv = factors[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(grids[ci][my * cv + by,
+                                               mx * ch + bx, 0])
+                            if ah == 0:
+                                v = dc >> al
+                                cat, bits = _magnitude(v - preds[ci])
+                                c, ln = dc_codes[ci][cat]
+                                bw.put(c, ln)
+                                if cat:
+                                    bw.put(bits, cat)
+                                preds[ci] = v
+                            else:
+                                bw.put((dc >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        ch, cv = factors[ci]
+        grid = grids[ci]
+        comp = {"h": ch, "v": cv}
+        bh_s, bw_s = _prog_block_grid(comp, true_h, true_w, hmax, vmax)
+        for row in range(bh_s):
+            for col in range(bw_s):
+                zz = grid[row, col]
+                if ah == 0:
+                    _enc_ac_first_block(bw, zz, ss, se, al,
+                                        ac_codes[ci])
+                else:
+                    _enc_ac_refine_block(bw, zz, ss, se, al,
+                                         ac_codes[ci])
+        bw.flush()
+        return bytes(bw.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, syms = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(syms)
+
+    def sos(comp_specs: list[tuple[int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, tt in comp_specs:
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")                               # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
+    out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, true_h, true_w, 3)
+    for cid, (chf, cvf), tq in ((1, factors[0], 0), (2, factors[1], 1),
+                                (3, factors[2], 1)):
+        sof += bytes([cid, (chf << 4) | cvf, tq])
+    out += seg(0xFFC2, sof)                                    # SOF2
+    out += seg(0xFFC4, dht(0, 0, K3_DC_LUMA))
+    out += seg(0xFFC4, dht(1, 0, K5_AC_LUMA))
+    out += seg(0xFFC4, dht(0, 1, K4_DC_CHROMA))
+    out += seg(0xFFC4, dht(1, 1, K6_AC_CHROMA))
+
+    all_dc = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    # scan script: (sos header, entropy bytes)
+    out += sos(all_dc, 0, 0, 0, 1) + dc_scan(0, 1)
+    out += sos([(1, 0x00)], 1, 5, 0, 2) + ac_scan(0, 1, 5, 0, 2)
+    out += sos([(2, 0x01)], 1, 63, 0, 1) + ac_scan(1, 1, 63, 0, 1)
+    out += sos([(3, 0x01)], 1, 63, 0, 1) + ac_scan(2, 1, 63, 0, 1)
+    out += sos([(1, 0x00)], 6, 63, 0, 2) + ac_scan(0, 6, 63, 0, 2)
+    out += sos([(1, 0x00)], 1, 63, 2, 1) + ac_scan(0, 1, 63, 2, 1)
+    out += sos(all_dc, 0, 0, 1, 0) + dc_scan(1, 0)
+    out += sos([(1, 0x00)], 1, 63, 1, 0) + ac_scan(0, 1, 63, 1, 0)
+    out += sos([(2, 0x01)], 1, 63, 1, 0) + ac_scan(1, 1, 63, 1, 0)
+    out += sos([(3, 0x01)], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
+    out += b"\xff\xd9"                                         # EOI
+    return bytes(out)

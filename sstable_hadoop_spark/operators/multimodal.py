@@ -11,15 +11,16 @@ engine.  Decode kernels come in two tiers:
   is exercised without any media dependency.
 - ``fake=False``: REAL decoding for the formats parseable with the
   standard library alone — 24-bit uncompressed BMP, non-interlaced
-  8-bit PNG (zlib inflate + scanline unfiltering), baseline JPEG
-  (jpeg_codec.py: Annex K Huffman + 8x8 DCT, 4:4:4/4:2:2/4:2:0,
-  restart intervals), PCM-16 WAV, and MJPEG-in-AVI video
-  (avi_mjpeg.py: RIFF container walk + per-frame JPEG decode, real
-  frame sampling under ``sample_frames(fake=False)``) — all public
-  formats, pure struct+zlib+numpy.  Remaining formats (progressive
-  JPEG, MP3, non-MJPEG video codecs) raise NotImplementedError
-  naming the library they need (PIL/ffmpeg — not in this
-  container).
+  8-bit PNG (zlib inflate + scanline unfiltering), baseline AND
+  progressive JPEG (jpeg_codec.py: Annex K Huffman + 8x8 DCT,
+  4:4:4/4:2:2/4:2:0, restart intervals; r10 adds SOF2 spectral
+  selection + successive approximation), PCM-16 WAV, and
+  MJPEG-in-AVI video (avi_mjpeg.py: RIFF container walk + per-frame
+  JPEG decode, real frame sampling under ``sample_frames(fake=
+  False)``) — all public formats, pure struct+zlib+numpy.  Remaining
+  formats (arithmetic-coded JPEG, MP3, non-MJPEG video codecs) raise
+  NotImplementedError naming the library they need (PIL/ffmpeg — not
+  in this container).
 
 Scale notes: payloads never pass through the driver; mapInPandas
 processes Arrow batches per partition, and feature outputs are small

@@ -1,10 +1,11 @@
-"""Baseline JPEG codec (operators/jpeg_codec.py) — round trips across
-subsampling/restart variants, marker-level failure modes, and the
-fake=False Spark kernels (extract_features / resize_images) on JPEG
-payloads.  Everything is stdlib+numpy; no PIL in the container, so the
-codec is validated by exact-shape round trips with bounded loss on
-smooth images (DCT quantization preserves low frequencies) plus
-structural bitstream checks."""
+"""JPEG codec (operators/jpeg_codec.py) — baseline and (r10)
+progressive round trips across subsampling/restart variants,
+marker-level failure modes, and the fake=False Spark kernels
+(extract_features / resize_images) on JPEG payloads.  Everything is
+stdlib+numpy; no PIL in the container, so the codec is validated by
+exact-shape round trips with bounded loss on smooth images, the
+baseline-vs-progressive pixel-identity anchor (both encoders quantize
+identically), hand-built EOBn bitstreams, and structural checks."""
 
 from __future__ import annotations
 
@@ -103,12 +104,18 @@ def test_byte_stuffing():
             i += 1
 
 
-def test_progressive_and_12bit_raise():
+def test_arithmetic_and_12bit_raise():
     img = gradient(8, 8)
     enc = bytearray(encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
+    # arithmetic-coded SOF9 stays out of scope and must say so
+    arith = bytes(enc[:sof]) + b"\xff\xc9" + bytes(enc[sof + 2:])
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(arith)
+    # a baseline full-band scan relabeled SOF2 is MALFORMED
+    # progressive (a DC scan must have Se=0) — loud, not garbage out
     prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2:])
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
     deep = bytearray(enc)
     deep[sof + 4] = 12  # precision byte
@@ -116,6 +123,129 @@ def test_progressive_and_12bit_raise():
         decode_jpeg(bytes(deep))
     with pytest.raises(ValueError):
         decode_jpeg(b"NOTAJPEG")
+
+
+def _busy(h: int, w: int) -> np.ndarray:
+    """Deterministic high-frequency test image: gradient + noise +
+    checker so every spectral band and both refinement outcomes are
+    exercised."""
+    rng = np.random.RandomState(7)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = (np.arange(w)[None, :] * 5
+                   + np.arange(h)[:, None] * 3) % 256
+    img[..., 1] = rng.randint(0, 256, (h, w))
+    img[..., 2] = ((np.arange(h)[:, None] // 4
+                    + np.arange(w)[None, :] // 4) % 2) * 255
+    return img
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("shape", [(37, 29), (16, 16), (8, 24)])
+def test_progressive_roundtrip_matches_baseline(shape, subsampling):
+    """r10 progressive JPEG: encode_jpeg_progressive quantizes
+    identically to encode_jpeg, so after the full scan script (DC
+    first+refine, spectral bands, two AC successive-approximation
+    levels) the decoded pixels must be BYTE-IDENTICAL to the baseline
+    roundtrip — coefficient-exact reconstruction, not approximately
+    similar."""
+    from sstable_hadoop_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = _busy(*shape)
+    for q in (85, 50):
+        base = decode_jpeg(encode_jpeg(img, quality=q,
+                                       subsampling=subsampling))
+        prog_bytes = encode_jpeg_progressive(img, quality=q,
+                                             subsampling=subsampling)
+        prog = decode_jpeg(prog_bytes)
+        assert np.array_equal(base, prog), (shape, subsampling, q)
+        # really progressive: SOF2 + the 10-scan script
+        assert b"\xff\xc2" in prog_bytes
+        assert prog_bytes.count(b"\xff\xda") == 10
+        # and the progressive file is self-consistent on re-decode
+        assert np.array_equal(decode_jpeg(prog_bytes), prog)
+
+
+def test_progressive_eobn_runs_decode():
+    """EOBn runs longer than one block (which our encoder never emits
+    — the Annex K tables lack the symbols — but real progressive
+    files use): two hand-built single-component streams with
+    IDENTICAL coefficient content, one coded block-by-block with
+    EOB0, one folding trailing all-zero blocks into an EOB2 run with
+    extension bits, must decode identically."""
+    from sstable_hadoop_spark.operators import jpeg_codec as jc
+
+    # 8x32 grayscale → 4 blocks; DC = 10 everywhere; block 0 has one
+    # AC coefficient (k=1, value 3); blocks 1-3 have none.
+    dc_bits, dc_syms = [0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], \
+        [0, 1, 2, 4]
+    # AC table: symbols 0x02 (run0/size2), 0x00 (EOB0), 0x20 (EOB2)
+    ac_bits, ac_syms = [1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], \
+        [0x02, 0x00, 0x20]
+    dc_codes = jc._build_codes(dc_bits, dc_syms)
+    ac_codes = jc._build_codes(ac_bits, ac_syms)
+
+    def headers() -> bytearray:
+        out = bytearray(b"\xff\xd8")
+        out += struct.pack(">HH", 0xFFDB, 67) + b"\x00" + bytes([1] * 64)
+        sof = struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0])
+        out += struct.pack(">HH", 0xFFC2, len(sof) + 2) + sof
+        dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+        out += struct.pack(">HH", 0xFFC4, len(dht) + 2) + dht
+        dht = bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+        out += struct.pack(">HH", 0xFFC4, len(dht) + 2) + dht
+        return out
+
+    def sos(ss, se, ah, al, tt) -> bytes:
+        body = bytes([1, 1, tt, ss, se, (ah << 4) | al])
+        return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+
+    def dc_scan() -> bytes:
+        bw = jc._BitWriter()
+        for i in range(4):          # diffs: 10, 0, 0, 0
+            cat, bits = jc._magnitude(10 if i == 0 else 0)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(bits, cat)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_block0(bw) -> None:
+        code, ln = ac_codes[0x02]   # run 0, size 2 → value 3
+        bw.put(code, ln)
+        bw.put(3, 2)
+
+    # variant A: every block ends its own EOB0
+    bwa = jc._BitWriter()
+    ac_block0(bwa)
+    for _ in range(4):              # EOB for block 0 tail + blocks 1-3
+        code, ln = ac_codes[0x00]
+        bwa.put(code, ln)
+    bwa.flush()
+    # variant B: block 0 tail + blocks 1-3 folded into ONE EOB2 run
+    # of length 4 (2^2 + 2 extension bits 0b00 = 4 blocks total)
+    bwb = jc._BitWriter()
+    ac_block0(bwb)
+    code, ln = ac_codes[0x20]
+    bwb.put(code, ln)
+    bwb.put(0b00, 2)                # 2 extension bits: run = 4 + 0
+    bwb.flush()
+
+    imgs = []
+    for scan_bytes in (bytes(bwa.out), bytes(bwb.out)):
+        stream = headers()
+        stream += sos(0, 0, 0, 0, 0x00) + dc_scan()
+        stream += sos(1, 63, 0, 0, 0x00) + scan_bytes
+        stream += b"\xff\xd9"
+        imgs.append(decode_jpeg(bytes(stream)))
+    assert np.array_equal(imgs[0], imgs[1])
+    # the coefficient content really decoded: non-flat block 0, flat
+    # blocks elsewhere
+    g = imgs[0][..., 0].astype(int)
+    assert g[:, :8].std() > 0
+    assert g[:, 8:].std() == 0
 
 
 def test_grayscale_single_component():
@@ -352,3 +482,19 @@ def test_avi_stream_header_is_56_bytes():
     # rcFrame right/bottom carry the frame dimensions
     right, bottom = struct.unpack("<HH", avi[i + 8 + 52:i + 8 + 56])
     assert (right, bottom) == (8, 8)
+
+
+def test_progressive_payload_through_multimodal_features():
+    """A progressive JPEG payload rides the SAME multimodal dispatch
+    as baseline (FFD8 signature → decode_jpeg), and since both
+    encoders quantize identically the extracted features are
+    bit-identical."""
+    from sstable_hadoop_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+    from sstable_hadoop_spark.operators.multimodal import _real_features
+
+    img = _busy(24, 40)
+    fb = _real_features(encode_jpeg(img, 80))
+    fp = _real_features(encode_jpeg_progressive(img, 80))
+    assert fb == fp
