@@ -128,6 +128,34 @@ def _read_commit(path: str, version: int) -> dict:
     return json.loads(fs.read_bytes(_commit_path(path, version)))
 
 
+#: Bounded retries for transient log-read races (see _log_read_retry).
+_READ_RETRIES = 50
+
+
+def _log_read_retry(fn):
+    """Run ``fn`` retrying transient log-visibility races: a
+    concurrent directory listing MAY show commit V+1 while missing V
+    (POSIX readdir gives no snapshot ordering for entries created
+    during the scan; hash-ordered directories really do this under
+    write load), so a reader folding the listing can hit a
+    FileNotFoundError for a commit that exists milliseconds later —
+    and on stores without atomic content visibility a just-created
+    commit can read torn once.  Both heal on retry; a PERSISTENT
+    failure (a genuinely torn or deleted commit) re-raises after the
+    bound so corruption still fails loudly (test_txlog's torn-head
+    test pins that)."""
+    import time
+
+    last: Exception | None = None
+    for _ in range(_READ_RETRIES):
+        try:
+            return fn()
+        except (FileNotFoundError, json.JSONDecodeError) as exc:
+            last = exc
+            time.sleep(0.01)
+    raise last
+
+
 def txlog_exists(path: str) -> bool:
     return bool(_list_log(path)[0])
 
@@ -135,7 +163,13 @@ def txlog_exists(path: str) -> bool:
 def txlog_snapshot(path: str, version: int | None = None) -> dict:
     """The table state at ``version`` (default: latest): ``{"version",
     "schema", "files": {name: bucket}}``.  Metadata-only — one log
-    listing, one checkpoint read, O(CHECKPOINT_EVERY) commit reads."""
+    listing, one checkpoint read, O(CHECKPOINT_EVERY) commit reads.
+    Transient listing/visibility races with concurrent committers are
+    retried (see ``_log_read_retry``); persistent corruption raises."""
+    return _log_read_retry(lambda: _snapshot_once(path, version))
+
+
+def _snapshot_once(path: str, version: int | None) -> dict:
     commits, checkpoints = _list_log(path)
     if not commits:
         raise FileNotFoundError(f"no transaction log at {path}")
@@ -259,14 +293,28 @@ def _try_commit(path: str, base: dict, record: dict,
     silently breaking the content-identical postcondition."""
     ours = set(record["buckets"])
     base_v = base["version"]
+    misses = 0
     while True:
         commits, _ = _list_log(path)
         head = commits[-1] if commits else 0
         if strict_base and head > base_v:
             return "conflict"
-        for v in range(base_v + 1, head + 1):
-            if set(_read_commit(path, v).get("buckets", ())) & ours:
-                return "conflict"
+        try:
+            for v in range(base_v + 1, head + 1):
+                if set(_read_commit(path, v).get("buckets", ())) & ours:
+                    return "conflict"
+        except (FileNotFoundError, json.JSONDecodeError):
+            # listing/visibility race with a concurrent committer
+            # (see _log_read_retry) — re-list; persistent failure
+            # means real corruption, so stay bounded
+            misses += 1
+            if misses >= _READ_RETRIES:
+                raise
+            import time
+
+            time.sleep(0.01)
+            continue
+        misses = 0
         base_v = head  # disjoint: rebase over them
         claim = head + 1
         rec = dict(record, version=claim, base_version=base["version"])

@@ -279,16 +279,17 @@ def test_register_exclusive_writer_arbitrates_scheme(tmp_path):
         with server_lock:
             if fs.exists(path):
                 return False
-            fs.write_bytes(path, data)
+            fs.write_bytes_atomic(path, data)
             return True
 
     fs.register_exclusive_writer("mem6", cond_put)
+    fs.makedirs("mem6://t")
     wins = []
     barrier = threading.Barrier(6)
 
     def racer(i):
         barrier.wait()
-        if fs.write_bytes_exclusive("mem6://v1.json",
+        if fs.write_bytes_exclusive("mem6://t/v1.json",
                                     b"writer-%d" % i):
             wins.append(i)
 
@@ -299,4 +300,4 @@ def test_register_exclusive_writer_arbitrates_scheme(tmp_path):
     for t in threads:
         t.join()
     assert len(wins) == 1
-    assert fs.read_bytes("mem6://v1.json") == b"writer-%d" % wins[0]
+    assert fs.read_bytes("mem6://t/v1.json") == b"writer-%d" % wins[0]

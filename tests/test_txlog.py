@@ -598,7 +598,7 @@ def test_commit_race_on_non_oexcl_store(tmp_path):
         with server_lock:  # a conditional PUT is atomic server-side
             if fs.exists(path):
                 return False
-            fs.write_bytes(path, data)
+            fs.write_bytes_atomic(path, data)
             return True
 
     fs.register_exclusive_writer("mem7", cond_put)
