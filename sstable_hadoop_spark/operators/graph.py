@@ -1,0 +1,96 @@
+"""Link-graph PageRank in exact integer arithmetic.
+
+Web-scale training corpora weight documents by link authority
+(Common-Crawl curation ranks hosts with harmonic centrality /
+PageRank before sampling); this module provides that signal as a
+declarative DataFrame loop — a beyond-reference extension in the
+training-pipeline family (SURVEY.md §2 extensions; the reference
+engine, SSTableDataRecordReader.scala and friends, has no graph
+surface at all).
+
+Determinism contract (the house pattern): ranks live in integer
+MICRO-units.  Every node starts at 1_000_000; one iteration is
+
+    contrib(v) = Σ_{(u,v) ∈ E}  rank(u) div outdeg(u)     -- BIGINT div
+    rank'(v)   = base + (damping_pm * contrib(v)) div 1000
+
+with ``base = (1000 - damping_pm) * 1000`` (0.15/0.85 at the default
+``damping_pm=850``).  Both engines truncate BIGINT division
+identically (Spark ``div``, DuckDB ``//``), so a fixed iteration
+count yields bit-identical ranks under ANY partitioning — the same
+quantize-once trick the sketch and resample operators use.  Dangling
+nodes (no out-edges) simply leak their mass, the classic simplified
+formulation; with a fixed iteration count the result is still exact
+and cross-engine stable.  Truncation loses < outdeg(u) micro-units
+per node per iteration — noise at the 1e6 scale, and identical noise
+in both engines, which is the point.
+
+Scale shape (100 TB): edges are the big table.  They are augmented
+with out-degrees ONCE (one src-keyed exchange) and cached; each
+iteration is then one src-keyed join (ranks are node-sized, far
+smaller than edges) plus one dst-keyed aggregation with map-side
+partial sums.  Iterations are a fixed small count (the web-curation
+use runs 3-10), so total cost is O(n_iter × |E| shuffle) with no
+driver-side data, no collect, and lineage truncated per iteration
+(localCheckpoint) so the plan never grows with n_iter.  A deployment
+at petabyte edge counts would pre-bucket edges by src so the
+per-iteration join is exchange-free on the edge side — the same
+bucketing story as the LWW tables (operators/layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             src: str = "src", dst: str = "dst",
+             damping_pm: int = 850,
+             checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration integer PageRank over ``edges``.
+
+    ``edges``: one row per directed edge (``src`` → ``dst``);
+    parallel edges count multiply (both engines agree).  Nodes are
+    the union of sources and destinations.  Returns ``(id, rank)``
+    with ``rank`` in micro-units (BIGINT), bit-deterministic for a
+    given ``(edges, n_iter, damping_pm)`` on any cluster layout.
+
+    ``damping_pm`` is the damping factor in per-mille (850 = 0.85).
+    ``checkpoint=False`` keeps full lineage (only for plan tests).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < damping_pm < 1000:
+        raise ValueError(
+            f"damping_pm must be in (0, 1000), got {damping_pm}")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (e.select(F.col("_src").alias("id"))
+              .union(e.select(F.col("_dst").alias("id")))
+              .distinct())
+    outdeg = e.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("long").alias("_d"))
+    # (src, dst, outdeg) — the per-iteration join input, built once
+    fan = e.join(outdeg, "_src")
+    if checkpoint:
+        fan = fan.localCheckpoint(eager=False)
+    base = F.lit((1000 - damping_pm) * 1000).cast("long")
+    ranks = nodes.select("id",
+                         F.lit(1_000_000).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (fan.join(ranks, fan["_src"] == ranks["id"])
+                      .select(F.col("_dst").alias("id"),
+                              F.expr("rank div _d").alias("_c"))
+                      .groupBy("id")
+                      .agg(F.sum("_c").cast("long").alias("_contrib")))
+        ranks = (nodes.join(contrib, "id", "left")
+                      .select("id",
+                              (base + F.expr(
+                                  f"({damping_pm} * coalesce(_contrib,"
+                                  f" 0)) div 1000").cast("long"))
+                              .alias("rank")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -691,6 +691,113 @@ def txlog_delete(spark, path: str, keys: DataFrame,
                         sort_by, max_retries)
 
 
+def txlog_merge(spark, path: str, source: DataFrame, on: list[str],
+                bucket_by: tuple[str, ...], n_buckets: int,
+                sort_by: tuple[str, ...] = (),
+                when_matched: str = "update",
+                when_not_matched: str = "insert",
+                matched_condition: str | None = None,
+                max_retries: int = 20) -> tuple[int, list[int]]:
+    """MERGE INTO over the transaction log (the Delta/SQL:2003 MERGE
+    subset): join ``source`` against the table on the ``on`` key
+    columns and, per row,
+
+    * matched + ``when_matched="update"`` → the source row replaces
+      the stored one (all non-key columns);
+    * matched + ``when_matched="delete"`` → the stored row is dropped;
+    * matched + ``when_matched="keep"`` → the stored row survives
+      unchanged (source is insert-only);
+    * unmatched source + ``when_not_matched="insert"`` → the source
+      row is inserted; ``"ignore"`` drops it;
+    * unmatched stored rows always survive.
+
+    ``matched_condition`` (optional) gates the matched clause: a SQL
+    boolean over aliases ``t`` (stored) and ``s`` (source), e.g.
+    ``"s.total_c > t.total_c"`` — matched rows failing it keep the
+    stored values (update/keep) or survive (delete), exactly Delta's
+    ``whenMatchedUpdate(condition=...)``.
+
+    Source keys must be UNIQUE on ``on`` (checked; a key matched by
+    two source rows is the ambiguous-merge error Delta also refuses)
+    and ``on`` must cover ``bucket_by`` so the affected buckets are
+    the source keys' buckets.  When either active clause needs values
+    (update/insert) the source must carry the full table schema; a
+    delete/ignore merge may pass key-only sources.
+
+    Data plane and concurrency are :func:`txlog_upsert`'s: only the
+    source keys' buckets are re-merged and rewritten, the commit is
+    one optimistic log append, disjoint-bucket writers interleave
+    freely.  Idempotent at the content level: re-running the same
+    merge rewrites equal bytes into a new version (inserted rows are
+    matched the second time and update to themselves).  Cost at any
+    table size: O(affected buckets + |source|), metadata-sized
+    commit."""
+    if when_matched not in ("update", "delete", "keep"):
+        raise ValueError(f"when_matched must be update|delete|keep, "
+                         f"got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, "
+                         f"got {when_not_matched!r}")
+    missing = [c for c in bucket_by if c not in on]
+    if missing:
+        raise ValueError(
+            f"merge keys must cover the bucket columns; missing "
+            f"{missing}")
+    bad = [c for c in on if c not in source.columns]
+    if bad:
+        raise ValueError(f"source lacks merge key columns {bad}")
+    from pyspark.sql.types import StructType
+
+    snap = txlog_snapshot(path)
+    table_cols = [f.name for f in
+                  StructType.fromJson(json.loads(snap["schema"])).fields]
+    needs_values = (when_matched == "update"
+                    or when_not_matched == "insert")
+    if needs_values:
+        lacking = [c for c in table_cols if c not in source.columns]
+        if lacking:
+            raise ValueError(
+                f"{when_matched}/{when_not_matched} merge needs the "
+                f"full table schema in the source; missing {lacking}")
+    dup = (source.groupBy(*on).count().filter(F.col("count") > 1)
+                 .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"source has multiple rows for merge key "
+            f"{[dup[0][c] for c in on]} — an ambiguous merge "
+            "(deduplicate the source first)")
+
+    def merge(stored, delta):
+        t = stored.withColumn("__t_present", F.lit(True)).alias("t")
+        s = delta.withColumn("__s_present", F.lit(True)).alias("s")
+        j = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+                   "full_outer")
+        t_here = F.col("t.__t_present").isNotNull()
+        s_here = F.col("s.__s_present").isNotNull()
+        matched = t_here & s_here
+        gate = (F.expr(matched_condition)
+                if matched_condition is not None else F.lit(True))
+        hit = matched & gate
+        keep = F.lit(True)
+        if when_matched == "delete":
+            keep = keep & ~hit
+        if when_not_matched == "ignore":
+            keep = keep & t_here
+        use_source = (~t_here) | (hit if when_matched == "update"
+                                  else F.lit(False))
+        out = j.filter(keep)
+        if needs_values:
+            cols = [F.when(use_source, F.col(f"s.{c}"))
+                     .otherwise(F.col(f"t.{c}")).alias(c)
+                    for c in table_cols]
+        else:  # delete/keep + ignore: survivors are stored rows only
+            cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
+        return out.select(*cols)
+
+    return txlog_upsert(spark, path, source, merge, bucket_by,
+                        n_buckets, sort_by, max_retries)
+
+
 def txlog_restore(spark, path: str, version: int,
                   max_retries: int = 20) -> int:
     """Roll the table back to ``version`` as a NEW commit (Delta

@@ -7632,6 +7632,214 @@ def txlog_incremental_rollup(spark: SparkSession,
                          ["generation"], v_from=1)
 
 
+@query("streaming_attribution_join", oracle="""
+WITH c AS (
+    SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+    FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+v AS (
+    SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+    FROM events WHERE event_type = 'view' AND user_id IS NOT NULL)
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT)            AS n_pairs,
+       CAST(sum(c.click_id) AS BIGINT)     AS sum_click_id,
+       CAST(sum(v.view_id) AS BIGINT)      AS sum_view_id,
+       CAST(sum(c.cus - v.vus) AS BIGINT)  AS sum_delta_us
+FROM c JOIN v ON v.user_id = c.user_id
+             AND v.vus BETWEEN c.cus - 86400000000 AND c.cus
+GROUP BY c.user_id
+""")
+def streaming_attribution_join(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """r10 stream-stream interval join (streaming/joins.py
+    interval_join) — the attribution query: every click pairs with
+    the same user's views in the trailing 24 h.  Clicks and views
+    arrive as two INDEPENDENT file streams, each in 4 micro-batches
+    (the staged event chunks), so most pairs span micro-batch
+    boundaries and only survive if both sides' keyed state buffers
+    correctly under the watermark; the drained pair log, re-read in
+    batch and rolled up per user (pair count + id checksums + summed
+    click→view gaps in µs), must equal the oracle's plain interval
+    join over the raw events.  The fixture watermark (35 days) out-
+    spans the corpus ON PURPOSE — replayed history joins
+    exhaustively; a deployment bounds state with its real
+    out-of-orderness instead (module docstring)."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.streaming.joins import interval_join
+
+    src = _stage_event_stream(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        def side(ev_type, id_name):
+            return (spark.readStream.schema(events.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(src, "chunk*"))
+                    .filter((F.col("event_type") == ev_type)
+                            & F.col("user_id").isNotNull())
+                    .select("user_id",
+                            F.col("event_id").alias(id_name), "ts"))
+
+        j = interval_join(side("click", "click_id"),
+                          side("view", "view_id"),
+                          ["user_id"], max_delay="24 hours",
+                          watermark="35 days")
+        q = (j.writeStream.format("parquet")
+              .option("path", os.path.join(out, "pairs"))
+              .option("checkpointLocation", os.path.join(out, "ckpt"))
+              .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    tag = ("attrib_join_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _idempotent_tmpdir(tag, build)
+    pairs = spark.read.parquet(os.path.join(out, "pairs"))
+    return (pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("click_id").cast("long").alias("sum_click_id"),
+        F.sum("view_id").cast("long").alias("sum_view_id"),
+        F.sum(F.unix_micros("l_event_time")
+              - F.unix_micros("r_event_time")).cast("long")
+         .alias("sum_delta_us")))
+
+
+# PageRank oracle: the iteration unrolled as one CTE per step (r0..r5)
+# — every arithmetic op is BIGINT-truncating in both engines, so the
+# ranks are bit-identical; the final projection casts DuckDB's HUGEINT
+# sums back to BIGINT (oracle output-type gate).
+def _pagerank_oracle(n_iter: int, top: int) -> str:
+    ctes = ["""
+WITH nn AS (SELECT count(*) AS c FROM documents),
+edges AS (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 31 + j.j * 7919) % (SELECT c FROM nn) AS dst
+    FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+r{i} AS (
+    SELECT n.id,
+           CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT)
+               AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank // o.d) AS s
+        FROM edges e
+        JOIN r{i - 1} p ON p.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst) c ON c.id = n.id)""")
+    return (",".join(ctes)
+            + f"\nSELECT id, rank FROM r{n_iter} "
+              f"ORDER BY rank DESC, id ASC LIMIT {top}")
+
+
+@query("docs_link_pagerank", oracle=_pagerank_oracle(5, 50))
+def docs_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 link-graph PageRank (operators/graph.py) — the web-corpus
+    authority signal training-data curation weights documents by
+    (Common-Crawl-style host ranking).  The link graph is synthesized
+    deterministically from documents (each doc links to three LCG
+    targets mod n_docs) identically in both engines; 5 iterations of
+    the exact-integer update (micro-unit ranks, BIGINT-truncating
+    contributions — the house quantize-once pattern) must produce
+    bit-identical ranks, certified by the oracle's unrolled r0..r5
+    CTE chain.  Result = top-50 by (rank DESC, id ASC) — a total
+    order, so the LIMIT cut is deterministic.  Scale shape: edges
+    carry their out-degree (built once, cached); each iteration is
+    one src-keyed join against the node-sized rank table plus one
+    dst-keyed partial-agg exchange — O(n_iter × |E|), no driver data,
+    lineage truncated per iteration."""
+    from sstable_hadoop_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    fanout = spark.createDataFrame([(1,), (2,), (3,)], "j long")
+    edges = (docs.select("doc_id")
+                 .crossJoin(F.broadcast(n))
+                 .crossJoin(F.broadcast(fanout))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j") * 7919)
+                          % F.col("_n")).alias("dst")))
+    ranks = pagerank(edges, n_iter=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(50)
+
+
+@query("txlog_merge_roundtrip", oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+    FROM orders WHERE o_orderkey % 7 < 5),
+src AS (
+    SELECT o_orderkey AS k, 'U' AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 50000
+               AS total_c
+    FROM orders WHERE o_orderkey % 7 IN (4, 5)),
+m1 AS (
+    SELECT coalesce(s.k, b.k) AS k,
+           CASE WHEN s.k IS NOT NULL THEN s.status
+                ELSE b.status END AS status,
+           CASE WHEN s.k IS NOT NULL THEN s.total_c
+                ELSE b.total_c END AS total_c
+    FROM base b FULL OUTER JOIN src s ON b.k = s.k)
+SELECT k, status, total_c FROM m1 WHERE k % 7 <> 0
+""")
+def txlog_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 MERGE INTO through the transaction log (operators/txlog.py
+    txlog_merge — the Delta/SQL:2003 MERGE subset): an orders-keyed
+    table (keys with k%7<5) takes (1) an update+insert merge whose
+    source holds k%7∈{4,5} — 4s exist (update: status→'U', price
+    bumped 500.00), 5s don't (insert) — then (2) a key-only delete
+    merge for k%7==0.  The head read must equal the oracle's
+    full-outer-join + anti-filter derivation; a merge that dropped an
+    unmatched stored row, double-applied an update, leaked a deleted
+    key, or inserted into the wrong bucket hash-mismatches.  Both
+    merges are content-idempotent (re-runs re-match the prior inserts
+    and update them to themselves; re-deletes ignore absent keys), so
+    the row is driver-stable while the log audits every run.  Data
+    plane: O(source-key buckets + |source|) per merge, one optimistic
+    metadata commit each."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_merge,
+        txlog_read,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    orders = load(spark, sf_dir, "orders")
+    total_c = (F.floor(F.col("o_totalprice") * 100 + 0.5)
+               .cast("long"))
+    k = F.col("o_orderkey")
+
+    def build(out: str) -> None:
+        txlog_create(
+            spark, os.path.join(out, "t"),
+            orders.filter(k % 7 < 5).select(
+                k.alias("k"), F.col("o_orderstatus").alias("status"),
+                total_c.alias("total_c")),
+            bucket_by=("k",), n_buckets=8, sort_by=("k",))
+
+    base = _idempotent_tmpdir("txlog_merge_base_" + h, build)
+    path = os.path.join(base, "t")
+    src = orders.filter((k % 7).isin(4, 5)).select(
+        k.alias("k"), F.lit("U").alias("status"),
+        (total_c + 50000).alias("total_c"))
+    txlog_merge(spark, path, src, ["k"], ("k",), 8, sort_by=("k",))
+    doomed = orders.filter(k % 7 == 0).select(k.alias("k"))
+    txlog_merge(spark, path, doomed, ["k"], ("k",), 8,
+                sort_by=("k",), when_matched="delete",
+                when_not_matched="ignore")
+    return txlog_read(spark, path).select("k", "status", "total_c")
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list

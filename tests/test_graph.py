@@ -1,0 +1,93 @@
+"""Integer PageRank (operators/graph.py): bit-exact agreement with an
+independent pure-Python fold, determinism under re-partitioning,
+parallel-edge semantics, dangling-node leak, and guards."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _ref(edges, n_iter, damping_pm=850):
+    nodes = ({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = Counter(u for u, _ in edges)
+    rank = {n: 1_000_000 for n in nodes}
+    base = (1000 - damping_pm) * 1000
+    for _ in range(n_iter):
+        contrib: dict = defaultdict(int)
+        for u, v in edges:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {n: base + (damping_pm * contrib.get(n, 0)) // 1000
+                for n in nodes}
+    return rank
+
+
+def _run(spark, edges, **kw):
+    from sstable_hadoop_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["rank"]
+            for r in pagerank(df, **kw).collect()}
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 1)]
+
+
+def test_matches_python_reference(spark):
+    for n_iter in (1, 3, 5):
+        assert _run(spark, EDGES, n_iter=n_iter) == \
+            _ref(EDGES, n_iter)
+
+
+def test_damping_parameter(spark):
+    assert _run(spark, EDGES, n_iter=3, damping_pm=500) == \
+        _ref(EDGES, 3, damping_pm=500)
+
+
+def test_parallel_edges_count_multiply(spark):
+    edges = [(0, 1), (0, 1), (0, 2), (1, 0)]
+    assert _run(spark, edges, n_iter=2) == _ref(edges, 2)
+
+
+def test_dangling_node_leaks_and_sink_receives(spark):
+    # 1 has no out-edges: it contributes nothing (mass leaks) but
+    # still accumulates rank from 0; node 0 gets only the base.
+    edges = [(0, 1)]
+    got = _run(spark, edges, n_iter=2)
+    assert got == _ref(edges, 2)
+    assert got[0] == 150_000
+    assert got[1] > got[0]
+
+
+def test_partitioning_invariance(spark):
+    from sstable_hadoop_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = {r["id"]: r["rank"]
+         for r in pagerank(df.repartition(7), n_iter=4).collect()}
+    b = {r["id"]: r["rank"]
+         for r in pagerank(df.coalesce(1), n_iter=4).collect()}
+    assert a == b == _ref(EDGES, 4)
+
+
+def test_guards(spark):
+    from sstable_hadoop_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
+    with pytest.raises(ValueError, match="damping_pm"):
+        pagerank(df, damping_pm=1000)
+
+
+def test_custom_column_names(spark):
+    from sstable_hadoop_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, "a long, b long") \
+              .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    got = {r["id"]: r["rank"]
+           for r in pagerank(df, n_iter=2, src="u", dst="v").collect()}
+    assert got == _ref(EDGES, 2)

@@ -763,3 +763,97 @@ def test_incremental_rollup_matches_full(spark, tpath):
                       tx.txlog_rollup(spark, tpath, ["g"], ["x"]),
                       ["g"], ["x"], v_from=head_v).collect())
     assert same == full
+
+
+def _mk3(spark, lo, hi, status, bump=0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(status).alias("status"),
+        (F.col("id") * 10 + bump).cast("long").alias("total"))
+
+
+def test_merge_update_insert_delete(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk3(spark, 0, 60, "O"), ("k",), 4,
+                    sort_by=("k",))
+    # update keys 40-59, insert keys 60-79 in ONE merge
+    src = _mk3(spark, 40, 80, "U", bump=5)
+    ver, buckets = tx.txlog_merge(spark, tpath, src, ["k"],
+                                  ("k",), 4, sort_by=("k",))
+    assert ver == 2 and buckets == [0, 1, 2, 3]
+    exp = ([(k, "O", k * 10) for k in range(40)]
+           + [(k, "U", k * 10 + 5) for k in range(40, 80)])
+    assert _content(spark, tpath) == sorted(exp)
+    # delete keys 0-9 via a key-only source; unmatched key 100 ignored
+    doomed = spark.range(0, 10).union(spark.range(100, 101)) \
+                  .select(F.col("id").alias("k"))
+    tx.txlog_merge(spark, tpath, doomed, ["k"], ("k",), 4,
+                   sort_by=("k",), when_matched="delete",
+                   when_not_matched="ignore")
+    assert _content(spark, tpath) == sorted(
+        r for r in exp if r[0] >= 10)
+    # re-running the SAME merge is content-idempotent (new version,
+    # equal bytes): inserts are matched the second time and update to
+    # themselves
+    before = _content(spark, tpath)
+    tx.txlog_merge(spark, tpath, src, ["k"], ("k",), 4,
+                   sort_by=("k",))
+    assert _content(spark, tpath) == [
+        r if r[0] < 40 else (r[0], "U", r[0] * 10 + 5) for r in before]
+
+
+def test_merge_matched_condition_gates_update(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk3(spark, 0, 20, "O"), ("k",), 2,
+                    sort_by=("k",))
+    # source totals: k*10+5 for k<10 (higher), k*10-5 for k>=10 (lower)
+    src = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit("U").alias("status"),
+        (F.col("id") * 10
+         + F.when(F.col("id") < 10, 5).otherwise(-5)).cast("long")
+        .alias("total"))
+    tx.txlog_merge(spark, tpath, src, ["k"], ("k",), 2,
+                   sort_by=("k",), when_not_matched="ignore",
+                   matched_condition="s.total > t.total")
+    exp = ([(k, "U", k * 10 + 5) for k in range(10)]        # updated
+           + [(k, "O", k * 10) for k in range(10, 20)])     # gated out
+    assert _content(spark, tpath) == sorted(exp)
+
+
+def test_merge_keep_is_insert_only(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk3(spark, 0, 10, "O"), ("k",), 2,
+                    sort_by=("k",))
+    src = _mk3(spark, 5, 15, "N")
+    tx.txlog_merge(spark, tpath, src, ["k"], ("k",), 2,
+                   sort_by=("k",), when_matched="keep")
+    exp = ([(k, "O", k * 10) for k in range(10)]
+           + [(k, "N", k * 10) for k in range(10, 15)])
+    assert _content(spark, tpath) == sorted(exp)
+
+
+def test_merge_guards(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk3(spark, 0, 10, "O"), ("k",), 2,
+                    sort_by=("k",))
+    src = _mk3(spark, 0, 5, "U")
+    with pytest.raises(ValueError, match="update|delete|keep"):
+        tx.txlog_merge(spark, tpath, src, ["k"], ("k",), 2,
+                       when_matched="upsert")
+    with pytest.raises(ValueError, match="insert|ignore"):
+        tx.txlog_merge(spark, tpath, src, ["k"], ("k",), 2,
+                       when_not_matched="drop")
+    with pytest.raises(ValueError, match="bucket columns"):
+        tx.txlog_merge(spark, tpath, src, ["status"], ("k",), 2)
+    with pytest.raises(ValueError, match="merge key columns"):
+        tx.txlog_merge(spark, tpath,
+                       src.select("status", "total"), ["k"], ("k",), 2)
+    with pytest.raises(ValueError, match="full table schema"):
+        tx.txlog_merge(spark, tpath, src.select("k"), ["k"], ("k",), 2)
+    with pytest.raises(ValueError, match="ambiguous"):
+        tx.txlog_merge(spark, tpath, src.union(src), ["k"], ("k",), 2)
+    # nothing committed by any refused merge
+    assert tx.txlog_snapshot(tpath)["version"] == 1
