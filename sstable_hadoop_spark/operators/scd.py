@@ -1,0 +1,129 @@
+"""Type-2 slowly-changing-dimension maintenance (SCD2).
+
+The warehouse pattern for keeping HISTORY of a mutable entity table:
+each key holds one OPEN row (``valid_to_us`` NULL) plus zero or more
+closed rows, each stamped with the half-open validity interval
+``[valid_from_us, valid_to_us)``.  Applying a new full snapshot
+
+* closes the open row and opens a new one when any tracked column
+  changed (the old version stays queryable as of its interval);
+* inserts an open row for a brand-new key;
+* closes the open row of a key missing from the snapshot (entity
+  deleted upstream) when ``close_missing=True``;
+* leaves unchanged keys untouched — byte-identical rows, so repeated
+  applies of the same snapshot are no-ops (idempotent).
+
+Determinism contract: the batch timestamp is an EXPLICIT ``as_of_us``
+argument (never ``current_timestamp()`` — the house rule from
+operators/lww.py), so a replay stamps identical intervals.  Change
+detection is null-safe equality over the tracked columns (a column
+going NULL→value or value→NULL is a change; NULL→NULL is not).
+
+Plan shape at scale: historical (closed) rows pass through UNTOUCHED
+— only the open slice joins the snapshot (one full-outer join on the
+key, null-safe comparison inside the join output), so one apply costs
+O(open rows + |snapshot|) regardless of accumulated history depth.
+With the dimension stored bucketed by key (operators/layout.py or a
+txlog table) the join co-locates and the rewrite touches only
+affected buckets.
+
+"As of" queries are plain filters:
+``valid_from_us <= t AND (valid_to_us IS NULL OR valid_to_us > t)``
+— sargable, pushed to the parquet scan.
+
+Beyond-reference extension (SURVEY.md §2 extensions): the reference
+engine reads immutable SSTable snapshots; dimension history is the
+batch-warehouse counterpart of its timestamped-cell LWW model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_init", "scd2_apply", "scd2_as_of"]
+
+_META = ("valid_from_us", "valid_to_us")
+
+
+def scd2_init(snapshot: DataFrame, as_of_us: int) -> DataFrame:
+    """Bootstrap a dimension from its first full snapshot: every row
+    opens at ``as_of_us`` (µs epoch) and has no end."""
+    return snapshot.select(
+        "*",
+        F.lit(as_of_us).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"))
+
+
+def scd2_apply(dim: DataFrame, snapshot: DataFrame,
+               key_cols: list[str], as_of_us: int,
+               close_missing: bool = True) -> DataFrame:
+    """Fold a new full ``snapshot`` into SCD2 dimension ``dim`` at
+    ``as_of_us``.  ``snapshot`` must carry exactly the dimension's
+    business columns (everything except the validity metadata);
+    tracked columns are all non-key business columns."""
+    biz = [c for c in dim.columns if c not in _META]
+    missing = [c for c in key_cols if c not in biz]
+    if missing:
+        raise ValueError(f"key columns missing from dim: {missing}")
+    snap_missing = [c for c in biz if c not in snapshot.columns]
+    if snap_missing:
+        raise ValueError(
+            f"snapshot lacks dimension columns: {snap_missing}")
+    extra = [c for c in snapshot.columns if c not in biz]
+    if extra:
+        raise ValueError(
+            f"snapshot carries columns the dimension lacks: {extra} "
+            "(SCD2 schema evolution is a separate migration)")
+    tracked = [c for c in biz if c not in key_cols]
+    if as_of_us is None:
+        raise ValueError("as_of_us must be an explicit µs timestamp")
+
+    closed = dim.filter(F.col("valid_to_us").isNotNull())
+    open_rows = dim.filter(F.col("valid_to_us").isNull())
+    # presence must not rely on key values being non-null: tag sides
+    t = open_rows.withColumn("__t", F.lit(True)).alias("t")
+    s = (snapshot.select(*biz).withColumn("__s", F.lit(True))
+                 .alias("s"))
+    j = t.join(s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                   for k in key_cols], "full_outer")
+    t_here = F.col("t.__t").isNotNull()
+    s_here = F.col("s.__s").isNotNull()
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+    changed = t_here & s_here & ~same
+    ts = F.lit(as_of_us).cast("long")
+
+    # surviving open rows: unchanged matches, plus (if not closing
+    # missing keys) the snapshot-absent opens
+    keep_open = (t_here & s_here & same) | \
+        ((t_here & ~s_here) if not close_missing else F.lit(False))
+    kept = j.filter(keep_open).select(
+        *[F.col(f"t.{c}").alias(c) for c in biz],
+        F.col("t.valid_from_us").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"))
+    # rows closed at this batch: changed, or missing when closing
+    to_close = changed | ((t_here & ~s_here) if close_missing
+                          else F.lit(False))
+    newly_closed = j.filter(to_close).select(
+        *[F.col(f"t.{c}").alias(c) for c in biz],
+        F.col("t.valid_from_us").alias("valid_from_us"),
+        ts.alias("valid_to_us"))
+    # rows opened at this batch: changed (new version) or new keys
+    opened = j.filter(changed | (s_here & ~t_here)).select(
+        *[F.col(f"s.{c}").alias(c) for c in biz],
+        ts.alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"))
+    return closed.unionByName(newly_closed).unionByName(kept) \
+                 .unionByName(opened)
+
+
+def scd2_as_of(dim: DataFrame, t_us: int) -> DataFrame:
+    """The dimension as it was at ``t_us`` (half-open intervals:
+    a row closed AT ``t_us`` is already superseded)."""
+    return dim.filter(
+        (F.col("valid_from_us") <= F.lit(t_us))
+        & (F.col("valid_to_us").isNull()
+           | (F.col("valid_to_us") > F.lit(t_us)))
+    ).drop("valid_from_us", "valid_to_us")

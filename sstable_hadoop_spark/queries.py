@@ -7632,6 +7632,60 @@ def txlog_incremental_rollup(spark: SparkSession,
                          ["generation"], v_from=1)
 
 
+@query("orders_scd2_history", oracle="""
+WITH o AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           o_orderpriority AS prio
+    FROM orders),
+base AS (SELECT * FROM o WHERE k % 7 < 6),
+snap AS (
+    SELECT k, CASE WHEN k % 5 = 0 THEN 'X' ELSE status END AS status,
+           prio
+    FROM o WHERE k % 11 <> 0)
+SELECT k, status, prio,
+       CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       CAST(valid_to_us AS BIGINT) AS valid_to_us
+FROM (
+    SELECT b.k, b.status, b.prio, 1000000 AS valid_from_us,
+           2000000 AS valid_to_us
+    FROM base b LEFT JOIN snap s ON s.k = b.k
+    WHERE s.k IS NULL OR s.status <> b.status OR s.prio <> b.prio
+    UNION ALL
+    SELECT b.k, b.status, b.prio, 1000000, NULL
+    FROM base b JOIN snap s ON s.k = b.k AND s.status = b.status
+                           AND s.prio = b.prio
+    UNION ALL
+    SELECT s.k, s.status, s.prio, 2000000, NULL
+    FROM snap s LEFT JOIN base b ON b.k = s.k
+    WHERE b.k IS NULL OR b.status <> s.status OR b.prio <> s.prio)
+""")
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 type-2 slowly-changing dimension (operators/scd.py):
+    bootstrap the orders dimension from snapshot 1 (keys k%7<6, µs
+    stamp 1000000), then fold snapshot 2 (stamp 2000000) in which
+    k%5==0 keys change status to 'X', k%11==0 keys disappear
+    (deletion-tracked close), and k%7==6 keys are new.  The resulting
+    history — closed [1000000,2000000) versions, surviving opens, new
+    opens — must equal the oracle's three-way categorized derivation;
+    a missed change, a double-closed row, or a leaked deleted key
+    hash-mismatches.  Unchanged keys pass through byte-identical (the
+    idempotence contract), and one apply costs O(open rows +
+    |snapshot|) — history depth never enters the join."""
+    from sstable_hadoop_spark.operators.scd import scd2_apply, scd2_init
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    base = o.filter(F.col("k") % 7 < 6)
+    snap = (o.filter(F.col("k") % 11 != 0)
+             .withColumn("status",
+                         F.when(F.col("k") % 5 == 0, F.lit("X"))
+                          .otherwise(F.col("status"))))
+    dim = scd2_init(base, as_of_us=1000000)
+    return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
+
+
 @query("streaming_attribution_join", oracle="""
 WITH c AS (
     SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
