@@ -41,7 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_init", "scd2_apply", "scd2_as_of"]
+__all__ = ["scd2_init", "scd2_apply", "scd2_as_of",
+           "scd2_temporal_join"]
 
 _META = ("valid_from_us", "valid_to_us")
 
@@ -117,6 +118,54 @@ def scd2_apply(dim: DataFrame, snapshot: DataFrame,
         F.lit(None).cast("long").alias("valid_to_us"))
     return closed.unionByName(newly_closed).unionByName(kept) \
                  .unionByName(opened)
+
+
+def scd2_temporal_join(facts: DataFrame, dim: DataFrame,
+                       key_cols: list[str], fact_ts_us,
+                       how: str = "left") -> DataFrame:
+    """Enrich ``facts`` with the dimension version that was valid at
+    each fact's own time (``fact_ts_us``: a µs-epoch Column or column
+    name) — the point-in-time lookup every fact/dimension warehouse
+    join needs (joining the CURRENT version back-dates history).
+
+    Each fact matches at most ONE dimension row (a key's validity
+    intervals are disjoint by :func:`scd2_apply`'s construction), so
+    the join never fans out.  ``how``: ``left`` keeps facts whose key
+    (or instant) has no dimension version, with NULL attributes;
+    ``inner`` drops them.
+
+    Plan shape: an EQUI hash join on the key columns with the
+    interval predicate as a residual filter — Catalyst broadcasts the
+    dimension when it is small, else both sides exchange once on the
+    key; never a nested loop.  Dimension attribute columns that
+    collide with fact column names are refused (pre-rename)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    biz = [c for c in dim.columns if c not in _META]
+    missing = [c for c in key_cols if c not in biz]
+    if missing:
+        raise ValueError(f"key columns missing from dim: {missing}")
+    fmissing = [c for c in key_cols if c not in facts.columns]
+    if fmissing:
+        raise ValueError(f"key columns missing from facts: {fmissing}")
+    attrs = [c for c in biz if c not in key_cols]
+    clash = sorted(set(attrs) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"dimension attributes collide with fact columns: {clash}"
+            " — rename before joining")
+    ts = (F.col(fact_ts_us) if isinstance(fact_ts_us, str)
+          else fact_ts_us)
+    f = facts.withColumn("__ts_us", ts.cast("long")).alias("f")
+    d = dim.alias("d")
+    cond = [F.col(f"f.{k}").eqNullSafe(F.col(f"d.{k}"))
+            for k in key_cols]
+    cond.append(F.col("d.valid_from_us") <= F.col("__ts_us"))
+    cond.append(F.col("d.valid_to_us").isNull()
+                | (F.col("d.valid_to_us") > F.col("__ts_us")))
+    j = f.join(d, cond, how)
+    return j.select(*[F.col(f"f.{c}").alias(c) for c in facts.columns],
+                    *[F.col(f"d.{c}").alias(c) for c in attrs])
 
 
 def scd2_as_of(dim: DataFrame, t_us: int) -> DataFrame:

@@ -7686,6 +7686,78 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
 
 
+@query("orders_scd2_temporal_join", oracle="""
+WITH o AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           o_orderpriority AS prio
+    FROM orders),
+base AS (SELECT * FROM o WHERE k % 7 < 6),
+snap AS (
+    SELECT k, CASE WHEN k % 5 = 0 THEN 'X' ELSE status END AS status,
+           prio
+    FROM o WHERE k % 11 <> 0),
+dim AS (
+    SELECT b.k, b.status, b.prio, 1000000 AS vf, 2000000 AS vt
+    FROM base b LEFT JOIN snap s ON s.k = b.k
+    WHERE s.k IS NULL OR s.status <> b.status OR s.prio <> b.prio
+    UNION ALL
+    SELECT b.k, b.status, b.prio, 1000000, NULL
+    FROM base b JOIN snap s ON s.k = b.k AND s.status = b.status
+                           AND s.prio = b.prio
+    UNION ALL
+    SELECT s.k, s.status, s.prio, 2000000, NULL
+    FROM snap s LEFT JOIN base b ON b.k = s.k
+    WHERE b.k IS NULL OR b.status <> s.status OR b.prio <> s.prio),
+facts AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 2 = 0 THEN 1500000
+                ELSE 2500000 END AS ts_us,
+           o_custkey AS cust
+    FROM orders)
+SELECT f.k, CAST(f.ts_us AS BIGINT) AS ts_us, f.cust,
+       d.status, d.prio
+FROM facts f LEFT JOIN dim d
+    ON d.k = f.k AND d.vf <= f.ts_us
+   AND (d.vt IS NULL OR d.vt > f.ts_us)
+""")
+def orders_scd2_temporal_join(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """r10 point-in-time dimension lookup (operators/scd.py
+    scd2_temporal_join): fact rows stamped at 1500000 µs (even keys —
+    between the two snapshots) or 2500000 µs (odd keys — after the
+    second) join the SCD2 orders dimension and must pick the version
+    VALID AT THEIR OWN INSTANT: even-key facts see snapshot-1
+    attributes, odd-key facts see the post-change attributes, facts
+    whose key was deleted (k%11==0) or never dimensioned get NULLs
+    via the left join.  At most one version matches per fact
+    (disjoint validity intervals), so the join never fans out; the
+    plan is an equi hash join on the key with the interval predicate
+    residual — never a nested loop (pytest-asserted)."""
+    from sstable_hadoop_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+        scd2_temporal_join,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    base = o.filter(F.col("k") % 7 < 6)
+    snap = (o.filter(F.col("k") % 11 != 0)
+             .withColumn("status",
+                         F.when(F.col("k") % 5 == 0, F.lit("X"))
+                          .otherwise(F.col("status"))))
+    dim = scd2_apply(scd2_init(base, as_of_us=1000000), snap,
+                     ["k"], as_of_us=2000000)
+    facts = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1500000))
+         .otherwise(F.lit(2500000)).cast("long").alias("ts_us"),
+        F.col("o_custkey").alias("cust"))
+    return scd2_temporal_join(facts, dim, ["k"], "ts_us")
+
+
 @query("streaming_attribution_join", oracle="""
 WITH c AS (
     SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus

@@ -104,3 +104,59 @@ def test_guards(spark):
                    as_of_us=2000)
     with pytest.raises(ValueError, match="explicit"):
         scd2_apply(dim, snap, ["k"], as_of_us=None)
+
+
+def test_temporal_join_picks_version_at_fact_time(spark):
+    from sstable_hadoop_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+        scd2_temporal_join,
+    )
+
+    dim = scd2_init(_snap(spark, [(1, "red", 10), (2, "blue", 20)]),
+                    as_of_us=1000)
+    dim = scd2_apply(dim, _snap(spark, [(1, "pink", 10)]), ["k"],
+                     as_of_us=2000)  # 1 changes, 2 closes
+    facts = spark.createDataFrame(
+        [(1, 1500, 7), (1, 2000, 8), (1, 2500, 9),
+         (2, 1500, 10), (2, 2500, 11),   # 2 dead by 2500
+         (9, 1500, 12),                  # unknown key
+         (1, 500, 13)],                  # before any version
+        "k long, ts long, amount long")
+    j = scd2_temporal_join(facts, dim, ["k"], "ts")
+    got = {(r["k"], r["ts"], r["amount"]): (r["color"], r["size"])
+           for r in j.collect()}
+    assert got == {
+        (1, 1500, 7): ("red", 10),     # old version live at 1500
+        (1, 2000, 8): ("pink", 10),    # boundary: close is half-open
+        (1, 2500, 9): ("pink", 10),
+        (2, 1500, 10): ("blue", 20),
+        (2, 2500, 11): (None, None),   # closed key, left join NULLs
+        (9, 1500, 12): (None, None),
+        (1, 500, 13): (None, None),
+    }
+    inner = scd2_temporal_join(facts, dim, ["k"], "ts", how="inner")
+    assert inner.count() == 4
+
+
+def test_temporal_join_guards_and_plan(spark):
+    from sstable_hadoop_spark.operators.scd import (
+        scd2_init,
+        scd2_temporal_join,
+    )
+
+    dim = scd2_init(_snap(spark, [(1, "red", 10)]), as_of_us=1000)
+    facts = spark.createDataFrame([(1, 1500, "x")],
+                                  "k long, ts long, color string")
+    with pytest.raises(ValueError, match="collide"):
+        scd2_temporal_join(facts, dim, ["k"], "ts")
+    with pytest.raises(ValueError, match="left|inner"):
+        scd2_temporal_join(facts.drop("color"), dim, ["k"], "ts",
+                           how="full")
+    with pytest.raises(ValueError, match="missing from facts"):
+        scd2_temporal_join(facts.drop("k"), dim, ["k"], "ts")
+    # equi hash join, never a nested loop
+    plan = scd2_temporal_join(facts.drop("color"), dim, ["k"],
+                              "ts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
