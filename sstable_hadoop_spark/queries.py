@@ -7686,6 +7686,61 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
 
 
+@query("sstable_leveled_compaction", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def sstable_leveled_compaction(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """r10 leveled compaction (operators/compaction.py pick_leveled /
+    compact_leveled — Cassandra LCS, the read-optimized sibling of
+    the shipped STCS policy): the 4 overlapping L0 generations trip
+    the L0 threshold and merge into a run of key-range-disjoint L1
+    files (range-partitioned writer), levels recorded in the atomic
+    ``_levels.json`` sidecar; re-scanning the reorganized tree and
+    re-running the per-cell merge must equal the flagship winners —
+    compaction may only change LAYOUT, never content (generation
+    labels change by design, so they stay out of the checked
+    projection).  Planner cost is metadata-only: file sizes from a
+    listing, key bounds from the first Index.db entry + a bounded
+    walk from the last Summary.db sample.  Scans never consult
+    levels, so a lost sidecar degrades to re-leveling, never to
+    wrong reads (pytest-pinned)."""
+    import hashlib
+    import shutil
+
+    from sstable_hadoop_spark.operators.compaction import (
+        compact_leveled,
+        read_levels,
+    )
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    in_dir = _materialize_sstables(spark, sf_dir)
+
+    def build(out: str) -> None:
+        import os
+
+        for f in os.listdir(in_dir):
+            if f.endswith(".db"):
+                shutil.copy2(os.path.join(in_dir, f),
+                             os.path.join(out, f))
+        n = compact_leveled(spark, out, sstable_mb=160.0,
+                            l0_threshold=4, target_partitions=4)
+        assert n >= 1 and read_levels(out)  # fixture sanity
+
+    tag = ("sstable_lcs_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    path = _idempotent_tmpdir(tag, build)
+    df = spark.read.format("sstable").load(path)
+    return _render_winners(lww_cell(explode_cells(df))) \
+        .drop("generation")
+
+
 @query("orders_scd2_temporal_join", oracle="""
 WITH o AS (
     SELECT o_orderkey AS k, o_orderstatus AS status,
