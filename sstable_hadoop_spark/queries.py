@@ -7686,6 +7686,120 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
 
 
+@query("streaming_scd2_history", oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL AND value IS NOT NULL),
+bounds AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
+eb AS (
+    SELECT user_id, ts_us, event_type, value_c,
+           CAST(((ts_us - (SELECT lo FROM bounds)) * 4)
+                // ((SELECT hi FROM bounds)
+                    - (SELECT lo FROM bounds) + 1) AS INT) AS b
+    FROM e),
+stamps AS (SELECT b, max(ts_us) AS as_of FROM eb GROUP BY b),
+latest AS (
+    SELECT user_id, b, event_type, value_c FROM (
+        SELECT user_id, b, event_type, value_c,
+               row_number() OVER (PARTITION BY user_id, b
+                                  ORDER BY ts_us DESC,
+                                           event_type ASC,
+                                           value_c ASC) AS rn
+        FROM eb) WHERE rn = 1),
+marked AS (
+    SELECT user_id, b, event_type, value_c,
+           CASE WHEN lag(b) OVER w IS NULL THEN 1
+                WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                  OR value_c IS DISTINCT FROM lag(value_c) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM latest
+    WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+changes AS (SELECT * FROM marked WHERE chg = 1)
+SELECT c.user_id, c.event_type, c.value_c,
+       CAST(s.as_of AS BIGINT) AS valid_from_us,
+       CAST(lead(s.as_of) OVER (PARTITION BY c.user_id ORDER BY c.b)
+            AS BIGINT) AS valid_to_us
+FROM changes c JOIN stamps s ON s.b = c.b
+""")
+def streaming_scd2_history(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """r10 streaming SCD2 sink (streaming/scd_stream.py
+    upsert_stream_to_scd2): the events feed, split into 4
+    TIME-ORDERED micro-batches (quartiles of the event-time range —
+    the shape of a real CDC tail), maintains a type-2 dimension of
+    each user's latest (event_type, value) — per batch the latest
+    state per user is snapshotted, stamped at the batch's max event
+    time, and folded with partial-feed semantics (absent user =
+    unchanged).  The drained store must equal the oracle's
+    change-point derivation: one history row per (user, attribute
+    change), valid from its batch stamp until the user's next change
+    batch.  Exactly-once rides the store's event-time watermark (a
+    stale replayed batch is skipped; a same-stamp replay re-applies
+    idempotently — pytest-pinned)."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.streaming.scd_stream import (
+        read_scd2_store,
+        upsert_stream_to_scd2,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    # stage the event time as an EXPLICIT nano-epoch long (the sink's
+    # ts_us() treats long columns as nanos; the session-dependent
+    # timestamp/long duality of the raw column must not reach the
+    # fixture) plus a µs twin for the quartile chunking that must
+    # match the oracle's epoch_us math
+    us = ts_us(ev, "ts")
+    feed = (ev.filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull()
+                      & F.col("event_type").isNotNull()
+                      & F.col("value").isNotNull())
+              .select("user_id", "event_type",
+                      F.floor(F.col("value") * 100 + 0.5).cast("long")
+                       .alias("value_c"),
+                      (us * 1000).cast("long").alias("ts"),
+                      us.alias("_us")))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        b = feed.agg(F.min("_us").alias("lo"),
+                     F.max("_us").alias("hi")).collect()[0]
+        lo, hi = int(b["lo"]), int(b["hi"])
+        src = os.path.join(out, "src")
+        for i in range(4):
+            chunk = feed.filter(
+                F.expr(f"((_us - {lo}) * 4) div ({hi} - {lo} + 1)")
+                == i).drop("_us")
+            p = os.path.join(src, f"chunk{i}")
+            chunk.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f),
+                         ((i + 1) * 1000, (i + 1) * 1000))
+        store = os.path.join(out, "store")
+        os.makedirs(store)
+        stream = (spark.readStream
+                  .schema("user_id long, event_type string, "
+                          "value_c long, ts long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(src, "chunk*")))
+        q = upsert_stream_to_scd2(stream, store,
+                                  os.path.join(out, "ckpt"),
+                                  ["user_id"], ts_col="ts")
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    tag = ("scd2_stream2_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _idempotent_tmpdir(tag, build)
+    return read_scd2_store(spark, os.path.join(out, "store"))
+
+
 @query("sstable_leveled_compaction", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
