@@ -181,6 +181,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     files: dict[str, int] = {}
     stats: dict[str, list] = {}
     schema = stats_col = None
+    bucket_by = n_buckets = sort_by = None
     start = 1
     usable = [v for v in checkpoints if v <= target]
     if usable:
@@ -189,6 +190,9 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         stats = dict(cp.get("stats", {}))
         schema = cp.get("schema")
         stats_col = cp.get("stats_col")
+        bucket_by = cp.get("bucket_by")
+        n_buckets = cp.get("n_buckets")
+        sort_by = cp.get("sort_by")
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -196,15 +200,29 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             schema = c["schema"]
         if c.get("stats_col"):
             stats_col = c["stats_col"]
+        if c.get("n_buckets"):
+            bucket_by = c.get("bucket_by")
+            n_buckets = c.get("n_buckets")
+            sort_by = c.get("sort_by")
         for n in c.get("removes", ()):
             files.pop(n, None)
             stats.pop(n, None)
         for n, b in c.get("adds", ()):
             files[n] = b
         stats.update(c.get("stats", {}))
+    if n_buckets is None:
+        # pre-bucketing-journal checkpoint: the declaration lives in
+        # commit 1 (create/adopt — no rebucket can predate a
+        # checkpoint that itself predates this code)
+        c1 = _read_commit(path, 1)
+        bucket_by = c1.get("bucket_by")
+        n_buckets = c1.get("n_buckets")
+        sort_by = c1.get("sort_by")
     stats = {n: s for n, s in stats.items() if n in files}
     return {"version": target, "schema": schema, "files": files,
-            "stats": stats, "stats_col": stats_col}
+            "stats": stats, "stats_col": stats_col,
+            "bucket_by": bucket_by, "n_buckets": n_buckets,
+            "sort_by": sort_by}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -339,7 +357,10 @@ def _maybe_checkpoint(path: str, version: int) -> None:
             json.dumps({"version": version, "schema": snap["schema"],
                         "files": sorted(snap["files"].items()),
                         "stats": snap["stats"],
-                        "stats_col": snap["stats_col"]},
+                        "stats_col": snap["stats_col"],
+                        "bucket_by": snap["bucket_by"],
+                        "n_buckets": snap["n_buckets"],
+                        "sort_by": snap["sort_by"]},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -387,6 +408,23 @@ def txlog_read(spark, path: str, version: int | None = None) -> DataFrame:
         *[os.path.join(path, n) for n in sorted(snap["files"])])
 
 
+def _check_bucketing(snap: dict, bucket_by: tuple[str, ...],
+                     n_buckets: int, path: str) -> None:
+    """Refuse a writer whose declared bucketing disagrees with the
+    log's journaled declaration — a mis-hashed delta would merge
+    against the wrong buckets and silently corrupt (the reason the
+    declaration is journaled at all)."""
+    jb, jn = snap.get("bucket_by"), snap.get("n_buckets")
+    if jn is None:
+        return  # pre-journal log: caller-declared (the old contract)
+    if list(bucket_by) != list(jb) or int(n_buckets) != int(jn):
+        raise ValueError(
+            f"declared bucketing (bucket_by={list(bucket_by)}, "
+            f"n_buckets={n_buckets}) does not match the log's "
+            f"journaled declaration (bucket_by={jb}, n_buckets={jn}) "
+            f"for {path} — use txlog_rebucket to change it")
+
+
 def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                  bucket_by: tuple[str, ...], n_buckets: int,
                  sort_by: tuple[str, ...] = (),
@@ -415,6 +453,7 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
 
     for _ in range(max_retries):
         snap = txlog_snapshot(path)
+        _check_bucketing(snap, bucket_by, n_buckets, path)
         affected = sorted(
             r[0] for r in
             delta.select(bucket_id(n_buckets, *bucket_by).alias("b"))
@@ -839,6 +878,65 @@ def txlog_restore(spark, path: str, version: int,
     raise TxConflictError(
         f"gave up restoring {path} to {version} after "
         f"{max_retries} conflicts")
+
+
+def txlog_rebucket(spark, path: str, n_buckets: int,
+                   bucket_by: tuple[str, ...] | None = None,
+                   sort_by: tuple[str, ...] | None = None,
+                   max_retries: int = 5) -> int:
+    """Change the table's bucket layout as ONE conflict-checked
+    commit (bucket-count evolution — the migration every hash-bucketed
+    table eventually needs when it outgrows its create-time
+    ``n_buckets``): the head snapshot is rewritten under the new
+    ``(bucket_by, n_buckets, sort_by)`` and the commit journals the
+    new declaration, so every subsequent writer validates against it
+    (:func:`_check_bucketing`) and a straggler still declaring the
+    old layout is refused instead of mis-hashing its delta.
+
+    Data-identical by construction; rewrites the WHOLE table (that is
+    what rebucketing is), so the commit claims every old and new
+    bucket and uses strict-base conflict semantics — ANY concurrent
+    commit wins and the rebucket retries against the new head.  Time
+    travel to pre-rebucket versions keeps working (their files and
+    their declaration fold from the log)."""
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        new_by = tuple(bucket_by) if bucket_by is not None \
+            else tuple(snap["bucket_by"] or ())
+        if not new_by:
+            raise ValueError("bucket_by required: the log journals "
+                             "no bucketing to inherit")
+        new_sort = tuple(sort_by) if sort_by is not None \
+            else tuple(snap["sort_by"] or ())
+        if (snap.get("n_buckets") == n_buckets
+                and tuple(snap.get("bucket_by") or ()) == new_by):
+            return snap["version"]  # already that layout
+        df = txlog_read(spark, path, version=snap["version"])
+        stats: dict[str, list] = {}
+        adds = _stage_bucket_files(df, path, new_by, n_buckets,
+                                   new_sort,
+                                   allowed=set(range(n_buckets)),
+                                   stats_out=stats)
+        record = {
+            "op": "rebucket", "writer": uuid.uuid4().hex,
+            "bucket_by": list(new_by), "n_buckets": n_buckets,
+            "sort_by": list(new_sort),
+            "buckets": sorted(set(snap["files"].values())
+                              | set(range(n_buckets))),
+            "adds": adds, "removes": sorted(snap["files"]),
+            "stats": stats,
+            "stats_col": (new_sort or new_by)[0],
+        }
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won != "conflict":
+            return won
+        for n, _ in adds:  # stale stage: invisible, but tidy it now
+            try:
+                fs.remove(os.path.join(path, n))
+            except OSError:
+                pass
+    raise TxConflictError(
+        f"gave up rebucketing {path} after {max_retries} conflicts")
 
 
 def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],

@@ -7686,6 +7686,59 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
 
 
+@query("txlog_rebucket_roundtrip", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def txlog_rebucket_roundtrip(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """r10 bucket-count evolution (operators/txlog.py txlog_rebucket):
+    the winners table is created with 4 buckets from generations 1-2,
+    rebucketed to 8 as one data-identical strict-base commit (the
+    migration a hash-bucketed table needs when it outgrows its
+    create-time layout), then generations 3-4 land as upserts
+    declaring the NEW layout — the journaled declaration now refuses
+    writers still declaring 4 (pytest-pinned), closing the mis-hashed-
+    delta corruption hole.  The head must equal the flagship full
+    merge; a rebucket that dropped a row, mis-hashed a key, or leaked
+    an old bucket file hash-mismatches.  Re-runs: the rebucket is a
+    no-op at the target layout, the upserts rewrite identical
+    content."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.lww import lww_refresh
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read,
+        txlog_rebucket,
+        txlog_upsert,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        txlog_create(
+            spark, os.path.join(out, "t"),
+            lww_cell(cells.filter(F.col("generation") <= 2)),
+            bucket_by=("key",), n_buckets=4, sort_by=("key", "name"))
+
+    base = _idempotent_tmpdir("txlog_rebucket_base_" + h, build)
+    path = os.path.join(base, "t")
+    txlog_rebucket(spark, path, 8)
+    for gen in (3, 4):
+        txlog_upsert(spark, path,
+                     cells.filter(F.col("generation") == gen),
+                     lww_refresh, bucket_by=("key",), n_buckets=8,
+                     sort_by=("key", "name"))
+    return _render_winners(txlog_read(spark, path))
+
+
 @query("streaming_scd2_history", oracle="""
 WITH e AS (
     SELECT user_id, epoch_us(ts) AS ts_us, event_type,

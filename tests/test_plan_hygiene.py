@@ -52,6 +52,12 @@ ALLOWED_BNLJ = {
                                     # probes (2 rows) × per-group
                                     # histogram walks + per-group
                                     # count × probes — metadata-sized
+    "docs_link_pagerank",           # edge synthesis only: 1-row
+                                    # broadcast n_docs agg + 3-row
+                                    # broadcast fan-out constant cross
+                                    # joined onto documents; the
+                                    # PageRank iterations themselves
+                                    # are equi joins + hash aggs
 }
 
 # Eagerly-executing queries (streaming runs, driver-side materializer

@@ -857,3 +857,54 @@ def test_merge_guards(spark, tpath):
         tx.txlog_merge(spark, tpath, src.union(src), ["k"], ("k",), 2)
     # nothing committed by any refused merge
     assert tx.txlog_snapshot(tpath)["version"] == 1
+
+
+def test_bucketing_declaration_is_journaled_and_enforced(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 4,
+                    sort_by=("k",))
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["bucket_by"] == ["k"] and snap["n_buckets"] == 4
+    # a writer declaring the wrong layout is refused before staging
+    with pytest.raises(ValueError, match="journaled declaration"):
+        tx.txlog_upsert(spark, tpath, _mk(spark, 0, 5, 2), _merge,
+                        ("k",), 8)
+    with pytest.raises(ValueError, match="journaled declaration"):
+        tx.txlog_delete(spark, tpath,
+                        _mk(spark, 0, 5, 2).select("k"), ("k",), 8)
+    assert tx.txlog_snapshot(tpath)["version"] == 1
+
+
+def test_rebucket_evolves_layout(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 80, 1), ("k",), 2,
+                    sort_by=("k",))
+    before = _content(spark, tpath)
+    v = tx.txlog_rebucket(spark, tpath, 8)
+    assert v == 2
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["n_buckets"] == 8
+    assert sorted(set(snap["files"].values())) == list(range(8))
+    # content identical; pre-rebucket version still time-travels
+    assert _content(spark, tpath) == before
+    assert _content(spark, tpath, version=1) == before
+    # writers must now declare the NEW layout
+    with pytest.raises(ValueError, match="journaled declaration"):
+        tx.txlog_upsert(spark, tpath, _mk(spark, 0, 5, 2), _merge,
+                        ("k",), 2)
+    ver, buckets = tx.txlog_upsert(spark, tpath,
+                                   _mk(spark, 0, 80, 2), _merge,
+                                   ("k",), 8)
+    assert ver == 3 and buckets == list(range(8))
+    assert _content(spark, tpath) == [(k, 2) for k in range(80)]
+    # no-op rebucket returns the current head without a new commit
+    assert tx.txlog_rebucket(spark, tpath, 8) == 3
+    # checkpoints carry the declaration: after 10+ commits the
+    # snapshot folds bucketing from the checkpoint, not commit 1
+    for i in range(8):
+        tx.txlog_upsert(spark, tpath, _mk(spark, i, i + 1, 3), _merge,
+                        ("k",), 8)
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["version"] >= 10 and snap["n_buckets"] == 8
