@@ -872,6 +872,17 @@ def txlog_restore(spark, path: str, version: int,
                             if n in target["stats"]}}
         if target["schema"] != head["schema"]:
             record["schema"] = target["schema"]
+        if target.get("n_buckets") is not None and (
+                target["n_buckets"] != head.get("n_buckets")
+                or target["bucket_by"] != head.get("bucket_by")):
+            # the head declaration changed since ``version`` (a
+            # rebucket): the restored FILES carry the old layout, so
+            # the restore must re-journal it — otherwise the next
+            # writer would hash deltas with the new declaration
+            # against old-layout buckets and duplicate rows
+            record["bucket_by"] = target["bucket_by"]
+            record["n_buckets"] = target["n_buckets"]
+            record["sort_by"] = target["sort_by"]
         won = _try_commit(path, head, record, strict_base=True)
         if won != "conflict":
             return won

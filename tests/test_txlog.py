@@ -492,6 +492,9 @@ _op = st.one_of(
               st.integers(0, 19)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("restore")),
+    st.tuples(st.just("merge"), st.integers(0, 19),
+              st.integers(0, 19), st.integers(1, 9)),
+    st.tuples(st.just("rebucket"), st.sampled_from([2, 4, 8])),
 )
 
 
@@ -500,9 +503,11 @@ _op = st.one_of(
 @given(ops=st.lists(_op, min_size=1, max_size=5))
 def test_txlog_model_based(spark, tmp_path, ops):
     """Model-based property: a random sequence of upserts (max-merge),
-    deletes, compactions and restores against the txlog must track a
-    plain dict model exactly — content after every commit, and time
-    travel to any recorded version reproduces the model's history."""
+    deletes, compactions, restores, MERGE INTO (update+insert) and
+    rebuckets against the txlog must track a plain dict model exactly
+    — content after every commit, and time travel to any recorded
+    version reproduces the model's history.  Bucketing changes under
+    rebucket thread through every later writer's declaration."""
     import uuid as _uuid
 
     from sstable_hadoop_spark.operators import txlog as tx
@@ -511,6 +516,7 @@ def test_txlog_model_based(spark, tmp_path, ops):
     tx.txlog_create(spark, path, _mk(spark, 0, 10, 0), ("k",), 2)
     model = {k: 0 for k in range(10)}
     history = {1: dict(model)}
+    nb = 2  # current journaled bucket count (rebucket changes it)
 
     def content():
         return dict((r["k"], r["v"]) for r in
@@ -521,14 +527,14 @@ def test_txlog_model_based(spark, tmp_path, ops):
             lo, span, v = op[1], op[2], op[3]
             hi = lo + span + 1
             ver, _ = tx.txlog_upsert(
-                spark, path, _mk(spark, lo, hi, v), _merge, ("k",), 2)
+                spark, path, _mk(spark, lo, hi, v), _merge, ("k",), nb)
             for k in range(lo, hi):
                 model[k] = max(model.get(k, -1), v)
         elif op[0] == "delete":
             lo, span = op[1], op[2]
             hi = lo + span + 1
             doomed = spark.range(lo, hi).select(F.col("id").alias("k"))
-            ver, _ = tx.txlog_delete(spark, path, doomed, ("k",), 2)
+            ver, _ = tx.txlog_delete(spark, path, doomed, ("k",), nb)
             for k in range(lo, hi):
                 model.pop(k, None)
         elif op[0] == "compact":
@@ -536,10 +542,28 @@ def test_txlog_model_based(spark, tmp_path, ops):
             if won is None:
                 continue
             ver = won
+        elif op[0] == "merge":
+            lo, span, v = op[1], op[2], op[3]
+            hi = lo + span + 1
+            ver, _ = tx.txlog_merge(
+                spark, path, _mk(spark, lo, hi, v), ["k"], ("k",), nb)
+            for k in range(lo, hi):
+                model[k] = v  # update matched, insert unmatched
+        elif op[0] == "rebucket":
+            target_nb = op[1]
+            ver = tx.txlog_rebucket(spark, path, target_nb)
+            if target_nb == nb:  # no-op at the current layout
+                assert content() == model
+                continue
+            nb = target_nb
         else:  # restore to the oldest recorded version
             target = min(history)
             ver = tx.txlog_restore(spark, path, target)
             model = dict(history[target])
+            # a restore re-references old FILES but keeps the head
+            # declaration only if the restored commit did not change
+            # it; re-read the journaled layout either way
+            nb = tx.txlog_snapshot(path)["n_buckets"]
             if ver in history:   # content-identical no-op restore
                 assert content() == model
                 continue
@@ -908,3 +932,30 @@ def test_rebucket_evolves_layout(spark, tpath):
                         ("k",), 8)
     snap = tx.txlog_snapshot(tpath)
     assert snap["version"] >= 10 and snap["n_buckets"] == 8
+
+
+def test_restore_across_rebucket_restores_declaration(spark, tpath):
+    """Restoring past a rebucket must re-journal the restored layout:
+    the files at the target carry the OLD bucket count, and a later
+    writer declaring the head's new count would mis-hash its delta
+    against them (duplicate rows)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 2,
+                    sort_by=("k",))
+    v1 = _content(spark, tpath)
+    tx.txlog_rebucket(spark, tpath, 8)                    # v2
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 40, 5), _merge,
+                    ("k",), 8)                            # v3
+    tx.txlog_restore(spark, tpath, 1)                     # v4
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["n_buckets"] == 2          # declaration restored
+    assert _content(spark, tpath) == v1
+    # writers against the restored head use the RESTORED layout
+    with pytest.raises(ValueError, match="journaled declaration"):
+        tx.txlog_upsert(spark, tpath, _mk(spark, 0, 5, 7), _merge,
+                        ("k",), 8)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 5, 7), _merge,
+                    ("k",), 2)
+    assert _content(spark, tpath) == sorted(
+        [(k, 7) for k in range(5)] + [(k, 1) for k in range(5, 40)])
