@@ -509,6 +509,72 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         f"on {path}")
 
 
+def txlog_read_bucketed(spark, path: str, table: str,
+                        version: int | None = None) -> DataFrame:
+    """Read a snapshot as a catalog-declared BUCKETED table, so joins
+    and aggregations keyed on the journaled bucket columns plan with
+    ZERO exchanges (Spark trusts the DDL's CLUSTERED BY and elides
+    the shuffle) — the read-side payoff of the bucketed layout that
+    a plain ``txlog_read`` (explicit-file parquet scan) cannot give,
+    because the DataFrame reader has no bucketing declaration.
+
+    Mechanics: the snapshot's live files are HARD-LINKED into a
+    hidden ``.snap-v{version}`` directory inside the table (an
+    unreferenced dot-dir: invisible to txlog readers; the links cost
+    no data bytes and pin nothing — vacuum reclaims a reaped file's
+    links with it, the same lifetime as time travel itself), and an
+    external bucketed table named ``table`` is (re-)declared over it
+    with the journaled ``(bucket_by, n_buckets, sort_by)``.  The
+    directory is content-addressed by version and reused; a stale or
+    partially-built dir is rebuilt.  LOCAL paths only (hard links) —
+    an object-store deployment copies instead, at which point the
+    exchange trade should be priced per query."""
+    if fs.has_scheme(path):
+        raise ValueError(
+            "txlog_read_bucketed needs a local table path (hard-link "
+            "snapshot dirs); read object-store tables with txlog_read")
+    snap = txlog_snapshot(path, version)
+    if snap.get("n_buckets") is None:
+        raise ValueError(f"log at {path} journals no bucketing")
+    live = sorted(snap["files"])
+    snapdir = os.path.join(path, f".snap-v{snap['version']:020d}")
+
+    def _complete(d: str) -> bool:
+        try:
+            return sorted(os.listdir(d)) == live
+        except OSError:
+            return False
+
+    if not _complete(snapdir):
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix=".snapbuild-", dir=path)
+        try:
+            for n in live:
+                os.link(os.path.join(path, n), os.path.join(tmp, n))
+            try:
+                os.rename(tmp, snapdir)
+            except OSError:
+                if not _complete(snapdir):  # stale half-build: replace
+                    shutil.rmtree(snapdir, ignore_errors=True)
+                    os.rename(tmp, snapdir)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    from pyspark.sql.types import StructType
+
+    from .layout import bucketed_table
+
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return bucketed_table(spark, table, snapdir, ddl,
+                          tuple(snap["bucket_by"]),
+                          int(snap["n_buckets"]),
+                          tuple(snap["sort_by"] or ()))
+
+
 def txlog_history(path: str) -> list[dict]:
     """The commit history, oldest first: version, op, touched buckets,
     add/remove counts — the audit surface (metadata-only)."""
@@ -586,9 +652,11 @@ def txlog_compact(spark, path: str, target_buckets=None,
 
     for _ in range(max_retries):
         snap = txlog_snapshot(path)
-        meta = _read_commit(path, 1)
-        bucket_by = tuple(meta["bucket_by"])
-        n_buckets, sort_by = meta["n_buckets"], tuple(meta["sort_by"])
+        # the LIVE journaled declaration, not commit 1's — a rebucket
+        # in between would otherwise make compaction rewrite buckets
+        # under the stale layout
+        bucket_by = tuple(snap["bucket_by"])
+        n_buckets, sort_by = snap["n_buckets"], tuple(snap["sort_by"])
         per_bucket: dict[int, list[str]] = {}
         for n, b in snap["files"].items():
             per_bucket.setdefault(b, []).append(n)

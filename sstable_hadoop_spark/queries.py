@@ -7686,6 +7686,42 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
 
 
+@query("txlog_bucketed_read_merge", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us, generation
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def txlog_bucketed_read_merge(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """r10 zero-exchange txlog reads (operators/txlog.py
+    txlog_read_bucketed): the multi-writer winners table is re-read
+    as a catalog-declared BUCKETED table (snapshot files hard-linked
+    into a version-addressed dot-dir, journaled CLUSTERED BY spec),
+    so the re-merge's groupBy(key, name) is satisfied by the key
+    bucketing and plans with ZERO exchanges (pytest-asserted, the
+    lww_bucketed_merge story extended to logged tables) — the
+    read-side payoff plain explicit-file-list snapshot reads cannot
+    give.  Layout must change the plan, never the result: the output
+    must still equal the flagship full merge."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_read_bucketed,
+    )
+
+    txlog_upsert_roundtrip(spark, sf_dir)  # ensure/refresh the fixture
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        "txlog_upsert_base_" + h, "t")
+    stored = txlog_read_bucketed(spark, path, "txlog_snap_merge")
+    return _render_winners(lww_cell(stored))
+
+
 @query("txlog_rebucket_roundtrip", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,

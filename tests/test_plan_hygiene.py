@@ -138,3 +138,15 @@ def test_remove_spans_rebuild_broadcasts_start_lists(spark):
     # and no join anywhere shuffles the token arrays at this SF
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_txlog_bucketed_read_merge_zero_exchanges(spark):
+    """txlog_read_bucketed's declared CLUSTERED BY satisfies the
+    (key, name) merge clustering, so the whole re-merge runs without
+    a single Exchange — lww_bucketed_merge's story extended to logged
+    tables."""
+    from sstable_hadoop_spark.queries import all_queries
+
+    df = all_queries()["txlog_bucketed_read_merge"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
