@@ -7686,6 +7686,69 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, snap, ["k"], as_of_us=2000000)
 
 
+@query("federated_sstable_orders_enrichment", oracle=f"""
+{_CELLS_CTE}
+, w AS (
+    SELECT key_str, state FROM cells
+    QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                               ORDER BY {_ORDER}) = 1),
+u AS (
+    SELECT CAST(key_str AS BIGINT) AS user_id,
+           CAST(count(*) FILTER (WHERE state = 'NORMAL') AS BIGINT)
+               AS n_live,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM w GROUP BY 1),
+o AS (
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM orders GROUP BY 1)
+SELECT u.user_id, u.n_live, u.n_cells,
+       coalesce(o.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       coalesce(o.revenue_c, CAST(0 AS BIGINT)) AS revenue_c
+FROM u LEFT JOIN o ON o.o_custkey = u.user_id
+""")
+def federated_sstable_orders_enrichment(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """r10 cross-format federation: winners merged from REAL binary
+    SSTable files (the custom source, flat ``kind=cells``) joined
+    against the parquet orders table in ONE declarative plan — the
+    "switch to this engine without abandoning your files" story.
+    Per user: live/total winner counts from the SSTable side,
+    order count and exact-cent revenue from the parquet side (keys
+    line up by construction: cell keys are user ids ⊂ custkeys).
+    Both sides PRE-AGGREGATE below the join (the rewrite Catalyst
+    lacks — the join moves one row per user/customer, never raw
+    cells or orders), and the orders rollup is the big side so the
+    user rollup broadcasts.  A wrong winner, a miscounted cell, or a
+    rounding drift in the revenue cents hash-mismatches."""
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    path = _materialize_sstables(spark, sf_dir)
+    cells = (spark.read.format("sstable").option("kind", "cells")
+             .option("max_split_bytes",
+                     str(_fixture_split_bytes(path))).load(path))
+    w = lww_cell(cells)
+    u = (w.groupBy(F.decode(F.col("key"), "UTF-8").cast("long")
+                   .alias("user_id"))
+          .agg(F.count(F.when(F.col("state") == "NORMAL", 1))
+                .cast("long").alias("n_live"),
+               F.count(F.lit(1)).cast("long").alias("n_cells")))
+    orders = load(spark, sf_dir, "orders")
+    o = (orders.groupBy(F.col("o_custkey"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                           .cast("long")).cast("long")
+                     .alias("revenue_c")))
+    zero = F.lit(0).cast("long")
+    return (u.join(o, u["user_id"] == o["o_custkey"], "left")
+             .select("user_id", "n_live", "n_cells",
+                     F.coalesce("n_orders", zero).alias("n_orders"),
+                     F.coalesce("revenue_c", zero).alias("revenue_c")))
+
+
 @query("txlog_bucketed_read_merge", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
