@@ -1105,6 +1105,48 @@ def write_ivfsq8_index(embeddings: DataFrame, path: str,
     return params
 
 
+def ivfsq8_append(new_embeddings: DataFrame, path: str,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> int:
+    """FAISS ``add()`` for the stored IVF+SQ8 index: encode NEW
+    vectors with the index's STORED training (mins/scales and the
+    centroid parameters from the sidecar — never retrained, so old
+    and new codes score on the same decoded scale and stay mutually
+    comparable) and append them to their cell directories.  The
+    daily-ingest path: cost is one scan of the BATCH plus its cell
+    ``repartition``; the existing index is never read or rewritten.
+
+    Values outside the trained per-dimension range clamp to the
+    [0, 255] code ends (exactly FAISS's QT_8bit behavior); a batch
+    that drifts far from the training distribution should trigger a
+    rebuild instead — compare ``train_sq8(batch)`` against the
+    sidecar to decide.  Ids are NOT deduplicated against the stored
+    corpus (ids are the caller's contract, as in every store here);
+    the vector dimension is validated against the sidecar.  Returns
+    the number of appended rows."""
+    import json
+
+    from ..sources import fs
+    from ._util import ensure_parallelism
+
+    meta = json.loads(fs.read_bytes(
+        path.rstrip("/") + "/_ivfsq8_meta.json"))
+    new_embeddings = ensure_parallelism(new_embeddings)
+    dim = _resolve_dim(None, new_embeddings, vec_col)
+    if dim != int(meta["dim"]):
+        raise ValueError(
+            f"appended vectors have dim={dim}, index was built with "
+            f"dim={meta['dim']}")
+    cents = _hyperplanes(int(meta["dim"]), int(meta["n_centroids"]),
+                         seed=meta["seed"])
+    coded = encode_ivfsq8(new_embeddings, meta["mins"], meta["scales"],
+                          cents, id_col, vec_col)
+    n = coded.count()
+    (coded.repartition("_cell")
+          .write.partitionBy("_cell").mode("append").parquet(path))
+    return n
+
+
 def _ivfsq8_score(coded: DataFrame, embeddings: DataFrame | None,
                   queries: DataFrame, mins: list[float],
                   scales: list[float], cents: list[list[float]],

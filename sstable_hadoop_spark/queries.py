@@ -3685,7 +3685,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("adc", 4).alias("adc")))
 
 
-def _topk_sq8_oracle() -> str:
+def _topk_sq8_oracle(train_where: str = "") -> str:
     """Fully-derived oracle for int8 scalar quantization: the per-
     dimension min/max train, the half-up-floor encode, the asymmetric
     decoded dot, and the per-query rank are ALL re-computed in SQL
@@ -3711,7 +3711,7 @@ def _topk_sq8_oracle() -> str:
         for d in range(1, dim + 1))
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-s AS (SELECT {stats} FROM emb),
+s AS (SELECT {stats} FROM emb{train_where}),
 p AS (SELECT {params} FROM s),
 codes AS (
     SELECT vec_id, [{enc}] AS codes
@@ -3916,7 +3916,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("adc", 4).alias("adc")))
 
 
-def _topk_ivfsq8_oracle() -> str:
+def _topk_ivfsq8_oracle(train_where: str = "") -> str:
     """Hybrid oracle for the COMBINED IVF+SQ8 index (r10): the
     coarse-cell CTEs are the IVF oracle's (inlined md5 centroids,
     argmax-dot cell, top-3 probe, ties → larger cell), the
@@ -3969,7 +3969,7 @@ q_cell AS (
     SELECT vec_id AS query_id, cell FROM cellranked
     WHERE cell_rk <= {n_probe} AND vec_id < 8
 ),
-s AS (SELECT {stats} FROM emb),
+s AS (SELECT {stats} FROM emb{train_where}),
 p AS (SELECT {params} FROM s),
 codes AS (
     SELECT vec_id, [{enc}] AS codes
@@ -4012,6 +4012,62 @@ def _materialize_ivfsq8_store(spark: SparkSession, sf_dir: str) -> str:
 
     tag = "ivfsq8_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return _idempotent_tmpdir(tag, build)
+
+
+def _materialize_ivfsq8_appended_store(spark: SparkSession,
+                                       sf_dir: str) -> str:
+    """The incremental-ingest fixture: index built from the EVEN
+    vec_ids (training included), odd vec_ids APPENDED with the stored
+    sidecar params — idempotent per sf_dir."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.similarity import (
+        ivfsq8_append,
+        train_sq8,
+        write_ivfsq8_index,
+    )
+
+    def build(out: str) -> None:
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform(
+                "embedding", lambda x: x.cast("double")).alias("embedding"))
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        write_ivfsq8_index(even, out, params=train_sq8(even))
+        ivfsq8_append(emb.filter(F.col("vec_id") % 2 == 1), out)
+
+    tag = ("ivfsq8_app_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    return _idempotent_tmpdir(tag, build)
+
+
+@query("similarity_topk_ivfsq8_appended",
+       oracle=_topk_ivfsq8_oracle(train_where=" WHERE vec_id % 2 = 0"))
+def similarity_topk_ivfsq8_appended(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """r10 incremental ANN index maintenance (operators/similarity.py
+    ivfsq8_append — FAISS's add()): the index is built and TRAINED
+    from the even vec_ids only, then the odd half is appended with
+    the sidecar's stored params (never retrained — retrained codes
+    would not be comparable to the stored ones), and the probe must
+    rank appended and original vectors on one decoded scale.  The
+    oracle is the full IVF+SQ8 derivation with a single change: the
+    min/max training CTE is restricted to the even ids — exactly the
+    fixture's training basis, so a hidden retrain during append
+    hash-mismatches.  Ingest cost is one scan of the batch + its
+    cell repartition; the stored index is never read."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivfsq8_stored,
+    )
+
+    path = _materialize_ivfsq8_appended_store(spark, sf_dir)
+    emb_d = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries_df = emb_d.filter(F.col("vec_id") < 8) \
+                      .withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_ivfsq8_stored(spark, path, queries_df, k=5)
+            .select("query_id", "vec_id", "rk",
+                    F.round("sq", 4).alias("sq")))
 
 
 @query("similarity_topk_ivfsq8", oracle=_topk_ivfsq8_oracle())

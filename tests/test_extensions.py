@@ -3629,3 +3629,50 @@ def test_mixture_epochs_regimes(spark):
     for sh, tk in shard_tokens.items():
         sb = 250 // 2 + (1 if sh < 250 % 2 else 0)
         assert tk <= sb, (sh, tk, sb)
+
+
+def test_ivfsq8_append_matches_full_build_with_same_params(
+        spark, tmp_path):
+    """FAISS add(): building from the EVEN half then appending the odd
+    half must probe identically to a one-shot index built over the
+    whole corpus with the SAME stored params — appended codes use the
+    sidecar training, never a retrain (retrained codes would not be
+    comparable to the stored ones)."""
+    from sstable_hadoop_spark.operators.similarity import (
+        cosine_topk_ivfsq8_stored,
+        ivfsq8_append,
+        train_sq8,
+        write_ivfsq8_index,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    params = train_sq8(even)  # training comes from the INITIAL corpus
+
+    inc = str(tmp_path / "inc")
+    write_ivfsq8_index(even, inc, params=params)
+    n = ivfsq8_append(odd, inc)
+    assert n == odd.count()
+
+    full = str(tmp_path / "full")
+    write_ivfsq8_index(emb, full, params=params)
+
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    a = [tuple(r) for r in cosine_topk_ivfsq8_stored(spark, inc, q, k=5)
+         .orderBy("query_id", "rk").collect()]
+    b = [tuple(r) for r in cosine_topk_ivfsq8_stored(spark, full, q,
+                                                     k=5)
+         .orderBy("query_id", "rk").collect()]
+    assert a == b  # bit-identical incl. decoded-dot scores
+
+    # dimension mismatch is refused before any write
+    import pytest as _pytest
+    bad = odd.select("vec_id",
+                     F.slice("embedding", 1, 3).alias("embedding"))
+    with _pytest.raises(ValueError, match="dim"):
+        ivfsq8_append(bad, inc)
