@@ -1,0 +1,91 @@
+"""Exact-arithmetic column statistics: the pairwise Pearson
+correlation matrix in ONE aggregation pass.
+
+`df.stat.corr` computes one pair per job with float accumulation
+whose result depends on partitioning; this operator computes EVERY
+pair in a single scan + single partial→final aggregation, and is
+bit-deterministic: values quantize ONCE to integer units (half-up
+floor, the house pattern from operators/timeseries.py), all sums and
+counts are exact integers (DECIMAL(38,0) — order-independent under
+any partitioning), and the final Pearson ratio is a short IEEE chain
+over those exact integers (cast, multiply, sqrt, divide — identical
+bit patterns in any engine that computes the same exact sums, which
+is what lets DuckDB replay it).  Correlations are reported in signed
+basis points.
+
+Pairs use PAIRWISE-COMPLETE observations (a row enters pair (a, b)'s
+sums iff both columns are non-null — the statistics convention), so
+every pair carries its own n.  A constant column (zero variance on
+the pair's complete rows) yields NULL, not a division error.
+
+Scale shape: one scan; the single aggregation moves C(p,2)×6 + p
+integer cells per partition — metadata-sized for any row count.  The
+per-rule one-pass fusion story of operators/checks.py, applied to
+statistics.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corr_matrix"]
+
+
+def corr_matrix(df: DataFrame, cols: list[str],
+                quant: int = 100) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols``
+    (numeric), as ``(col_a, col_b, n, corr_bp)`` with ``corr_bp`` the
+    coefficient in signed basis points (NULL when a side is constant).
+    ``quant``: units per 1.0 for the one-time integer quantization
+    (100 = centi-units)."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+
+    def q(c):
+        return F.floor(F.col(c).cast("double") * quant + 0.5) \
+                .cast("decimal(38,0)")
+
+    qd = df.select(*[q(c).alias(c) for c in cols])
+    aggs = []
+    pairs = list(combinations(cols, 2))
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+
+        def s(expr, tag, i=i, both=both):
+            return F.sum(F.when(both, expr)).cast("decimal(38,0)") \
+                    .alias(f"_{tag}_{i}")
+
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("decimal(38,0)")
+             .alias(f"_n_{i}"),
+            s(F.col(a), "sa"), s(F.col(b), "sb"),
+            s(F.col(a) * F.col(a), "saa"),
+            s(F.col(b) * F.col(b), "sbb"),
+            s(F.col(a) * F.col(b), "sab"),
+        ]
+    one = qd.agg(*aggs)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"_n_{i}")
+        sa, sb = F.col(f"_sa_{i}"), F.col(f"_sb_{i}")
+        saa, sbb = F.col(f"_saa_{i}"), F.col(f"_sbb_{i}")
+        sab = F.col(f"_sab_{i}")
+        # exact-integer moments, then ONE short IEEE chain: any engine
+        # with the same integer sums reproduces the same double bits
+        num = (n * sab - sa * sb).cast("double")
+        da = (n * saa - sa * sa).cast("double")
+        db = (n * sbb - sb * sb).cast("double")
+        r = num / (F.sqrt(da) * F.sqrt(db))
+        corr_bp = F.when((da > 0) & (db > 0),
+                         F.floor(r * 10000 + 0.5).cast("long"))
+        rows.append(F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            n.cast("long").alias("n"), corr_bp.alias("corr_bp")))
+    return (one.select(F.explode(F.array(*rows)).alias("p"))
+               .select("p.col_a", "p.col_b", "p.n", "p.corr_bp"))

@@ -8211,6 +8211,57 @@ def streaming_attribution_join(spark: SparkSession,
          .alias("sum_delta_us")))
 
 
+def _corr_matrix_oracle(cols: list[str], quant: int = 100) -> str:
+    """One UNION ALL branch per pair: the same quantize-once integer
+    moments (DuckDB sums are HUGEINT — exact like Spark's
+    DECIMAL(38,0)) and the same short IEEE chain."""
+    from itertools import combinations
+
+    branches = []
+    for a, b in combinations(cols, 2):
+        branches.append(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN da > 0 AND db > 0
+            THEN CAST(floor(num / (sqrt(da) * sqrt(db)) * 10000
+                            + 0.5) AS BIGINT) END AS corr_bp
+FROM (
+    SELECT n, CAST(n * sab - sa * sb AS DOUBLE) AS num,
+           CAST(n * saa - sa * sa AS DOUBLE) AS da,
+           CAST(n * sbb - sb * sb AS DOUBLE) AS db
+    FROM (
+        SELECT count(*) FILTER (WHERE qa IS NOT NULL
+                                  AND qb IS NOT NULL) AS n,
+               sum(qa) FILTER (WHERE qb IS NOT NULL) AS sa,
+               sum(qb) FILTER (WHERE qa IS NOT NULL) AS sb,
+               sum(qa * qa) FILTER (WHERE qb IS NOT NULL) AS saa,
+               sum(qb * qb) FILTER (WHERE qa IS NOT NULL) AS sbb,
+               sum(qa * qb) AS sab
+        FROM (SELECT CAST(floor({a} * {quant} + 0.5) AS BIGINT) AS qa,
+                     CAST(floor({b} * {quant} + 0.5) AS BIGINT) AS qb
+              FROM lineitem)))""")
+    return "\nUNION ALL\n".join(branches)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("lineitem_corr_matrix", oracle=_corr_matrix_oracle(_CORR_COLS))
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 one-pass exact correlation matrix (operators/stats.py
+    corr_matrix): every Pearson pair over lineitem's numeric columns
+    from ONE scan + ONE aggregation (df.stat.corr runs one float job
+    per pair, partitioning-dependent).  Values quantize once to
+    centi-units, all moments are exact integers (DECIMAL(38,0) /
+    HUGEINT), and the final ratio is a short IEEE chain over them —
+    so the signed-bp coefficients are bit-identical in both engines
+    under any partitioning.  Pairwise-complete semantics carry a per-
+    pair n; a constant side reports NULL."""
+    from sstable_hadoop_spark.operators.stats import corr_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS)
+
+
 # PageRank oracle: the iteration unrolled as one CTE per step (r0..r5)
 # — every arithmetic op is BIGINT-truncating in both engines, so the
 # ranks are bit-identical; the final projection casts DuckDB's HUGEINT

@@ -160,3 +160,48 @@ def test_temporal_join_guards_and_plan(spark):
                               "ts")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_temporal_join_works_stream_static(spark, tmp_path):
+    """scd2_temporal_join on a STREAMING fact side against the static
+    dimension (Structured Streaming's stream-static left join): the
+    drained sink must equal the batch join — the live-enrichment
+    deployment shape (facts stream in, each picks its own-time
+    dimension version)."""
+    import os
+
+    from sstable_hadoop_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+        scd2_temporal_join,
+    )
+
+    dim = scd2_init(_snap(spark, [(1, "red", 10), (2, "blue", 20)]),
+                    as_of_us=1000)
+    dim = scd2_apply(dim, _snap(spark, [(1, "pink", 10)]), ["k"],
+                     as_of_us=2000)
+    facts = spark.createDataFrame(
+        [(1, 1500, 7), (1, 2500, 8), (2, 1500, 9), (9, 1500, 10)],
+        "k long, ts long, amount long")
+    batch = sorted(tuple(r) for r in
+                   scd2_temporal_join(facts, dim, ["k"], "ts")
+                   .collect())
+    src = str(tmp_path / "facts")
+    facts.filter(F.col("k") == 1).coalesce(1) \
+         .write.parquet(os.path.join(src, "p0"))
+    facts.filter(F.col("k") != 1).coalesce(1) \
+         .write.parquet(os.path.join(src, "p1"))
+    stream = (spark.readStream.schema(facts.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "p*")))
+    j = scd2_temporal_join(stream, dim, ["k"], "ts")
+    sink = str(tmp_path / "sink")
+    q = (j.writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got == batch
