@@ -96,28 +96,33 @@ def scd2_apply(dim: DataFrame, snapshot: DataFrame,
     changed = t_here & s_here & ~same
     ts = F.lit(as_of_us).cast("long")
 
-    # surviving open rows: unchanged matches, plus (if not closing
-    # missing keys) the snapshot-absent opens
-    keep_open = (t_here & s_here & same) | \
-        ((t_here & ~s_here) if not close_missing else F.lit(False))
-    kept = j.filter(keep_open).select(
-        *[F.col(f"t.{c}").alias(c) for c in biz],
-        F.col("t.valid_from_us").alias("valid_from_us"),
-        F.lit(None).cast("long").alias("valid_to_us"))
-    # rows closed at this batch: changed, or missing when closing
+    # ONE pass over the join: each joined row emits up to two output
+    # rows (a close and/or an open) via an explode of optional
+    # structs — three filtered union branches would re-execute the
+    # full-outer join three times
+    null_vt = F.lit(None).cast("long")
+
+    def t_row(vt):
+        return F.struct(*[F.col(f"t.{c}").alias(c) for c in biz],
+                        F.col("t.valid_from_us")
+                         .alias("valid_from_us"),
+                        vt.alias("valid_to_us"))
+
+    s_row = F.struct(*[F.col(f"s.{c}").alias(c) for c in biz],
+                     ts.alias("valid_from_us"),
+                     null_vt.alias("valid_to_us"))
     to_close = changed | ((t_here & ~s_here) if close_missing
                           else F.lit(False))
-    newly_closed = j.filter(to_close).select(
-        *[F.col(f"t.{c}").alias(c) for c in biz],
-        F.col("t.valid_from_us").alias("valid_from_us"),
-        ts.alias("valid_to_us"))
-    # rows opened at this batch: changed (new version) or new keys
-    opened = j.filter(changed | (s_here & ~t_here)).select(
-        *[F.col(f"s.{c}").alias(c) for c in biz],
-        ts.alias("valid_from_us"),
-        F.lit(None).cast("long").alias("valid_to_us"))
-    return closed.unionByName(newly_closed).unionByName(kept) \
-                 .unionByName(opened)
+    keep_open = (t_here & s_here & same) | \
+        ((t_here & ~s_here) if not close_missing else F.lit(False))
+    close_el = F.when(to_close, t_row(ts))
+    open_el = (F.when(keep_open, t_row(null_vt))
+                .when(changed | (s_here & ~t_here), s_row))
+    emitted = j.select(
+        F.explode(F.filter(F.array(close_el, open_el),
+                           lambda x: x.isNotNull())).alias("r")
+    ).select("r.*")
+    return closed.unionByName(emitted)
 
 
 def scd2_temporal_join(facts: DataFrame, dim: DataFrame,
