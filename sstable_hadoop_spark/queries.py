@@ -7776,9 +7776,10 @@ def federated_sstable_orders_enrichment(spark: SparkSession,
     line up by construction: cell keys are user ids ⊂ custkeys).
     Both sides PRE-AGGREGATE below the join (the rewrite Catalyst
     lacks — the join moves one row per user/customer, never raw
-    cells or orders), and the orders rollup is the big side so the
-    user rollup broadcasts.  A wrong winner, a miscounted cell, or a
-    rounding drift in the revenue cents hash-mismatches."""
+    cells or orders), and the per-customer rollup (the left join's
+    broadcastable right side) is key-cardinality-sized at any fact
+    volume.  A wrong winner, a miscounted cell, or a rounding drift
+    in the revenue cents hash-mismatches."""
     from sstable_hadoop_spark.sources.datasource import register
 
     register(spark)
