@@ -327,7 +327,14 @@ def compact_leveled_task(spark: SparkSession, in_dir: str,
     because nothing in the target level overlapped it.  Trivial
     moves also make over-budget cascades terminate cheaply: level
     budgets grow ``fanout``× per level, so a descending file meets a
-    big-enough level after O(log) relabels, not O(log) rewrites."""
+    big-enough level after O(log) relabels, not O(log) rewrites.
+
+    Concurrency caveat (same contract as Cassandra's own compactor):
+    consumed families are REMOVED in place, so a scan running while a
+    task lands can lose files mid-plan.  Run leveled compaction in a
+    maintenance window, or put the tree behind the transaction log
+    (operators/txlog.py txlog_compact) when readers need snapshot
+    isolation — this module is the policy for raw SSTable dirs."""
     from sstable_hadoop_spark.sources.datasource import _list_files
 
     if task["level"] > 0 and not task["overlapping"]:
