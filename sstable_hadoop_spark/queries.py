@@ -8009,6 +8009,63 @@ def streaming_scd2_history(spark: SparkSession,
     return read_scd2_store(spark, os.path.join(out, "store"))
 
 
+@query("streaming_lsm_flush_leveled", oracle=f"""
+{_CELLS_CTE}
+SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,
+       ts_us
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY key_str, name_str
+                           ORDER BY {_ORDER}) = 1
+""")
+def streaming_lsm_flush_leveled(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """r10 full LSM write path (streaming/compaction.py
+    flush_stream_to_leveled): generations arrive one per micro-batch
+    (staged mtimes), each memtable-merges and flushes a new L0
+    SSTable generation, and inline leveled compaction (operators/
+    compaction.py LCS, threshold 3) reorganizes the tree MID-STREAM —
+    so the drained directory is simultaneously the ingest target and
+    a read-optimized leveled tree.  Re-scanning it and re-running the
+    per-cell merge must equal the flagship winners (generation labels
+    change under compaction, so they stay out of the checked
+    projection) — a flush that lost a batch, a compaction that
+    dropped or duplicated a winner, or a mis-leveled overlap
+    hash-mismatches.  Crash/replay correctness rides the LWW
+    algebra (module docstring)."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.sources.datasource import register
+    from sstable_hadoop_spark.streaming.compaction import (
+        flush_stream_to_leveled,
+    )
+
+    register(spark)
+    src = _stage_cell_stream(spark, sf_dir)
+    cells = derived_cells(spark, sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        tree = os.path.join(out, "tree")
+        os.makedirs(tree)
+        stream = (spark.readStream.schema(cells.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = flush_stream_to_leveled(stream, tree,
+                                    os.path.join(out, "ckpt"),
+                                    l0_threshold=3)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    tag = ("lsm_flush_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _idempotent_tmpdir(tag, build)
+    df = spark.read.format("sstable").load(os.path.join(out, "tree"))
+    return _render_winners(lww_cell(explode_cells(df))) \
+        .drop("generation")
+
+
 @query("sstable_leveled_compaction", oracle=f"""
 {_CELLS_CTE}
 SELECT key_str, name_str, state, coalesce(data_str, '') AS data_str,

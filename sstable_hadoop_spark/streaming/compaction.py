@@ -50,6 +50,55 @@ def flush_stream_to_sstables(cell_stream: DataFrame, out_dir: str,
             .start())
 
 
+def flush_stream_to_leveled(cell_stream: DataFrame, out_dir: str,
+                            checkpoint_dir: str, name: str = "flush",
+                            compressed: bool = False, *,
+                            l0_threshold: int = 4,
+                            sstable_mb: float = 160.0,
+                            fanout: int = 10):
+    """The FULL LSM write path as one streaming job: each micro-batch
+    memtable-merges and flushes a new L0 generation (exactly
+    :func:`flush_stream_to_sstables`), then leveled compaction
+    (operators/compaction.py — Cassandra LCS) runs inline whenever L0
+    reaches ``l0_threshold``, folding flushed generations into
+    non-overlapping level runs.  The directory is therefore both the
+    ingest target AND a read-optimized tree at every batch boundary —
+    memtable → L0 → leveled levels, the storage-engine loop closed on
+    Spark.
+
+    Correctness under crash/replay rides the LWW algebra: a crash
+    between a compaction's merged write and its source removals
+    leaves DUPLICATE content, and re-merging duplicates under the
+    associative idempotent argmax yields the same winners (the same
+    argument that makes subset compaction safe at all); a replayed
+    batch re-flushes content-identical cells.  The level sidecar is
+    advisory — scans never consult it (compaction module contract).
+    Single-writer: the stream is the tree's only compactor."""
+    from sstable_hadoop_spark.operators import collect_rows, lww_cell
+    from sstable_hadoop_spark.operators.compaction import compact_leveled
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        winners = lww_cell(batch_df)
+        rows = collect_rows(
+            winners.withColumn("generation",
+                               F.lit(batch_id + 1).cast("int")),
+            by_generation=True)
+        (rows.write.format("sstable")
+             .option("path", out_dir)
+             .option("name", f"{name}-{batch_id + 1}")
+             .option("compressed", str(compressed).lower())
+             .mode("append").save())
+        compact_leveled(batch_df.sparkSession, out_dir,
+                        sstable_mb=sstable_mb, fanout=fanout,
+                        l0_threshold=l0_threshold)
+
+    return (cell_stream.writeStream
+            .foreachBatch(flush)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
                               checkpoint_dir: str, *,
                               n_buckets: int = 16):

@@ -180,3 +180,52 @@ def test_quiesce_bound_raises(spark, tmp_path):
     with pytest.raises(RuntimeError, match="did not quiesce"):
         compact_leveled(spark, str(tmp_path), sstable_mb=0.001,
                         l0_threshold=4, max_rounds=0)
+
+
+def test_streaming_lsm_flush_leveled(spark, tmp_path):
+    """The full LSM write path (streaming/compaction.py
+    flush_stream_to_leveled): 4 micro-batches flush L0 generations
+    and inline LCS reorganizes the tree mid-stream; the drained
+    directory's merge must equal the batch LWW of everything
+    ingested, and at least one compaction must actually have run."""
+    import os
+
+    from sstable_hadoop_spark.operators.compaction import read_levels
+    from sstable_hadoop_spark.operators.lww import explode_cells, lww_cell
+    from sstable_hadoop_spark.queries import derived_cells
+    from sstable_hadoop_spark.sources.datasource import register
+    from sstable_hadoop_spark.streaming.compaction import (
+        flush_stream_to_leveled,
+    )
+
+    register(spark)
+    cells = derived_cells(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "src")
+    for g in (1, 2, 3, 4):
+        p = os.path.join(src, f"g{g}")
+        cells.filter(F.col("generation") == g).coalesce(1) \
+             .write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (g * 1000, g * 1000))
+    out = str(tmp_path / "tree")
+    os.makedirs(out)
+    stream = (spark.readStream.schema(cells.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "g*")))
+    q = flush_stream_to_leveled(stream, out, str(tmp_path / "ckpt"),
+                                l0_threshold=3)
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    levels = read_levels(out)
+    assert levels and max(levels.values()) >= 1  # LCS really ran
+    got = sorted(
+        tuple(r) for r in
+        lww_cell(explode_cells(
+            spark.read.format("sstable").load(out)))
+        .select("key", "name", "state", "data", "timestamp").collect())
+    want = sorted(tuple(r) for r in lww_cell(cells)
+                  .select("key", "name", "state", "data",
+                          "timestamp").collect())
+    assert got == want
