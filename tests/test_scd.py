@@ -205,3 +205,74 @@ def test_temporal_join_works_stream_static(spark, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     assert got == batch
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a snapshot: {key: color} over a small key/value alphabet, so
+# change/unchanged/delete/reappear sequences are all common
+_snapshot = st.dictionaries(st.integers(0, 5),
+                            st.sampled_from(["a", "b", "c", None]),
+                            min_size=0, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(snaps=st.lists(_snapshot, min_size=1, max_size=4),
+       close_missing=st.booleans())
+def test_scd2_model_based(spark, snaps, close_missing):
+    """Model-based property: folding a random snapshot sequence must
+    track a plain dict model exactly — open rows, closed intervals,
+    NULL-valued attributes, deletion tracking on/off — and as-of
+    reads reproduce every intermediate state."""
+    from sstable_hadoop_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    def df_of(snap):
+        return spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or [],
+            "k long, color string")
+
+    dim = None
+    open_m: dict = {}
+    closed_m: list = []
+    states = {}
+    for i, snap in enumerate(snaps):
+        ts = (i + 1) * 1000
+        if dim is None:
+            dim = scd2_init(df_of(snap), as_of_us=ts)
+            open_m = {k: (v, ts) for k, v in snap.items()}
+        else:
+            dim = scd2_apply(dim, df_of(snap), ["k"], as_of_us=ts,
+                             close_missing=close_missing)
+            for k, (v, vf) in list(open_m.items()):
+                if k in snap:
+                    if snap[k] != v:          # change: close + open
+                        closed_m.append((k, v, vf, ts))
+                        open_m[k] = (snap[k], ts)
+                elif close_missing:           # deletion tracking
+                    closed_m.append((k, v, vf, ts))
+                    del open_m[k]
+            for k, v in snap.items():         # brand-new keys
+                if k not in open_m:
+                    open_m[k] = (v, ts)
+        states[ts] = dict(open_m)
+        got = sorted((tuple(r) for r in dim.collect()),
+                     key=lambda t: tuple((x is None, x) for x in t))
+        want = sorted(
+            ([(k, v, vf, None) for k, (v, vf) in open_m.items()]
+             + closed_m),
+            key=lambda t: tuple((x is None, x) for x in t))
+        assert got == want, (snaps, close_missing, ts)
+    # as-of reads reproduce every recorded state
+    for ts, om in states.items():
+        got = sorted((tuple(r) for r in
+                      scd2_as_of(dim, ts).collect()),
+                     key=lambda t: tuple((x is None, x) for x in t))
+        want = sorted(((k, v) for k, (v, _) in om.items()),
+                      key=lambda t: tuple((x is None, x) for x in t))
+        assert got == want, (snaps, close_missing, ts)
