@@ -575,6 +575,35 @@ def txlog_read_bucketed(spark, path: str, table: str,
                           tuple(snap["sort_by"] or ()))
 
 
+def txlog_version_at(path: str, ts_sec: float) -> int:
+    """The newest version whose commit LANDED at or before wall-clock
+    ``ts_sec`` (epoch seconds) — Delta's ``TIMESTAMP AS OF``, driven
+    by the commit files' own mtimes so no log-format change is
+    needed (an object store stamps the PUT, a local fs the create;
+    the exclusive-create protocol publishes name+content together,
+    so the stamp IS the commit instant).  Raises when ``ts_sec``
+    predates the table.  Wall-clock mapping is inherently
+    environment-dependent — replayable pipelines should pin VERSIONS
+    (txlog_read(version=...)); this is the interactive/debugging
+    convenience."""
+    commits, _ = _list_log(path)
+    if not commits:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    best = None
+    for v in commits:
+        try:
+            m = fs.mtime_ns(_commit_path(path, v)) / 1e9
+        except OSError:
+            continue
+        if m <= ts_sec:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no commit at or before ts={ts_sec} (table created "
+            "later)")
+    return best
+
+
 def txlog_history(path: str) -> list[dict]:
     """The commit history, oldest first: version, op, touched buckets,
     add/remove counts — the audit surface (metadata-only)."""

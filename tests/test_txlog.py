@@ -1045,3 +1045,25 @@ def test_read_bucketed_guards(spark, tpath):
 
     with pytest.raises(ValueError, match="local"):
         tx.txlog_read_bucketed(spark, "s3://bucket/t", "nope")
+
+
+def test_version_at_timestamp(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 10, 1), ("k",), 2)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 10, 2), _merge,
+                    ("k",), 2)
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 10, 3), _merge,
+                    ("k",), 2)
+    # pin commit mtimes to a controlled timeline
+    for v, t in ((1, 1000), (2, 2000), (3, 3000)):
+        os.utime(tx._commit_path(tpath, v), (t, t))
+    with pytest.raises(ValueError, match="created later"):
+        tx.txlog_version_at(tpath, 999.0)
+    assert tx.txlog_version_at(tpath, 1000.0) == 1
+    assert tx.txlog_version_at(tpath, 2500.0) == 2
+    assert tx.txlog_version_at(tpath, 9e9) == 3
+    # the mapped version time-travels to the expected content
+    v = tx.txlog_version_at(tpath, 2500.0)
+    assert _content(spark, tpath, version=v) == [(k, 2)
+                                                 for k in range(10)]
