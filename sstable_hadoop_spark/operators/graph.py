@@ -48,6 +48,7 @@ __all__ = ["pagerank"]
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
              src: str = "src", dst: str = "dst",
+             weight: str | None = None,
              damping_pm: int = 850,
              checkpoint: bool = True) -> DataFrame:
     """Fixed-iteration integer PageRank over ``edges``.
@@ -58,6 +59,13 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     with ``rank`` in micro-units (BIGINT), bit-deterministic for a
     given ``(edges, n_iter, damping_pm)`` on any cluster layout.
 
+    ``weight`` (optional): a positive INTEGER edge-weight column —
+    each edge then carries ``rank · w div Σw(src)`` instead of the
+    uniform ``rank div outdeg`` (the weighted random surfer); with
+    all weights 1 the two are identical by construction.  Keep
+    weights small integers: the per-edge product must stay inside
+    BIGINT next to micro-unit ranks.
+
     ``damping_pm`` is the damping factor in per-mille (850 = 0.85).
     ``checkpoint=False`` keeps full lineage (only for plan tests).
     """
@@ -66,13 +74,16 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     if not 0 < damping_pm < 1000:
         raise ValueError(
             f"damping_pm must be in (0, 1000), got {damping_pm}")
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    w = (F.col(weight).cast("long") if weight is not None
+         else F.lit(1).cast("long"))
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                     w.alias("_w"))
     nodes = (e.select(F.col("_src").alias("id"))
               .union(e.select(F.col("_dst").alias("id")))
               .distinct())
     outdeg = e.groupBy("_src").agg(
-        F.count(F.lit(1)).cast("long").alias("_d"))
-    # (src, dst, outdeg) — the per-iteration join input, built once
+        F.sum("_w").cast("long").alias("_d"))
+    # (src, dst, weight, total-weight) — per-iteration input, built once
     fan = e.join(outdeg, "_src")
     if checkpoint:
         fan = fan.localCheckpoint(eager=False)
@@ -82,7 +93,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     for _ in range(n_iter):
         contrib = (fan.join(ranks, fan["_src"] == ranks["id"])
                       .select(F.col("_dst").alias("id"),
-                              F.expr("rank div _d").alias("_c"))
+                              F.expr("(rank * _w) div _d").alias("_c"))
                       .groupBy("id")
                       .agg(F.sum("_c").cast("long").alias("_contrib")))
         ranks = (nodes.join(contrib, "id", "left")

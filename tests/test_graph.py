@@ -91,3 +91,38 @@ def test_custom_column_names(spark):
     got = {r["id"]: r["rank"]
            for r in pagerank(df, n_iter=2, src="u", dst="v").collect()}
     assert got == _ref(EDGES, 2)
+
+
+def _ref_weighted(edges, n_iter, damping_pm=850):
+    """edges: (src, dst, w)."""
+    nodes = ({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    sw: dict = {}
+    for u, _, w in edges:
+        sw[u] = sw.get(u, 0) + w
+    rank = {n: 1_000_000 for n in nodes}
+    base = (1000 - damping_pm) * 1000
+    for _ in range(n_iter):
+        contrib: dict = {}
+        for u, v, w in edges:
+            contrib[v] = contrib.get(v, 0) + rank[u] * w // sw[u]
+        rank = {n: base + (damping_pm * contrib.get(n, 0)) // 1000
+                for n in nodes}
+    return rank
+
+
+def test_weighted_matches_reference_and_unit_weights_degenerate(spark):
+    from sstable_hadoop_spark.operators.graph import pagerank
+
+    wedges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (3, 2, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {r["id"]: r["rank"]
+           for r in pagerank(df, n_iter=4, weight="w").collect()}
+    assert got == _ref_weighted(wedges, 4)
+    # all-1 weights degenerate to the unweighted operator exactly
+    ones = [(u, v, 1) for u, v, _ in wedges]
+    df1 = spark.createDataFrame(ones, "src long, dst long, w long")
+    a = {r["id"]: r["rank"]
+         for r in pagerank(df1, n_iter=4, weight="w").collect()}
+    b = {r["id"]: r["rank"]
+         for r in pagerank(df1.drop("w"), n_iter=4).collect()}
+    assert a == b == _ref([(u, v) for u, v, _ in ones], 4)
