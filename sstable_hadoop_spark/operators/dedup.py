@@ -350,6 +350,40 @@ def dedup_components(df: DataFrame, text_col: str = "text",
         "is_canonical", (F.col("doc_id") == F.col("cluster_id")))
 
 
+def dedup_canonical(df: DataFrame, quality_col: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 4, min_jaccard: float = 0.5,
+                    max_iter: int = 20) -> DataFrame:
+    """The production dedup DECISION: keep exactly one representative
+    per near-duplicate cluster — the row with the highest
+    ``quality_col`` (ties: lowest id), not an arbitrary one.  A dedup
+    pass that keeps the boilerplate-ridden copy and drops the clean
+    one loses real training value; selecting by a quality signal
+    (length, LM score, repetition signals — anything
+    :mod:`operators.text` produces) is what curation pipelines
+    actually do.  Singletons survive untouched.
+
+    Returns the SURVIVING rows of ``df`` (full schema).  Cost on top
+    of :func:`dedup_components`: one metadata-sized (id, quality)
+    join onto the cluster table + one cluster-keyed window + a semi
+    join back — document text never enters the selection shuffle."""
+    if quality_col not in df.columns:
+        raise ValueError(f"quality column {quality_col!r} not in frame")
+    from pyspark.sql.window import Window
+
+    comp = dedup_components(df, text_col, id_col, n=n,
+                            min_jaccard=min_jaccard, max_iter=max_iter)
+    scored = (df.select(F.col(id_col).alias("doc_id"),
+                        F.col(quality_col).alias("_q"))
+                .join(comp.select("doc_id", "cluster_id"), "doc_id"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc())
+    keep = (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select(F.col("doc_id").alias(id_col)))
+    return df.join(keep, id_col, "left_semi")
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash fingerprint (≤60 bits to stay in a signed bigint): token

@@ -3328,7 +3328,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
 
-def _clusters_oracle() -> str:
+def _clusters_oracle(final: str | None = None) -> str:
     """DuckDB replica of the full clustering pipeline: the MinHash-LSH
     pair graph (same capped shingles, md5 permutations, band buckets,
     exact-Jaccard verify as ``_minhash_oracle`` — with the operator's
@@ -3384,11 +3384,46 @@ reach AS (
     SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
 ),
 labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+""" + (final or """
 SELECT d.doc_id,
        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+""")
+
+
+_CANONICAL_FINAL = """
+, clustered AS (
+    SELECT d.doc_id, d.n_chars,
+           coalesce(l.cluster_id, d.doc_id) AS cl
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           row_number() OVER (PARTITION BY cl
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM clustered) WHERE rn = 1
 """
+
+
+@query("corpus_dedup_canonical",
+       oracle=_clusters_oracle(final=_CANONICAL_FINAL))
+def corpus_dedup_canonical(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """r10 quality-aware dedup decision (operators/dedup.py
+    dedup_canonical): near-duplicate clusters keep their HIGHEST-
+    QUALITY member (here n_chars — the longest copy, a standard
+    curation heuristic; ties break to the lowest id), not an
+    arbitrary one — dropping the clean copy and keeping the
+    boilerplate one is the silent value-loss a naive keep-first dedup
+    commits.  The oracle closes the same MinHash pair graph with a
+    recursive CTE and applies the identical (quality DESC, id)
+    window cut; singletons pass through.  Selection cost beyond the
+    cluster pass: one metadata-sized (id, quality) window — text
+    never enters the shuffle."""
+    from sstable_hadoop_spark.operators.dedup import dedup_canonical
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_canonical(docs, "n_chars").select("doc_id", "n_chars")
 
 
 @query("dedup_clusters", oracle=_clusters_oracle())

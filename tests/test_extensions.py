@@ -3676,3 +3676,33 @@ def test_ivfsq8_append_matches_full_build_with_same_params(
                      F.slice("embedding", 1, 3).alias("embedding"))
     with _pytest.raises(ValueError, match="dim"):
         ivfsq8_append(bad, inc)
+
+
+def test_dedup_canonical_keeps_best_quality_member(spark):
+    """dedup_canonical: within each near-dup cluster exactly the
+    max-quality member survives (tie -> lowest id); singletons pass
+    through; the quality column must exist."""
+    from sstable_hadoop_spark.operators.dedup import (
+        dedup_canonical,
+        dedup_components,
+    )
+    from sstable_hadoop_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    kept = dedup_canonical(docs, "n_chars")
+    comp = dedup_components(docs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    rows = (docs.select("doc_id", "n_chars")
+                .join(comp.select("doc_id", "cluster_id"), "doc_id")
+                .collect())
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(
+            (r["n_chars"], r["doc_id"]))
+    want = {min(members, key=lambda t: (-t[0], t[1]))[1]
+            for members in by_cluster.values()}
+    assert kept_ids == want
+    assert kept.count() == len(by_cluster)  # one per cluster
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quality column"):
+        dedup_canonical(docs, "nope")
