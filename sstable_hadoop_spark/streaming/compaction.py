@@ -166,6 +166,84 @@ def upsert_stream_to_bucketed(cell_stream: DataFrame, table_dir: str,
             .start())
 
 
+def merge_stream_to_txlog(change_stream: DataFrame, table_dir: str,
+                          checkpoint_dir: str, *, on: list[str],
+                          bucket_by: tuple[str, ...],
+                          n_buckets: int = 16,
+                          sort_by: tuple[str, ...] = (),
+                          ts_col: str | None = None,
+                          delete_col: str | None = None):
+    """Streaming MERGE INTO — the CDC-apply sink: each micro-batch of
+    entity changes folds into the transaction-log table through
+    :func:`~..operators.txlog.txlog_merge` (update matched / insert
+    new), with ``delete_col`` rows (a boolean CDC delete marker)
+    applied as key-only delete merges.  The batch first reduces to
+    ONE change per key — latest by ``ts_col`` when given (required
+    whenever a feed can carry several changes for a key in one
+    batch; ties break on the delete marker then the remaining
+    columns, deterministically), else txlog_merge's ambiguity guard
+    refuses duplicate keys loudly.
+
+    The table bootstraps from the first batch's upserts when no log
+    exists yet.  Exactly-once is CONTENT-level, like every txlog
+    writer: a replayed batch re-updates rows to the same values and
+    re-deletes absent keys (idempotent merges), appending a
+    content-identical version — the log doubles as the replay audit
+    trail.  Concurrent batch writers/compactors interleave under the
+    normal optimistic-commit rules."""
+    from pyspark.sql.window import Window
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_exists,
+        txlog_merge,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df
+        data_cols = [c for c in rows.columns
+                     if c not in (ts_col, delete_col)]
+        if ts_col is not None:
+            order = [F.col(ts_col).desc()]
+            if delete_col is not None:
+                order.append(F.col(delete_col).desc())
+            order += [F.col(c).asc_nulls_last() for c in data_cols
+                      if c not in on]
+            rows = (rows.withColumn(
+                        "_rn", F.row_number().over(
+                            Window.partitionBy(*on).orderBy(*order)))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn", ts_col))
+        dele = (rows.filter(F.col(delete_col)).select(*on)
+                if delete_col is not None else None)
+        ups = (rows.filter(~F.coalesce(F.col(delete_col),
+                                       F.lit(False)))
+               .drop(delete_col)
+               if delete_col is not None else rows)
+        spark = batch_df.sparkSession
+        if not txlog_exists(table_dir):
+            if ups.limit(1).count():
+                txlog_create(spark, table_dir, ups,
+                             bucket_by=bucket_by, n_buckets=n_buckets,
+                             sort_by=sort_by)
+            # deletes before any table exists target nothing
+        elif ups.limit(1).count():
+            txlog_merge(spark, table_dir, ups, on, bucket_by,
+                        n_buckets, sort_by=sort_by)
+        if (dele is not None and txlog_exists(table_dir)
+                and dele.limit(1).count()):
+            txlog_merge(spark, table_dir, dele, on, bucket_by,
+                        n_buckets, sort_by=sort_by,
+                        when_matched="delete",
+                        when_not_matched="ignore")
+
+    return (change_stream.writeStream
+            .foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def upsert_stream_to_txlog(cell_stream: DataFrame, table_dir: str,
                            checkpoint_dir: str, *,
                            n_buckets: int = 16):

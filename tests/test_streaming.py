@@ -1097,3 +1097,68 @@ def test_quality_gate_stream_abort_and_admit(spark, tmp_path):
         quality_gate_stream(
             spark.readStream.schema("id int").parquet(src), rules,
             "a", "b", "c", on_fail="drop")
+
+
+def test_merge_stream_to_txlog_cdc_apply(spark, tmp_path):
+    """Streaming MERGE INTO (streaming/compaction.py
+    merge_stream_to_txlog): three CDC micro-batches — bootstrap,
+    updates+inserts with an in-batch ts race, deletes — drained
+    against the txlog must equal the folded dict model, and a commit-
+    erased replay appends only content-identical versions."""
+    import os
+    import shutil
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_read,
+        txlog_snapshot,
+    )
+    from sstable_hadoop_spark.streaming.compaction import (
+        merge_stream_to_txlog,
+    )
+
+    SCHEMA = "k long, color string, ts long, deleted boolean"
+    batches = [
+        # bootstrap: 1..3 appear
+        [(1, "red", 10, False), (2, "blue", 10, False),
+         (3, "green", 10, False)],
+        # 1 updated twice in-batch (latest ts wins), 4 inserted
+        [(1, "mauve", 20, False), (1, "pink", 21, False),
+         (4, "grey", 20, False)],
+        # 2 deleted, 5 insert+delete in one batch (delete is latest)
+        [(2, "blue", 30, True), (5, "white", 30, False),
+         (5, "white", 31, True)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+             .write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f),
+                     ((i + 1) * 1000, (i + 1) * 1000))
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(src, "b*")))
+        q = merge_stream_to_txlog(
+            stream, str(tmp_path / "t"), ckpt, on=["k"],
+            bucket_by=("k",), n_buckets=4, sort_by=("k",),
+            ts_col="ts", delete_col="deleted")
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt"))
+    path = str(tmp_path / "t")
+    got = sorted(tuple(r) for r in txlog_read(spark, path).collect())
+    assert got == [(1, "pink"), (3, "green"), (4, "grey")]
+    v = txlog_snapshot(path)["version"]
+    # commit-erased restart: erase the checkpoint, drain again — the
+    # replayed merges append content-identical versions only
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run(str(tmp_path / "ckpt2"))
+    again = sorted(tuple(r) for r in txlog_read(spark, path).collect())
+    assert again == got
+    assert txlog_snapshot(path)["version"] > v  # audit trail grew
