@@ -3095,6 +3095,43 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query("subquery_correlated_avg_quantity", oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+""")
+def subquery_correlated_avg_quantity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: a correlated scalar AVG subquery (small-
+    order detection — line items under 20% of their part's average
+    quantity) that Catalyst must DECORRELATE into a per-part
+    aggregate join (a per-row re-scan of lineitem would be O(rows ×
+    table)); grouped to brand with exact-cent revenue.  Boundary
+    determinism: quantities are integral doubles, so the per-part
+    average and the 0.2× threshold evaluate to identical IEEE values
+    in both engines — no row can flip sides."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sq17")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_sq17")
+    return spark.sql("""
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM li_sq17 l JOIN part_sq17 p
+            ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM li_sq17 l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+    """)
+
+
 @query("subquery_correlated_max_item", oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem l1
