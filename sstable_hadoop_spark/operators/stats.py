@@ -31,7 +31,7 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix"]
+__all__ = ["corr_matrix", "ols_fit"]
 
 
 def corr_matrix(df: DataFrame, cols: list[str],
@@ -89,3 +89,66 @@ def corr_matrix(df: DataFrame, cols: list[str],
             n.cast("long").alias("n"), corr_bp.alias("corr_bp")))
     return (one.select(F.explode(F.array(*rows)).alias("p"))
                .select("p.col_a", "p.col_b", "p.n", "p.corr_bp"))
+
+
+def ols_fit(df: DataFrame, group_col: str, x_col, y_col,
+            micro: int = 1_000_000) -> DataFrame:
+    """Per-group simple linear regression (y = a + b*x) by EXACT
+    integer normal equations — ``(group, n, slope_micro,
+    intercept_micro)`` with both coefficients in truncated
+    micro-units.
+
+    ``x_col``/``y_col`` must already be INTEGER columns (quantize at
+    the call site — cents, counts; the house one-time-quantization
+    rule).  The contract is a deterministic integer spec shared with
+    any engine:
+
+        num = n*Sxy - Sx*Sy          den = n*Sxx - Sx*Sx
+        slope_micro     = (num * micro)  idiv  den
+        intercept_micro = (Sy * micro - slope_micro * Sx)  idiv  n
+
+    (``idiv`` = truncation toward zero: Spark's DIV, DuckDB's ``//``.
+    intercept reuses the TRUNCATED slope so both engines propagate the
+    identical rounding.)  Groups with den = 0 (constant x, or n < 2)
+    report NULL coefficients.
+
+    Scale shape: ONE scan, one partial→final aggregation of five
+    integer sums per group — the corr_matrix topology.  Sums ride
+    DECIMAL(38,0): at 6B rows of cent-scale y and 2-digit x, n*Sxy
+    stays under 1e28, thirty orders inside the type.
+    """
+    x = x_col.cast("decimal(19,0)") if hasattr(x_col, "cast") \
+        else F.col(x_col).cast("decimal(19,0)")
+    y = y_col.cast("decimal(19,0)") if hasattr(y_col, "cast") \
+        else F.col(y_col).cast("decimal(19,0)")
+    d38 = "decimal(38,0)"
+    src = df.select(F.col(group_col).alias("_g"),
+                    x.alias("_x"), y.alias("_y")) \
+            .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    agg = src.groupBy("_g").agg(
+        F.count("*").cast(d38).alias("_n"),
+        F.sum("_x").cast(d38).alias("_sx"),
+        F.sum("_y").cast(d38).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d38)).cast(d38)
+         .alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d38)).cast(d38)
+         .alias("_sxy"))
+    num = (F.col("_n") * F.col("_sxy")
+           - F.col("_sx") * F.col("_sy")).cast(d38)
+    den = (F.col("_n") * F.col("_sxx")
+           - F.col("_sx") * F.col("_sx")).cast(d38)
+    w = agg.withColumn("_num", num).withColumn("_den", den)
+    slope = F.when(F.col("_den") != 0,
+                   F.expr("CAST((_num * CAST({m} AS {t})) DIV _den "
+                          "AS LONG)".format(m=int(micro), t=d38)))
+    w = w.withColumn("_slope", slope)
+    intercept = F.when(
+        F.col("_slope").isNotNull(),
+        F.expr("CAST((_sy * CAST({m} AS {t}) "
+               "- CAST(_slope AS {t}) * _sx) DIV _n AS LONG)"
+               .format(m=int(micro), t=d38)))
+    return w.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_slope").alias("slope_micro"),
+        intercept.alias("intercept_micro"))

@@ -154,3 +154,85 @@ def resample_gapfill(df: DataFrame, ts_us_col, key_col: str,
                      "n_obs",
                      F.col("_fa").cast("long").alias("avg_milli"),
                      (F.col("n_obs") == 0).alias("filled")))
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average — exact stateful recursion
+# ---------------------------------------------------------------------------
+
+#: applyInPandas output schema for ewma_smooth (key column prepended
+#: dynamically with the caller's name/type).
+_EWMA_VALUE_FIELDS = [
+    ("ts_us", "long"), ("rn", "long"),
+    ("value_c", "long"), ("ewma_c", "long"),
+]
+
+
+def ewma_smooth(df: DataFrame, ts_us_col, key_col: str,
+                value_col: str, *, shift: int = 3,
+                tie_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-key EWMA with EXACT integer state: observations quantize to
+    centi-units once (half-up, the house pattern), then
+
+        s_1 = v_1
+        s_t = (v_t + (2^shift - 1) * s_{t-1})  idiv  2^shift
+
+    i.e. alpha = 1/2^shift, with ``idiv`` truncating toward zero — the
+    semantics Spark's DIV and DuckDB's ``//`` share, so a recursive-CTE
+    oracle replays the identical trajectory bit-for-bit.  Output:
+    ``(key, ts_us, rn, value_c, ewma_c)`` ordered per key by
+    ``(ts_us, *tie_cols)`` (pass a unique tiebreaker for deterministic
+    ordering under timestamp collisions).
+
+    Why ``applyInPandas``: the truncating division makes each step
+    non-affine, so the recursion cannot be linearized into a window
+    sum — this is the documented custom-stateful extension point
+    (SURVEY.md §2.9), not a missed built-in.  Topology: ONE shuffle on
+    the key; per-key work is linear and Arrow-batched; state is two
+    integers.  At 100 TB the key count (not event count) bounds any
+    single task's group sizes exactly as the sessionize operator's.
+
+    Rows with NULL key/ts/value are excluded (they have no place on a
+    per-key timeline)."""
+    if shift < 1 or shift > 20:
+        raise ValueError(f"shift must be in [1, 20], got {shift}")
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    mul, div = (1 << shift) - 1, 1 << shift
+    ts = F.col(ts_us_col) if isinstance(ts_us_col, str) else ts_us_col
+    key_type = next(f.dataType.simpleString() for f in df.schema.fields
+                    if f.name == key_col)
+    out_schema = _parse_datatype_string(
+        ", ".join([f"`{key_col}` {key_type}"]
+                  + [f"{n} {t}" for n, t in _EWMA_VALUE_FIELDS]))
+    order = ["_tu", *tie_cols]
+
+    src = (df.filter(F.col(key_col).isNotNull() & ts.isNotNull()
+                     & F.col(value_col).isNotNull())
+             .select(F.col(key_col),
+                     ts.cast("long").alias("_tu"),
+                     F.floor(F.col(value_col) * 100 + F.lit(0.5))
+                      .cast("long").alias("_c"),
+                     *[F.col(c) for c in tie_cols]))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        vals = pdf["_c"].to_list()  # Python ints: no int64 overflow
+        out, s = [], None
+        for v in vals:
+            if s is None:
+                s = int(v)
+            else:
+                q = int(v) + mul * s
+                s = q // div if q >= 0 else -((-q) // div)
+            out.append(s)
+        return pd.DataFrame({
+            key_col: pdf[key_col].to_list(),
+            "ts_us": pdf["_tu"].to_list(),
+            "rn": range(1, len(vals) + 1),
+            "value_c": vals,
+            "ewma_c": out,
+        })
+
+    return src.groupBy(key_col).applyInPandas(fold, schema=out_schema)

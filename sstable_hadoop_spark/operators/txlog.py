@@ -180,19 +180,23 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             f"version {target} not in log (have 1..{head})")
     files: dict[str, int] = {}
     stats: dict[str, list] = {}
+    blooms: dict[str, dict] = {}
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
+    bloom_cols: list | None = None
     start = 1
     usable = [v for v in checkpoints if v <= target]
     if usable:
         cp = json.loads(fs.read_bytes(_checkpoint_path(path, usable[-1])))
         files = {n: b for n, b in cp["files"]}
         stats = dict(cp.get("stats", {}))
+        blooms = dict(cp.get("blooms", {}))
         schema = cp.get("schema")
         stats_col = cp.get("stats_col")
         bucket_by = cp.get("bucket_by")
         n_buckets = cp.get("n_buckets")
         sort_by = cp.get("sort_by")
+        bloom_cols = cp.get("bloom_cols")
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -200,6 +204,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             schema = c["schema"]
         if c.get("stats_col"):
             stats_col = c["stats_col"]
+        if c.get("bloom_cols") is not None:
+            bloom_cols = c["bloom_cols"]
         if c.get("n_buckets"):
             bucket_by = c.get("bucket_by")
             n_buckets = c.get("n_buckets")
@@ -207,9 +213,11 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         for n in c.get("removes", ()):
             files.pop(n, None)
             stats.pop(n, None)
+            blooms.pop(n, None)
         for n, b in c.get("adds", ()):
             files[n] = b
         stats.update(c.get("stats", {}))
+        blooms.update(c.get("blooms", {}))
     if n_buckets is None:
         # pre-bucketing-journal checkpoint: the declaration lives in
         # commit 1 (create/adopt — no rebucket can predate a
@@ -219,10 +227,12 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         n_buckets = c1.get("n_buckets")
         sort_by = c1.get("sort_by")
     stats = {n: s for n, s in stats.items() if n in files}
+    blooms = {n: b for n, b in blooms.items() if n in files}
     return {"version": target, "schema": schema, "files": files,
             "stats": stats, "stats_col": stats_col,
             "bucket_by": bucket_by, "n_buckets": n_buckets,
-            "sort_by": sort_by}
+            "sort_by": sort_by,
+            "blooms": blooms, "bloom_cols": bloom_cols or []}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -252,11 +262,82 @@ def _footer_stats(local_file: str, col: str) -> list | None:
     return [lo, hi, "num" if isinstance(lo, (int, float)) else "str"]
 
 
+#: Per-file Bloom filter geometry: 8192 bits (1 KiB -> ~1.4 KiB as
+#: base64 in the commit json) with 6 probes.  At ~1k distinct values
+#: per file the false-positive rate is ~1e-4; a larger file only
+#: degrades pruning, never correctness (probes that pass still read
+#: the file and the real filter applies).
+_BLOOM_M = 8192
+_BLOOM_K = 6
+
+
+def _bloom_canon(v) -> str | None:
+    """One canonical rendering per value, shared by the write path
+    (pyarrow-decoded Python objects) and the probe path (caller
+    literals): bytes -> hex, everything else -> str().  Floats work
+    only for values whose str() round-trips (prefer int/str/bytes
+    columns)."""
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def _bloom_positions(canon: str) -> list[int]:
+    """Double hashing off one md5: positions (h1 + i*h2) % m."""
+    import hashlib
+
+    h = hashlib.md5(canon.encode()).hexdigest()
+    h1, h2 = int(h[:15], 16), int(h[15:30], 16) | 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _file_blooms(local_file: str, cols: tuple[str, ...]) -> dict:
+    """{col: base64 bitset} over the staged file's values — one local
+    columnar read per bloom column at WRITE time (the file was just
+    written to local disk), nothing at read time."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    present = [c for c in cols
+               if c in pq.ParquetFile(local_file).schema_arrow.names]
+    if not present:
+        return {}
+    table = pq.read_table(local_file, columns=present)
+    out = {}
+    for c in present:
+        bits = bytearray(_BLOOM_M // 8)
+        for v in table.column(c).to_pylist():
+            canon = _bloom_canon(v)
+            if canon is None:
+                continue
+            for p in _bloom_positions(canon):
+                bits[p >> 3] |= 1 << (p & 7)
+        out[c] = base64.b64encode(bytes(bits)).decode()
+    return out
+
+
+def bloom_might_contain(b64: str, value) -> bool:
+    """Probe a journaled bitset; True = the file MAY hold ``value``."""
+    import base64
+
+    canon = _bloom_canon(value)
+    if canon is None:
+        return True  # blooms never index NULL; read defensively
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7))
+               for p in _bloom_positions(canon))
+
+
 def _stage_bucket_files(merged: DataFrame, path: str,
                         bucket_by: tuple[str, ...], n_buckets: int,
                         sort_by: tuple[str, ...],
                         allowed: set[int],
-                        stats_out: dict | None = None
+                        stats_out: dict | None = None,
+                        bloom_cols: tuple[str, ...] = (),
+                        blooms_out: dict | None = None
                         ) -> list[tuple[str, int]]:
     """Write ``merged`` with the bucketed writer into a temp dir, then
     copy the bucket files into the table dir under their (unique)
@@ -289,6 +370,10 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                 st = _footer_stats(f, stats_col)
                 if st is not None:
                     stats_out[name] = st
+            if bloom_cols and blooms_out is not None:
+                bl = _file_blooms(f, tuple(bloom_cols))
+                if bl:
+                    blooms_out[name] = bl
             fs.put_file(f, os.path.join(path, name))
             out.append((name, b))
         return out
@@ -360,7 +445,9 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "stats_col": snap["stats_col"],
                         "bucket_by": snap["bucket_by"],
                         "n_buckets": snap["n_buckets"],
-                        "sort_by": snap["sort_by"]},
+                        "sort_by": snap["sort_by"],
+                        "blooms": snap["blooms"],
+                        "bloom_cols": snap["bloom_cols"]},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -368,16 +455,28 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 
 def txlog_create(spark, path: str, df: DataFrame,
                  bucket_by: tuple[str, ...], n_buckets: int,
-                 sort_by: tuple[str, ...] = ()) -> int:
+                 sort_by: tuple[str, ...] = (),
+                 bloom_cols: tuple[str, ...] = ()) -> int:
     """Create a logged bucketed table from ``df`` (commit version 1).
-    Raises if a log already exists — creation is not an upsert."""
+    Raises if a log already exists — creation is not an upsert.
+
+    ``bloom_cols``: journal a per-file Bloom bitset (``_BLOOM_M``
+    bits) over each named column in every commit — the point-lookup
+    data-skipping index :func:`txlog_read_point` prunes with.  Min/max
+    footer stats already skip on the SORT key; blooms cover the
+    "fetch by a non-key column" probe, where ranges overlap every
+    file.  The declaration is journaled and every subsequent writer
+    (upsert/compact/rebucket) maintains it."""
     if txlog_exists(path):
         raise FileExistsError(f"transaction log already exists: {path}")
     fs.makedirs(_log_dir(path))
     stats: dict[str, list] = {}
+    blooms: dict[str, dict] = {}
     adds = _stage_bucket_files(df, path, bucket_by, n_buckets, sort_by,
                                allowed=set(range(n_buckets)),
-                               stats_out=stats)
+                               stats_out=stats,
+                               bloom_cols=tuple(bloom_cols),
+                               blooms_out=blooms)
     record = {
         "op": "create", "writer": uuid.uuid4().hex,
         "schema": df.schema.json(), "bucket_by": list(bucket_by),
@@ -385,6 +484,7 @@ def txlog_create(spark, path: str, df: DataFrame,
         "buckets": sorted({b for _, b in adds}),
         "adds": adds, "removes": [],
         "stats": stats, "stats_col": (sort_by or bucket_by)[0],
+        "bloom_cols": list(bloom_cols), "blooms": blooms,
     }
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:
@@ -486,13 +586,17 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                         f"{f.name}: {f.dataType.simpleString()}")
             new_schema = merged.schema.json()
         stats: dict[str, list] = {}
+        blooms: dict[str, dict] = {}
         adds = _stage_bucket_files(merged, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(affected),
-                                   stats_out=stats)
+                                   stats_out=stats,
+                                   bloom_cols=tuple(
+                                       snap.get("bloom_cols") or ()),
+                                   blooms_out=blooms)
         record = {
             "op": "upsert", "writer": uuid.uuid4().hex,
             "buckets": affected, "adds": adds, "removes": old,
-            "stats": stats,
+            "stats": stats, "blooms": blooms,
         }
         if new_schema is not None:
             record["schema"] = new_schema
@@ -704,12 +808,16 @@ def txlog_compact(spark, path: str, target_buckets=None,
         # file)
         df = df.repartition(len(frag), bucket_id(n_buckets, *bucket_by))
         stats: dict[str, list] = {}
+        blooms: dict[str, dict] = {}
         adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(frag),
-                                   stats_out=stats)
+                                   stats_out=stats,
+                                   bloom_cols=tuple(
+                                       snap.get("bloom_cols") or ()),
+                                   blooms_out=blooms)
         record = {"op": "compact", "writer": uuid.uuid4().hex,
                   "buckets": frag, "adds": adds, "removes": old,
-                  "stats": stats}
+                  "stats": stats, "blooms": blooms}
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, frag
@@ -799,6 +907,60 @@ def txlog_read_range(spark, path: str, lo, hi,
     df = spark.read.schema(schema).parquet(
         *[os.path.join(path, n) for n in keep])
     return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def txlog_read_point(spark, path: str, col: str, values,
+                     version: int | None = None) -> DataFrame:
+    """Point-lookup read: rows whose ``col`` is in ``values``, reading
+    ONLY the files whose journaled Bloom bitset may contain at least
+    one of the probes (plus, when ``col`` is the stats column, the
+    min/max overlap check).  Files without a bloom for ``col`` are
+    read defensively; the IN filter is always applied, so pruning is
+    an optimization, never a semantics change.
+
+    The complement of :func:`txlog_read_range`: min/max skips on the
+    SORT key's ordering; the bloom skips on EQUALITY against any
+    journaled ``bloom_cols`` column, where every file's min/max range
+    would overlap the probe.  At 100 TB a "fetch these 5 ids by a
+    non-key column" probe costs O(files actually holding them) reads
+    and zero shuffles."""
+    from pyspark.sql.types import StructType
+
+    values = list(values)
+    if not values:
+        raise ValueError("values must be non-empty")
+    snap = txlog_snapshot(path, version)
+    if col not in (snap.get("bloom_cols") or []) \
+            and col != snap.get("stats_col"):
+        raise ValueError(
+            f"column {col!r} has no journaled skipping index at "
+            f"{path} (bloom_cols={snap.get('bloom_cols')}, "
+            f"stats_col={snap.get('stats_col')!r}) — create the "
+            "table with bloom_cols=(...) or read+filter plainly")
+
+    def enc(v):
+        return v.hex() if isinstance(v, (bytes, bytearray)) else v
+
+    probes = [v for v in values if v is not None]
+    keep = []
+    for n in sorted(snap["files"]):
+        bl = snap.get("blooms", {}).get(n, {}).get(col)
+        if bl is not None:
+            if not any(bloom_might_contain(bl, v) for v in probes):
+                continue
+        elif col == snap.get("stats_col"):
+            st = snap["stats"].get(n)
+            if st is not None and not any(
+                    st[0] <= enc(v) <= st[1] for v in probes):
+                continue
+        keep.append(n)
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    flt = F.col(col).isin(*values)
+    if not keep:
+        return spark.createDataFrame([], schema).filter(flt)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, n) for n in keep])
+    return df.filter(flt)
 
 
 def txlog_delete(spark, path: str, keys: DataFrame,
@@ -966,7 +1128,9 @@ def txlog_restore(spark, path: str, version: int,
                   "restored_version": version, "buckets": touched,
                   "adds": adds, "removes": removes,
                   "stats": {n: target["stats"][n] for n, _ in adds
-                            if n in target["stats"]}}
+                            if n in target["stats"]},
+                  "blooms": {n: target["blooms"][n] for n, _ in adds
+                             if n in target.get("blooms", {})}}
         if target["schema"] != head["schema"]:
             record["schema"] = target["schema"]
         if target.get("n_buckets") is not None and (
@@ -1021,10 +1185,14 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
             return snap["version"]  # already that layout
         df = txlog_read(spark, path, version=snap["version"])
         stats: dict[str, list] = {}
+        blooms: dict[str, dict] = {}
         adds = _stage_bucket_files(df, path, new_by, n_buckets,
                                    new_sort,
                                    allowed=set(range(n_buckets)),
-                                   stats_out=stats)
+                                   stats_out=stats,
+                                   bloom_cols=tuple(
+                                       snap.get("bloom_cols") or ()),
+                                   blooms_out=blooms)
         record = {
             "op": "rebucket", "writer": uuid.uuid4().hex,
             "bucket_by": list(new_by), "n_buckets": n_buckets,
@@ -1034,6 +1202,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
             "adds": adds, "removes": sorted(snap["files"]),
             "stats": stats,
             "stats_col": (new_sort or new_by)[0],
+            "blooms": blooms,
         }
         won = _try_commit(path, snap, record, strict_base=True)
         if won != "conflict":
@@ -1049,7 +1218,8 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
 
 def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
                 n_buckets: int,
-                sort_by: tuple[str, ...] = ()) -> int:
+                sort_by: tuple[str, ...] = (),
+                bloom_cols: tuple[str, ...] = ()) -> int:
     """Adopt an EXISTING ``write_bucketed`` table into a transaction
     log without copying a byte: journal its current bucket files as
     commit 1.  The zero-downtime migration path off the single-writer
@@ -1088,6 +1258,10 @@ def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
         "sort_by": list(sort_by),
         "buckets": sorted(by_bucket), "adds": adds, "removes": [],
         "stats": stats, "stats_col": col,
+        # adopted files are not restaged, so they carry no bitsets
+        # yet (point reads stay defensive); the DECLARATION makes
+        # every subsequent writer journal blooms for its rewrites
+        "bloom_cols": list(bloom_cols), "blooms": {},
     }
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:

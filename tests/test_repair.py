@@ -1,0 +1,114 @@
+"""Anti-entropy replica repair (operators/repair.py): Merkle range
+digests + digest-gated streaming over the sstable cell model."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sstable_hadoop_spark.operators.repair import (
+    cell_digest64,
+    merkle_report,
+    repair_stream,
+)
+
+CELL_SCHEMA = StructType([
+    StructField("key", BinaryType()),
+    StructField("name", BinaryType()),
+    StructField("state", StringType()),
+    StructField("data", BinaryType()),
+    StructField("timestamp", LongType()),
+    StructField("ttl", LongType()),
+    StructField("expiration", LongType()),
+    StructField("generation", IntegerType()),
+])
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, CELL_SCHEMA)
+
+
+def _base_rows(n=200):
+    rows = []
+    for i in range(n):
+        key = (f"k{i % 40:03d}".encode() if i % 9 else
+               bytes([0xC3, 0x28, i % 256]))  # non-UTF8 keys too
+        state = ("DELETED" if i % 11 == 0 else
+                 "EXPIRING" if i % 7 == 0 else "NORMAL")
+        rows.append((
+            key, f"c{i % 5}".encode(), state,
+            None if state == "DELETED" else f"v{i}".encode(),
+            1700000000000000 + i * 1000,
+            86400 if state == "EXPIRING" else None,
+            1767225600000 + i if state == "EXPIRING" else None,
+            i % 4 + 1))
+    return rows
+
+
+def _row_set(df):
+    return {(bytes(r.key), bytes(r.name), r.state,
+             None if r.data is None else bytes(r.data),
+             r.timestamp, r.ttl, r.expiration, r.generation)
+            for r in df.select("key", "name", "state", "data",
+                               "timestamp", "ttl", "expiration",
+                               "generation").collect()}
+
+
+def test_in_sync_replicas_are_clean(spark):
+    rows = _base_rows()
+    a, b = _cells(spark, rows), _cells(spark, rows)
+    rep = merkle_report(a, b, n_ranges=16).collect()
+    assert rep and all(r.in_sync for r in rep)
+    assert all(r.n_a == r.n_b and r.digest_a == r.digest_b for r in rep)
+    assert repair_stream(a, b, n_ranges=16).count() == 0
+
+
+def test_repair_heals_both_replicas(spark):
+    rows = _base_rows()
+    miss_a = {i for i in range(len(rows)) if i % 13 == 2}
+    miss_b = {i for i in range(len(rows)) if i % 17 == 4}
+    a = _cells(spark, [r for i, r in enumerate(rows) if i not in miss_a])
+    b = _cells(spark, [r for i, r in enumerate(rows) if i not in miss_b])
+    stream = repair_stream(a, b, n_ranges=16).cache()
+    a_to_b = stream.filter(F.col("direction") == "a_to_b").drop("direction")
+    b_to_a = stream.filter(F.col("direction") == "b_to_a").drop("direction")
+    sa, sb = _row_set(a), _row_set(b)
+    # streamed = exactly the set differences
+    assert _row_set(a_to_b) == sa - sb
+    assert _row_set(b_to_a) == sb - sa
+    # applying the stream converges both replicas to the union
+    assert sb | _row_set(a_to_b) == sa | sb
+    assert sa | _row_set(b_to_a) == sa | sb
+
+
+def test_null_fields_never_alias_real_values(spark):
+    # identical cells except ttl NULL vs a real ttl must digest apart
+    base = _base_rows(1)[0]
+    r_null = base[:5] + (None, None) + base[7:]
+    r_real = base[:5] + (86400, None) + base[7:]
+    df = _cells(spark, [r_null, r_real])
+    digs = (df.select(cell_digest64(
+        F.col("key"), F.col("name"), F.col("state"), F.col("data"),
+        F.col("timestamp"), F.col("ttl"), F.col("expiration"),
+        F.col("generation")).alias("d")).collect())
+    assert digs[0].d != digs[1].d
+    assert all(0 <= r.d < (1 << 60) for r in digs)
+
+
+def test_stream_plan_broadcasts_range_gate(spark):
+    rows = _base_rows()
+    a = _cells(spark, rows[:-5])
+    b = _cells(spark, rows[5:])
+    plan = repair_stream(a, b, n_ranges=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the out-of-sync range-id gate must reach both replicas as a
+    # BROADCAST semi join — never a shuffled join on the corpus
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan

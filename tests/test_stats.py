@@ -72,3 +72,109 @@ def test_guards(spark):
         corr_matrix(df, ["x"])
     with pytest.raises(ValueError, match="not in the frame"):
         corr_matrix(df.withColumn("y", F.lit(1.0)), ["x", "nope"])
+
+
+# --- ols_fit ---------------------------------------------------------------
+
+def _py_ols(rows, micro=1_000_000):
+    """Dict model of the integer normal-equation spec."""
+    def idiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    out = {}
+    for g, pts in by_g.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            out[g] = (n, None, None)
+            continue
+        slope = idiv(num * micro, den)
+        out[g] = (n, slope, idiv(sy * micro - slope * sx, n))
+    return out
+
+
+def _ols_got(spark, rows, parts=1):
+    from sstable_hadoop_spark.operators.stats import ols_fit
+
+    df = spark.createDataFrame(rows, "g string, x long, y long") \
+              .repartition(parts)
+    return {r.g: (r.n, r.slope_micro, r.intercept_micro)
+            for r in ols_fit(df, "g", F.col("x"), F.col("y")).collect()}
+
+
+OLS_ROWS = (
+    [("up", x, 37 * x + 11 + (x % 3)) for x in range(1, 40)]
+    + [("down", x, -5 * x + 1000 - (x % 7)) for x in range(1, 40)]
+    + [("flat", 4, y) for y in (10, 20, 30)]     # constant x: den = 0
+    + [("one", 9, 9)]                            # n = 1: den = 0
+)
+
+
+def test_ols_matches_integer_model(spark):
+    assert _ols_got(spark, OLS_ROWS) == _py_ols(OLS_ROWS)
+
+
+def test_ols_partitioning_invariance(spark):
+    assert _ols_got(spark, OLS_ROWS, parts=1) \
+        == _ols_got(spark, OLS_ROWS, parts=7)
+
+
+def test_ols_negative_slope_truncates_toward_zero(spark):
+    got = _ols_got(spark, OLS_ROWS)
+    assert got["down"][1] < 0
+    # cross-engine contract: DuckDB's // on the same integers
+    import duckdb
+
+    n, sx = 39, sum(range(1, 40))
+    sy = sum(-5 * x + 1000 - (x % 7) for x in range(1, 40))
+    sxy = sum(x * (-5 * x + 1000 - (x % 7)) for x in range(1, 40))
+    sxx = sum(x * x for x in range(1, 40))
+    duck = duckdb.sql(
+        f"SELECT CAST({n}*{sxy} - {sx}*{sy} AS HUGEINT) * 1000000"
+        f" // ({n}*{sxx} - {sx}*{sx})").fetchone()[0]
+    assert got["down"][1] == int(duck)
+
+
+def test_ols_null_den_groups_report_null(spark):
+    got = _ols_got(spark, OLS_ROWS)
+    assert got["flat"] == (3, None, None)
+    assert got["one"] == (1, None, None)
+
+
+# --- ewma_smooth -----------------------------------------------------------
+
+def test_ewma_matches_python_model(spark):
+    from sstable_hadoop_spark.operators.timeseries import ewma_smooth
+
+    rows = [(k, t * 1000, float(v) / 100.0, k * 1000 + t)
+            for k in (1, 2, 3)
+            for t, v in enumerate([100, 250, 33, 900, 41, 7, 7, 7])]
+    df = spark.createDataFrame(
+        rows, "k long, tu long, value double, eid long").repartition(5)
+    got = {(r.k, r.rn): (r.value_c, r.ewma_c)
+           for r in ewma_smooth(df, "tu", "k", "value", shift=3,
+                                tie_cols=("eid",)).collect()}
+    for k in (1, 2, 3):
+        s = None
+        for t, v in enumerate([100, 250, 33, 900, 41, 7, 7, 7]):
+            s = v if s is None else (v + 7 * s) // 8
+            assert got[(k, t + 1)] == (v, s)
+
+
+def test_ewma_guards_and_null_rows(spark):
+    from sstable_hadoop_spark.operators.timeseries import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, None, 2.0), (None, 3, 3.0), (1, 4, None)],
+        "k long, tu long, value double")
+    assert ewma_smooth(df, "tu", "k", "value").count() == 1
+    with pytest.raises(ValueError, match="shift"):
+        ewma_smooth(df, "tu", "k", "value", shift=0)

@@ -1067,3 +1067,115 @@ def test_version_at_timestamp(spark, tpath):
     v = tx.txlog_version_at(tpath, 2500.0)
     assert _content(spark, tpath, version=v) == [(k, 2)
                                                  for k in range(10)]
+
+
+# --- per-file Bloom point-lookup skipping ----------------------------------
+
+def _mk_tagged(spark, lo, hi, v):
+    # tag ~ k DIV 20: values cluster per bucket-file so pruning has
+    # something to prune
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(v).alias("v"),
+        F.concat(F.lit("tag"), (F.col("id") / 20).cast("long")
+                 .cast("string")).alias("tag"))
+
+
+def _point_files_read(spark, path, col, values):
+    from sstable_hadoop_spark.operators.txlog import txlog_read_point
+
+    df = txlog_read_point(spark, path, col, values)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.findall(r"parquet\.[^\]]*", plan)
+    return df, plan, m
+
+
+def test_bloom_point_lookup_prunes_and_matches(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_tagged(spark, 0, 200, 1),
+                    ("k",), 8, sort_by=("k",), bloom_cols=("tag",))
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["bloom_cols"] == ["tag"]
+    # every staged file journaled a bitset for the bloom column
+    assert set(snap["blooms"]) == set(snap["files"])
+    assert all("tag" in b for b in snap["blooms"].values())
+
+    got = tx.txlog_read_point(spark, tpath, "tag", ["tag3"])
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == [(k, 1, "tag3") for k in range(60, 80)]
+    # the probe read FEWER files than the table holds (bloom pruning)
+    import pyspark.sql.functions as SF
+
+    n_read = got.select(SF.input_file_name()).distinct().count()
+    assert n_read < len(snap["files"])
+
+    # unknown value: zero files pass the bloom, result is empty
+    assert tx.txlog_read_point(spark, tpath, "tag",
+                               ["nope"]).count() == 0
+
+
+def test_bloom_survives_upsert_compact_and_restore(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_tagged(spark, 0, 100, 1),
+                    ("k",), 4, sort_by=("k",), bloom_cols=("tag",))
+
+    def merge(stored, delta):
+        return (stored.unionByName(delta).groupBy("k")
+                .agg(F.max("v").alias("v"), F.max("tag").alias("tag")))
+
+    tx.txlog_upsert(spark, tpath, _mk_tagged(spark, 50, 150, 2),
+                    merge, ("k",), 4, sort_by=("k",))
+    snap = tx.txlog_snapshot(tpath)
+    assert set(snap["blooms"]) == set(snap["files"])  # maintained
+    exp = sorted([(k, 1, f"tag{k // 20}") for k in range(50)]
+                 + [(k, 2, f"tag{k // 20}") for k in range(50, 150)])
+    got = tx.txlog_read_point(spark, tpath, "tag",
+                              [f"tag{i}" for i in range(8)])
+    assert sorted(tuple(r) for r in got.collect()) == exp
+
+    v_before = snap["version"]
+    tx.txlog_compact(spark, tpath, min_files=2)
+    snap2 = tx.txlog_snapshot(tpath)
+    assert set(snap2["blooms"]) == set(snap2["files"])
+    tx.txlog_restore(spark, tpath, v_before)
+    snap3 = tx.txlog_snapshot(tpath)
+    assert set(snap3["blooms"]) == set(snap3["files"])
+    got3 = tx.txlog_read_point(spark, tpath, "tag", ["tag2"])
+    assert got3.count() == 20
+
+
+def test_point_read_requires_an_index_and_rejects_empty(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_tagged(spark, 0, 40, 1),
+                    ("k",), 2, sort_by=("k",))
+    with pytest.raises(ValueError, match="no journaled skipping"):
+        tx.txlog_read_point(spark, tpath, "tag", ["tag0"])
+    # the sort/stats column IS probe-able (min-max pruning)
+    assert tx.txlog_read_point(spark, tpath, "k", [5, 25]).count() == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        tx.txlog_read_point(spark, tpath, "k", [])
+
+
+def test_bloom_canonicalization_and_bitset_probe():
+    from sstable_hadoop_spark.operators.txlog import (
+        _bloom_canon,
+        _bloom_positions,
+        bloom_might_contain,
+    )
+    import base64
+
+    assert _bloom_canon(None) is None
+    assert _bloom_canon(b"\x00\xff") == "00ff"
+    assert _bloom_canon(42) == "42"
+    pos = _bloom_positions("x")
+    assert pos == _bloom_positions("x") and len(pos) == 6
+    bits = bytearray(1024)
+    for p in pos:
+        bits[p >> 3] |= 1 << (p & 7)
+    b64 = base64.b64encode(bytes(bits)).decode()
+    assert bloom_might_contain(b64, "x")
+    assert bloom_might_contain(b64, None)  # NULL: defensive True
