@@ -1243,3 +1243,58 @@ def cap_per_domain(df: DataFrame, url_col: str, cap: int,
              .withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= cap))
     return out if keep_rank else out.drop("rank")
+
+
+def balanced_sample(df: DataFrame, k: int,
+                    by: tuple[str, ...] = ("lang",),
+                    id_col: str = "doc_id",
+                    weight_col: str | None = None,
+                    seed: str = "bsample") -> DataFrame:
+    """FIXED-k per-group sampling — the class-balancing primitive a
+    skewed corpus needs when fractions (:func:`stratified_sample`)
+    cannot guarantee per-class counts: every ``by`` group contributes
+    exactly ``min(k, group size)`` rows.
+
+    Selection key, deterministic in any engine / partitioning / run:
+
+    * unweighted — the md5(seed:id) hash long (uniform within group);
+    * ``weight_col`` — the Efraimidis-Spirakis ``ln(u)/w`` key in
+      milli-units (:func:`weighted_sample`'s exact integer/IEEE chain,
+      inclusion probability proportional to weight WITHIN the group).
+
+    Output: ``(*by, id, weight?, key_milli, rk)`` with ``rk`` the
+    row's 1-based rank in its group.
+
+    Plan shape: ONE group-key exchange; the rank<=k predicate plans as
+    WindowGroupLimit, so each map task pre-prunes its partition to k
+    rows per group BEFORE the shuffle — the moved data is O(groups x
+    k) per task, not the corpus.  Rows with NULL group/id (and NULL or
+    non-positive weight, when weighted) are excluded."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    cond = F.col(id_col).isNotNull()
+    for c in by:
+        cond = cond & F.col(c).isNotNull()
+    cols = [*by, id_col]
+    if weight_col is None:
+        key = h
+    else:
+        cond = cond & F.col(weight_col).isNotNull() \
+            & (F.col(weight_col) > 0)
+        u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+        ln_micro = F.floor(F.log(u) * F.lit(1000000.0))
+        key = F.floor((ln_micro / F.col(weight_col))
+                      * F.lit(1000.0)).cast("long")
+        cols.append(weight_col)
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+               .orderBy(F.desc("key_milli"), F.asc(id_col)))
+    return (df.filter(cond)
+              .select(*cols, key.alias("key_milli"))
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= k))

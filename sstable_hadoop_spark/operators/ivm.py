@@ -1,0 +1,152 @@
+"""Incremental view maintenance for JOIN-AGGREGATE views over logged
+tables — the delta-join algebra (Blakeley et al., "Efficiently
+Updating Materialized Views", SIGMOD 1986; the same maintenance rule
+Materialize/DBSP implement) on top of the transaction log's change
+feed.
+
+The view shape is the ubiquitous enriched rollup
+
+    V = SELECT d.g..., count(*), sum(f.x)...
+        FROM fact f JOIN dim d ON f.k = d.k GROUP BY d.g...
+
+and the maintenance identity, exact for MULTISET joins under signed
+deltas (insert = +1, delete = −1; an update is its delete+insert
+pair, which is exactly what ``txlog_diff`` emits):
+
+    ΔV  =  ΔF ⋈ D_old   +   F_new ⋈ ΔD
+
+(proof: F'⋈D' − F⋈D = (F+ΔF)⋈D + F'⋈ΔD − F⋈D).  count/sum are
+self-inverting under signs, so folding the signed contribution rows
+into the stored rollup reproduces the full recompute EXACTLY —
+asserted in tests and by the driver oracle.
+
+Scale shape (the reason to maintain instead of recompute):
+
+* term 1 reads ONLY the fact commits' touched buckets
+  (``txlog_diff`` cost) and joins them against the dim — the daily
+  "facts arrived" refresh never rescans the fact table.
+* term 2 reads the fact table only when the DIM changed, and when the
+  fact table is bucketed by the join key the read PRUNES to the
+  buckets the changed dim keys hash into (explicit-file-list scan, no
+  other bucket is opened).  ΔD is collected key-wise for the pruning
+  decision (metadata-sized: changed dim keys) and the join is
+  broadcast-sized by construction.
+* the fold is O(|stored rollup| + |ΔV groups|) — never a base rescan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .txlog import txlog_diff, txlog_read, txlog_snapshot
+from .layout import bucket_id
+
+__all__ = ["join_rollup", "incremental_join_rollup"]
+
+
+def _contrib(df: DataFrame, sign, group_by: list[str],
+             sum_cols: dict[str, str]) -> DataFrame:
+    aggs = [F.sum(sign).alias("_dn")]
+    for out, src in sorted(sum_cols.items()):
+        aggs.append(F.sum(sign * F.col(src)).alias(f"_d_{out}"))
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def join_rollup(spark, fact_path: str, dim_path: str, on: str,
+                group_by: list[str], sum_cols: dict[str, str],
+                fact_version: int | None = None,
+                dim_version: int | None = None) -> DataFrame:
+    """The view recomputed from scratch at the given versions —
+    initialization and the equality twin of the incremental path.
+    Output: ``(*group_by, n, <sum_cols keys>)``."""
+    f = txlog_read(spark, fact_path, fact_version)
+    d = txlog_read(spark, dim_path, dim_version)
+    j = f.join(d, on, "inner")
+    aggs = [F.count("*").cast("long").alias("n")]
+    for out, src in sorted(sum_cols.items()):
+        aggs.append(F.sum(src).cast("long").alias(out))
+    return j.groupBy(*group_by).agg(*aggs)
+
+
+def _read_fact_buckets(spark, fact_path: str, version: int,
+                       on: str, keys: DataFrame) -> DataFrame:
+    """The fact table at ``version``, pruned to the buckets the
+    ``keys`` rows hash into when the journaled layout allows it
+    (bucket_by == [on]); otherwise the plain full read."""
+    from pyspark.sql.types import StructType
+
+    snap = txlog_snapshot(fact_path, version)
+    if list(snap.get("bucket_by") or ()) != [on]:
+        return txlog_read(spark, fact_path, version)
+    n_buckets = int(snap["n_buckets"])
+    hit = {r[0] for r in keys.select(
+        bucket_id(n_buckets, on).alias("b")).distinct().collect()}
+    names = sorted(n for n, b in snap["files"].items() if b in hit)
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    if not names:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(fact_path, n) for n in names])
+
+
+def incremental_join_rollup(spark, fact_path: str, dim_path: str,
+                            stored: DataFrame, on: str,
+                            group_by: list[str],
+                            sum_cols: dict[str, str],
+                            fact_from: int, dim_from: int,
+                            fact_to: int | None = None,
+                            dim_to: int | None = None) -> DataFrame:
+    """Advance ``stored`` (the rollup as of ``(fact_from, dim_from)``)
+    to ``(fact_to, dim_to)`` (default: each table's head) — equal to
+    :func:`join_rollup` at the target versions, at change-feed cost.
+
+    ``sum_cols`` maps output column → fact column (integer-typed;
+    count/sum are the self-inverting aggregates the signed algebra
+    supports — min/max are NOT maintainable this way and are
+    refused by omission).  Groups whose count reaches zero drop out,
+    so emptied groups never linger as zero rows."""
+    fact_to = fact_to if fact_to is not None \
+        else txlog_snapshot(fact_path)["version"]
+    dim_to = dim_to if dim_to is not None \
+        else txlog_snapshot(dim_path)["version"]
+    sign = F.when(F.col("_change") == "insert", F.lit(1)) \
+            .otherwise(F.lit(-1)).cast("long")
+
+    parts = []
+    if fact_to > fact_from:
+        df_fact = txlog_diff(spark, fact_path, fact_from, fact_to)
+        d_old = txlog_read(spark, dim_path, dim_from)
+        parts.append(_contrib(df_fact.join(d_old, on, "inner"),
+                              sign, group_by, sum_cols))
+    if dim_to > dim_from:
+        dd = txlog_diff(spark, dim_path, dim_from, dim_to)
+        f_new = _read_fact_buckets(spark, fact_path, fact_to, on,
+                                   dd.select(on))
+        # the dim delta carries the group columns and the sign; fact
+        # rows contribute their measures under the dim row's sign
+        parts.append(_contrib(
+            f_new.join(F.broadcast(dd), on, "inner"),
+            sign, group_by, sum_cols))
+    if not parts:
+        return stored
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    dn_aggs = [F.sum("_dn").alias("_dn")]
+    for out in sorted(sum_cols):
+        dn_aggs.append(F.sum(f"_d_{out}").alias(f"_d_{out}"))
+    delta = delta.groupBy(*group_by).agg(*dn_aggs)
+
+    j = stored.join(delta, group_by, "full")  # USING: keys coalesce
+    n = (F.coalesce(F.col("n"), F.lit(0))
+         + F.coalesce(F.col("_dn"), F.lit(0))).cast("long")
+    sel = [*[F.col(c) for c in group_by], n.alias("n")]
+    for out in sorted(sum_cols):
+        sel.append((F.coalesce(F.col(out), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{out}"), F.lit(0)))
+                   .cast("long").alias(out))
+    return j.select(*sel).filter(F.col("n") > 0)

@@ -109,3 +109,56 @@ def salted_lww_cell(cells: DataFrame, n_salts: int = 16) -> DataFrame:
                           _order_key()).alias("w"))
             .select("key", "name", "w.state", "w.data", "w.timestamp",
                     "w.ttl", "w.expiration", "w.generation"))
+
+
+def skew_join(left: DataFrame, right: DataFrame, on: str,
+              how: str = "inner",
+              hot_keys: Sequence | None = None,
+              sample_rows_per_partition: int = 1000,
+              hot_fraction_milli: int = 50) -> DataFrame:
+    """Hot-key-split join, ROW-IDENTICAL to ``left.join(right, on,
+    how)`` by construction: rows whose key is HOT take a broadcast
+    leg (the right side restricted to the hot keys is tiny by
+    definition of "few hot keys", so the 90th-percentile key's
+    shuffle partition never receives the hot key's flood), everything
+    else takes the normal hash join; the two legs union.  The
+    straggler-killer for power-law keys (the one user with 10^9
+    events) that AQE's skew-split mitigates only partially — AQE
+    splits the oversized partition's FILES, but every row of the hot
+    key still meets every matching right row in one task's sort-merge.
+
+    ``hot_keys``: explicit hot key values (deterministic, the
+    oracle-checkable path).  When None, keys claiming more than
+    ``hot_fraction_milli`` per-mille of a head-sample
+    (:func:`detect_group_skew`'s probe) are taken — detection reads
+    only the first Arrow batches of each partition, O(partitions) at
+    any scale; which leg a key takes NEVER changes the result, so a
+    detection miss costs speed, not correctness.
+
+    ``how``: ``inner`` or ``left`` (legs partition the LEFT rows, so
+    unioning leg results is exact for left-retaining joins; a right/
+    full join would need the split on the right side instead —
+    unsupported here, loudly)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"skew_join supports inner/left, got {how!r} (split the "
+            "other side for right-retaining joins)")
+    if hot_keys is None:
+        counts = (_head_sample(left, [on], sample_rows_per_partition)
+                  .groupBy(on).count())
+        total = counts.agg(F.sum("count")).collect()[0][0] or 1
+        cut = total * hot_fraction_milli // 1000
+        # top-64 candidates only: the collect stays metadata-sized at
+        # any cluster width
+        hot_keys = [r[on] for r in
+                    counts.orderBy(F.desc("count")).limit(64).collect()
+                    if r["count"] > cut and r[on] is not None]
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return left.join(right, on, how)
+    is_hot = F.col(on).isin(*hot_keys)
+    hot = (left.filter(is_hot)
+               .join(F.broadcast(right.filter(is_hot)), on, how))
+    cold = left.filter(~is_hot | F.col(on).isNull()) \
+               .join(right, on, how)
+    return hot.unionByName(cold)

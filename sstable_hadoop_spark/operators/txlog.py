@@ -262,13 +262,23 @@ def _footer_stats(local_file: str, col: str) -> list | None:
     return [lo, hi, "num" if isinstance(lo, (int, float)) else "str"]
 
 
-#: Per-file Bloom filter geometry: 8192 bits (1 KiB -> ~1.4 KiB as
-#: base64 in the commit json) with 6 probes.  At ~1k distinct values
-#: per file the false-positive rate is ~1e-4; a larger file only
-#: degrades pruning, never correctness (probes that pass still read
-#: the file and the real filter applies).
-_BLOOM_M = 8192
-_BLOOM_K = 6
+#: Per-file Bloom geometry is NDV-ADAPTIVE: ~10 bits per distinct
+#: value (1% fpp at k=7), power-of-2, floored at 8 Ki bits.  Small
+#: bitsets (<= _BLOOM_INLINE_M) inline base64 into the commit json;
+#: larger ones spill to a dot-prefixed SIDECAR file staged next to
+#: the data file (hidden from catalog scans, journaled by name,
+#: vacuumed with its data file) so commit metadata stays
+#: metadata-sized at any file cardinality.  A file whose NDV would
+#: need more than _BLOOM_MAX_M bits journals NO bloom (the bitset
+#: would approach data size; such a file reads defensively) — a
+#: fixed-size bloom here would silently saturate to all-ones and
+#: prune nothing exactly where pruning matters (the sf10 finding
+#: that motivated the adaptive geometry).
+_BLOOM_MIN_M = 8192
+_BLOOM_INLINE_M = 8192
+_BLOOM_MAX_M = 1 << 24          # 16 Mi bits = 2 MiB sidecar
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
 
 
 def _bloom_canon(v) -> str | None:
@@ -284,19 +294,33 @@ def _bloom_canon(v) -> str | None:
     return str(v)
 
 
-def _bloom_positions(canon: str) -> list[int]:
-    """Double hashing off one md5: positions (h1 + i*h2) % m."""
-    import hashlib
+def _bloom_positions(canon: str, m: int, k: int) -> list[int]:
+    """Double hashing off two crc32s: positions (h1 + i*h2) % m.
+    crc32 (IEEE polynomial, zlib) is process- and version-stable —
+    the property the index needs is WRITE/PROBE symmetry forever,
+    not cross-engine replay — and ~10x cheaper than md5, which is
+    what bounds bloom WRITE cost on large files (the bitsets are
+    built from each staged file's distinct values)."""
+    from zlib import crc32
 
-    h = hashlib.md5(canon.encode()).hexdigest()
-    h1, h2 = int(h[:15], 16), int(h[15:30], 16) | 1
-    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+    b = canon.encode()
+    h1 = crc32(b)
+    h2 = crc32(b, 0x9E3779B9) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _file_blooms(local_file: str, cols: tuple[str, ...]) -> dict:
-    """{col: base64 bitset} over the staged file's values — one local
+def _bloom_sidecar_name(data_name: str, col: str) -> str:
+    return f".{data_name}.{col}.bloom"
+
+
+def _file_blooms(local_file: str, cols: tuple[str, ...],
+                 table_path: str, data_name: str) -> dict:
+    """{col: bloom entry} over the staged file's values — one local
     columnar read per bloom column at WRITE time (the file was just
-    written to local disk), nothing at read time."""
+    written to local disk), nothing extra at read time.  Entry is
+    ``{"m", "k", "b64"}`` (inline) or ``{"m", "k", "sidecar"}`` (the
+    bitset staged as a hidden sidecar, invisible until the commit
+    journals it)."""
     import base64
 
     import pyarrow.parquet as pq
@@ -308,27 +332,61 @@ def _file_blooms(local_file: str, cols: tuple[str, ...]) -> dict:
     table = pq.read_table(local_file, columns=present)
     out = {}
     for c in present:
-        bits = bytearray(_BLOOM_M // 8)
-        for v in table.column(c).to_pylist():
-            canon = _bloom_canon(v)
-            if canon is None:
-                continue
-            for p in _bloom_positions(canon):
+        canons = {_bloom_canon(v) for v in table.column(c).to_pylist()}
+        canons.discard(None)
+        m = _BLOOM_MIN_M
+        while m < len(canons) * _BLOOM_BITS_PER_VALUE:
+            m <<= 1
+        if m > _BLOOM_MAX_M:
+            continue  # bitset would approach data size: no bloom
+        bits = bytearray(m // 8)
+        for canon in canons:
+            for p in _bloom_positions(canon, m, _BLOOM_K):
                 bits[p >> 3] |= 1 << (p & 7)
-        out[c] = base64.b64encode(bytes(bits)).decode()
+        if m <= _BLOOM_INLINE_M:
+            out[c] = {"m": m, "k": _BLOOM_K,
+                      "b64": base64.b64encode(bytes(bits)).decode()}
+        else:
+            side = _bloom_sidecar_name(data_name, c)
+            fs.write_bytes(os.path.join(table_path, side), bytes(bits))
+            out[c] = {"m": m, "k": _BLOOM_K, "sidecar": side}
     return out
 
 
-def bloom_might_contain(b64: str, value) -> bool:
-    """Probe a journaled bitset; True = the file MAY hold ``value``."""
+def _bloom_bits(entry: dict, table_path: str) -> bytes:
     import base64
 
+    if "b64" in entry:
+        return base64.b64decode(entry["b64"])
+    return fs.read_bytes(os.path.join(table_path, entry["sidecar"]))
+
+
+def bloom_might_contain(entry: dict, value,
+                        table_path: str = "",
+                        bits: bytes | None = None) -> bool:
+    """Probe a journaled bloom entry; True = the file MAY hold
+    ``value``.  Pass ``bits`` to reuse an already-fetched sidecar."""
     canon = _bloom_canon(value)
     if canon is None:
         return True  # blooms never index NULL; read defensively
-    bits = base64.b64decode(b64)
+    if bits is None:
+        bits = _bloom_bits(entry, table_path)
     return all(bits[p >> 3] & (1 << (p & 7))
-               for p in _bloom_positions(canon))
+               for p in _bloom_positions(canon, int(entry["m"]),
+                                          int(entry["k"])))
+
+
+def _cleanup_stage(path: str, adds, blooms: dict) -> None:
+    """Remove a LOST stage's data files and bloom sidecars (invisible
+    either way, but tidy them now)."""
+    for n, _ in adds:
+        for target in [n] + [e["sidecar"]
+                             for e in blooms.get(n, {}).values()
+                             if "sidecar" in e]:
+            try:
+                fs.remove(os.path.join(path, target))
+            except OSError:
+                pass
 
 
 def _stage_bucket_files(merged: DataFrame, path: str,
@@ -371,7 +429,7 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                 if st is not None:
                     stats_out[name] = st
             if bloom_cols and blooms_out is not None:
-                bl = _file_blooms(f, tuple(bloom_cols))
+                bl = _file_blooms(f, tuple(bloom_cols), path, name)
                 if bl:
                     blooms_out[name] = bl
             fs.put_file(f, os.path.join(path, name))
@@ -603,11 +661,7 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, affected
-        for n, _ in adds:  # stale stage: invisible, but tidy it now
-            try:
-                fs.remove(os.path.join(path, n))
-            except OSError:
-                pass
+        _cleanup_stage(path, adds, blooms)
     raise TxConflictError(
         f"gave up after {max_retries} overlapping-bucket conflicts "
         f"on {path}")
@@ -740,15 +794,32 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
     if not commits:
         return []
     keep: set[str] = set()
+    keep_sidecars: set[str] = set()
     for v in commits[-(retain_versions + 1):]:
-        keep.update(txlog_snapshot(path, v)["files"])
+        snap = txlog_snapshot(path, v)
+        keep.update(snap["files"])
+        for per_col in snap.get("blooms", {}).values():
+            keep_sidecars.update(e["sidecar"]
+                                 for e in per_col.values()
+                                 if "sidecar" in e)
     removed = []
     now = time.time()
-    for f in fs.list_files(path.rstrip("/"), suffix=".parquet"):
+    candidates = [
+        (f, _BUCKET_FILE_RE.match(os.path.basename(f)) is not None,
+         keep)
+        for f in fs.list_files(path.rstrip("/"), suffix=".parquet")
+    ] + [
+        # bloom sidecars of vacuumed/abandoned data files (dot-
+        # prefixed: list_dir sees them, glob-based list_files cannot)
+        (f, True, keep_sidecars)
+        for f in fs.list_dir(path.rstrip("/"))
+        if f.endswith(".bloom")
+    ]
+    for f, ours, kept in candidates:
         rel = os.path.basename(f)
-        if os.path.dirname(f).endswith(TXLOG_DIR) or rel in keep:
+        if os.path.dirname(f).endswith(TXLOG_DIR) or rel in kept:
             continue
-        if not _BUCKET_FILE_RE.match(rel):
+        if not ours:
             continue  # not ours to delete
         try:
             age = now - fs.mtime_ns(f) / 1e9
@@ -821,11 +892,7 @@ def txlog_compact(spark, path: str, target_buckets=None,
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, frag
-        for n, _ in adds:
-            try:
-                fs.remove(os.path.join(path, n))
-            except OSError:
-                pass
+        _cleanup_stage(path, adds, blooms)
     raise TxConflictError(
         f"gave up compacting {path} after {max_retries} "
         "overlapping-bucket conflicts")
@@ -944,14 +1011,22 @@ def txlog_read_point(spark, path: str, col: str, values,
     probes = [v for v in values if v is not None]
     keep = []
     for n in sorted(snap["files"]):
-        bl = snap.get("blooms", {}).get(n, {}).get(col)
-        if bl is not None:
-            if not any(bloom_might_contain(bl, v) for v in probes):
-                continue
-        elif col == snap.get("stats_col"):
+        # stats prune first (free); bloom sidecars are only fetched
+        # for files the cheaper checks could not rule out
+        if col == snap.get("stats_col"):
             st = snap["stats"].get(n)
             if st is not None and not any(
                     st[0] <= enc(v) <= st[1] for v in probes):
+                continue
+        bl = snap.get("blooms", {}).get(n, {}).get(col)
+        if bl is not None:
+            try:
+                bits = _bloom_bits(bl, path)
+            except OSError:
+                bits = None  # sidecar unreadable: read defensively
+            if bits is not None and not any(
+                    bloom_might_contain(bl, v, bits=bits)
+                    for v in probes):
                 continue
         keep.append(n)
     schema = StructType.fromJson(json.loads(snap["schema"]))
@@ -983,7 +1058,10 @@ def txlog_delete(spark, path: str, keys: DataFrame,
     dk = keys.distinct()
 
     def merge(stored, delta):
-        return stored.join(delta, on=cols, how="left_anti")
+        # a USING join reorders output columns (join keys first);
+        # restore the table's order or the evolution guard refuses
+        return (stored.join(delta, on=cols, how="left_anti")
+                      .select(*stored.columns))
 
     return txlog_upsert(spark, path, dk, merge, bucket_by, n_buckets,
                         sort_by, max_retries)
@@ -1207,11 +1285,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
         won = _try_commit(path, snap, record, strict_base=True)
         if won != "conflict":
             return won
-        for n, _ in adds:  # stale stage: invisible, but tidy it now
-            try:
-                fs.remove(os.path.join(path, n))
-            except OSError:
-                pass
+        _cleanup_stage(path, adds, blooms)
     raise TxConflictError(
         f"gave up rebucketing {path} after {max_retries} conflicts")
 

@@ -8768,9 +8768,172 @@ def txlog_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket_by=("k",), n_buckets=8, sort_by=("k",),
             bloom_cols=("cust",))
 
-    base = _idempotent_tmpdir("txlog_bloom_" + h, build)
+    # tag v2: bloom entries became {"m","k","b64"|"sidecar"} dicts
+    # (NDV-adaptive geometry) — v1 fixtures hold plain-b64 entries
+    base = _idempotent_tmpdir("txlog_bloom2_" + h, build)
     return txlog_read_point(spark, os.path.join(base, "t"), "cust",
                             [1, 7, 15, 22, 28])
+
+
+_BS_K, _BS_SEED = 30, "bsample"
+
+
+@query("corpus_balanced_sample", oracle=f"""
+WITH w AS (
+    SELECT lang, doc_id, n_chars,
+           CAST(('0x' || substr(md5('{_BS_SEED}:' || doc_id), 1, 15))
+                AS BIGINT) AS h
+    FROM documents
+    WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+      AND n_chars IS NOT NULL AND n_chars > 0
+),
+k AS (
+    SELECT lang, doc_id, n_chars,
+           CAST(floor((floor(ln((h + 1) / 1152921504606846976.0)
+                             * 1000000.0) / n_chars) * 1000.0)
+                AS BIGINT) AS key_milli
+    FROM w
+)
+SELECT lang, doc_id, n_chars, key_milli, rk FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY key_milli DESC, doc_id) AS INT)
+        AS rk
+    FROM k
+) WHERE rk <= {_BS_K}
+""")
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 class-balanced sampling (operators/corpus.py
+    balanced_sample): exactly min(30, class size) docs PER LANGUAGE,
+    weighted by n_chars via the Efraimidis-Spirakis key — the
+    fixed-count-per-class primitive fraction-based stratification
+    cannot give.  One group exchange; rank<=k plans as
+    WindowGroupLimit (map-side per-group pruning before the shuffle).
+    The oracle replays the hash→ln(u)/w→rank chain bit-for-bit, so
+    the SELECTED SETS match, not just their sizes."""
+    from sstable_hadoop_spark.operators.corpus import balanced_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return balanced_sample(docs, _BS_K, by=("lang",),
+                           weight_col="n_chars", seed=_BS_SEED)
+
+
+@query("txlog_ivm_join_rollup", oracle="""
+WITH dim AS (
+    SELECT c_custkey AS cust,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                ELSE c_mktsegment END AS seg
+    FROM customer
+),
+fact AS (
+    SELECT o_orderkey AS k, o_custkey AS cust,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+    FROM orders
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(total_c) AS BIGINT) AS rev_c
+FROM fact JOIN dim USING (cust) GROUP BY seg
+""")
+def txlog_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 incremental view maintenance (operators/ivm.py): a
+    revenue-by-segment rollup over fact(orders)⋈dim(customer) logged
+    tables, maintained through a fact insert wave (the k%5 orders
+    arrive) AND a dim reclassification (every 7th customer moves to
+    segment MOVED) WITHOUT recomputing — signed delta-join algebra
+    (ΔF⋈D_old + F_new⋈ΔD) folded into the stored rollup.  The oracle
+    computes the final view directly from the final table contents,
+    so any sign error, missed cross term, or double-counted group
+    hash-mismatches.  Data plane: the fact insert term reads only the
+    fact change feed; the dim term's fact scan prunes to the buckets
+    the changed customer keys hash into (fact is bucketed by cust)."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.ivm import (
+        incremental_join_rollup,
+        join_rollup,
+    )
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_upsert,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    fact = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+    dim = cust.select(F.col("c_custkey").alias("cust"),
+                      F.col("c_mktsegment").alias("seg"))
+
+    def build(out: str) -> None:
+        txlog_create(spark, os.path.join(out, "fact"),
+                     fact.filter(F.col("k") % 5 != 0),
+                     ("cust",), 8)
+        txlog_create(spark, os.path.join(out, "dim"), dim,
+                     ("cust",), 4)
+
+    base = _idempotent_tmpdir("txlog_ivm_" + h, build)
+    fp, dp = os.path.join(base, "fact"), os.path.join(base, "dim")
+    stored = join_rollup(spark, fp, dp, "cust", ["seg"],
+                         {"rev_c": "total_c"},
+                         fact_version=1, dim_version=1)
+
+    def merge_fact(s, d):
+        return s.unionByName(d).groupBy("k").agg(
+            F.max("cust").alias("cust"),
+            F.max("total_c").alias("total_c"))
+
+    def merge_dim(s, d):
+        d2 = d.select(F.col("cust").alias("c2"),
+                      F.col("seg").alias("s2"))
+        return (s.join(d2, F.col("cust") == F.col("c2"), "full")
+                 .select(F.coalesce("cust", "c2").alias("cust"),
+                         F.coalesce("s2", "seg").alias("seg")))
+
+    txlog_upsert(spark, fp, fact.filter(F.col("k") % 5 == 0),
+                 merge_fact, ("cust",), 8)
+    txlog_upsert(spark, dp,
+                 dim.filter(F.col("cust") % 7 == 0)
+                    .withColumn("seg", F.lit("MOVED")),
+                 merge_dim, ("cust",), 4)
+    return incremental_join_rollup(
+        spark, fp, dp, stored, "cust", ["seg"], {"rev_c": "total_c"},
+        fact_from=1, dim_from=1)
+
+
+@query("join_skew_split_users", oracle="""
+SELECT c.c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_c
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_skew_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 hot-key-split join (operators/skew.py skew_join): events ⋈
+    customer on user id with three declared hot users taking a
+    broadcast leg while the rest hash-join — ROW-IDENTICAL to the
+    plain join by construction (which leg a key takes can never
+    change the result; the oracle IS the plain join).  The production
+    shape for power-law keys: the hot key's flood never lands on one
+    sort-merge task."""
+    from sstable_hadoop_spark.operators.skew import skew_join
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"))
+    j = skew_join(
+        ev.select("user_id",
+                  F.floor(F.col("value") * 100 + 0.5).cast("long")
+                   .alias("value_c")),
+        cust, on="user_id", how="inner", hot_keys=[1, 2, 3])
+    return j.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_c").cast("long").alias("value_c"))
 
 
 # The driver's correctness gate checks the FIRST 50 entries of

@@ -3706,3 +3706,55 @@ def test_dedup_canonical_keeps_best_quality_member(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="quality column"):
         dedup_canonical(docs, "nope")
+
+
+# --- balanced_sample (r10) ---------------------------------------------------
+
+def test_balanced_sample_exact_counts_and_determinism(spark):
+    from sstable_hadoop_spark.operators.corpus import balanced_sample
+
+    rows = ([("en", i, 100 + i) for i in range(50)]
+            + [("de", 1000 + i, 10 + i) for i in range(7)]
+            + [("fr", 2000, 5)])
+    df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                     "n_chars long")
+    out = balanced_sample(df, 10, by=("lang",), weight_col="n_chars")
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    by_lang = {}
+    for lang, d in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    # exactly min(k, class size) per class
+    assert by_lang == {"en": 10, "de": 7, "fr": 1}
+    # deterministic across partitionings
+    got2 = {(r.lang, r.doc_id)
+            for r in balanced_sample(df.repartition(13), 10,
+                                     by=("lang",),
+                                     weight_col="n_chars").collect()}
+    assert got2 == got
+
+
+def test_balanced_sample_unweighted_and_guards(spark):
+    from sstable_hadoop_spark.operators.corpus import balanced_sample
+    import pytest as _pytest
+
+    rows = [("en", i, None) for i in range(20)] \
+        + [(None, 99, 5), ("en", None, 5)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                     "n_chars long")
+    out = balanced_sample(df, 5, by=("lang",)).collect()
+    assert len(out) == 5 and all(r.lang == "en" for r in out)
+    assert [r.rk for r in sorted(out, key=lambda r: r.rk)] \
+        == [1, 2, 3, 4, 5]
+    with _pytest.raises(ValueError, match="k must be"):
+        balanced_sample(df, 0)
+
+
+def test_balanced_sample_plans_window_group_limit(spark):
+    from sstable_hadoop_spark.operators.corpus import balanced_sample
+
+    df = spark.createDataFrame(
+        [("en", i, 10) for i in range(100)],
+        "lang string, doc_id long, n_chars long")
+    plan = balanced_sample(df, 3, by=("lang",), weight_col="n_chars") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

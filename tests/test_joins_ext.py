@@ -195,3 +195,59 @@ def test_asof_join_suffix_collision(spark):
                                 "k string, ts long, rv_asof int")
     with pytest.raises(ValueError, match="suffix"):
         asof_join(ldf, rdf, on="k", left_ts="ts")
+
+
+# --- skew_join (r10) --------------------------------------------------------
+
+def _skew_frames(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)]            # hot key
+        + [(k, k * 10) for k in range(2, 40)]   # cold keys
+        + [(99, 0), (None, -1)],                # right-miss + NULL key
+        "k long, v long")
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(1, 40)] + [(77, "x")],
+        "k long, tag string")
+    return left, right
+
+
+def _rows(df):
+    return sorted(((r.k is None, r.k), r.v, (r.tag is None, r.tag))
+                  for r in df.collect())
+
+
+def test_skew_join_row_identical_inner_and_left(spark):
+    from sstable_hadoop_spark.operators.skew import skew_join
+
+    left, right = _skew_frames(spark)
+    for how in ("inner", "left"):
+        want = _rows(left.join(right, "k", how))
+        assert _rows(skew_join(left, right, "k", how,
+                               hot_keys=[1])) == want
+        # auto-detection: whatever it decides, rows are identical
+        assert _rows(skew_join(left, right, "k", how,
+                               sample_rows_per_partition=50)) == want
+        # no hot keys declared and none detected -> plain join path
+        assert _rows(skew_join(left.filter("k > 1"), right, "k", how,
+                               hot_keys=[])) \
+            == _rows(left.filter("k > 1").join(right, "k", how))
+
+
+def test_skew_join_plans_two_legs(spark):
+    from sstable_hadoop_spark.operators.skew import skew_join
+
+    left, right = _skew_frames(spark)
+    plan = skew_join(left, right, "k", hot_keys=[1]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_skew_join_rejects_right_retaining(spark):
+    import pytest as _pytest
+
+    from sstable_hadoop_spark.operators.skew import skew_join
+
+    left, right = _skew_frames(spark)
+    with _pytest.raises(ValueError, match="inner/left"):
+        skew_join(left, right, "k", how="right")

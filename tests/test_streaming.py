@@ -1162,3 +1162,77 @@ def test_merge_stream_to_txlog_cdc_apply(spark, tmp_path):
     again = sorted(tuple(r) for r in txlog_read(spark, path).collect())
     assert again == got
     assert txlog_snapshot(path)["version"] > v  # audit trail grew
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path):
+    """Events arrive in four time-ordered micro-batches (global ts
+    quartiles, so every key sees non-decreasing event time across
+    batches — the operator's ordering contract); the drained stream's
+    non-late emissions must equal the batch ewma_smooth trajectory
+    exactly."""
+    from pyspark.sql.window import Window
+
+    from sstable_hadoop_spark.operators.timeseries import ewma_smooth
+    from sstable_hadoop_spark.queries import load, ts_us
+    from sstable_hadoop_spark.streaming.ewma_stream import ewma_stream
+
+    events = load(spark, SF, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull())
+    src = str(tmp_path / "ewma_stream")
+    w = Window.orderBy(ts_us(events, "ts"), F.col("event_id"))
+    staged = events.withColumn("_q", F.ntile(4).over(w))
+    for i in range(1, 5):
+        (staged.filter(F.col("_q") == i).drop("_q").coalesce(1)
+               .write.mode("append").parquet(src))
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = ewma_stream(stream, ts_us(events, "ts"), "user_id", "value",
+                      shift=3, tie_cols=("event_id",))
+    q = (out.writeStream.format("memory").queryName("ewma_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+
+    got = spark.sql("select * from ewma_sink").collect()
+    assert got and not any(r.late for r in got)
+    want = ewma_smooth(events, ts_us(events, "ts"), "user_id", "value",
+                       shift=3, tie_cols=("event_id",)).collect()
+    # rn is a per-key total order, so (key, rn) keys both sides
+    gm = {(r.user_id, r.rn): (r.ts_us, r.value_c, r.ewma_c)
+          for r in got}
+    wm = {(r.user_id, r.rn): (r.ts_us, r.value_c, r.ewma_c)
+          for r in want}
+    assert gm == wm
+
+
+def test_streaming_ewma_flags_late_rows(spark, tmp_path):
+    """A row arriving below its key's folded high-water mark is
+    emitted late=true with NULL ewma and must NOT disturb the
+    trajectory of subsequent in-order rows."""
+    from sstable_hadoop_spark.streaming.ewma_stream import ewma_stream
+
+    src = str(tmp_path / "late_stream")
+    b1 = spark.createDataFrame(
+        [(1, 1000, 2.0), (1, 2000, 4.0)], "k long, tu long, value double")
+    b2 = spark.createDataFrame(
+        [(1, 1500, 9.0), (1, 3000, 8.0)], "k long, tu long, value double")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.05)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (ewma_stream(stream, "tu", "k", "value", shift=3)
+         .writeStream.format("memory").queryName("late_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    rows = sorted(spark.sql("select * from late_sink").collect(),
+                  key=lambda r: r.ts_us)
+    by_ts = {r.ts_us: r for r in rows}
+    assert by_ts[1500].late and by_ts[1500].ewma_c is None
+    # trajectory: 200 -> (400 + 7*200)//8 = 225 -> (800 + 7*225)//8=296
+    assert (by_ts[1000].ewma_c, by_ts[2000].ewma_c,
+            by_ts[3000].ewma_c) == (200, 225, 296)
+    assert [by_ts[t].rn for t in (1000, 2000, 3000)] == [1, 2, 3]

@@ -1171,11 +1171,59 @@ def test_bloom_canonicalization_and_bitset_probe():
     assert _bloom_canon(None) is None
     assert _bloom_canon(b"\x00\xff") == "00ff"
     assert _bloom_canon(42) == "42"
-    pos = _bloom_positions("x")
-    assert pos == _bloom_positions("x") and len(pos) == 6
+    pos = _bloom_positions("x", 8192, 7)
+    assert pos == _bloom_positions("x", 8192, 7) and len(pos) == 7
+    assert all(0 <= p < 8192 for p in pos)
     bits = bytearray(1024)
     for p in pos:
         bits[p >> 3] |= 1 << (p & 7)
-    b64 = base64.b64encode(bytes(bits)).decode()
-    assert bloom_might_contain(b64, "x")
-    assert bloom_might_contain(b64, None)  # NULL: defensive True
+    entry = {"m": 8192, "k": 7,
+             "b64": base64.b64encode(bytes(bits)).decode()}
+    assert bloom_might_contain(entry, "x")
+    assert bloom_might_contain(entry, None)  # NULL: defensive True
+
+
+def test_bloom_geometry_adapts_and_spills_to_sidecar(spark, tpath):
+    """A file with NDV past the inline budget must get a LARGER
+    bitset in a hidden sidecar (a fixed 8 Ki bitset would saturate
+    to all-ones and prune nothing), the sidecar must survive the
+    commit protocol, prune effectively, and vacuum away with its
+    data file."""
+    import os
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    # one bucket, one input partition -> ONE file with 30k distinct
+    # tags: m must grow past the inline budget
+    df = spark.range(0, 30000).coalesce(1).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("tag"))
+    tx.txlog_create(spark, tpath, df, ("k",), 1, sort_by=("k",),
+                    bloom_cols=("tag",))
+    snap = tx.txlog_snapshot(tpath)
+    (entry,) = [b["tag"] for b in snap["blooms"].values()]
+    assert entry["m"] > tx._BLOOM_INLINE_M
+    assert "sidecar" in entry
+    side = os.path.join(tpath, entry["sidecar"])
+    assert os.path.exists(side)
+    assert os.path.getsize(side) == entry["m"] // 8
+    # probe correctness + effectiveness (absent value reads 0 files)
+    assert tx.txlog_read_point(spark, tpath, "tag",
+                               ["t123"]).count() == 1
+    assert tx.txlog_read_point(spark, tpath, "tag",
+                               ["absent"]).count() == 0
+
+    # rewrite the bucket; vacuum reaps the replaced file AND sidecar
+    def merge(stored, delta):
+        return stored.unionByName(delta).groupBy("k").agg(
+            F.max("tag").alias("tag"))
+
+    tx.txlog_upsert(spark, tpath,
+                    df.filter(F.col("k") < 10), merge, ("k",), 1,
+                    sort_by=("k",))
+    gone = tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    assert os.path.basename(side) in gone
+    assert not os.path.exists(side)
+    # the new file's sidecar still serves probes
+    assert tx.txlog_read_point(spark, tpath, "tag",
+                               ["t29999"]).count() == 1
