@@ -110,3 +110,102 @@ def test_dim_delta_prunes_fact_buckets(spark, paths):
     assert n_files < len(snap["files"])
     # pruning never loses the matching rows
     assert pruned.filter(F.col("cust") == 3).count() == 10
+
+
+# --- model check -------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ivm_op = st.one_of(
+    st.tuples(st.just("fact_upsert"), st.integers(0, 59),
+              st.integers(0, 19), st.integers(1, 500)),
+    st.tuples(st.just("fact_delete"), st.integers(0, 9)),
+    st.tuples(st.just("dim_move"), st.integers(0, 9),
+              st.sampled_from(["A", "B", "C", "D"])),
+    st.tuples(st.just("dim_drop"), st.integers(0, 9)),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_ivm_op, min_size=1, max_size=4))
+def test_ivm_model_based(spark, tmp_path, ops):
+    """Model-based property: after ANY sequence of fact upserts/
+    deletes and dim reclassifications/drops, advancing the stored
+    rollup from the pre-sequence versions must equal the full
+    recompute at the heads (and a dict model of the view)."""
+    import uuid as _uuid
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    fp = str(tmp_path / f"f{_uuid.uuid4().hex[:8]}")
+    dp = str(tmp_path / f"d{_uuid.uuid4().hex[:8]}")
+    facts = {i: (i % 10, 100 + i) for i in range(30)}  # k -> (cust, x)
+    dims = {c: "A" if c < 5 else "B" for c in range(10)}
+    tx.txlog_create(spark, fp, _fact(
+        spark, [(k, c, x) for k, (c, x) in sorted(facts.items())]),
+        ("cust",), 4)
+    tx.txlog_create(spark, dp, _dim(spark, sorted(dims.items())),
+                    ("cust",), 2)
+    stored = join_rollup(spark, fp, dp, "cust", ["seg"], {"sx": "x"},
+                         fact_version=1, dim_version=1)
+
+    def merge_fact(s, d):
+        return s.unionByName(d).groupBy("k").agg(
+            F.max("cust").alias("cust"), F.max("x").alias("x"))
+
+    def merge_dim(s, d):
+        d2 = d.select(F.col("cust").alias("c2"),
+                      F.col("seg").alias("s2"))
+        return (s.join(d2, F.col("cust") == F.col("c2"), "full")
+                 .select(F.coalesce("cust", "c2").alias("cust"),
+                         F.coalesce("s2", "seg").alias("seg")))
+
+    for op in ops:
+        if op[0] == "fact_upsert":
+            # cust derives from k: the bucket key must be stable under
+            # merge (the engine loudly refuses a merge that moves a
+            # row between buckets), so op[2] only perturbs x
+            k, x = op[1], op[3] + op[2]
+            c = k % 10
+            if k in facts:
+                facts[k] = (c, max(facts[k][1], x))
+            else:
+                facts[k] = (c, x)
+            tx.txlog_upsert(spark, fp, _fact(spark, [(k, c, x)]),
+                            merge_fact, ("cust",), 4)
+        elif op[0] == "fact_delete":
+            c = op[1]
+            doomed = [k for k, (fc, _) in facts.items() if fc == c]
+            for k in doomed:
+                facts.pop(k)
+            tx.txlog_delete(
+                spark, fp,
+                spark.createDataFrame([(c,)], "cust long"),
+                ("cust",), 4)
+        elif op[0] == "dim_move":
+            c, seg = op[1], op[2]
+            dims[c] = seg
+            tx.txlog_upsert(spark, dp, _dim(spark, [(c, seg)]),
+                            merge_dim, ("cust",), 2)
+        elif op[0] == "dim_drop":
+            c = op[1]
+            dims.pop(c, None)
+            tx.txlog_delete(
+                spark, dp,
+                spark.createDataFrame([(c,)], "cust long"),
+                ("cust",), 2)
+
+    got = sorted(map(tuple, incremental_join_rollup(
+        spark, fp, dp, stored, "cust", ["seg"], {"sx": "x"},
+        fact_from=1, dim_from=1).collect()))
+    assert got == _rollup(spark, fp, dp)
+    # dict model of the final view
+    model = {}
+    for k, (c, x) in facts.items():
+        if c in dims:
+            n, sx = model.get(dims[c], (0, 0))
+            model[dims[c]] = (n + 1, sx + x)
+    want = sorted((seg, n, sx) for seg, (n, sx) in model.items())
+    assert got == want

@@ -156,3 +156,34 @@ def test_repair_over_native_sstable_replicas(spark, tmp_path,
     n4 = sum(len(r.cells) for r in by_gen.get(4, []))
     assert stream.filter("direction = 'a_to_b'").count() == n3
     assert stream.filter("direction = 'b_to_a'").count() == n4
+
+
+# --- model check -------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(miss_a=st.sets(st.integers(0, 119), max_size=30),
+       miss_b=st.sets(st.integers(0, 119), max_size=30),
+       n_ranges=st.sampled_from([1, 4, 16]))
+def test_repair_model_based(spark, miss_a, miss_b, n_ranges):
+    """Model-based property: for ANY pair of replica subsets and any
+    range count, the repair stream is exactly the two set differences
+    and applying it converges both sides to the union."""
+    rows = _base_rows(120)
+    a = _cells(spark, [r for i, r in enumerate(rows)
+                       if i not in miss_a])
+    b = _cells(spark, [r for i, r in enumerate(rows)
+                       if i not in miss_b])
+    stream = repair_stream(a, b, n_ranges=n_ranges).cache()
+    sa, sb = _row_set(a), _row_set(b)
+    to_b = _row_set(stream.filter(F.col("direction") == "a_to_b")
+                    .drop("direction"))
+    to_a = _row_set(stream.filter(F.col("direction") == "b_to_a")
+                    .drop("direction"))
+    assert to_b == sa - sb
+    assert to_a == sb - sa
+    assert (sb | to_b) == (sa | to_a) == (sa | sb)
