@@ -181,9 +181,11 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     files: dict[str, int] = {}
     stats: dict[str, list] = {}
     blooms: dict[str, dict] = {}
+    col_stats: dict[str, dict] = {}
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
     bloom_cols: list | None = None
+    stats_cols: list | None = None
     start = 1
     usable = [v for v in checkpoints if v <= target]
     if usable:
@@ -191,12 +193,14 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         files = {n: b for n, b in cp["files"]}
         stats = dict(cp.get("stats", {}))
         blooms = dict(cp.get("blooms", {}))
+        col_stats = dict(cp.get("col_stats", {}))
         schema = cp.get("schema")
         stats_col = cp.get("stats_col")
         bucket_by = cp.get("bucket_by")
         n_buckets = cp.get("n_buckets")
         sort_by = cp.get("sort_by")
         bloom_cols = cp.get("bloom_cols")
+        stats_cols = cp.get("stats_cols")
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -206,6 +210,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             stats_col = c["stats_col"]
         if c.get("bloom_cols") is not None:
             bloom_cols = c["bloom_cols"]
+        if c.get("stats_cols") is not None:
+            stats_cols = c["stats_cols"]
         if c.get("n_buckets"):
             bucket_by = c.get("bucket_by")
             n_buckets = c.get("n_buckets")
@@ -214,10 +220,12 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             files.pop(n, None)
             stats.pop(n, None)
             blooms.pop(n, None)
+            col_stats.pop(n, None)
         for n, b in c.get("adds", ()):
             files[n] = b
         stats.update(c.get("stats", {}))
         blooms.update(c.get("blooms", {}))
+        col_stats.update(c.get("col_stats", {}))
     if n_buckets is None:
         # pre-bucketing-journal checkpoint: the declaration lives in
         # commit 1 (create/adopt — no rebucket can predate a
@@ -228,11 +236,13 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         sort_by = c1.get("sort_by")
     stats = {n: s for n, s in stats.items() if n in files}
     blooms = {n: b for n, b in blooms.items() if n in files}
+    col_stats = {n: c for n, c in col_stats.items() if n in files}
     return {"version": target, "schema": schema, "files": files,
             "stats": stats, "stats_col": stats_col,
             "bucket_by": bucket_by, "n_buckets": n_buckets,
             "sort_by": sort_by,
-            "blooms": blooms, "bloom_cols": bloom_cols or []}
+            "blooms": blooms, "bloom_cols": bloom_cols or [],
+            "col_stats": col_stats, "stats_cols": stats_cols or []}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -395,7 +405,9 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                         allowed: set[int],
                         stats_out: dict | None = None,
                         bloom_cols: tuple[str, ...] = (),
-                        blooms_out: dict | None = None
+                        blooms_out: dict | None = None,
+                        stats_cols: tuple[str, ...] = (),
+                        col_stats_out: dict | None = None
                         ) -> list[tuple[str, int]]:
     """Write ``merged`` with the bucketed writer into a temp dir, then
     copy the bucket files into the table dir under their (unique)
@@ -432,6 +444,11 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                 bl = _file_blooms(f, tuple(bloom_cols), path, name)
                 if bl:
                     blooms_out[name] = bl
+            if stats_cols and col_stats_out is not None:
+                cs = {c: st for c in stats_cols
+                      if (st := _footer_stats(f, c)) is not None}
+                if cs:
+                    col_stats_out[name] = cs
             fs.put_file(f, os.path.join(path, name))
             out.append((name, b))
         return out
@@ -505,7 +522,9 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "n_buckets": snap["n_buckets"],
                         "sort_by": snap["sort_by"],
                         "blooms": snap["blooms"],
-                        "bloom_cols": snap["bloom_cols"]},
+                        "bloom_cols": snap["bloom_cols"],
+                        "col_stats": snap["col_stats"],
+                        "stats_cols": snap["stats_cols"]},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -514,7 +533,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 def txlog_create(spark, path: str, df: DataFrame,
                  bucket_by: tuple[str, ...], n_buckets: int,
                  sort_by: tuple[str, ...] = (),
-                 bloom_cols: tuple[str, ...] = ()) -> int:
+                 bloom_cols: tuple[str, ...] = (),
+                 stats_cols: tuple[str, ...] = ()) -> int:
     """Create a logged bucketed table from ``df`` (commit version 1).
     Raises if a log already exists — creation is not an upsert.
 
@@ -524,17 +544,29 @@ def txlog_create(spark, path: str, df: DataFrame,
     footer stats already skip on the SORT key; blooms cover the
     "fetch by a non-key column" probe, where ranges overlap every
     file.  The declaration is journaled and every subsequent writer
-    (upsert/compact/rebucket) maintains it."""
+    (upsert/compact/rebucket) maintains it.
+
+    ``stats_cols``: journal per-file min/max ZONE MAPS (parquet
+    footer stats, no data read) for additional columns beyond the
+    first sort key — :func:`txlog_read_range` / ``read_point`` probes
+    on those columns then prune files the way the sort key always
+    could.  Worth declaring for columns CORRELATED with the layout
+    (a z-order component, an ingest-time stamp); a column uniform
+    within every file yields full-range maps that prune nothing
+    (declare a bloom there instead)."""
     if txlog_exists(path):
         raise FileExistsError(f"transaction log already exists: {path}")
     fs.makedirs(_log_dir(path))
     stats: dict[str, list] = {}
     blooms: dict[str, dict] = {}
+    col_stats: dict[str, dict] = {}
     adds = _stage_bucket_files(df, path, bucket_by, n_buckets, sort_by,
                                allowed=set(range(n_buckets)),
                                stats_out=stats,
                                bloom_cols=tuple(bloom_cols),
-                               blooms_out=blooms)
+                               blooms_out=blooms,
+                               stats_cols=tuple(stats_cols),
+                               col_stats_out=col_stats)
     record = {
         "op": "create", "writer": uuid.uuid4().hex,
         "schema": df.schema.json(), "bucket_by": list(bucket_by),
@@ -543,6 +575,7 @@ def txlog_create(spark, path: str, df: DataFrame,
         "adds": adds, "removes": [],
         "stats": stats, "stats_col": (sort_by or bucket_by)[0],
         "bloom_cols": list(bloom_cols), "blooms": blooms,
+        "stats_cols": list(stats_cols), "col_stats": col_stats,
     }
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:
@@ -645,16 +678,20 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
             new_schema = merged.schema.json()
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
+        col_stats: dict[str, dict] = {}
         adds = _stage_bucket_files(merged, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(affected),
                                    stats_out=stats,
                                    bloom_cols=tuple(
                                        snap.get("bloom_cols") or ()),
-                                   blooms_out=blooms)
+                                   blooms_out=blooms,
+                                   stats_cols=tuple(
+                                       snap.get("stats_cols") or ()),
+                                   col_stats_out=col_stats)
         record = {
             "op": "upsert", "writer": uuid.uuid4().hex,
             "buckets": affected, "adds": adds, "removes": old,
-            "stats": stats, "blooms": blooms,
+            "stats": stats, "blooms": blooms, "col_stats": col_stats,
         }
         if new_schema is not None:
             record["schema"] = new_schema
@@ -880,15 +917,20 @@ def txlog_compact(spark, path: str, target_buckets=None,
         df = df.repartition(len(frag), bucket_id(n_buckets, *bucket_by))
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
+        col_stats: dict[str, dict] = {}
         adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(frag),
                                    stats_out=stats,
                                    bloom_cols=tuple(
                                        snap.get("bloom_cols") or ()),
-                                   blooms_out=blooms)
+                                   blooms_out=blooms,
+                                   stats_cols=tuple(
+                                       snap.get("stats_cols") or ()),
+                                   col_stats_out=col_stats)
         record = {"op": "compact", "writer": uuid.uuid4().hex,
                   "buckets": frag, "adds": adds, "removes": old,
-                  "stats": stats, "blooms": blooms}
+                  "stats": stats, "blooms": blooms,
+                  "col_stats": col_stats}
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, frag
@@ -942,21 +984,34 @@ def txlog_diff(spark, path: str, v_from: int,
 
 
 def txlog_read_range(spark, path: str, lo, hi,
-                     version: int | None = None) -> DataFrame:
-    """Data-skipping read: rows of the stats column (the table's
-    first sort key) in ``[lo, hi]``, reading ONLY the files whose
-    footer min/max — journaled in each commit as a metadata
-    data-skipping index — overlaps the range.  Files without stats
-    are read defensively; the range filter is always applied, so
-    pruning is an optimization, never a semantics change.  The
+                     version: int | None = None,
+                     col: str | None = None) -> DataFrame:
+    """Data-skipping read: rows with ``col`` (default: the stats
+    column, the table's first sort key) in ``[lo, hi]``, reading ONLY
+    the files whose footer min/max — journaled in each commit as a
+    metadata data-skipping index — overlaps the range.  Files without
+    stats are read defensively; the range filter is always applied,
+    so pruning is an optimization, never a semantics change.  The
     100 TB point-lookup/slice path: a sorted-by-key table answers a
-    key-range probe with O(matching files) IO and zero shuffles."""
+    key-range probe with O(matching files) IO and zero shuffles.
+
+    Passing a ``col`` from the table's declared ``stats_cols``
+    consults that column's zone maps instead — the second-dimension
+    range probe a z-ordered or ingest-stamped layout makes
+    effective."""
     from pyspark.sql.types import StructType
 
     snap = txlog_snapshot(path, version)
-    col = snap["stats_col"]
+    primary = snap["stats_col"]
+    col = col if col is not None else primary
     if col is None:
         raise ValueError(f"table at {path} journals no file stats")
+    if col != primary and col not in (snap.get("stats_cols") or []):
+        raise ValueError(
+            f"column {col!r} has no journaled zone maps at {path} "
+            f"(stats_col={primary!r}, "
+            f"stats_cols={snap.get('stats_cols')}) — create the "
+            "table with stats_cols=(...) or read+filter plainly")
 
     def enc(v):
         return v.hex() if isinstance(v, (bytes, bytearray)) else v
@@ -964,7 +1019,8 @@ def txlog_read_range(spark, path: str, lo, hi,
     qlo, qhi = enc(lo), enc(hi)
     keep = []
     for n in sorted(snap["files"]):
-        st = snap["stats"].get(n)
+        st = (snap["stats"].get(n) if col == primary
+              else snap.get("col_stats", {}).get(n, {}).get(col))
         if st is None or not (st[1] < qlo or st[0] > qhi):
             keep.append(n)
     schema = StructType.fromJson(json.loads(snap["schema"]))
@@ -998,10 +1054,12 @@ def txlog_read_point(spark, path: str, col: str, values,
         raise ValueError("values must be non-empty")
     snap = txlog_snapshot(path, version)
     if col not in (snap.get("bloom_cols") or []) \
+            and col not in (snap.get("stats_cols") or []) \
             and col != snap.get("stats_col"):
         raise ValueError(
             f"column {col!r} has no journaled skipping index at "
             f"{path} (bloom_cols={snap.get('bloom_cols')}, "
+            f"stats_cols={snap.get('stats_cols')}, "
             f"stats_col={snap.get('stats_col')!r}) — create the "
             "table with bloom_cols=(...) or read+filter plainly")
 
@@ -1013,11 +1071,11 @@ def txlog_read_point(spark, path: str, col: str, values,
     for n in sorted(snap["files"]):
         # stats prune first (free); bloom sidecars are only fetched
         # for files the cheaper checks could not rule out
-        if col == snap.get("stats_col"):
-            st = snap["stats"].get(n)
-            if st is not None and not any(
-                    st[0] <= enc(v) <= st[1] for v in probes):
-                continue
+        st = (snap["stats"].get(n) if col == snap.get("stats_col")
+              else snap.get("col_stats", {}).get(n, {}).get(col))
+        if st is not None and not any(
+                st[0] <= enc(v) <= st[1] for v in probes):
+            continue
         bl = snap.get("blooms", {}).get(n, {}).get(col)
         if bl is not None:
             try:
@@ -1208,7 +1266,10 @@ def txlog_restore(spark, path: str, version: int,
                   "stats": {n: target["stats"][n] for n, _ in adds
                             if n in target["stats"]},
                   "blooms": {n: target["blooms"][n] for n, _ in adds
-                             if n in target.get("blooms", {})}}
+                             if n in target.get("blooms", {})},
+                  "col_stats": {n: target["col_stats"][n]
+                                for n, _ in adds
+                                if n in target.get("col_stats", {})}}
         if target["schema"] != head["schema"]:
             record["schema"] = target["schema"]
         if target.get("n_buckets") is not None and (
@@ -1264,13 +1325,17 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
         df = txlog_read(spark, path, version=snap["version"])
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
+        col_stats: dict[str, dict] = {}
         adds = _stage_bucket_files(df, path, new_by, n_buckets,
                                    new_sort,
                                    allowed=set(range(n_buckets)),
                                    stats_out=stats,
                                    bloom_cols=tuple(
                                        snap.get("bloom_cols") or ()),
-                                   blooms_out=blooms)
+                                   blooms_out=blooms,
+                                   stats_cols=tuple(
+                                       snap.get("stats_cols") or ()),
+                                   col_stats_out=col_stats)
         record = {
             "op": "rebucket", "writer": uuid.uuid4().hex,
             "bucket_by": list(new_by), "n_buckets": n_buckets,
@@ -1280,7 +1345,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
             "adds": adds, "removes": sorted(snap["files"]),
             "stats": stats,
             "stats_col": (new_sort or new_by)[0],
-            "blooms": blooms,
+            "blooms": blooms, "col_stats": col_stats,
         }
         won = _try_commit(path, snap, record, strict_base=True)
         if won != "conflict":
@@ -1293,7 +1358,8 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
 def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
                 n_buckets: int,
                 sort_by: tuple[str, ...] = (),
-                bloom_cols: tuple[str, ...] = ()) -> int:
+                bloom_cols: tuple[str, ...] = (),
+                stats_cols: tuple[str, ...] = ()) -> int:
     """Adopt an EXISTING ``write_bucketed`` table into a transaction
     log without copying a byte: journal its current bucket files as
     commit 1.  The zero-downtime migration path off the single-writer
@@ -1315,6 +1381,7 @@ def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
             f"{n_buckets} — declared bucketing does not match the "
             "writer's")
     adds, stats = [], {}
+    col_stats: dict[str, dict] = {}
     col = (sort_by or bucket_by)[0]
     for b, files in sorted(by_bucket.items()):
         for f in files:
@@ -1324,6 +1391,12 @@ def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
                 st = _footer_stats(f, col)
                 if st is not None:
                     stats[name] = st
+                # zone maps need only the footer, so adopted files
+                # get them immediately (unlike blooms)
+                cs = {c: cst for c in stats_cols
+                      if (cst := _footer_stats(f, c)) is not None}
+                if cs:
+                    col_stats[name] = cs
     schema = spark.read.parquet(path).schema.json()  # footer-only
     fs.makedirs(_log_dir(path))
     record = {
@@ -1336,6 +1409,7 @@ def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
         # yet (point reads stay defensive); the DECLARATION makes
         # every subsequent writer journal blooms for its rewrites
         "bloom_cols": list(bloom_cols), "blooms": {},
+        "stats_cols": list(stats_cols), "col_stats": col_stats,
     }
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:

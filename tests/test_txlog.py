@@ -1227,3 +1227,81 @@ def test_bloom_geometry_adapts_and_spills_to_sidecar(spark, tpath):
     # the new file's sidecar still serves probes
     assert tx.txlog_read_point(spark, tpath, "tag",
                                ["t29999"]).count() == 1
+
+
+# --- multi-column zone maps (stats_cols) ------------------------------------
+
+def test_zone_maps_prune_second_column_range(spark, tpath):
+    """A table sorted by k with declared zone maps on a k-correlated
+    second column: range probes on THAT column must prune files, and
+    the maps must survive upsert/compact/restore like the primary
+    stats do."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    # ts = k * 100: correlated with the sort key, so per-file ts
+    # ranges are disjoint and a ts probe can prune
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("ts"),
+        F.lit(1).alias("v"))
+    tx.txlog_create(spark, tpath, df, ("k",), 8, sort_by=("k",),
+                    stats_cols=("ts",))
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["stats_cols"] == ["ts"]
+    assert set(snap["col_stats"]) == set(snap["files"])
+
+    got = tx.txlog_read_range(spark, tpath, 5000, 7000, col="ts")
+    rows = sorted(r.k for r in got.collect())
+    assert rows == list(range(50, 71))
+    n_read = got.select(F.input_file_name()).distinct().count()
+    assert n_read < len(snap["files"])
+    # point probe through the same maps
+    assert tx.txlog_read_point(spark, tpath, "ts", [5000]).count() == 1
+
+    def merge(stored, delta):
+        return stored.unionByName(delta).groupBy("k").agg(
+            F.max("ts").alias("ts"), F.max("v").alias("v"))
+
+    v1 = snap["version"]
+    tx.txlog_upsert(spark, tpath,
+                    df.filter(F.col("k") < 50)
+                      .withColumn("v", F.lit(2)),
+                    merge, ("k",), 8, sort_by=("k",))
+    snap2 = tx.txlog_snapshot(tpath)
+    assert set(snap2["col_stats"]) == set(snap2["files"])
+    tx.txlog_compact(spark, tpath, min_files=2)
+    snap3 = tx.txlog_snapshot(tpath)
+    assert set(snap3["col_stats"]) == set(snap3["files"])
+    tx.txlog_restore(spark, tpath, v1)
+    snap4 = tx.txlog_snapshot(tpath)
+    assert set(snap4["col_stats"]) == set(snap4["files"])
+    assert tx.txlog_read_range(spark, tpath, 5000, 7000,
+                               col="ts").count() == 21
+
+
+def test_zone_map_reads_refuse_undeclared_columns(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("ts"))
+    tx.txlog_create(spark, tpath, df, ("k",), 2, sort_by=("k",))
+    with pytest.raises(ValueError, match="no journaled zone maps"):
+        tx.txlog_read_range(spark, tpath, 0, 10, col="ts")
+    # the primary stats column still works without a declaration
+    assert tx.txlog_read_range(spark, tpath, 0, 10).count() == 11
+
+
+def test_zone_maps_via_adopt(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import write_bucketed
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("ts"))
+    write_bucketed(df, tpath, "t_adopt", bucket_by=("k",),
+                   n_buckets=4, sort_by=("k",))
+    tx.txlog_adopt(spark, tpath, ("k",), 4, sort_by=("k",),
+                   stats_cols=("ts",))
+    snap = tx.txlog_snapshot(tpath)
+    # footer-only maps exist for adopted files immediately
+    assert set(snap["col_stats"]) == set(snap["files"])
+    assert tx.txlog_read_range(spark, tpath, 100, 200,
+                               col="ts").count() == 11
