@@ -139,3 +139,56 @@ def repair_stream(a: DataFrame, b: DataFrame,
 
     return _only_in(da, db, "a_to_b").unionByName(
         _only_in(db, da, "b_to_a"))
+
+
+def repair_replicas(spark, dir_a: str, dir_b: str,
+                    n_ranges: int = 64, fmt: str = "native",
+                    compressed: bool = False) -> dict:
+    """CLOSE the anti-entropy loop over two real SSTable replica
+    DIRECTORIES: read both through the binary source, detect and
+    stream the differences (:func:`repair_stream`), and WRITE each
+    side's missing cells back into it through the distributed SSTable
+    sink — per-generation families, so streamed cells keep their
+    original generation and timestamps and the repaired replicas
+    converge EXACTLY (cell-set equality, not just LWW-winner
+    equality).  Returns ``{"a_to_b": n, "b_to_a": n}``.
+
+    The sink's append mode is collision-free (task+job-token file
+    names) and commit-atomic (hidden staging, Data.db renamed last),
+    so a repair that dies mid-write leaves no half-visible family and
+    a re-run converges idempotently: already-streamed cells are no
+    longer missing, so the second stream is empty.
+
+    Scale shape: detection is the Merkle gate (O(n_ranges) digests),
+    the streams carry only missing cells, and the write is the normal
+    distributed sink — a mostly-in-sync pair costs two scans plus the
+    drift."""
+    from pyspark.sql import functions as F
+
+    from .lww import collect_rows, explode_cells
+
+    def read(d: str) -> DataFrame:
+        return explode_cells(spark.read.format("sstable")
+                             .option("format", fmt).load(d))
+
+    stream = repair_stream(read(dir_a), read(dir_b), n_ranges).cache()
+    try:
+        counts = {r["direction"]: r["n"] for r in
+                  stream.groupBy("direction")
+                        .agg(F.count("*").alias("n")).collect()}
+        for direction, target in (("a_to_b", dir_b),
+                                  ("b_to_a", dir_a)):
+            if not counts.get(direction):
+                continue
+            rows = collect_rows(
+                stream.filter(F.col("direction") == direction)
+                      .drop("direction"),
+                by_generation=True)
+            (rows.write.format("sstable").option("path", target)
+                 .option("format", fmt)
+                 .option("compressed", str(compressed).lower())
+                 .mode("append").save())
+        return {"a_to_b": counts.get("a_to_b", 0),
+                "b_to_a": counts.get("b_to_a", 0)}
+    finally:
+        stream.unpersist()

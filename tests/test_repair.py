@@ -187,3 +187,63 @@ def test_repair_model_based(spark, miss_a, miss_b, n_ranges):
     assert to_b == sa - sb
     assert to_a == sb - sa
     assert (sb | to_b) == (sa | to_a) == (sa | sb)
+
+
+def test_repair_replicas_converges_exactly(spark, tmp_path,
+                                           cell_fixture):
+    """repair_replicas over two real SSTable directories: after one
+    repair both replicas hold the IDENTICAL cell set (original
+    generations preserved via per-generation sink families), LWW
+    winners agree exactly, and a second repair is a no-op."""
+    from sstable_hadoop_spark.operators.lww import (
+        explode_cells,
+        lww_cell,
+    )
+    from sstable_hadoop_spark.operators.repair import repair_replicas
+    from sstable_hadoop_spark.sources.codec import SSTableWriter
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    by_gen: dict[int, list] = {}
+    for g, row in cell_fixture:
+        by_gen.setdefault(g, []).append(row)
+
+    def write_replica(name, gens):
+        d = tmp_path / name
+        d.mkdir()
+        for g in gens:
+            w = SSTableWriter(str(d), "ks-cf", generation=g,
+                              compressed=False, chunk_length=4096,
+                              summary_rate=8)
+            for row in by_gen.get(g, []):
+                w.write_row(row)
+            w.close()
+        return str(d)
+
+    da = write_replica("a", [1, 2, 3])
+    db = write_replica("b", [1, 2, 4])
+
+    def cell_set(d):
+        cells = explode_cells(spark.read.format("sstable").load(d))
+        return {(bytes(r.key), bytes(r.name), r.state,
+                 None if r.data is None else bytes(r.data),
+                 r.timestamp, r.ttl, r.expiration, r.generation)
+                for r in cells.collect()}
+
+    union = cell_set(da) | cell_set(db)
+    counts = repair_replicas(spark, da, db, n_ranges=16)
+    n3 = sum(len(r.cells) for r in by_gen.get(3, []))
+    n4 = sum(len(r.cells) for r in by_gen.get(4, []))
+    assert counts == {"a_to_b": n3, "b_to_a": n4}
+    assert cell_set(da) == cell_set(db) == union
+    # LWW winners agree exactly (generations preserved end-to-end)
+    def winners(d):
+        w = lww_cell(explode_cells(
+            spark.read.format("sstable").load(d)))
+        return {(bytes(r.key), bytes(r.name), r.state, r.timestamp,
+                 r.generation) for r in w.collect()}
+
+    assert winners(da) == winners(db)
+    # idempotent: nothing left to stream
+    assert repair_replicas(spark, da, db, n_ranges=16) \
+        == {"a_to_b": 0, "b_to_a": 0}
