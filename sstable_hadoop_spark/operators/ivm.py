@@ -59,13 +59,15 @@ def _contrib(df: DataFrame, sign, group_by: list[str],
 def join_rollup(spark, fact_path: str, dim_path: str, on: str,
                 group_by: list[str], sum_cols: dict[str, str],
                 fact_version: int | None = None,
-                dim_version: int | None = None) -> DataFrame:
+                dim_version: int | None = None,
+                how: str = "inner") -> DataFrame:
     """The view recomputed from scratch at the given versions —
     initialization and the equality twin of the incremental path.
-    Output: ``(*group_by, n, <sum_cols keys>)``."""
+    Output: ``(*group_by, n, <sum_cols keys>)``; with ``how="left"``
+    the facts with no dim match roll up under NULL group columns."""
     f = txlog_read(spark, fact_path, fact_version)
     d = txlog_read(spark, dim_path, dim_version)
-    j = f.join(d, on, "inner")
+    j = f.join(d, on, how)
     aggs = [F.count("*").cast("long").alias("n")]
     for out, src in sorted(sum_cols.items()):
         aggs.append(F.sum(src).cast("long").alias(out))
@@ -99,7 +101,8 @@ def incremental_join_rollup(spark, fact_path: str, dim_path: str,
                             sum_cols: dict[str, str],
                             fact_from: int, dim_from: int,
                             fact_to: int | None = None,
-                            dim_to: int | None = None) -> DataFrame:
+                            dim_to: int | None = None,
+                            how: str = "inner") -> DataFrame:
     """Advance ``stored`` (the rollup as of ``(fact_from, dim_from)``)
     to ``(fact_to, dim_to)`` (default: each table's head) — equal to
     :func:`join_rollup` at the target versions, at change-feed cost.
@@ -108,22 +111,44 @@ def incremental_join_rollup(spark, fact_path: str, dim_path: str,
     count/sum are the self-inverting aggregates the signed algebra
     supports — min/max are NOT maintainable this way and are
     refused by omission).  Groups whose count reaches zero drop out,
-    so emptied groups never linger as zero rows."""
+    so emptied groups never linger as zero rows.
+
+    ``how="left"`` also maintains the NULL-group rollup of DANGLING
+    facts (no dim match): its deltas are (a) fact deltas whose key is
+    absent from the OLD dim and (b) facts of keys whose dim PRESENCE
+    flipped (a key entering the dim moves its facts out of the NULL
+    group with sign -1; a key leaving moves them in with +1) —
+    presence flips derive from the dim feed's net per-key sign, which
+    is exact when the dim holds AT MOST ONE ROW PER KEY per version
+    (the dimension contract; a multiset dim would need count-crossing
+    tracking this operator does not do)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     fact_to = fact_to if fact_to is not None \
         else txlog_snapshot(fact_path)["version"]
     dim_to = dim_to if dim_to is not None \
         else txlog_snapshot(dim_path)["version"]
     sign = F.when(F.col("_change") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1)).cast("long")
+    null_group = [F.lit(None).alias(c) for c in group_by]
 
     parts = []
+    dd = (txlog_diff(spark, dim_path, dim_from, dim_to)
+          if dim_to > dim_from else None)
     if fact_to > fact_from:
         df_fact = txlog_diff(spark, fact_path, fact_from, fact_to)
         d_old = txlog_read(spark, dim_path, dim_from)
         parts.append(_contrib(df_fact.join(d_old, on, "inner"),
                               sign, group_by, sum_cols))
-    if dim_to > dim_from:
-        dd = txlog_diff(spark, dim_path, dim_from, dim_to)
+        if how == "left":
+            # fact deltas with NO key in the old dim: NULL group
+            dangling = (df_fact
+                        .join(d_old.select(on), on, "anti")
+                        .select(*null_group, "_change",
+                                *[F.col(c) for c in
+                                  set(sum_cols.values())]))
+            parts.append(_contrib(dangling, sign, group_by, sum_cols))
+    if dd is not None:
         f_new = _read_fact_buckets(spark, fact_path, fact_to, on,
                                    dd.select(on))
         # the dim delta carries the group columns and the sign; fact
@@ -131,22 +156,46 @@ def incremental_join_rollup(spark, fact_path: str, dim_path: str,
         parts.append(_contrib(
             f_new.join(F.broadcast(dd), on, "inner"),
             sign, group_by, sum_cols))
+        if how == "left":
+            # presence flips: net per-key sign of the dim feed; facts
+            # of an ENTERING key leave the NULL group (-1), of a
+            # LEAVING key join it (+1)
+            pres = (dd.select(on, sign.alias("_s"))
+                      .groupBy(on).agg(F.sum("_s").alias("_net"))
+                      .filter(F.col("_net") != 0)
+                      .select(on, (-F.col("_net")).cast("long")
+                              .alias("_bar")))
+            flipped = (f_new.join(F.broadcast(pres), on, "inner")
+                       .select(*null_group, F.col("_bar"),
+                               *[F.col(c) for c in
+                                 set(sum_cols.values())]))
+            parts.append(_contrib(flipped, F.col("_bar"),
+                                  group_by, sum_cols))
     if not parts:
         return stored
     delta = parts[0]
     for p in parts[1:]:
-        delta = delta.unionByName(p)
+        delta = delta.unionByName(p, allowMissingColumns=True)
     dn_aggs = [F.sum("_dn").alias("_dn")]
     for out in sorted(sum_cols):
         dn_aggs.append(F.sum(f"_d_{out}").alias(f"_d_{out}"))
     delta = delta.groupBy(*group_by).agg(*dn_aggs)
 
-    j = stored.join(delta, group_by, "full")  # USING: keys coalesce
-    n = (F.coalesce(F.col("n"), F.lit(0))
-         + F.coalesce(F.col("_dn"), F.lit(0))).cast("long")
-    sel = [*[F.col(c) for c in group_by], n.alias("n")]
+    # null-safe fold: a left view's NULL group must merge, so the
+    # full join matches keys with <=> (a USING join would leave two
+    # separate NULL-group rows)
+    st, dl = stored.alias("_st"), delta.alias("_dl")
+    cond = None
+    for c in group_by:
+        eq = F.col(f"_st.{c}").eqNullSafe(F.col(f"_dl.{c}"))
+        cond = eq if cond is None else cond & eq
+    j = st.join(dl, cond, "full")
+    n = (F.coalesce(F.col("_st.n"), F.lit(0))
+         + F.coalesce(F.col("_dl._dn"), F.lit(0))).cast("long")
+    sel = [*[F.coalesce(F.col(f"_st.{c}"), F.col(f"_dl.{c}"))
+             .alias(c) for c in group_by], n.alias("n")]
     for out in sorted(sum_cols):
-        sel.append((F.coalesce(F.col(out), F.lit(0))
-                    + F.coalesce(F.col(f"_d_{out}"), F.lit(0)))
+        sel.append((F.coalesce(F.col(f"_st.{out}"), F.lit(0))
+                    + F.coalesce(F.col(f"_dl._d_{out}"), F.lit(0)))
                    .cast("long").alias(out))
     return j.select(*sel).filter(F.col("n") > 0)

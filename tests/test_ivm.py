@@ -209,3 +209,106 @@ def test_ivm_model_based(spark, tmp_path, ops):
             model[dims[c]] = (n + 1, sx + x)
     want = sorted((seg, n, sx) for seg, (n, sx) in model.items())
     assert got == want
+    # the LEFT view over the same sequence (NULL-group maintenance)
+    stored_left = join_rollup(spark, fp, dp, "cust", ["seg"],
+                              {"sx": "x"}, fact_version=1,
+                              dim_version=1, how="left")
+    got_left = sorted(
+        ((r[0] is None, r[0]), r[1], r[2])
+        for r in incremental_join_rollup(
+            spark, fp, dp, stored_left, "cust", ["seg"], {"sx": "x"},
+            fact_from=1, dim_from=1, how="left").collect())
+    model_l = dict(model)
+    dangling = [(c, x) for k, (c, x) in facts.items()
+                if c not in dims]
+    if dangling:
+        model_l[None] = (len(dangling), sum(x for _, x in dangling))
+    want_l = sorted(((seg is None, seg), n, sx)
+                    for seg, (n, sx) in model_l.items())
+    assert got_left == want_l
+
+
+# --- left-join views ---------------------------------------------------------
+
+def _rollup_left(spark, fp, dp, **kw):
+    return sorted(
+        ((r[0] is None, r[0]), r[1], r[2]) for r in join_rollup(
+            spark, fp, dp, "cust", ["seg"], {"sx": "x"},
+            how="left", **kw).collect())
+
+
+def _sorted_left(df):
+    return sorted(((r[0] is None, r[0]), r[1], r[2])
+                  for r in df.collect())
+
+
+def test_left_join_view_maintains_null_group(spark, paths):
+    fp, dp = paths
+    # facts for custs 0..11; dim only knows 0..7 -> 8..11 dangle
+    tx.txlog_create(spark, fp, _fact(spark, [
+        (i, i % 12, 10 + i) for i in range(60)]), ("cust",), 4)
+    tx.txlog_create(spark, dp, _dim(spark, [
+        (c, "A" if c < 4 else "B") for c in range(8)]), ("cust",), 2)
+    stored = join_rollup(spark, fp, dp, "cust", ["seg"], {"sx": "x"},
+                         how="left")
+    assert any(r[0] is None for r in stored.collect())  # NULL group
+
+    def merge_fact(s, d):
+        return s.unionByName(d).groupBy("k").agg(
+            F.max("cust").alias("cust"), F.max("x").alias("x"))
+
+    def merge_dim(s, d):
+        d2 = d.select(F.col("cust").alias("c2"),
+                      F.col("seg").alias("s2"))
+        return (s.join(d2, F.col("cust") == F.col("c2"), "full")
+                 .select(F.coalesce("cust", "c2").alias("cust"),
+                         F.coalesce("s2", "seg").alias("seg")))
+
+    # 1) fact inserts for BOTH matched and dangling keys
+    fv, dv = 1, 1
+    tx.txlog_upsert(spark, fp, _fact(spark, [
+        (100 + i, i % 12, 1000 + i) for i in range(24)]),
+        merge_fact, ("cust",), 4)
+    got = incremental_join_rollup(
+        spark, fp, dp, stored, "cust", ["seg"], {"sx": "x"},
+        fact_from=fv, dim_from=dv, how="left")
+    assert _sorted_left(got) == _rollup_left(spark, fp, dp)
+
+    # 2) dim ENTERS keys 8,9 (their facts leave the NULL group) and
+    #    DROPS key 0 (its facts join it), plus a reclassification
+    stored = join_rollup(spark, fp, dp, "cust", ["seg"], {"sx": "x"},
+                         how="left")
+    fv = tx.txlog_snapshot(fp)["version"]
+    dv = tx.txlog_snapshot(dp)["version"]
+    tx.txlog_upsert(spark, dp, _dim(spark, [(8, "C"), (9, "C"),
+                                            (3, "B")]),
+                    merge_dim, ("cust",), 2)
+    tx.txlog_delete(spark, dp,
+                    spark.createDataFrame([(0,)], "cust long"),
+                    ("cust",), 2)
+    got = incremental_join_rollup(
+        spark, fp, dp, stored, "cust", ["seg"], {"sx": "x"},
+        fact_from=fv, dim_from=dv, how="left")
+    want = _rollup_left(spark, fp, dp)
+    assert _sorted_left(got) == want
+    assert any(k[0] for k, _, _ in want)  # NULL group still present
+
+    # 3) both sides at once from the original base versions
+    got_all = incremental_join_rollup(
+        spark, fp, dp,
+        join_rollup(spark, fp, dp, "cust", ["seg"], {"sx": "x"},
+                    fact_version=1, dim_version=1, how="left"),
+        "cust", ["seg"], {"sx": "x"},
+        fact_from=1, dim_from=1, how="left")
+    assert _sorted_left(got_all) == want
+
+
+def test_left_join_view_rejects_other_hows(spark, paths):
+    fp, dp = paths
+    tx.txlog_create(spark, fp, _fact(spark, [(1, 1, 1)]), ("cust",), 2)
+    tx.txlog_create(spark, dp, _dim(spark, [(1, "A")]), ("cust",), 2)
+    stored = join_rollup(spark, fp, dp, "cust", ["seg"], {"sx": "x"})
+    with pytest.raises(ValueError, match="inner|left"):
+        incremental_join_rollup(
+            spark, fp, dp, stored, "cust", ["seg"], {"sx": "x"},
+            fact_from=1, dim_from=1, how="full")
