@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 from .txlog import txlog_diff, txlog_read, txlog_snapshot
 from .layout import bucket_id
 
-__all__ = ["join_rollup", "incremental_join_rollup"]
+__all__ = ["join_rollup", "incremental_join_rollup",
+           "incremental_distinct_registers"]
 
 
 def _contrib(df: DataFrame, sign, group_by: list[str],
@@ -199,3 +200,46 @@ def incremental_join_rollup(spark, fact_path: str, dim_path: str,
                     + F.coalesce(F.col(f"_dl._d_{out}"), F.lit(0)))
                    .cast("long").alias(out))
     return j.select(*sel).filter(F.col("n") > 0)
+
+
+def incremental_distinct_registers(spark, fact_path: str,
+                                   stored_registers: DataFrame,
+                                   col: str, group_by: list[str],
+                                   fact_from: int,
+                                   fact_to: int | None = None,
+                                   p: int = 8) -> DataFrame:
+    """Maintain per-group HLL register tables (the "distinct users per
+    segment" dashboard state) from an APPEND-ONLY logged fact stream:
+    the change feed's insert rows build their own registers and
+    max-merge into the stored table — register-table EQUALITY with the
+    full rebuild, because registers form a max-semilattice and an
+    insert-only feed is set union.
+
+    ANY delete row in the feed raises loudly: registers cannot
+    subtract, and silently ignoring deletes would overcount forever —
+    a deletion-bearing table needs the full
+    ``sketch.hll_build_grouped`` rebuild (updates count: the txlog
+    feed renders them as delete+insert pairs).
+
+    Cost: O(feed) + a (group, bucket)-keyed merge bounded by
+    |groups| x 2^p rows — the raw history is never rescanned."""
+    from .sketch import hll_build_grouped
+
+    fact_to = fact_to if fact_to is not None \
+        else txlog_snapshot(fact_path)["version"]
+    if fact_to <= fact_from:
+        return stored_registers
+    feed = txlog_diff(spark, fact_path, fact_from, fact_to)
+    deletes = feed.filter(F.col("_change") == "delete")
+    if deletes.limit(1).count():
+        raise ValueError(
+            f"change feed {fact_from}->{fact_to} of {fact_path} "
+            "contains deletes (or updates, which feed as "
+            "delete+insert): HLL registers cannot subtract — rebuild "
+            "with sketch.hll_build_grouped instead of maintaining")
+    inserts = feed.filter(F.col("_change") == "insert") \
+                  .drop("_change")
+    delta = hll_build_grouped(inserts, col, group_by, p=p)
+    return (stored_registers.unionByName(delta)
+            .groupBy(*group_by, "bucket")
+            .agg(F.max("rho").cast("int").alias("rho")))

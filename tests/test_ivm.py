@@ -312,3 +312,66 @@ def test_left_join_view_rejects_other_hows(spark, paths):
         incremental_join_rollup(
             spark, fp, dp, stored, "cust", ["seg"], {"sx": "x"},
             fact_from=1, dim_from=1, how="full")
+
+
+# --- incremental distinct (HLL registers, append-only) ----------------------
+
+def test_incremental_distinct_equals_rebuild(spark, paths):
+    from sstable_hadoop_spark.operators.ivm import (
+        incremental_distinct_registers,
+    )
+    from sstable_hadoop_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    fp, _ = paths
+    tx.txlog_create(spark, fp, _fact(spark, [
+        (i, i % 4, i % 37) for i in range(80)]), ("cust",), 4)
+    stored = hll_build_grouped(
+        tx.txlog_read(spark, fp), "x", ["cust"], p=6)
+
+    def merge_insert_only(s, d):
+        return s.unionByName(d)  # pure append: no key rewritten
+
+    # two append waves; registers must equal the full rebuild EXACTLY
+    for lo, hi in ((100, 160), (200, 230)):
+        v_from = tx.txlog_snapshot(fp)["version"]
+        tx.txlog_upsert(spark, fp, _fact(spark, [
+            (i, i % 4, i % 53) for i in range(lo, hi)]),
+            merge_insert_only, ("cust",), 4)
+        stored = incremental_distinct_registers(
+            spark, fp, stored, "x", ["cust"], fact_from=v_from, p=6)
+    want = hll_build_grouped(tx.txlog_read(spark, fp), "x",
+                             ["cust"], p=6)
+    assert sorted(map(tuple, stored.collect())) \
+        == sorted(map(tuple, want.collect()))
+    est_inc = sorted(map(tuple, hll_estimate_grouped(
+        stored, ["cust"], p=6).collect()))
+    est_full = sorted(map(tuple, hll_estimate_grouped(
+        want, ["cust"], p=6).collect()))
+    assert est_inc == est_full
+
+    # no-op window returns stored untouched
+    head = tx.txlog_snapshot(fp)["version"]
+    assert incremental_distinct_registers(
+        spark, fp, stored, "x", ["cust"], fact_from=head) is stored
+
+
+def test_incremental_distinct_refuses_deletes(spark, paths):
+    from sstable_hadoop_spark.operators.ivm import (
+        incremental_distinct_registers,
+    )
+    from sstable_hadoop_spark.operators.sketch import hll_build_grouped
+
+    fp, _ = paths
+    tx.txlog_create(spark, fp, _fact(spark, [
+        (i, i % 4, i) for i in range(40)]), ("cust",), 4)
+    stored = hll_build_grouped(
+        tx.txlog_read(spark, fp), "x", ["cust"], p=6)
+    tx.txlog_delete(spark, fp,
+                    spark.createDataFrame([(1,)], "cust long"),
+                    ("cust",), 4)
+    with pytest.raises(ValueError, match="cannot subtract"):
+        incremental_distinct_registers(
+            spark, fp, stored, "x", ["cust"], fact_from=1, p=6)
