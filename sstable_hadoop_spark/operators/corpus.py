@@ -617,6 +617,28 @@ def mixture_summary(df: DataFrame, budgets: dict[str, int],
                         F.col("admitted_tokens") < F.col("budget")))
 
 
+def _es_id_hash(id_col: str, seed: str):
+    """The shared md5(seed:id) -> 60-bit long base of every sampling
+    key in this module (run/order/cluster-stable)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+
+
+def _es_key_milli(id_col: str, weight_col: str, seed: str):
+    """The Efraimidis-Spirakis ln(u)/w selection key in milli-units —
+    ONE implementation shared by weighted_sample and balanced_sample,
+    because their oracles replay this exact integer/IEEE chain
+    bit-for-bit (u from the id hash, ln quantized once to micro-nats,
+    the weight division and milli-quantization single IEEE ops)."""
+    h = _es_id_hash(id_col, seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    ln_micro = F.floor(F.log(u) * F.lit(1000000.0))
+    return F.floor((ln_micro / F.col(weight_col))
+                   * F.lit(1000.0)).cast("long")
+
+
 def weighted_sample(df: DataFrame, k: int, weight_col: str,
                     id_col: str = "doc_id",
                     seed: str = "wsample") -> DataFrame:
@@ -643,14 +665,7 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(seed + ":"),
-                       F.col(id_col).cast("string"))), 1, 15),
-        16, 10).cast("long")
-    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    ln_micro = F.floor(F.log(u) * F.lit(1000000.0))
-    key_milli = F.floor((ln_micro / F.col(weight_col))
-                        * F.lit(1000.0)).cast("long")
+    key_milli = _es_key_milli(id_col, weight_col, seed)
     return (df.where(F.col(weight_col).isNotNull()
                      & (F.col(weight_col) > 0))
               .select(F.col(id_col),
@@ -1274,23 +1289,16 @@ def balanced_sample(df: DataFrame, k: int,
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql.window import Window
 
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(seed + ":"),
-                       F.col(id_col).cast("string"))), 1, 15),
-        16, 10).cast("long")
     cond = F.col(id_col).isNotNull()
     for c in by:
         cond = cond & F.col(c).isNotNull()
     cols = [*by, id_col]
     if weight_col is None:
-        key = h
+        key = _es_id_hash(id_col, seed)
     else:
         cond = cond & F.col(weight_col).isNotNull() \
             & (F.col(weight_col) > 0)
-        u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-        ln_micro = F.floor(F.log(u) * F.lit(1000000.0))
-        key = F.floor((ln_micro / F.col(weight_col))
-                      * F.lit(1000.0)).cast("long")
+        key = _es_key_milli(id_col, weight_col, seed)
         cols.append(weight_col)
     w = (Window.partitionBy(*[F.col(c) for c in by])
                .orderBy(F.desc("key_milli"), F.asc(id_col)))

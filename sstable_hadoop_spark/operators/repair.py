@@ -43,18 +43,26 @@ def cell_digest64(key: Column, name: Column, state: Column,
                   data: Column, timestamp: Column, ttl: Column,
                   expiration: Column, generation: Column) -> Column:
     """60-bit digest of one cell: md5 of a canonical ``:``-joined
-    rendering (binary fields base64'd, NULLs sentinel-coalesced so a
-    NULL ttl can never alias a real value)."""
+    rendering.  EVERY field is sentinel-coalesced with ``*`` (a
+    character outside the base64 alphabet and outside any cast
+    number), because Spark's ``concat_ws`` silently SKIPS a NULL
+    segment — an un-coalesced NULL would shift the rendering and let
+    two cells that differ only in WHICH field is NULL digest
+    identically (review r10).  The same rule keeps NULL data from
+    aliasing EMPTY data (base64 of b'' is the empty string)."""
+    def s(c: Column) -> Column:
+        return F.coalesce(c, F.lit("*"))
+
     canon = F.concat_ws(
         ":",
-        F.base64(key),
-        F.base64(name),
-        state,
-        F.coalesce(F.base64(data), F.lit("")),
-        timestamp.cast("string"),
-        F.coalesce(ttl.cast("string"), F.lit("-1")),
-        F.coalesce(expiration.cast("string"), F.lit("-1")),
-        generation.cast("string"))
+        s(F.base64(key)),
+        s(F.base64(name)),
+        s(state),
+        s(F.base64(data)),
+        s(timestamp.cast("string")),
+        s(ttl.cast("string")),
+        s(expiration.cast("string")),
+        s(generation.cast("string")))
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
 
 
@@ -62,8 +70,11 @@ def key_range(key: Column, n_ranges: int) -> Column:
     """Token range of a partition key: md5 of the base64'd key bytes
     mod ``n_ranges`` — a pure function of the key, so one cell lands
     in the same range on every replica (Cassandra's token ring,
-    hash-partitioned)."""
-    h = F.conv(F.substring(F.md5(F.base64(key)), 1, 15), 16, 10) \
+    hash-partitioned).  NULL keys coalesce to the digest sentinel so
+    they land in ONE well-defined range on every replica instead of a
+    NULL range id."""
+    h = F.conv(F.substring(F.md5(
+        F.coalesce(F.base64(key), F.lit("*"))), 1, 15), 16, 10) \
          .cast("long")
     return F.pmod(h, F.lit(int(n_ranges))).cast("int")
 

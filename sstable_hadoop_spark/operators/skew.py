@@ -153,7 +153,11 @@ def skew_join(left: DataFrame, right: DataFrame, on: str,
         hot_keys = [r[on] for r in
                     counts.orderBy(F.desc("count")).limit(64).collect()
                     if r["count"] > cut and r[on] is not None]
-    hot_keys = list(hot_keys)
+    # a None in a declared list would poison isin into SQL three-
+    # valued logic (every non-listed key evaluates NULL and BOTH legs
+    # drop it); NULL keys never match an equi join anyway, so routing
+    # them to the cold leg below is exact
+    hot_keys = [k for k in hot_keys if k is not None]
     if not hot_keys:
         return left.join(right, on, how)
     is_hot = F.col(on).isin(*hot_keys)

@@ -335,8 +335,8 @@ def _file_blooms(local_file: str, cols: tuple[str, ...],
 
     import pyarrow.parquet as pq
 
-    present = [c for c in cols
-               if c in pq.ParquetFile(local_file).schema_arrow.names]
+    names = pq.ParquetFile(local_file).schema_arrow.names
+    present = [c for c in cols if c in names]
     if not present:
         return {}
     table = pq.read_table(local_file, columns=present)

@@ -8536,25 +8536,28 @@ _REPAIR_RANGES = 64
 
 # DuckDB rendering of operators/repair.py cell_digest64 + key_range
 # over the cells CTE (ttl reconstructed: derived_cells sets 86400 on
-# EXPIRING cells, NULL otherwise).
+# EXPIRING cells, NULL otherwise).  Every field carries the operator's
+# '*' NULL sentinel so the rendering never shifts on a NULL segment.
 _REPAIR_CANON = f"""
 canon AS (
     SELECT (ts_us % 7 != 3)  AS in_a,
            (ts_us % 11 != 5) AS in_b,
            key_str, name_str, state, data_str, ts_us, generation,
            CAST(('0x' || substr(md5(
-               to_base64(encode(key_str)) || ':'
-               || to_base64(encode(name_str)) || ':'
-               || state || ':'
-               || coalesce(to_base64(encode(data_str)), '') || ':'
-               || CAST(ts_us AS VARCHAR) || ':'
+               coalesce(to_base64(encode(key_str)), '*') || ':'
+               || coalesce(to_base64(encode(name_str)), '*') || ':'
+               || coalesce(state, '*') || ':'
+               || coalesce(to_base64(encode(data_str)), '*') || ':'
+               || coalesce(CAST(ts_us AS VARCHAR), '*') || ':'
                || CASE WHEN state = 'EXPIRING' THEN '86400'
-                       ELSE '-1' END || ':'
-               || coalesce(CAST(expiration AS VARCHAR), '-1') || ':'
-               || CAST(generation AS VARCHAR)), 1, 15)) AS BIGINT)
+                       ELSE '*' END || ':'
+               || coalesce(CAST(expiration AS VARCHAR), '*') || ':'
+               || coalesce(CAST(generation AS VARCHAR), '*')),
+               1, 15)) AS BIGINT)
                AS digest,
            CAST(CAST(('0x' || substr(md5(
-               to_base64(encode(key_str))), 1, 15)) AS BIGINT)
+               coalesce(to_base64(encode(key_str)), '*')),
+               1, 15)) AS BIGINT)
                 % {_REPAIR_RANGES} AS INT) AS range_id
     FROM cells
 ),
@@ -8739,8 +8742,10 @@ WHERE o_custkey IN (1, 7, 15, 22, 28)
 def txlog_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10 Bloom-indexed point lookup (operators/txlog.py
     txlog_read_point): the orders table logged with
-    ``bloom_cols=("cust",)`` — a per-file 1 KiB bitset journaled in
-    every commit — then probed for five customer ids.  The table is
+    ``bloom_cols=("cust",)`` — NDV-adaptive per-file bitsets (~10
+    bits per distinct value, crc32 double hashing; inline in the
+    commit json up to 8 Ki bits, sidecar-spilled above) — then
+    probed for five customer ids.  The table is
     bucketed/sorted by ORDER key, so min/max footer stats cannot skip
     a customer probe (every file's custkey range overlaps); the bloom
     prunes to the files actually holding the ids.  Pruning is an

@@ -75,10 +75,19 @@ def ewma_stream(df: DataFrame, ts_us_col, key_col: str,
                                "ewma_c", "late")}
         kv = key[0]
         n_out = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order, kind="mergesort")
+        # ONE sort over the whole micro-batch: Arrow delivers a large
+        # batch as multiple chunks, and sorting each chunk separately
+        # would violate per-key ordering across chunk boundaries
+        # (review r10: rows past maxRecordsPerBatch were mis-flagged
+        # late)
+        chunks = list(pdfs)
+        if chunks:
+            whole = (chunks[0] if len(chunks) == 1
+                     else pd.concat(chunks, ignore_index=True))
+            whole = whole.sort_values(order, kind="mergesort")
             # (itertuples mangles underscore-prefixed column names)
-            for t, v in zip(pdf["_tu"].to_list(), pdf["_c"].to_list()):
+            for t, v in zip(whole["_tu"].to_list(),
+                            whole["_c"].to_list()):
                 t, v = int(t), int(v)
                 if last_ts is not None and t < last_ts:
                     out["ts_us"].append(t)

@@ -251,3 +251,16 @@ def test_skew_join_rejects_right_retaining(spark):
     left, right = _skew_frames(spark)
     with _pytest.raises(ValueError, match="inner/left"):
         skew_join(left, right, "k", how="right")
+
+
+def test_skew_join_tolerates_none_in_declared_hot_keys(spark):
+    """Review r10: a None in hot_keys poisoned isin into three-valued
+    logic and BOTH legs dropped every non-listed key."""
+    from sstable_hadoop_spark.operators.skew import skew_join
+
+    left, right = _skew_frames(spark)
+    want = _rows(left.join(right, "k", "inner"))
+    assert _rows(skew_join(left, right, "k", "inner",
+                           hot_keys=[1, None])) == want
+    assert _rows(skew_join(left, right, "k", "inner",
+                           hot_keys=[None])) == want

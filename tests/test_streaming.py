@@ -1236,3 +1236,37 @@ def test_streaming_ewma_flags_late_rows(spark, tmp_path):
     assert (by_ts[1000].ewma_c, by_ts[2000].ewma_c,
             by_ts[3000].ewma_c) == (200, 225, 296)
     assert [by_ts[t].rn for t in (1000, 2000, 3000)] == [1, 2, 3]
+
+
+def test_streaming_ewma_sorts_across_arrow_chunks(spark, tmp_path):
+    """Review r10: one micro-batch arriving as MULTIPLE Arrow chunks
+    must sort as a whole — per-chunk sorting mis-flagged ordered rows
+    as late.  Force tiny chunks and feed one batch whose natural
+    chunking is time-interleaved."""
+    from sstable_hadoop_spark.streaming.ewma_stream import ewma_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        src = str(tmp_path / "chunky")
+        n = 100
+        # write DESCENDING so any chunk-local sort sees later chunks
+        # holding EARLIER timestamps
+        rows = [(1, (n - i) * 1000, float(i)) for i in range(n)]
+        spark.createDataFrame(
+            rows, "k long, tu long, value double") \
+            .coalesce(1).write.parquet(src)
+        stream = (spark.readStream
+                  .schema("k long, tu long, value double")
+                  .parquet(src))
+        q = (ewma_stream(stream, "tu", "k", "value", shift=3)
+             .writeStream.format("memory").queryName("chunky_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        _await(q)
+        got = spark.sql("select * from chunky_sink").collect()
+        assert len(got) == n
+        assert not any(r.late for r in got)
+        assert sorted(r.rn for r in got) == list(range(1, n + 1))
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)

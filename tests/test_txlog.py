@@ -1080,17 +1080,6 @@ def _mk_tagged(spark, lo, hi, v):
                  .cast("string")).alias("tag"))
 
 
-def _point_files_read(spark, path, col, values):
-    from sstable_hadoop_spark.operators.txlog import txlog_read_point
-
-    df = txlog_read_point(spark, path, col, values)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
-
-    m = re.findall(r"parquet\.[^\]]*", plan)
-    return df, plan, m
-
-
 def test_bloom_point_lookup_prunes_and_matches(spark, tpath):
     from sstable_hadoop_spark.operators import txlog as tx
 
