@@ -1294,3 +1294,67 @@ def test_zone_maps_via_adopt(spark, tpath):
     assert set(snap["col_stats"]) == set(snap["files"])
     assert tx.txlog_read_range(spark, tpath, 100, 200,
                                col="ts").count() == 11
+
+
+def test_concurrent_writers_maintain_indexes(spark, tpath):
+    """Threaded disjoint-bucket writers on a table with declared
+    blooms AND zone maps: every surviving file must carry both
+    indexes, losers' sidecars must not linger after vacuum, and the
+    indexes must answer probes correctly after the dust settles."""
+    import threading
+
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import bucket_id
+
+    df = spark.range(0, 30000).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 5000).cast("string"))
+         .alias("tag"))
+    tx.txlog_create(spark, tpath, df, ("k",), 4, sort_by=("k",),
+                    bloom_cols=("tag",), stats_cols=("ts",))
+
+    def merge(stored, delta):
+        return stored.unionByName(delta).groupBy("k").agg(
+            F.max("ts").alias("ts"), F.max("tag").alias("tag"))
+
+    errs = []
+
+    def writer(b):
+        try:
+            delta = df.filter(bucket_id(4, "k") == b) \
+                      .withColumn("tag", F.lit(f"znew{b}"))
+            tx.txlog_upsert(spark, tpath, delta, merge, ("k",), 4,
+                            sort_by=("k",))
+        except Exception as exc:  # surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,))
+               for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["version"] == 5  # four disjoint writers all landed
+    assert set(snap["blooms"]) == set(snap["files"])
+    assert set(snap["col_stats"]) == set(snap["files"])
+    # point probes: every bucket's rewrite tag is findable, originals
+    # are gone
+    for b in range(4):
+        got = tx.txlog_read_point(spark, tpath, "tag", [f"znew{b}"])
+        assert got.count() > 0
+    assert tx.txlog_read_point(spark, tpath, "tag", ["t1"]).count() == 0
+    # zone-map range probe still exact after the rewrites
+    want = tx.txlog_read(spark, tpath) \
+             .filter(F.col("ts").between(700, 1400)).count()
+    assert tx.txlog_read_range(spark, tpath, 700, 1400,
+                               col="ts").count() == want
+    # vacuum reclaims every replaced file AND its sidecars
+    gone = tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    assert gone
+    leftover = [f for f in os.listdir(tpath)
+                if f.endswith(".bloom")
+                and f.lstrip(".").split(".parquet")[0] + ".parquet"
+                not in snap["files"]]
+    assert leftover == []
