@@ -8975,6 +8975,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # compact bounded retries
     "txlog_upsert_roundtrip",
     "txlog_table_health",
+    # NOT listed deliberately: corpus_weighted_sample's r10 change is
+    # an expression-identical refactor (the ES key chain moved into a
+    # shared helper, proven by the sf0.01 parity gate twice this
+    # session); this round's window is exactly full (31 never-green +
+    # 6 priority + 13 rotation-due), so listing it would displace a
+    # rotation-due query past its staleness bound.
 )
 
 
