@@ -1497,3 +1497,58 @@ def txlog_incremental_rollup(spark, path: str, stored: DataFrame,
                           *[e.alias(f"sum_{c}")
                             for c, e in zip(sum_cols, cols)])
                   .filter(F.col("n_rows") > 0))
+
+
+def txlog_clone(spark, src: str, dst: str,
+                version: int | None = None) -> int:
+    """ZERO-COPY clone (Delta CLONE, made fully independent): the
+    source snapshot's live data files — and their bloom sidecars —
+    hard-link into ``dst``, and a create-shaped commit 1 journals
+    them along with the source's schema, bucket layout, stats,
+    zone maps and bloom entries.  No data bytes are copied; the
+    clone and the source share storage through the links but have
+    INDEPENDENT lifecycles (links carry their own names, so vacuum
+    on either side never reaches into the other — unlike Delta's
+    shallow clones, which break when the source vacuums).
+
+    The dev/test sandboxing move: writers on the clone merge-on-write
+    new files into the clone's own directory; the shared originals
+    stay untouched until either side replaces and vacuums them.
+
+    LOCAL paths only (hard links; the same contract as
+    ``txlog_read_bucketed``) — an object-store deployment copies
+    instead.  Returns the clone's version (always 1)."""
+    if fs.has_scheme(src) or fs.has_scheme(dst):
+        raise ValueError(
+            "txlog_clone needs local paths (hard links); copy "
+            "object-store tables with txlog_read + txlog_create")
+    if txlog_exists(dst):
+        raise FileExistsError(f"transaction log already exists: {dst}")
+    snap = txlog_snapshot(src, version)
+    os.makedirs(dst, exist_ok=True)
+    sidecars = [e["sidecar"]
+                for per_col in snap.get("blooms", {}).values()
+                for e in per_col.values() if "sidecar" in e]
+    for n in sorted(snap["files"]) + sorted(sidecars):
+        target = os.path.join(dst, n)
+        if not os.path.exists(target):
+            os.link(os.path.join(src, n), target)
+    fs.makedirs(_log_dir(dst))
+    record = {
+        "op": "clone", "writer": uuid.uuid4().hex,
+        "cloned_from": src, "cloned_version": snap["version"],
+        "schema": snap["schema"],
+        "bucket_by": snap["bucket_by"], "n_buckets": snap["n_buckets"],
+        "sort_by": snap["sort_by"],
+        "buckets": sorted(set(snap["files"].values())),
+        "adds": sorted(snap["files"].items()), "removes": [],
+        "stats": snap["stats"], "stats_col": snap["stats_col"],
+        "bloom_cols": snap["bloom_cols"], "blooms": snap["blooms"],
+        "stats_cols": snap["stats_cols"],
+        "col_stats": snap["col_stats"],
+    }
+    won = _try_commit(dst, {"version": 0}, record)
+    if won != 1:
+        raise FileExistsError(
+            f"lost the clone race on {dst} (head now {won})")
+    return 1

@@ -1358,3 +1358,71 @@ def test_concurrent_writers_maintain_indexes(spark, tpath):
                 and f.lstrip(".").split(".parquet")[0] + ".parquet"
                 not in snap["files"]]
     assert leftover == []
+
+
+# --- zero-copy clone ---------------------------------------------------------
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 200).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("ts"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("tag"))
+    tx.txlog_create(spark, src, df, ("k",), 4, sort_by=("k",),
+                    bloom_cols=("tag",), stats_cols=("ts",))
+
+    def merge(stored, delta):
+        return stored.unionByName(delta).groupBy("k").agg(
+            F.max("ts").alias("ts"), F.max("tag").alias("tag"))
+
+    tx.txlog_upsert(spark, src, df.filter(F.col("k") < 50)
+                    .withColumn("tag", F.lit("znew")),
+                    merge, ("k",), 4, sort_by=("k",))
+    v2 = _content(spark, src)
+
+    assert tx.txlog_clone(spark, src, dst) == 1
+    # content identical; data files are the SAME inodes (zero copy)
+    assert _content(spark, dst) == v2
+    s_snap, d_snap = tx.txlog_snapshot(src), tx.txlog_snapshot(dst)
+    assert d_snap["files"] == s_snap["files"]
+    for n in d_snap["files"]:
+        assert os.path.samefile(os.path.join(src, n),
+                                os.path.join(dst, n))
+    # indexes carried: point + range probes work on the clone
+    assert tx.txlog_read_point(spark, dst, "tag", ["znew"]).count() == 50
+    assert tx.txlog_read_range(spark, dst, 300, 330,
+                               col="ts").count() == 11
+
+    # independent lifecycles: write to the clone, source unchanged;
+    # vacuum the SOURCE, clone still reads (links pin the bytes)
+    tx.txlog_upsert(spark, dst, df.filter(F.col("k") >= 150)
+                    .withColumn("tag", F.lit("zzclone")),
+                    merge, ("k",), 4, sort_by=("k",))
+    assert _content(spark, src) == v2
+    tx.txlog_upsert(spark, src, df.filter(F.col("k") % 4 == 1)
+                    .withColumn("tag", F.lit("zzsrc")),
+                    merge, ("k",), 4, sort_by=("k",))
+    tx.txlog_vacuum(src, retain_versions=0, min_age_sec=0)
+    got = tx.txlog_read_point(spark, dst, "tag", ["zzclone"])
+    assert got.count() == 50
+    assert _content(spark, dst) != _content(spark, src)
+
+    # guards
+    with pytest.raises(FileExistsError):
+        tx.txlog_clone(spark, src, dst)
+    with pytest.raises(ValueError, match="local"):
+        tx.txlog_clone(spark, "s3://b/t", dst + "2")
+
+
+def test_clone_pins_a_past_version(spark, tmp_path):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tx.txlog_create(spark, src, _mk(spark, 0, 40, 1), ("k",), 2)
+    v1 = _content(spark, src)
+    tx.txlog_upsert(spark, src, _mk(spark, 0, 40, 2), _merge,
+                    ("k",), 2)
+    tx.txlog_clone(spark, src, dst, version=1)
+    assert _content(spark, dst) == v1
+    assert tx.txlog_snapshot(dst)["version"] == 1
