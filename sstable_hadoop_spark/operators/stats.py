@@ -92,7 +92,8 @@ def corr_matrix(df: DataFrame, cols: list[str],
 
 
 def ols_fit(df: DataFrame, group_col: str, x_col, y_col,
-            micro: int = 1_000_000) -> DataFrame:
+            micro: int = 1_000_000,
+            flag_degenerate: bool = False) -> DataFrame:
     """Per-group simple linear regression (y = a + b*x) by EXACT
     integer normal equations — ``(group, n, slope_micro,
     intercept_micro)`` with both coefficients in truncated
@@ -116,6 +117,17 @@ def ols_fit(df: DataFrame, group_col: str, x_col, y_col,
     integer sums per group — the corr_matrix topology.  Sums ride
     DECIMAL(38,0): at 6B rows of cent-scale y and 2-digit x, n*Sxy
     stays under 1e28, thirty orders inside the type.
+
+    NULL modes (ADVICE r10): coefficients are NULL either because the
+    group is DEGENERATE (den = 0: constant x, or n < 2) or — for
+    extreme-magnitude inputs only — because a DECIMAL(38,0) product
+    (``num * micro``, ``slope * Sx``) exceeded precision 38 and
+    overflowed to NULL under non-ANSI Spark.  The two are different
+    facts (no fit exists vs. the fit exists but this integer spec
+    cannot express it); pass ``flag_degenerate=True`` to append a
+    boolean ``degenerate`` column (den = 0), so ``slope_micro IS NULL
+    AND NOT degenerate`` identifies overflow.  The flag is opt-in to
+    keep the default four-column schema stable.
     """
     x = x_col.cast("decimal(19,0)") if hasattr(x_col, "cast") \
         else F.col(x_col).cast("decimal(19,0)")
@@ -147,8 +159,10 @@ def ols_fit(df: DataFrame, group_col: str, x_col, y_col,
         F.expr("CAST((_sy * CAST({m} AS {t}) "
                "- CAST(_slope AS {t}) * _sx) DIV _n AS LONG)"
                .format(m=int(micro), t=d38)))
-    return w.select(
-        F.col("_g").alias(group_col),
-        F.col("_n").cast("long").alias("n"),
-        F.col("_slope").alias("slope_micro"),
-        intercept.alias("intercept_micro"))
+    out = [F.col("_g").alias(group_col),
+           F.col("_n").cast("long").alias("n"),
+           F.col("_slope").alias("slope_micro"),
+           intercept.alias("intercept_micro")]
+    if flag_degenerate:
+        out.append((F.col("_den") == 0).alias("degenerate"))
+    return w.select(*out)

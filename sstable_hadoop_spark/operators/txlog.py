@@ -72,6 +72,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame
@@ -294,14 +295,50 @@ _BLOOM_K = 7
 def _bloom_canon(v) -> str | None:
     """One canonical rendering per value, shared by the write path
     (pyarrow-decoded Python objects) and the probe path (caller
-    literals): bytes -> hex, everything else -> str().  Floats work
-    only for values whose str() round-trips (prefer int/str/bytes
-    columns)."""
+    literals): bytes -> hex, everything else -> str().  Only types
+    whose two renderings agree may carry blooms — enforced at
+    declaration by :func:`_check_bloom_types` (ADVICE r10: a decimal
+    or tz-aware timestamp canonicalizes differently on the two paths,
+    and the resulting false NEGATIVE would prune a file that holds
+    matches — a semantics break, not a missed optimization)."""
     if v is None:
         return None
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return str(v)
+
+
+#: Spark typeName()s whose ``str()`` rendering is identical for the
+#: pyarrow-decoded stored value and any equal probe literal.  Float/
+#: double (non-round-tripping str), decimal (trailing-zero scale),
+#: timestamp/date (tz/precision-dependent repr) are excluded: a
+#: write/probe rendering mismatch turns the bloom's false-positive
+#: guarantee into false NEGATIVES.
+_BLOOM_SAFE_TYPES = frozenset(
+    ("byte", "short", "integer", "long", "string", "binary",
+     "boolean"))
+
+
+def _check_bloom_types(schema, bloom_cols, path: str) -> None:
+    """Refuse bloom declarations on columns whose canonical rendering
+    is not write/probe-symmetric (see :data:`_BLOOM_SAFE_TYPES`).
+    Columns absent from the schema pass here — `_file_blooms` skips
+    them per file, matching schema-evolution behavior."""
+    bad = []
+    for f in schema.fields:
+        if f.name in bloom_cols:
+            t = f.dataType.typeName()
+            if t not in _BLOOM_SAFE_TYPES:
+                bad.append(f"{f.name} ({t})")
+    if bad:
+        raise TypeError(
+            f"bloom_cols {', '.join(bad)} at {path}: only "
+            f"{sorted(_BLOOM_SAFE_TYPES)} columns can carry Bloom "
+            "indexes — float/decimal/timestamp values canonicalize "
+            "differently between the write and probe paths, so a "
+            "bloom there could FALSELY prune files that hold "
+            "matches.  Use stats_cols (zone maps) or a plain "
+            "read+filter for this column.")
 
 
 def _bloom_positions(canon: str, m: int, k: int) -> list[int]:
@@ -321,6 +358,20 @@ def _bloom_positions(canon: str, m: int, k: int) -> list[int]:
 
 def _bloom_sidecar_name(data_name: str, col: str) -> str:
     return f".{data_name}.{col}.bloom"
+
+
+#: Shape of the names `_bloom_sidecar_name` produces: leading dot,
+#: an embedded data-file stem, a column segment, `.bloom`.
+_BLOOM_SIDECAR_RE = re.compile(r"^\.(?P<data>.+)\.(?P<col>[^.]+)\.bloom$")
+
+
+def _is_our_sidecar(rel: str) -> bool:
+    """True only for names OUR writer stages: the embedded data-file
+    stem must itself match the bucket-file shape (ADVICE r10: vacuum
+    treated ANY `*.bloom` in the table dir as ours — a foreign user
+    file ending in .bloom would have been deleted)."""
+    m = _BLOOM_SIDECAR_RE.match(rel)
+    return bool(m and _BUCKET_FILE_RE.match(m.group("data")))
 
 
 def _file_blooms(local_file: str, cols: tuple[str, ...],
@@ -556,6 +607,7 @@ def txlog_create(spark, path: str, df: DataFrame,
     (declare a bloom there instead)."""
     if txlog_exists(path):
         raise FileExistsError(f"transaction log already exists: {path}")
+    _check_bloom_types(df.schema, tuple(bloom_cols), path)
     fs.makedirs(_log_dir(path))
     stats: dict[str, list] = {}
     blooms: dict[str, dict] = {}
@@ -847,8 +899,9 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
         for f in fs.list_files(path.rstrip("/"), suffix=".parquet")
     ] + [
         # bloom sidecars of vacuumed/abandoned data files (dot-
-        # prefixed: list_dir sees them, glob-based list_files cannot)
-        (f, True, keep_sidecars)
+        # prefixed: list_dir sees them, glob-based list_files cannot);
+        # only names matching OUR sidecar shape are deletable
+        (f, _is_our_sidecar(os.path.basename(f)), keep_sidecars)
         for f in fs.list_dir(path.rstrip("/"))
         if f.endswith(".bloom")
     ]
@@ -1021,7 +1074,14 @@ def txlog_read_range(spark, path: str, lo, hi,
     for n in sorted(snap["files"]):
         st = (snap["stats"].get(n) if col == primary
               else snap.get("col_stats", {}).get(n, {}).get(col))
-        if st is None or not (st[1] < qlo or st[0] > qhi):
+        try:
+            skip = st is not None and (st[1] < qlo or st[0] > qhi)
+        except TypeError:
+            # probe type mismatches the journaled stat type (e.g. an
+            # int probe against str-tagged stats): never crash the
+            # read — keep the file, the range filter still applies
+            skip = False
+        if not skip:
             keep.append(n)
     schema = StructType.fromJson(json.loads(snap["schema"]))
     if not keep:
@@ -1073,9 +1133,16 @@ def txlog_read_point(spark, path: str, col: str, values,
         # for files the cheaper checks could not rule out
         st = (snap["stats"].get(n) if col == snap.get("stats_col")
               else snap.get("col_stats", {}).get(n, {}).get(col))
-        if st is not None and not any(
-                st[0] <= enc(v) <= st[1] for v in probes):
-            continue
+        if st is not None:
+            try:
+                overlap = any(st[0] <= enc(v) <= st[1]
+                              for v in probes)
+            except TypeError:
+                # probe/stat type mismatch: read defensively rather
+                # than crash (the IN filter always applies)
+                overlap = True
+            if not overlap:
+                continue
         bl = snap.get("blooms", {}).get(n, {}).get(col)
         if bl is not None:
             try:
@@ -1397,7 +1464,9 @@ def txlog_adopt(spark, path: str, bucket_by: tuple[str, ...],
                       if (cst := _footer_stats(f, c)) is not None}
                 if cs:
                     col_stats[name] = cs
-    schema = spark.read.parquet(path).schema.json()  # footer-only
+    table_schema = spark.read.parquet(path).schema  # footer-only
+    _check_bloom_types(table_schema, tuple(bloom_cols), path)
+    schema = table_schema.json()
     fs.makedirs(_log_dir(path))
     record = {
         "op": "adopt", "writer": uuid.uuid4().hex, "schema": schema,

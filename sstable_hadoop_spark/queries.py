@@ -8941,6 +8941,414 @@ def join_skew_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_c").cast("long").alias("value_c"))
 
 
+# ---------------------------------------------------------------------------
+# r11 rows: the six r10 pytest-only surfaces get their driver oracles
+# (VERDICT r10 next-round #1).
+# ---------------------------------------------------------------------------
+
+
+@query("txlog_zone_map_range", oracle="""
+SELECT o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+""")
+def txlog_zone_map_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 second-dimension zone-map probe (operators/txlog.py
+    txlog_read_range ``col=``): the orders table logged with
+    ``stats_cols=("cust",)`` — per-file min/max zone maps journaled
+    for a column BEYOND the sort key — then range-probed on cust.
+    The semantics contract under certification: pruning is an
+    optimization only (files without stats, or whose range overlaps,
+    read defensively; the BETWEEN filter always applies), so the
+    result must equal the oracle's plain scan+filter.  Pruning
+    EFFECTIVENESS needs a layout correlated with the probe column
+    (an ingest stamp, a z-order component) and is pytest-pinned on
+    such layouts (tests/test_txlog.py multi-column zone maps); this
+    fixture's hash-bucketed layout spreads cust across every file on
+    purpose — the worst case the defensive-read rule must survive."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read_range,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    orders = load(spark, sf_dir, "orders")
+
+    def build(out: str) -> None:
+        txlog_create(
+            spark, os.path.join(out, "t"),
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("cust"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                 .cast("long").alias("total_c")),
+            bucket_by=("k",), n_buckets=8, sort_by=("k",),
+            stats_cols=("cust",))
+
+    base = _idempotent_tmpdir("txlog_zone_" + h, build)
+    return txlog_read_range(spark, os.path.join(base, "t"),
+                            100, 500, col="cust")
+
+
+@query("txlog_ivm_left_rollup", oracle="""
+WITH dim AS (
+    SELECT c_custkey AS cust,
+           CASE WHEN c_custkey % 3 = 0 THEN 'NEW'
+                ELSE c_mktsegment END AS seg
+    FROM customer
+    WHERE (c_custkey % 3 != 0 OR c_custkey % 2 = 0)
+      AND c_custkey % 7 != 0
+),
+fact AS (
+    SELECT o_orderkey AS k, o_custkey AS cust,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+    FROM orders
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(total_c) AS BIGINT) AS rev_c
+FROM fact LEFT JOIN dim USING (cust) GROUP BY seg
+""")
+def txlog_ivm_left_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 LEFT-join view maintenance (operators/ivm.py
+    incremental_join_rollup ``how="left"``): the rollup keeps a NULL
+    group for DANGLING facts (orders whose customer is not in the
+    dim), and the maintenance handles both dangling-fact deltas and
+    dim PRESENCE FLIPS — customers entering the dim move their facts
+    out of the NULL group (sign −1), customers deleted from it move
+    theirs in (+1).  Fixture timeline: dim v1 holds cust%3!=0; a
+    fact insert wave lands (k%5 orders, many with dangling custs); a
+    dim insert wave admits the even cust%3==0 keys as segment NEW; a
+    dim delete wave evicts every cust%7==0 key.  The maintained
+    rollup must equal the oracle's left join over the FINAL table
+    contents — a missed flip direction, a sign error on the NULL
+    group, or a double-counted cross term hash-mismatches.  Data
+    plane: fact deltas come from the change feed; the dim-side fact
+    scan prunes to the changed keys' buckets (fact bucketed by
+    cust)."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.ivm import (
+        incremental_join_rollup,
+        join_rollup,
+    )
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_merge,
+        txlog_upsert,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    fact = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+    dim = cust.select(F.col("c_custkey").alias("cust"),
+                      F.col("c_mktsegment").alias("seg"))
+
+    def build(out: str) -> None:
+        txlog_create(spark, os.path.join(out, "fact"),
+                     fact.filter(F.col("k") % 5 != 0),
+                     ("cust",), 8)
+        txlog_create(spark, os.path.join(out, "dim"),
+                     dim.filter(F.col("cust") % 3 != 0),
+                     ("cust",), 4)
+
+    base = _idempotent_tmpdir("txlog_ivm_left_" + h, build)
+    fp, dp = os.path.join(base, "fact"), os.path.join(base, "dim")
+    stored = join_rollup(spark, fp, dp, "cust", ["seg"],
+                         {"rev_c": "total_c"},
+                         fact_version=1, dim_version=1, how="left")
+
+    def merge_fact(s, d):
+        return s.unionByName(d).groupBy("k").agg(
+            F.max("cust").alias("cust"),
+            F.max("total_c").alias("total_c"))
+
+    # each wave is content-idempotent (re-runs re-match their prior
+    # inserts / re-ignore absent delete keys), so the row is
+    # driver-stable while the log audits every run
+    txlog_upsert(spark, fp, fact.filter(F.col("k") % 5 == 0),
+                 merge_fact, ("cust",), 8)
+    entering = (dim.filter((F.col("cust") % 3 == 0)
+                           & (F.col("cust") % 2 == 0))
+                   .withColumn("seg", F.lit("NEW")))
+    txlog_merge(spark, dp, entering, ["cust"], ("cust",), 4)
+    leaving = dim.filter(F.col("cust") % 7 == 0).select("cust")
+    txlog_merge(spark, dp, leaving, ["cust"], ("cust",), 4,
+                when_matched="delete", when_not_matched="ignore")
+    return incremental_join_rollup(
+        spark, fp, dp, stored, "cust", ["seg"], {"rev_c": "total_c"},
+        fact_from=1, dim_from=1, how="left")
+
+
+def _hll_registers_oracle(p: int) -> str:
+    m = 1 << p
+    rmax = 61 - p
+    return f"""
+WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events WHERE event_id IS NOT NULL
+),
+pr AS (SELECT event_type, h % {m} AS bucket, h // {m} AS rem FROM h)
+SELECT event_type, CAST(bucket AS INT) AS bucket,
+       CAST(max(CASE WHEN rem = 0 THEN {rmax}
+                ELSE {rmax} - length(bin(rem)) END) AS INT) AS rho
+FROM pr GROUP BY event_type, bucket
+"""
+
+
+@query("txlog_ivm_distinct_hll", oracle=_hll_registers_oracle(_HLL_P))
+def txlog_ivm_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 incremental HLL maintenance (operators/ivm.py
+    incremental_distinct_registers): per-event-type distinct-user
+    register tables maintained from an APPEND-ONLY logged event
+    stream — the change feed's inserts build their own registers and
+    max-merge into the stored table, register-table EQUALITY with
+    the full rebuild because registers form a max-semilattice.
+    Fixture: events logged at v1 without the event_id%4==0 wave,
+    stored registers built there, the wave appended, registers
+    maintained from the feed.  The oracle rebuilds every register
+    from ALL events, so the maintained table must be bit-identical
+    to a from-scratch build — the dashboard-state shape where the
+    raw history is never rescanned (cost: O(feed) + a
+    |groups|x2^p-bounded merge).  A delete in the feed raises
+    loudly (registers cannot subtract) — pytest-pinned."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.ivm import (
+        incremental_distinct_registers,
+    )
+    from sstable_hadoop_spark.operators.sketch import hll_build_grouped
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read,
+        txlog_upsert,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_id").isNotNull())
+          .select("event_id", "event_type"))
+
+    def build(out: str) -> None:
+        txlog_create(spark, os.path.join(out, "t"),
+                     ev.filter(F.col("event_id") % 4 != 0),
+                     ("event_id",), 8)
+
+    base = _idempotent_tmpdir("txlog_hll_" + h, build)
+    path = os.path.join(base, "t")
+    stored = hll_build_grouped(txlog_read(spark, path, 1),
+                               "event_id", ["event_type"], p=_HLL_P)
+
+    def merge_append(s, d):
+        # distinct keeps re-runs content-identical (the appended wave
+        # is already present) without changing any register: HLL is
+        # multiplicity-blind, so collapsing exact-duplicate rows is
+        # invisible to the maintained state
+        return s.unionByName(d).distinct()
+
+    txlog_upsert(spark, path, ev.filter(F.col("event_id") % 4 == 0),
+                 merge_append, ("event_id",), 8)
+    return incremental_distinct_registers(
+        spark, path, stored, "event_id", ["event_type"],
+        fact_from=1, p=_HLL_P)
+
+
+@query("replica_repair_e2e", oracle=f"""
+{_CELLS_CTE},
+u AS (
+    SELECT key_str, name_str, state,
+           coalesce(data_str, '') AS data_str, ts_us, generation
+    FROM cells
+    WHERE NOT (ts_us % 7 = 3 AND ts_us % 11 = 5)
+)
+SELECT 'a' AS replica, * FROM u
+UNION ALL
+SELECT 'b' AS replica, * FROM u
+""")
+def replica_repair_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 anti-entropy repair CLOSED over real SSTable directories
+    (operators/repair.py repair_replicas): replica A (missing the
+    ts%7==3 writes) and replica B (missing ts%11==5) are written as
+    real multi-generation SSTable files, repaired through the Merkle
+    gate + distributed sink, and read back — BOTH directories must
+    then hold the exact cell-set UNION (cells absent from both stay
+    absent), generations and timestamps preserved end-to-end because
+    streamed cells write per-generation families.  Repair runs once
+    in the fixture build and is idempotent (a re-run streams
+    nothing — pytest-pinned with exact per-direction counts); the
+    driver row certifies the post-repair convergence against the
+    oracle's set-union derivation every round."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.repair import repair_replicas
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    cells = derived_cells(spark, sf_dir)
+
+    def build(out: str) -> None:
+        for name, keep in (
+                ("a", F.col("timestamp") % 7 != 3),
+                ("b", F.col("timestamp") % 11 != 5)):
+            d = os.path.join(out, name)
+            os.makedirs(d)
+            (collect_rows(cells.filter(keep), by_generation=True)
+             .write.format("sstable").option("path", d)
+             .option("name", "events-cf")
+             .mode("append").save())
+        repair_replicas(spark, os.path.join(out, "a"),
+                        os.path.join(out, "b"), n_ranges=_REPAIR_RANGES)
+
+    tag = "repair_e2e_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = _idempotent_tmpdir(tag, build)
+
+    def replica(name: str) -> DataFrame:
+        cells = explode_cells(
+            spark.read.format("sstable").load(os.path.join(out, name)))
+        return cells.select(
+            F.lit(name).alias("replica"),
+            F.decode(F.col("key"), "UTF-8").alias("key_str"),
+            F.decode(F.col("name"), "UTF-8").alias("name_str"),
+            F.col("state"),
+            F.coalesce(F.decode(F.col("data"), "UTF-8"), F.lit(""))
+             .alias("data_str"),
+            F.col("timestamp").alias("ts_us"),
+            F.col("generation"))
+
+    return replica("a").unionByName(replica("b"))
+
+
+@query("streaming_ewma_smooth", oracle="""
+WITH RECURSIVE obs AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+    SELECT user_id, ts_us, rn, v_c, v_c AS s FROM obs WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.ts_us, o.rn, o.v_c,
+           (o.v_c + 7 * r.s) // 8
+    FROM obs o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, ts_us, rn, v_c AS value_c, s AS ewma_c,
+       false AS late
+FROM r
+""")
+def streaming_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 streaming exact EWMA (streaming/ewma_stream.py
+    ewma_stream): the events feed, split into 4 TIME-ORDERED
+    micro-batches (event-time quartiles, so every key's arrivals are
+    non-decreasing ACROSS batches — the ordering contract an
+    order-sensitive fold requires of its ingest log), folded through
+    applyInPandasWithState with three integers of state per key.  The
+    drained trajectory must be BIT-IDENTICAL to the batch operator's
+    recursive oracle — same truncating recursion, same (ts, event_id)
+    tie order, rn numbering continuous across batch boundaries — and
+    every row on-time (late=false): quartile chunking cannot reorder
+    a key.  State is constant-size per key; per batch the work is
+    linear in arrivals."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.streaming.ewma_stream import ewma_stream
+
+    ev = load(spark, sf_dir, "events")
+    us = ts_us(ev, "ts")
+    feed = (ev.filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull()
+                      & F.col("value").isNotNull())
+              .select("user_id", us.alias("ts_us"), "value",
+                      "event_id"))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        b = feed.agg(F.min("ts_us").alias("lo"),
+                     F.max("ts_us").alias("hi")).collect()[0]
+        lo, hi = int(b["lo"]), int(b["hi"])
+        src = os.path.join(out, "src")
+        for i in range(4):
+            chunk = feed.filter(
+                F.expr(f"((ts_us - {lo}) * 4) div ({hi} - {lo} + 1)")
+                == i)
+            p = os.path.join(src, f"chunk{i}")
+            chunk.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f),
+                         ((i + 1) * 1000, (i + 1) * 1000))
+        stream = (spark.readStream
+                  .schema("user_id long, ts_us long, value double, "
+                          "event_id long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(src, "chunk*")))
+        smoothed = ewma_stream(stream, "ts_us", "user_id", "value",
+                               shift=3, tie_cols=("event_id",))
+        q = (smoothed.writeStream.format("parquet")
+             .option("path", os.path.join(out, "sink"))
+             .option("checkpointLocation", os.path.join(out, "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    tag = ("ewma_stream_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    out = _idempotent_tmpdir(tag, build)
+    return spark.read.parquet(os.path.join(out, "sink"))
+
+
+@query("join_skew_auto_users", oracle="""
+SELECT coalesce(c.c_mktsegment, 'NONE') AS seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_c
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""")
+def join_skew_auto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 hot-key AUTO-detection (operators/skew.py skew_join with
+    ``hot_keys=None``): the detector reads only the first Arrow batch
+    of each partition (O(partitions) at any scale) and routes keys
+    above 5 percent of the sample to the broadcast leg — and which
+    leg a key takes can NEVER change the result, so the oracle is the
+    plain LEFT join regardless of what the sample saw (a detection
+    miss costs speed, not correctness — the property this row pins
+    every round).  The left-retaining path is exercised too: events
+    with no matching customer survive under segment NONE."""
+    from sstable_hadoop_spark.operators.skew import skew_join
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"))
+    j = skew_join(
+        ev.select("user_id",
+                  F.floor(F.col("value") * 100 + 0.5).cast("long")
+                   .alias("value_c")),
+        cust, on="user_id", how="left", hot_keys=None)
+    return j.groupBy(F.coalesce("seg", F.lit("NONE")).alias("seg")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_c").cast("long").alias("value_c"))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list
@@ -8964,23 +9372,17 @@ def join_skew_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SMALL (<=10) or the rotation loses its staleness bound.
 _ROUND_PRIORITY: tuple[str, ...] = (
     "flagship_lww_merge",        # permanent regression anchor
-    # r10: percent-encoding + dot-segment tier added to the
-    # canonicalizer (impl AND oracle changed together)
-    "corpus_url_canonicalize",
-    # r10: chunked two-stage grid explode + max_buckets_per_key guard
-    "events_resample_gapfill",
-    "events_resample_linear",
-    # r10: txlog commit primitive rewritten (hard-link publish,
-    # pluggable object-store arbiter), restore strict-base conflicts,
-    # compact bounded retries
-    "txlog_upsert_roundtrip",
-    "txlog_table_health",
-    # NOT listed deliberately: corpus_weighted_sample's r10 change is
-    # an expression-identical refactor (the ES key chain moved into a
-    # shared helper, proven by the sf0.01 parity gate twice this
-    # session); this round's window is exactly full (31 never-green +
-    # 6 priority + 13 rotation-due), so listing it would displace a
-    # rotation-due query past its staleness bound.
+    # r11: the window is EXACTLY full again — 6 never-green rows (the
+    # r10 pytest-only queue: txlog_zone_map_range, txlog_ivm_left_
+    # rollup, txlog_ivm_distinct_hll, replica_repair_e2e, streaming_
+    # ewma_smooth, join_skew_auto_users) + this anchor + the 43
+    # rotation-due r7-green rows = 50, so NOTHING else may ride
+    # priority this round.  Deliberately NOT listed despite touched
+    # code: events_ewma_smooth / streaming rows (the r11 EWMA fold
+    # vectorization is bit-identity-pinned by pytest stream==batch
+    # and the sf0.01 parity gate) and txlog_point_lookup (the bloom
+    # build batching changes staging cost, not bits — same pins).
+    # Their rotation slots come up r12/r13 inside the 4-round bound.
 )
 
 

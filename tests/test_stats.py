@@ -178,3 +178,27 @@ def test_ewma_guards_and_null_rows(spark):
     assert ewma_smooth(df, "tu", "k", "value").count() == 1
     with pytest.raises(ValueError, match="shift"):
         ewma_smooth(df, "tu", "k", "value", shift=0)
+
+
+def test_ols_degenerate_flag_distinguishes_null_modes(spark):
+    """flag_degenerate=True appends a boolean ``degenerate`` column
+    (den = 0) so a NULL coefficient from constant-x / n<2 groups is
+    distinguishable from the documented extreme-magnitude DECIMAL(38)
+    overflow-NULL mode (ADVICE r10); the default schema is unchanged."""
+    from sstable_hadoop_spark.operators.stats import ols_fit
+
+    df = spark.createDataFrame(
+        [("fit", 1, 10), ("fit", 2, 20), ("fit", 3, 30),
+         ("flat", 5, 1), ("flat", 5, 2), ("flat", 5, 3),
+         ("one", 7, 7)],
+        "g string, x int, y int")
+    base = ols_fit(df, "g", "x", "y")
+    assert base.columns == ["g", "n", "slope_micro",
+                            "intercept_micro"]
+    got = {r["g"]: r for r in
+           ols_fit(df, "g", "x", "y", flag_degenerate=True).collect()}
+    assert got["fit"]["degenerate"] is False
+    assert got["fit"]["slope_micro"] is not None
+    for g in ("flat", "one"):
+        assert got[g]["degenerate"] is True
+        assert got[g]["slope_micro"] is None

@@ -1426,3 +1426,89 @@ def test_clone_pins_a_past_version(spark, tmp_path):
     tx.txlog_clone(spark, src, dst, version=1)
     assert _content(spark, dst) == v1
     assert tx.txlog_snapshot(dst)["version"] == 1
+
+
+# --- r11 ADVICE hardening ----------------------------------------------------
+
+def test_bloom_cols_refuse_unsafe_types(spark, tpath):
+    """Bloom declarations on float/decimal/timestamp columns raise at
+    create/adopt time: their canonical rendering differs between the
+    write path (pyarrow-decoded values) and the probe path (caller
+    literals), so a bloom there could FALSELY prune files holding
+    matches — a semantics break, not a missed optimization."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.operators.layout import write_bucketed
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 2.0).alias("price"),
+        F.col("id").cast("decimal(10,2)").alias("amt"),
+        F.timestamp_micros(F.col("id") * 1000000).alias("at"))
+    for col in ("price", "amt", "at"):
+        with pytest.raises(TypeError, match=col):
+            tx.txlog_create(spark, tpath + "_" + col, df, ("k",), 2,
+                            bloom_cols=(col,))
+        assert not tx.txlog_exists(tpath + "_" + col)
+    # safe types still accepted; absent columns still skipped per-file
+    tx.txlog_create(spark, tpath, df.select("k"), ("k",), 2,
+                    bloom_cols=("k", "missing"))
+    assert tx.txlog_read_point(spark, tpath, "k", [3]).count() == 1
+    # adopt validates against the parquet schema too
+    apath = tpath + "_adopt"
+    write_bucketed(df, apath, "t_adopt_bloom", ("k",), 2)
+    with pytest.raises(TypeError, match="price"):
+        tx.txlog_adopt(spark, apath, ("k",), 2, bloom_cols=("price",))
+    assert not tx.txlog_exists(apath)
+
+
+def test_vacuum_spares_foreign_bloom_files(spark, tpath):
+    """Only sidecars matching OUR naming shape (dot + bucket-file stem
+    + column + .bloom) are vacuum candidates; a user's stray *.bloom
+    in the table dir survives (ADVICE r10)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 40, 1), ("k",), 2,
+                    bloom_cols=("k",))
+    foreign = [os.path.join(tpath, n) for n in
+               ("notes.bloom", ".hidden.bloom",
+                ".mydata.parquet.k.bloom")]  # stem not a bucket file
+    for f in foreign:
+        with open(f, "wb") as fh:
+            fh.write(b"user bytes")
+    tx.txlog_upsert(spark, tpath, _mk(spark, 0, 40, 2), _merge,
+                    ("k",), 2)
+    tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    for f in foreign:
+        assert os.path.exists(f), f
+    # our own replaced sidecars were still reaped had any spilled
+    # (inline-sized here: nothing to assert beyond no crash), and
+    # point reads keep working
+    assert tx.txlog_read_point(spark, tpath, "k", [5]).count() == 1
+
+
+def test_skipping_probes_survive_type_mismatch(spark, tpath):
+    """A probe whose Python type mismatches the journaled stat type
+    must fall back to a defensive (unpruned) read, not crash with
+    TypeError (ADVICE r10) — for point lookups, range reads, and the
+    stats_cols ``col=`` path alike."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    df = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("k"),
+        F.col("id").alias("v"))
+    tx.txlog_create(spark, tpath, df, ("k",), 2, sort_by=("k",),
+                    bloom_cols=("k",), stats_cols=("v",))
+    # int probe against str-tagged stats: the min/max compare raises
+    # TypeError internally -> file kept defensively; the IN/BETWEEN
+    # filter then applies with Spark's OWN coercion (string '7'
+    # matches 7), so mismatched-type probes mean "whatever the plain
+    # filter says", never a crash and never over-pruning
+    assert tx.txlog_read_point(spark, tpath, "k", [7]).count() == 1
+    assert tx.txlog_read_point(spark, tpath, "k", ["7"]).count() == 1
+    assert tx.txlog_read_range(spark, tpath, 1, 2).count() == 2
+    assert tx.txlog_read_range(spark, tpath, "1", "2").count() == 12
+    # col= path: str probe against num-tagged zone maps
+    assert tx.txlog_read_range(spark, tpath, "5", "9",
+                               col="v").count() == 5
+    assert tx.txlog_read_range(spark, tpath, 5, 9,
+                               col="v").count() == 5
