@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "stage_pagerank_edges", "pagerank_bucketed"]
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
@@ -87,6 +87,82 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     fan = e.join(outdeg, "_src")
     if checkpoint:
         fan = fan.localCheckpoint(eager=False)
+    base = F.lit((1000 - damping_pm) * 1000).cast("long")
+    ranks = nodes.select("id",
+                         F.lit(1_000_000).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (fan.join(ranks, fan["_src"] == ranks["id"])
+                      .select(F.col("_dst").alias("id"),
+                              F.expr("(rank * _w) div _d").alias("_c"))
+                      .groupBy("id")
+                      .agg(F.sum("_c").cast("long").alias("_contrib")))
+        ranks = (nodes.join(contrib, "id", "left")
+                      .select("id",
+                              (base + F.expr(
+                                  f"({damping_pm} * coalesce(_contrib,"
+                                  f" 0)) div 1000").cast("long"))
+                              .alias("rank")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def stage_pagerank_edges(spark, edges: DataFrame, path: str,
+                         table: str, n_buckets: int,
+                         src: str = "src", dst: str = "dst",
+                         weight: str | None = None) -> DataFrame:
+    """Pay PageRank's edge-side shuffle ONCE, at layout time: write
+    the per-iteration fan table ``(_src, _dst, _w, _d)`` — edges
+    augmented with their source's total out-weight — as a catalog-
+    declared bucketed table CLUSTERED BY ``_src`` (layout.py
+    write_bucketed/bucketed_table), so every later
+    :func:`pagerank_bucketed` iteration joins ranks against a scan
+    that already satisfies the join's clustering and plans ZERO
+    exchanges on the EDGE side.  At petabyte edge counts this is the
+    difference between shuffling |E| once per day (layout) and once
+    per iteration per run (the in-memory ``pagerank`` path, which
+    remains correct for one-shot graphs).  Returns the declared
+    table's DataFrame."""
+    from .layout import bucketed_table, write_bucketed
+
+    w = (F.col(weight).cast("long") if weight is not None
+         else F.lit(1).cast("long"))
+    e = edges.select(F.col(src).alias("_src"),
+                     F.col(dst).alias("_dst"), w.alias("_w"))
+    outdeg = e.groupBy("_src").agg(
+        F.sum("_w").cast("long").alias("_d"))
+    fan = e.join(outdeg, "_src")
+    write_bucketed(fan, path, table, ("_src",), n_buckets,
+                   sort_by=("_src",))
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in fan.schema.fields)
+    return bucketed_table(spark, table, path, ddl,
+                          ("_src",), n_buckets, sort_by=("_src",))
+
+
+def pagerank_bucketed(fan: DataFrame, n_iter: int = 5,
+                      damping_pm: int = 850,
+                      checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration integer PageRank over a PRE-BUCKETED fan table
+    (:func:`stage_pagerank_edges`) — bit-identical ranks to
+    :func:`pagerank` on the same edges (same integer recursion, and
+    partitioning never changes integer results), but the per-
+    iteration join's edge side is the bucketed scan: Catalyst plans
+    NO exchange above it (plan-asserted in tests/test_graph.py), so
+    each iteration shuffles only the NODE-sized ranks (once into the
+    join's clustering, once for the dst aggregation).  Total
+    per-iteration network cost is O(|V|), not O(|E|) — the 100 TB
+    shape the module docstring promises."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < damping_pm < 1000:
+        raise ValueError(
+            f"damping_pm must be in (0, 1000), got {damping_pm}")
+    nodes = (fan.select(F.col("_src").alias("id"))
+                .union(fan.select(F.col("_dst").alias("id")))
+                .distinct())
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
     base = F.lit((1000 - damping_pm) * 1000).cast("long")
     ranks = nodes.select("id",
                          F.lit(1_000_000).cast("long").alias("rank"))

@@ -187,10 +187,20 @@ def ewma_smooth(df: DataFrame, ts_us_col, key_col: str,
     Why ``applyInPandas``: the truncating division makes each step
     non-affine, so the recursion cannot be linearized into a window
     sum — this is the documented custom-stateful extension point
-    (SURVEY.md §2.9), not a missed built-in.  Topology: ONE shuffle on
-    the key; per-key work is linear and Arrow-batched; state is two
-    integers.  At 100 TB the key count (not event count) bounds any
-    single task's group sizes exactly as the sessionize operator's.
+    (SURVEY.md §2.9), not a missed built-in.  Topology: ONE shuffle,
+    keyed by a HASH BUCKET of the key (not the key itself) so each
+    task receives MANY keys and the per-key time recursions advance
+    in LOCKSTEP as int64 numpy vector ops — the t-th step updates
+    every key with >= t observations in one contiguous-slice
+    operation (groups sorted by length descending, so the active set
+    is always a prefix), turning per-ROW Python arithmetic into
+    per-TIME-STEP vector arithmetic.  The recursion itself is
+    unchanged bit-for-bit; batches whose magnitudes could overflow
+    the int64 intermediate (|v| > 2^62/div — the state never exceeds
+    the running max |v|, so v's bound is the whole guard) fall back
+    to the exact Python-int loop.  At 100 TB the bucket count
+    (spark.sql.shuffle.partitions) sets task granularity exactly
+    like any keyed aggregation.
 
     Rows with NULL key/ts/value are excluded (they have no place on a
     per-key timeline)."""
@@ -217,22 +227,59 @@ def ewma_smooth(df: DataFrame, ts_us_col, key_col: str,
                      *[F.col(c) for c in tie_cols]))
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        vals = pdf["_c"].to_list()  # Python ints: no int64 overflow
-        out, s = [], None
-        for v in vals:
-            if s is None:
-                s = int(v)
-            else:
-                q = int(v) + mul * s
-                s = q // div if q >= 0 else -((-q) // div)
-            out.append(s)
+        import numpy as np
+
+        pdf = pdf.sort_values([key_col, *order], kind="mergesort")
+        keys = pdf[key_col].to_numpy()
+        n = len(keys)
+        starts = np.flatnonzero(
+            np.r_[True, keys[1:] != keys[:-1]]) if n else \
+            np.empty(0, dtype=np.int64)
+        lens = np.diff(np.r_[starts, n])
+        rn = np.arange(1, n + 1) - np.repeat(starts, lens)
+        v64 = pdf["_c"].to_numpy(np.int64, copy=False)
+        out = np.empty(n, dtype=np.int64)
+        if n and int(np.abs(v64).max()) <= (1 << 62) // div:
+            # groups sorted by length DESC: at time step t the
+            # groups still active are exactly the first k(t) — every
+            # update is a contiguous-prefix vector op
+            by_len = np.argsort(-lens, kind="stable")
+            starts_d = starts[by_len]
+            neg_lens_d = -lens[by_len]
+            s = v64[starts_d].copy()          # t = 1: s_1 = v_1
+            out[starts_d] = s
+            for t in range(2, int(lens.max()) + 1):
+                k = np.searchsorted(neg_lens_d, -t, side="right")
+                rows = starts_d[:k] + (t - 1)
+                q = v64[rows] + mul * s[:k]
+                r = q >> shift                # floor division
+                # truncate toward zero: floor differs by +1 on
+                # negative non-exact quotients
+                r[(q < 0) & ((q & (div - 1)) != 0)] += 1
+                s[:k] = r
+                out[rows] = r
+        else:
+            # exact fallback: arbitrary-precision Python ints
+            vals = pdf["_c"].to_list()
+            for g, L in zip(starts.tolist(), lens.tolist()):
+                s1 = int(vals[g])
+                out[g] = s1
+                for i in range(g + 1, g + L):
+                    q = int(vals[i]) + mul * s1
+                    s1 = q // div if q >= 0 else -((-q) // div)
+                    out[i] = s1
         return pd.DataFrame({
-            key_col: pdf[key_col].to_list(),
-            "ts_us": pdf["_tu"].to_list(),
-            "rn": range(1, len(vals) + 1),
-            "value_c": vals,
+            key_col: keys,
+            "ts_us": pdf["_tu"].to_numpy(np.int64, copy=False),
+            "rn": rn,
+            "value_c": v64,
             "ewma_c": out,
         })
 
-    return src.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+    n_buckets = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    return (src.withColumn("_b", F.pmod(F.hash(F.col(key_col)),
+                                        F.lit(n_buckets)))
+               .groupBy("_b")
+               .applyInPandas(lambda pdf: fold(pdf.drop(columns="_b")),
+                              schema=out_schema))

@@ -202,3 +202,64 @@ def test_ols_degenerate_flag_distinguishes_null_modes(spark):
     for g in ("flat", "one"):
         assert got[g]["degenerate"] is True
         assert got[g]["slope_micro"] is None
+
+
+def test_ewma_vectorized_lockstep_matches_reference(spark):
+    """r11 cross-key lockstep vectorization: many keys with RAGGED
+    lengths, negative values, and timestamp ties must reproduce the
+    arbitrary-precision Python recursion bit-for-bit (the int64
+    vector path and the fallback share one contract)."""
+    import random
+
+    from sstable_hadoop_spark.operators.timeseries import ewma_smooth
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(40):                      # ragged: 1..25 obs
+        for t in range(rng.randint(1, 25)):
+            v = rng.randint(-10**6, 10**6)
+            rows.append((k, (t // 3) * 1000,  # ties every 3 rows
+                         v / 100.0, k * 100 + t))
+    df = spark.createDataFrame(
+        rows, "k long, tu long, value double, eid long").repartition(7)
+    got = {(r.k, r.rn): r.ewma_c
+           for r in ewma_smooth(df, "tu", "k", "value", shift=4,
+                                tie_cols=("eid",)).collect()}
+    # reference: exact Python ints in (tu, eid) order per key
+    byk: dict[int, list] = {}
+    for k, tu, val, eid in rows:
+        byk.setdefault(k, []).append((tu, eid, val))
+    n_checked = 0
+    for k, obs in byk.items():
+        s = None
+        for rn, (_, _, val) in enumerate(sorted(obs), start=1):
+            v = int((val * 100 + 0.5) // 1)  # floor(v*100 + .5)
+            s = v if s is None else (
+                (v + 15 * s) // 16 if v + 15 * s >= 0
+                else -((-(v + 15 * s)) // 16))
+            assert got[(k, rn)] == s, (k, rn)
+            n_checked += 1
+    assert n_checked == len(rows) == len(got)
+
+
+def test_ewma_overflow_falls_back_exactly(spark):
+    """Magnitudes past the int64 guard (|v| > 2^62/div) take the
+    Python-int fallback and still match the exact recursion."""
+    from sstable_hadoop_spark.operators.timeseries import ewma_smooth
+
+    big = float(2**55)                       # v_c = 2^55 * 100 > 2^59
+    df = spark.createDataFrame(
+        [(1, t * 10, big, t) for t in range(5)]
+        + [(2, t * 10, -big, t) for t in range(5)],
+        "k long, tu long, value double, eid long")
+    got = {(r.k, r.rn): r.ewma_c
+           for r in ewma_smooth(df, "tu", "k", "value", shift=3,
+                                tie_cols=("eid",)).collect()}
+    for k, sign in ((1, 1), (2, -1)):
+        v = int((sign * big * 100 + 0.5) // 1)
+        s = None
+        for rn in range(1, 6):
+            q = None if s is None else v + 7 * s
+            s = v if s is None else (
+                q // 8 if q >= 0 else -((-q) // 8))
+            assert got[(k, rn)] == s

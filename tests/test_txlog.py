@@ -1512,3 +1512,35 @@ def test_skipping_probes_survive_type_mismatch(spark, tpath):
                                col="v").count() == 5
     assert tx.txlog_read_range(spark, tpath, 5, 9,
                                col="v").count() == 5
+
+
+def test_bloom_bitset_vectorized_matches_per_value_spec():
+    """The numpy bitset builder must reproduce the per-value
+    `_bloom_positions` spec bit-for-bit for every allowlisted type —
+    the write/probe (and old-table/new-writer) compatibility
+    contract of the r11 vectorization."""
+    import random
+
+    import pyarrow as pa
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    rng = random.Random(7)
+    cases = [
+        pa.array([rng.randint(-2**62, 2**62) for _ in range(500)],
+                 pa.int64()),
+        pa.array([f"u{rng.randint(0, 10**9)}" for _ in range(500)]),
+        pa.array([rng.randbytes(rng.randint(0, 24))
+                  for _ in range(300)], pa.binary()),
+        pa.array([True, False]),
+    ]
+    for arr in cases:
+        uniq = pa.compute.unique(arr).drop_null()
+        for m in (tx._BLOOM_MIN_M, tx._BLOOM_MIN_M * 4):
+            got = tx._bloom_bitset(tx._canon_bytes(uniq), m)
+            ref = bytearray(m // 8)
+            for v in uniq.to_pylist():
+                canon = tx._bloom_canon(v)
+                for p in tx._bloom_positions(canon, m, tx._BLOOM_K):
+                    ref[p >> 3] |= 1 << (p & 7)
+            assert got == bytes(ref), (arr.type, m)
