@@ -169,14 +169,20 @@ def main() -> None:
 
     # three iterations per query, report the min: steady-state throughput
     # (first execution of each plan pays one-time codegen/JIT costs that
-    # a long-running cluster job amortizes away).  The anchor is timed
-    # in three slices INTERLEAVED with the suite (start / middle / end)
-    # and normalized by the MIN slice — a single pre-suite sample
-    # over-corrected when host load shifted mid-run (PERF.md r7).
+    # a long-running cluster job amortizes away).  An anchor slice is
+    # timed between EVERY query (r11 protocol, VERDICT r10 #2: the r10
+    # start/middle/end slices spread 0.24-0.86 s within one run, so a
+    # query's normalization could be paired with a slice taken under a
+    # different host load; min-of-all over-corrected).  Each query
+    # normalizes by the MIN of its two NEIGHBORING slices — the host
+    # speed bracketing that query's own window — so a load spike
+    # inflates that query's wall AND its local anchor together instead
+    # of poisoning the whole run's denominator.
     names = list(BENCH_QUERIES.items())
     anchor_slices = [round(_anchor_once(spark), 3)]
     timings: dict[str, float] = {}
-    for i, (bench_name, query_name) in enumerate(names):
+    local_anchor: dict[str, float] = {}
+    for bench_name, query_name in names:
         fn = registry[query_name]
         best = float("inf")
         for _ in range(3):
@@ -184,9 +190,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[bench_name] = round(best, 3)
-        if i == len(names) // 2 - 1:
-            anchor_slices.append(round(_anchor_once(spark), 3))
-    anchor_slices.append(round(_anchor_once(spark), 3))
+        anchor_slices.append(round(_anchor_once(spark), 3))
+        local_anchor[bench_name] = min(anchor_slices[-2],
+                                       anchor_slices[-1])
     anchor = min(anchor_slices)
 
     sinks = _sink_throughput(spark, sf_dir)
@@ -198,14 +204,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
         # host calibration: anchor_sec times a pinned pure-Spark
-        # workload (no engine code, no IO); queries_normalized =
-        # query wall / anchor wall is host-drift-proof across rounds.
-        # anchor_sec = min of the interleaved slices (best-case host,
-        # matching the per-query min-of-3); the slices themselves are
-        # reported so a loaded run is visible as slice spread.
+        # workload (no engine code, no IO).  r11 protocol: a slice is
+        # taken between every query and each query normalizes by the
+        # min of its two NEIGHBORING slices (local host speed), so
+        # mid-run load shifts can no longer pair a slow query with a
+        # fast far-away anchor.  anchor_sec stays the global min for
+        # cross-round comparability of value_normalized; the full
+        # slice list shows any within-run spread.
         "anchor_sec": round(anchor, 3),
         "anchor_sec_slices": anchor_slices,
-        "queries_normalized": {k: round(v / anchor, 2)
+        "queries_normalized": {k: round(v / local_anchor[k], 2)
                                for k, v in timings.items()},
         "value_normalized": round(sum(timings.values()) / anchor, 2),
         # sink write-path rows/s (input cached before the clock,
