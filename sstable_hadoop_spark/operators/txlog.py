@@ -526,7 +526,7 @@ def _stage_bucket_files(merged: DataFrame, path: str,
         write_bucketed(merged, stage, "txlog_stage",
                        bucket_by=bucket_by, n_buckets=n_buckets,
                        sort_by=sort_by)
-        out: list[tuple[str, int]] = []
+        staged: list[tuple[str, str, int]] = []
         for f in sorted(fs.list_files(stage, suffix=".parquet")):
             name = os.path.basename(f)
             m = _BUCKET_FILE_RE.match(name)
@@ -536,20 +536,42 @@ def _stage_bucket_files(merged: DataFrame, path: str,
             if b not in allowed:
                 raise ValueError(
                     f"merge produced rows in unaffected bucket {b}")
-            if stats_col is not None:
-                st = _footer_stats(f, stats_col)
-                if st is not None:
-                    stats_out[name] = st
-            if bloom_cols and blooms_out is not None:
-                bl = _file_blooms(f, tuple(bloom_cols), path, name)
-                if bl:
-                    blooms_out[name] = bl
-            if stats_cols and col_stats_out is not None:
-                cs = {c: st for c in stats_cols
-                      if (st := _footer_stats(f, c)) is not None}
-                if cs:
-                    col_stats_out[name] = cs
+            staged.append((f, name, b))
+
+        # per-file indexing + copy is independent driver-side work
+        # dominated by pyarrow column reads and file IO (both release
+        # the GIL) — a small thread pool overlaps it across the staged
+        # files; results are folded back in sorted order so journaled
+        # metadata is byte-deterministic
+        def index_one(f: str, name: str):
+            st = (_footer_stats(f, stats_col)
+                  if stats_col is not None else None)
+            bl = (_file_blooms(f, tuple(bloom_cols), path, name)
+                  if bloom_cols and blooms_out is not None else {})
+            cs = ({c: s for c in stats_cols
+                   if (s := _footer_stats(f, c)) is not None}
+                  if stats_cols and col_stats_out is not None else {})
             fs.put_file(f, os.path.join(path, name))
+            return st, bl, cs
+
+        if len(staged) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(staged))) as pool:
+                results = list(pool.map(
+                    lambda t: index_one(t[0], t[1]), staged))
+        else:
+            results = [index_one(f, name) for f, name, _ in staged]
+
+        out: list[tuple[str, int]] = []
+        for (f, name, b), (st, bl, cs) in zip(staged, results):
+            if st is not None:
+                stats_out[name] = st
+            if bl:
+                blooms_out[name] = bl
+            if cs:
+                col_stats_out[name] = cs
             out.append((name, b))
         return out
     finally:
