@@ -273,6 +273,86 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     return df.join(dirty, df[id_col] == dirty["_did"], "left_anti")
 
 
+def semantic_decontaminate(df: DataFrame, benchmark: DataFrame,
+                           tau: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           cents: list[list[float]] | None = None,
+                           n_centroids: int = 16, n_probe: int = 1,
+                           seed: str = "ivf",
+                           flag_only: bool = False) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic twin
+    of :func:`decontaminate` (n-gram overlap catches verbatim leakage;
+    paraphrased or reformatted eval items need the vector test): drop
+    every corpus row whose embedding has cosine >= ``tau`` against ANY
+    benchmark embedding assigned to the same IVF cell.
+
+    Topology (the SemDeDup trade, operators/dedup.py semantic_dedup):
+    corpus rows take their argmax cell in pure codegen (no shuffle);
+    the BENCHMARK side — tiny by definition — fans out to its top
+    ``n_probe`` cells and broadcasts, so the candidate check is a
+    broadcast equi-join on the cell key and the corpus never
+    shuffles.  ``n_probe`` buys cross-cell recall on the cheap side:
+    a corpus vector near a benchmark vector but argmax-assigned to a
+    neighboring cell is caught iff that cell is within the
+    benchmark's probe set (n_probe = n_centroids makes the test
+    exhaustive at benchmark x corpus broadcast cost).  At 100 TB
+    scale ``n_centroids`` with the corpus exactly as semantic_dedup
+    documents.
+
+    Returns the clean subset of ``df`` (original columns), or with
+    ``flag_only=True`` every row + ``cell`` + ``kept`` — the audit
+    ledger a removal decision of this kind should leave behind."""
+    from ._util import ensure_parallelism
+    from .similarity import (
+        _hyperplanes,
+        _resolve_dim,
+        cosine,
+        dot,
+        ivf_cell_of,
+    )
+
+    if not 1 <= n_probe:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    df = ensure_parallelism(df)
+    dim = _resolve_dim(None, df, vec_col)
+    if cents is None:
+        cents = _hyperplanes(dim, n_centroids, seed=seed)
+    n_probe = min(n_probe, len(cents))
+
+    vd = F.col(vec_col).cast("array<double>")
+    assigned = df.withColumn("_vd", vd) \
+                 .withColumn("cell", ivf_cell_of("_vd", cents))
+
+    def top_cells(vec, n):
+        ds = F.array(*[dot(vec, F.array(*[F.lit(c) for c in cent]))
+                       for cent in cents])
+        scored = F.transform(
+            ds, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    bvd = F.col(vec_col).cast("array<double>")
+    bench = benchmark.select(
+        bvd.alias("_bv"),
+        F.explode(F.transform(top_cells(bvd, n_probe),
+                              lambda s: s["cell"])).alias("cell"))
+    dirty = (assigned.select(F.col(id_col).alias("_dead"), "cell",
+                             "_vd")
+                     .join(F.broadcast(bench), "cell")
+                     .filter(cosine(F.col("_vd"), F.col("_bv"))
+                             >= tau)
+                     .select("_dead").distinct())
+    flagged = assigned.drop("_vd").join(
+        dirty, assigned[id_col] == dirty["_dead"], "left")
+    if flag_only:
+        return flagged.select(
+            *[F.col(c) for c in df.columns], "cell",
+            F.when(F.col("_dead").isNull(), F.lit(1))
+             .otherwise(F.lit(0)).alias("kept"))
+    return (flagged.filter(F.col("_dead").isNull())
+                   .select(*[F.col(c) for c in df.columns], "cell"))
+
+
 def contamination_scores(df: DataFrame, benchmark: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          bench_text_col: str = "text",

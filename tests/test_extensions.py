@@ -3758,3 +3758,88 @@ def test_balanced_sample_plans_window_group_limit(spark):
     plan = balanced_sample(df, 3, by=("lang",), weight_col="n_chars") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# --- r11: semantic (embedding) decontamination ------------------------------
+
+def test_semantic_decontaminate_drops_near_benchmark_rows(spark):
+    """Corpus rows with cosine >= tau against any same-cell benchmark
+    vector are dropped; distant rows survive; the audit view matches
+    the filtered view."""
+    import math
+
+    from sstable_hadoop_spark.operators.corpus import (
+        semantic_decontaminate,
+    )
+
+    th = math.acos(0.95)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [math.cos(th), math.sin(th), 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0]),
+         (4, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    one_cell = [[1.0, 0.0, 0.0, 0.0]]
+    clean = semantic_decontaminate(corpus, bench, tau=0.9,
+                                   cents=one_cell)
+    assert sorted(r["vec_id"] for r in clean.collect()) == [3, 4]
+    flagged = semantic_decontaminate(corpus, bench, tau=0.9,
+                                     cents=one_cell, flag_only=True)
+    rows = {r["vec_id"]: r["kept"] for r in flagged.collect()}
+    assert rows == {1: 0, 2: 0, 3: 1, 4: 1}
+    # higher tau: only the exact hit dies
+    clean99 = semantic_decontaminate(corpus, bench, tau=0.99,
+                                     cents=one_cell)
+    assert sorted(r["vec_id"] for r in clean99.collect()) == [2, 3, 4]
+
+
+def test_semantic_decontaminate_nprobe_buys_cross_cell_recall(spark):
+    """A benchmark vector argmax-assigned to a different cell than its
+    corpus near-duplicate is missed at n_probe=1 and caught once the
+    probe set covers the neighbor cell — recall is bought on the
+    BENCHMARK side only (the corpus never fans out)."""
+    from sstable_hadoop_spark.operators.corpus import (
+        semantic_decontaminate,
+    )
+
+    # two centroids 45 degrees apart; corpus vec sits just on cell-0's
+    # side, benchmark twin just on cell-1's side of the boundary
+    cents = [[1.0, 0.0], [0.7071, 0.7071]]
+    corpus = spark.createDataFrame(
+        [(1, [0.93, 0.36]), (2, [-1.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100, [0.91, 0.41])],  # cos(corpus 1, bench) ~ 0.9988
+        "vec_id bigint, embedding array<double>")
+    miss = semantic_decontaminate(corpus, bench, tau=0.99,
+                                  cents=cents, n_probe=1)
+    assert sorted(r["vec_id"] for r in miss.collect()) == [1, 2]
+    hit = semantic_decontaminate(corpus, bench, tau=0.99,
+                                 cents=cents, n_probe=2)
+    assert sorted(r["vec_id"] for r in hit.collect()) == [2]
+
+
+def test_semantic_decontaminate_guards_and_plan(spark):
+    """n_probe guard; the candidate join must be a broadcast equi-join
+    on the cell key (no corpus shuffle, no BNLJ)."""
+    import pytest
+
+    from sstable_hadoop_spark.operators.corpus import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="n_probe"):
+        semantic_decontaminate(corpus, bench, n_probe=0)
+    out = semantic_decontaminate(corpus, bench, tau=0.9,
+                                 cents=[[1.0, 0.0], [0.0, 1.0]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
