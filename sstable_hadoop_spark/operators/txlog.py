@@ -579,7 +579,8 @@ def _stage_bucket_files(merged: DataFrame, path: str,
 
 
 def _try_commit(path: str, base: dict, record: dict,
-                strict_base: bool = False) -> int | str:
+                strict_base: bool = False,
+                commutative: bool = False) -> int | str:
     """Claim the next version after ``base`` with an exclusive create.
     Returns the won version, or ``"conflict"`` when a commit since
     ``base`` touches an overlapping bucket (stage invalid — redo the
@@ -590,7 +591,15 @@ def _try_commit(path: str, base: dict, record: dict,
     are a diff against the whole base snapshot, so rebasing over a
     concurrent upsert to a bucket that happened to match the restore
     target would leave that upsert's rows in the "restored" head,
-    silently breaking the content-identical postcondition."""
+    silently breaking the content-identical postcondition.
+
+    ``commutative``: the record removes nothing and its adds are
+    fresh unique files, so its validity never depends on the base
+    content — rebase over ANY intervening commit, even same-bucket
+    ones (txlog_append's no-conflict property).  The one exception is
+    a layout change: a concurrent ``rebucket`` makes the staged
+    files' bucket ids wrong, so it still conflicts (restage under
+    the new layout)."""
     ours = set(record["buckets"])
     base_v = base["version"]
     misses = 0
@@ -601,7 +610,12 @@ def _try_commit(path: str, base: dict, record: dict,
             return "conflict"
         try:
             for v in range(base_v + 1, head + 1):
-                if set(_read_commit(path, v).get("buckets", ())) & ours:
+                c = _read_commit(path, v)
+                if commutative:
+                    if c.get("op") == "rebucket":
+                        return "conflict"
+                    continue
+                if set(c.get("buckets", ())) & ours:
                     return "conflict"
         except (FileNotFoundError, json.JSONDecodeError):
             # listing/visibility race with a concurrent committer
@@ -825,6 +839,100 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
     raise TxConflictError(
         f"gave up after {max_retries} overlapping-bucket conflicts "
         f"on {path}")
+
+
+def txlog_append(spark, path: str, delta: DataFrame,
+                 sort_by: tuple[str, ...] | None = None,
+                 one_file_per_bucket: bool = True,
+                 max_retries: int = 20) -> tuple[int, list[int]]:
+    """PURE-APPEND commit — the append-only ingest primitive (a day's
+    events land): ``delta`` stages as NEW bucket files under the
+    journaled layout and the commit journals only adds, NO removes.
+    Unlike :func:`txlog_upsert` nothing is read and nothing is
+    rewritten, so the commit costs O(delta) at ANY table size, and —
+    because an append's validity never depends on the base content —
+    concurrent appends NEVER conflict, even into the same buckets
+    (the commit rebases over any intervening commit except a layout-
+    changing ``rebucket``).  Buckets accumulate multiple files per
+    append; ``txlog_compact`` merges them back to one when read
+    amplification matters, and per-FILE footer stats / zone maps /
+    blooms keep skipping correctly regardless.
+
+    The 100 TB payoff shows in :func:`txlog_diff`: the feed since
+    yesterday over an append-only table reads ONLY the appended
+    files (files common to both snapshots cancel exactly and are
+    skipped), so incremental consumers (IVM rollups, HLL registers)
+    cost O(batch), never O(corpus).
+
+    Rows are appended AS GIVEN — the caller owns dedup semantics (an
+    appended key does not replace an existing row; use
+    upsert/merge for replace semantics).  The delta schema must
+    match the journaled schema exactly (append does not evolve
+    schemas).  Returns ``(committed version, affected bucket ids)``.
+
+    ``one_file_per_bucket`` (default True): pre-shuffle the delta on
+    the bucket expression so each append adds AT MOST one file per
+    bucket — without it Spark's bucketed writer emits one file per
+    (task x bucket) and a wide delta explodes the file count (an
+    864-file day observed at sf10), bloating every later snapshot
+    listing and diff.  Write parallelism becomes n_buckets; disable
+    for deltas big enough that per-bucket files should split."""
+    from pyspark.sql.types import StructType
+
+    snap = txlog_snapshot(path)
+    if snap.get("n_buckets") is None:
+        raise ValueError(f"log at {path} journals no bucketing — "
+                         "append needs the journaled layout")
+    user_sort = None if sort_by is None else tuple(sort_by)
+    bucket_by = tuple(snap["bucket_by"])
+    n_buckets = int(snap["n_buckets"])
+    sort_by = user_sort if user_sort is not None \
+        else tuple(snap.get("sort_by") or ())
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+
+    def _shape(s):
+        return [(f.name, f.dataType) for f in s.fields]
+
+    if _shape(delta.schema) != _shape(schema):
+        raise ValueError(
+            "append schema mismatch: table has "
+            f"{[f.name for f in schema.fields]}, delta has "
+            f"{[f.name for f in delta.schema.fields]} — append never "
+            "evolves schemas (use txlog_upsert(merge_schema=True))")
+
+    for _ in range(max_retries):
+        staged = (delta.repartition(n_buckets,
+                                    bucket_id(n_buckets, *bucket_by))
+                  if one_file_per_bucket else delta)
+        stats: dict[str, list] = {}
+        blooms: dict[str, dict] = {}
+        col_stats: dict[str, dict] = {}
+        adds = _stage_bucket_files(
+            staged, path, bucket_by, n_buckets, sort_by,
+            allowed=set(range(n_buckets)), stats_out=stats,
+            bloom_cols=tuple(snap.get("bloom_cols") or ()),
+            blooms_out=blooms,
+            stats_cols=tuple(snap.get("stats_cols") or ()),
+            col_stats_out=col_stats)
+        affected = sorted({b for _, b in adds})
+        record = {"op": "append", "writer": uuid.uuid4().hex,
+                  "buckets": affected, "adds": adds, "removes": [],
+                  "stats": stats, "blooms": blooms,
+                  "col_stats": col_stats}
+        won = _try_commit(path, snap, record, commutative=True)
+        if won != "conflict":
+            return won, affected
+        # only a concurrent rebucket reaches here: the staged files'
+        # bucket ids are wrong under the new layout — restage
+        _cleanup_stage(path, adds, blooms)
+        snap = txlog_snapshot(path)
+        bucket_by = tuple(snap["bucket_by"])
+        n_buckets = int(snap["n_buckets"])
+        sort_by = user_sort if user_sort is not None \
+            else tuple(snap.get("sort_by") or ())
+    raise TxConflictError(
+        f"gave up appending to {path} after {max_retries} "
+        "concurrent-rebucket conflicts")
 
 
 def txlog_read_bucketed(spark, path: str, table: str,
@@ -1071,12 +1179,16 @@ def txlog_diff(spark, path: str, v_from: int,
     ``_change ∈ {insert, delete}`` (an update appears as its delete +
     insert pair, Delta-CDF style without a tracking column).
 
-    Cost is O(buckets touched by the commits in between), NOT
-    O(table): untouched buckets are byte-identical in both snapshots,
-    so only the touched buckets' files enter the two ``exceptAll``
-    legs — the 100 TB "what changed since yesterday" query reads
-    yesterday's and today's versions of the day's delta buckets
-    only."""
+    Cost is O(FILES that differ between the two snapshots), NOT
+    O(table) and not even O(touched buckets): a staged file is never
+    rewritten in place, so a name present in BOTH snapshots is the
+    identical multiset of rows and cancels out of the exceptAll
+    algebra exactly — such files are skipped on both sides (the r11
+    refinement that makes an append-only table's feed cost O(the
+    appended files): a ``txlog_append`` adds files without rewriting
+    buckets, so yesterday's files are common and never read).  For
+    rewriting commits (upsert/merge/compact) the skipped set is empty
+    within touched buckets and the cost is the r9 bucket bound."""
     from pyspark.sql.types import StructType
 
     head = txlog_snapshot(path)
@@ -1091,10 +1203,11 @@ def txlog_diff(spark, path: str, v_from: int,
     old = txlog_snapshot(path, v_from)
     new = txlog_snapshot(path, v_to)
     schema = StructType.fromJson(json.loads(new["schema"]))
+    common = set(old["files"]) & set(new["files"])
 
     def bucket_df(snap):
         names = sorted(n for n, b in snap["files"].items()
-                       if b in touched)
+                       if b in touched and n not in common)
         if not names:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(
