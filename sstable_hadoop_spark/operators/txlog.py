@@ -599,7 +599,10 @@ def _try_commit(path: str, base: dict, record: dict,
     ones (txlog_append's no-conflict property).  The one exception is
     a layout change: a concurrent ``rebucket`` makes the staged
     files' bucket ids wrong, so it still conflicts (restage under
-    the new layout)."""
+    the new layout).  A record carrying a ``txn`` tag additionally
+    returns ``"duplicate"`` when an intervening commit already
+    journaled the same tag — the exactly-once race window of two
+    writers replaying one stream batch."""
     ours = set(record["buckets"])
     base_v = base["version"]
     misses = 0
@@ -611,6 +614,9 @@ def _try_commit(path: str, base: dict, record: dict,
         try:
             for v in range(base_v + 1, head + 1):
                 c = _read_commit(path, v)
+                if record.get("txn") is not None \
+                        and c.get("txn") == record["txn"]:
+                    return "duplicate"
                 if commutative:
                     if c.get("op") == "rebucket":
                         return "conflict"
@@ -841,9 +847,24 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         f"on {path}")
 
 
+def txlog_txn_high_water(path: str, app: str) -> int:
+    """Highest ``txn`` batch id journaled by writer ``app`` (−1 when
+    none): the replay cursor of the exactly-once streaming append —
+    a restarted query skips every batch at or below it.  One
+    metadata-only scan of the commit log."""
+    commits, _ = _list_log(path)
+    hw = -1
+    for v in commits:
+        t = _read_commit(path, v).get("txn")
+        if t and t.get("app") == app:
+            hw = max(hw, int(t["batch"]))
+    return hw
+
+
 def txlog_append(spark, path: str, delta: DataFrame,
                  sort_by: tuple[str, ...] | None = None,
                  one_file_per_bucket: bool = True,
+                 txn: tuple[str, int] | None = None,
                  max_retries: int = 20) -> tuple[int, list[int]]:
     """PURE-APPEND commit — the append-only ingest primitive (a day's
     events land): ``delta`` stages as NEW bucket files under the
@@ -876,13 +897,26 @@ def txlog_append(spark, path: str, delta: DataFrame,
     (task x bucket) and a wide delta explodes the file count (an
     864-file day observed at sf10), bloating every later snapshot
     listing and diff.  Write parallelism becomes n_buckets; disable
-    for deltas big enough that per-bucket files should split."""
+    for deltas big enough that per-bucket files should split.
+
+    ``txn=(app, batch_id)``: journal a transaction tag for EXACTLY-
+    ONCE ingest (Delta's idempotent-writes pattern).  Append is NOT
+    content-idempotent (a replayed batch would double its rows), so
+    a streaming writer tags each batch and skips ids at or below
+    :func:`txlog_txn_high_water`; the commit path additionally
+    refuses an intervening commit with the identical tag
+    (``"duplicate"`` → this call becomes a no-op returning the
+    current head and no buckets), closing the two-concurrent-
+    replayers race."""
     from pyspark.sql.types import StructType
 
     snap = txlog_snapshot(path)
     if snap.get("n_buckets") is None:
         raise ValueError(f"log at {path} journals no bucketing — "
                          "append needs the journaled layout")
+    if txn is not None and \
+            txlog_txn_high_water(path, str(txn[0])) >= int(txn[1]):
+        return snap["version"], []  # replayed batch: exactly-once
     user_sort = None if sort_by is None else tuple(sort_by)
     bucket_by = tuple(snap["bucket_by"])
     n_buckets = int(snap["n_buckets"])
@@ -919,7 +953,13 @@ def txlog_append(spark, path: str, delta: DataFrame,
                   "buckets": affected, "adds": adds, "removes": [],
                   "stats": stats, "blooms": blooms,
                   "col_stats": col_stats}
+        if txn is not None:
+            record["txn"] = {"app": str(txn[0]),
+                             "batch": int(txn[1])}
         won = _try_commit(path, snap, record, commutative=True)
+        if won == "duplicate":
+            _cleanup_stage(path, adds, blooms)
+            return txlog_snapshot(path)["version"], []
         if won != "conflict":
             return won, affected
         # only a concurrent rebucket reaches here: the staged files'

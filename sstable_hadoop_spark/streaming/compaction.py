@@ -244,6 +244,68 @@ def merge_stream_to_txlog(change_stream: DataFrame, table_dir: str,
             .start())
 
 
+def append_stream_to_txlog(stream: DataFrame, table_dir: str,
+                           checkpoint_dir: str, *,
+                           bucket_by: tuple[str, ...],
+                           n_buckets: int = 16,
+                           sort_by: tuple[str, ...] = (),
+                           txn_app: str | None = None):
+    """Streaming APPEND-ONLY ingest into a transaction-log table —
+    the daily-events tail: each micro-batch lands through
+    :func:`~..operators.txlog.txlog_append` (new bucket files, no
+    reads, no rewrites, never a writer conflict), so per-batch cost
+    is O(batch) at ANY table size and incremental consumers
+    (``txlog_diff`` feeds, IVM rollups, HLL registers) read exactly
+    the appended files.
+
+    Exactly-once is TRANSACTIONAL, not content-level: an append is
+    not idempotent (a replayed batch would double its rows), so
+    every commit journals ``(txn_app, batch_id)`` — Delta's
+    idempotent-writes pattern.  A restarted query scans the commit
+    log once for its high-water batch id and skips replays; the
+    two-concurrent-replayers race is closed inside the commit
+    (an intervening identical tag turns the claim into a no-op).
+    ``txn_app`` defaults to a digest of the checkpoint dir — pass an
+    explicit stable name if the checkpoint can MOVE between restarts
+    (a moved checkpoint with the default would re-ingest history).
+
+    The table bootstraps EMPTY from the first batch's schema, then
+    appends — so batch 0's txn tag is journaled like every other
+    batch and its replay is skipped too."""
+    import hashlib
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_append,
+        txlog_create,
+        txlog_exists,
+        txlog_txn_high_water,
+    )
+
+    app = txn_app or ("append-" + hashlib.md5(
+        checkpoint_dir.encode()).hexdigest()[:12])
+    state = {"hw": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not txlog_exists(table_dir):
+            txlog_create(spark, table_dir, batch_df.limit(0),
+                         bucket_by=bucket_by, n_buckets=n_buckets,
+                         sort_by=sort_by)
+        if state["hw"] is None:
+            state["hw"] = txlog_txn_high_water(table_dir, app)
+        if batch_id <= state["hw"]:
+            return  # replayed batch: already journaled
+        txlog_append(spark, table_dir, batch_df, sort_by=sort_by,
+                     txn=(app, batch_id))
+        state["hw"] = batch_id
+
+    return (stream.writeStream
+            .foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def upsert_stream_to_txlog(cell_stream: DataFrame, table_dir: str,
                            checkpoint_dir: str, *,
                            n_buckets: int = 16):

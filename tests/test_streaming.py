@@ -1270,3 +1270,46 @@ def test_streaming_ewma_sorts_across_arrow_chunks(spark, tmp_path):
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_append_stream_to_txlog_exactly_once(spark, tmp_path):
+    """r11 streaming append ingest: a 4-batch file stream drains into
+    a txlog table as pure appends (one version per non-empty batch +
+    the empty bootstrap), content equals the full input; a REPLAY of
+    the whole stream from a fresh checkpoint (same txn_app) skips
+    every batch — content and version count unchanged — because
+    append is not content-idempotent and exactly-once must be
+    transactional."""
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_read,
+        txlog_snapshot,
+    )
+    from sstable_hadoop_spark.streaming.compaction import (
+        append_stream_to_txlog,
+    )
+
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    src = str(tmp_path / "src")
+    rows.repartition(4).write.parquet(src)
+    table = str(tmp_path / "t")
+
+    def drain(ckpt: str) -> None:
+        stream = (spark.readStream.schema("k long, v long")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = append_stream_to_txlog(
+            stream, table, str(tmp_path / ckpt),
+            bucket_by=("k",), n_buckets=4, txn_app="ingestA")
+        q.awaitTermination()
+
+    drain("ckpt1")
+    want = sorted((r["k"], r["v"]) for r in rows.collect())
+    assert sorted(tuple(r) for r in
+                  txlog_read(spark, table).collect()) == want
+    v_after = txlog_snapshot(table)["version"]
+    # full replay from a FRESH checkpoint: every batch id re-fires,
+    # every one must be skipped by the journaled txn high-water
+    drain("ckpt2")
+    assert txlog_snapshot(table)["version"] == v_after
+    assert sorted(tuple(r) for r in
+                  txlog_read(spark, table).collect()) == want

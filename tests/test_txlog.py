@@ -1670,3 +1670,29 @@ def test_bucketed_read_over_multifile_buckets(spark, tpath):
         assert {r["count"] for r in agg.collect()} == {2}
     finally:
         spark.sql("DROP TABLE IF EXISTS tx_bkt_append")
+
+
+def test_append_txn_exactly_once(spark, tpath):
+    """txn-tagged appends replay as no-ops: the same (app, batch)
+    never lands twice (sequential replay via the high-water check;
+    the concurrent race via the in-commit duplicate check)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 10, 1), ("k",), 2)
+    v, b = tx.txlog_append(spark, tpath, _mk(spark, 10, 20, 2),
+                           txn=("appA", 0))
+    assert v == 2 and b == [0, 1]
+    exp = _content(spark, tpath)
+    # sequential replay: no-op, no new version
+    v2, b2 = tx.txlog_append(spark, tpath, _mk(spark, 10, 20, 2),
+                             txn=("appA", 0))
+    assert (v2, b2) == (2, [])
+    assert tx.txlog_snapshot(tpath)["version"] == 2
+    assert _content(spark, tpath) == exp
+    # a different app's batch 0 is independent
+    v3, _ = tx.txlog_append(spark, tpath, _mk(spark, 20, 25, 3),
+                            txn=("appB", 0))
+    assert v3 == 3
+    assert tx.txlog_txn_high_water(tpath, "appA") == 0
+    assert tx.txlog_txn_high_water(tpath, "appB") == 0
+    assert tx.txlog_txn_high_water(tpath, "appC") == -1
