@@ -187,6 +187,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     bucket_by = n_buckets = sort_by = None
     bloom_cols: list | None = None
     stats_cols: list | None = None
+    txns: dict[str, int] = {}
     start = 1
     usable = [v for v in checkpoints if v <= target]
     if usable:
@@ -202,6 +203,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         sort_by = cp.get("sort_by")
         bloom_cols = cp.get("bloom_cols")
         stats_cols = cp.get("stats_cols")
+        txns = dict(cp.get("txns", {}))
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -227,6 +229,10 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         stats.update(c.get("stats", {}))
         blooms.update(c.get("blooms", {}))
         col_stats.update(c.get("col_stats", {}))
+        t = c.get("txn")
+        if t:
+            txns[t["app"]] = max(txns.get(t["app"], -1),
+                                 int(t["batch"]))
     if n_buckets is None:
         # pre-bucketing-journal checkpoint: the declaration lives in
         # commit 1 (create/adopt — no rebucket can predate a
@@ -243,7 +249,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             "bucket_by": bucket_by, "n_buckets": n_buckets,
             "sort_by": sort_by,
             "blooms": blooms, "bloom_cols": bloom_cols or [],
-            "col_stats": col_stats, "stats_cols": stats_cols or []}
+            "col_stats": col_stats, "stats_cols": stats_cols or [],
+            "txns": txns}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -666,7 +673,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "blooms": snap["blooms"],
                         "bloom_cols": snap["bloom_cols"],
                         "col_stats": snap["col_stats"],
-                        "stats_cols": snap["stats_cols"]},
+                        "stats_cols": snap["stats_cols"],
+                        "txns": snap.get("txns", {})},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -850,15 +858,12 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
 def txlog_txn_high_water(path: str, app: str) -> int:
     """Highest ``txn`` batch id journaled by writer ``app`` (−1 when
     none): the replay cursor of the exactly-once streaming append —
-    a restarted query skips every batch at or below it.  One
-    metadata-only scan of the commit log."""
-    commits, _ = _list_log(path)
-    hw = -1
-    for v in commits:
-        t = _read_commit(path, v).get("txn")
-        if t and t.get("app") == app:
-            hw = max(hw, int(t["batch"]))
-    return hw
+    a restarted query skips every batch at or below it.  High-waters
+    FOLD through snapshots and checkpoints like every other commit
+    field, so the read is checkpoint + tail commits (bounded), never
+    a scan of the whole log — a 5-minute-batch ingest accumulates
+    ~100k commits/year and must not reread them per restart."""
+    return int(txlog_snapshot(path).get("txns", {}).get(app, -1))
 
 
 def txlog_append(spark, path: str, delta: DataFrame,

@@ -1696,3 +1696,31 @@ def test_append_txn_exactly_once(spark, tpath):
     assert tx.txlog_txn_high_water(tpath, "appA") == 0
     assert tx.txlog_txn_high_water(tpath, "appB") == 0
     assert tx.txlog_txn_high_water(tpath, "appC") == -1
+
+
+def test_append_txn_high_water_folds_through_checkpoints(spark,
+                                                         tpath):
+    """txn high-waters fold through snapshots AND checkpoints like
+    every commit field, so the replay cursor reads checkpoint + tail
+    commits — never the whole log (the 100k-commits/year ingest
+    shape)."""
+    import json as _json
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk(spark, 0, 8, 1), ("k",), 2)
+    for i in range(12):  # crosses the 10-commit checkpoint boundary
+        tx.txlog_append(spark, tpath,
+                        _mk(spark, 8 + i, 9 + i, 2),
+                        txn=("ing", i))
+    assert tx.txlog_snapshot(tpath)["version"] == 13
+    cps = [v for v in tx._list_log(tpath)[1]]
+    assert cps, "expected a checkpoint past version 10"
+    cp = _json.loads(
+        open(tx._checkpoint_path(tpath, cps[-1]), "rb").read())
+    assert cp["txns"] == {"ing": cps[-1] - 2}  # batches 0..v-2 folded
+    assert tx.txlog_txn_high_water(tpath, "ing") == 11
+    # replay of an old pre-checkpoint batch is still skipped
+    v, b = tx.txlog_append(spark, tpath, _mk(spark, 8, 9, 2),
+                           txn=("ing", 3))
+    assert (v, b) == (13, [])
