@@ -183,6 +183,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     stats: dict[str, list] = {}
     blooms: dict[str, dict] = {}
     col_stats: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
     bloom_cols: list | None = None
@@ -204,6 +205,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         bloom_cols = cp.get("bloom_cols")
         stats_cols = cp.get("stats_cols")
         txns = dict(cp.get("txns", {}))
+        dvs = dict(cp.get("dvs", {}))
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -224,11 +226,17 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             stats.pop(n, None)
             blooms.pop(n, None)
             col_stats.pop(n, None)
+            dvs.pop(n, None)
         for n, b in c.get("adds", ()):
             files[n] = b
         stats.update(c.get("stats", {}))
         blooms.update(c.get("blooms", {}))
         col_stats.update(c.get("col_stats", {}))
+        for n, e in (c.get("dvs") or {}).items():
+            if e is None:  # restore clearing a vector
+                dvs.pop(n, None)
+            else:
+                dvs[n] = e
         t = c.get("txn")
         if t:
             txns[t["app"]] = max(txns.get(t["app"], -1),
@@ -244,13 +252,14 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     stats = {n: s for n, s in stats.items() if n in files}
     blooms = {n: b for n, b in blooms.items() if n in files}
     col_stats = {n: c for n, c in col_stats.items() if n in files}
+    dvs = {n: e for n, e in dvs.items() if n in files}
     return {"version": target, "schema": schema, "files": files,
             "stats": stats, "stats_col": stats_col,
             "bucket_by": bucket_by, "n_buckets": n_buckets,
             "sort_by": sort_by,
             "blooms": blooms, "bloom_cols": bloom_cols or [],
             "col_stats": col_stats, "stats_cols": stats_cols or [],
-            "txns": txns}
+            "txns": txns, "dvs": dvs}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -493,6 +502,123 @@ def bloom_might_contain(entry: dict, value,
                                           int(entry["k"])))
 
 
+#: Deletion vectors (merge-on-READ delete): a ``delete_dv`` commit
+#: journals, per data file, the sorted row POSITIONS deleted from it —
+#: readers subtract them via the parquet source's ``_metadata.
+#: row_index`` instead of anyone rewriting the file.  The 100 TB
+#: right-to-be-forgotten shape: removing 1 000 rows costs one scan
+#: plus a KB-sized commit, where merge-on-write rewrites every
+#: touched bucket (GBs).  Encoding is zlib over little-endian int64
+#: positions; small vectors inline base64 into the commit json,
+#: larger ones spill to a dot-prefixed ``.{data}.{token}.dv`` sidecar
+#: (fresh token per write, so a re-delete never mutates a published
+#: older version's vector — the same content-addressing discipline as
+#: bloom sidecars).  A vector covering the WHOLE file journals as a
+#: plain remove instead.  Compaction/upsert/rebucket of a file
+#: MATERIALIZES its vector (they read the live view and the rewrite
+#: drops the file, and its vector with it).
+_DV_INLINE_BYTES = 4096
+#: Driver-side bound on positions collected per delete call — beyond
+#: this a merge-on-write ``txlog_delete`` is the right tool anyway
+#: (the vectors would approach data size).
+_DV_MAX_ROWS = 10_000_000
+
+_DV_SIDECAR_RE = re.compile(r"^\.(?P<data>.+)\.(?P<tok>[0-9a-f]+)\.dv$")
+
+
+def _is_our_dv_sidecar(rel: str) -> bool:
+    m = _DV_SIDECAR_RE.match(rel)
+    return bool(m and _BUCKET_FILE_RE.match(m.group("data")))
+
+
+def _dv_make(data_name: str, positions, path: str
+             ) -> tuple[dict, str | None]:
+    """Build the journal entry for ``positions`` (iterable of row
+    indexes) of ``data_name``; writes a sidecar when too big to
+    inline.  Returns ``(entry, staged sidecar name | None)``."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    arr = np.unique(np.asarray(list(positions), dtype="<i8"))
+    blob = zlib.compress(arr.tobytes(), 6)
+    entry: dict = {"count": int(arr.size)}
+    if len(blob) <= _DV_INLINE_BYTES:
+        entry["v"] = base64.b64encode(blob).decode()
+        return entry, None
+    name = f".{data_name}.{uuid.uuid4().hex[:12]}.dv"
+    fs.write_bytes_atomic(os.path.join(path, name), blob)
+    entry["sidecar"] = name
+    return entry, name
+
+
+def _dv_positions(entry: dict, table_path: str):
+    """The sorted int64 position array of a journaled DV entry."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    blob = (base64.b64decode(entry["v"]) if "v" in entry
+            else fs.read_bytes(os.path.join(table_path,
+                                            entry["sidecar"])))
+    return np.frombuffer(zlib.decompress(blob), dtype="<i8")
+
+
+def _dv_identity(entry: dict | None):
+    """Content identity of a DV entry for change-feed cancellation:
+    equal identity ⇒ equal deleted-position multiset (inline bytes
+    are content-addressed; sidecar tokens are fresh per write)."""
+    if not entry:
+        return None
+    return entry.get("v") or entry.get("sidecar")
+
+
+def _read_files_with_dvs(spark, path: str, snap: dict,
+                         names=None) -> DataFrame:
+    """Explicit-file scan of ``names`` (default: all live files) at
+    ``snap``, with the snapshot's deletion vectors applied: files
+    without a vector scan plain; files with one scan with
+    ``_metadata.row_index`` and anti-join a broadcast of their
+    (file, position) pairs — metadata-sized by the ``_DV_MAX_ROWS``
+    write bound, so the plan is scan + one broadcast anti-join, no
+    shuffle."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    names = sorted(snap["files"]) if names is None else sorted(names)
+    if not names:
+        return spark.createDataFrame([], schema)
+    dvs = snap.get("dvs") or {}
+    clean = [n for n in names if n not in dvs]
+    dirty = [n for n in names if n in dvs]
+    parts = []
+    if clean:
+        parts.append(spark.read.schema(schema).parquet(
+            *[os.path.join(path, n) for n in clean]))
+    if dirty:
+        df = (spark.read.schema(schema).parquet(
+                  *[os.path.join(path, n) for n in dirty])
+              .withColumn("__txlog_file",
+                          F.col("_metadata.file_name"))
+              .withColumn("__txlog_pos",
+                          F.col("_metadata.row_index")))
+        pairs = [(n, int(p)) for n in dirty
+                 for p in _dv_positions(dvs[n], path)]
+        dvdf = spark.createDataFrame(
+            pairs, "__txlog_file string, __txlog_pos long")
+        parts.append(
+            df.join(F.broadcast(dvdf),
+                    on=["__txlog_file", "__txlog_pos"],
+                    how="left_anti")
+              .drop("__txlog_file", "__txlog_pos"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _cleanup_stage(path: str, adds, blooms: dict) -> None:
     """Remove a LOST stage's data files and bloom sidecars (invisible
     either way, but tidy them now)."""
@@ -545,44 +671,61 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                     f"merge produced rows in unaffected bucket {b}")
             staged.append((f, name, b))
 
-        # per-file indexing + copy is independent driver-side work
-        # dominated by pyarrow column reads and file IO (both release
-        # the GIL) — a small thread pool overlaps it across the staged
-        # files; results are folded back in sorted order so journaled
-        # metadata is byte-deterministic
-        def index_one(f: str, name: str):
-            st = (_footer_stats(f, stats_col)
-                  if stats_col is not None else None)
-            bl = (_file_blooms(f, tuple(bloom_cols), path, name)
-                  if bloom_cols and blooms_out is not None else {})
-            cs = ({c: s for c in stats_cols
-                   if (s := _footer_stats(f, c)) is not None}
-                  if stats_cols and col_stats_out is not None else {})
-            fs.put_file(f, os.path.join(path, name))
-            return st, bl, cs
-
-        if len(staged) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                    max_workers=min(8, len(staged))) as pool:
-                results = list(pool.map(
-                    lambda t: index_one(t[0], t[1]), staged))
-        else:
-            results = [index_one(f, name) for f, name, _ in staged]
-
-        out: list[tuple[str, int]] = []
-        for (f, name, b), (st, bl, cs) in zip(staged, results):
-            if st is not None:
-                stats_out[name] = st
-            if bl:
-                blooms_out[name] = bl
-            if cs:
-                col_stats_out[name] = cs
-            out.append((name, b))
-        return out
+        return _index_and_publish(staged, path, stats_col,
+                                  bloom_cols, blooms_out,
+                                  stats_cols, col_stats_out,
+                                  stats_out)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _index_and_publish(staged: list[tuple[str, str, int]], path: str,
+                       stats_col: str | None,
+                       bloom_cols: tuple[str, ...],
+                       blooms_out: dict | None,
+                       stats_cols: tuple[str, ...],
+                       col_stats_out: dict | None,
+                       stats_out: dict | None
+                       ) -> list[tuple[str, int]]:
+    """Copy staged files ``(local, final_name, bucket)`` into the
+    table dir and compute their per-file indexes (footer stats,
+    blooms, zone maps).  Per-file work is independent driver-side IO
+    dominated by pyarrow column reads and file copies (both release
+    the GIL) — a small thread pool overlaps it; results fold back in
+    input order so journaled metadata is byte-deterministic.  Shared
+    by the bucketed stager and the z-order stager."""
+
+    def index_one(f: str, name: str):
+        st = (_footer_stats(f, stats_col)
+              if stats_col is not None else None)
+        bl = (_file_blooms(f, tuple(bloom_cols), path, name)
+              if bloom_cols and blooms_out is not None else {})
+        cs = ({c: s for c in stats_cols
+               if (s := _footer_stats(f, c)) is not None}
+              if stats_cols and col_stats_out is not None else {})
+        fs.put_file(f, os.path.join(path, name))
+        return st, bl, cs
+
+    if len(staged) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+                max_workers=min(8, len(staged))) as pool:
+            results = list(pool.map(
+                lambda t: index_one(t[0], t[1]), staged))
+    else:
+        results = [index_one(f, name) for f, name, _ in staged]
+
+    out: list[tuple[str, int]] = []
+    for (f, name, b), (st, bl, cs) in zip(staged, results):
+        if st is not None and stats_out is not None:
+            stats_out[name] = st
+        if bl:
+            blooms_out[name] = bl
+        if cs:
+            col_stats_out[name] = cs
+        out.append((name, b))
+    return out
 
 
 def _try_commit(path: str, base: dict, record: dict,
@@ -674,7 +817,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "bloom_cols": snap["bloom_cols"],
                         "col_stats": snap["col_stats"],
                         "stats_cols": snap["stats_cols"],
-                        "txns": snap.get("txns", {})},
+                        "txns": snap.get("txns", {}),
+                        "dvs": snap.get("dvs", {})},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -739,15 +883,10 @@ def txlog_read(spark, path: str, version: int | None = None) -> DataFrame:
     """The table at ``version`` (default latest) as a DataFrame — an
     explicit-file-list parquet scan of exactly the live files, so
     un-vacuumed replaced files and crash orphans in the directory are
-    never read."""
-    from pyspark.sql.types import StructType
-
+    never read.  Deletion vectors (``txlog_delete_rows``) apply
+    transparently."""
     snap = txlog_snapshot(path, version)
-    schema = StructType.fromJson(json.loads(snap["schema"]))
-    if not snap["files"]:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(path, n) for n in sorted(snap["files"])])
+    return _read_files_with_dvs(spark, path, snap)
 
 
 def _check_bucketing(snap: dict, bucket_by: tuple[str, ...],
@@ -803,9 +942,9 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         schema = StructType.fromJson(json.loads(snap["schema"]))
         old = sorted(n for n, b in snap["files"].items()
                      if b in set(affected))
-        stored = (spark.read.schema(schema).parquet(
-                      *[os.path.join(path, n) for n in old])
-                  if old else spark.createDataFrame([], schema))
+        # live view: a bucket's deletion vectors apply before the
+        # merge, and die with the rewritten files (materialization)
+        stored = _read_files_with_dvs(spark, path, snap, old)
         merged = merge(stored, delta)
         new_schema = None
         # compare by (name, type) only — aggregation output flips
@@ -1007,6 +1146,13 @@ def txlog_read_bucketed(spark, path: str, table: str,
     snap = txlog_snapshot(path, version)
     if snap.get("n_buckets") is None:
         raise ValueError(f"log at {path} journals no bucketing")
+    if snap.get("dvs"):
+        raise ValueError(
+            f"table at {path} carries deletion vectors on "
+            f"{len(snap['dvs'])} file(s): the catalog-declared "
+            "bucketed table would scan raw files and resurrect "
+            "deleted rows — txlog_compact first (materializes the "
+            "vectors) or read via txlog_read")
     live = sorted(snap["files"])
     snapdir = os.path.join(path, f".snap-v{snap['version']:020d}")
 
@@ -1115,6 +1261,9 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
             keep_sidecars.update(e["sidecar"]
                                  for e in per_col.values()
                                  if "sidecar" in e)
+        keep_sidecars.update(e["sidecar"]
+                             for e in snap.get("dvs", {}).values()
+                             if "sidecar" in e)
     removed = []
     now = time.time()
     candidates = [
@@ -1128,6 +1277,11 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
         (f, _is_our_sidecar(os.path.basename(f)), keep_sidecars)
         for f in fs.list_dir(path.rstrip("/"))
         if f.endswith(".bloom")
+    ] + [
+        # deletion-vector sidecars: same dot-prefixed lifecycle
+        (f, _is_our_dv_sidecar(os.path.basename(f)), keep_sidecars)
+        for f in fs.list_dir(path.rstrip("/"))
+        if f.endswith(".dv")
     ]
     for f, ours, kept in candidates:
         rel = os.path.basename(f)
@@ -1166,8 +1320,6 @@ def txlog_compact(spark, path: str, target_buckets=None,
     retries are bounded like every other writer's (``max_retries``,
     then ``TxConflictError``).  Returns
     ``(committed version | None when nothing to do, bucket ids)``."""
-    from pyspark.sql.types import StructType
-
     for _ in range(max_retries):
         snap = txlog_snapshot(path)
         # the LIVE journaled declaration, not commit 1's — a rebucket
@@ -1178,15 +1330,18 @@ def txlog_compact(spark, path: str, target_buckets=None,
         per_bucket: dict[int, list[str]] = {}
         for n, b in snap["files"].items():
             per_bucket.setdefault(b, []).append(n)
+        dvs = snap.get("dvs") or {}
+        # a vectored file is fragmentation too: compaction is what
+        # MATERIALIZES deletion vectors back into plain files
         frag = sorted(b for b, fl in per_bucket.items()
-                      if len(fl) >= min_files
-                      and (target_buckets is None or b in target_buckets))
+                      if (len(fl) >= min_files
+                          or any(n in dvs for n in fl))
+                      and (target_buckets is None
+                           or b in target_buckets))
         if not frag:
             return None, []
-        schema = StructType.fromJson(json.loads(snap["schema"]))
         old = sorted(n for b in frag for n in per_bucket[b])
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(path, n) for n in old])
+        df = _read_files_with_dvs(spark, path, snap, old)
         # one file per bucket: repartition BY the bucket id expression
         # so the bucketed writer gets one task per bucket (a bucket's
         # rows all carry one id, so each task writes exactly one final
@@ -1217,6 +1372,206 @@ def txlog_compact(spark, path: str, target_buckets=None,
         "overlapping-bucket conflicts")
 
 
+def _zorder_double(col: str, dt) -> "F.Column":
+    """A double-valued rank-source expression for a z-order column:
+    numerics cast directly, timestamps cast to epoch seconds, dates
+    to epoch days.  Anything else (string/binary/nested) is refused —
+    a lexicographic domain has no meaningful uniform/quantile grid
+    and would silently cluster garbage."""
+    from pyspark.sql.types import (DateType, NumericType,
+                                   TimestampNTZType, TimestampType)
+
+    if isinstance(dt, DateType):
+        return F.unix_date(F.col(col)).cast("double")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.col(col).cast("double")
+    if isinstance(dt, NumericType):
+        return F.col(col).cast("double")
+    raise TypeError(
+        f"z-order column {col!r} has type {dt.simpleString()}; only "
+        "numeric, date and timestamp columns can be z-ordered")
+
+
+def _grid_cell(src: "F.Column", cuts: list[float]) -> "F.Column":
+    """Map ``src`` (double) onto its rank-grid cell ``[0, len(cuts)]``
+    by counting boundaries at or below it — a pure codegen
+    higher-order-function fold over a literal array (≤ 2^bits − 1
+    comparisons per row, no UDF, no join).  NULLs land in cell 0 (a
+    deterministic corner; layout only, never semantics)."""
+    if not cuts:
+        return F.lit(0).cast("int")
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.aggregate(
+        arr, F.lit(0),
+        lambda acc, b: acc + F.when(src >= b, F.lit(1)).otherwise(
+            F.lit(0))).cast("int")
+
+
+def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
+                 files_per_bucket: int = 4, bits: int = 8,
+                 target_buckets=None, rel_err: float = 0.01,
+                 max_retries: int = 20) -> tuple[int | None, list[int]]:
+    """OPTIMIZE ZORDER BY for the logged table (the Delta/Iceberg
+    multi-dimensional clustering pass, over this log's commit
+    protocol): rewrite each target bucket as ``files_per_bucket``
+    files range-partitioned by the Morton interleave of
+    ``zorder_by``'s rank-grid cells, so the per-file zone maps the
+    commit journals are TIGHT on every z-ordered column and a
+    :func:`txlog_read_range` / :func:`txlog_read_point` probe on ANY
+    of them prunes to O(matching files) — where a single sort order
+    only ever prunes its leading column.
+
+    Data plane, one Spark job over the rewritten buckets:
+
+    1. one ``approxQuantile`` pass builds a 2^``bits``-cell RANK grid
+       per column (skew-proof: a heavy-hitter value occupies many
+       cells of ITS OWN rather than squeezing the rest into one);
+    2. a codegen fold maps each row to its grid cell (no UDF), the
+       cells Morton-interleave via :func:`layout.zorder_key`;
+    3. each row's file is its Morton PREFIX region (the key's top
+       ``log2(files_per_bucket)`` bits, a power of 2) — prefix
+       regions are axis-aligned boxes, so every file's min/max on
+       every z-ordered column is the box edge, the TIGHT bound a
+       range-sampled z interval cannot give (an interval crossing a
+       major-bit boundary spans nearly the whole domain on one
+       column); one hash ``repartition`` + ``partitionBy(bucket,
+       cell)`` write emits them, renamed into the bucketed layout's
+       file shape and committed like any compaction.
+
+    The z-ordered columns are UNIONED into the journaled
+    ``stats_cols`` so this and every later commit zone-maps them.
+    Clustering is a point-in-time layout (Delta semantics): later
+    upserts degrade it in the buckets they rewrite; re-run
+    periodically.  Declared ``sort_by`` is refused — the bucketed
+    DDL's ``sortedBy`` would lie about z-ordered file contents.
+
+    Concurrency and idempotence are :func:`txlog_compact`'s: an
+    ordinary conflict-checked commit that changes NO data (content
+    equality is the test invariant), retried against overlapping
+    writers.  Returns ``(version | None when no target buckets,
+    rewritten bucket ids)``."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .layout import bucket_id, zorder_key
+
+    zorder_by = tuple(zorder_by)
+    if len(zorder_by) < 2:
+        raise ValueError("z-order needs at least two columns")
+    if bits * len(zorder_by) > 63:
+        raise ValueError(
+            f"bits={bits} × {len(zorder_by)} columns exceeds a "
+            "signed 64-bit Morton key")
+    g = 1 << bits
+
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        if snap.get("sort_by"):
+            raise ValueError(
+                f"table at {path} journals sort_by="
+                f"{snap['sort_by']}: a z-order rewrite would break "
+                "the sortedBy declaration bucketed reads trust — "
+                "txlog_rebucket with sort_by=() first")
+        bucket_by = tuple(snap["bucket_by"])
+        n_buckets = int(snap["n_buckets"])
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        for c in zorder_by:
+            if c not in types:
+                raise ValueError(f"no column {c!r} in table schema")
+        per_bucket: dict[int, list[str]] = {}
+        for n, b in snap["files"].items():
+            per_bucket.setdefault(b, []).append(n)
+        frag = sorted(b for b in per_bucket
+                      if target_buckets is None or b in target_buckets)
+        if not frag:
+            return None, []
+        old = sorted(n for b in frag for n in per_bucket[b])
+        df = _read_files_with_dvs(spark, path, snap, old)
+
+        srcs = {c: _zorder_double(c, types[c]) for c in zorder_by}
+        # one distributed pass builds every column's rank grid
+        qdf = df.select(*[srcs[c].alias(c) for c in zorder_by])
+        probs = [i / g for i in range(1, g)]
+        all_cuts = qdf.approxQuantile(list(zorder_by), probs, rel_err)
+        grids: dict[str, list[float]] = {}
+        for c, cuts in zip(zorder_by, all_cuts):
+            uniq: list[float] = []
+            for v in cuts:  # approxQuantile repeats cuts under skew
+                if not uniq or v > uniq[-1]:
+                    uniq.append(v)
+            grids[c] = uniq
+        zk = zorder_key(*[_grid_cell(srcs[c], grids[c])
+                          for c in zorder_by], bits=bits)
+        # files_per_bucket rounds up to a power of 2: a file is one
+        # Morton PREFIX cell (top j bits of the key), an axis-aligned
+        # box whose per-column min/max is tight by construction
+        j = max(1, (files_per_bucket - 1).bit_length())
+        shift = bits * len(zorder_by) - j
+        n_tasks = max(1, len(frag) * (1 << j))
+        arranged = (df.withColumn("_b", bucket_id(n_buckets,
+                                                  *bucket_by))
+                      .withColumn("_zc", F.shiftright(zk, shift))
+                      .repartition(n_tasks, "_b", "_zc"))
+
+        stage = tempfile.mkdtemp(prefix="txlog_zstage_")
+        adds: list[tuple[str, int]] = []
+        stats: dict[str, list] = {}
+        blooms: dict[str, dict] = {}
+        col_stats: dict[str, dict] = {}
+        try:
+            out_dir = os.path.join(stage, "d")
+            # partitionBy splits each task's rows by (bucket, prefix
+            # cell): every emitted file is exactly one axis-aligned
+            # Morton box of one bucket; _b/_zc are directory keys,
+            # never file content
+            arranged.write.partitionBy("_b", "_zc").parquet(out_dir)
+            staged: list[tuple[str, str, int]] = []
+            i = 0
+            allowed = set(frag)
+            for bdir in sorted(_glob.glob(
+                    os.path.join(out_dir, "_b=*"))):
+                b = int(os.path.basename(bdir).split("=", 1)[1])
+                if b not in allowed:
+                    raise ValueError(
+                        f"z-order produced rows in unexpected "
+                        f"bucket {b}")
+                for f in sorted(_glob.glob(
+                        os.path.join(bdir, "_zc=*", "*.parquet"))):
+                    name = (f"part-{i:05d}-{uuid.uuid4().hex}"
+                            f"_{b:05d}.c000.snappy.parquet")
+                    staged.append((f, name, b))
+                    i += 1
+            new_stats_cols = list(snap.get("stats_cols") or [])
+            for c in zorder_by:
+                if c != snap.get("stats_col") \
+                        and c not in new_stats_cols:
+                    new_stats_cols.append(c)
+            adds = _index_and_publish(
+                staged, path, snap.get("stats_col"),
+                tuple(snap.get("bloom_cols") or ()), blooms,
+                tuple(new_stats_cols), col_stats, stats)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+        record = {"op": "zorder", "writer": uuid.uuid4().hex,
+                  "zorder_by": list(zorder_by),
+                  "buckets": frag, "adds": adds, "removes": old,
+                  "stats": stats, "blooms": blooms,
+                  "col_stats": col_stats,
+                  "stats_cols": new_stats_cols}
+        won = _try_commit(path, snap, record)
+        if won != "conflict":
+            return won, frag
+        _cleanup_stage(path, adds, blooms)
+    raise TxConflictError(
+        f"gave up z-ordering {path} after {max_retries} "
+        "overlapping-bucket conflicts")
+
+
 def txlog_diff(spark, path: str, v_from: int,
                v_to: int | None = None) -> DataFrame:
     """Change feed between two versions: the table rows ADDED and
@@ -1226,16 +1581,19 @@ def txlog_diff(spark, path: str, v_from: int,
 
     Cost is O(FILES that differ between the two snapshots), NOT
     O(table) and not even O(touched buckets): a staged file is never
-    rewritten in place, so a name present in BOTH snapshots is the
-    identical multiset of rows and cancels out of the exceptAll
-    algebra exactly — such files are skipped on both sides (the r11
-    refinement that makes an append-only table's feed cost O(the
-    appended files): a ``txlog_append`` adds files without rewriting
-    buckets, so yesterday's files are common and never read).  For
-    rewriting commits (upsert/merge/compact) the skipped set is empty
-    within touched buckets and the cost is the r9 bucket bound."""
-    from pyspark.sql.types import StructType
-
+    rewritten in place, so a name present in BOTH snapshots WITH THE
+    SAME deletion-vector state is the identical multiset of rows and
+    cancels out of the exceptAll algebra exactly — such files are
+    skipped on both sides (the r11 refinement that makes an
+    append-only table's feed cost O(the appended files): a
+    ``txlog_append`` adds files without rewriting buckets, so
+    yesterday's files are common and never read).  A ``delete_dv``
+    commit changes a file's LOGICAL content without renaming it, so
+    a file whose vector differs between the snapshots is read on
+    both sides under its own vector — the deleted rows then surface
+    as ``delete`` changes.  For rewriting commits
+    (upsert/merge/compact) the skipped set is empty within touched
+    buckets and the cost is the r9 bucket bound."""
     head = txlog_snapshot(path)
     v_to = head["version"] if v_to is None else v_to
     if not (0 < v_from <= v_to <= head["version"]):
@@ -1247,16 +1605,15 @@ def txlog_diff(spark, path: str, v_from: int,
         touched.update(_read_commit(path, v).get("buckets", ()))
     old = txlog_snapshot(path, v_from)
     new = txlog_snapshot(path, v_to)
-    schema = StructType.fromJson(json.loads(new["schema"]))
-    common = set(old["files"]) & set(new["files"])
+    common = {
+        n for n in set(old["files"]) & set(new["files"])
+        if _dv_identity(old.get("dvs", {}).get(n))
+        == _dv_identity(new.get("dvs", {}).get(n))}
 
     def bucket_df(snap):
         names = sorted(n for n, b in snap["files"].items()
                        if b in touched and n not in common)
-        if not names:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, n) for n in names])
+        return _read_files_with_dvs(spark, path, snap, names)
 
     a, b = bucket_df(old), bucket_df(new)
     return (b.exceptAll(a).withColumn("_change", F.lit("insert"))
@@ -1281,8 +1638,6 @@ def txlog_read_range(spark, path: str, lo, hi,
     consults that column's zone maps instead — the second-dimension
     range probe a z-ordered or ingest-stamped layout makes
     effective."""
-    from pyspark.sql.types import StructType
-
     snap = txlog_snapshot(path, version)
     primary = snap["stats_col"]
     col = col if col is not None else primary
@@ -1312,12 +1667,10 @@ def txlog_read_range(spark, path: str, lo, hi,
             skip = False
         if not skip:
             keep.append(n)
-    schema = StructType.fromJson(json.loads(snap["schema"]))
-    if not keep:
-        return spark.createDataFrame([], schema).filter(
-            F.col(col).between(F.lit(lo), F.lit(hi)))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, n) for n in keep])
+    # pruning on stats/blooms stays sound under deletion vectors
+    # (a vector only removes rows, so journaled bounds stay
+    # conservative); the survivors read through the DV-aware scan
+    df = _read_files_with_dvs(spark, path, snap, keep)
     return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
 
@@ -1336,8 +1689,6 @@ def txlog_read_point(spark, path: str, col: str, values,
     would overlap the probe.  At 100 TB a "fetch these 5 ids by a
     non-key column" probe costs O(files actually holding them) reads
     and zero shuffles."""
-    from pyspark.sql.types import StructType
-
     values = list(values)
     if not values:
         raise ValueError("values must be non-empty")
@@ -1383,12 +1734,8 @@ def txlog_read_point(spark, path: str, col: str, values,
                     for v in probes):
                 continue
         keep.append(n)
-    schema = StructType.fromJson(json.loads(snap["schema"]))
     flt = F.col(col).isin(*values)
-    if not keep:
-        return spark.createDataFrame([], schema).filter(flt)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, n) for n in keep])
+    df = _read_files_with_dvs(spark, path, snap, keep)
     return df.filter(flt)
 
 
@@ -1419,6 +1766,111 @@ def txlog_delete(spark, path: str, keys: DataFrame,
 
     return txlog_upsert(spark, path, dk, merge, bucket_by, n_buckets,
                         sort_by, max_retries)
+
+
+def txlog_delete_rows(spark, path: str, condition,
+                      max_retries: int = 20,
+                      max_delete_rows: int = _DV_MAX_ROWS
+                      ) -> tuple[int, int]:
+    """DELETE WHERE via merge-on-READ deletion vectors: journal the
+    row positions matching ``condition`` (a SQL boolean string or a
+    Column) per data file instead of rewriting any file — one
+    predicate-pushdown scan plus a KB-sized commit, against
+    merge-on-write's bucket rewrites.  The trade every lakehouse
+    makes (Delta/Iceberg DVs): deletes become metadata, reads pay one
+    broadcast anti-join on the vectored files until compaction
+    MATERIALIZES them (:func:`txlog_compact` treats a vectored file
+    as fragmented, reads the live view and drops the vector with the
+    rewritten file — so the read tax is bounded by the compaction
+    cadence).
+
+    A vector covering a whole file journals as a plain remove.  A
+    re-delete of already-deleted rows is a no-op (no new commit).
+    Matched positions beyond ``max_delete_rows`` raise — vectors that
+    big approach data size, use :func:`txlog_delete` (merge-on-write)
+    for bulk erasure.  Concurrency: an ordinary conflict-checked
+    commit on the affected files' buckets.  Returns ``(version,
+    newly deleted row count)``; version is the unchanged head when
+    nothing matched."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import StructType
+
+    cond = F.expr(condition) if isinstance(condition, str) \
+        else condition
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        names = sorted(snap["files"])
+        if not names:
+            return snap["version"], 0
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        hits = (spark.read.schema(schema).parquet(
+                    *[os.path.join(path, n) for n in names])
+                .withColumn("__txlog_file",
+                            F.col("_metadata.file_name"))
+                .withColumn("__txlog_pos",
+                            F.col("_metadata.row_index"))
+                .filter(cond)
+                .select("__txlog_file", "__txlog_pos")
+                .limit(max_delete_rows + 1).collect())
+        if len(hits) > max_delete_rows:
+            raise ValueError(
+                f"condition matches more than {max_delete_rows} "
+                f"rows at {path}: a deletion vector that large "
+                "approaches data size — use txlog_delete "
+                "(merge-on-write) for bulk erasure")
+        per_file: dict[str, set[int]] = {}
+        for fn, pos in hits:
+            per_file.setdefault(fn, set()).add(int(pos))
+        dvs_now = snap.get("dvs") or {}
+        # the raw scan re-finds rows older vectors already deleted —
+        # subtract them so replays are no-ops and counts are honest
+        n_new = 0
+        merged: dict[str, set[int]] = {}
+        for fn, pos in per_file.items():
+            old = (set(int(p) for p in _dv_positions(dvs_now[fn],
+                                                     path))
+                   if fn in dvs_now else set())
+            fresh = pos - old
+            if fresh:
+                n_new += len(fresh)
+                merged[fn] = old | fresh
+        if not merged:
+            return snap["version"], 0
+        dvs_rec: dict[str, dict] = {}
+        removes: list[str] = []
+        staged: list[str] = []
+        for fn, allpos in merged.items():
+            full = None
+            if not fs.has_scheme(path):
+                try:  # footer-only row count: whole-file vectors
+                    full = pq.ParquetFile(
+                        os.path.join(path, fn)).metadata.num_rows
+                except OSError:
+                    full = None
+            if full is not None and len(allpos) >= full:
+                removes.append(fn)
+                continue
+            entry, sidecar = _dv_make(fn, allpos, path)
+            dvs_rec[fn] = entry
+            if sidecar:
+                staged.append(sidecar)
+        record = {"op": "delete_dv", "writer": uuid.uuid4().hex,
+                  "buckets": sorted({snap["files"][fn]
+                                     for fn in merged}),
+                  "adds": [], "removes": sorted(removes),
+                  "dvs": dvs_rec, "n_deleted": n_new}
+        won = _try_commit(path, snap, record)
+        if won != "conflict":
+            return won, n_new
+        for sc in staged:  # lost: tidy the invisible sidecars
+            try:
+                fs.remove(os.path.join(path, sc))
+            except OSError:
+                pass
+    raise TxConflictError(
+        f"gave up deleting rows at {path} after {max_retries} "
+        "overlapping-bucket conflicts")
 
 
 def txlog_merge(spark, path: str, source: DataFrame, on: list[str],
@@ -1538,7 +1990,10 @@ def txlog_restore(spark, path: str, version: int,
     if vacuum already reclaimed any needed file.  Conflict-checked
     like any writer (touches every bucket that differs)."""
     target = txlog_snapshot(path, version)
-    for n in target["files"]:
+    needed = sorted(target["files"]) + sorted(
+        e["sidecar"] for e in target.get("dvs", {}).values()
+        if "sidecar" in e)
+    for n in needed:
         if not fs.exists(os.path.join(path, n)):
             raise FileNotFoundError(
                 f"cannot restore to version {version}: file {n} was "
@@ -1546,16 +2001,31 @@ def txlog_restore(spark, path: str, version: int,
                 "vacuum retention window")
     for _ in range(max_retries):
         head = txlog_snapshot(path)
-        if head["files"] == target["files"]:
+        if head["files"] == target["files"] \
+                and head.get("dvs", {}) == target.get("dvs", {}):
             return head["version"]  # already there
         adds = sorted((n, b) for n, b in target["files"].items()
                       if n not in head["files"])
         removes = sorted(n for n in head["files"]
                          if n not in target["files"])
+        # deletion-vector reconciliation: a delete_dv commit changes
+        # a file's logical content without renaming it, so restore
+        # must re-journal the target's vector (or clear the head's)
+        # on every surviving file whose state differs
+        dv_patch: dict[str, dict | None] = {}
+        h_dvs, t_dvs = head.get("dvs", {}), target.get("dvs", {})
+        for n in set(target["files"]):
+            te, he = t_dvs.get(n), h_dvs.get(n)
+            if n in head["files"]:
+                if _dv_identity(te) != _dv_identity(he):
+                    dv_patch[n] = te  # None clears the head's vector
+            elif te is not None:
+                dv_patch[n] = te  # re-added file had a vector
         touched = sorted(
             {b for n, b in target["files"].items()
              if n not in head["files"]}
-            | {head["files"][n] for n in removes})
+            | {head["files"][n] for n in removes}
+            | {target["files"][n] for n in dv_patch})
         record = {"op": "restore", "writer": uuid.uuid4().hex,
                   "restored_version": version, "buckets": touched,
                   "adds": adds, "removes": removes,
@@ -1566,6 +2036,8 @@ def txlog_restore(spark, path: str, version: int,
                   "col_stats": {n: target["col_stats"][n]
                                 for n, _ in adds
                                 if n in target.get("col_stats", {})}}
+        if dv_patch:
+            record["dvs"] = dv_patch
         if target["schema"] != head["schema"]:
             record["schema"] = target["schema"]
         if target.get("n_buckets") is not None and (
@@ -1737,9 +2209,12 @@ def txlog_health(spark, path: str, n_buckets: int) -> DataFrame:
     unref = sorted(on_disk - set(snap["files"]))
     missing = sorted(set(snap["files"]) - on_disk)
     lag = snap["version"] - (checkpoints[-1] if checkpoints else 0)
+    dvs = snap.get("dvs", {})
     note = (f"version={snap['version']} commits={len(commits)} "
             f"checkpoints={len(checkpoints)} checkpoint_lag={lag} "
-            f"unreferenced={len(unref)} missing={len(missing)}")
+            f"unreferenced={len(unref)} missing={len(missing)} "
+            f"dv_files={len(dvs)} "
+            f"dv_rows={sum(int(e['count']) for e in dvs.values())}")
     if missing:
         note += " DATA-LOSS:" + ",".join(missing[:5])
     rows = [(str(b), per_bucket[b], "") for b in range(n_buckets)]
@@ -1827,6 +2302,8 @@ def txlog_clone(spark, src: str, dst: str,
     sidecars = [e["sidecar"]
                 for per_col in snap.get("blooms", {}).values()
                 for e in per_col.values() if "sidecar" in e]
+    sidecars += [e["sidecar"] for e in snap.get("dvs", {}).values()
+                 if "sidecar" in e]
     for n in sorted(snap["files"]) + sorted(sidecars):
         target = os.path.join(dst, n)
         if not os.path.exists(target):
@@ -1845,6 +2322,8 @@ def txlog_clone(spark, src: str, dst: str,
         "stats_cols": snap["stats_cols"],
         "col_stats": snap["col_stats"],
     }
+    if snap.get("dvs"):
+        record["dvs"] = snap["dvs"]
     won = _try_commit(dst, {"version": 0}, record)
     if won != 1:
         raise FileExistsError(

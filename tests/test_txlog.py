@@ -1724,3 +1724,318 @@ def test_append_txn_high_water_folds_through_checkpoints(spark,
     v, b = tx.txlog_append(spark, tpath, _mk(spark, 8, 9, 2),
                            txn=("ing", 3))
     assert (v, b) == (13, [])
+
+
+# ---------------------------------------------------------------
+# OPTIMIZE ZORDER BY (txlog_zorder)
+# ---------------------------------------------------------------
+
+def _mk_xy(spark, n, extra_nulls=0):
+    """Rows with two independent uniform columns in [0, 10000)."""
+    df = (spark.range(n)
+          .select(F.col("id").alias("k"),
+                  F.pmod(F.hash("id", F.lit(7)),
+                         F.lit(10000)).alias("x"),
+                  F.pmod(F.hash("id", F.lit(13)),
+                         F.lit(10000)).alias("y")))
+    if extra_nulls:
+        nulls = (spark.range(n, n + extra_nulls)
+                 .select(F.col("id").alias("k"),
+                         F.lit(None).cast("int").alias("x"),
+                         F.pmod(F.hash("id", F.lit(13)),
+                                F.lit(10000)).alias("y")))
+        df = df.unionByName(nulls)
+    return df
+
+
+def _zorder_fixture(spark, tpath, n=16000, nulls=32):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_xy(spark, n, nulls),
+                    ("k",), 4)
+    # fragment a couple of buckets so the rewrite has work
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    tx.txlog_upsert(spark, tpath, _mk_xy(spark, 500), merge,
+                    ("k",), 4)
+    return tx
+
+
+def test_zorder_rewrites_layout_not_data(spark, tpath):
+    """OPTIMIZE ZORDER changes bytes-on-disk, never the table: content
+    is identical, the clustered columns enter stats_cols, each bucket
+    lands ~files_per_bucket prefix-cell files."""
+    tx = _zorder_fixture(spark, tpath)
+    before = _content(spark, tpath)
+    v, buckets = tx.txlog_zorder(spark, tpath, ("x", "y"),
+                                 files_per_bucket=4, bits=6)
+    assert v is not None and buckets == [0, 1, 2, 3]
+    assert _content(spark, tpath) == before
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["stats_cols"] == ["x", "y"]
+    per_bucket: dict[int, int] = {}
+    for n, b in snap["files"].items():
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+        # every new file carries zone maps for BOTH clustered columns
+        assert set(snap["col_stats"][n]) == {"x", "y"}
+    # a prefix cell with no rows emits no file, so <= 2^ceil(log2(k))
+    assert all(1 <= c <= 4 for c in per_bucket.values())
+    hist = tx.txlog_history(tpath)
+    assert hist[-1]["op"] == "zorder"
+    # a later writer maintains the unioned zone maps
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    tx.txlog_upsert(spark, tpath, _mk_xy(spark, 64), merge,
+                    ("k",), 4)
+    snap2 = tx.txlog_snapshot(tpath)
+    new = set(snap2["files"]) - set(snap["files"])
+    assert new and all(
+        set(snap2["col_stats"][n]) >= {"x", "y"} for n in new)
+
+
+def test_zorder_prunes_on_every_clustered_column(spark, tpath):
+    """The point of z-order: a narrow range probe on EITHER clustered
+    column reads a strict subset of files (a single sort order only
+    prunes its leading column), with results identical to the
+    unpruned filter."""
+    import os as _os
+
+    tx = _zorder_fixture(spark, tpath)
+    tx.txlog_zorder(spark, tpath, ("x", "y"), files_per_bucket=4,
+                    bits=6)
+    snap = tx.txlog_snapshot(tpath)
+    total = len(snap["files"])
+    for col in ("x", "y"):
+        d = tx.txlog_read_range(spark, tpath, 200, 600, col=col)
+        nf = len({_os.path.basename(f) for f in d.inputFiles()})
+        # k=4 prefix cells split each column into halves: a narrow
+        # probe touches only the low-half boxes (+ sampling slack)
+        assert nf <= 0.7 * total, (nf, total)
+        got = sorted(tuple(r) for r in d.collect())
+        want = sorted(tuple(r) for r in tx.txlog_read(spark, tpath)
+                      .filter(F.col(col).between(200, 600))
+                      .collect())
+        assert got == want
+
+
+def test_zorder_guards(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_xy(spark, 200), ("k",), 2)
+    with pytest.raises(ValueError, match="at least two"):
+        tx.txlog_zorder(spark, tpath, ("x",))
+    with pytest.raises(ValueError, match="64-bit"):
+        tx.txlog_zorder(spark, tpath, ("x", "y"), bits=32)
+    with pytest.raises(ValueError, match="no column"):
+        tx.txlog_zorder(spark, tpath, ("x", "nope"))
+    assert tx.txlog_zorder(spark, tpath, ("x", "y"),
+                           target_buckets=set()) == (None, [])
+
+
+def test_zorder_refuses_strings_and_sorted_tables(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    df = _mk_xy(spark, 100).withColumn("s", F.lit("a"))
+    tx.txlog_create(spark, tpath, df, ("k",), 2)
+    with pytest.raises(TypeError, match="numeric, date and"):
+        tx.txlog_zorder(spark, tpath, ("x", "s"))
+    p2 = tpath + "_sorted"
+    tx.txlog_create(spark, p2, _mk_xy(spark, 100), ("k",), 2,
+                    sort_by=("x",))
+    with pytest.raises(ValueError, match="sortedBy"):
+        tx.txlog_zorder(spark, p2, ("x", "y"))
+
+
+# ---------------------------------------------------------------
+# Deletion vectors (txlog_delete_rows — merge-on-read DELETE)
+# ---------------------------------------------------------------
+
+def _mk_g(spark, n):
+    return spark.range(n).select(F.col("id").alias("k"),
+                                 (F.col("id") % 100).alias("g"),
+                                 (F.col("id") * 2).alias("v"))
+
+
+def test_dv_delete_reads_and_travel(spark, tpath):
+    """A DV delete removes rows from every read path WITHOUT
+    rewriting a file; time travel to the pre-delete version still
+    sees them; a replay is a no-op commit-wise."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 4000), ("k",), 4)
+    files_v1 = set(tx.txlog_snapshot(tpath)["files"])
+    v, n = tx.txlog_delete_rows(spark, tpath, "g = 7")
+    assert n == 40 and v == 2
+    snap = tx.txlog_snapshot(tpath)
+    assert set(snap["files"]) == files_v1  # no file rewritten
+    assert sum(e["count"] for e in snap["dvs"].values()) == 40
+    assert tx.txlog_read(spark, tpath).count() == 3960
+    assert tx.txlog_read(spark, tpath).filter("g = 7").count() == 0
+    assert tx.txlog_read(spark, tpath, version=1).count() == 4000
+    # replay: nothing new matched, head unchanged
+    assert tx.txlog_delete_rows(spark, tpath, "g = 7") == (2, 0)
+    # second delete merges into the same files' vectors
+    v3, n3 = tx.txlog_delete_rows(spark, tpath,
+                                  F.col("g").isin(7, 8))
+    assert (v3, n3) == (3, 40)
+    assert tx.txlog_read(spark, tpath).count() == 3920
+    # skipping-index reads apply the vectors too
+    got = sorted(r["k"] for r in tx.txlog_read_range(
+        spark, tpath, 5, 10).collect())
+    assert got == [5, 6, 9, 10]  # k=7 (g=7) and k=8 (g=8) deleted
+
+
+def test_dv_materializes_on_rewrite_and_guards_bucketed(spark,
+                                                        tpath):
+    """Upsert/compact re-merge the LIVE view, so deleted rows never
+    resurrect; compaction drops the vectors with the rewritten
+    files; the catalog-bucketed read refuses vectored tables."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 4000), ("k",), 4)
+    tx.txlog_delete_rows(spark, tpath, "g = 7")
+
+    with pytest.raises(ValueError, match="deletion vectors"):
+        tx.txlog_read_bucketed(spark, tpath, "dv_guard_t")
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    delta = _mk_g(spark, 7)  # keys 0..6 (g=0..6, none re-adds g=7)
+    tx.txlog_upsert(spark, tpath, delta, merge, ("k",), 4)
+    assert tx.txlog_read(spark, tpath).filter("g = 7").count() == 0
+    ver, buckets = tx.txlog_compact(spark, tpath, min_files=1)
+    assert ver is not None
+    snap = tx.txlog_snapshot(tpath)
+    assert not snap["dvs"]
+    assert tx.txlog_read(spark, tpath).count() == 3960
+    assert tx.txlog_read(spark, tpath).filter("g = 7").count() == 0
+    # vectors gone -> the zero-exchange bucketed read works again
+    tx.txlog_read_bucketed(spark, tpath, "dv_guard_t").count()
+    spark.sql("DROP TABLE IF EXISTS dv_guard_t")
+
+
+def test_dv_compacts_single_file_buckets(spark, tpath):
+    """min_files alone would skip a one-file bucket; a vectored file
+    must count as fragmentation or its read tax never clears."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 400), ("k",), 2)
+    tx.txlog_delete_rows(spark, tpath, "g = 3")
+    ver, buckets = tx.txlog_compact(spark, tpath, min_files=2)
+    assert ver is not None and buckets
+    assert not tx.txlog_snapshot(tpath)["dvs"]
+    # and now a re-compact has nothing to do
+    assert tx.txlog_compact(spark, tpath, min_files=2) == (None, [])
+
+
+def test_dv_diff_and_incremental_rollup(spark, tpath):
+    """The change feed surfaces DV'd rows as deletes WITHOUT reading
+    untouched common files, and the IVM rollup folds them."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 4000), ("k",), 4)
+    stored = tx.txlog_rollup(spark, tpath, ["g"], ["v"])
+    v1 = tx.txlog_snapshot(tpath)["version"]
+    v2, n = tx.txlog_delete_rows(spark, tpath, "g = 7")
+    d = tx.txlog_diff(spark, tpath, v1, v2)
+    rows = {(r["_change"], r["g"]) for r in d.collect()}
+    assert rows == {("delete", 7)} and d.count() == 40
+    inc = tx.txlog_incremental_rollup(spark, tpath, stored,
+                                      ["g"], ["v"], v1, v2)
+    full = tx.txlog_rollup(spark, tpath, ["g"], ["v"], version=v2)
+    assert sorted(map(tuple, inc.collect())) \
+        == sorted(map(tuple, full.collect()))
+
+
+def test_dv_whole_file_delete_becomes_remove(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 200), ("k",), 2)
+    v, n = tx.txlog_delete_rows(spark, tpath, "true")
+    snap = tx.txlog_snapshot(tpath)
+    assert n == 200 and not snap["files"] and not snap["dvs"]
+    assert tx.txlog_read(spark, tpath).count() == 0
+    hist = tx.txlog_history(tpath)
+    assert hist[-1]["op"] == "delete_dv" \
+        and hist[-1]["n_removes"] > 0
+
+
+def test_dv_restore_and_clone_carry_vectors(spark, tmp_path):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    path = str(tmp_path / "t")
+    tx.txlog_create(spark, path, _mk_g(spark, 2000), ("k",), 2)
+    v2, _ = tx.txlog_delete_rows(spark, path, "g = 5")
+    # restore back across the delete clears the vectors
+    tx.txlog_restore(spark, path, 1)
+    assert tx.txlog_read(spark, path).count() == 2000
+    assert not tx.txlog_snapshot(path)["dvs"]
+    # restore forward re-applies them
+    tx.txlog_restore(spark, path, v2)
+    assert tx.txlog_read(spark, path).count() == 1980
+    assert tx.txlog_snapshot(path)["dvs"]
+    # clone carries the vectors (zero-copy, independent)
+    dst = str(tmp_path / "c")
+    tx.txlog_clone(spark, path, dst)
+    assert tx.txlog_read(spark, dst).count() == 1980
+    assert tx.txlog_snapshot(dst)["dvs"]
+
+
+def test_dv_sidecar_lifecycle_and_vacuum(spark, tpath):
+    """A vector too big to inline spills to a dot-prefixed sidecar;
+    vacuum keeps it while its version is retained and reclaims it
+    after materialization; foreign .dv files are never touched."""
+    import os as _os
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(
+        spark, tpath,
+        spark.range(300000).select(F.col("id").alias("k"),
+                                   (F.col("id") % 2).alias("g")),
+        ("k",), 2)
+    v, n = tx.txlog_delete_rows(spark, tpath, "g = 1 and k % 3 = 0")
+    snap = tx.txlog_snapshot(tpath)
+    spilled = [e["sidecar"] for e in snap["dvs"].values()
+               if "sidecar" in e]
+    assert spilled, "expected a sidecar-spilled vector"
+    assert all(_os.path.exists(_os.path.join(tpath, s))
+               for s in spilled)
+    foreign = _os.path.join(tpath, "user-file.dv")
+    open(foreign, "w").write("not ours")
+    # retained: vacuum keeps the sidecars
+    tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    assert all(_os.path.exists(_os.path.join(tpath, s))
+               for s in spilled)
+    # materialize + vacuum: sidecars reclaimed, foreign file spared
+    tx.txlog_compact(spark, tpath, min_files=1)
+    tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    assert not any(_os.path.exists(_os.path.join(tpath, s))
+                   for s in spilled)
+    assert _os.path.exists(foreign)
+
+
+def test_dv_bulk_bound_raises(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 500), ("k",), 2)
+    with pytest.raises(ValueError, match="merge-on-write"):
+        tx.txlog_delete_rows(spark, tpath, "true",
+                             max_delete_rows=100)
+
+
+def test_dv_zorder_materializes_vectors(spark, tpath):
+    """OPTIMIZE ZORDER reads the live view too: rewriting a vectored
+    bucket drops the vector and never resurrects deleted rows."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_xy(spark, 4000), ("k",), 2)
+    tx.txlog_delete_rows(spark, tpath, "x < 500")
+    before = _content(spark, tpath)
+    tx.txlog_zorder(spark, tpath, ("x", "y"), files_per_bucket=4,
+                    bits=6)
+    assert not tx.txlog_snapshot(tpath)["dvs"]
+    assert _content(spark, tpath) == before
