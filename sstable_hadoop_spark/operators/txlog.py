@@ -184,6 +184,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     blooms: dict[str, dict] = {}
     col_stats: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    rows: dict[str, int] = {}
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
     bloom_cols: list | None = None
@@ -206,6 +207,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         stats_cols = cp.get("stats_cols")
         txns = dict(cp.get("txns", {}))
         dvs = dict(cp.get("dvs", {}))
+        rows = dict(cp.get("rows", {}))
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -227,11 +229,13 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             blooms.pop(n, None)
             col_stats.pop(n, None)
             dvs.pop(n, None)
+            rows.pop(n, None)
         for n, b in c.get("adds", ()):
             files[n] = b
         stats.update(c.get("stats", {}))
         blooms.update(c.get("blooms", {}))
         col_stats.update(c.get("col_stats", {}))
+        rows.update(c.get("rows", {}))
         for n, e in (c.get("dvs") or {}).items():
             if e is None:  # restore clearing a vector
                 dvs.pop(n, None)
@@ -253,13 +257,14 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     blooms = {n: b for n, b in blooms.items() if n in files}
     col_stats = {n: c for n, c in col_stats.items() if n in files}
     dvs = {n: e for n, e in dvs.items() if n in files}
+    rows = {n: r for n, r in rows.items() if n in files}
     return {"version": target, "schema": schema, "files": files,
             "stats": stats, "stats_col": stats_col,
             "bucket_by": bucket_by, "n_buckets": n_buckets,
             "sort_by": sort_by,
             "blooms": blooms, "bloom_cols": bloom_cols or [],
             "col_stats": col_stats, "stats_cols": stats_cols or [],
-            "txns": txns, "dvs": dvs}
+            "txns": txns, "dvs": dvs, "rows": rows}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -640,7 +645,8 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                         bloom_cols: tuple[str, ...] = (),
                         blooms_out: dict | None = None,
                         stats_cols: tuple[str, ...] = (),
-                        col_stats_out: dict | None = None
+                        col_stats_out: dict | None = None,
+                        rows_out: dict | None = None
                         ) -> list[tuple[str, int]]:
     """Write ``merged`` with the bucketed writer into a temp dir, then
     copy the bucket files into the table dir under their (unique)
@@ -674,7 +680,7 @@ def _stage_bucket_files(merged: DataFrame, path: str,
         return _index_and_publish(staged, path, stats_col,
                                   bloom_cols, blooms_out,
                                   stats_cols, col_stats_out,
-                                  stats_out)
+                                  stats_out, rows_out)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -685,7 +691,8 @@ def _index_and_publish(staged: list[tuple[str, str, int]], path: str,
                        blooms_out: dict | None,
                        stats_cols: tuple[str, ...],
                        col_stats_out: dict | None,
-                       stats_out: dict | None
+                       stats_out: dict | None,
+                       rows_out: dict | None = None
                        ) -> list[tuple[str, int]]:
     """Copy staged files ``(local, final_name, bucket)`` into the
     table dir and compute their per-file indexes (footer stats,
@@ -695,6 +702,8 @@ def _index_and_publish(staged: list[tuple[str, str, int]], path: str,
     input order so journaled metadata is byte-deterministic.  Shared
     by the bucketed stager and the z-order stager."""
 
+    import pyarrow.parquet as pq
+
     def index_one(f: str, name: str):
         st = (_footer_stats(f, stats_col)
               if stats_col is not None else None)
@@ -703,8 +712,10 @@ def _index_and_publish(staged: list[tuple[str, str, int]], path: str,
         cs = ({c: s for c in stats_cols
                if (s := _footer_stats(f, c)) is not None}
               if stats_cols and col_stats_out is not None else {})
+        nr = (int(pq.ParquetFile(f).metadata.num_rows)
+              if rows_out is not None else None)
         fs.put_file(f, os.path.join(path, name))
-        return st, bl, cs
+        return st, bl, cs, nr
 
     if len(staged) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -717,13 +728,15 @@ def _index_and_publish(staged: list[tuple[str, str, int]], path: str,
         results = [index_one(f, name) for f, name, _ in staged]
 
     out: list[tuple[str, int]] = []
-    for (f, name, b), (st, bl, cs) in zip(staged, results):
+    for (f, name, b), (st, bl, cs, nr) in zip(staged, results):
         if st is not None and stats_out is not None:
             stats_out[name] = st
         if bl:
             blooms_out[name] = bl
         if cs:
             col_stats_out[name] = cs
+        if nr is not None:
+            rows_out[name] = nr
         out.append((name, b))
     return out
 
@@ -818,7 +831,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "col_stats": snap["col_stats"],
                         "stats_cols": snap["stats_cols"],
                         "txns": snap.get("txns", {}),
-                        "dvs": snap.get("dvs", {})},
+                        "dvs": snap.get("dvs", {}),
+                        "rows": snap.get("rows", {})},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -855,13 +869,15 @@ def txlog_create(spark, path: str, df: DataFrame,
     stats: dict[str, list] = {}
     blooms: dict[str, dict] = {}
     col_stats: dict[str, dict] = {}
+    rows: dict[str, int] = {}
     adds = _stage_bucket_files(df, path, bucket_by, n_buckets, sort_by,
                                allowed=set(range(n_buckets)),
                                stats_out=stats,
                                bloom_cols=tuple(bloom_cols),
                                blooms_out=blooms,
                                stats_cols=tuple(stats_cols),
-                               col_stats_out=col_stats)
+                               col_stats_out=col_stats,
+                               rows_out=rows)
     record = {
         "op": "create", "writer": uuid.uuid4().hex,
         "schema": df.schema.json(), "bucket_by": list(bucket_by),
@@ -871,6 +887,7 @@ def txlog_create(spark, path: str, df: DataFrame,
         "stats": stats, "stats_col": (sort_by or bucket_by)[0],
         "bloom_cols": list(bloom_cols), "blooms": blooms,
         "stats_cols": list(stats_cols), "col_stats": col_stats,
+        "rows": rows,
     }
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:
@@ -887,6 +904,54 @@ def txlog_read(spark, path: str, version: int | None = None) -> DataFrame:
     transparently."""
     snap = txlog_snapshot(path, version)
     return _read_files_with_dvs(spark, path, snap)
+
+
+def txlog_count(path: str, version: int | None = None,
+                spark=None) -> int:
+    """Exact ``COUNT(*)`` of the table at ``version`` from journaled
+    metadata: every commit records each staged file's footer row
+    count, so the answer is one log fold — no data scan, no Spark
+    job; deletion-vector counts subtract exactly (positions are
+    deduplicated row indexes of the file).  At 100 TB this turns the
+    most common sanity query from a cluster scan into a driver-side
+    dictionary sum — the same trick Delta/Iceberg pull from their
+    file statistics.
+
+    Files predating row-count journaling fall back to their parquet
+    footers (driver-side, local paths) or to one Spark count over
+    just those files (pass ``spark``; required for object-store
+    tables with pre-upgrade files)."""
+    snap = txlog_snapshot(path, version)
+    rows = snap.get("rows") or {}
+    total = 0
+    missing: list[str] = []
+    for n in snap["files"]:
+        if n in rows:
+            total += int(rows[n])
+        else:
+            missing.append(n)
+    if missing:
+        if not fs.has_scheme(path):
+            import pyarrow.parquet as pq
+
+            for n in missing:
+                total += int(pq.ParquetFile(
+                    os.path.join(path, n)).metadata.num_rows)
+        elif spark is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            total += (spark.read.schema(schema).parquet(
+                *[os.path.join(path, n) for n in missing]).count())
+        else:
+            raise ValueError(
+                f"{len(missing)} file(s) at {path} predate row-count "
+                "journaling and the path is remote — pass spark= for "
+                "the one-off fallback count (any rewrite journals "
+                "counts going forward)")
+    total -= sum(int(e["count"])
+                 for e in (snap.get("dvs") or {}).values())
+    return total
 
 
 def _check_bucketing(snap: dict, bucket_by: tuple[str, ...],
@@ -969,6 +1034,7 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
         col_stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         adds = _stage_bucket_files(merged, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(affected),
                                    stats_out=stats,
@@ -977,11 +1043,13 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                                    blooms_out=blooms,
                                    stats_cols=tuple(
                                        snap.get("stats_cols") or ()),
-                                   col_stats_out=col_stats)
+                                   col_stats_out=col_stats,
+                                   rows_out=rows)
         record = {
             "op": "upsert", "writer": uuid.uuid4().hex,
             "buckets": affected, "adds": adds, "removes": old,
             "stats": stats, "blooms": blooms, "col_stats": col_stats,
+            "rows": rows,
         }
         if new_schema is not None:
             record["schema"] = new_schema
@@ -1085,18 +1153,20 @@ def txlog_append(spark, path: str, delta: DataFrame,
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
         col_stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         adds = _stage_bucket_files(
             staged, path, bucket_by, n_buckets, sort_by,
             allowed=set(range(n_buckets)), stats_out=stats,
             bloom_cols=tuple(snap.get("bloom_cols") or ()),
             blooms_out=blooms,
             stats_cols=tuple(snap.get("stats_cols") or ()),
-            col_stats_out=col_stats)
+            col_stats_out=col_stats,
+            rows_out=rows)
         affected = sorted({b for _, b in adds})
         record = {"op": "append", "writer": uuid.uuid4().hex,
                   "buckets": affected, "adds": adds, "removes": [],
                   "stats": stats, "blooms": blooms,
-                  "col_stats": col_stats}
+                  "col_stats": col_stats, "rows": rows}
         if txn is not None:
             record["txn"] = {"app": str(txn[0]),
                              "batch": int(txn[1])}
@@ -1305,6 +1375,7 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
 
 def txlog_compact(spark, path: str, target_buckets=None,
                   min_files: int = 2,
+                  small_file_rows: int | None = None,
                   max_retries: int = 20) -> tuple[int | None, list[int]]:
     """OPTIMIZE for the logged table: rewrite each fragmented bucket
     (≥ ``min_files`` files after accumulated upserts) into one file,
@@ -1314,6 +1385,17 @@ def txlog_compact(spark, path: str, target_buckets=None,
     upsert to an overlapping bucket wins or retries exactly as
     against any writer; the re-merge path re-reads the bucket, so
     compaction never loses anyone's rows).
+
+    ``small_file_rows``: bound the WRITE AMPLIFICATION.  When set,
+    only files below that journaled row count (plus every
+    deletion-vectored file, which must be rewritten to clear its
+    vector, and any file predating row-count journaling) are
+    bin-packed — a bucket's large base file survives untouched, so a
+    steady append-then-compact cadence costs O(new small files) per
+    pass instead of rewriting the whole bucket every time (at 100 TB
+    the difference between a maintenance job and a table rewrite).
+    Default ``None`` keeps the full-bucket rewrite (one file per
+    bucket afterwards).
 
     Content idempotence holds like every commit: compacting twice is
     a no-op the second time (no bucket has ≥ min_files).  Conflict
@@ -1331,16 +1413,23 @@ def txlog_compact(spark, path: str, target_buckets=None,
         for n, b in snap["files"].items():
             per_bucket.setdefault(b, []).append(n)
         dvs = snap.get("dvs") or {}
+        nrows = snap.get("rows") or {}
         # a vectored file is fragmentation too: compaction is what
         # MATERIALIZES deletion vectors back into plain files
-        frag = sorted(b for b, fl in per_bucket.items()
-                      if (len(fl) >= min_files
-                          or any(n in dvs for n in fl))
-                      and (target_buckets is None
-                           or b in target_buckets))
+        sel_per_bucket: dict[int, list[str]] = {}
+        for b, fl in per_bucket.items():
+            if target_buckets is not None and b not in target_buckets:
+                continue
+            sel = (list(fl) if small_file_rows is None
+                   else [n for n in fl
+                         if n in dvs
+                         or int(nrows.get(n, 0)) < small_file_rows])
+            if len(sel) >= min_files or any(n in dvs for n in sel):
+                sel_per_bucket[b] = sel
+        frag = sorted(sel_per_bucket)
         if not frag:
             return None, []
-        old = sorted(n for b in frag for n in per_bucket[b])
+        old = sorted(n for b in frag for n in sel_per_bucket[b])
         df = _read_files_with_dvs(spark, path, snap, old)
         # one file per bucket: repartition BY the bucket id expression
         # so the bucketed writer gets one task per bucket (a bucket's
@@ -1350,6 +1439,7 @@ def txlog_compact(spark, path: str, target_buckets=None,
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
         col_stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         adds = _stage_bucket_files(df, path, bucket_by, n_buckets,
                                    sort_by, allowed=set(frag),
                                    stats_out=stats,
@@ -1358,11 +1448,12 @@ def txlog_compact(spark, path: str, target_buckets=None,
                                    blooms_out=blooms,
                                    stats_cols=tuple(
                                        snap.get("stats_cols") or ()),
-                                   col_stats_out=col_stats)
+                                   col_stats_out=col_stats,
+                                   rows_out=rows)
         record = {"op": "compact", "writer": uuid.uuid4().hex,
                   "buckets": frag, "adds": adds, "removes": old,
                   "stats": stats, "blooms": blooms,
-                  "col_stats": col_stats}
+                  "col_stats": col_stats, "rows": rows}
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, frag
@@ -1522,6 +1613,7 @@ def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
         col_stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         try:
             out_dir = os.path.join(stage, "d")
             # partitionBy splits each task's rows by (bucket, prefix
@@ -1553,7 +1645,7 @@ def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
             adds = _index_and_publish(
                 staged, path, snap.get("stats_col"),
                 tuple(snap.get("bloom_cols") or ()), blooms,
-                tuple(new_stats_cols), col_stats, stats)
+                tuple(new_stats_cols), col_stats, stats, rows)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -1562,7 +1654,7 @@ def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
                   "buckets": frag, "adds": adds, "removes": old,
                   "stats": stats, "blooms": blooms,
                   "col_stats": col_stats,
-                  "stats_cols": new_stats_cols}
+                  "stats_cols": new_stats_cols, "rows": rows}
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, frag
@@ -2035,7 +2127,9 @@ def txlog_restore(spark, path: str, version: int,
                              if n in target.get("blooms", {})},
                   "col_stats": {n: target["col_stats"][n]
                                 for n, _ in adds
-                                if n in target.get("col_stats", {})}}
+                                if n in target.get("col_stats", {})},
+                  "rows": {n: target["rows"][n] for n, _ in adds
+                           if n in target.get("rows", {})}}
         if dv_patch:
             record["dvs"] = dv_patch
         if target["schema"] != head["schema"]:
@@ -2094,6 +2188,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
         stats: dict[str, list] = {}
         blooms: dict[str, dict] = {}
         col_stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         adds = _stage_bucket_files(df, path, new_by, n_buckets,
                                    new_sort,
                                    allowed=set(range(n_buckets)),
@@ -2103,7 +2198,8 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
                                    blooms_out=blooms,
                                    stats_cols=tuple(
                                        snap.get("stats_cols") or ()),
-                                   col_stats_out=col_stats)
+                                   col_stats_out=col_stats,
+                                   rows_out=rows)
         record = {
             "op": "rebucket", "writer": uuid.uuid4().hex,
             "bucket_by": list(new_by), "n_buckets": n_buckets,
@@ -2114,6 +2210,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
             "stats": stats,
             "stats_col": (new_sort or new_by)[0],
             "blooms": blooms, "col_stats": col_stats,
+            "rows": rows,
         }
         won = _try_commit(path, snap, record, strict_base=True)
         if won != "conflict":
@@ -2321,6 +2418,7 @@ def txlog_clone(spark, src: str, dst: str,
         "bloom_cols": snap["bloom_cols"], "blooms": snap["blooms"],
         "stats_cols": snap["stats_cols"],
         "col_stats": snap["col_stats"],
+        "rows": snap.get("rows", {}),
     }
     if snap.get("dvs"):
         record["dvs"] = snap["dvs"]

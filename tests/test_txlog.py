@@ -2039,3 +2039,68 @@ def test_dv_zorder_materializes_vectors(spark, tpath):
                     bits=6)
     assert not tx.txlog_snapshot(tpath)["dvs"]
     assert _content(spark, tpath) == before
+
+
+# ---------------------------------------------------------------
+# Journaled row counts (txlog_count) + bounded-write-amp compaction
+# ---------------------------------------------------------------
+
+def test_count_is_metadata_only_and_exact(spark, tpath):
+    """COUNT(*) folds from journaled per-file row counts — exact
+    through appends, DV deletes and time travel, and equal to the
+    scan count; files predating row journaling fall back to their
+    parquet footers."""
+    import json as _json
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 5000), ("k",), 4)
+    assert tx.txlog_count(tpath) == 5000
+    tx.txlog_append(spark, tpath, _mk_g(spark, 5200).filter(
+        F.col("k") >= 5000))
+    tx.txlog_delete_rows(spark, tpath, "g = 3")
+    exp = tx.txlog_read(spark, tpath).count()
+    assert tx.txlog_count(tpath) == exp == 5200 - 52
+    assert tx.txlog_count(tpath, version=1) == 5000
+    # strip the rows field from commit 1 → pre-upgrade shape
+    cp = tx._commit_path(tpath, 1)
+    c = _json.loads(open(cp, "rb").read())
+    c.pop("rows")
+    open(cp, "w").write(_json.dumps(c, sort_keys=True))
+    assert tx.txlog_count(tpath, version=1) == 5000  # footer path
+    assert tx.txlog_count(tpath) == exp
+
+
+def test_compact_small_file_rows_bounds_write_amp(spark, tpath):
+    """small_file_rows bin-packs only the small files: every large
+    base file SURVIVES the compaction (bounded write amplification),
+    content is unchanged, a re-run is a no-op, and a vectored large
+    file is still rewritten (the only way to clear its vector)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath,
+                    _mk_g(spark, 20000).repartition(4, "k"),
+                    ("k",), 4)
+    base = set(tx.txlog_snapshot(tpath)["files"])
+    big = min(tx.txlog_snapshot(tpath)["rows"][n] for n in base)
+    assert big > 1000  # 4 create tasks → ~5k-row base files
+    for w in range(3):
+        tx.txlog_append(spark, tpath, _mk_g(spark, 20040 + w * 40)
+                        .filter(F.col("k") >= 20000 + w * 40))
+    before = _content(spark, tpath)
+    nf0 = len(tx.txlog_snapshot(tpath)["files"])
+    v, buckets = tx.txlog_compact(spark, tpath, min_files=2,
+                                  small_file_rows=1000)
+    assert v is not None
+    snap = tx.txlog_snapshot(tpath)
+    assert base <= set(snap["files"])  # base untouched
+    assert len(snap["files"]) < nf0
+    assert _content(spark, tpath) == before
+    assert tx.txlog_compact(spark, tpath, min_files=2,
+                            small_file_rows=1000) == (None, [])
+    # a DV on a big file forces its rewrite even in small-file mode
+    tx.txlog_delete_rows(spark, tpath, "k = 17")
+    v2, _ = tx.txlog_compact(spark, tpath, min_files=2,
+                             small_file_rows=1000)
+    assert v2 is not None and not tx.txlog_snapshot(tpath)["dvs"]
+    assert tx.txlog_count(tpath) == 20120 - 1
