@@ -954,6 +954,42 @@ def txlog_count(path: str, version: int | None = None,
     return total
 
 
+def txlog_minmax(spark, path: str, col: str,
+                 version: int | None = None) -> tuple:
+    """Exact ``(MIN(col), MAX(col))`` at ``version``, served from
+    journaled zone maps wherever possible: a live file contributes
+    its metadata bounds when it journals NUMERIC stats for ``col``
+    (parquet footer min/max are exact values for numerics; string
+    stats may be writer-truncated, so they only ever PRUNE, never
+    answer) and carries no deletion vector (a vector might have
+    deleted the extreme row).  Only the files failing that — plus
+    DV'd files — are scanned, as one explicit-file aggregate.  On a
+    compacted numeric-indexed table this is a driver-side fold like
+    :func:`txlog_count`; on anything else it degrades gracefully to
+    a partial scan, never a wrong answer."""
+    snap = txlog_snapshot(path, version)
+    dvs = snap.get("dvs") or {}
+    primary = snap.get("stats_col")
+    lo = hi = None
+    scan: list[str] = []
+    for n in snap["files"]:
+        st = (snap["stats"].get(n) if col == primary
+              else snap.get("col_stats", {}).get(n, {}).get(col))
+        if st is None or st[2] != "num" or n in dvs:
+            scan.append(n)
+            continue
+        lo = st[0] if lo is None else min(lo, st[0])
+        hi = st[1] if hi is None else max(hi, st[1])
+    if scan:
+        r = (_read_files_with_dvs(spark, path, snap, scan)
+             .agg(F.min(col).alias("lo"),
+                  F.max(col).alias("hi")).collect()[0])
+        if r["lo"] is not None:
+            lo = r["lo"] if lo is None else min(lo, r["lo"])
+            hi = r["hi"] if hi is None else max(hi, r["hi"])
+    return lo, hi
+
+
 def _check_bucketing(snap: dict, bucket_by: tuple[str, ...],
                      n_buckets: int, path: str) -> None:
     """Refuse a writer whose declared bucketing disagrees with the

@@ -2104,3 +2104,24 @@ def test_compact_small_file_rows_bounds_write_amp(spark, tpath):
                              small_file_rows=1000)
     assert v2 is not None and not tx.txlog_snapshot(tpath)["dvs"]
     assert tx.txlog_count(tpath) == 20120 - 1
+
+
+def test_minmax_from_zone_maps_and_fallback(spark, tpath):
+    """MIN/MAX folds from numeric zone maps; DV'd or unindexed files
+    scan (never a wrong answer); string columns always scan."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    df = _mk_g(spark, 3000).withColumn("s", F.format_string(
+        "s%05d", F.col("k")))
+    tx.txlog_create(spark, tpath, df, ("k",), 4,
+                    stats_cols=("g",))
+    assert tx.txlog_minmax(spark, tpath, "k") == (0, 2999)
+    assert tx.txlog_minmax(spark, tpath, "g") == (0, 99)
+    assert tx.txlog_minmax(spark, tpath, "s") == ("s00000", "s02999")
+    # delete the global max: stats alone would answer 2999 wrongly,
+    # the DV'd file must be (and is) scanned
+    tx.txlog_delete_rows(spark, tpath, "k = 2999")
+    assert tx.txlog_minmax(spark, tpath, "k") == (0, 2998)
+    # time travel still sees the old extreme
+    assert tx.txlog_minmax(spark, tpath, "k", version=1) \
+        == (0, 2999)
