@@ -1309,9 +1309,11 @@ def register(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
+    from .txlog_stream import TxlogFeedDataSource
     from .warc import WarcDataSource
 
-    for source in (SSTableDataSource, WarcDataSource):
+    for source in (SSTableDataSource, WarcDataSource,
+                   TxlogFeedDataSource):
         try:
             spark.dataSource.register(source)
         except Exception as exc:  # already registered

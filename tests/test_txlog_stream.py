@@ -1,0 +1,151 @@
+"""Streaming SOURCE over transaction-log tables
+(sources/txlog_stream.py): version offsets, op-aware batch planning
+(data-identical commits invisible, changing commits refused or
+Delta-style ignored), checkpoint restarts, backpressure."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g"))
+
+
+def _drain(spark, path, out, ckpt, **opts):
+    from sstable_hadoop_spark.sources.datasource import register
+
+    register(spark)
+    r = spark.readStream.format("txlog")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (r.load(path)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def test_txlog_stream_appends_and_identical_ops(spark, tmp_path):
+    """The whole table is the first batch; appends stream in on
+    restart; compact (data-identical) emits NOTHING — no
+    ignoreChanges dance, the log knows the op; _commit_version tags
+    provenance."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    p, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    tx.txlog_create(spark, p, _mk(spark, 0, 500), ("k",), 4)
+    tx.txlog_append(spark, p, _mk(spark, 500, 600))
+    _drain(spark, p, out, ck, with_version="true")
+    r = spark.read.parquet(out)
+    assert r.count() == 600
+    assert sorted(x[0] for x in
+                  r.select("_commit_version").distinct().collect()) \
+        == [1, 2]
+    # compact + zorder change bytes, not rows → invisible to the feed
+    tx.txlog_compact(spark, p, min_files=1)
+    tx.txlog_zorder(spark, p, ("k", "g"), files_per_bucket=2,
+                    bits=4)
+    tx.txlog_append(spark, p, _mk(spark, 600, 650))
+    _drain(spark, p, out, ck, with_version="true")
+    r = spark.read.parquet(out)
+    assert r.count() == 650
+    assert sorted(x[0] for x in
+                  r.select("_commit_version").distinct().collect()) \
+        == [1, 2, 5]
+    # streamed rows == the table (no dupes, no losses)
+    got = sorted((x["k"], x["g"]) for x in
+                 r.select("k", "g").collect())
+    want = sorted(tuple(x) for x in
+                  tx.txlog_read(spark, p).collect())
+    assert got == want
+
+
+def test_txlog_stream_refuses_changes_and_deletes(spark, tmp_path):
+    """upsert/delete_dv commits cannot ride an insert feed: the query
+    fails with a pointed message; ignore_deletes skips deletions;
+    ignore_changes re-emits rewritten files (Delta semantics)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    p, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    tx.txlog_create(spark, p, _mk(spark, 0, 200), ("k",), 2)
+    _drain(spark, p, out, ck)
+    tx.txlog_delete_rows(spark, p, "k = 7")
+    with pytest.raises(Exception, match="ignore_deletes"):
+        _drain(spark, p, out, ck)
+    _drain(spark, p, out, ck, ignore_deletes="true")
+    assert spark.read.parquet(out).count() == 200  # nothing retracted
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    tx.txlog_upsert(spark, p, _mk(spark, 0, 3), merge, ("k",), 2)
+    with pytest.raises(Exception, match="ignore_changes"):
+        _drain(spark, p, out, ck, ignore_deletes="true")
+    _drain(spark, p, out, ck, ignore_changes="true")
+    # the rewritten buckets re-emit: duplicates by design, documented
+    assert spark.read.parquet(out).count() > 200
+
+
+def test_txlog_stream_tail_and_backpressure(spark, tmp_path):
+    """starting_version=latest tails only post-start commits;
+    max_versions_per_trigger splits a backlog across micro-batches
+    (first restart trigger uncapped by the coverage rule)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.sources.txlog_stream import (
+        TxlogFeedStreamReader,
+    )
+
+    p, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    tx.txlog_create(spark, p, _mk(spark, 0, 100), ("k",), 2)
+    _drain(spark, p, out, ck, starting_version="latest")
+    assert not shutil.os.path.exists(out) \
+        or spark.read.parquet(out).count() == 0
+    tx.txlog_append(spark, p, _mk(spark, 100, 120))
+    _drain(spark, p, out, ck, starting_version="latest")
+    assert spark.read.parquet(out).count() == 20
+
+    # unit-level: capping advances one window at a time, never
+    # regressing, uncapped on the first post-restart trigger
+    rd = TxlogFeedStreamReader(
+        {"path": p, "max_versions_per_trigger": "1"}, None)
+    assert rd.latestOffset() == {"version": 2}  # restart: uncapped
+    tx.txlog_append(spark, p, _mk(spark, 120, 130))
+    tx.txlog_append(spark, p, _mk(spark, 130, 140))
+    assert rd.latestOffset() == {"version": 3}  # capped: +1
+    assert rd.latestOffset() == {"version": 4}
+    assert rd.latestOffset() == {"version": 4}  # at head: no regress
+
+
+def test_txlog_stream_vacuumed_file_fails_loudly(spark, tmp_path):
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.sources.txlog_stream import (
+        TxlogFeedPartition,
+        TxlogFeedStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    tx.txlog_create(spark, p, _mk(spark, 0, 10), ("k",), 2)
+    rd = TxlogFeedStreamReader({"path": p},
+                               tx.txlog_read(spark, p).schema)
+    part = TxlogFeedPartition(str(tmp_path / "t" / "gone.parquet"), 1)
+    with pytest.raises(FileNotFoundError, match="vacuum retention"):
+        list(rd.read(part))
+
+
+def test_txlog_stream_batch_read_points_at_txlog_read(spark,
+                                                      tmp_path):
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.sources.datasource import register
+
+    p = str(tmp_path / "t")
+    tx.txlog_create(spark, p, _mk(spark, 0, 10), ("k",), 2)
+    register(spark)
+    with pytest.raises(Exception, match="txlog_read"):
+        spark.read.format("txlog").load(p).collect()
