@@ -149,3 +149,49 @@ def test_txlog_stream_batch_read_points_at_txlog_read(spark,
     register(spark)
     with pytest.raises(Exception, match="txlog_read"):
         spark.read.format("txlog").load(p).collect()
+
+
+def test_txlog_to_txlog_medallion_hop(spark, tmp_path):
+    """bronze → silver as one streaming pipeline: the txlog SOURCE
+    feeds the exactly-once txlog append SINK.  Appends to bronze flow
+    through a transform into silver; a full replay from a fresh
+    checkpoint changes nothing (source offsets are versions, sink
+    appends are txn-tagged)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.sources.datasource import register
+    from sstable_hadoop_spark.streaming.compaction import (
+        append_stream_to_txlog,
+    )
+
+    register(spark)
+    bronze, silver = str(tmp_path / "bronze"), str(tmp_path / "silver")
+    ck = str(tmp_path / "ck")
+
+    tx.txlog_create(spark, bronze, _mk(spark, 0, 300), ("k",), 2)
+    tx.txlog_append(spark, bronze, _mk(spark, 300, 400))
+
+    def hop(ckpt):
+        src = (spark.readStream.format("txlog").load(bronze)
+               .withColumn("v2", F.col("k") * 2))
+        q = append_stream_to_txlog(
+            src, silver, ckpt, bucket_by=("k",), n_buckets=2,
+            txn_app="medallion")
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    hop(ck)
+    want = sorted((r["k"], r["g"], 2 * r["k"]) for r in
+                  tx.txlog_read(spark, bronze).collect())
+    assert sorted(tuple(r) for r in
+                  tx.txlog_read(spark, silver).collect()) == want
+
+    # more bronze appends flow through incrementally
+    tx.txlog_append(spark, bronze, _mk(spark, 400, 450))
+    hop(ck)
+    assert tx.txlog_count(silver) == 450
+
+    # fresh-checkpoint replay: txn tags make the sink a no-op
+    v_before = tx.txlog_snapshot(silver)["version"]
+    hop(str(tmp_path / "ck2"))
+    assert tx.txlog_count(silver) == 450
+    assert tx.txlog_snapshot(silver)["version"] == v_before
