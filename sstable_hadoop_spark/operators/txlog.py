@@ -185,6 +185,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     col_stats: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
     rows: dict[str, int] = {}
+    dropped_cols: list | None = None
+    checks: dict[str, str] = {}
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
     bloom_cols: list | None = None
@@ -208,6 +210,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         txns = dict(cp.get("txns", {}))
         dvs = dict(cp.get("dvs", {}))
         rows = dict(cp.get("rows", {}))
+        dropped_cols = cp.get("dropped_cols")
+        checks = dict(cp.get("checks", {}))
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -219,6 +223,10 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             bloom_cols = c["bloom_cols"]
         if c.get("stats_cols") is not None:
             stats_cols = c["stats_cols"]
+        if c.get("dropped_cols") is not None:
+            dropped_cols = c["dropped_cols"]
+        if c.get("checks") is not None:
+            checks = dict(c["checks"])
         if c.get("n_buckets"):
             bucket_by = c.get("bucket_by")
             n_buckets = c.get("n_buckets")
@@ -264,7 +272,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             "sort_by": sort_by,
             "blooms": blooms, "bloom_cols": bloom_cols or [],
             "col_stats": col_stats, "stats_cols": stats_cols or [],
-            "txns": txns, "dvs": dvs, "rows": rows}
+            "txns": txns, "dvs": dvs, "rows": rows,
+            "dropped_cols": dropped_cols or [], "checks": checks}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -784,6 +793,14 @@ def _try_commit(path: str, base: dict, record: dict,
                     if c.get("op") == "rebucket":
                         return "conflict"
                     continue
+                if c.get("schema"):
+                    # an intervening SCHEMA change (add/drop columns,
+                    # widening upsert): this record's stage and its
+                    # own schema decision were computed against the
+                    # old declaration — rebasing could re-journal a
+                    # stale schema (resurrecting a dropped column);
+                    # redo the merge under the new head instead
+                    return "conflict"
                 if set(c.get("buckets", ())) & ours:
                     return "conflict"
         except (FileNotFoundError, json.JSONDecodeError):
@@ -832,7 +849,10 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "stats_cols": snap["stats_cols"],
                         "txns": snap.get("txns", {}),
                         "dvs": snap.get("dvs", {}),
-                        "rows": snap.get("rows", {})},
+                        "rows": snap.get("rows", {}),
+                        "dropped_cols": snap.get("dropped_cols",
+                                                 []),
+                        "checks": snap.get("checks", {})},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -1047,6 +1067,8 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         # merge, and die with the rewritten files (materialization)
         stored = _read_files_with_dvs(spark, path, snap, old)
         merged = merge(stored, delta)
+        _enforce_checks(merged, snap.get("checks") or {}, path,
+                        "upsert output")
         new_schema = None
         # compare by (name, type) only — aggregation output flips
         # nullability flags, which is not an evolution
@@ -1182,6 +1204,8 @@ def txlog_append(spark, path: str, delta: DataFrame,
             f"{[f.name for f in delta.schema.fields]} — append never "
             "evolves schemas (use txlog_upsert(merge_schema=True))")
 
+    _enforce_checks(delta, snap.get("checks") or {}, path,
+                    "append delta")
     for _ in range(max_retries):
         staged = (delta.repartition(n_buckets,
                                     bucket_id(n_buckets, *bucket_by))
@@ -1896,6 +1920,195 @@ def txlog_delete(spark, path: str, keys: DataFrame,
                         sort_by, max_retries)
 
 
+class TxCheckViolation(ValueError):
+    """A write's rows violate a journaled CHECK constraint."""
+
+
+def _enforce_checks(df: DataFrame, checks: dict, path: str,
+                    what: str) -> None:
+    """Refuse ``df`` when any row violates a journaled CHECK.  SQL
+    semantics: only FALSE violates (NULL passes).  One pass over the
+    batch-sized delta/merge output; the error names every failing
+    check plus one sample row."""
+    if not checks:
+        return
+    bad_pred = None
+    for n, e in sorted(checks.items()):
+        c = ~F.coalesce(F.expr(e), F.lit(True))
+        bad_pred = c if bad_pred is None else (bad_pred | c)
+    sample = (df.withColumns(
+                  {f"_ck_{n}": ~F.coalesce(F.expr(e), F.lit(True))
+                   for n, e in sorted(checks.items())})
+                .filter(bad_pred).limit(1).collect())
+    if sample:
+        row = sample[0].asDict()
+        failed = sorted(n for n in checks
+                        if row.pop(f"_ck_{n}", False))
+        for n in checks:
+            row.pop(f"_ck_{n}", None)
+        raise TxCheckViolation(
+            f"{what} at {path} violates CHECK constraint(s) "
+            f"{failed}: sample row {row} — fix the data or "
+            "txlog_drop_check first")
+
+
+def txlog_set_check(spark, path: str, name: str, expr: str,
+                    validate: bool = True,
+                    max_retries: int = 20) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``expr``) as a journaled
+    commit: every subsequent write (upsert/merge/delete-merge/append,
+    batch or streaming) validates its rows against the expression
+    and REFUSES the commit on violation — the data-quality gate at
+    the table boundary, enforced by the log rather than by every
+    pipeline remembering to filter.  SQL CHECK semantics: a NULL
+    evaluation passes, only FALSE violates.
+
+    ``validate=True`` (default) scans the CURRENT table once and
+    refuses the constraint if existing rows already violate it
+    (Delta's ADD CONSTRAINT behavior) — on a huge table pass
+    ``validate=False`` consciously."""
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        if validate:
+            _enforce_checks(_read_files_with_dvs(spark, path, snap),
+                            {name: expr}, path, "existing table data")
+        checks = dict(snap.get("checks") or {})
+        checks[name] = expr
+        record = {"op": "set_check", "writer": uuid.uuid4().hex,
+                  "buckets": [], "adds": [], "removes": [],
+                  "checks": checks}
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won != "conflict":
+            return won
+    raise TxConflictError(
+        f"gave up setting check {name!r} at {path} after "
+        f"{max_retries} conflicts")
+
+
+def txlog_drop_check(path: str, name: str,
+                     max_retries: int = 20) -> int:
+    """DROP CONSTRAINT: metadata-only commit removing a journaled
+    CHECK."""
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        checks = dict(snap.get("checks") or {})
+        if name not in checks:
+            raise ValueError(f"no CHECK named {name!r} at {path} "
+                             f"(have {sorted(checks)})")
+        del checks[name]
+        record = {"op": "drop_check", "writer": uuid.uuid4().hex,
+                  "buckets": [], "adds": [], "removes": [],
+                  "checks": checks}
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won != "conflict":
+            return won
+    raise TxConflictError(
+        f"gave up dropping check {name!r} at {path} after "
+        f"{max_retries} conflicts")
+
+
+def txlog_add_columns(spark, path: str, cols: dict,
+                      max_retries: int = 20) -> int:
+    """ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: journal the
+    widened schema (``{name: ddl_type}``); existing files read under
+    it with the new columns NULL-filled (parquet missing-column
+    fill), later writers stage them with values.  No file is touched
+    — on a 100 TB table this is one KB-sized commit, where the
+    merge-driven widening (``txlog_upsert(merge_schema=True)``)
+    needs a data commit to carry the schema.
+
+    Re-adding a name a ``txlog_drop_columns`` tombstoned is refused:
+    live files still carry the OLD column's bytes under that name,
+    and a type change would fail (or worse, silently resurrect stale
+    values) at scan time — ``txlog_rebucket`` rewrites every file
+    and frees the names."""
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    new_fields = [StructField(n, DataType.fromDDL(t), True)
+                  for n, t in cols.items()]
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        have = {f.name for f in schema.fields}
+        dead = set(snap.get("dropped_cols") or [])
+        for f in new_fields:
+            if f.name in have:
+                raise ValueError(f"column {f.name!r} already exists")
+            if f.name in dead:
+                raise ValueError(
+                    f"column name {f.name!r} was dropped and live "
+                    "files still carry its bytes — txlog_rebucket "
+                    "rewrites them and frees the name")
+        new_schema = StructType(list(schema.fields) + new_fields)
+        record = {"op": "add_columns", "writer": uuid.uuid4().hex,
+                  "added": sorted(cols), "buckets": [],
+                  "adds": [], "removes": [],
+                  "schema": new_schema.json()}
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won != "conflict":
+            return won
+    raise TxConflictError(
+        f"gave up adding columns at {path} after {max_retries} "
+        "conflicts")
+
+
+def txlog_drop_columns(path: str, cols,
+                       max_retries: int = 20) -> int:
+    """ALTER TABLE DROP COLUMNS as a METADATA-ONLY commit: journal
+    the narrowed schema — no file is rewritten, readers simply stop
+    requesting the columns (explicit-schema parquet scans never
+    fetch unrequested columns, so the bytes become dead weight until
+    the next rewrite reclaims them), and time travel to pre-drop
+    versions still sees the values.  The dropped names are
+    TOMBSTONED against re-addition (see :func:`txlog_add_columns`).
+
+    Bucket keys, sort keys and the primary stats column are
+    structural and refused; dropped names silently leave
+    ``stats_cols`` / ``bloom_cols`` (their journaled per-file
+    indexes die with the declaration)."""
+    cols = set(cols)
+    from pyspark.sql.types import StructType
+
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        have = {f.name for f in schema.fields}
+        missing = sorted(cols - have)
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        structural = (set(snap.get("bucket_by") or ())
+                      | set(snap.get("sort_by") or ())
+                      | {snap.get("stats_col")})
+        bad = sorted(cols & structural)
+        if bad:
+            raise ValueError(
+                f"cannot drop structural column(s) {bad}: bucket "
+                "keys, sort keys and the primary stats column define "
+                "the layout — txlog_rebucket to a new layout first")
+        if not (have - cols):
+            raise ValueError("cannot drop every column")
+        new_schema = StructType([f for f in schema.fields
+                                 if f.name not in cols])
+        record = {"op": "drop_columns", "writer": uuid.uuid4().hex,
+                  "dropped": sorted(cols), "buckets": [],
+                  "adds": [], "removes": [],
+                  "schema": new_schema.json(),
+                  "dropped_cols": sorted(
+                      set(snap.get("dropped_cols") or []) | cols)}
+        if cols & set(snap.get("stats_cols") or []):
+            record["stats_cols"] = [c for c in snap["stats_cols"]
+                                    if c not in cols]
+        if cols & set(snap.get("bloom_cols") or []):
+            record["bloom_cols"] = [c for c in snap["bloom_cols"]
+                                    if c not in cols]
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won != "conflict":
+            return won
+    raise TxConflictError(
+        f"gave up dropping columns at {path} after {max_retries} "
+        "conflicts")
+
+
 def txlog_delete_rows(spark, path: str, condition,
                       max_retries: int = 20,
                       max_delete_rows: int = _DV_MAX_ROWS
@@ -2246,7 +2459,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
             "stats": stats,
             "stats_col": (new_sort or new_by)[0],
             "blooms": blooms, "col_stats": col_stats,
-            "rows": rows,
+            "rows": rows, "dropped_cols": [],
         }
         won = _try_commit(path, snap, record, strict_base=True)
         if won != "conflict":

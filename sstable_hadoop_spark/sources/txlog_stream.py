@@ -55,8 +55,12 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from . import fs
 
-#: Commits that rewrite BYTES but not ROWS: invisible to a row feed.
-_DATA_IDENTICAL_OPS = frozenset({"compact", "zorder", "rebucket"})
+#: Commits that change bytes or metadata but not ROWS: invisible to
+#: a row feed (the stream's schema is pinned at query start, so
+#: metadata-only schema/constraint changes don't reshape it either).
+_DATA_IDENTICAL_OPS = frozenset({"compact", "zorder", "rebucket",
+                                 "add_columns", "drop_columns",
+                                 "set_check", "drop_check"})
 #: Commits whose adds are purely NEW rows.
 _ADDITIVE_OPS = frozenset({"create", "append", "clone", "adopt"})
 

@@ -2125,3 +2125,146 @@ def test_minmax_from_zone_maps_and_fallback(spark, tpath):
     # time travel still sees the old extreme
     assert tx.txlog_minmax(spark, tpath, "k", version=1) \
         == (0, 2999)
+
+
+# ---------------------------------------------------------------
+# Metadata-only ALTER TABLE (txlog_add_columns / txlog_drop_columns)
+# ---------------------------------------------------------------
+
+def test_add_columns_metadata_only(spark, tpath):
+    """ADD COLUMNS touches zero files: old files NULL-fill, later
+    writers stage values, pre-add time travel lacks the column."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 200), ("k",), 2)
+    files_v1 = set(tx.txlog_snapshot(tpath)["files"])
+    v = tx.txlog_add_columns(spark, tpath, {"w": "double",
+                                            "tag": "string"})
+    assert v == 2
+    snap = tx.txlog_snapshot(tpath)
+    assert set(snap["files"]) == files_v1  # no data commit
+    df = tx.txlog_read(spark, tpath)
+    assert df.columns == ["k", "g", "v", "w", "tag"]
+    assert df.filter(F.col("w").isNotNull()).count() == 0
+    assert tx.txlog_read(spark, tpath, version=1).columns \
+        == ["k", "g", "v"]
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    delta = (_mk_g(spark, 3)
+             .withColumn("w", F.lit(1.5))
+             .withColumn("tag", F.lit("x")))
+    tx.txlog_upsert(spark, tpath, delta, merge, ("k",), 2)
+    assert tx.txlog_read(spark, tpath) \
+        .filter("tag = 'x'").count() == 3
+    with pytest.raises(ValueError, match="already exists"):
+        tx.txlog_add_columns(spark, tpath, {"w": "double"})
+
+
+def test_drop_columns_metadata_only_and_tombstones(spark, tpath):
+    """DROP COLUMNS rewrites nothing: reads stop requesting the
+    column, time travel still sees it, the name is tombstoned until
+    a rebucket rewrites every file, and structural columns refuse."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 200), ("k",), 2,
+                    stats_cols=("g",), bloom_cols=("v",))
+    files_v1 = set(tx.txlog_snapshot(tpath)["files"])
+    v = tx.txlog_drop_columns(tpath, ["g", "v"])
+    snap = tx.txlog_snapshot(tpath)
+    assert set(snap["files"]) == files_v1
+    assert tx.txlog_read(spark, tpath).columns == ["k"]
+    assert snap["stats_cols"] == [] and snap["bloom_cols"] == []
+    assert snap["dropped_cols"] == ["g", "v"]
+    # time travel: the values are still there at version 1
+    old = tx.txlog_read(spark, tpath, version=1)
+    assert old.columns == ["k", "g", "v"]
+    assert old.filter("g = 3").count() == 2
+    # upserts under the narrowed schema work (extra bytes ignored)
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    tx.txlog_upsert(spark, tpath,
+                    spark.range(3).select(F.col("id").alias("k")),
+                    merge, ("k",), 2)
+    assert tx.txlog_read(spark, tpath).count() == 200
+    # tombstone: the name cannot come back while old bytes live
+    with pytest.raises(ValueError, match="rebucket"):
+        tx.txlog_add_columns(spark, tpath, {"g": "string"})
+    # structural refusals
+    with pytest.raises(ValueError, match="structural"):
+        tx.txlog_drop_columns(tpath, ["k"])
+    with pytest.raises(ValueError, match="no such column"):
+        tx.txlog_drop_columns(tpath, ["nope"])
+    # a LAYOUT-CHANGING rebucket rewrites every file → the name
+    # frees up, as a new type, reading NULL (never the stale bytes);
+    # a same-layout rebucket is a no-op and rightly keeps tombstones
+    tx.txlog_rebucket(spark, tpath, 4)
+    assert tx.txlog_snapshot(tpath)["dropped_cols"] == []
+    tx.txlog_add_columns(spark, tpath, {"g": "string"})
+    re = tx.txlog_read(spark, tpath)
+    assert re.schema["g"].dataType.simpleString() == "string"
+    assert re.filter(F.col("g").isNotNull()).count() == 0
+
+
+def test_schema_change_conflicts_inflight_writers(spark, tpath):
+    """A writer whose stage predates a schema-change commit must
+    redo its merge under the new declaration — rebasing would
+    re-journal a stale schema (the dropped-column resurrection
+    race)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 100), ("k",), 2)
+    base = tx.txlog_snapshot(tpath)
+    record = {"op": "upsert", "writer": "w1", "buckets": [0],
+              "adds": [], "removes": [], "stats": {}, "blooms": {},
+              "col_stats": {}, "rows": {}}
+    tx.txlog_drop_columns(tpath, ["v"])
+    assert tx._try_commit(tpath, base, record) == "conflict"
+
+
+def test_check_constraints_gate_writes(spark, tpath):
+    """Journaled CHECKs refuse violating upserts/appends at the
+    commit boundary (SQL semantics: NULL passes, FALSE violates);
+    set-time validation scans existing data; drop lifts the gate;
+    time-travel versions are unaffected."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 100), ("k",), 2)
+    tx.txlog_set_check(spark, tpath, "v_even", "v % 2 = 0")
+    # existing data already violates a stricter candidate → refused
+    with pytest.raises(tx.TxCheckViolation, match="existing table"):
+        tx.txlog_set_check(spark, tpath, "v_small", "v < 10")
+    assert "v_small" not in tx.txlog_snapshot(tpath)["checks"]
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    bad = (spark.range(1).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("g"),
+        F.lit(3).cast("long").alias("v")))
+    v_before = tx.txlog_snapshot(tpath)["version"]
+    with pytest.raises(tx.TxCheckViolation, match="v_even"):
+        tx.txlog_upsert(spark, tpath, bad, merge, ("k",), 2)
+    with pytest.raises(tx.TxCheckViolation, match="v_even"):
+        tx.txlog_append(spark, tpath, bad)
+    assert tx.txlog_snapshot(tpath)["version"] == v_before
+    # NULL passes (SQL CHECK), evens pass
+    ok = (spark.range(200, 202)
+          .select(F.col("id").alias("k"),
+                  F.lit(1).cast("long").alias("g"),
+                  F.lit(None).cast("long").alias("v")))
+    tx.txlog_append(spark, tpath, ok)
+    assert tx.txlog_count(tpath) == 102
+    # drop lifts the gate; unknown name refuses
+    with pytest.raises(ValueError, match="no CHECK"):
+        tx.txlog_drop_check(tpath, "nope")
+    tx.txlog_drop_check(tpath, "v_even")
+    tx.txlog_append(spark, tpath, bad.withColumn(
+        "k", F.lit(999).cast("bigint")))
+    assert tx.txlog_count(tpath) == 103
+    # checks fold through history: the version WITH the check
+    # journaled it, the head no longer does
+    assert tx.txlog_snapshot(tpath)["checks"] == {}
