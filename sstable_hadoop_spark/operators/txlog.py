@@ -91,6 +91,21 @@ CHECKPOINT_EVERY = 10
 _COMMIT_W = 20  # zero-padded version width: lexicographic == numeric
 
 
+#: Reader-protocol version THIS code understands (Delta's
+#: minReaderVersion idea): a commit whose correct interpretation
+#: REQUIRES a newer reader journals ``min_reader`` — e.g. deletion
+#: vectors (a pre-DV fold would scan raw files and silently
+#: resurrect deleted rows, the worst failure mode a log can have).
+#: Snapshots keep the max seen; an older reader refuses LOUDLY
+#: instead.  Version history: 1 = base protocol, 2 = deletion
+#: vectors.
+READER_VERSION = 2
+
+
+class TxProtocolError(RuntimeError):
+    """The log requires a newer reader than this code."""
+
+
 class TxConflictError(RuntimeError):
     """Raised when an upsert keeps losing to overlapping-bucket
     commits past ``max_retries`` — the caller's backoff decides."""
@@ -187,6 +202,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     rows: dict[str, int] = {}
     dropped_cols: list | None = None
     checks: dict[str, str] = {}
+    min_reader = 1
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
     bloom_cols: list | None = None
@@ -212,6 +228,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         rows = dict(cp.get("rows", {}))
         dropped_cols = cp.get("dropped_cols")
         checks = dict(cp.get("checks", {}))
+        min_reader = int(cp.get("min_reader", 1))
         start = usable[-1] + 1
     for v in range(start, target + 1):
         c = _read_commit(path, v)
@@ -227,6 +244,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             dropped_cols = c["dropped_cols"]
         if c.get("checks") is not None:
             checks = dict(c["checks"])
+        if c.get("min_reader"):
+            min_reader = max(min_reader, int(c["min_reader"]))
         if c.get("n_buckets"):
             bucket_by = c.get("bucket_by")
             n_buckets = c.get("n_buckets")
@@ -261,6 +280,13 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         bucket_by = c1.get("bucket_by")
         n_buckets = c1.get("n_buckets")
         sort_by = c1.get("sort_by")
+    if min_reader > READER_VERSION:
+        raise TxProtocolError(
+            f"table at {path} requires reader protocol "
+            f"{min_reader}; this build understands "
+            f"{READER_VERSION} — reading with an old build could "
+            "silently misinterpret the table (e.g. resurrect "
+            "vector-deleted rows); upgrade the reader")
     stats = {n: s for n, s in stats.items() if n in files}
     blooms = {n: b for n, b in blooms.items() if n in files}
     col_stats = {n: c for n, c in col_stats.items() if n in files}
@@ -273,7 +299,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             "blooms": blooms, "bloom_cols": bloom_cols or [],
             "col_stats": col_stats, "stats_cols": stats_cols or [],
             "txns": txns, "dvs": dvs, "rows": rows,
-            "dropped_cols": dropped_cols or [], "checks": checks}
+            "dropped_cols": dropped_cols or [], "checks": checks,
+            "min_reader": min_reader}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -852,7 +879,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "rows": snap.get("rows", {}),
                         "dropped_cols": snap.get("dropped_cols",
                                                  []),
-                        "checks": snap.get("checks", {})},
+                        "checks": snap.get("checks", {}),
+                        "min_reader": snap.get("min_reader", 1)},
                        sort_keys=True).encode())
     except OSError:
         pass
@@ -2200,7 +2228,8 @@ def txlog_delete_rows(spark, path: str, condition,
                   "buckets": sorted({snap["files"][fn]
                                      for fn in merged}),
                   "adds": [], "removes": sorted(removes),
-                  "dvs": dvs_rec, "n_deleted": n_new}
+                  "dvs": dvs_rec, "n_deleted": n_new,
+                  "min_reader": 2}
         won = _try_commit(path, snap, record)
         if won != "conflict":
             return won, n_new

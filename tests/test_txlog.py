@@ -2268,3 +2268,28 @@ def test_check_constraints_gate_writes(spark, tpath):
     # checks fold through history: the version WITH the check
     # journaled it, the head no longer does
     assert tx.txlog_snapshot(tpath)["checks"] == {}
+
+
+def test_reader_protocol_gates_old_builds(spark, tpath):
+    """A delete_dv commit raises the table's min_reader to 2; a
+    build understanding less must refuse the SNAPSHOT (a pre-DV fold
+    would scan raw files and resurrect deleted rows silently); the
+    requirement folds through checkpoints and applies to past-the-
+    commit versions only."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 100), ("k",), 2)
+    assert tx.txlog_snapshot(tpath)["min_reader"] == 1
+    tx.txlog_delete_rows(spark, tpath, "k = 5")
+    assert tx.txlog_snapshot(tpath)["min_reader"] == 2
+    # pre-DV versions stay readable by protocol-1 builds
+    assert tx.txlog_snapshot(tpath, version=1)["min_reader"] == 1
+    import unittest.mock as mock
+
+    with mock.patch.object(tx, "READER_VERSION", 1):
+        with pytest.raises(tx.TxProtocolError, match="protocol 2"):
+            tx.txlog_snapshot(tpath)
+        # and therefore every read path refuses too
+        with pytest.raises(tx.TxProtocolError):
+            tx.txlog_read(spark, tpath)
+        tx.txlog_snapshot(tpath, version=1)  # old version still ok
