@@ -202,6 +202,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
     rows: dict[str, int] = {}
     dropped_cols: list | None = None
     checks: dict[str, str] = {}
+    column_map: dict[str, str] = {}
     min_reader = 1
     schema = stats_col = None
     bucket_by = n_buckets = sort_by = None
@@ -228,6 +229,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
         rows = dict(cp.get("rows", {}))
         dropped_cols = cp.get("dropped_cols")
         checks = dict(cp.get("checks", {}))
+        column_map = dict(cp.get("column_map", {}))
         min_reader = int(cp.get("min_reader", 1))
         start = usable[-1] + 1
     for v in range(start, target + 1):
@@ -244,6 +246,8 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             dropped_cols = c["dropped_cols"]
         if c.get("checks") is not None:
             checks = dict(c["checks"])
+        if c.get("column_map") is not None:
+            column_map = dict(c["column_map"])
         if c.get("min_reader"):
             min_reader = max(min_reader, int(c["min_reader"]))
         if c.get("n_buckets"):
@@ -300,7 +304,7 @@ def _snapshot_once(path: str, version: int | None) -> dict:
             "col_stats": col_stats, "stats_cols": stats_cols or [],
             "txns": txns, "dvs": dvs, "rows": rows,
             "dropped_cols": dropped_cols or [], "checks": checks,
-            "min_reader": min_reader}
+            "column_map": column_map, "min_reader": min_reader}
 
 
 def _footer_stats(local_file: str, col: str) -> list | None:
@@ -616,6 +620,38 @@ def _dv_identity(entry: dict | None):
     return entry.get("v") or entry.get("sidecar")
 
 
+def _colmap(snap: dict) -> dict:
+    """logical name → PHYSICAL (in-file) name; identity entries are
+    never journaled, so ``{}`` means no column was ever renamed."""
+    return snap.get("column_map") or {}
+
+
+def _phys(cmap: dict, col: str) -> str:
+    return cmap.get(col, col)
+
+
+def _phys_schema(schema, cmap: dict):
+    """The journaled LOGICAL schema with field names swapped to the
+    physical names parquet files actually carry."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not cmap:
+        return schema
+    return StructType([
+        StructField(_phys(cmap, f.name), f.dataType, f.nullable)
+        for f in schema.fields])
+
+
+def _to_logical(df: DataFrame, schema, cmap: dict) -> DataFrame:
+    """Alias a physical-named scan back to the logical schema."""
+    if not cmap:
+        return df
+    keep = {_phys(cmap, f.name) for f in schema.fields}
+    extra = [c for c in df.columns if c not in keep]
+    return df.select(*[F.col(_phys(cmap, f.name)).alias(f.name)
+                       for f in schema.fields], *extra)
+
+
 def _read_files_with_dvs(spark, path: str, snap: dict,
                          names=None) -> DataFrame:
     """Explicit-file scan of ``names`` (default: all live files) at
@@ -624,10 +660,14 @@ def _read_files_with_dvs(spark, path: str, snap: dict,
     ``_metadata.row_index`` and anti-join a broadcast of their
     (file, position) pairs — metadata-sized by the ``_DV_MAX_ROWS``
     write bound, so the plan is scan + one broadcast anti-join, no
-    shuffle."""
+    shuffle.  Files are read under their PHYSICAL column names and
+    aliased back to the logical schema (column mapping: renames
+    never rewrite files)."""
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(snap["schema"]))
+    cmap = _colmap(snap)
+    pschema = _phys_schema(schema, cmap)
     names = sorted(snap["files"]) if names is None else sorted(names)
     if not names:
         return spark.createDataFrame([], schema)
@@ -636,15 +676,18 @@ def _read_files_with_dvs(spark, path: str, snap: dict,
     dirty = [n for n in names if n in dvs]
     parts = []
     if clean:
-        parts.append(spark.read.schema(schema).parquet(
-            *[os.path.join(path, n) for n in clean]))
+        parts.append(_to_logical(
+            spark.read.schema(pschema).parquet(
+                *[os.path.join(path, n) for n in clean]),
+            schema, cmap))
     if dirty:
-        df = (spark.read.schema(schema).parquet(
+        df = (spark.read.schema(pschema).parquet(
                   *[os.path.join(path, n) for n in dirty])
               .withColumn("__txlog_file",
                           F.col("_metadata.file_name"))
               .withColumn("__txlog_pos",
                           F.col("_metadata.row_index")))
+        df = _to_logical(df, schema, cmap)
         pairs = [(n, int(p)) for n in dirty
                  for p in _dv_positions(dvs[n], path)]
         dvdf = spark.createDataFrame(
@@ -682,7 +725,8 @@ def _stage_bucket_files(merged: DataFrame, path: str,
                         blooms_out: dict | None = None,
                         stats_cols: tuple[str, ...] = (),
                         col_stats_out: dict | None = None,
-                        rows_out: dict | None = None
+                        rows_out: dict | None = None,
+                        cmap: dict | None = None
                         ) -> list[tuple[str, int]]:
     """Write ``merged`` with the bucketed writer into a temp dir, then
     copy the bucket files into the table dir under their (unique)
@@ -690,10 +734,24 @@ def _stage_bucket_files(merged: DataFrame, path: str,
     lists them.  Returns ``[(name, bucket)]``; when ``stats_out`` is
     given, fills it with per-file [min, max, tag] of the stats column
     (first sort key, else first bucket key) read from the parquet
-    footers — the data-skipping index the commit records."""
+    footers — the data-skipping index the commit records.
+
+    ``cmap`` (logical → physical column names, from the snapshot's
+    column mapping): ``merged`` arrives LOGICAL; files are written —
+    and their per-file indexes keyed — under the stable PHYSICAL
+    names, so files written before and after a rename stay mutually
+    consistent."""
     import shutil
     import tempfile
 
+    cmap = cmap or {}
+    for lg, ph in cmap.items():
+        if lg in merged.columns:
+            merged = merged.withColumnRenamed(lg, ph)
+    bucket_by = tuple(_phys(cmap, c) for c in bucket_by)
+    sort_by = tuple(_phys(cmap, c) for c in sort_by)
+    bloom_cols = tuple(_phys(cmap, c) for c in bloom_cols)
+    stats_cols = tuple(_phys(cmap, c) for c in stats_cols)
     stats_col = (sort_by or bucket_by)[0] if stats_out is not None \
         else None
     stage = tempfile.mkdtemp(prefix="txlog_stage_")
@@ -880,6 +938,7 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                         "dropped_cols": snap.get("dropped_cols",
                                                  []),
                         "checks": snap.get("checks", {}),
+                        "column_map": snap.get("column_map", {}),
                         "min_reader": snap.get("min_reader", 1)},
                        sort_keys=True).encode())
     except OSError:
@@ -1018,11 +1077,12 @@ def txlog_minmax(spark, path: str, col: str,
     snap = txlog_snapshot(path, version)
     dvs = snap.get("dvs") or {}
     primary = snap.get("stats_col")
+    pcol = _phys(_colmap(snap), col)
     lo = hi = None
     scan: list[str] = []
     for n in snap["files"]:
         st = (snap["stats"].get(n) if col == primary
-              else snap.get("col_stats", {}).get(n, {}).get(col))
+              else snap.get("col_stats", {}).get(n, {}).get(pcol))
         if st is None or st[2] != "num" or n in dvs:
             scan.append(n)
             continue
@@ -1130,7 +1190,8 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                                    stats_cols=tuple(
                                        snap.get("stats_cols") or ()),
                                    col_stats_out=col_stats,
-                                   rows_out=rows)
+                                   rows_out=rows,
+                                   cmap=_colmap(snap))
         record = {
             "op": "upsert", "writer": uuid.uuid4().hex,
             "buckets": affected, "adds": adds, "removes": old,
@@ -1249,7 +1310,7 @@ def txlog_append(spark, path: str, delta: DataFrame,
             blooms_out=blooms,
             stats_cols=tuple(snap.get("stats_cols") or ()),
             col_stats_out=col_stats,
-            rows_out=rows)
+            rows_out=rows, cmap=_colmap(snap))
         affected = sorted({b for _, b in adds})
         record = {"op": "append", "writer": uuid.uuid4().hex,
                   "buckets": affected, "adds": adds, "removes": [],
@@ -1311,6 +1372,13 @@ def txlog_read_bucketed(spark, path: str, table: str,
             "bucketed table would scan raw files and resurrect "
             "deleted rows — txlog_compact first (materializes the "
             "vectors) or read via txlog_read")
+    if _colmap(snap):
+        raise ValueError(
+            f"table at {path} has renamed columns (column mapping "
+            f"{snap['column_map']}): the catalog table would expose "
+            "the files' physical names — txlog_rebucket (rewrites "
+            "files under the logical names and clears the mapping) "
+            "or read via txlog_read")
     live = sorted(snap["files"])
     snapdir = os.path.join(path, f".snap-v{snap['version']:020d}")
 
@@ -1537,7 +1605,8 @@ def txlog_compact(spark, path: str, target_buckets=None,
                                    stats_cols=tuple(
                                        snap.get("stats_cols") or ()),
                                    col_stats_out=col_stats,
-                                   rows_out=rows)
+                                   rows_out=rows,
+                                   cmap=_colmap(snap))
         record = {"op": "compact", "writer": uuid.uuid4().hex,
                   "buckets": frag, "adds": adds, "removes": old,
                   "stats": stats, "blooms": blooms,
@@ -1691,10 +1760,14 @@ def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
         j = max(1, (files_per_bucket - 1).bit_length())
         shift = bits * len(zorder_by) - j
         n_tasks = max(1, len(frag) * (1 << j))
+        cmap = _colmap(snap)
         arranged = (df.withColumn("_b", bucket_id(n_buckets,
                                                   *bucket_by))
                       .withColumn("_zc", F.shiftright(zk, shift))
                       .repartition(n_tasks, "_b", "_zc"))
+        for lg, ph in cmap.items():  # files carry PHYSICAL names
+            if lg in arranged.columns:
+                arranged = arranged.withColumnRenamed(lg, ph)
 
         stage = tempfile.mkdtemp(prefix="txlog_zstage_")
         adds: list[tuple[str, int]] = []
@@ -1731,9 +1804,12 @@ def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
                         and c not in new_stats_cols:
                     new_stats_cols.append(c)
             adds = _index_and_publish(
-                staged, path, snap.get("stats_col"),
-                tuple(snap.get("bloom_cols") or ()), blooms,
-                tuple(new_stats_cols), col_stats, stats, rows)
+                staged, path, _phys(cmap, snap.get("stats_col")),
+                tuple(_phys(cmap, c)
+                      for c in (snap.get("bloom_cols") or ())),
+                blooms,
+                tuple(_phys(cmap, c) for c in new_stats_cols),
+                col_stats, stats, rows)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -1834,10 +1910,11 @@ def txlog_read_range(spark, path: str, lo, hi,
         return v.hex() if isinstance(v, (bytes, bytearray)) else v
 
     qlo, qhi = enc(lo), enc(hi)
+    pcol = _phys(_colmap(snap), col)  # indexes key PHYSICAL names
     keep = []
     for n in sorted(snap["files"]):
         st = (snap["stats"].get(n) if col == primary
-              else snap.get("col_stats", {}).get(n, {}).get(col))
+              else snap.get("col_stats", {}).get(n, {}).get(pcol))
         try:
             skip = st is not None and (st[1] < qlo or st[0] > qhi)
         except TypeError:
@@ -1887,12 +1964,13 @@ def txlog_read_point(spark, path: str, col: str, values,
         return v.hex() if isinstance(v, (bytes, bytearray)) else v
 
     probes = [v for v in values if v is not None]
+    pcol = _phys(_colmap(snap), col)  # indexes key PHYSICAL names
     keep = []
     for n in sorted(snap["files"]):
         # stats prune first (free); bloom sidecars are only fetched
         # for files the cheaper checks could not rule out
         st = (snap["stats"].get(n) if col == snap.get("stats_col")
-              else snap.get("col_stats", {}).get(n, {}).get(col))
+              else snap.get("col_stats", {}).get(n, {}).get(pcol))
         if st is not None:
             try:
                 overlap = any(st[0] <= enc(v) <= st[1]
@@ -1903,7 +1981,7 @@ def txlog_read_point(spark, path: str, col: str, values,
                 overlap = True
             if not overlap:
                 continue
-        bl = snap.get("blooms", {}).get(n, {}).get(col)
+        bl = snap.get("blooms", {}).get(n, {}).get(pcol)
         if bl is not None:
             try:
                 bits = _bloom_bits(bl, path)
@@ -2059,14 +2137,16 @@ def txlog_add_columns(spark, path: str, cols: dict,
         schema = StructType.fromJson(json.loads(snap["schema"]))
         have = {f.name for f in schema.fields}
         dead = set(snap.get("dropped_cols") or [])
+        phys_live = set(_colmap(snap).values())
         for f in new_fields:
             if f.name in have:
                 raise ValueError(f"column {f.name!r} already exists")
-            if f.name in dead:
+            if f.name in dead or f.name in phys_live:
                 raise ValueError(
-                    f"column name {f.name!r} was dropped and live "
-                    "files still carry its bytes — txlog_rebucket "
-                    "rewrites them and frees the name")
+                    f"column name {f.name!r} is still carried "
+                    "PHYSICALLY by live files (dropped or renamed "
+                    "away) — txlog_rebucket rewrites them and frees "
+                    "the name")
         new_schema = StructType(list(schema.fields) + new_fields)
         record = {"op": "add_columns", "writer": uuid.uuid4().hex,
                   "added": sorted(cols), "buckets": [],
@@ -2117,12 +2197,18 @@ def txlog_drop_columns(path: str, cols,
             raise ValueError("cannot drop every column")
         new_schema = StructType([f for f in schema.fields
                                  if f.name not in cols])
+        cmap = _colmap(snap)
         record = {"op": "drop_columns", "writer": uuid.uuid4().hex,
                   "dropped": sorted(cols), "buckets": [],
                   "adds": [], "removes": [],
                   "schema": new_schema.json(),
+                  # tombstones carry the PHYSICAL names files hold
                   "dropped_cols": sorted(
-                      set(snap.get("dropped_cols") or []) | cols)}
+                      set(snap.get("dropped_cols") or [])
+                      | {_phys(cmap, c) for c in cols})}
+        if cols & set(cmap):
+            record["column_map"] = {lg: ph for lg, ph in cmap.items()
+                                    if lg not in cols}
         if cols & set(snap.get("stats_cols") or []):
             record["stats_cols"] = [c for c in snap["stats_cols"]
                                     if c not in cols]
@@ -2134,6 +2220,88 @@ def txlog_drop_columns(path: str, cols,
             return won
     raise TxConflictError(
         f"gave up dropping columns at {path} after {max_retries} "
+        "conflicts")
+
+
+def txlog_rename_column(path: str, old: str, new: str,
+                        max_retries: int = 20) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (column
+    mapping, Delta's name-mode): the files keep the column under its
+    stable PHYSICAL name forever; the commit journals the logical →
+    physical mapping plus the renamed logical schema and
+    declarations (bucket/sort/stats/bloom lists).  Readers alias
+    physical → logical at scan time; writers stage under physical —
+    zero bytes rewritten at any table size, and files written before
+    and after the rename stay mutually consistent.  Time travel to
+    pre-rename versions sees the old name (the mapping folds per
+    version).
+
+    Refused when a journaled CHECK references the column (the stored
+    SQL text would silently stop matching — drop and re-add the
+    constraint around the rename), when ``new`` collides with any
+    logical name, tombstoned name or in-file PHYSICAL name, and the
+    catalog-bucketed read refuses mapped tables (its DDL would
+    expose physical names) until a rebucket rewrites files under the
+    logical names and clears the mapping."""
+    import re as _re
+
+    from pyspark.sql.types import StructField, StructType
+
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in table schema")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cmap = dict(_colmap(snap))
+        phys_live = set(cmap.values()) | {
+            n for n in names if n not in cmap}
+        if new in phys_live or new in set(
+                snap.get("dropped_cols") or []):
+            raise ValueError(
+                f"column name {new!r} is carried PHYSICALLY by live "
+                "files (a prior name of this or a dropped column) — "
+                "aliasing it would collide; txlog_rebucket rewrites "
+                "the files and frees physical names")
+        for cname, expr in (snap.get("checks") or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"CHECK {cname!r} references {old!r}: the stored "
+                    "expression would silently stop matching — "
+                    "txlog_drop_check / rename / txlog_set_check")
+        phys = cmap.pop(old, old)  # physical name is forever
+        cmap[new] = phys
+        new_schema = StructType([
+            StructField(new if f.name == old else f.name,
+                        f.dataType, f.nullable)
+            for f in schema.fields])
+
+        def ren(seq):
+            return [new if c == old else c for c in (seq or [])]
+
+        record = {"op": "rename_column", "writer": uuid.uuid4().hex,
+                  "renamed": [old, new], "buckets": [],
+                  "adds": [], "removes": [],
+                  "schema": new_schema.json(),
+                  "column_map": cmap}
+        if old in (snap.get("bucket_by") or []) \
+                or old in (snap.get("sort_by") or []):
+            record["bucket_by"] = ren(snap["bucket_by"])
+            record["n_buckets"] = snap["n_buckets"]
+            record["sort_by"] = ren(snap["sort_by"])
+        if old == snap.get("stats_col"):
+            record["stats_col"] = new
+        if old in (snap.get("stats_cols") or []):
+            record["stats_cols"] = ren(snap["stats_cols"])
+        if old in (snap.get("bloom_cols") or []):
+            record["bloom_cols"] = ren(snap["bloom_cols"])
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won != "conflict":
+            return won
+    raise TxConflictError(
+        f"gave up renaming {old!r} at {path} after {max_retries} "
         "conflicts")
 
 
@@ -2173,12 +2341,14 @@ def txlog_delete_rows(spark, path: str, condition,
         if not names:
             return snap["version"], 0
         schema = StructType.fromJson(json.loads(snap["schema"]))
-        hits = (spark.read.schema(schema).parquet(
-                    *[os.path.join(path, n) for n in names])
-                .withColumn("__txlog_file",
-                            F.col("_metadata.file_name"))
-                .withColumn("__txlog_pos",
-                            F.col("_metadata.row_index"))
+        cmap = _colmap(snap)
+        raw = (spark.read.schema(_phys_schema(schema, cmap)).parquet(
+                   *[os.path.join(path, n) for n in names])
+               .withColumn("__txlog_file",
+                           F.col("_metadata.file_name"))
+               .withColumn("__txlog_pos",
+                           F.col("_metadata.row_index")))
+        hits = (_to_logical(raw, schema, cmap)
                 .filter(cond)
                 .select("__txlog_file", "__txlog_pos")
                 .limit(max_delete_rows + 1).collect())
@@ -2372,7 +2542,8 @@ def txlog_restore(spark, path: str, version: int,
     for _ in range(max_retries):
         head = txlog_snapshot(path)
         if head["files"] == target["files"] \
-                and head.get("dvs", {}) == target.get("dvs", {}):
+                and head.get("dvs", {}) == target.get("dvs", {}) \
+                and _colmap(head) == _colmap(target):
             return head["version"]  # already there
         adds = sorted((n, b) for n, b in target["files"].items()
                       if n not in head["files"])
@@ -2410,6 +2581,8 @@ def txlog_restore(spark, path: str, version: int,
                            if n in target.get("rows", {})}}
         if dv_patch:
             record["dvs"] = dv_patch
+        if _colmap(target) != _colmap(head):
+            record["column_map"] = _colmap(target)
         if target["schema"] != head["schema"]:
             record["schema"] = target["schema"]
         if target.get("n_buckets") is not None and (
@@ -2467,6 +2640,9 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
         blooms: dict[str, dict] = {}
         col_stats: dict[str, dict] = {}
         rows: dict[str, int] = {}
+        # the full rewrite lands files under the LOGICAL names and
+        # clears the column mapping (and the drop tombstones below) —
+        # rebucket is the "make the physical layout honest again" op
         adds = _stage_bucket_files(df, path, new_by, n_buckets,
                                    new_sort,
                                    allowed=set(range(n_buckets)),
@@ -2488,7 +2664,7 @@ def txlog_rebucket(spark, path: str, n_buckets: int,
             "stats": stats,
             "stats_col": (new_sort or new_by)[0],
             "blooms": blooms, "col_stats": col_stats,
-            "rows": rows, "dropped_cols": [],
+            "rows": rows, "dropped_cols": [], "column_map": {},
         }
         won = _try_commit(path, snap, record, strict_base=True)
         if won != "conflict":
@@ -2700,6 +2876,8 @@ def txlog_clone(spark, src: str, dst: str,
     }
     if snap.get("dvs"):
         record["dvs"] = snap["dvs"]
+    if _colmap(snap):
+        record["column_map"] = snap["column_map"]
     won = _try_commit(dst, {"version": 0}, record)
     if won != 1:
         raise FileExistsError(

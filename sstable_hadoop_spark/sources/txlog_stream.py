@@ -60,6 +60,7 @@ from . import fs
 #: metadata-only schema/constraint changes don't reshape it either).
 _DATA_IDENTICAL_OPS = frozenset({"compact", "zorder", "rebucket",
                                  "add_columns", "drop_columns",
+                                 "rename_column",
                                  "set_check", "drop_check"})
 #: Commits whose adds are purely NEW rows.
 _ADDITIVE_OPS = frozenset({"create", "append", "clone", "adopt"})
@@ -100,6 +101,16 @@ class TxlogFeedStreamReader(DataSourceStreamReader):
             raise ValueError("max_versions_per_trigger must be "
                              f"positive, got {self.max_versions}")
         self.starting = str(options.get("starting_version", "1"))
+        # logical → PHYSICAL column names at stream start: physical
+        # names never change, so reading by them stays correct even
+        # when a rename commits mid-stream (the stream's logical
+        # schema is pinned at query start anyway)
+        from sstable_hadoop_spark.operators.txlog import (
+            txlog_snapshot,
+        )
+
+        self.colmap = dict(
+            txlog_snapshot(self.path).get("column_map") or {})
         # capping needs the previous end; unknown right after a
         # checkpoint restart, where a capped offset could regress
         # below the committed coverage — first trigger is uncapped,
@@ -196,8 +207,9 @@ class TxlogFeedStreamReader(DataSourceStreamReader):
         for f in self.schema.fields:
             if f.name == "_commit_version":
                 continue
-            if f.name in table.column_names:
-                cols.append(table.column(f.name))
+            phys = self.colmap.get(f.name, f.name)
+            if phys in table.column_names:
+                cols.append(table.column(phys))
             else:  # schema widened after this file was written
                 from pyspark.sql.pandas.types import to_arrow_type
 

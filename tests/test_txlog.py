@@ -2293,3 +2293,112 @@ def test_reader_protocol_gates_old_builds(spark, tpath):
         with pytest.raises(tx.TxProtocolError):
             tx.txlog_read(spark, tpath)
         tx.txlog_snapshot(tpath, version=1)  # old version still ok
+
+
+def test_rename_column_is_metadata_only(spark, tpath):
+    """RENAME COLUMN journals a logical→physical mapping: zero files
+    touched, values intact under the new name, time travel sees the
+    old name, writers and skipping indexes keep working across the
+    rename (files before/after carry the same physical name)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 400), ("k",), 2,
+                    stats_cols=("g",), bloom_cols=("v",))
+    files_v1 = set(tx.txlog_snapshot(tpath)["files"])
+    tx.txlog_rename_column(tpath, "g", "grp")
+    snap = tx.txlog_snapshot(tpath)
+    assert set(snap["files"]) == files_v1
+    assert snap["column_map"] == {"grp": "g"}
+    assert snap["stats_cols"] == ["grp"]
+    df = tx.txlog_read(spark, tpath)
+    assert df.columns == ["k", "grp", "v"]
+    assert df.filter("grp = 3").count() == 4
+    assert tx.txlog_read(spark, tpath, version=1).columns \
+        == ["k", "g", "v"]
+
+    # writers stage under the stable physical name
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    delta = (spark.range(400, 410)
+             .select(F.col("id").alias("k"),
+                     F.lit(3).cast("long").alias("grp"),
+                     F.lit(8).cast("long").alias("v")))
+    tx.txlog_upsert(spark, tpath, delta, merge, ("k",), 2)
+    assert tx.txlog_read(spark, tpath).filter("grp = 3").count() == 14
+    # zone maps + blooms answer under the NEW logical name across
+    # old and new files alike (index keys are physical)
+    import os as _os
+
+    d = tx.txlog_read_range(spark, tpath, 3, 3, col="grp")
+    assert sorted(r["k"] for r in d.collect()) \
+        == [3, 103, 203, 303] + list(range(400, 410))
+    pr = tx.txlog_read_point(spark, tpath, "v", [8])
+    assert pr.count() == 11  # v=8 → k=4 (v=2k) + the ten upserts
+    assert len(pr.inputFiles()) <= len(
+        tx.txlog_snapshot(tpath)["files"])
+    # metadata aggregates follow the logical name
+    assert tx.txlog_minmax(spark, tpath, "grp") == (0, 99)
+
+
+def test_rename_column_guards_and_rebucket_clears(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 100), ("k",), 2)
+    tx.txlog_set_check(spark, tpath, "v_even", "v % 2 = 0")
+    with pytest.raises(ValueError, match="CHECK 'v_even'"):
+        tx.txlog_rename_column(tpath, "v", "val")
+    tx.txlog_drop_check(tpath, "v_even")
+    tx.txlog_rename_column(tpath, "v", "val")
+    with pytest.raises(ValueError, match="already exists"):
+        tx.txlog_rename_column(tpath, "g", "val")
+    # the old physical name is still in the files: un-addable,
+    # un-renamable-to
+    with pytest.raises(ValueError, match="PHYSICALLY"):
+        tx.txlog_add_columns(spark, tpath, {"v": "string"})
+    with pytest.raises(ValueError, match="PHYSICALLY"):
+        tx.txlog_rename_column(tpath, "g", "v")
+    # catalog-bucketed reads refuse mapped tables
+    with pytest.raises(ValueError, match="column mapping"):
+        tx.txlog_read_bucketed(spark, tpath, "ren_t")
+    # dropping a renamed column tombstones its PHYSICAL name
+    tx.txlog_drop_columns(tpath, ["val"])
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["dropped_cols"] == ["v"]
+    assert snap["column_map"] == {}
+    # a layout-changing rebucket rewrites files under logical names:
+    # mapping + tombstones clear, physical names free again
+    tx.txlog_rebucket(spark, tpath, 4)
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["dropped_cols"] == [] and snap["column_map"] == {}
+    tx.txlog_add_columns(spark, tpath, {"v": "string"})
+    tx.txlog_read_bucketed(spark, tpath, "ren_t").count()
+    spark.sql("DROP TABLE IF EXISTS ren_t")
+
+
+def test_rename_bucket_column_keeps_writers_honest(spark, tpath):
+    """Renaming a bucket key re-journals the declaration: writers
+    declare the NEW logical name and the layout check still guards
+    mis-declared stragglers."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 100), ("k",), 2)
+    tx.txlog_rename_column(tpath, "k", "id")
+    snap = tx.txlog_snapshot(tpath)
+    assert snap["bucket_by"] == ["id"]
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["id"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    delta = (spark.range(100, 105)
+             .select(F.col("id").cast("long").alias("id"),
+                     F.lit(0).cast("long").alias("g"),
+                     F.lit(0).cast("long").alias("v")))
+    tx.txlog_upsert(spark, tpath, delta, merge, ("id",), 2)
+    assert tx.txlog_count(tpath) == 105
+    with pytest.raises(ValueError, match="journaled declaration"):
+        tx.txlog_upsert(spark, tpath, delta, merge, ("k",), 2)
+    # content identical through the rename + upsert
+    got = sorted(tuple(r) for r in
+                 tx.txlog_read(spark, tpath).collect())
+    assert len(got) == 105 and got[0] == (0, 0, 0)
