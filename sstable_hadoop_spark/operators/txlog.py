@@ -1462,7 +1462,8 @@ def txlog_history(path: str) -> list[dict]:
 
 
 def txlog_vacuum(path: str, retain_versions: int = 0,
-                 min_age_sec: float = 3600.0) -> list[str]:
+                 min_age_sec: float = 3600.0,
+                 dry_run: bool = False) -> list[str]:
     """Delete data files unreachable from the newest
     ``retain_versions + 1`` versions — replaced files whose snapshot
     window has passed AND crashed writers' never-committed stages —
@@ -1472,7 +1473,9 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
     ``retain_versions=0, min_age_sec=0`` the directory afterwards
     contains exactly the head file set, so Spark's catalog-declared
     bucketed table (``layout.bucketed_table``) can scan the directory
-    with zero-exchange plans again."""
+    with zero-exchange plans again.  ``dry_run=True`` returns the
+    would-delete list without touching a byte (the audit every
+    retention change should run first)."""
     import time
 
     commits, _ = _list_log(path)
@@ -1520,6 +1523,9 @@ def txlog_vacuum(path: str, retain_versions: int = 0,
         except OSError:
             continue
         if age < min_age_sec:
+            continue
+        if dry_run:
+            removed.append(rel)
             continue
         try:
             fs.remove(f)
@@ -1826,6 +1832,106 @@ def txlog_zorder(spark, path: str, zorder_by: tuple[str, ...],
     raise TxConflictError(
         f"gave up z-ordering {path} after {max_retries} "
         "overlapping-bucket conflicts")
+
+
+def txlog_cluster_health(spark, path: str, cols,
+                         version: int | None = None) -> DataFrame:
+    """METADATA-ONLY clustering-quality report: per (bucket, column),
+    the average and max fraction of the bucket's value range that a
+    single file's zone map spans.  1.0 ≈ every file overlaps every
+    probe (no clustering — a fresh unsorted table, or a z-order
+    eroded by later upserts); a k-file Morton layout sits near the
+    prefix-cell box width.  Drives TARGETED re-optimization:
+    ``txlog_zorder(target_buckets=...)`` only where the metric says
+    clustering actually degraded, instead of rewriting the table on
+    a timer.  Columns without numeric zone maps report span 1.0
+    (defensive: unindexed = unprunable)."""
+    cols = list(cols)
+    snap = txlog_snapshot(path, version)
+    cmap = _colmap(snap)
+    primary = snap.get("stats_col")
+    per_bucket: dict[int, list[str]] = {}
+    for n, b in snap["files"].items():
+        per_bucket.setdefault(b, []).append(n)
+    rows = []
+    for b, names in sorted(per_bucket.items()):
+        for col in cols:
+            pcol = _phys(cmap, col)
+            spans = []
+            bounds = []
+            for n in names:
+                st = (snap["stats"].get(n) if col == primary
+                      else snap.get("col_stats", {})
+                              .get(n, {}).get(pcol))
+                if st is None or st[2] != "num":
+                    spans.append(None)
+                else:
+                    spans.append((float(st[0]), float(st[1])))
+                    bounds.append((float(st[0]), float(st[1])))
+            if bounds:
+                blo = min(x for x, _ in bounds)
+                bhi = max(y for _, y in bounds)
+                width = (bhi - blo) or 1.0
+                fr = [1.0 if s is None else (s[1] - s[0]) / width
+                      for s in spans]
+            else:
+                fr = [1.0] * len(names)
+            rows.append((b, col, len(names),
+                         float(sum(fr) / len(fr)),
+                         float(max(fr))))
+    return spark.createDataFrame(
+        rows, "bucket int, col string, n_files int, "
+              "avg_span double, max_span double")
+
+
+def txlog_maintain(spark, path: str,
+                   small_file_rows: int | None = None,
+                   zorder_by: tuple[str, ...] | None = None,
+                   zorder_span_threshold: float = 0.5,
+                   files_per_bucket: int = 4, bits: int = 8,
+                   vacuum_retain: int | None = None,
+                   min_age_sec: float = 3600.0) -> dict:
+    """One-call table maintenance, each step metadata-driven:
+
+    1. ``txlog_compact(small_file_rows=...)`` — bin-pack small files
+       and materialize every deletion vector;
+    2. when ``zorder_by`` is given, re-cluster ONLY the buckets whose
+       :func:`txlog_cluster_health` average span exceeds
+       ``zorder_span_threshold`` on some z-order column (a bucket a
+       later upsert eroded), never the still-clustered ones;
+    3. when ``vacuum_retain`` is given, reclaim files past that
+       retention.
+
+    Returns a summary dict (versions committed, buckets touched,
+    files vacuumed) — the nightly-maintenance entry point that keeps
+    the append-heavy table's read side flat without ever rewriting
+    more than the metadata says it must."""
+    out: dict = {}
+    # under a z-order policy the full-bucket rewrite would UNDO the
+    # clustering (collapse prefix-cell files into one) — compact then
+    # only materializes deletion vectors and packs genuinely small
+    # files; the z-pass owns merging decisions
+    eff_small = small_file_rows if small_file_rows is not None \
+        else (1 if zorder_by else None)
+    v, buckets = txlog_compact(spark, path, min_files=2,
+                               small_file_rows=eff_small)
+    out["compact"] = {"version": v, "buckets": buckets}
+    if zorder_by:
+        health = txlog_cluster_health(spark, path, list(zorder_by))
+        stale = sorted({r["bucket"] for r in health.collect()
+                        if r["avg_span"] > zorder_span_threshold})
+        if stale:
+            v, zb = txlog_zorder(spark, path, tuple(zorder_by),
+                                 files_per_bucket=files_per_bucket,
+                                 bits=bits, target_buckets=set(stale))
+            out["zorder"] = {"version": v, "buckets": zb}
+        else:
+            out["zorder"] = {"version": None, "buckets": []}
+    if vacuum_retain is not None:
+        out["vacuumed"] = txlog_vacuum(
+            path, retain_versions=vacuum_retain,
+            min_age_sec=min_age_sec)
+    return out
 
 
 def txlog_diff(spark, path: str, v_from: int,

@@ -2402,3 +2402,62 @@ def test_rename_bucket_column_keeps_writers_honest(spark, tpath):
     got = sorted(tuple(r) for r in
                  tx.txlog_read(spark, tpath).collect())
     assert len(got) == 105 and got[0] == (0, 0, 0)
+
+
+def test_cluster_health_and_targeted_maintain(spark, tpath):
+    """The metadata clustering metric separates z-ordered buckets
+    (small per-file spans) from eroded ones, and txlog_maintain
+    re-clusters ONLY the stale buckets; vacuum dry_run audits
+    without deleting."""
+    import os as _os
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_xy(spark, 8000), ("k",), 4,
+                    stats_cols=("x", "y"))
+    h0 = {(r["bucket"], r["col"]): r["avg_span"]
+          for r in tx.txlog_cluster_health(
+              spark, tpath, ["x", "y"]).collect()}
+    assert all(v > 0.9 for v in h0.values())  # unclustered
+    tx.txlog_zorder(spark, tpath, ("x", "y"), files_per_bucket=4,
+                    bits=6)
+    h1 = {(r["bucket"], r["col"]): r["avg_span"]
+          for r in tx.txlog_cluster_health(
+              spark, tpath, ["x", "y"]).collect()}
+    assert all(v < 0.75 for v in h1.values())  # prefix-cell boxes
+    # erode bucket clustering with an unsorted upsert wave into a
+    # subset of keys, then maintain: only stale buckets re-cluster
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+    tx.txlog_upsert(spark, tpath, _mk_xy(spark, 2000), merge,
+                    ("k",), 4)
+    before = _content(spark, tpath)
+    out = tx.txlog_maintain(spark, tpath, small_file_rows=None,
+                            zorder_by=("x", "y"),
+                            zorder_span_threshold=0.5,
+                            files_per_bucket=4, bits=6)
+    # the upsert rewrote whole buckets (nothing small, no vectors):
+    # compact is rightly a no-op, the z-pass fixes the erosion
+    assert out["compact"]["version"] is None
+    assert out["zorder"]["version"] is not None \
+        and out["zorder"]["buckets"]
+    assert _content(spark, tpath) == before
+    h2 = {(r["bucket"], r["col"]): r["avg_span"]
+          for r in tx.txlog_cluster_health(
+              spark, tpath, ["x", "y"]).collect()}
+    assert all(v < 0.75 for v in h2.values())
+    # second maintain: everything clustered, nothing to do
+    out2 = tx.txlog_maintain(spark, tpath, zorder_by=("x", "y"),
+                             zorder_span_threshold=0.5,
+                             files_per_bucket=4, bits=6)
+    assert out2["compact"]["version"] is None
+    assert out2["zorder"]["version"] is None
+    # vacuum dry_run reports without deleting
+    would = tx.txlog_vacuum(tpath, retain_versions=0,
+                            min_age_sec=0, dry_run=True)
+    assert would
+    assert all(_os.path.exists(_os.path.join(tpath, n))
+               for n in would)
+    gone = tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
+    assert gone == would
