@@ -2461,3 +2461,20 @@ def test_cluster_health_and_targeted_maintain(spark, tpath):
                for n in would)
     gone = tx.txlog_vacuum(tpath, retain_versions=0, min_age_sec=0)
     assert gone == would
+
+
+def test_dv_read_plan_is_broadcast_anti_no_shuffle(spark, tpath):
+    """The DV subtraction must plan as scan + BROADCAST anti-join on
+    only the vectored files — never a shuffled join (at 100 TB the
+    vector side is KBs; an exchange there would be a scale bug)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 2000), ("k",), 2)
+    tx.txlog_delete_rows(spark, tpath, "g = 7")
+    plan = (tx.txlog_read(spark, tpath)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # the clean-file branch stays a bare scan: exchanges only appear
+    # for the broadcast itself
+    assert "Exchange hashpartitioning" not in plan
