@@ -949,7 +949,8 @@ def txlog_create(spark, path: str, df: DataFrame,
                  bucket_by: tuple[str, ...], n_buckets: int,
                  sort_by: tuple[str, ...] = (),
                  bloom_cols: tuple[str, ...] = (),
-                 stats_cols: tuple[str, ...] = ()) -> int:
+                 stats_cols: tuple[str, ...] = (),
+                 txn: tuple[str, int] | None = None) -> int:
     """Create a logged bucketed table from ``df`` (commit version 1).
     Raises if a log already exists — creation is not an upsert.
 
@@ -996,6 +997,8 @@ def txlog_create(spark, path: str, df: DataFrame,
         "stats_cols": list(stats_cols), "col_stats": col_stats,
         "rows": rows,
     }
+    if txn is not None:
+        record["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
     won = _try_commit(path, {"version": 0}, record)
     if won != 1:
         raise FileExistsError(
@@ -1119,7 +1122,9 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
                  bucket_by: tuple[str, ...], n_buckets: int,
                  sort_by: tuple[str, ...] = (),
                  max_retries: int = 20,
-                 merge_schema: bool = False) -> tuple[int, list[int]]:
+                 merge_schema: bool = False,
+                 txn: tuple[str, int] | None = None
+                 ) -> tuple[int, list[int]]:
     """Merge-on-write upsert safe under CONCURRENT writers.
 
     Same data plane as ``layout.bucketed_upsert`` — only the buckets
@@ -1138,9 +1143,17 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
     its name and type — and widening is refused (loudly) without the
     flag, since a silently-dropped new column is the corruption mode.
 
+    ``txn=(app, batch)``: journal a transaction tag with the commit
+    (the append sink's exactly-once machinery) — a replayed batch at
+    or below :func:`txlog_txn_high_water` is skipped, and the tag
+    doubles as a REFRESH CURSOR (see ``operators/matview.py``).
+
     Returns ``(committed version, affected bucket ids)``."""
     from pyspark.sql.types import StructType
 
+    if txn is not None and \
+            txlog_txn_high_water(path, str(txn[0])) >= int(txn[1]):
+        return txlog_snapshot(path)["version"], []
     for _ in range(max_retries):
         snap = txlog_snapshot(path)
         _check_bucketing(snap, bucket_by, n_buckets, path)
@@ -1200,13 +1213,85 @@ def txlog_upsert(spark, path: str, delta: DataFrame, merge,
         }
         if new_schema is not None:
             record["schema"] = new_schema
+        if txn is not None:
+            record["txn"] = {"app": str(txn[0]),
+                             "batch": int(txn[1])}
         won = _try_commit(path, snap, record)
+        if won == "duplicate":
+            _cleanup_stage(path, adds, blooms)
+            return txlog_snapshot(path)["version"], []
         if won != "conflict":
             return won, affected
         _cleanup_stage(path, adds, blooms)
     raise TxConflictError(
         f"gave up after {max_retries} overlapping-bucket conflicts "
         f"on {path}")
+
+
+def txlog_overwrite(spark, path: str, df: DataFrame,
+                    txn: tuple[str, int] | None = None,
+                    max_retries: int = 20) -> int:
+    """Replace the table's FULL content with ``df`` as one
+    conflict-checked commit (INSERT OVERWRITE): claims every bucket,
+    so any concurrent writer conflicts — the small-dimension /
+    materialized-view refresh shape, where the table is rollup-sized
+    and correctness wants one atomic swap rather than per-bucket
+    surgery (dropped groups must VANISH, which a delta-keyed upsert
+    cannot express).  Schema must match the journaled declaration;
+    CHECK constraints gate the new content; ``txn`` journals the
+    refresh cursor exactly like the streaming append's tag."""
+    from pyspark.sql.types import StructType
+
+    if txn is not None and \
+            txlog_txn_high_water(path, str(txn[0])) >= int(txn[1]):
+        return txlog_snapshot(path)["version"]
+    for _ in range(max_retries):
+        snap = txlog_snapshot(path)
+        bucket_by = tuple(snap["bucket_by"])
+        n_buckets = int(snap["n_buckets"])
+        sort_by = tuple(snap.get("sort_by") or ())
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+
+        def _shape(s):
+            return [(f.name, f.dataType) for f in s.fields]
+
+        if _shape(df.schema) != _shape(schema):
+            raise ValueError(
+                "overwrite schema mismatch: table has "
+                f"{[f.name for f in schema.fields]}, data has "
+                f"{[f.name for f in df.schema.fields]}")
+        _enforce_checks(df, snap.get("checks") or {}, path,
+                        "overwrite content")
+        stats: dict[str, list] = {}
+        blooms: dict[str, dict] = {}
+        col_stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
+        adds = _stage_bucket_files(
+            df, path, bucket_by, n_buckets, sort_by,
+            allowed=set(range(n_buckets)), stats_out=stats,
+            bloom_cols=tuple(snap.get("bloom_cols") or ()),
+            blooms_out=blooms,
+            stats_cols=tuple(snap.get("stats_cols") or ()),
+            col_stats_out=col_stats, rows_out=rows,
+            cmap=_colmap(snap))
+        record = {"op": "overwrite", "writer": uuid.uuid4().hex,
+                  "buckets": sorted(set(range(n_buckets))
+                                    | set(snap["files"].values())),
+                  "adds": adds, "removes": sorted(snap["files"]),
+                  "stats": stats, "blooms": blooms,
+                  "col_stats": col_stats, "rows": rows}
+        if txn is not None:
+            record["txn"] = {"app": str(txn[0]),
+                             "batch": int(txn[1])}
+        won = _try_commit(path, snap, record, strict_base=True)
+        if won == "duplicate":
+            _cleanup_stage(path, adds, blooms)
+            return txlog_snapshot(path)["version"]
+        if won != "conflict":
+            return won
+        _cleanup_stage(path, adds, blooms)
+    raise TxConflictError(
+        f"gave up overwriting {path} after {max_retries} conflicts")
 
 
 def txlog_txn_high_water(path: str, app: str) -> int:
