@@ -344,3 +344,58 @@ def upsert_stream_to_txlog(cell_stream: DataFrame, table_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def delete_stream_to_txlog(condition_stream: DataFrame,
+                           table_dir: str, checkpoint_dir: str, *,
+                           key_cols: list[str]):
+    """Streaming DELETE feed → merge-on-read deletion vectors: each
+    micro-batch's rows name keys to erase from the logged table (the
+    right-to-be-forgotten queue), applied as one
+    ``txlog_delete_rows`` per batch — a pushdown scan + KB commit,
+    never a bucket rewrite; :func:`~..operators.txlog.txlog_compact`
+    (or ``txlog_maintain``) later materializes the accumulated
+    vectors on the maintenance cadence.
+
+    Exactly-once WITHOUT txn tags: a deletion vector is naturally
+    idempotent (re-deleting deleted positions journals nothing — the
+    no-op short-circuit inside ``txlog_delete_rows``), so replayed
+    batches cost one probe scan and zero commits.  Keys collect to
+    the driver per batch (delete queues are small by nature; the
+    ``max_delete_rows`` bound still applies on the table side)."""
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_delete_rows,
+        txlog_exists,
+    )
+
+    from pyspark.sql import functions as F
+
+    def erase(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not txlog_exists(table_dir):
+            raise FileNotFoundError(
+                f"no transaction log at {table_dir} — the delete "
+                "sink erases from an EXISTING table")
+        keys = (batch_df.select(*key_cols).distinct().collect())
+        if not keys:
+            return
+        if len(key_cols) == 1:
+            cond = F.col(key_cols[0]).isin(
+                *[r[key_cols[0]] for r in keys])
+        else:
+            # exact tuple membership: OR of struct equalities (a
+            # delete queue's batch is small; Spark has no literal
+            # struct IN list)
+            probe = F.struct(*[F.col(kc) for kc in key_cols])
+            cond = None
+            for r in keys:
+                c = probe == F.struct(
+                    *[F.lit(r[kc]).alias(kc) for kc in key_cols])
+                cond = c if cond is None else (cond | c)
+        txlog_delete_rows(spark, table_dir, cond)
+
+    return (condition_stream.writeStream
+            .foreachBatch(erase)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

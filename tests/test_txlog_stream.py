@@ -221,3 +221,55 @@ def test_txlog_stream_survives_mid_stream_rename(spark, tmp_path):
     # VALUES are right in both eras (physical reads never drifted)
     assert r.filter("k < 50 and g = k % 10").count() == 50
     assert r.filter("k >= 50 and grp = k % 10").count() == 10
+
+
+def test_delete_stream_applies_dvs_idempotently(spark, tmp_path):
+    """The streaming DELETE sink erases keyed rows as deletion
+    vectors per micro-batch; a full replay from a fresh checkpoint
+    journals NOTHING new (vectors are naturally idempotent)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.streaming.compaction import (
+        delete_stream_to_txlog,
+    )
+
+    p = str(tmp_path / "t")
+    tx.txlog_create(spark, p, _mk(spark, 0, 300), ("k",), 2)
+    src = str(tmp_path / "dels")
+    (spark.range(0, 20).select(F.col("id").alias("k"))
+     .coalesce(1).write.parquet(src))
+
+    def run(ck):
+        q = delete_stream_to_txlog(
+            spark.readStream.schema("k bigint").parquet(src),
+            p, str(tmp_path / ck), key_cols=["k"])
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("ck1")
+    assert tx.txlog_count(p) == 280
+    assert tx.txlog_read(spark, p).filter("k < 20").count() == 0
+    v = tx.txlog_snapshot(p)["version"]
+    run("ck2")  # fresh-checkpoint replay: no new commit
+    assert tx.txlog_snapshot(p)["version"] == v
+    assert tx.txlog_count(p) == 280
+
+
+def test_delete_stream_composite_keys(spark, tmp_path):
+    from sstable_hadoop_spark.operators import txlog as tx
+    from sstable_hadoop_spark.streaming.compaction import (
+        delete_stream_to_txlog,
+    )
+
+    p = str(tmp_path / "t")
+    tx.txlog_create(spark, p, _mk(spark, 0, 100), ("k",), 2)
+    src = str(tmp_path / "dels")
+    # exact tuples (k, g): (5, 5) matches, (6, 5) must NOT erase k=6
+    (spark.createDataFrame([(5, 5), (6, 5)], "k bigint, g bigint")
+     .coalesce(1).write.parquet(src))
+    q = delete_stream_to_txlog(
+        spark.readStream.schema("k bigint, g bigint").parquet(src),
+        p, str(tmp_path / "ck"), key_cols=["k", "g"])
+    q.awaitTermination(120)
+    left = {r["k"] for r in tx.txlog_read(spark, p).collect()}
+    assert 5 not in left and 6 in left
+    assert tx.txlog_count(p) == 99
