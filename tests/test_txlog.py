@@ -495,6 +495,11 @@ _op = st.one_of(
     st.tuples(st.just("merge"), st.integers(0, 19),
               st.integers(0, 19), st.integers(1, 9)),
     st.tuples(st.just("rebucket"), st.sampled_from([2, 4, 8])),
+    st.tuples(st.just("dv_delete"), st.integers(0, 19),
+              st.integers(0, 5)),
+    st.tuples(st.just("zorder")),
+    st.tuples(st.just("overwrite"), st.integers(1, 9)),
+    st.tuples(st.just("rename")),
 )
 
 
@@ -503,12 +508,18 @@ _op = st.one_of(
 @given(ops=st.lists(_op, min_size=1, max_size=5))
 def test_txlog_model_based(spark, tmp_path, ops):
     """Model-based property: a random sequence of upserts (max-merge),
-    deletes, compactions, restores, MERGE INTO (update+insert) and
-    rebuckets against the txlog must track a plain dict model exactly
-    — content after every commit, and time travel to any recorded
-    version reproduces the model's history.  Bucketing changes under
-    rebucket thread through every later writer's declaration."""
+    deletes, compactions, restores, MERGE INTO (update+insert),
+    rebuckets, DV deletes, z-order rewrites, full overwrites and
+    value-column RENAMES against the txlog must track a plain dict
+    model exactly — content after every commit, and time travel to
+    any recorded version reproduces the model's history (under THAT
+    version's schema: reads extract positionally, rename-agnostic).
+    Bucketing changes under rebucket thread through every later
+    writer's declaration."""
+    import json as _json
     import uuid as _uuid
+
+    from pyspark.sql.types import StructType as _ST
 
     from sstable_hadoop_spark.operators import txlog as tx
 
@@ -518,8 +529,25 @@ def test_txlog_model_based(spark, tmp_path, ops):
     history = {1: dict(model)}
     nb = 2  # current journaled bucket count (rebucket changes it)
 
+    def vc():  # the value column's CURRENT logical name
+        snap = tx.txlog_snapshot(path)
+        return _ST.fromJson(
+            _json.loads(snap["schema"])).fields[1].name
+
+    def delta(lo, hi, v):
+        d = _mk(spark, lo, hi, v)
+        name = vc()
+        return d if name == "v" else d.withColumnRenamed("v", name)
+
+    def max_merge(stored, d):
+        # rename-agnostic max-merge: the value column is whatever
+        # the CURRENT schema calls it
+        val = stored.columns[1]
+        return (stored.unionByName(d)
+                .groupBy("k").agg(F.max(val).alias(val)))
+
     def content():
-        return dict((r["k"], r["v"]) for r in
+        return dict((r[0], r[1]) for r in
                     tx.txlog_read(spark, path).collect())
 
     for op in ops:
@@ -527,7 +555,7 @@ def test_txlog_model_based(spark, tmp_path, ops):
             lo, span, v = op[1], op[2], op[3]
             hi = lo + span + 1
             ver, _ = tx.txlog_upsert(
-                spark, path, _mk(spark, lo, hi, v), _merge, ("k",), nb)
+                spark, path, delta(lo, hi, v), max_merge, ("k",), nb)
             for k in range(lo, hi):
                 model[k] = max(model.get(k, -1), v)
         elif op[0] == "delete":
@@ -546,9 +574,40 @@ def test_txlog_model_based(spark, tmp_path, ops):
             lo, span, v = op[1], op[2], op[3]
             hi = lo + span + 1
             ver, _ = tx.txlog_merge(
-                spark, path, _mk(spark, lo, hi, v), ["k"], ("k",), nb)
+                spark, path, delta(lo, hi, v), ["k"], ("k",), nb)
             for k in range(lo, hi):
                 model[k] = v  # update matched, insert unmatched
+        elif op[0] == "dv_delete":
+            lo, span = op[1], op[2]
+            hi = lo + span + 1
+            ver, n_new = tx.txlog_delete_rows(
+                spark, path, F.col("k").between(lo, hi - 1))
+            if n_new == 0:
+                assert content() == model
+                continue  # nothing matched: no commit to record
+            for k in range(lo, hi):
+                model.pop(k, None)
+        elif op[0] == "zorder":
+            won, _ = tx.txlog_zorder(spark, path, ("k", vc()),
+                                     files_per_bucket=2, bits=4)
+            if won is None:
+                continue
+            ver = won
+        elif op[0] == "overwrite":
+            v = op[1]
+            ver = tx.txlog_overwrite(spark, path, delta(0, 8, v))
+            model = {k: v for k in range(8)}
+        elif op[0] == "rename":
+            cur = vc()
+            new = "w" if cur == "v" else "v"
+            try:
+                ver = tx.txlog_rename_column(path, cur, new)
+            except ValueError:
+                # the target name may be tombstoned/physically live
+                # from an earlier era of this sequence — a refusal
+                # must leave the table untouched
+                assert content() == model
+                continue
         elif op[0] == "rebucket":
             target_nb = op[1]
             ver = tx.txlog_rebucket(spark, path, target_nb)
@@ -569,9 +628,10 @@ def test_txlog_model_based(spark, tmp_path, ops):
                 continue
         history[ver] = dict(model)
         assert content() == model, (op, ver)
-    # time travel reproduces every recorded version
+    # time travel reproduces every recorded version (positional
+    # extraction: each version reads under its own schema/names)
     for v, snap_model in history.items():
-        got = dict((r["k"], r["v"]) for r in
+        got = dict((r[0], r[1]) for r in
                    tx.txlog_read(spark, path, version=v).collect())
         assert got == snap_model, v
 
