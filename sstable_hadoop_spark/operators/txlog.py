@@ -2060,7 +2060,15 @@ def txlog_diff(spark, path: str, v_from: int,
     def bucket_df(snap):
         names = sorted(n for n, b in snap["files"].items()
                        if b in touched and n not in common)
-        return _read_files_with_dvs(spark, path, snap, names)
+        # BOTH sides read under the TO-version's logical schema and
+        # column mapping (physical names are stable across renames;
+        # columns added in the window NULL-fill on the old side,
+        # dropped ones leave the feed) — otherwise a rename between
+        # the versions would give the exceptAll legs different
+        # schemas; each side keeps its OWN files and vectors
+        hybrid = dict(snap, schema=new["schema"],
+                      column_map=new.get("column_map") or {})
+        return _read_files_with_dvs(spark, path, hybrid, names)
 
     a, b = bucket_df(old), bucket_df(new)
     return (b.exceptAll(a).withColumn("_change", F.lit("insert"))

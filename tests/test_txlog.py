@@ -2538,3 +2538,35 @@ def test_dv_read_plan_is_broadcast_anti_no_shuffle(spark, tpath):
     # the clean-file branch stays a bare scan: exchanges only appear
     # for the broadcast itself
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_diff_spans_schema_changes(spark, tpath):
+    """The change feed stays well-typed across metadata-only schema
+    commits inside its window: a rename-only window is EMPTY (not a
+    schema-mismatch crash), inserts after a rename emit under the
+    TO-version's names, and a widened column NULL-fills the old
+    side."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 100), ("k",), 2)
+    v1 = 1
+    v2 = tx.txlog_rename_column(tpath, "g", "grp")
+    assert tx.txlog_diff(spark, tpath, v1, v2).count() == 0
+    tx.txlog_append(spark, tpath, _mk_g(spark, 110)
+                    .filter(F.col("k") >= 100)
+                    .withColumnRenamed("g", "grp"))
+    d = tx.txlog_diff(spark, tpath, v1)
+    assert d.columns == ["k", "grp", "v", "_change"]
+    rows = d.collect()
+    assert len(rows) == 10
+    assert all(r["_change"] == "insert" and r["grp"] == r["k"] % 100
+               for r in rows)
+    # widen + delete across the window: one feed, old side NULL-fills
+    v3 = tx.txlog_snapshot(tpath)["version"]
+    tx.txlog_add_columns(spark, tpath, {"tag": "string"})
+    tx.txlog_delete_rows(spark, tpath, "k = 5")
+    d2 = tx.txlog_diff(spark, tpath, v3)
+    assert d2.columns == ["k", "grp", "v", "tag", "_change"]
+    rows2 = d2.collect()
+    assert {(r["k"], r["_change"]) for r in rows2} == {(5, "delete")}
+    assert rows2[0]["tag"] is None
