@@ -2570,3 +2570,91 @@ def test_diff_spans_schema_changes(spark, tpath):
     rows2 = d2.collect()
     assert {(r["k"], r["_change"]) for r in rows2} == {(5, "delete")}
     assert rows2[0]["tag"] is None
+
+
+def test_concurrent_race_with_new_commit_kinds(spark, tpath):
+    """Six writers race one table: two upserters (disjoint key
+    ranges), an appender, a DV deleter on its own key range, a
+    compactor and a z-orderer.  Layout ops are data-identical and
+    the data ops touch disjoint keys, so the final content is
+    DETERMINISTIC no matter the interleaving; every writer must
+    land (bounded retries) and every live file must carry its
+    indexes."""
+    import threading
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 1000), ("k",), 4,
+                    stats_cols=("g",))
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+    errs: list = []
+
+    def run(fn):
+        def body():
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+        return threading.Thread(target=body)
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+
+    def upserter(lo, hi, v):
+        def f():
+            delta = (_mk_g(spark, hi).filter(F.col("k") >= lo)
+                     .withColumn("v", F.lit(v).cast("long")))
+            tx.txlog_upsert(spark, tpath, delta, merge, ("k",), 4,
+                            max_retries=60)
+        return f
+
+    def appender():
+        tx.txlog_append(spark, tpath,
+                        _mk_g(spark, 2200).filter(F.col("k") >= 2000))
+
+    def deleter():
+        tx.txlog_delete_rows(spark, tpath,
+                             "k between 900 and 949",
+                             max_retries=60)
+
+    def compactor():
+        try:
+            tx.txlog_compact(spark, tpath, min_files=2,
+                             max_retries=60)
+        except tx.TxConflictError:
+            pass  # loser against a hot table is acceptable
+
+    def zorderer():
+        try:
+            tx.txlog_zorder(spark, tpath, ("g", "v"),
+                            files_per_bucket=2, bits=4,
+                            max_retries=60)
+        except tx.TxConflictError:
+            pass
+
+    threads = [run(upserter(0, 300, 111)),
+               run(upserter(300, 600, 222)),
+               run(appender), run(deleter),
+               run(compactor), run(zorderer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs, errs
+    # deterministic final content: upserted values, appended tail,
+    # deleted range gone — regardless of layout-op interleavings
+    got = {r["k"]: r["v"] for r in
+           tx.txlog_read(spark, tpath).collect()}
+    assert len(got) == 1000 - 50 + 200
+    assert all(got[k] == 111 for k in range(0, 300))
+    assert all(got[k] == 222 for k in range(300, 600))
+    assert all(got[k] == 2 * k for k in range(600, 900))
+    assert all(k not in got for k in range(900, 950))
+    assert all(got[k] == 2 * k for k in range(2000, 2200))
+    assert tx.txlog_count(tpath) == len(got)
+    # every live file journals its zone maps (index maintenance
+    # survived whichever writer landed it)
+    snap = tx.txlog_snapshot(tpath)
+    assert all(n in snap["col_stats"] or n in snap["stats"]
+               for n in snap["files"])
