@@ -2394,6 +2394,15 @@ def txlog_drop_columns(path: str, cols,
                 "the layout — txlog_rebucket to a new layout first")
         if not (have - cols):
             raise ValueError("cannot drop every column")
+        import re as _re
+
+        for cname, expr in (snap.get("checks") or {}).items():
+            for c in sorted(cols):
+                if _re.search(rf"\b{_re.escape(c)}\b", expr):
+                    raise ValueError(
+                        f"CHECK {cname!r} references {c!r}: the "
+                        "stored expression would break every later "
+                        "write — txlog_drop_check first")
         new_schema = StructType([f for f in schema.fields
                                  if f.name not in cols])
         cmap = _colmap(snap)

@@ -2658,3 +2658,15 @@ def test_concurrent_race_with_new_commit_kinds(spark, tpath):
     snap = tx.txlog_snapshot(tpath)
     assert all(n in snap["col_stats"] or n in snap["stats"]
                for n in snap["files"])
+
+
+def test_drop_column_refuses_check_referenced(spark, tpath):
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 50), ("k",), 2)
+    tx.txlog_set_check(spark, tpath, "v_even", "v % 2 = 0")
+    with pytest.raises(ValueError, match="CHECK 'v_even'"):
+        tx.txlog_drop_columns(tpath, ["v"])
+    tx.txlog_drop_check(tpath, "v_even")
+    tx.txlog_drop_columns(tpath, ["v"])
+    assert tx.txlog_read(spark, tpath).columns == ["k", "g"]
