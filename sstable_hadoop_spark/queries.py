@@ -9450,3 +9450,152 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return _window_order(_ORACLES)
+
+
+# ---------------------------------------------------------------------
+# DEFERRED queries (r11): implemented + pytest-oracle-verified, NOT yet
+# registered — the r11/r12 driver windows are exactly full (rotation
+# staleness bound; see .claude/skills/verify/SKILL.md).  To register in
+# r13+: wrap each with @query(name, oracle=_DEFERRED_ORACLES[name]).
+# ---------------------------------------------------------------------
+
+_DEFERRED_ORACLES: dict[str, str] = {}
+
+_DEFERRED_ORACLES["tpch_custdist_left"] = """
+WITH per_cust AS (
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+FROM per_cust GROUP BY n_orders
+"""
+
+
+def tpch_custdist_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape: LEFT OUTER join with a predicate on the
+    JOIN CONDITION itself (not a post-filter — customers whose only
+    orders are urgent must still count as zero), then a second
+    aggregation over the first (the order-count distribution).  The
+    join-side predicate is the part naive rewrites get wrong: pushed
+    below as a WHERE it silently drops the zero-order customers."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("c_q13")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_q13")
+    return spark.sql("""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM c_q13 c LEFT JOIN o_q13 o
+                ON o.o_custkey = c.c_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey)
+        SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+        FROM per_cust GROUP BY n_orders
+    """)
+
+
+_DEFERRED_ORACLES["tpch_only_returning_supplier"] = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_waiting
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R'
+  AND o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+"""
+
+
+def tpch_only_returning_supplier(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the columns this corpus has: suppliers
+    who were the ONLY one with returned items in a multi-supplier
+    finished order — a correlated EXISTS and a correlated NOT EXISTS
+    against the same fact table, which Catalyst must decorrelate
+    into one left-semi and one left-anti join (per-row re-scans of
+    lineitem would be O(rows × table) — the plan shape IS the
+    operator here)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("s_q21")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q21")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_q21")
+    return spark.sql("""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_waiting
+        FROM s_q21 s
+        JOIN l_q21 l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN o_q21 o ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_returnflag = 'R'
+          AND o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM l_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+    """)
+
+
+_DEFERRED_ORACLES["tpch_idle_rich_customers"] = """
+WITH cents AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+    FROM customer),
+pos AS (SELECT CAST(sum(bal_c) AS BIGINT) AS total_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cents WHERE bal_c > 0)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(c.bal_c) AS BIGINT) AS balance_c
+FROM cents c, pos
+WHERE c.c_nationkey < 10
+  AND c.bal_c * pos.n > pos.total_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+"""
+
+
+def tpch_idle_rich_customers(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: customers above the average positive
+    balance with no URGENT order (this corpus gives every customer
+    SOME order, so the classic never-ordered predicate is degenerate
+    here) — an UNCORRELATED scalar aggregate gating, plus a
+    correlated NOT EXISTS anti-join with its own predicate.  Cross-engine
+    determinism by construction: balances convert to exact cents and
+    the average test is the cross-multiplied integer inequality
+    ``bal × n > total`` — no IEEE summation-order ulp can flip a
+    boundary customer (the reason the oracle dares an average over
+    non-integral doubles at all)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("c_q22")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_q22")
+    return spark.sql("""
+        WITH cents AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_c
+            FROM c_q22),
+        pos AS (SELECT CAST(sum(bal_c) AS BIGINT) AS total_c,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM cents WHERE bal_c > 0)
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(sum(c.bal_c) AS BIGINT) AS balance_c
+        FROM cents c, pos
+        WHERE c.c_nationkey < 10
+          AND c.bal_c * pos.n > pos.total_c
+          AND NOT EXISTS (SELECT 1 FROM o_q22 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+    """)
