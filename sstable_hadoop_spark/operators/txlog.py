@@ -2077,6 +2077,64 @@ def txlog_diff(spark, path: str, v_from: int,
                                            F.lit("delete"))))
 
 
+def _skip_enc(v):
+    return v.hex() if isinstance(v, (bytes, bytearray)) else v
+
+
+def _prune_range(snap: dict, col: str, lo, hi) -> list[str]:
+    """Live files whose journaled min/max MAY overlap [lo, hi] on
+    ``col`` — files without stats (or with a probe/stat type
+    mismatch) are kept defensively; pruning is an optimization,
+    never a semantics change."""
+    primary = snap.get("stats_col")
+    pcol = _phys(_colmap(snap), col)  # indexes key PHYSICAL names
+    qlo, qhi = _skip_enc(lo), _skip_enc(hi)
+    keep = []
+    for n in sorted(snap["files"]):
+        st = (snap["stats"].get(n) if col == primary
+              else snap.get("col_stats", {}).get(n, {}).get(pcol))
+        try:
+            skip = st is not None and (st[1] < qlo or st[0] > qhi)
+        except TypeError:
+            skip = False
+        if not skip:
+            keep.append(n)
+    return keep
+
+
+def _prune_point(snap: dict, path: str, col: str,
+                 values) -> list[str]:
+    """Live files that MAY hold one of ``values`` on ``col``:
+    min/max overlap first (free), then the journaled bloom bitset;
+    missing/unreadable indexes keep the file defensively."""
+    probes = [v for v in values if v is not None]
+    pcol = _phys(_colmap(snap), col)
+    keep = []
+    for n in sorted(snap["files"]):
+        st = (snap["stats"].get(n) if col == snap.get("stats_col")
+              else snap.get("col_stats", {}).get(n, {}).get(pcol))
+        if st is not None:
+            try:
+                overlap = any(st[0] <= _skip_enc(v) <= st[1]
+                              for v in probes)
+            except TypeError:
+                overlap = True
+            if not overlap:
+                continue
+        bl = snap.get("blooms", {}).get(n, {}).get(pcol)
+        if bl is not None:
+            try:
+                bits = _bloom_bits(bl, path)
+            except OSError:
+                bits = None
+            if bits is not None and not any(
+                    bloom_might_contain(bl, v, bits=bits)
+                    for v in probes):
+                continue
+        keep.append(n)
+    return keep
+
+
 def txlog_read_range(spark, path: str, lo, hi,
                      version: int | None = None,
                      col: str | None = None) -> DataFrame:
@@ -2105,27 +2163,10 @@ def txlog_read_range(spark, path: str, lo, hi,
             f"stats_cols={snap.get('stats_cols')}) — create the "
             "table with stats_cols=(...) or read+filter plainly")
 
-    def enc(v):
-        return v.hex() if isinstance(v, (bytes, bytearray)) else v
-
-    qlo, qhi = enc(lo), enc(hi)
-    pcol = _phys(_colmap(snap), col)  # indexes key PHYSICAL names
-    keep = []
-    for n in sorted(snap["files"]):
-        st = (snap["stats"].get(n) if col == primary
-              else snap.get("col_stats", {}).get(n, {}).get(pcol))
-        try:
-            skip = st is not None and (st[1] < qlo or st[0] > qhi)
-        except TypeError:
-            # probe type mismatches the journaled stat type (e.g. an
-            # int probe against str-tagged stats): never crash the
-            # read — keep the file, the range filter still applies
-            skip = False
-        if not skip:
-            keep.append(n)
     # pruning on stats/blooms stays sound under deletion vectors
     # (a vector only removes rows, so journaled bounds stay
     # conservative); the survivors read through the DV-aware scan
+    keep = _prune_range(snap, col, lo, hi)
     df = _read_files_with_dvs(spark, path, snap, keep)
     return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -2159,39 +2200,8 @@ def txlog_read_point(spark, path: str, col: str, values,
             f"stats_col={snap.get('stats_col')!r}) — create the "
             "table with bloom_cols=(...) or read+filter plainly")
 
-    def enc(v):
-        return v.hex() if isinstance(v, (bytes, bytearray)) else v
-
-    probes = [v for v in values if v is not None]
-    pcol = _phys(_colmap(snap), col)  # indexes key PHYSICAL names
-    keep = []
-    for n in sorted(snap["files"]):
-        # stats prune first (free); bloom sidecars are only fetched
-        # for files the cheaper checks could not rule out
-        st = (snap["stats"].get(n) if col == snap.get("stats_col")
-              else snap.get("col_stats", {}).get(n, {}).get(pcol))
-        if st is not None:
-            try:
-                overlap = any(st[0] <= enc(v) <= st[1]
-                              for v in probes)
-            except TypeError:
-                # probe/stat type mismatch: read defensively rather
-                # than crash (the IN filter always applies)
-                overlap = True
-            if not overlap:
-                continue
-        bl = snap.get("blooms", {}).get(n, {}).get(pcol)
-        if bl is not None:
-            try:
-                bits = _bloom_bits(bl, path)
-            except OSError:
-                bits = None  # sidecar unreadable: read defensively
-            if bits is not None and not any(
-                    bloom_might_contain(bl, v, bits=bits)
-                    for v in probes):
-                continue
-        keep.append(n)
     flt = F.col(col).isin(*values)
+    keep = _prune_point(snap, path, col, values)
     df = _read_files_with_dvs(spark, path, snap, keep)
     return df.filter(flt)
 
@@ -2515,7 +2525,8 @@ def txlog_rename_column(path: str, old: str, new: str,
 
 def txlog_delete_rows(spark, path: str, condition,
                       max_retries: int = 20,
-                      max_delete_rows: int = _DV_MAX_ROWS
+                      max_delete_rows: int = _DV_MAX_ROWS,
+                      prune: tuple | None = None
                       ) -> tuple[int, int]:
     """DELETE WHERE via merge-on-READ deletion vectors: journal the
     row positions matching ``condition`` (a SQL boolean string or a
@@ -2536,16 +2547,39 @@ def txlog_delete_rows(spark, path: str, condition,
     for bulk erasure.  Concurrency: an ordinary conflict-checked
     commit on the affected files' buckets.  Returns ``(version,
     newly deleted row count)``; version is the unchanged head when
-    nothing matched."""
+    nothing matched.
+
+    ``prune``: cut the probe scan from O(table) to O(matching files)
+    via the journaled skipping indexes — ``("point", col, values)``
+    consults ``col``'s blooms/zone maps, ``("range", col, lo, hi)``
+    its zone maps.  The hint must IMPLY ``condition`` (every
+    matching row satisfies it): the caller states where matches can
+    live, the indexes say which files those are, and ``condition``
+    still decides row membership — so a sound hint never changes
+    semantics, exactly the read-side skipping contract.  The
+    right-to-be-forgotten shape ``condition="user_id IN (...)",
+    prune=("point", "user_id", ids)`` with a bloom on ``user_id``
+    probes only the files that may hold those users."""
     import pyarrow.parquet as pq
 
     from pyspark.sql.types import StructType
 
     cond = F.expr(condition) if isinstance(condition, str) \
         else condition
+    if prune is not None and prune[0] not in ("point", "range"):
+        raise ValueError(
+            f"prune hint must be ('point', col, values) or "
+            f"('range', col, lo, hi), got {prune[0]!r}")
     for _ in range(max_retries):
         snap = txlog_snapshot(path)
-        names = sorted(snap["files"])
+        if prune is None:
+            names = sorted(snap["files"])
+        elif prune[0] == "point":
+            names = _prune_point(snap, path, prune[1],
+                                 list(prune[2]))
+        else:
+            names = _prune_range(snap, prune[1], prune[2],
+                                 prune[3])
         if not names:
             return snap["version"], 0
         schema = StructType.fromJson(json.loads(snap["schema"]))

@@ -2670,3 +2670,41 @@ def test_drop_column_refuses_check_referenced(spark, tpath):
     tx.txlog_drop_check(tpath, "v_even")
     tx.txlog_drop_columns(tpath, ["v"])
     assert tx.txlog_read(spark, tpath).columns == ["k", "g"]
+
+
+def test_dv_delete_prune_hint_probes_matching_files_only(spark,
+                                                         tpath):
+    """A sound prune hint cuts the DV delete's probe scan to the
+    files the skipping indexes admit, with identical results; an
+    unsound-shape hint refuses."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    df = _mk_g(spark, 20000).repartition(8, "k")
+    tx.txlog_create(spark, tpath, df, ("k",), 8,
+                    bloom_cols=("g",), stats_cols=("v",))
+    total = len(tx.txlog_snapshot(tpath)["files"])
+
+    # point hint via the bloom column
+    v, n = tx.txlog_delete_rows(
+        spark, tpath, "g = 7 and k < 1000",
+        prune=("point", "g", [7]))
+    assert n == 10  # k = 7, 107, ..., 907
+    assert tx.txlog_read(spark, tpath).filter(
+        "g = 7 and k < 1000").count() == 0
+    # range hint via zone maps on v (v = 2k, files are k-clustered
+    # only by bucket hash → ranges overlap; correctness must hold
+    # regardless of how well they prune)
+    v2, n2 = tx.txlog_delete_rows(
+        spark, tpath, "v between 30000 and 30010",
+        prune=("range", "v", 30000, 30010))
+    assert n2 == 6  # even v in [30000, 30010]
+    with pytest.raises(ValueError, match="prune hint"):
+        tx.txlog_delete_rows(spark, tpath, "g = 1",
+                             prune=("bogus", "g", [1]))
+    # pruned-to-nothing: absent bloom value commits nothing
+    v3, n3 = tx.txlog_delete_rows(
+        spark, tpath, "g = 12345",
+        prune=("point", "g", [12345]))
+    assert n3 == 0 and v3 == tx.txlog_snapshot(tpath)["version"]
+    assert total == len(tx.txlog_snapshot(tpath)["files"]) \
+        + 0  # no file ever rewritten by any of this
