@@ -9349,6 +9349,392 @@ def join_skew_auto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_c").cast("long").alias("value_c"))
 
 
+# ---------------------------------------------------------------------------
+# r12 rows: the six committed r11 pytest-only surfaces get their driver
+# oracles (VERDICT r11 next-round #1; census in SKILL.md r12 note).
+# ---------------------------------------------------------------------------
+
+
+@query("docs_link_pagerank_bucketed", oracle=_pagerank_oracle(5, 50))
+def docs_link_pagerank_bucketed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """r11 pre-bucketed PageRank (operators/graph.py
+    stage_pagerank_edges + pagerank_bucketed): the edge-side shuffle
+    is paid ONCE at layout time — the fan table ``(_src, _dst, _w,
+    _d)`` lands as a catalog-declared bucketed table CLUSTERED BY
+    ``_src`` — and every iteration's edge-side join then plans ZERO
+    exchanges (plan-asserted in tests/test_graph.py); only the
+    node-sized ranks move, O(|V|) per iteration instead of O(|E|).
+    Ranks are BIT-IDENTICAL to the in-memory ``pagerank`` path (same
+    integer recursion; partitioning never changes integer results),
+    so the oracle is the SAME unrolled r0..r5 CTE chain that
+    certifies ``docs_link_pagerank`` — one oracle, two physical
+    strategies, byte-equal answers."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.graph import (
+        pagerank_bucketed,
+        stage_pagerank_edges,
+    )
+    from sstable_hadoop_spark.operators.layout import bucketed_table
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    fanout = spark.createDataFrame([(1,), (2,), (3,)], "j long")
+    edges = (docs.select("doc_id")
+                 .crossJoin(F.broadcast(n))
+                 .crossJoin(F.broadcast(fanout))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j") * 7919)
+                          % F.col("_n")).alias("dst")))
+    table = f"pagerank_fan_{h}"
+
+    def build(out: str) -> None:
+        stage_pagerank_edges(spark, edges, os.path.join(out, "fan"),
+                             table, 8)
+
+    base = _idempotent_tmpdir("pagerank_fan_" + h, build)
+    fan = bucketed_table(
+        spark, table, os.path.join(base, "fan"),
+        "_src bigint, _dst bigint, _w bigint, _d bigint",
+        ("_src",), 8, sort_by=("_src",))
+    ranks = pagerank_bucketed(fan, n_iter=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(50)
+
+
+@query("orders_scd2_bucketed_apply", oracle="""
+WITH o AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           o_orderpriority AS prio
+    FROM orders),
+base AS (SELECT * FROM o WHERE k % 7 < 6),
+snap AS (
+    SELECT k, CASE WHEN k % 5 = 0 THEN 'X' ELSE status END AS status,
+           prio
+    FROM o WHERE k % 11 <> 0)
+SELECT k, status, prio,
+       CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       CAST(valid_to_us AS BIGINT) AS valid_to_us
+FROM (
+    SELECT b.k, b.status, b.prio, 1000000 AS valid_from_us,
+           2000000 AS valid_to_us
+    FROM base b LEFT JOIN snap s ON s.k = b.k
+    WHERE s.k IS NULL OR s.status <> b.status OR s.prio <> b.prio
+    UNION ALL
+    SELECT b.k, b.status, b.prio, 1000000, NULL
+    FROM base b JOIN snap s ON s.k = b.k AND s.status = b.status
+                           AND s.prio = b.prio
+    UNION ALL
+    SELECT s.k, s.status, s.prio, 2000000, NULL
+    FROM snap s LEFT JOIN base b ON b.k = s.k
+    WHERE b.k IS NULL OR b.status <> s.status OR b.prio <> s.prio)
+""")
+def orders_scd2_bucketed_apply(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """r11 CO-LOCATED SCD2 apply (VERDICT r10 #8): the dimension AND
+    the daily snapshot live as txlog tables bucketed by the key, read
+    back through ``txlog_read_bucketed`` (catalog-declared CLUSTERED
+    BY), and ``scd2_apply(null_safe_keys=False)`` — plain ``=`` keys
+    instead of ``<=>``, which plans as coalesce/isnull partitioning
+    bucketing can never satisfy — runs its open-rows x snapshot
+    full-outer join with ZERO exchanges (plan-asserted in
+    tests/test_scd.py).  Content is IDENTICAL to the unbucketed
+    ``orders_scd2_history`` row by construction (same snapshots, same
+    stamps), so the oracle is that row's three-way categorized
+    derivation verbatim: the daily-dimension shape at 100 TB, where
+    history depth never re-shuffles, certified against the same SQL
+    as the shuffling plan."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.scd import scd2_apply, scd2_init
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read_bucketed,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    base = o.filter(F.col("k") % 7 < 6)
+    snap = (o.filter(F.col("k") % 11 != 0)
+             .withColumn("status",
+                         F.when(F.col("k") % 5 == 0, F.lit("X"))
+                          .otherwise(F.col("status"))))
+
+    def build(out: str) -> None:
+        txlog_create(spark, os.path.join(out, "dim"),
+                     scd2_init(base, as_of_us=1000000),
+                     ("k",), 8, sort_by=("k",))
+        txlog_create(spark, os.path.join(out, "snap"), snap,
+                     ("k",), 8, sort_by=("k",))
+
+    root = _idempotent_tmpdir("scd2_bkt_" + h, build)
+    dim_b = txlog_read_bucketed(spark, os.path.join(root, "dim"),
+                                f"scd2_dim_{h}")
+    snap_b = txlog_read_bucketed(spark, os.path.join(root, "snap"),
+                                 f"scd2_snap_{h}")
+    return scd2_apply(dim_b, snap_b, ["k"], as_of_us=2000000,
+                      null_safe_keys=False)
+
+
+_SEMDECON_TAU = 0.9
+
+
+def _semantic_decontaminate_oracle() -> str:
+    """Semantic-decontamination replica (the ``dedup_semantic`` CTE
+    machinery with a seeded BENCHMARK side): corpus = the embeddings
+    table; benchmark = one-component perturbations (cos ~0.999) of
+    every 13th vector.  Both sides take their argmax IVF cell (ties
+    to the larger cell — the engine's rule) over the same 16 inlined
+    md5 pseudo-centroids, and a corpus row dies iff a same-cell
+    benchmark vector scores cosine >= tau.  The tau margin is
+    structural (seeded pairs ~0.999, densest organic pair ~0.55
+    measured at every SF), so an engine ulp can never flip an
+    admission."""
+    from sstable_hadoop_spark.operators.similarity import _hyperplanes
+
+    n_centroids, dim = 16, 64
+    cents = _hyperplanes(dim, n_centroids, seed="ivf")
+    dot_cols = ",\n           ".join(
+        "(" + " + ".join(f"e[{d + 1}]*{cent[d]!r}" for d in range(dim))
+        + f") AS d_{c}"
+        for c, cent in enumerate(cents))
+    cells = ", ".join("{'d': d_%d, 'cell': %d}" % (c, c)
+                      for c in range(n_centroids))
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bench AS (
+    SELECT vec_id + 500000 AS vec_id,
+           list_concat([e[1] + 0.05], e[2:{dim}]) AS e
+    FROM corpus WHERE vec_id % 13 = 0),
+cdots AS (SELECT vec_id, {dot_cols} FROM corpus),
+bdots AS (SELECT vec_id, {dot_cols} FROM bench),
+cranked AS (
+    SELECT vec_id, u.cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY u.d DESC, u.cell DESC) AS rk
+    FROM cdots, unnest([{cells}]) AS t(u)),
+branked AS (
+    SELECT vec_id, u.cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY u.d DESC, u.cell DESC) AS rk
+    FROM bdots, unnest([{cells}]) AS t(u)),
+ccell AS (SELECT vec_id, cell FROM cranked WHERE rk = 1),
+bcell AS (SELECT vec_id, cell FROM branked WHERE rk = 1),
+dirty AS (
+    SELECT DISTINCT cc.vec_id
+    FROM ccell cc
+    JOIN bcell bc ON bc.cell = cc.cell
+    JOIN corpus c ON c.vec_id = cc.vec_id
+    JOIN bench b ON b.vec_id = bc.vec_id
+    WHERE list_cosine_similarity(c.e, b.e) >= {_SEMDECON_TAU})
+SELECT c.vec_id, CAST(cc.cell AS INTEGER) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS kept
+FROM corpus c
+JOIN ccell cc USING (vec_id)
+LEFT JOIN dirty d ON d.vec_id = c.vec_id
+"""
+
+
+@query("corpus_semantic_decontaminate",
+       oracle=_semantic_decontaminate_oracle())
+def corpus_semantic_decontaminate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """r11 embedding-space benchmark decontamination (operators/
+    corpus.py semantic_decontaminate) — the semantic twin of the
+    n-gram ``corpus_decontaminate`` row: paraphrased or reformatted
+    eval items that verbatim-overlap checks miss are caught in vector
+    space.  Corpus rows take their argmax IVF cell in pure codegen
+    (no shuffle); the benchmark — perturbed copies of every 13th
+    corpus vector, cos ~0.999 — fans to its probe cells and
+    BROADCASTS, so the candidate check is a broadcast equi-join on
+    the cell key and the corpus never shuffles (plan-asserted in
+    tests/test_extensions.py).  The audit view (flag_only) certifies
+    keeps AND drops in one row set."""
+    from sstable_hadoop_spark.operators.corpus import (
+        semantic_decontaminate,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double")).alias("embedding"))
+    bench = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+                 F.slice("embedding", 2, 63)).alias("embedding"))
+    out = semantic_decontaminate(emb, bench, tau=_SEMDECON_TAU,
+                                 flag_only=True)
+    return out.select("vec_id",
+                      F.col("cell").cast("int").alias("cell"),
+                      F.col("kept").cast("int").alias("kept"))
+
+
+@query("txlog_append_roundtrip", oracle="""
+SELECT o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+FROM orders
+""")
+def txlog_append_roundtrip(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """r11 PURE-APPEND commits (operators/txlog.py txlog_append): the
+    orders table bootstraps with k%7<5, then two appends land the
+    k%7=5 and k%7=6 slices as NEW bucket files — nothing read,
+    nothing rewritten, commit cost O(delta) at any table size, and
+    concurrent appends never conflict (pytest pins the race).  The
+    read must see base ∪ append₁ ∪ append₂ exactly — the whole
+    orders table — with rows appended AS GIVEN (append is not
+    upsert).  This is the ingest primitive the O(batch) incremental
+    consumers (diff feeds, IVM, matviews) build on."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_append,
+        txlog_create,
+        txlog_read,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+
+    def build(out: str) -> None:
+        t = os.path.join(out, "t")
+        txlog_create(spark, t, o.filter(F.col("k") % 7 < 5),
+                     ("k",), 8, sort_by=("k",))
+        txlog_append(spark, t, o.filter(F.col("k") % 7 == 5),
+                     sort_by=("k",))
+        txlog_append(spark, t, o.filter(F.col("k") % 7 == 6),
+                     sort_by=("k",))
+
+    base = _idempotent_tmpdir("txlog_append_" + h, build)
+    return txlog_read(spark, os.path.join(base, "t"))
+
+
+@query("txlog_append_stream_replay", oracle="""
+SELECT o_orderkey AS k, CAST(o_orderkey % 7 AS BIGINT) AS v
+FROM orders
+""")
+def txlog_append_stream_replay(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """r11 txn-tagged streaming append ingest (streaming/compaction.py
+    append_stream_to_txlog): a 4-file stream drains into a txlog
+    table as pure appends, each commit journaling ``(txn_app,
+    batch_id)`` — Delta's idempotent-writes pattern, because an
+    append is NOT content-idempotent and exactly-once must be
+    transactional.  The fixture then REPLAYS the whole stream from a
+    FRESH checkpoint under the same txn_app and raises inside build()
+    if the log advanced (the repair_e2e already-converged-fixture
+    pattern), so a cached green row certifies both the ingest content
+    and the replay no-op.  The read must equal the flat source —
+    every row exactly once."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_read,
+        txlog_snapshot,
+    )
+    from sstable_hadoop_spark.streaming.compaction import (
+        append_stream_to_txlog,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    rows = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 7).cast("long").alias("v"))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def build(out: str) -> None:
+        src = os.path.join(out, "src")
+        rows.repartition(4).write.parquet(src)
+        table = os.path.join(out, "t")
+
+        def drain(ckpt: str) -> None:
+            stream = (spark.readStream.schema("k long, v long")
+                      .option("maxFilesPerTrigger", "1").parquet(src))
+            q = append_stream_to_txlog(
+                stream, table, os.path.join(out, ckpt),
+                bucket_by=("k",), n_buckets=8, sort_by=("k",),
+                txn_app="driver-append")
+            q.awaitTermination()
+
+        drain("ckpt1")
+        v1 = txlog_snapshot(table)["version"]
+        drain("ckpt2")  # full replay from a fresh checkpoint
+        if txlog_snapshot(table)["version"] != v1:
+            raise AssertionError(
+                "replayed append advanced the log: exactly-once broke")
+
+    base = _idempotent_tmpdir("txlog_appstream_" + h, build)
+    return txlog_read(spark, os.path.join(base, "t"))
+
+
+@query("stats_ols_degenerate", oracle="""
+WITH src AS (
+    SELECT l_returnflag,
+           CASE WHEN l_returnflag = 'A' THEN CAST(7 AS BIGINT)
+                ELSE CAST(floor(l_quantity + 0.5) AS BIGINT)
+           END AS x,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+s AS (
+    SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM src GROUP BY l_returnflag),
+c AS (
+    SELECT l_returnflag, n, sx, sy,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den
+    FROM s)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN den != 0
+            THEN CAST((num * 1000000) // den AS BIGINT) END
+           AS slope_micro,
+       CASE WHEN den != 0
+            THEN CAST((sy * 1000000
+                       - ((num * 1000000) // den) * sx) // n AS BIGINT)
+            END AS intercept_micro,
+       den = 0 AS degenerate
+FROM c
+""")
+def stats_ols_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 degenerate-fit flagging (ADVICE r10; operators/stats.py
+    ols_fit ``flag_degenerate=True``): NULL coefficients have TWO
+    causes — a degenerate group (den = 0: constant x, or n < 2, no
+    fit exists) vs DECIMAL(38,0) overflow (the fit exists but the
+    integer spec can't express it) — and the flag separates them so
+    ``slope_micro IS NULL AND NOT degenerate`` identifies overflow.
+    Return flag 'A' regresses on a CONSTANT x (den = n·49n − 49n² =
+    0 exactly), pinning the degenerate branch; the other flags fit
+    normally, pinning that the flag rides along without disturbing
+    the certified integer spec."""
+    from sstable_hadoop_spark.operators.stats import ols_fit
+
+    li = load(spark, sf_dir, "lineitem")
+    x = (F.when(F.col("l_returnflag") == "A", F.lit(7).cast("long"))
+          .otherwise(F.floor(F.col("l_quantity") + 0.5).cast("long")))
+    return ols_fit(
+        li.filter(F.col("l_quantity").isNotNull()
+                  & F.col("l_extendedprice").isNotNull()),
+        "l_returnflag", x,
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+        flag_degenerate=True)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``all_queries()``.  Registration order above is topical, so the
 # window is COMPUTED each round (VERDICT r7 #1 — the hand-curated list
@@ -9372,17 +9758,18 @@ def join_skew_auto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SMALL (<=10) or the rotation loses its staleness bound.
 _ROUND_PRIORITY: tuple[str, ...] = (
     "flagship_lww_merge",        # permanent regression anchor
-    # r11: the window is EXACTLY full again — 6 never-green rows (the
-    # r10 pytest-only queue: txlog_zone_map_range, txlog_ivm_left_
-    # rollup, txlog_ivm_distinct_hll, replica_repair_e2e, streaming_
-    # ewma_smooth, join_skew_auto_users) + this anchor + the 43
-    # rotation-due r7-green rows = 50, so NOTHING else may ride
-    # priority this round.  Deliberately NOT listed despite touched
-    # code: events_ewma_smooth / streaming rows (the r11 EWMA fold
-    # vectorization is bit-identity-pinned by pytest stream==batch
-    # and the sf0.01 parity gate) and txlog_point_lookup (the bloom
-    # build batching changes staging cost, not bits — same pins).
-    # Their rotation slots come up r12/r13 inside the 4-round bound.
+    # r12: the window is EXACTLY full once more — 6 never-green rows
+    # (the committed r12 registrations: docs_link_pagerank_bucketed,
+    # orders_scd2_bucketed_apply, corpus_semantic_decontaminate,
+    # txlog_append_roundtrip, txlog_append_stream_replay,
+    # stats_ols_degenerate) + this anchor + the 43 rotation-due
+    # r8-green rows = 50, so NOTHING else may ride priority this
+    # round.  Deliberately NOT listed despite touched code: the
+    # matview/txlog_stream/txlog ADVICE-r11 fixes land where no
+    # driver row reads yet (their rows queue for r13 per SKILL.md),
+    # and the DV executor-side rework is bit-identity-pinned by the
+    # txlog pytest model checks + the sf0.01 parity gate.  The 44
+    # r9-green rows come due r13 inside the 4-round bound.
 )
 
 
