@@ -41,19 +41,66 @@ from .txlog import (
 MATVIEW_APP = "matview-refresh"
 
 
+#: Below this many journaled base rows a FULL recompute beats the
+#: incremental fold at local[32] (PERF r11 scale_r11h: the
+#: incremental side is a fixed ~2-4 s of snapshot/diff/commit
+#: machinery, flat in base size, while recompute tracks the base —
+#: crossover ~sf3-5 ≈ 4-7M rows).  Metadata-only signal (the
+#: journaled per-file row counts); tables predating the rows journal
+#: fall back to the incremental path, which is always correct.
+_FULL_REBUILD_ROWS = 4_000_000
+#: Above this fraction of base files changed inside the refresh
+#: window, the "incremental" diff reads most of the table anyway
+#: (wide delta — PERF r10's 32/32-bucket worst case) and recompute
+#: wins regardless of base size.
+_FULL_REBUILD_FRAC = 0.5
+
+
+def _pick_strategy(base_path: str, cur: int, head: int) -> str:
+    """``"full"`` or ``"incremental"``, from METADATA only: journaled
+    row counts (small base → recompute) and the changed-file fraction
+    across the window (wide delta → recompute)."""
+    new = txlog_snapshot(base_path, head)
+    rows = new.get("rows") or {}
+    if rows and len(rows) == len(new["files"]) \
+            and sum(rows.values()) < _FULL_REBUILD_ROWS:
+        return "full"
+    old = txlog_snapshot(base_path, cur)
+    o, n = set(old["files"]), set(new["files"])
+    changed = len(o ^ n)
+    if changed > _FULL_REBUILD_FRAC * max(1, len(n)):
+        return "full"
+    return "incremental"
+
+
 def matview_refresh(spark, view_path: str, base_path: str,
                     group_by: list[str], sum_cols: list[str],
-                    n_buckets: int = 4) -> tuple[int, bool]:
+                    n_buckets: int = 4,
+                    strategy: str = "auto") -> tuple[int, bool]:
     """Create-or-refresh the rollup view of ``base_path`` at
     ``view_path``.  First call full-builds (one base scan); later
     calls fold only the base's change feed since the journaled
-    cursor.  Returns ``(base version now reflected, whether work
-    happened)`` — a no-op when the base hasn't committed since the
-    last refresh.
+    cursor — or, under ``strategy="auto"`` (default), fall back to a
+    full recompute when metadata says it is cheaper (small base, or
+    a window that changed most files: :func:`_pick_strategy`, the
+    measured PERF r11 crossover).  ``strategy="incremental"`` /
+    ``"full"`` force a side.  Returns ``(base version now reflected,
+    whether work happened)`` — a no-op when the base hasn't
+    committed since the last refresh.
 
-    Safe under replays and racing refreshers: the winning refresh
-    journals the cursor transactionally; the loser's identical
-    window turns into a duplicate-tag no-op."""
+    Safe under replays and racing refreshers: the cursor AND the
+    stored content are derived from ONE view snapshot (ADVICE r11 —
+    two separate reads let a racing refresher commit in between, and
+    this refresher would fold its window into a view that already
+    reflected part of it, double-counting), the winning refresh
+    journals the cursor transactionally inside the overwrite, and a
+    rival whose high-water already covers our window turns our
+    commit into a no-op (the dedup check rides the overwrite's
+    retry loop, so mid-flight races resolve the same way)."""
+    if strategy not in ("auto", "incremental", "full"):
+        raise ValueError(
+            f"strategy must be auto|incremental|full, got "
+            f"{strategy!r}")
     head = txlog_snapshot(base_path)["version"]
     if not txlog_exists(view_path):
         full = txlog_rollup(spark, base_path, group_by, sum_cols,
@@ -61,7 +108,8 @@ def matview_refresh(spark, view_path: str, base_path: str,
         txlog_create(spark, view_path, full, tuple(group_by),
                      n_buckets, txn=(MATVIEW_APP, head))
         return head, True
-    cur = txlog_txn_high_water(view_path, MATVIEW_APP)
+    vsnap = txlog_snapshot(view_path)
+    cur = int(vsnap.get("txns", {}).get(MATVIEW_APP, -1))
     if cur < 0:
         raise ValueError(
             f"{view_path} exists but journals no {MATVIEW_APP!r} "
@@ -69,10 +117,19 @@ def matview_refresh(spark, view_path: str, base_path: str,
             "the view at a fresh path")
     if head <= cur:
         return cur, False
-    stored = txlog_read(spark, view_path)
-    fresh = txlog_incremental_rollup(spark, base_path, stored,
-                                     group_by, sum_cols,
-                                     v_from=cur, v_to=head)
+    if strategy == "auto":
+        strategy = _pick_strategy(base_path, cur, head)
+    if strategy == "full":
+        fresh = txlog_rollup(spark, base_path, group_by, sum_cols,
+                             version=head)
+    else:
+        # the stored content is read at the SAME view version the
+        # cursor came from — never the live head
+        stored = txlog_read(spark, view_path,
+                            version=vsnap["version"])
+        fresh = txlog_incremental_rollup(spark, base_path, stored,
+                                         group_by, sum_cols,
+                                         v_from=cur, v_to=head)
     txlog_overwrite(spark, view_path, fresh,
                     txn=(MATVIEW_APP, head))
     return head, True

@@ -70,6 +70,12 @@ _ADDITIVE_OPS = frozenset({"create", "append", "clone", "adopt"})
 class TxlogFeedPartition(InputPartition):
     file: str
     version: int
+    #: the commit's deletion-vector journal ENTRY for this file
+    #: (inline base64 blob or sidecar name), applied executor-side in
+    #: read() — a clone/restore commit can journal vectors on the
+    #: files it adds (ADVICE r11: scanning those adds raw would
+    #: silently resurrect the deleted rows)
+    dv: dict | None = None
 
 
 def _table_schema(path: str) -> StructType:
@@ -177,8 +183,10 @@ class TxlogFeedStreamReader(DataSourceStreamReader):
                         "re-emit its added files as inserts (Delta "
                         "ignoreChanges semantics, duplicates "
                         "included), or consume txlog_diff batches")
+            dvs = c.get("dvs") or {}
             parts.extend(
-                TxlogFeedPartition(os.path.join(self.path, name), v)
+                TxlogFeedPartition(os.path.join(self.path, name), v,
+                                   dvs.get(name))
                 for name, _b in c.get("adds", ()))
         return parts
 
@@ -202,6 +210,27 @@ class TxlogFeedStreamReader(DataSourceStreamReader):
                 "must cover streaming lag; restart the stream from a "
                 "fresh checkpoint to resume from the current head"
             ) from exc
+        if partition.dv:
+            # the commit journaled a deletion vector on this added
+            # file (clone/restore): emitting the file raw would
+            # resurrect the vector-deleted rows, so subtract the
+            # positions here — row order of a whole-file read matches
+            # the journaled row indexes by construction
+            import base64
+            import zlib
+
+            import numpy as np
+
+            entry = partition.dv
+            blob = (base64.b64decode(entry["v"]) if "v" in entry
+                    else fs.read_bytes(os.path.join(
+                        os.path.dirname(partition.file),
+                        entry["sidecar"])))
+            dead = np.frombuffer(zlib.decompress(blob), dtype="<i8")
+            keep = np.setdiff1d(
+                np.arange(table.num_rows, dtype="<i8"), dead,
+                assume_unique=True)
+            table = table.take(pa.array(keep))
         cols = []
         names = []
         for f in self.schema.fields:

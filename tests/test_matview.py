@@ -104,3 +104,101 @@ def test_overwrite_swaps_content_atomically(spark, tmp_path):
     vv = tx.txlog_snapshot(p)["version"]
     assert tx.txlog_overwrite(spark, p, new, txn=("job", 9)) == vv
     assert tx.txlog_snapshot(p)["version"] == vv
+
+
+# --- r12: single-snapshot refresh basis + auto strategy ---------------------
+
+
+def test_matview_refresh_basis_is_one_snapshot(spark, tmp_path,
+                                               monkeypatch):
+    """ADVICE r11: the refresh cursor and the stored view content
+    must come from ONE view snapshot — the incremental path reads
+    the view at the SAME pinned version its cursor came from, never
+    the live head (a racing refresher committing in between would
+    otherwise be double-counted)."""
+    from sstable_hadoop_spark.operators import matview as mv
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    bp, vp = str(tmp_path / "base"), str(tmp_path / "view")
+    tx.txlog_create(spark, bp, _mk(spark, 0, 500), ("k",), 4)
+    mv.matview_refresh(spark, vp, bp, ["g"], ["x"])
+    tx.txlog_append(spark, bp, _mk(spark, 500, 600))
+
+    pinned = tx.txlog_snapshot(vp)["version"]
+    seen = {}
+    real = mv.txlog_read
+
+    def spy(spark_, path, version=None):
+        if path == vp:
+            seen["version"] = version
+        return real(spark_, path, version)
+
+    monkeypatch.setattr(mv, "txlog_read", spy)
+    v, did = mv.matview_refresh(spark, vp, bp, ["g"], ["x"],
+                                strategy="incremental")
+    assert did
+    assert seen["version"] == pinned
+    assert _view(spark, vp) == _truth(spark, bp)
+
+
+def test_matview_lagging_refresher_is_noop(spark, tmp_path):
+    """A refresher whose window a rival already covered (higher
+    journaled high-water) must turn into a NO-OP instead of
+    clobbering the further-along content — the dedup check rides
+    txlog_overwrite's retry loop (ADVICE r11)."""
+    from sstable_hadoop_spark.operators import matview as mv
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    bp, vp = str(tmp_path / "base"), str(tmp_path / "view")
+    tx.txlog_create(spark, bp, _mk(spark, 0, 500), ("k",), 4)
+    mv.matview_refresh(spark, vp, bp, ["g"], ["x"])
+    tx.txlog_append(spark, bp, _mk(spark, 500, 600))   # base v2
+    tx.txlog_append(spark, bp, _mk(spark, 600, 700))   # base v3
+    # rival B refreshes through head (v3)
+    mv.matview_refresh(spark, vp, bp, ["g"], ["x"])
+    vv = tx.txlog_snapshot(vp)["version"]
+    content = _view(spark, vp)
+    # slow refresher A computed a v2-window overwrite before B landed
+    stale = tx.txlog_rollup(spark, bp, ["g"], ["x"], version=2)
+    tx.txlog_overwrite(spark, vp, stale, txn=(mv.MATVIEW_APP, 2))
+    assert tx.txlog_snapshot(vp)["version"] == vv  # no new commit
+    assert _view(spark, vp) == content             # B's content kept
+
+
+def test_matview_auto_strategy_picks_by_metadata(spark, tmp_path,
+                                                 monkeypatch):
+    """VERDICT r11 #5: strategy='auto' full-rebuilds below the
+    measured row crossover and on wide deltas, goes incremental on
+    narrow appends over big-enough bases — and every strategy yields
+    identical content."""
+    from sstable_hadoop_spark.operators import matview as mv
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    bp, vp = str(tmp_path / "base"), str(tmp_path / "view")
+    tx.txlog_create(spark, bp, _mk(spark, 0, 900), ("k",), 4)
+    mv.matview_refresh(spark, vp, bp, ["g"], ["x"])
+    tx.txlog_append(spark, bp, _mk(spark, 900, 950))
+    # tiny base → full recompute
+    assert mv._pick_strategy(bp, 1, 2) == "full"
+    # pretend the base is past the crossover: narrow append →
+    # incremental; a window that changed most files → full
+    monkeypatch.setattr(mv, "_FULL_REBUILD_ROWS", 1)
+    assert mv._pick_strategy(bp, 1, 2) == "incremental"
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+
+    tx.txlog_upsert(spark, bp, _mk(spark, 0, 950, v=2), merge,
+                    ("k",), 4)  # rewrites every bucket
+    assert mv._pick_strategy(bp, 2, 3) == "full"
+    # all three strategies agree on content
+    for s in ("auto", "full"):
+        v, did = mv.matview_refresh(spark, vp, bp, ["g"], ["x"],
+                                    strategy=s)
+        if did:
+            assert _view(spark, vp) == _truth(spark, bp)
+    assert _view(spark, vp) == _truth(spark, bp)
+    with pytest.raises(ValueError, match="strategy"):
+        mv.matview_refresh(spark, vp, bp, ["g"], ["x"],
+                           strategy="bogus")

@@ -273,3 +273,27 @@ def test_delete_stream_composite_keys(spark, tmp_path):
     left = {r["k"] for r in tx.txlog_read(spark, p).collect()}
     assert 5 not in left and 6 in left
     assert tx.txlog_count(p) == 99
+
+
+def test_stream_of_cloned_dv_table_applies_vectors(spark, tmp_path):
+    """ADVICE r11: a clone commit journals the source's deletion
+    vectors on the files it adds — streaming the clone must SUBTRACT
+    those positions (executor-side, from the commit's journal entry),
+    never silently resurrect the deleted rows, and without any
+    ignore_deletes opt-in (the feed emits only live rows; nothing is
+    being retracted)."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    src, dst, out, ck = (str(tmp_path / d)
+                         for d in ("src", "dst", "out", "ck"))
+    tx.txlog_create(spark, src, _mk(spark, 0, 400), ("k",), 2)
+    tx.txlog_delete_rows(spark, src, "g = 3")
+    tx.txlog_clone(spark, src, dst)
+    _drain(spark, dst, out, ck)
+    got = sorted((x["k"], x["g"]) for x in
+                 spark.read.parquet(out).collect())
+    want = sorted(tuple(x) for x in
+                  tx.txlog_read(spark, dst).collect())
+    assert got == want
+    assert not [r for r in got if r[1] == 3]
+    assert len(got) == 360
