@@ -9986,3 +9986,226 @@ def tpch_idle_rich_customers(spark: SparkSession,
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY c.c_nationkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# DEFERRED r13 txlog/matview rows (r12): implemented + pytest-oracle-
+# verified (tests/test_txlog_deferred.py), NOT yet registered — the r12
+# window is exactly full (6 new + flagship + 43 rotation-due).  To
+# register in r13: wrap with @query(name, oracle=_DEFERRED_ORACLES[name]).
+# ---------------------------------------------------------------------------
+
+_DEFERRED_ORACLES["txlog_dv_delete_roundtrip"] = """
+SELECT o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+FROM orders
+WHERE NOT (o_custkey % 13 = 4 OR o_orderkey % 1000 = 77)
+"""
+
+
+def txlog_dv_delete_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """r11 merge-on-READ deletion vectors (operators/txlog.py
+    txlog_delete_rows): two stacked scattered deletes journal
+    position vectors — ZERO files rewritten, commit cost O(matched
+    rows) — and every read path subtracts them executor-side
+    (the r12 `_dv_entries_df` rework).  The fixture asserts inside
+    build() that no data file was rewritten by either delete AND that
+    time travel to the pre-delete version still sees every row (the
+    already-converged-fixture pattern); the driver row then certifies
+    the live content against the plain anti-filter SQL."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_delete_rows,
+        txlog_read,
+        txlog_snapshot,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+
+    def build(out: str) -> None:
+        t = os.path.join(out, "t")
+        txlog_create(spark, t, o, ("k",), 8, sort_by=("k",))
+        n0 = len(txlog_snapshot(t)["files"])
+        txlog_delete_rows(spark, t, "cust % 13 = 4")
+        txlog_delete_rows(spark, t, "k % 1000 = 77")
+        snap = txlog_snapshot(t)
+        if len(snap["files"]) != n0 or not snap["dvs"]:
+            raise AssertionError(
+                "DV delete rewrote files or journaled no vectors")
+        if txlog_read(spark, t, version=1).count() != o.count():
+            raise AssertionError("time travel lost pre-delete rows")
+
+    base = _idempotent_tmpdir("txlog_dvrt_" + h, build)
+    return txlog_read(spark, os.path.join(base, "t"))
+
+
+_DEFERRED_ORACLES["txlog_zorder_range"] = """
+SELECT 'cust' AS probe, o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+FROM orders WHERE o_custkey BETWEEN 100 AND 500
+UNION ALL
+SELECT 'price' AS probe, o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+FROM orders
+WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      BETWEEN 1000000 AND 1300000
+"""
+
+
+def txlog_zorder_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 OPTIMIZE ZORDER (operators/txlog.py txlog_zorder): the
+    orders table re-clustered on (cust, price_c) into Morton
+    PREFIX-cell files, then range-probed on EACH clustered column —
+    the z-order point is that both prune symmetrically (measured
+    FLAT 128/512 files at 1x and 10x data, PERF r11).  Correctness
+    contract under certification: pruning is an optimization only
+    (zone-map misses read defensively, the BETWEEN filter always
+    applies), so each probe equals the oracle's plain scan+filter."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read_range,
+        txlog_zorder,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("price_c"))
+
+    def build(out: str) -> None:
+        t = os.path.join(out, "t")
+        txlog_create(spark, t, o, ("k",), 4,
+                     stats_cols=("cust", "price_c"))
+        txlog_zorder(spark, t, ("cust", "price_c"),
+                     files_per_bucket=4, bits=6)
+
+    base = _idempotent_tmpdir("txlog_zr_" + h, build)
+    t = os.path.join(base, "t")
+    a = (txlog_read_range(spark, t, 100, 500, col="cust")
+         .select(F.lit("cust").alias("probe"), "k", "cust",
+                 "price_c"))
+    b = (txlog_read_range(spark, t, 1_000_000, 1_300_000,
+                          col="price_c")
+         .select(F.lit("price").alias("probe"), "k", "cust",
+                 "price_c"))
+    return a.unionByName(b)
+
+
+_DEFERRED_ORACLES["matview_refresh_row"] = """
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_total_c
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def matview_refresh_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 materialized rollup view with exactly-once cursor refresh
+    (operators/matview.py): the view full-builds from the base's
+    first 80 percent, the base then takes a pure append of the rest, and
+    ONE incremental refresh folds the change feed — the stored view
+    must equal the GROUP BY over the complete base.  build() also
+    pins the replay no-op (a second refresh of the same window must
+    not commit) and the fixture certifies the r12 single-snapshot
+    refresh basis end-to-end."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.matview import (
+        matview_read,
+        matview_refresh,
+    )
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_append,
+        txlog_create,
+        txlog_snapshot,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+
+    def build(out: str) -> None:
+        bp = os.path.join(out, "base")
+        vp = os.path.join(out, "view")
+        txlog_create(spark, bp, o.filter(F.col("k") % 5 != 0),
+                     ("k",), 8)
+        matview_refresh(spark, vp, bp, ["prio"], ["total_c"])
+        txlog_append(spark, bp, o.filter(F.col("k") % 5 == 0))
+        v, did = matview_refresh(spark, vp, bp, ["prio"],
+                                 ["total_c"], strategy="incremental")
+        if not did:
+            raise AssertionError("refresh skipped a dirty window")
+        vv = txlog_snapshot(vp)["version"]
+        if matview_refresh(spark, vp, bp, ["prio"],
+                           ["total_c"])[1]:
+            raise AssertionError("replayed refresh was not a no-op")
+        if txlog_snapshot(vp)["version"] != vv:
+            raise AssertionError("replayed refresh advanced the log")
+
+    base = _idempotent_tmpdir("matview_row_" + h, build)
+    return (matview_read(spark, os.path.join(base, "view"))
+            .select("prio", F.col("n_rows").cast("long"),
+                    F.col("sum_total_c").cast("long")))
+
+
+_DEFERRED_ORACLES["txlog_count_row"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows
+FROM orders WHERE NOT (o_custkey % 9 = 2)
+"""
+
+
+def txlog_count_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 metadata-served COUNT(*) (operators/txlog.py txlog_count):
+    the journaled per-file row counts minus the pending deletion-
+    vector counts give the exact live count with NO Spark job (sub-ms
+    vs a table scan, PERF r11) — certified here against SQL's
+    COUNT(*) over the same anti-filtered content.  The fixture
+    includes a DV delete so the row pins the rows-minus-vectors fold,
+    and build() cross-checks the metadata count against an actual
+    scan once at build time."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_count,
+        txlog_create,
+        txlog_delete_rows,
+        txlog_read,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"))
+
+    def build(out: str) -> None:
+        t = os.path.join(out, "t")
+        txlog_create(spark, t, o, ("k",), 8)
+        txlog_delete_rows(spark, t, "cust % 9 = 2")
+        if txlog_count(t) != txlog_read(spark, t).count():
+            raise AssertionError(
+                "metadata count disagrees with the scan")
+
+    base = _idempotent_tmpdir("txlog_cnt_" + h, build)
+    n = txlog_count(os.path.join(base, "t"))
+    return spark.createDataFrame([(int(n),)], "n_rows long")
