@@ -18,8 +18,11 @@ with ``n_rows`` and ``sum_<c>`` columns.  Each refresh:
 
 At 100 TB the refresh cost tracks the day's commits, not the table:
 the base-side reads are the diff's file-granular batch, and the view
-side is rollup-sized.  Compare `streaming/` for push-based variants;
-this is the pull-based nightly shape.
+side is rollup-sized.  Below the measured crossover (small bases, or
+windows that changed most files) a FULL recompute is cheaper than the
+fixed diff/commit machinery — ``strategy="auto"`` (default) picks the
+side from metadata per refresh (PERF r11/r12).  Compare `streaming/`
+for push-based variants; this is the pull-based nightly shape.
 """
 
 from __future__ import annotations

@@ -36,9 +36,13 @@ Options:
   with_version             append a `_commit_version` long column
 
 Reads run on executors (one partition per added file, pyarrow →
-arrow-batch transfer); the driver only folds the log.  Vacuum
-retention must cover stream lag: a replayed batch whose files were
-reclaimed fails loudly, exactly like Delta.
+arrow-batch transfer); the driver only folds the log.  A commit that
+journals deletion vectors ON ITS OWN ADDS (a clone of a vectored
+table, a restore) has those vectors applied inside ``read()`` — the
+feed emits only the live rows, with no ``ignore_deletes`` opt-in
+needed, because nothing is being retracted (r12).  Vacuum retention
+must cover stream lag: a replayed batch whose files were reclaimed
+fails loudly, exactly like Delta.
 """
 
 from __future__ import annotations

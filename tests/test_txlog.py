@@ -2890,3 +2890,28 @@ def test_bloom_vectorized_crc_byte_identity():
     # empty distinct set: all-zero bitset either way
     e, eo = tx._canon_ragged(pa.array([], pa.string()))
     assert tx._bloom_bitset_ragged(e, eo, m) == bytes(m // 8)
+
+
+def test_crc32_vec_property_random_bytes():
+    """Property pin for the vectorized CRC kernel over ARBITRARY
+    byte strings (not just canon shapes): random lengths 0..64,
+    all byte values, both seeds, against zlib directly."""
+    import random
+    import zlib
+
+    import numpy as np
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    rng = random.Random(20260816)
+    vals = [bytes(rng.randrange(256)
+                  for _ in range(rng.choice([0, 1, 2, 3, 5, 8, 13,
+                                             21, 34, 64])))
+            for _ in range(3000)]
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    off = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in vals], out=off[1:])
+    for seed in (0, 0x9E3779B9, 1, 0xFFFFFFFF):
+        (got,) = tx._crc32_vec(data, off, seeds=(seed,))
+        want = [zlib.crc32(v, seed) for v in vals]
+        assert got.tolist() == want, f"seed {seed:#x}"
