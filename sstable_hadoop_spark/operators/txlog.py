@@ -2225,6 +2225,91 @@ def txlog_maintain(spark, path: str,
     return out
 
 
+def txlog_table_health(path: str, version: int | None = None,
+                       small_file_rows: int = 10_000) -> dict:
+    """METADATA-ONLY table health report — the decision input a
+    maintenance scheduler reads BEFORE deciding whether tonight's
+    :func:`txlog_maintain` is worth a cluster (r12): everything folds
+    from the snapshot and the log listing, no Spark session and no
+    data byte touched, so it costs the same on a 1 GB table and a
+    100 TB one.
+
+    Returns a dict with:
+
+    * ``version`` / ``n_files`` / ``n_buckets`` and the per-bucket
+      file spread (``files_per_bucket_max`` > 1 means read
+      amplification an OPTIMIZE would fold);
+    * ``rows_total`` (exact live rows = journaled footer counts minus
+      pending deletion-vector counts; ``None`` when pre-upgrade
+      commits lack the rows journal) and ``small_files`` (journaled
+      rows under ``small_file_rows`` — bin-packing candidates);
+    * ``dv_files`` / ``dv_rows_pending`` and ``dv_read_mode`` — which
+      anti-join regime the CURRENT pending total buys reads
+      (``"broadcast"`` at or under ``_DV_BROADCAST_POS``, else
+      ``"shuffle"``): the signal that vectors have accumulated past
+      the cheap regime and a materializing compact is due;
+    * protocol/metadata state: ``min_reader``, ``checks``,
+      ``column_mapped``, declarations;
+    * ``log_tail_commits`` — commits past the newest usable
+      checkpoint (replay cost of the next cold snapshot);
+    * ``recommendations`` — ordered maintenance actions the numbers
+      justify (``"compact"``, ``"vacuum_check"``), empty when the
+      table is clean.  Advisory only: this function never writes."""
+    snap = txlog_snapshot(path, version)
+    commits, checkpoints = _list_log(path)
+    per_bucket: dict[int, int] = {}
+    for _n, b in snap["files"].items():
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    rows = snap.get("rows") or {}
+    have_rows = len(rows) == len(snap["files"]) and snap["files"]
+    dvs = snap.get("dvs") or {}
+    dv_pending = sum(int(e.get("count", 0)) for e in dvs.values())
+    rows_total = (sum(rows.values()) - dv_pending if have_rows
+                  else None)
+    small = ([n for n, r in rows.items()
+              if r < small_file_rows] if have_rows else [])
+    usable_cp = [v for v in checkpoints if v <= snap["version"]]
+    tail = snap["version"] - (usable_cp[-1] if usable_cp else 0)
+    fpb_max = max(per_bucket.values(), default=0)
+    recs = []
+    # compact pays only where it would actually fold something:
+    # pending vectors (materialize), a fragmented bucket, or a
+    # mostly-small table that IS fragmented (1-file-per-bucket small
+    # files are a layout choice, not fragmentation — min_files=2
+    # would no-op them)
+    if dvs or fpb_max >= 4 \
+            or (fpb_max >= 2
+                and len(small) > len(snap["files"]) // 2):
+        recs.append("compact")
+    if commits and snap["version"] - commits[0] \
+            > 10 * CHECKPOINT_EVERY:
+        recs.append("vacuum_check")
+    return {
+        "version": snap["version"],
+        "n_files": len(snap["files"]),
+        "n_buckets": snap["n_buckets"],
+        "files_per_bucket_max": fpb_max,
+        "files_per_bucket_avg": (len(snap["files"])
+                                 / max(1, len(per_bucket))),
+        "rows_total": rows_total,
+        "small_files": len(small),
+        "dv_files": len(dvs),
+        "dv_rows_pending": dv_pending,
+        "dv_read_mode": ("broadcast"
+                         if dv_pending <= _DV_BROADCAST_POS
+                         else "shuffle"),
+        "min_reader": int(snap.get("min_reader", 1)),
+        "checks": sorted(snap.get("checks") or {}),
+        "column_mapped": bool(_colmap(snap)),
+        "bucket_by": list(snap["bucket_by"] or []),
+        "sort_by": list(snap.get("sort_by") or []),
+        "bloom_cols": list(snap.get("bloom_cols") or []),
+        "stats_cols": list(snap.get("stats_cols") or []),
+        "log_tail_commits": tail,
+        "recommendations": recs,
+    }
+
+
 def txlog_diff(spark, path: str, v_from: int,
                v_to: int | None = None) -> DataFrame:
     """Change feed between two versions: the table rows ADDED and

@@ -2915,3 +2915,53 @@ def test_crc32_vec_property_random_bytes():
         (got,) = tx._crc32_vec(data, off, seeds=(seed,))
         want = [zlib.crc32(v, seed) for v in vals]
         assert got.tolist() == want, f"seed {seed:#x}"
+
+
+def test_table_health_reports_and_recommends(spark, tpath):
+    """r12 `txlog_table_health`: a METADATA-only ops report (no Spark
+    arg, no data read) whose numbers track the table through its
+    lifecycle — fragmented create (compact recommended), compacted
+    (clean), DV accumulation (read-mode signal + compact
+    recommendation), post-compact recovery — and whose
+    recommendations never write anything."""
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    tx.txlog_create(spark, tpath, _mk_g(spark, 20000), ("k",), 4,
+                    bloom_cols=("g",), stats_cols=("v",))
+    h = tx.txlog_table_health(tpath)
+    assert h["version"] == 1 and h["n_buckets"] == 4
+    assert h["rows_total"] == 20000 and h["dv_rows_pending"] == 0
+    assert h["dv_read_mode"] == "broadcast"
+    assert h["min_reader"] == 1 and not h["column_mapped"]
+    assert h["bloom_cols"] == ["g"] and h["stats_cols"] == ["v"]
+    # an unshuffled create is genuinely fragmented (task x bucket
+    # files): the report says so
+    assert h["files_per_bucket_max"] > 1
+    assert h["recommendations"] == ["compact"]
+    tx.txlog_compact(spark, tpath, min_files=2)
+    hc = tx.txlog_table_health(tpath)
+    assert hc["files_per_bucket_max"] == 1 and hc["n_files"] == 4
+    assert hc["rows_total"] == 20000
+    assert hc["recommendations"] == []
+    # vectors accumulate: pending counts, compact recommended, and
+    # the read-mode signal flips once past the broadcast bound
+    tx.txlog_delete_rows(spark, tpath, "g < 10")
+    h2 = tx.txlog_table_health(tpath)
+    assert h2["dv_files"] > 0 and h2["dv_rows_pending"] == 2000
+    assert h2["rows_total"] == 18000
+    assert "compact" in h2["recommendations"]
+    import unittest.mock as mock
+
+    with mock.patch.object(tx, "_DV_BROADCAST_POS", 100):
+        assert tx.txlog_table_health(tpath)["dv_read_mode"] \
+            == "shuffle"
+    # checks + protocol state surface; compact clears the DV signal
+    tx.txlog_set_check(spark, tpath, "v_pos", "v >= 0")
+    tx.txlog_compact(spark, tpath, min_files=1)
+    h3 = tx.txlog_table_health(tpath)
+    assert h3["dv_rows_pending"] == 0 and h3["dv_files"] == 0
+    assert h3["checks"] == ["v_pos"] and h3["min_reader"] == 2
+    assert "compact" not in h3["recommendations"]
+    # time travel: the report folds at any version
+    assert tx.txlog_table_health(tpath, version=2)[
+        "dv_rows_pending"] == 0
