@@ -10209,3 +10209,98 @@ def txlog_count_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _idempotent_tmpdir("txlog_cnt_" + h, build)
     n = txlog_count(os.path.join(base, "t"))
     return spark.createDataFrame([(int(n),)], "n_rows long")
+
+
+# ---------------------------------------------------------------------------
+# DEFERRED r14 TPC-H shapes (r12): the queue keeps a round of headroom —
+# these register whenever the rotation census frees slots.
+# ---------------------------------------------------------------------------
+
+_DEFERRED_ORACLES["tpch_late_shipment_priorities"] = """
+SELECT o.o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderkey % 4 = 1
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+def tpch_late_shipment_priorities(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape: per-priority count of orders with at least
+    one late-shipping lineitem — a correlated EXISTS whose inner
+    predicate compares columns from BOTH relations
+    (``l_shipdate > o_orderdate``), so the decorrelation must carry
+    the outer column into the semi-join condition, not just the key
+    (the part per-row re-execution rewrites get catastrophically
+    wrong at scale).  The corpus has no commit/receipt dates; the
+    late-shipment predicate keeps Q4's exact operator shape.  The
+    o_orderkey % 4 window stands in for Q4's date quarter (the
+    corpus's nano-timestamps read as LONG under the session's
+    nanosAsLong — ordering comparisons are engine-identical, date
+    ARITHMETIC is not, so the window predicate stays integer)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_q4")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q4")
+    return spark.sql("""
+        SELECT o.o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM o_q4 o
+        WHERE o.o_orderkey % 4 = 1
+          AND EXISTS (SELECT 1 FROM l_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+    """)
+
+
+_DEFERRED_ORACLES["tpch_big_quantity_orders"] = """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 150)
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+       CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+            AS BIGINT) AS qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, total_c
+"""
+
+
+def tpch_big_quantity_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape (large-volume customers): orders whose
+    TOTAL lineitem quantity exceeds a threshold, joined back to
+    customer and re-aggregated — the HAVING-subquery IN that must
+    plan as one aggregate + semi-join (never a per-order recount),
+    with the fact table aggregated BELOW the three-way join.
+    Quantities quantize once to integers so the threshold cut and
+    the output sums are bit-identical cross-engine."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("c_q18")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_q18")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q18")
+    return spark.sql("""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM l_q18
+            GROUP BY l_orderkey
+            HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                   > 150)
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS total_c,
+               CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty
+        FROM c_q18 c
+        JOIN o_q18 o ON o.o_custkey = c.c_custkey
+        JOIN l_q18 l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_custkey, o.o_orderkey, total_c
+    """)

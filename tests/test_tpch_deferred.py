@@ -30,7 +30,9 @@ def _spark_rows(df):
 
 @pytest.mark.parametrize("name", ["tpch_custdist_left",
                                   "tpch_only_returning_supplier",
-                                  "tpch_idle_rich_customers"])
+                                  "tpch_idle_rich_customers",
+                                  "tpch_late_shipment_priorities",
+                                  "tpch_big_quantity_orders"])
 def test_deferred_tpch_matches_duckdb(spark, name):
     from sstable_hadoop_spark import queries as q
 
@@ -55,6 +57,19 @@ def test_deferred_tpch_decorrelates(spark):
               ._jdf.queryExecution().executedPlan().toString())
     assert "LeftAnti" in plan22
     assert "CartesianProduct" not in plan22
+    # r12: Q4's EXISTS carries an OUTER column in the inner predicate
+    # (l_shipdate > o_orderdate) — it must still decorrelate to one
+    # semi-join with the comparison in the join condition, never a
+    # per-row re-execution
+    plan4 = (q.tpch_late_shipment_priorities(spark, SF)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan4, plan4
+    assert "CartesianProduct" not in plan4
+    # Q18's HAVING-subquery IN = one aggregate feeding a semi-join
+    plan18 = (q.tpch_big_quantity_orders(spark, SF)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan18, plan18
+    assert "CartesianProduct" not in plan18
 
 
 def test_deferred_queries_are_not_registered():

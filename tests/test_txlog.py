@@ -2633,10 +2633,20 @@ def test_concurrent_race_with_new_commit_kinds(spark, tpath):
         except tx.TxConflictError:
             pass
 
+    def check_setter():
+        # r12: ADD CONSTRAINT races the data writers — the new
+        # conflict rule makes THEM re-validate under it; every
+        # writer's rows satisfy it, so everyone still lands
+        try:
+            tx.txlog_set_check(spark, tpath, "v_bound", "v >= 0",
+                               max_retries=60)
+        except tx.TxConflictError:
+            pass  # loser against a hot table is acceptable
+
     threads = [run(upserter(0, 300, 111)),
                run(upserter(300, 600, 222)),
                run(appender), run(deleter),
-               run(compactor), run(zorderer)]
+               run(compactor), run(zorderer), run(check_setter)]
     for t in threads:
         t.start()
     for t in threads:
@@ -2965,3 +2975,35 @@ def test_table_health_reports_and_recommends(spark, tpath):
     # time travel: the report folds at any version
     assert tx.txlog_table_health(tpath, version=2)[
         "dv_rows_pending"] == 0
+
+
+def test_dv_sidecar_loss_fails_reads_loudly(spark, tpath):
+    """A vectored read whose `.dv` sidecar was reclaimed out-of-band
+    must FAIL, never silently resurrect the deleted rows — the
+    executor-side decode (r12) raises from the worker and the read
+    job dies.  (Legitimate reclamation goes through txlog_vacuum,
+    which keeps sidecars exactly as long as their data files.)"""
+    import os
+
+    import pytest
+
+    from sstable_hadoop_spark.operators import txlog as tx
+
+    # one bucket so all deleted positions land in ONE file and the
+    # vector exceeds the 4 KiB inline bound -> sidecar
+    tx.txlog_create(
+        spark, tpath,
+        spark.range(200000).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")),
+        ("k",), 1)
+    tx.txlog_compact(spark, tpath, min_files=2)
+    tx.txlog_delete_rows(spark, tpath, "g = 0")
+    snap = tx.txlog_snapshot(tpath)
+    sidecars = [e["sidecar"] for e in snap["dvs"].values()
+                if "sidecar" in e]
+    assert sidecars, "fixture must spill a sidecar"
+    assert tx.txlog_count(tpath) == 200000 - 66667
+    for s in sidecars:
+        os.remove(os.path.join(tpath, s))
+    with pytest.raises(Exception, match=r"\.dv|No such file"):
+        tx.txlog_read(spark, tpath).count()
