@@ -43,7 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "stage_pagerank_edges", "pagerank_bucketed"]
+__all__ = ["pagerank", "stage_pagerank_edges", "pagerank_bucketed",
+           "connected_components"]
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
@@ -181,3 +182,103 @@ def pagerank_bucketed(fan: DataFrame, n_iter: int = 5,
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def _cc_min_nbr(e: DataFrame) -> DataFrame:
+    """Per node u: min(Γ(u) ∪ {u}) over the edge list ``(u, v)``."""
+    return (e.groupBy("u").agg(F.min("v").alias("_mn"))
+             .select("u", F.least(F.col("_mn"),
+                                  F.col("u")).alias("m")))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 50,
+                         return_iters: bool = False):
+    """Connected components of an undirected graph — the alternating
+    LARGE-STAR / SMALL-STAR algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), expressed as
+    DataFrame joins.  Returns ``(id, component)`` for every node
+    incident to an edge, where ``component`` is the smallest node id
+    in its component (``return_iters=True`` appends the round count).
+
+    Why not label propagation: `operators/dedup.py dedup_components`
+    propagates min labels one hop per round — O(graph diameter)
+    rounds, the right tool for near-dup graphs (tiny cliques,
+    diameter ≤ ~3) but pathological on chains (a 512-node path needs
+    511 rounds).  The star rounds HALVE long paths each alternation
+    (large-star hangs every larger neighbor under the local min,
+    small-star re-hangs the small neighborhood), converging in
+    O(log n) rounds on ANY topology — the general-graph tool
+    (citation-link graphs, host graphs) this module's PageRank
+    feeds on.
+
+    Per round: two grouped mins + two joins over the CURRENT edge
+    set, which only SHRINKS toward the star forest — O(|E|) shuffle
+    per round, no driver data; convergence is a one-row checksum
+    aggregate (count + xor of edge hashes), and lineage truncates
+    per round (localCheckpoint)."""
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+              .filter(F.col("u").isNotNull()
+                      & F.col("v").isNotNull()
+                      & (F.col("u") != F.col("v"))))
+    nodes = (e.select(F.col("u").alias("id"))
+              .union(e.select(F.col("v").alias("id")))
+              .distinct().localCheckpoint(eager=False))
+    # symmetrize once; each round re-orients as it needs
+    e = (e.union(e.select(F.col("v").alias("u"),
+                          F.col("u").alias("v")))
+          .distinct().localCheckpoint(eager=False))
+
+    def checksum(ed):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = checksum(e)
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        # LARGE-STAR: every neighbor larger than u hangs under
+        # min(Γ⁺(u)); smaller-neighbor edges survive (re-emitted
+        # from the other endpoint's orientation)
+        m = _cc_min_nbr(e)
+        large = (e.filter(F.col("v") > F.col("u"))
+                  .join(m, "u")
+                  .select(F.col("v").alias("u"),
+                          F.col("m").alias("v")))
+        keep = e.filter(F.col("v") < F.col("u"))
+        e1 = (large.union(keep)
+                   .filter(F.col("u") != F.col("v"))
+                   .distinct())
+        # SMALL-STAR over the ≤-orientation: u's small neighborhood
+        # (plus u) re-hangs under its min
+        e2 = e1.select(F.greatest("u", "v").alias("u"),
+                       F.least("u", "v").alias("v"))
+        m2 = _cc_min_nbr(e2)
+        nbrs_plus = e2.union(
+            e2.select("u", F.col("u").alias("v")).distinct())
+        small = (nbrs_plus.join(m2, "u")
+                 .filter(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("u"),
+                         F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # re-symmetrize for the next large-star / the final mapping
+        e = (small.union(small.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+                  .distinct().localCheckpoint())
+        new_sig = checksum(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: the ≥-oriented edges are (node → its component min)
+    parent = (e.filter(F.col("v") < F.col("u"))
+               .groupBy("u").agg(F.min("v").alias("component"))
+               .select(F.col("u").alias("id"), "component"))
+    out = (nodes.join(parent, "id", "left")
+                .select("id", F.coalesce("component", F.col("id"))
+                              .alias("component")))
+    return (out, iters) if return_iters else out

@@ -10304,3 +10304,62 @@ def tpch_big_quantity_orders(spark: SparkSession,
         WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
         GROUP BY c.c_custkey, o.o_orderkey, total_c
     """)
+
+
+_DEFERRED_ORACLES["docs_link_components"] = """
+WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+e0 AS (
+    SELECT doc_id AS u,
+           doc_id - (doc_id % 50) + ((doc_id * 31 + 7) % 50) AS v
+    FROM d
+    UNION ALL
+    SELECT doc_id AS u, doc_id + 1 AS v FROM d
+    WHERE doc_id % 2 = 0 AND doc_id % 50 < 49),
+e1 AS (
+    SELECT u, v FROM e0 JOIN d ON d.doc_id = e0.v WHERE u <> v),
+e AS (SELECT u, v FROM e1 UNION SELECT v AS u, u AS v FROM e1),
+reach(id, r) AS (
+    SELECT u AS id, u AS r FROM e
+    UNION
+    SELECT e.u AS id, reach.r
+    FROM e JOIN reach ON reach.id = e.v)
+SELECT id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+def docs_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 alternating large-star/small-star connected components
+    (operators/graph.py connected_components — Kiveris et al.
+    SoCC'14): the general-graph O(log n)-round CC the near-dup
+    label-propagation cannot give (a path graph needs diameter
+    rounds there).  The link graph synthesizes deterministically
+    inside 50-doc buckets (one LCG cross-edge per doc + a chain edge
+    from every even doc), so components are nontrivial unions the
+    oracle can afford to certify by RECURSIVE-CTE transitive closure
+    (closure stays bucket-bounded; an unbucketed graph of this size
+    would make the SQL side quadratic in the giant component).
+    Scale shape: each round is two grouped mins + two joins over an
+    edge set that only shrinks; convergence is a one-row checksum."""
+    from sstable_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    lcg = (d.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(50))
+         + F.pmod(F.col("doc_id") * 31 + 7, F.lit(50))).alias("v")))
+    chain = (d.filter((F.pmod("doc_id", F.lit(2)) == 0)
+                      & (F.pmod("doc_id", F.lit(50)) < 49))
+              .select(F.col("doc_id").alias("u"),
+                      (F.col("doc_id") + 1).alias("v")))
+    ids = d.select(F.col("doc_id").alias("v"))
+    edges = (lcg.unionByName(chain)
+                .join(ids, "v")
+                .filter(F.col("u") != F.col("v"))
+                .select(F.col("u").alias("src"),
+                        F.col("v").alias("dst")))
+    return (connected_components(edges)
+            .select("id", F.col("component").cast("long")
+                          .alias("component")))

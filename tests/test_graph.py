@@ -214,3 +214,78 @@ def test_bucketed_iteration_edge_side_plans_no_exchange(spark,
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --- r12: alternating large-star/small-star connected components -----------
+
+def _uf_truth(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graphs(spark):
+    """Star-rounds CC == union-find truth on random graphs of mixed
+    density (isolated pairs, cliques, bridges), across seeds."""
+    import random
+
+    from sstable_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+
+    for seed, n, m in ((1, 60, 40), (2, 150, 90), (3, 150, 400),
+                       (4, 80, 10)):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == _uf_truth(edges), (seed, n, m)
+
+
+def test_connected_components_chain_converges_fast(spark):
+    """The O(log n) promise: a 512-node path (diameter 511 — label
+    propagation's worst case) collapses to one component in a
+    handful of star rounds."""
+    from sstable_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.range(511).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    out, iters = connected_components(chain, return_iters=True)
+    rows = out.collect()
+    assert len(rows) == 512
+    assert all(r["component"] == 0 for r in rows)
+    assert iters <= 15, iters
+
+
+def test_connected_components_edge_cases(spark):
+    """Self-loops and NULL endpoints are dropped; nodes appear iff
+    incident to a (real) edge; singleton components are their own
+    min."""
+    from sstable_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (None, 4), (5, None), (7, 7)],
+        "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {2: 2, 3: 2}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0

@@ -15,7 +15,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 DEFERRED = ["txlog_dv_delete_roundtrip", "txlog_zorder_range",
-            "matview_refresh_row", "txlog_count_row"]
+            "matview_refresh_row", "txlog_count_row",
+            "docs_link_components"]
 
 
 def _duck(sql: str):
