@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "stage_pagerank_edges", "pagerank_bucketed",
-           "connected_components"]
+           "connected_components", "triangle_count"]
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
@@ -212,11 +212,16 @@ def connected_components(edges: DataFrame, src: str = "src",
     (citation-link graphs, host graphs) this module's PageRank
     feeds on.
 
-    Per round: two grouped mins + two joins over the CURRENT edge
-    set, which only SHRINKS toward the star forest — O(|E|) shuffle
-    per round, no driver data; convergence is a one-row checksum
-    aggregate (count + xor of edge hashes), and lineage truncates
-    per round (localCheckpoint)."""
+    Per round: two grouped mins + two joins, and the UNDIRECTED edge
+    set stays linear — each input edge maps to at most one output
+    edge per star (large-star re-emits an edge {a, b}, a < b, only
+    from a's side as {b, m(a)}; a's link to its own min survives
+    through the OTHER endpoint's emission — re-adding it here too is
+    the superficially-safe variant that DOUBLES the set every round
+    and melts a long path into O(n²) intermediate edges before the
+    mins win; caught and pinned by the edge-growth test).
+    Convergence is a one-row checksum aggregate (count + xor of edge
+    hashes) and lineage truncates per round (localCheckpoint)."""
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
               .filter(F.col("u").isNotNull()
@@ -225,60 +230,126 @@ def connected_components(edges: DataFrame, src: str = "src",
     nodes = (e.select(F.col("u").alias("id"))
               .union(e.select(F.col("v").alias("id")))
               .distinct().localCheckpoint(eager=False))
-    # symmetrize once; each round re-orients as it needs
-    e = (e.union(e.select(F.col("v").alias("u"),
-                          F.col("u").alias("v")))
+    # canonical UNDIRECTED pairs; each star symmetrizes as it needs
+    e = (e.select(F.least("u", "v").alias("u"),
+                  F.greatest("u", "v").alias("v"))
           .distinct().localCheckpoint(eager=False))
 
     def checksum(ed):
         row = ed.agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h")
-        ).collect()[0]
+            F.expr("bit_xor(xxhash64(least(u, v), greatest(u, v)))")
+             .alias("h")).collect()[0]
         return (row["n"], row["h"])
 
     sig = checksum(e)
     iters = 0
     for _ in range(max_iter):
         iters += 1
-        # LARGE-STAR: every neighbor larger than u hangs under
-        # min(Γ⁺(u)); smaller-neighbor edges survive (re-emitted
-        # from the other endpoint's orientation)
-        m = _cc_min_nbr(e)
-        large = (e.filter(F.col("v") > F.col("u"))
-                  .join(m, "u")
-                  .select(F.col("v").alias("u"),
-                          F.col("m").alias("v")))
-        keep = e.filter(F.col("v") < F.col("u"))
-        e1 = (large.union(keep)
-                   .filter(F.col("u") != F.col("v"))
-                   .distinct())
-        # SMALL-STAR over the ≤-orientation: u's small neighborhood
-        # (plus u) re-hangs under its min
-        e2 = e1.select(F.greatest("u", "v").alias("u"),
-                       F.least("u", "v").alias("v"))
+        # LARGE-STAR: hang every strictly-larger neighbor of u under
+        # min(Γ⁺(u)).  Output REPLACES the edge set: {a,b} (a<b)
+        # becomes {b, m(a)} — nothing else is kept
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        m = _cc_min_nbr(sym)
+        e1 = (sym.filter(F.col("v") > F.col("u"))
+                 .join(m, "u")
+                 .select(F.col("v").alias("a"),
+                         F.col("m").alias("b"))
+                 .filter(F.col("a") != F.col("b"))
+                 .select(F.least("a", "b").alias("u"),
+                         F.greatest("a", "b").alias("v"))
+                 .distinct())
+        # SMALL-STAR at the larger endpoint: u's ≤-neighborhood
+        # (plus u itself) re-hangs under its min
+        e2 = e1.select(F.col("v").alias("u"),
+                       F.col("u").alias("v"))
         m2 = _cc_min_nbr(e2)
         nbrs_plus = e2.union(
             e2.select("u", F.col("u").alias("v")).distinct())
-        small = (nbrs_plus.join(m2, "u")
-                 .filter(F.col("v") != F.col("m"))
-                 .select(F.col("v").alias("u"),
-                         F.col("m").alias("v"))
-                 .filter(F.col("u") != F.col("v"))
-                 .distinct())
-        # re-symmetrize for the next large-star / the final mapping
-        e = (small.union(small.select(F.col("v").alias("u"),
-                                      F.col("u").alias("v")))
-                  .distinct().localCheckpoint())
+        e = (nbrs_plus.join(m2, "u")
+             .filter(F.col("v") != F.col("m"))
+             .select(F.col("m").alias("u"), F.col("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
         new_sig = checksum(e)
         if new_sig == sig:
             break
         sig = new_sig
-    # converged: the ≥-oriented edges are (node → its component min)
-    parent = (e.filter(F.col("v") < F.col("u"))
-               .groupBy("u").agg(F.min("v").alias("component"))
-               .select(F.col("u").alias("id"), "component"))
+    # converged star forest: every edge is (root=min, member)
+    parent = (e.select(F.least("u", "v").alias("component"),
+                       F.greatest("u", "v").alias("id"))
+               .groupBy("id").agg(F.min("component")
+                                  .alias("component")))
     out = (nodes.join(parent, "id", "left")
                 .select("id", F.coalesce("component", F.col("id"))
                               .alias("component")))
     return (out, iters) if return_iters else out
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts of an undirected graph — the
+    COMPACT-FORWARD / degree-ordering algorithm (Latapy 2008; the
+    same orientation trick every distributed triangle system uses):
+    orient each undirected edge from its lower-(degree, id) endpoint
+    to the higher one, enumerate wedges only at a node's OUT-edges,
+    and close them against the canonical edge set.  Degree ordering
+    bounds total wedges by O(|E|^1.5) regardless of skew — a
+    celebrity node with 10M followers contributes wedges only
+    through its handful of HIGHER-degree peers, where the naive
+    lower-id orientation would enumerate its 10M-choose-2 pairs.
+
+    Returns ``(id, n_triangles)`` for every node incident to an edge
+    (0 for triangle-free nodes).  Plan shape: one degree aggregation,
+    two joins (wedge build + closure), one explode + final count —
+    all equi-joins, no cartesian anywhere."""
+    e0 = (edges.select(F.col(src).cast("long").alias("a"),
+                       F.col(dst).cast("long").alias("b"))
+               .filter(F.col("a").isNotNull()
+                       & F.col("b").isNotNull()
+                       & (F.col("a") != F.col("b"))))
+    # canonical undirected edge set (lo, hi) by id — the closure probe
+    canon = (e0.select(F.least("a", "b").alias("lo"),
+                       F.greatest("a", "b").alias("hi"))
+               .distinct().localCheckpoint(eager=False))
+    nodes = (canon.select(F.col("lo").alias("id"))
+                  .union(canon.select(F.col("hi").alias("id")))
+                  .distinct())
+    deg = (canon.select(F.col("lo").alias("id"))
+                .union(canon.select(F.col("hi").alias("id")))
+                .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    # orient low-(degree, id) -> high-(degree, id)
+    withd = (canon
+             .join(deg.select(F.col("id").alias("lo"),
+                              F.col("d").alias("dlo")), "lo")
+             .join(deg.select(F.col("id").alias("hi"),
+                              F.col("d").alias("dhi")), "hi"))
+    fwd = withd.select(
+        F.when((F.col("dlo") < F.col("dhi"))
+               | ((F.col("dlo") == F.col("dhi"))
+                  & (F.col("lo") < F.col("hi"))),
+               F.struct(F.col("lo").alias("s"),
+                        F.col("hi").alias("t")))
+         .otherwise(F.struct(F.col("hi").alias("s"),
+                             F.col("lo").alias("t")))
+         .alias("e")).select("e.s", "e.t")
+    # wedges at the low endpoint: unordered pairs of its out-edges
+    l, r = fwd.alias("l"), fwd.alias("r")
+    wedge = (l.join(r, F.col("l.s") == F.col("r.s"))
+              .filter((F.col("l.t") < F.col("r.t")))
+              .select(F.col("l.s").alias("p"),
+                      F.col("l.t").alias("x"),
+                      F.col("r.t").alias("y")))
+    tri = wedge.join(
+        canon,
+        (F.least("x", "y") == F.col("lo"))
+        & (F.greatest("x", "y") == F.col("hi"))).select("p", "x", "y")
+    per_node = (tri.select(F.explode(F.array("p", "x", "y"))
+                           .alias("id"))
+                   .groupBy("id")
+                   .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (nodes.join(per_node, "id", "left")
+                 .select("id",
+                         F.coalesce("n_triangles", F.lit(0))
+                          .cast("long").alias("n_triangles")))

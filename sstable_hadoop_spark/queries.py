@@ -10363,3 +10363,71 @@ def docs_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (connected_components(edges)
             .select("id", F.col("component").cast("long")
                           .alias("component")))
+
+
+_DEFERRED_ORACLES["docs_link_triangles"] = """
+WITH d AS (SELECT doc_id FROM documents),
+e0 AS (
+    SELECT doc_id AS u, doc_id + 1 AS v FROM d
+    WHERE doc_id % 50 < 49
+    UNION ALL
+    SELECT doc_id AS u, doc_id + 2 AS v FROM d
+    WHERE doc_id % 4 = 0 AND doc_id % 50 < 48
+    UNION ALL
+    SELECT doc_id AS u,
+           doc_id - (doc_id % 50) + ((doc_id * 31 + 7) % 50) AS v
+    FROM d),
+e1 AS (
+    SELECT u, v FROM e0 JOIN d ON d.doc_id = e0.v WHERE u <> v),
+ec AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+       FROM e1),
+tri AS (
+    SELECT a.u AS x, a.v AS y, b.v AS z
+    FROM ec a
+    JOIN ec b ON b.u = a.v
+    JOIN ec c ON c.u = a.u AND c.v = b.v),
+pn AS (
+    SELECT id, count(*) AS n
+    FROM (SELECT x AS id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY id),
+nodes AS (SELECT u AS id FROM ec UNION SELECT v AS id FROM ec)
+SELECT nodes.id, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN pn ON pn.id = nodes.id
+"""
+
+
+def docs_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 degree-ordered triangle counting (operators/graph.py
+    triangle_count — the compact-forward orientation): per-node
+    triangle membership over a deterministic 50-doc-bucket link
+    graph that actually CLOSES triples (full in-bucket chains + a
+    skip edge from every 4th doc — the components row's matching +
+    LCG stride provably cannot: 30i ≡ 45 mod 50 has no solution),
+    certified against the oracle's brute-force canonical triple join
+    (affordable because triangles stay bucket-bounded).  The
+    operator's wedge set is bounded O(|E|^1.5) by the (degree, id)
+    orientation regardless of skew — the property the star-graph
+    pytest pins."""
+    from sstable_hadoop_spark.operators.graph import triangle_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    chain = (d.filter(F.pmod("doc_id", F.lit(50)) < 49)
+              .select(F.col("doc_id").alias("u"),
+                      (F.col("doc_id") + 1).alias("v")))
+    skip = (d.filter((F.pmod("doc_id", F.lit(4)) == 0)
+                     & (F.pmod("doc_id", F.lit(50)) < 48))
+             .select(F.col("doc_id").alias("u"),
+                     (F.col("doc_id") + 2).alias("v")))
+    lcg = (d.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(50))
+         + F.pmod(F.col("doc_id") * 31 + 7, F.lit(50))).alias("v")))
+    ids = d.select(F.col("doc_id").alias("v"))
+    edges = (chain.unionByName(skip).unionByName(lcg)
+                  .join(ids, "v")
+                  .filter(F.col("u") != F.col("v"))
+                  .select(F.col("u").alias("src"),
+                          F.col("v").alias("dst")))
+    return triangle_count(edges)
