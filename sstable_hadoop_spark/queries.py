@@ -10431,3 +10431,109 @@ def docs_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.col("u").alias("src"),
                           F.col("v").alias("dst")))
     return triangle_count(edges)
+
+
+_DEFERRED_ORACLES["txlog_overwrite_roundtrip"] = """
+SELECT o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 77 AS total_c
+FROM orders WHERE o_custkey % 3 = 1
+"""
+
+
+def txlog_overwrite_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """r11 INSERT OVERWRITE (operators/txlog.py txlog_overwrite): one
+    strict-base commit replaces the table's FULL content — dropped
+    rows VANISH, which a delta-keyed upsert cannot express (the
+    materialized-view refresh shape).  The fixture overwrites an
+    all-orders table with a filtered+shifted projection and pins
+    inside build() that time travel still reads the pre-overwrite
+    content (atomic swap, append-only history); the row certifies
+    the head against the replacement SQL."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_count,
+        txlog_create,
+        txlog_overwrite,
+        txlog_read,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+
+    def build(out: str) -> None:
+        t = os.path.join(out, "t")
+        txlog_create(spark, t, o, ("k",), 8, sort_by=("k",))
+        n1 = txlog_count(t)
+        txlog_overwrite(
+            spark, t,
+            o.filter(F.col("cust") % 3 == 1)
+             .withColumn("total_c", F.col("total_c") + 77))
+        if txlog_count(t, version=1) != n1:
+            raise AssertionError(
+                "overwrite mutated the pre-overwrite version")
+
+    base = _idempotent_tmpdir("txlog_ow_" + h, build)
+    return txlog_read(spark, os.path.join(base, "t"))
+
+
+_DEFERRED_ORACLES["txlog_restore_roundtrip"] = """
+SELECT o_orderkey AS k, o_custkey AS cust,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+FROM orders
+"""
+
+
+def txlog_restore_roundtrip(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """r9 RESTORE (operators/txlog.py txlog_restore): after an upsert
+    mutates the table, rolling back to version 1 must make the head
+    CONTENT-IDENTICAL to the original — as a NEW commit that only
+    re-references the old files (append-only history; nothing
+    rewritten, pinned by a file-count check inside build()).  The
+    driver row certifies the restored head against the ORIGINAL
+    content's SQL — a restore that leaks one post-upsert row or
+    loses one original row hash-mismatches."""
+    import hashlib
+    import os
+
+    from sstable_hadoop_spark.operators.txlog import (
+        txlog_create,
+        txlog_read,
+        txlog_restore,
+        txlog_snapshot,
+        txlog_upsert,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("total_c"))
+
+    def merge(stored, delta):
+        return (stored.join(delta, on=["k"], how="left_anti")
+                .select(*stored.columns).unionByName(delta))
+
+    def build(out: str) -> None:
+        t = os.path.join(out, "t")
+        txlog_create(spark, t, o, ("k",), 8, sort_by=("k",))
+        files_v1 = set(txlog_snapshot(t)["files"])
+        txlog_upsert(spark, t,
+                     o.filter(F.col("k") % 5 == 0)
+                      .withColumn("total_c", F.lit(0).cast("long")),
+                     merge, ("k",), 8)
+        txlog_restore(spark, t, 1)
+        if set(txlog_snapshot(t)["files"]) != files_v1:
+            raise AssertionError(
+                "restore did not re-reference the version-1 files")
+
+    base = _idempotent_tmpdir("txlog_restore_" + h, build)
+    return txlog_read(spark, os.path.join(base, "t"))

@@ -16,7 +16,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 
 DEFERRED = ["txlog_dv_delete_roundtrip", "txlog_zorder_range",
             "matview_refresh_row", "txlog_count_row",
-            "docs_link_components", "docs_link_triangles"]
+            "docs_link_components", "docs_link_triangles",
+            "txlog_overwrite_roundtrip", "txlog_restore_roundtrip"]
 
 
 def _duck(sql: str):
