@@ -38,6 +38,23 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
               .select("_keep.*"))
 
 
+def _shingle_array(text_col: str, n: int) -> Column:
+    """Word n-gram shingles of one document as an ARRAY column —
+    the single derivation shared by the exploded (``word_shingles``)
+    and per-row (``minhash_profiles``) consumers so they can never
+    drift apart.
+
+    1-based slice positions: i in [1, size-n+1].  Guarded: sequence()
+    with start > stop generates a DESCENDING array, so short docs
+    must yield an empty shingle set explicitly."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 4,
                   distinct: bool = True) -> DataFrame:
@@ -49,16 +66,8 @@ def word_shingles(df: DataFrame, text_col: str = "text",
     from ._util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    # 1-based slice positions: i in [1, size-n+1].  Guarded: sequence()
-    # with start > stop generates a DESCENDING array, so short docs
-    # must yield an empty shingle set explicitly.
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    out = df.select(F.col(id_col).alias("id"),
+                    F.explode(_shingle_array(text_col, n)).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -149,7 +158,14 @@ def minhash_profiles(df: DataFrame, text_col: str = "text",
 
     This is also the PERSISTENCE format for incremental dedup: write
     it once per corpus snapshot, and new batches dedup against it
-    without re-shingling the corpus (minhash_dedup_incremental)."""
+    without re-shingling the corpus (minhash_dedup_incremental).
+
+    (r12 note: a per-row HOF formulation — ``array_min(transform(...))``
+    over the shingle array, zero shuffles — was prototyped and measured
+    ~2-4× SLOWER than this explode→groupBy: Catalyst's project collapse
+    inlines the shingle-array expression into each of the 17 consumers
+    and higher-order lambdas run interpreted, while explode + codegen
+    md5 + partial aggregation hashes each shingle exactly once.)"""
     # non-distinct shingles: every consumer below is set-semantic (min /
     # collect_set), so the dedup shuffle would be pure waste
     sh = word_shingles(df, text_col, id_col, n, distinct=False)
@@ -198,13 +214,28 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 4,
                         num_perm: int = 16, bands: int = 4,
                         min_jaccard: float = 0.5,
-                        max_doc_freq: int | None = 1000) -> DataFrame:
+                        max_doc_freq: int | None = 1000,
+                        materialize_profiles: bool = True) -> DataFrame:
     """E2 end-to-end: shingle → MinHash → LSH bands → candidate pairs →
     exact-Jaccard verification.  Output (id_a, id_b, jaccard) — LSH may
     miss pairs (recall < 1) but never emits a pair below threshold
-    (precision = 1, because candidates are re-verified)."""
+    (precision = 1, because candidates are re-verified).
+
+    ``materialize_profiles`` (default on): the profile feeds FOUR plan
+    branches — both sides of the band self-join and both sides of the
+    verification join — and Spark recomputes the whole scan → shingle →
+    16×md5 → aggregate pipeline per branch (4 full corpus passes;
+    column pruning even defeats exchange reuse by specializing the
+    aggregates per branch).  ``localCheckpoint`` cuts the lineage once
+    so the corpus is shingled exactly once per run — the same
+    profile-store pattern the incremental/streaming paths use, held in
+    executor-local storage instead of parquet (guide §8: compute the
+    lightweight proxy once, reuse it for every decision).  Results are
+    identical; pass ``False`` to keep a fully-lazy plan."""
     profile = minhash_profiles(df, text_col, id_col, n, num_perm,
                                max_doc_freq)
+    if materialize_profiles and not df.isStreaming:
+        profile = profile.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         profile.select("id", *[f"sig_{i}" for i in range(num_perm)]),
         bands, num_perm // bands)
@@ -263,6 +294,20 @@ def minhash_dedup_incremental(new_docs: DataFrame,
     new_prof = (new_profiles if new_profiles is not None
                 else minhash_profiles(new_docs, text_col, id_col, n,
                                       num_perm, max_doc_freq))
+    # Both sides feed multiple plan branches (bands + verification, and
+    # the stored side additionally the replay anti-join).  A COMPUTED
+    # side would be re-shingled/re-aggregated once per branch — cut its
+    # lineage so it is built exactly once.  A plain file read (the
+    # production shape: profiles stored as parquet) is left lazy — its
+    # branches are cheap columnar scans and checkpointing a corpus-
+    # sized store into executor storage would be the wrong trade.
+    from ._util import _has_shuffle_below
+
+    if not new_docs.isStreaming:
+        if new_profiles is None and _has_shuffle_below(new_prof):
+            new_prof = new_prof.localCheckpoint(eager=True)
+        if _has_shuffle_below(stored_profiles):
+            stored_profiles = stored_profiles.localCheckpoint(eager=True)
     stored_profiles = stored_profiles.join(
         new_prof.select("id"), "id", "left_anti")
     sig_cols = [f"sig_{i}" for i in range(num_perm)]

@@ -17,13 +17,59 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: inputs whose files total at most this many bytes take the JVM
+#: head-sample path: a full codegen scan of ≤256 MiB is cheaper than
+#: one JVM→Python round trip, and the probe then costs no Python
+#: worker at all (guide §4: eliminate the boundary where a built-in
+#: expresses the same thing)
+_JVM_PROBE_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _head_sample(df: DataFrame, cols: Sequence[str],
                  rows_per_partition: int) -> DataFrame:
-    """First ``rows_per_partition`` rows of every partition, via a
-    mapInPandas that stops pulling Arrow batches once satisfied — cost
-    is O(partitions × rows_per_partition), NOT a full scan, so it stays
-    cheap at 100 TB (vs ``sample(fraction)``, which reads everything)."""
+    """First ``rows_per_partition`` rows of every partition.
+
+    Two result-identical implementations picked by input size (both
+    sample exactly the same rows — the leading rows of each partition
+    in scan order):
+
+    - small local inputs (file metadata says ≤ ``_JVM_PROBE_MAX_BYTES``)
+      filter on the per-partition row position encoded in
+      ``monotonically_increasing_id`` (low 33 bits) — pure codegen,
+      no Python worker; the "full" scan it implies is bounded by the
+      size check that selected it;
+    - everything else (big, remote, or unsized inputs) keeps the
+      mapInPandas that stops pulling Arrow batches once satisfied —
+      cost O(partitions × rows_per_partition), NOT a full scan, so it
+      stays cheap at 100 TB (vs ``sample(fraction)``, which reads
+      everything)."""
     proj = df.select(*cols)
+
+    small = False
+    if not df.isStreaming:
+        try:
+            import os
+            from urllib.parse import unquote, urlparse
+
+            files = df.inputFiles()
+            if files:
+                total = 0
+                for uri in files:
+                    p = urlparse(uri)
+                    if p.scheme not in ("", "file"):
+                        total = None
+                        break
+                    total += os.path.getsize(unquote(p.path)
+                                             if p.scheme else uri)
+                small = total is not None and total <= _JVM_PROBE_MAX_BYTES
+        except Exception:
+            small = False
+    if small:
+        pos = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1))
+        return (proj.withColumn("_pp_pos", pos)
+                    .filter(F.col("_pp_pos") < rows_per_partition)
+                    .drop("_pp_pos"))
 
     def take(batches):
         n = 0

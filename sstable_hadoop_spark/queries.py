@@ -126,7 +126,11 @@ def derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No ensure_parallelism here: this is a pure codegen projection whose
     # consumers are LWW groupBy aggregations that shuffle (with map-side
     # partial aggregation) anyway — a repartition ahead of that shuffle
-    # doubles exchange volume for zero parallelism gain.  Per-row-heavy
+    # doubles exchange volume for zero parallelism gain.  Re-measured in
+    # the r12 optimization round (interleaved A/B at sf0.1): adding the
+    # repartition is 0.49 s → 0.80 s on flagship — the single-core
+    # partial max_by over 100k cells (~0.2 s) is cheaper than the extra
+    # exchange barrier + 32-reducer scheduling it buys.  Per-row-heavy
     # operators (shingling, regex, vector math) call ensure_parallelism
     # themselves; see operators/_util.py.
     ev = load(spark, sf_dir, "events")
@@ -2381,17 +2385,22 @@ def _materialize_sstables(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _fixture_split_bytes(path: str) -> int:
-    """Split size keeping ~8 byte-range splits per Data.db at ANY
+    """Split size keeping ~4 byte-range splits per Data.db at ANY
     fixture scale — small enough that every driver run still exercises
-    split tiling (the 64 KiB floor reproduces the historical sf0.01
-    geometry exactly), large enough that per-split scheduling overhead
+    split tiling (the 64 KiB floor keeps the sf0.01 oracle fixtures
+    multi-split), large enough that per-split scheduling overhead
     cannot dominate the scan as the fixture grows.  Measured r6 at
     sf1: 330 fixed 64 KiB splits cost 2.76 s of pure per-partition
     overhead vs 0.74 s with ~650 KiB splits, while the codec itself
     parses the whole fixture in 1.76 s single-threaded — the scan was
-    scheduler-bound, not parse-bound.  (Production scans use the
-    source's 128 MiB default; this helper exists because the fixture
-    queries deliberately force multi-split files.)"""
+    scheduler-bound, not parse-bound.  Re-measured r12 at sf0.1
+    (sstable_lww, min-of-6): 8 splits/file 1.85 s, 4 splits 1.19 s,
+    2 splits 1.13 s — per-split Python-task overhead again, so the
+    divisor moved 8 → 4 (2 keeps only boundary-tiling coverage; 4
+    buys ~the whole win and more parallel headroom as files grow).
+    (Production scans use the source's 128 MiB default; this helper
+    exists because the fixture queries deliberately force multi-split
+    files.)"""
     import glob as _glob
     import os
 
@@ -2399,7 +2408,7 @@ def _fixture_split_bytes(path: str) -> int:
              _glob.glob(os.path.join(path, "*-Data.db"))]
     if not sizes:
         return 64 * 1024
-    per_file = sum(sizes) // len(sizes) // 8
+    per_file = sum(sizes) // len(sizes) // 4
     return max(64 * 1024, min(per_file, 128 * 1024 * 1024))
 
 
