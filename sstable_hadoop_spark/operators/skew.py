@@ -83,6 +83,23 @@ def _head_sample(df: DataFrame, cols: Sequence[str],
     return proj.mapInPandas(take, proj.schema)
 
 
+#: below this total input size no reducer partition can exceed AQE's
+#: own skew definition (``spark.sql.adaptive.skewJoin.
+#: skewedPartitionThresholdInBytes``, default 256 MB: a partition only
+#: COUNTS as skewed above it) — so probing is pure overhead and the
+#: detector answers False from file metadata alone, no job.
+_SKEW_MIN_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _provably_tiny(df: DataFrame) -> bool:
+    from ._util import _input_file_bytes
+
+    if df.isStreaming:
+        return False
+    total = _input_file_bytes(df)
+    return total is not None and 0 < total <= _SKEW_MIN_INPUT_BYTES
+
+
 def detect_group_skew(df: DataFrame, keys: Sequence[str],
                       rows_per_partition: int = 1000,
                       skew_factor: int = 32,
@@ -93,7 +110,16 @@ def detect_group_skew(df: DataFrame, keys: Sequence[str],
     ``min_hot`` sampled rows, so near-empty samples never trigger).
 
     One small driver-side collect of a 1-row aggregate; the sample scan
-    touches only the first batch(es) of each partition."""
+    touches only the first batch(es) of each partition.  Inputs whose
+    leaf files total ≤ ``_SKEW_MIN_INPUT_BYTES`` answer False from
+    metadata alone (r12): skew mitigation exists to keep one reducer
+    from drowning, and below the size a single partition must EXCEED
+    to count as skewed (AQE's 256 MB threshold) the worst case — one
+    reducer handling the whole input — is already cheaper than the
+    probe job itself.  Which path runs never changes results (the
+    salted merge is exact), so the gate trades only probe latency."""
+    if _provably_tiny(df):
+        return False
     row = (_head_sample(df, keys, rows_per_partition)
            .groupBy(*keys).count()
            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"),
@@ -190,15 +216,22 @@ def skew_join(left: DataFrame, right: DataFrame, on: str,
             f"skew_join supports inner/left, got {how!r} (split the "
             "other side for right-retaining joins)")
     if hot_keys is None:
-        counts = (_head_sample(left, [on], sample_rows_per_partition)
-                  .groupBy(on).count())
-        total = counts.agg(F.sum("count")).collect()[0][0] or 1
-        cut = total * hot_fraction_milli // 1000
-        # top-64 candidates only: the collect stays metadata-sized at
-        # any cluster width
-        hot_keys = [r[on] for r in
-                    counts.orderBy(F.desc("count")).limit(64).collect()
-                    if r["count"] > cut and r[on] is not None]
+        if _provably_tiny(left):
+            # below AQE's own skewed-partition threshold no key can
+            # flood a reducer — the two probe jobs would cost more
+            # than the worst case they protect against; the plain
+            # join is row-identical by construction (r12)
+            hot_keys = []
+        else:
+            counts = (_head_sample(left, [on], sample_rows_per_partition)
+                      .groupBy(on).count())
+            total = counts.agg(F.sum("count")).collect()[0][0] or 1
+            cut = total * hot_fraction_milli // 1000
+            # top-64 candidates only: the collect stays metadata-sized
+            # at any cluster width
+            hot_keys = [r[on] for r in
+                        counts.orderBy(F.desc("count")).limit(64).collect()
+                        if r["count"] > cut and r[on] is not None]
     # a None in a declared list would poison isin into SQL three-
     # valued logic (every non-listed key evaluates NULL and BOTH legs
     # drop it); NULL keys never match an equi join anyway, so routing

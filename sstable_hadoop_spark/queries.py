@@ -2939,7 +2939,11 @@ def lww_skewed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lww_cell(skew="auto")`` — the partition-head skew probe
     (operators/skew.py detect_group_skew) decides between the plain
     hash-agg and the two-phase salted merge; either path must equal the
-    SQL winners exactly."""
+    SQL winners exactly.  (r12: inputs below AQE's skewed-partition
+    threshold short-circuit the probe from file metadata — no key can
+    flood a reducer there — so at driver SF this runs the plain path
+    with zero probe jobs; the probe+salted machinery is size-gated,
+    not removed, and stays pinned by the operator tests.)"""
     cells = derived_cells(spark, sf_dir)
     skewed = cells.withColumn(
         "key",
@@ -9341,7 +9345,11 @@ def join_skew_auto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain LEFT join regardless of what the sample saw (a detection
     miss costs speed, not correctness — the property this row pins
     every round).  The left-retaining path is exercised too: events
-    with no matching customer survive under segment NONE."""
+    with no matching customer survive under segment NONE.  (r12: a
+    metadata size gate answers "no hot keys" without probe jobs when
+    the left side is below AQE's skewed-partition threshold — the
+    certified property is exactly that such decisions cannot change
+    the result.)"""
     from sstable_hadoop_spark.operators.skew import skew_join
 
     ev = load(spark, sf_dir, "events")

@@ -81,6 +81,44 @@ def test_head_sample_jvm_and_python_paths_sample_identically(spark, tmp_path):
     assert len(jvm_rows) == 200
 
 
+def test_skew_probe_size_gate(spark, tmp_path):
+    """Inputs provably below AQE's skewed-partition threshold answer
+    the skew question from metadata — zero probe jobs — and the gated
+    decision can never change results (both paths exact)."""
+    from sstable_hadoop_spark.operators import skew
+
+    src = str(tmp_path / "tiny.parquet")
+    spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(-1)).otherwise(F.col("id"))
+         .alias("k"), F.col("id").alias("v")).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    # heavily skewed data, but tiny: the gate answers False, no jobs
+    flagged, jobs = _jobs_triggered(
+        spark, lambda: skew.detect_group_skew(df, ["k"]))
+    assert jobs == 0 and flagged is False
+
+    # the same data through the probe (gate disabled) DOES flag it —
+    # the gate is a size decision, not a detection change
+    old = skew._SKEW_MIN_INPUT_BYTES
+    try:
+        skew._SKEW_MIN_INPUT_BYTES = 0
+        assert skew.detect_group_skew(df, ["k"]) is True
+    finally:
+        skew._SKEW_MIN_INPUT_BYTES = old
+
+    # skew_join auto on a tiny left side: no probe jobs at build, and
+    # row-identical to the plain join
+    right = spark.range(50).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("w"))
+    j, jobs2 = _jobs_triggered(
+        spark, lambda: skew.skew_join(df, right, "k", "inner",
+                                      hot_keys=None))
+    assert jobs2 == 0
+    assert sorted(map(tuple, j.collect())) == \
+        sorted(map(tuple, df.join(right, "k", "inner").collect()))
+
+
 def test_minhash_materialization_is_result_invariant(spark):
     from sstable_hadoop_spark.operators.dedup import minhash_dedup_pairs
     from sstable_hadoop_spark.queries import load
