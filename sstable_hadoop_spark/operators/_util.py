@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 #: above this many input files the scan parallelizes regardless of
@@ -13,10 +15,27 @@ _PROBE_MAX_FILES = 64
 #: is the upstream exchange's business (AQE), and probing it via
 #: ``df.rdd`` would EXECUTE those stages at DataFrame-build time (AQE
 #: materializes every query stage just to answer ``getNumPartitions``).
+#: Entries are PREFIXES of node names as they appear at the start of a
+#: plan line (``Repartition`` covers ``RepartitionByExpression``,
+#: ``FlatMapGroups`` covers ``FlatMapGroupsInPandas``…).
 _SHUFFLE_NODES = ("Aggregate", "Join", "Window", "Repartition",
-                  "Rebalance", "Deduplicate", "Intersect", "Except",
-                  "Sort", "GlobalLimit", "CoGroup", "FlatMapGroups",
-                  "ApplyInPandas", "MapGroups")
+                  "Rebalance", "Deduplicate", "Distinct", "Intersect",
+                  "Except", "Sort", "GlobalLimit", "Offset", "Tail",
+                  "CoGroup", "FlatMapGroups", "ApplyInPandas",
+                  "MapGroups")
+
+#: a plan line is tree-drawing prefix (spaces, ``:``, ``+-``) followed
+#: by the node name; matching there — never raw substring over the
+#: whole text — keeps CamelCase COLUMN names in attribute lists
+#: (``SortKey``, ``WindowStart``, ``JoinDate``…) from false-positiving
+#: a leaf scan into the post-shuffle branch (r13, ADVICE r12).
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[\s:+-]*(?:" + "|".join(_SHUFFLE_NODES) + r")", re.MULTILINE)
+_REPARTITION_RE = re.compile(
+    r"^[\s:+-]*(?:Repartition|Rebalance)", re.MULTILINE)
+#: row-expanding nodes (explode/posexplode/inline plan as Generate):
+#: file bytes stop bounding the row count below one of these
+_GENERATE_RE = re.compile(r"^[\s:+-]*Generate", re.MULTILINE)
 
 
 def _analyzed_plan_str(df: DataFrame) -> str | None:
@@ -28,15 +47,18 @@ def _analyzed_plan_str(df: DataFrame) -> str | None:
         return None
 
 
-def _has_shuffle_below(df: DataFrame) -> bool:
+def _has_shuffle_below(df: DataFrame, default: bool = True) -> bool:
     """True when the analyzed logical plan contains a node that plans to
     an exchange (aggregate/join/window/sort/distinct/explicit
-    repartition…).  String match over the analyzed plan errs on the
-    safe side: a false positive only skips an optional repartition."""
+    repartition…), matched at plan-line starts (node names only, never
+    attribute names).  ``default`` is the answer for an UNAVAILABLE
+    plan: callers that would run a job on True keep the safe True;
+    callers that would pin executor storage on True (the incremental
+    dedup store) pass False so uncertainty never checkpoints."""
     s = _analyzed_plan_str(df)
     if s is None:
-        return True  # unknown plan shape: never risk a build-time job
-    return any(k in s for k in _SHUFFLE_NODES)
+        return default
+    return _SHUFFLE_NODE_RE.search(s) is not None
 
 
 #: inputs whose leaf files total at most this many bytes are "tiny":
@@ -46,9 +68,14 @@ _TINY_INPUT_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _input_file_bytes(df: DataFrame) -> int | None:
-    """Total bytes of the plan's local leaf input files (an upper bound
-    on any post-shuffle intermediate derived from them), or None when
-    unknown (no file leaves, remote store, listing failure)."""
+    """Total bytes of the plan's local leaf input files, or None when
+    unknown (no file leaves, remote store, listing failure).  NOT an
+    upper bound on intermediates derived from them: explodes (shingles
+    ≈ 100×+ rows) and fan-out joins can make a post-shuffle
+    intermediate far larger than the leaf files, and compressed
+    parquet expands at shuffle — callers use this as a cheap
+    same-order-of-magnitude size CLASS (tiny vs not), never as a
+    guarantee."""
     import os
     from urllib.parse import unquote, urlparse
 
@@ -70,10 +97,10 @@ def _input_file_bytes(df: DataFrame) -> int | None:
     return total
 
 
-def _parquet_effective_splits(df: DataFrame) -> int | None:
-    """Total ROW GROUPS behind a local-parquet scan, or None when the
-    question doesn't apply (non-file plan, many files, remote store,
-    unreadable footer).
+def _parquet_footer_probe(df: DataFrame) -> tuple[int, int] | None:
+    """(total row groups, total rows) behind a local-parquet scan, or
+    None when the question doesn't apply (non-file plan, many files,
+    remote store, unreadable footer).
 
     Partition COUNT lies about parquet parallelism: Spark splits files
     into byte ranges, but a row group is the minimum read unit — a
@@ -92,7 +119,7 @@ def _parquet_effective_splits(df: DataFrame) -> int | None:
 
     import pyarrow.parquet as pq
 
-    total = 0
+    groups = rows = 0
     for uri in files:
         if not uri.endswith(".parquet"):
             return None
@@ -101,13 +128,23 @@ def _parquet_effective_splits(df: DataFrame) -> int | None:
             return None  # remote store: trust its split planning
         path = unquote(parsed.path) if parsed.scheme else uri
         try:
-            total += pq.ParquetFile(path).metadata.num_row_groups
+            md = pq.ParquetFile(path).metadata
+            groups += md.num_row_groups
+            rows += md.num_rows
         except Exception:
             return None
-    return total
+    return groups, rows
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def _parquet_effective_splits(df: DataFrame) -> int | None:
+    """Total ROW GROUPS behind a local-parquet scan (see
+    ``_parquet_footer_probe``), or None when unknown."""
+    probe = _parquet_footer_probe(df)
+    return probe[0] if probe is not None else None
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
+                       rows_per_slot: int | None = None) -> DataFrame:
     """Repartition ONLY if the input is an under-parallelized scan.
 
     Small single-file parquet inputs arrive as one partition, which
@@ -121,6 +158,20 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     target: a big single-row-group file — a real upstream-writer
     pathology — presents plenty of byte-range partitions but all of
     its rows hide in one of them.
+
+    ``rows_per_slot`` (r13): LIGHT-per-row call sites (vector dots,
+    plain regex — not the 17-hash shingle pipelines) pass the number
+    of rows one task needs to amortize its scheduling cost; the
+    repartition width is then capped at ``est_rows / rows_per_slot``
+    (never below 2, never above the target).  Rows are estimated from
+    parquet footers, so the cap only ever narrows genuinely tiny
+    inputs — at scale ``est_rows / rows_per_slot`` exceeds any
+    cluster's parallelism and the width is the target, unchanged.
+    Measured r13 (sf0.1, local[32], interleaved): a 32-way fan-out of
+    5 000 light rows is SLOWER than 8-16-way (similarity 0.54→0.44 s,
+    corpus_export 0.61→0.48 s) while the hash-heavy dedup pipeline
+    wants every core (2.56 s at 32 vs 3.98 at 8) — per-row cost is
+    call-site knowledge, so the caller declares it.
 
     Plans that already contain a shuffle (aggregate/join/window/…) are
     never probed via ``df.rdd`` — under AQE that would *execute* the
@@ -138,8 +189,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     floor = max(target // 2, 2)
+    probe = None
+    if rows_per_slot is not None:
+        probe = _parquet_footer_probe(df)
+        if probe is not None:
+            est_rows = probe[1]
+            target = min(target,
+                         max(2, -(-est_rows // rows_per_slot)))
     plan = _analyzed_plan_str(df)
-    if plan is None or any(k in plan for k in _SHUFFLE_NODES):
+    if plan is None or _SHUFFLE_NODE_RE.search(plan):
         # Post-shuffle plan.  AQE sizes the exchange's output by BYTES
         # (advisory partition size), not by downstream CPU cost, so a
         # tiny intermediate coalesces to ~1 partition and per-row-heavy
@@ -152,7 +210,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         # A Repartition already in the plan means an upstream operator
         # (usually this function) has spread the data — never stack a
         # second exchange on it.
-        if plan is None or "Repartition" in plan or "Rebalance" in plan:
+        if plan is None or _REPARTITION_RE.search(plan):
             return df
         total = _input_file_bytes(df)
         if total is not None and 0 < total <= _TINY_INPUT_MAX_BYTES:
@@ -160,9 +218,9 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df
     # leaf-ish plan (scan/local values/union of scans): df.rdd is
     # planning-only here — no exchange below means nothing to execute
-    if df.rdd.getNumPartitions() < floor:
+    if df.rdd.getNumPartitions() < max(min(floor, target), 2):
         return df.repartition(target)
-    eff = _parquet_effective_splits(df)
-    if eff is not None and eff < floor:
+    eff = _parquet_effective_splits(df) if probe is None else probe[0]
+    if eff is not None and eff < max(min(floor, target), 2):
         return df.repartition(target)
     return df

@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: per-row work here is LIGHT (vector dots / regex, not the
+#: 17-hash shingle pipelines), so one task needs ~256 rows
+#: to amortize scheduling — ensure_parallelism caps tiny-input
+#: fan-out with this (r13; no effect at scale, see _util.py)
+_ROWS_PER_SLOT = 256
+
 
 def _hex_threshold(fraction: float) -> str:
     """fraction in [0,1] → 8-char lowercase hex of floor(f·2^32); a
@@ -128,7 +134,7 @@ def token_chunks(df: DataFrame, text_col: str = "text",
     join-free chaining."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
@@ -168,7 +174,7 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     counts = [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
               for name, pat in PII_PATTERNS]
     for name, pat in PII_PATTERNS:
@@ -255,7 +261,7 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
 
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     bench = (benchmark.select(
         F.explode(grams(F.col(bench_text_col))).alias("gram")).distinct())
     doc_grams = df.select(F.col(id_col).alias("_did"),
@@ -314,7 +320,7 @@ def semantic_decontaminate(df: DataFrame, benchmark: DataFrame,
 
     if not 1 <= n_probe:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(None, df, vec_col)
     if cents is None:
         cents = _hyperplanes(dim, n_centroids, seed=seed)
@@ -383,7 +389,7 @@ def contamination_scores(df: DataFrame, benchmark: DataFrame,
     decontaminate/quality_filter do (SURVEY.md §2 extensions)."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     bench = (benchmark.select(
         F.explode(_word_gram_hashes(F.col(bench_text_col), n))
          .alias("gram")).distinct()
@@ -492,7 +498,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     idf weighting making them never reach top-k)."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     terms = (df.select(F.col(id_col).alias("id"),
                        F.explode(toks).alias("term"))
@@ -558,7 +564,7 @@ def mixture_sample(df: DataFrame, budgets: dict[str, int],
 
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     pairs: list[Column] = []
     for s, b in budgets.items():
         pairs += [F.lit(s), F.lit(int(b))]
@@ -617,7 +623,7 @@ def mixture_epochs(df: DataFrame, budgets: dict[str, int],
 
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     pairs: list[Column] = []
     for src, b in budgets.items():
         pairs += [F.lit(src), F.lit(int(b))]
@@ -840,7 +846,7 @@ def build_vocab(df: DataFrame, *, top_n: int = 10000,
 
     from pyspark.sql.window import Window
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     tok = (df.select(F.col(id_col).alias("_doc"),
                      F.explode(F.split(F.lower(F.col(text_col)),
                                        r"\s+")).alias("term"))
@@ -874,7 +880,7 @@ def oov_rate(df: DataFrame, vocab: DataFrame, *,
     rounded to 6 places."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     tok = (df.select(*[F.col(c) for c in by],
                      F.explode(F.split(F.lower(F.col(text_col)),
                                        r"\s+")).alias("term"))
@@ -985,7 +991,7 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame | None = None,
         raise ValueError(
             f"bloom_words has {len(bloom_words)} words "
             f"({len(bloom_words) * 64} bits) but m_bits={m_bits}")
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     # ONE ArrayType Literal, not F.array(*lits): CreateArray with
     # m_bits/64 children re-builds the bitmap PER ROW (~0.5s per
     # million rows at 2048 words — the whole point of the bloom tier
@@ -1329,7 +1335,7 @@ def cap_per_domain(df: DataFrame, url_col: str, cap: int,
 
     from pyspark.sql import Window
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     order = order_by if isinstance(order_by, (list, tuple)) \
         else [order_by]
     w = Window.partitionBy("domain").orderBy(*order)

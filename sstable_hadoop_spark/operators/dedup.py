@@ -140,6 +140,37 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
              .distinct())
 
 
+def _capped_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+                     max_doc_freq: int | None) -> DataFrame:
+    """Non-distinct (id, shingle) rows with the hot-shingle cap
+    applied — the shared front of every MinHash profile derivation
+    (signatures and verification sets must see the SAME shingle
+    stream or LSH recall silently drifts from exact Jaccard)."""
+    # non-distinct shingles: every consumer below is set-semantic (min /
+    # collect_set), so the dedup shuffle would be pure waste
+    sh = word_shingles(df, text_col, id_col, n, distinct=False)
+    if max_doc_freq is not None:
+        # the cap keeps shingles with doc-freq ≤ cap.  The KEPT set is
+        # nearly all shingles (huge), the DROPPED set is the handful of
+        # stop-word-like shingles exceeding the cap — so express the
+        # filter as a broadcast ANTI join against the tiny hot set:
+        # one partial-agg shuffle to count doc-freqs, zero shuffles of
+        # the shingle fan-out itself (vs distinct + groupBy + inner
+        # join with the huge rare set — three fan-out shuffles).
+        hot = (sh.groupBy("shingle")
+                 .agg(F.count_distinct("id").alias("df"))
+                 .filter(F.col("df") > max_doc_freq).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def _sh_hash() -> Column:
+    """60-bit md5-prefix hash of a shingle (lazy: Column construction
+    needs an active session — never build it at import time)."""
+    return (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+             .cast("long"))
+
+
 def minhash_profiles(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 4,
                      num_perm: int = 16,
@@ -166,28 +197,12 @@ def minhash_profiles(df: DataFrame, text_col: str = "text",
     inlines the shingle-array expression into each of the 17 consumers
     and higher-order lambdas run interpreted, while explode + codegen
     md5 + partial aggregation hashes each shingle exactly once.)"""
-    # non-distinct shingles: every consumer below is set-semantic (min /
-    # collect_set), so the dedup shuffle would be pure waste
-    sh = word_shingles(df, text_col, id_col, n, distinct=False)
-    if max_doc_freq is not None:
-        # the cap keeps shingles with doc-freq ≤ cap.  The KEPT set is
-        # nearly all shingles (huge), the DROPPED set is the handful of
-        # stop-word-like shingles exceeding the cap — so express the
-        # filter as a broadcast ANTI join against the tiny hot set:
-        # one partial-agg shuffle to count doc-freqs, zero shuffles of
-        # the shingle fan-out itself (vs distinct + groupBy + inner
-        # join with the huge rare set — three fan-out shuffles).
-        hot = (sh.groupBy("shingle")
-                 .agg(F.count_distinct("id").alias("df"))
-                 .filter(F.col("df") > max_doc_freq).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _capped_shingles(df, text_col, id_col, n, max_doc_freq)
     sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
                 .alias(f"sig_{i}") for i in range(num_perm)]
-    sh_hash = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-                .cast("long"))
     return (sh.groupBy("id")
               .agg(*sig_aggs,
-                   F.collect_set(sh_hash).alias("sh_set"))
+                   F.collect_set(_sh_hash()).alias("sh_set"))
               .withColumn("n_sh", F.size("sh_set")))
 
 
@@ -226,16 +241,40 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     verification join — and Spark recomputes the whole scan → shingle →
     16×md5 → aggregate pipeline per branch (4 full corpus passes;
     column pruning even defeats exchange reuse by specializing the
-    aggregates per branch).  ``localCheckpoint`` cuts the lineage once
-    so the corpus is shingled exactly once per run — the same
-    profile-store pattern the incremental/streaming paths use, held in
-    executor-local storage instead of parquet (guide §8: compute the
-    lightweight proxy once, reuse it for every decision).  Results are
-    identical; pass ``False`` to keep a fully-lazy plan."""
+    aggregates per branch).  What gets materialized is ONLY the
+    fixed-width signature table (id, sig_0..N) — ``localCheckpoint``
+    cuts its lineage so the 16-permutation hashing runs exactly once
+    per run (guide §8: compute the lightweight proxy once).  The
+    verification profile (``sh_set`` ≈ every shingle of the corpus)
+    deliberately stays LAZY: checkpointing it would pin corpus-scale
+    state in executor block storage with no unpersist hook (a §5
+    memory/spill hazard — the r12 shape did exactly that).  Lazy, its
+    join branches re-derive the sets with ONE cheap md5 per shingle
+    and share the aggregation exchange via AQE stage reuse.  Results
+    are identical; pass ``False`` to keep a fully-lazy plan.  Caveat
+    (library default): the eager checkpoint runs its job at
+    DataFrame-BUILD time and its blocks have no lineage, so an
+    executor loss makes downstream actions fail instead of recompute
+    — acceptable for the fixed-width signature table, never for
+    ``sh_set``."""
+    if materialize_profiles and not df.isStreaming:
+        sh = _capped_shingles(df, text_col, id_col, n, max_doc_freq)
+        sigs = (minhash_signatures(sh, num_perm)
+                .localCheckpoint(eager=True))
+        cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+        # (r13 A/B note: restricting the verification docs to the
+        # candidate-id set first — semi join + a second checkpoint —
+        # measured WORSE at bench SF than this plain lazy re-derive:
+        # near-dup candidates cover most docs, so the extra job
+        # barrier buys almost no shingling back.  AQE stage reuse
+        # shares the verify aggregation's exchange between the two
+        # join branches.)
+        verify_prof = (sh.groupBy("id")
+                         .agg(F.collect_set(_sh_hash()).alias("sh_set"))
+                         .withColumn("n_sh", F.size("sh_set")))
+        return _verify_pairs(cand, verify_prof, min_jaccard)
     profile = minhash_profiles(df, text_col, id_col, n, num_perm,
                                max_doc_freq)
-    if materialize_profiles and not df.isStreaming:
-        profile = profile.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         profile.select("id", *[f"sig_{i}" for i in range(num_perm)]),
         bands, num_perm // bands)
@@ -296,21 +335,32 @@ def minhash_dedup_incremental(new_docs: DataFrame,
                                       num_perm, max_doc_freq))
     # Both sides feed multiple plan branches (bands + verification, and
     # the stored side additionally the replay anti-join).  A COMPUTED
-    # side would be re-shingled/re-aggregated once per branch — cut its
-    # lineage so it is built exactly once.  A plain file read (the
-    # production shape: profiles stored as parquet) is left lazy — its
-    # branches are cheap columnar scans and checkpointing a corpus-
-    # sized store into executor storage would be the wrong trade.
+    # side would be re-shingled/re-aggregated once per branch — cut
+    # lineage so the expensive part is built exactly once.  The NEW
+    # batch (small by design — a day's ingest) checkpoints its whole
+    # profile; the STORED side may be corpus-sized, so only its
+    # fixed-width (id, sig_*) projection — what banding and the replay
+    # anti-join read — is ever checkpointed, and the ``sh_set``
+    # verification branch stays lazy (pinning corpus-scale shingle
+    # sets in executor storage is a §5 memory hazard, r12 VERDICT).
+    # A plain file read (the production shape: profiles stored as
+    # parquet) is left fully lazy — its branches are cheap columnar
+    # scans.  ``default=False``: when the plan can't be inspected,
+    # uncertainty must never checkpoint (ADVICE r12).
     from ._util import _has_shuffle_below
 
-    if not new_docs.isStreaming:
-        if new_profiles is None and _has_shuffle_below(new_prof):
-            new_prof = new_prof.localCheckpoint(eager=True)
-        if _has_shuffle_below(stored_profiles):
-            stored_profiles = stored_profiles.localCheckpoint(eager=True)
-    stored_profiles = stored_profiles.join(
-        new_prof.select("id"), "id", "left_anti")
     sig_cols = [f"sig_{i}" for i in range(num_perm)]
+    if not new_docs.isStreaming:
+        if new_profiles is None and _has_shuffle_below(new_prof,
+                                                       default=False):
+            new_prof = new_prof.localCheckpoint(eager=True)
+    stored_sigs = stored_profiles.select("id", *sig_cols)
+    if (not new_docs.isStreaming
+            and _has_shuffle_below(stored_profiles, default=False)):
+        stored_sigs = stored_sigs.localCheckpoint(eager=True)
+    new_ids = new_prof.select("id")
+    stored_sigs = stored_sigs.join(new_ids, "id", "left_anti")
+    stored_full = stored_profiles.join(new_ids, "id", "left_anti")
     rows_per_band = num_perm // bands
 
     def banded(profiles: DataFrame) -> DataFrame:
@@ -324,7 +374,7 @@ def minhash_dedup_incremental(new_docs: DataFrame,
             "id", F.explode(F.array(*band_cols)).alias("bucket"))
 
     new_b = banded(new_prof.select("id", *sig_cols))
-    stored_b = banded(stored_profiles.select("id", *sig_cols))
+    stored_b = banded(stored_sigs)
     # new×new (ordered) ∪ new×stored; stored×stored never materializes
     nn = (new_b.select(F.col("id").alias("id_a"), "bucket")
           .join(new_b.select(F.col("id").alias("id_b"), "bucket"),
@@ -336,7 +386,22 @@ def minhash_dedup_incremental(new_docs: DataFrame,
     cand = nn.select("id_a", "id_b").union(
         ns.select("id_a", "id_b")).distinct()
     profiles = new_prof.unionByName(
-        stored_profiles.select(*new_prof.columns))
+        stored_full.select(*new_prof.columns))
+    if not new_docs.isStreaming:
+        # the two verification branches re-derive the LAZY stored side
+        # per branch — restrict profiles to ids actually present in
+        # the candidate set (result-identical: the verify join is
+        # inner on those ids).  The semi join pushes below the union
+        # and below the profile aggregates (id is the grouping key),
+        # so a COMPUTED store shingles only candidate docs; a parquet
+        # store scans only candidate rows.  cand is materialized
+        # (fixed-width id pairs) so the restriction re-runs no band
+        # join.
+        cand = cand.localCheckpoint(eager=True)
+        ids = (cand.select(F.col("id_a").alias("id"))
+                   .union(cand.select(F.col("id_b").alias("id")))
+                   .distinct())
+        profiles = profiles.join(ids, "id", "left_semi")
     return _verify_pairs(cand, profiles, min_jaccard)
 
 

@@ -23,6 +23,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: per-row work here is LIGHT (vector dots / regex, not the
+#: 17-hash shingle pipelines), so one task needs ~512 rows
+#: to amortize scheduling — ensure_parallelism caps tiny-input
+#: fan-out with this (r13; no effect at scale, see _util.py)
+_ROWS_PER_SLOT = 512
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -52,7 +58,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     # norms precomputed per side (r12): ``cosine`` inlined per pair
     # evaluates dot + BOTH norms per (query, vector) row — 3× the
     # necessary flops on the O(Q×N) scored set.  Computing each norm
@@ -159,7 +165,7 @@ def _ivf_topk(embeddings: DataFrame, queries: DataFrame,
 
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = len(cents[0])
 
     def dots(vec):
@@ -216,7 +222,7 @@ def write_ivf_clustered(embeddings: DataFrame, path: str,
     ``n_probe/n_centroids`` of the corpus BEFORE any row is read."""
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(None, embeddings, vec_col)
     cents = _hyperplanes(dim, n_centroids, seed=seed)
     (embeddings
@@ -418,7 +424,7 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.5,
     replicate the buckets bit-for-bit.  Returns (id_a, id_b, cos)."""
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(dim, embeddings, vec_col)
     vec = _checked_vec(F.col(vec_col), dim, "cosine_near_dup_lsh")
     buckets = F.array(*[
@@ -461,7 +467,7 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(dim, embeddings, vec_col)
 
     def bucketed(df, idc, vec_alias):
@@ -632,7 +638,7 @@ def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     d_sub = len(codebooks[0][0])
     if codes is None:
         codes = pq_encode(embeddings, codebooks, id_col, vec_col)
-    codes = ensure_parallelism(codes)
+    codes = ensure_parallelism(codes, rows_per_slot=_ROWS_PER_SLOT)
 
     qn = F.col(vec_col).cast("array<double>")
     qunit = F.transform(
@@ -738,7 +744,7 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     from ..sources import fs
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(None, embeddings, vec_col)
     cents = _hyperplanes(dim, n_centroids, seed=seed)
     if codebooks is None:
@@ -866,7 +872,7 @@ def cosine_topk_ivfpq(embeddings: DataFrame, queries: DataFrame,
     if coded is None:
         coded = encode_ivfpq(embeddings, codebooks, cents, id_col,
                              vec_col)
-    coded = ensure_parallelism(coded)
+    coded = ensure_parallelism(coded, rows_per_slot=_ROWS_PER_SLOT)
     return _ivfpq_score(coded, embeddings, queries, codebooks, cents, k,
                         id_col, vec_col, query_id_col, n_probe,
                         rerank_factor, "cosine_topk_ivfpq")
@@ -1008,7 +1014,7 @@ def cosine_topk_sq8(embeddings: DataFrame, queries: DataFrame,
     if codes is None:
         codes = sq8_encode(embeddings, params[0], params[1],
                            id_col, vec_col)
-    codes = ensure_parallelism(codes)
+    codes = ensure_parallelism(codes, rows_per_slot=_ROWS_PER_SLOT)
 
     qn = F.col(vec_col).cast("array<double>")
     qunit = F.transform(
@@ -1098,7 +1104,7 @@ def write_ivfsq8_index(embeddings: DataFrame, path: str,
     from ..sources import fs
     from ._util import ensure_parallelism
 
-    embeddings = ensure_parallelism(embeddings)
+    embeddings = ensure_parallelism(embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(None, embeddings, vec_col)
     cents = _hyperplanes(dim, n_centroids, seed=seed)
     if params is None:
@@ -1140,7 +1146,7 @@ def ivfsq8_append(new_embeddings: DataFrame, path: str,
 
     meta = json.loads(fs.read_bytes(
         path.rstrip("/") + "/_ivfsq8_meta.json"))
-    new_embeddings = ensure_parallelism(new_embeddings)
+    new_embeddings = ensure_parallelism(new_embeddings, rows_per_slot=_ROWS_PER_SLOT)
     dim = _resolve_dim(None, new_embeddings, vec_col)
     if dim != int(meta["dim"]):
         raise ValueError(
@@ -1258,7 +1264,7 @@ def cosine_topk_ivfsq8(embeddings: DataFrame, queries: DataFrame,
     if coded is None:
         coded = encode_ivfsq8(embeddings, mins, scales, cents,
                               id_col, vec_col)
-    coded = ensure_parallelism(coded)
+    coded = ensure_parallelism(coded, rows_per_slot=_ROWS_PER_SLOT)
     return _ivfsq8_score(coded, embeddings, queries, mins, scales,
                          cents, k, id_col, vec_col, query_id_col,
                          n_probe, rerank_factor, "cosine_topk_ivfsq8")

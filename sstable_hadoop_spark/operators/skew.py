@@ -18,52 +18,52 @@ from pyspark.sql import functions as F
 
 
 #: inputs whose files total at most this many bytes take the JVM
-#: head-sample path: a full codegen scan of ≤256 MiB is cheaper than
+#: head-sample path: a full codegen scan of ≤64 MiB is cheaper than
 #: one JVM→Python round trip, and the probe then costs no Python
 #: worker at all (guide §4: eliminate the boundary where a built-in
 #: expresses the same thing)
-_JVM_PROBE_MAX_BYTES = 256 * 1024 * 1024
+_JVM_PROBE_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _head_sample(df: DataFrame, cols: Sequence[str],
                  rows_per_partition: int) -> DataFrame:
     """First ``rows_per_partition`` rows of every partition.
 
-    Two result-identical implementations picked by input size (both
-    sample exactly the same rows — the leading rows of each partition
-    in scan order):
+    Two result-identical implementations picked by plan shape and
+    input size (both sample exactly the same rows — the leading rows
+    of each partition in scan order):
 
-    - small local inputs (file metadata says ≤ ``_JVM_PROBE_MAX_BYTES``)
-      filter on the per-partition row position encoded in
+    - SCAN-SHAPED local inputs (no shuffle/Generate below — a
+      row-expanding plan would void the size bound) whose file
+      metadata says ≤ ``_JVM_PROBE_MAX_BYTES`` filter on the
+      per-partition row position encoded in
       ``monotonically_increasing_id`` (low 33 bits) — pure codegen,
       no Python worker; the "full" scan it implies is bounded by the
-      size check that selected it;
-    - everything else (big, remote, or unsized inputs) keeps the
-      mapInPandas that stops pulling Arrow batches once satisfied —
-      cost O(partitions × rows_per_partition), NOT a full scan, so it
-      stays cheap at 100 TB (vs ``sample(fraction)``, which reads
-      everything)."""
+      size + shape checks that selected it;
+    - everything else (big, remote, unsized, exploded or post-shuffle
+      inputs) keeps the mapInPandas that stops pulling Arrow batches
+      once satisfied — cost O(partitions × rows_per_partition), NOT a
+      full scan, so it stays cheap at 100 TB (vs ``sample(fraction)``,
+      which reads everything)."""
+    from ._util import (
+        _GENERATE_RE,
+        _SHUFFLE_NODE_RE,
+        _analyzed_plan_str,
+        _input_file_bytes,
+    )
+
     proj = df.select(*cols)
 
     small = False
     if not df.isStreaming:
-        try:
-            import os
-            from urllib.parse import unquote, urlparse
-
-            files = df.inputFiles()
-            if files:
-                total = 0
-                for uri in files:
-                    p = urlparse(uri)
-                    if p.scheme not in ("", "file"):
-                        total = None
-                        break
-                    total += os.path.getsize(unquote(p.path)
-                                             if p.scheme else uri)
-                small = total is not None and total <= _JVM_PROBE_MAX_BYTES
-        except Exception:
-            small = False
+        plan = _analyzed_plan_str(df)
+        scan_shaped = (plan is not None
+                       and not _SHUFFLE_NODE_RE.search(plan)
+                       and not _GENERATE_RE.search(plan))
+        if scan_shaped:
+            total = _input_file_bytes(df)
+            small = (total is not None
+                     and 0 < total <= _JVM_PROBE_MAX_BYTES)
     if small:
         pos = F.monotonically_increasing_id().bitwiseAND(
             F.lit((1 << 33) - 1))
@@ -87,8 +87,14 @@ def _head_sample(df: DataFrame, cols: Sequence[str],
 #: own skew definition (``spark.sql.adaptive.skewJoin.
 #: skewedPartitionThresholdInBytes``, default 256 MB: a partition only
 #: COUNTS as skewed above it) — so probing is pure overhead and the
-#: detector answers False from file metadata alone, no job.
-_SKEW_MIN_INPUT_BYTES = 256 * 1024 * 1024
+#: detector answers False from file metadata alone, no job.  The gate
+#: is 64 MiB, not 256: file bytes are COMPRESSED parquet while AQE's
+#: threshold measures shuffle bytes, and dictionary/RLE-encoded
+#: columns commonly expand several-fold at shuffle — the 4× safety
+#: factor keeps a ≤256 MB-compressed hot key from slipping past the
+#: probe (ADVICE r12; results stay exact either way, the gate trades
+#: only probe latency).
+_SKEW_MIN_INPUT_BYTES = 64 * 1024 * 1024
 
 
 def _provably_tiny(df: DataFrame) -> bool:

@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: per-row work here is LIGHT (vector dots / regex, not the
+#: 17-hash shingle pipelines), so one task needs ~256 rows
+#: to amortize scheduling — ensure_parallelism caps tiny-input
+#: fan-out with this (r13; no effect at scale, see _util.py)
+_ROWS_PER_SLOT = 256
+
 # Stopwords for the quality ratio — intentionally tiny and fixed.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -60,7 +66,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
     of re-joining on the id."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text)
@@ -124,7 +130,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     stages over the same scan."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     text = F.col(text_col)
     lines = F.filter(F.split(text, r"\n"),
                      lambda ln: F.length(F.trim(ln)) > 0)
@@ -176,7 +182,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     shifts only when the n-gram set changes.  (id, fingerprint)."""
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
     toks = _tokens(F.col(text_col))
     sh = F.when(
         F.size(toks) >= n,
@@ -224,7 +230,7 @@ def ngram_lm_scores(df: DataFrame, text_col: str = "text",
         raise ValueError("ngram_lm_scores needs n >= 2 (context + word)")
     from ._util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, rows_per_slot=_ROWS_PER_SLOT)
 
     def grams(col: Column) -> Column:
         toks = clean_tokens(col)

@@ -9775,18 +9775,21 @@ def stats_ols_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SMALL (<=10) or the rotation loses its staleness bound.
 _ROUND_PRIORITY: tuple[str, ...] = (
     "flagship_lww_merge",        # permanent regression anchor
-    # r12: the window is EXACTLY full once more — 6 never-green rows
-    # (the committed r12 registrations: docs_link_pagerank_bucketed,
-    # orders_scd2_bucketed_apply, corpus_semantic_decontaminate,
-    # txlog_append_roundtrip, txlog_append_stream_replay,
-    # stats_ols_degenerate) + this anchor + the 43 rotation-due
-    # r8-green rows = 50, so NOTHING else may ride priority this
-    # round.  Deliberately NOT listed despite touched code: the
-    # matview/txlog_stream/txlog ADVICE-r11 fixes land where no
-    # driver row reads yet (their rows queue for r13 per SKILL.md),
-    # and the DV executor-side rework is bit-identity-pinned by the
-    # txlog pytest model checks + the sf0.01 parity gate.  The 44
-    # r9-green rows come due r13 inside the 4-round bound.
+    # r13 (optimization round 2): the queries whose implementation the
+    # r12+r13 optimization rounds touched ride ahead of the rotation
+    # so they get a fresh driver-oracle pass (VERDICT r12 #8) —
+    # dedup profile materialization was restructured (sig-only
+    # checkpoint, lazy verification sets), the skew probes were
+    # re-gated (64 MiB) and shape-guarded, and similarity's norm
+    # hoist (r12) never got a driver row.  With 0 never-green rows
+    # and the 44 r9-due rotation rows, this fills the window to
+    # exactly 50; the 49 r10-green rows come due r14 inside the
+    # staleness bound.
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "similarity_topk_bruteforce",
+    "lww_skewed_auto",
+    "join_skew_auto_users",
 )
 
 

@@ -132,7 +132,14 @@ def test_minhash_materialization_is_result_invariant(spark):
         (r["id_a"], r["id_b"], round(r["jaccard"], 9))
         for r in df.collect())
     assert canon(lazy) == canon(ckpt)
-    # the checkpointed plan reads the profile from ONE materialized
-    # RDD — no documents re-scan per consumer branch
+    # r13 contract: ONLY the fixed-width signature table is
+    # materialized — the banding branches read it from one RDD and the
+    # 16-permutation min(md5(...)) aggregate never appears in the
+    # returned plan (it ran once at build time); the corpus-scale
+    # sh_set verification branch stays LAZY (parquet scans present —
+    # nothing shingle-set-sized is pinned in executor storage)
     plan = ckpt._jdf.queryExecution().analyzed().toString()
-    assert "parquet" not in plan.lower()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "min(md5(" not in plan
+    assert "parquet" in plan.lower()
+    assert "collect_set" in plan
